@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-verifiable query: a Spark plan plus (when SQL-expressible) an
+  * equivalent DuckDB oracle over the same parquet tables.
+  *
+  * Parity rules (see BASELINE.md):
+  *  - every output column is aliased identically in Spark and SQL;
+  *  - results end with a deterministic ORDER BY (Spark does not preserve row
+  *    order, and fp ties must be broken by a unique key);
+  *  - fp aggregates are rounded so summation order can't flip the hash;
+  *  - integer aggregates are CAST(... AS BIGINT) in DuckDB (its sum(int)
+  *    widens to INT128, Spark's stays long).
+  */
+final case class Q(name: String, oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object Tables {
+  /** Read one driver testdata table from an sf directory. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}
