@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Parity rules (see BASELINE.md):
   *  - every output column is aliased identically in Spark and SQL;
   *  - results end with a deterministic ORDER BY (Spark does not preserve row
-  *    order, and fp ties must be broken by a unique key);
+  *    order, and fp ties must be broken by a unique key) — DuckDB sorts nulls
+  *    LAST by default while Spark sorts them FIRST, so nullable sort keys need
+  *    an explicit NULLS FIRST in the oracle;
   *  - fp aggregates are rounded so summation order can't flip the hash;
   *  - integer aggregates are CAST(... AS BIGINT) in DuckDB (its sum(int)
   *    widens to INT128, Spark's stays long).
@@ -20,4 +22,18 @@ object Tables {
   /** Read one driver testdata table from an sf directory. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+}
+
+/** All driver-checkable queries, one (or more) per SURVEY §2 operator.
+  * `SparkEntry.queries` / `oracleSql` derive from this single registry so a
+  * query can never ship without its oracle decision. */
+object Registry {
+  lazy val all: Seq[Q] =
+    CoreQueries.qs
+  lazy val byName: Map[String, Q] = {
+    val names = all.map(_.name)
+    require(names.distinct.length == names.length,
+      s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
+    all.map(q => q.name -> q).toMap
+  }
 }
