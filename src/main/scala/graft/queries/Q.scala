@@ -29,7 +29,7 @@ object Tables {
   * query can never ship without its oracle decision. */
 object Registry {
   lazy val all: Seq[Q] =
-    CoreQueries.qs
+    CoreQueries.qs ++ CombineQueries.qs
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
     require(names.distinct.length == names.length,
