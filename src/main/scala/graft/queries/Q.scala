@@ -22,6 +22,18 @@ object Tables {
   /** Read one driver testdata table from an sf directory. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its nanosecond `ts` restored to a real timestamp.
+    * The parquet stores TIMESTAMP(NANOS), which Spark only reads via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
+    * builder here); microsecond truncation matches DuckDB's TIMESTAMP. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else raw
+  }
 }
 
 /** All driver-checkable queries, one (or more) per SURVEY §2 operator.
@@ -29,7 +41,7 @@ object Tables {
   * query can never ship without its oracle decision. */
 object Registry {
   lazy val all: Seq[Q] =
-    CoreQueries.qs ++ CombineQueries.qs
+    CoreQueries.qs ++ CombineQueries.qs ++ YoutubeQueries.qs
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
     require(names.distinct.length == names.length,
