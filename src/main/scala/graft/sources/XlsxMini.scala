@@ -1,0 +1,292 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Path
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+/** Minimal XLSX codec (SURVEY §7.3): an .xlsx file is a zip of XML parts.
+  * The container has no POI/spark-excel (offline build), so this implements
+  * just enough OOXML for the reference's Excel surface: cell values
+  * (inline/shared strings, numbers, booleans), sheet listing, and merged
+  * ranges — S1/S3/S6 reads and K1/K5 writes
+  * (reference: src/templates.py:406-465,515-588; src/exporter.py:36-58).
+  *
+  * Strictly driver-side: spreadsheets are template/summary-scale artifacts.
+  * Bulk data flows through the parquet/csv/json sources instead (the 100 TB
+  * path); this codec never touches an executor.
+  */
+object XlsxMini {
+
+  /** One worksheet: a dense row-major grid (null = empty cell; values are
+    * String | Double | Boolean) plus merged ranges as (r1, c1, r2, c2),
+    * all 0-indexed inclusive. */
+  final case class Sheet(name: String, grid: Vector[Vector[Any]],
+      merged: Seq[(Int, Int, Int, Int)] = Nil)
+
+  // ---------------------------------------------------------------- write
+
+  /** Write a workbook. Strings are emitted inline (no sharedStrings part —
+    * valid OOXML, and what our reader + pandas/openpyxl both accept). */
+  def write(path: Path, sheets: Seq[Sheet]): Unit = {
+    require(sheets.nonEmpty, "workbook needs at least one sheet")
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path.toFile)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    val n = sheets.length
+    put("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      (1 to n).map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString + "</Types>")
+    put("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      """</Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+      sheets.zipWithIndex.map { case (s, i) =>
+        s"""<sheet name="${xmlEscape(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString + "</sheets></workbook>")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      (1 to n).map(i =>
+        s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        .mkString + "</Relationships>")
+    sheets.zipWithIndex.foreach { case (s, i) =>
+      put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s))
+    }
+    zos.close()
+  }
+
+  private def sheetXml(s: Sheet): String = {
+    val sb = new StringBuilder
+    sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+    s.grid.zipWithIndex.foreach { case (row, r) =>
+      sb ++= s"""<row r="${r + 1}">"""
+      row.zipWithIndex.foreach { case (v, c) =>
+        val ref = s"${colLetter(c)}${r + 1}"
+        v match {
+          case null | None | "" => // empty cell omitted
+          case b: Boolean => sb ++= s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+          case d: Double =>
+            val num = if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+                      else d.toString
+            sb ++= s"""<c r="$ref"><v>$num</v></c>"""
+          case i: Int => sb ++= s"""<c r="$ref"><v>$i</v></c>"""
+          case l: Long => sb ++= s"""<c r="$ref"><v>$l</v></c>"""
+          case other =>
+            sb ++= s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>"""
+        }
+      }
+      sb ++= "</row>"
+    }
+    sb ++= "</sheetData>"
+    if (s.merged.nonEmpty) {
+      sb ++= s"""<mergeCells count="${s.merged.length}">"""
+      s.merged.foreach { case (r1, c1, r2, c2) =>
+        sb ++= s"""<mergeCell ref="${colLetter(c1)}${r1 + 1}:${colLetter(c2)}${r2 + 1}"/>"""
+      }
+      sb ++= "</mergeCells>"
+    }
+    sb ++= "</worksheet>"
+    sb.toString
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** S6 sheet-name listing; `Nil` on failure like the reference
+    * (reference: src/services/io.py:121-133). */
+  def sheetNames(path: Path): Seq[String] =
+    try readWorkbookIndex(path).map(_._1)
+    catch { case _: Exception => Nil }
+
+  /** Read every sheet (or one by name/index). */
+  def read(path: Path): Seq[Sheet] = {
+    val zf = new ZipFile(path.toFile)
+    try {
+      val shared = readSharedStrings(zf)
+      readWorkbookIndex(path).flatMap { case (name, target) =>
+        Option(zf.getEntry(s"xl/$target")).map(e => readSheet(zf, e, name, shared))
+      }
+    } finally zf.close()
+  }
+
+  def readSheet(path: Path, sheet: Option[Either[Int, String]]): Option[Sheet] = {
+    val all = read(path)
+    sheet match {
+      case None => all.headOption
+      case Some(Left(idx)) => all.lift(idx).orElse(all.headOption)
+      case Some(Right(name)) => all.find(_.name == name).orElse(all.headOption)
+    }
+  }
+
+  /** Workbook sheet list as (name, worksheet-part target) in workbook order. */
+  private def readWorkbookIndex(path: Path): Seq[(String, String)] = {
+    val zf = new ZipFile(path.toFile)
+    try {
+      val rels = mutable.Map[String, String]()
+      Option(zf.getEntry("xl/_rels/workbook.xml.rels")).foreach { e =>
+        val r = xmlReader(zf, e)
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+            rels(attr(r, "Id")) = attr(r, "Target").stripPrefix("/xl/")
+        }
+        r.close()
+      }
+      val sheets = mutable.ArrayBuffer[(String, String)]()
+      Option(zf.getEntry("xl/workbook.xml")).foreach { e =>
+        val r = xmlReader(zf, e)
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+            val name = attr(r, "name")
+            val rid = attr(r, "id")
+            sheets += name -> rels.getOrElse(rid, s"worksheets/sheet${sheets.length + 1}.xml")
+          }
+        }
+        r.close()
+      }
+      sheets.toSeq
+    } finally zf.close()
+  }
+
+  private def readSharedStrings(zf: ZipFile): Vector[String] = {
+    Option(zf.getEntry("xl/sharedStrings.xml")) match {
+      case None => Vector.empty
+      case Some(e) =>
+        val r = xmlReader(zf, e)
+        val out = mutable.ArrayBuffer[String]()
+        var cur: StringBuilder = null
+        var inT = false
+        while (r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" => cur = new StringBuilder
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" => inT = true
+          case XMLStreamConstants.CHARACTERS if inT && cur != null => cur ++= r.getText
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "t" => inT = false
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+            out += cur.toString; cur = null
+          case _ =>
+        }
+        r.close()
+        out.toVector
+    }
+  }
+
+  private def readSheet(zf: ZipFile, entry: ZipEntry, name: String,
+      shared: Vector[String]): Sheet = {
+    val r = xmlReader(zf, entry)
+    val cells = mutable.Map[(Int, Int), Any]()
+    val merged = mutable.ArrayBuffer[(Int, Int, Int, Int)]()
+    var rowIdx = -1
+    var colIdx = -1
+    var cellRef: Option[(Int, Int)] = None
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    val text = new StringBuilder
+    while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" =>
+          rowIdx = Option(attrOrNull(r, "r")).map(_.toInt - 1).getOrElse(rowIdx + 1)
+          colIdx = -1
+        case "c" =>
+          cellRef = Option(attrOrNull(r, "r")).map(parseRef)
+          colIdx = cellRef.map(_._2).getOrElse(colIdx + 1)
+          cellType = Option(attrOrNull(r, "t")).getOrElse("")
+          text.clear()
+        case "v" => inV = true; text.clear()
+        case "t" => inIsT = true; text.clear()
+        case "mergeCell" =>
+          val Array(a, b) = attr(r, "ref").split(":")
+          val (r1, c1) = parseRef(a); val (r2, c2) = parseRef(b)
+          merged += ((r1, c1, r2, c2))
+        case _ =>
+      }
+      case XMLStreamConstants.CHARACTERS if inV || inIsT => text ++= r.getText
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "v" =>
+          inV = false
+          val v: Any = cellType match {
+            case "s" => shared.lift(text.toString.trim.toInt).orNull
+            case "b" => text.toString.trim == "1"
+            case "str" => text.toString
+            case _ => text.toString.toDoubleOption.map(d => d: Any).getOrElse(text.toString)
+          }
+          if (v != null) cells((rowIdx, colIdx)) = v
+        case "t" =>
+          inIsT = false
+          if (cellType == "inlineStr") cells((rowIdx, colIdx)) = text.toString
+        case _ =>
+      }
+      case _ =>
+    }
+    r.close()
+    val grid =
+      if (cells.isEmpty) Vector.empty[Vector[Any]]
+      else {
+        val maxR = cells.keys.map(_._1).max
+        val maxC = cells.keys.map(_._2).max
+        Vector.tabulate(maxR + 1)(r0 => Vector.tabulate(maxC + 1)(c0 =>
+          cells.getOrElse((r0, c0), null)))
+      }
+    Sheet(name, grid, merged.toSeq)
+  }
+
+  // ---------------------------------------------------------------- utils
+
+  def colLetter(idx: Int): String = {
+    var i = idx
+    val sb = new StringBuilder
+    while (i >= 0) { sb.insert(0, ('A' + i % 26).toChar); i = i / 26 - 1 }
+    sb.toString
+  }
+
+  /** "BC12" → (11, 54), 0-indexed. */
+  def parseRef(ref: String): (Int, Int) = {
+    val letters = ref.takeWhile(_.isLetter)
+    val digits = ref.drop(letters.length)
+    val col = letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+    (digits.toInt - 1, col)
+  }
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  private def xmlReader(zf: ZipFile, e: ZipEntry) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(zf.getInputStream(e), "UTF-8")
+  }
+
+  private def attr(r: javax.xml.stream.XMLStreamReader, name: String): String = {
+    val v = attrOrNull(r, name)
+    if (v == null) throw new IllegalStateException(s"missing attribute $name")
+    v
+  }
+
+  private def attrOrNull(r: javax.xml.stream.XMLStreamReader, name: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == name) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+}

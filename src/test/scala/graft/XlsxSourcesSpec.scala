@@ -1,0 +1,180 @@
+package graft
+
+import graft.model.{HeaderCell, Template}
+import graft.sources.{HeaderNormalizer, TemplateReader, XlsxMini}
+import graft.sources.XlsxMini.Sheet
+import java.nio.file.Files
+
+/** XLSX codec + template scan semantics, incl. the reference's golden-header
+  * corpus regenerated with our own writer (reference: samples/generate_samples.py,
+  * samples/expected.json, tests/test_samples_headers.py). */
+class XlsxSourcesSpec extends SparkSpec {
+
+  private def tmp = Files.createTempDirectory("xlsxspec")
+
+  private def grid(rows: Seq[Any]*): Vector[Vector[Any]] =
+    rows.map(_.toVector).toVector
+
+  test("write/read round-trip preserves values, types, sheets, merges") {
+    val p = tmp.resolve("rt.xlsx")
+    val s1 = Sheet("One", grid(
+      Seq("name", "qty", "ok"),
+      Seq("alpha", 3.5, true),
+      Seq("beta", 2.0, false)))
+    val s2 = Sheet("Two", grid(Seq("x"), Seq(1.0)), merged = Seq((0, 0, 0, 0)))
+    XlsxMini.write(p, Seq(s1, s2))
+
+    assert(XlsxMini.sheetNames(p) == Seq("One", "Two"))
+    val back = XlsxMini.read(p)
+    assert(back.map(_.name) == Seq("One", "Two"))
+    assert(back.head.grid(1) == Vector("alpha", 3.5, true))
+    assert(back.head.grid(2) == Vector("beta", 2.0, false))
+    assert(back(1).merged == Seq((0, 0, 0, 0)))
+  }
+
+  test("sheetNames returns empty on a non-xlsx file (graceful failure)") {
+    val p = tmp.resolve("bogus.xlsx")
+    Files.writeString(p, "not a zip")
+    assert(XlsxMini.sheetNames(p) == Nil)
+  }
+
+  // --- golden-header corpus (samples/expected.json) ---
+
+  test("offset_header: banner rows before header; guess + read") {
+    val p = tmp.resolve("offset_header.xlsx")
+    XlsxMini.write(p, Seq(Sheet("Departments", grid(
+      Seq("Company Report", null, null, null),
+      Seq("Generated 2024", null, null, null),
+      Seq(null, null, null, null),
+      Seq("department", "owner", "active", "budget"),
+      Seq("sales", "ann", true, 1000.0),
+      Seq("ops", "bo", false, 2000.0)))))
+    val sheet = XlsxMini.readSheet(p, None).get
+    assert(HeaderNormalizer.guessHeaderRow(sheet.grid) == 3)
+    val df = TemplateReader.readExcel(spark, p, Template(headerRow = 3))
+    assert(df.columns.toSeq == Seq("department", "owner", "active", "budget"))
+    assert(df.count() == 2)
+  }
+
+  test("merged_header: merged A1:C1 banner expands over the month row") {
+    val p = tmp.resolve("merged_header.xlsx")
+    XlsxMini.write(p, Seq(Sheet("Sales", grid(
+      Seq("2020", null, null),
+      Seq("Jan", "Feb", "Mar"),
+      Seq(10.0, 20.0, 30.0)),
+      merged = Seq((0, 0, 0, 2)))))
+    val sheet = XlsxMini.readSheet(p, None).get
+    // header row 1 (months): expected headers ⊇ {Jan, Feb, Mar}
+    val (headers, mergedDetected) = HeaderNormalizer.normalize(sheet, 1, Nil)
+    assert(!mergedDetected) // merge intersects row 0, not the header row
+    assert(headers == List("Jan", "Feb", "Mar"))
+    // header row 0: merged banner propagates its anchor value across columns
+    val (h0, det0) = HeaderNormalizer.normalize(sheet, 0, Nil)
+    assert(det0)
+    assert(h0 == List("2020", "2020", "2020"))
+  }
+
+  test("merged region with empty anchor yields merged_<COL><ROW> placeholders") {
+    val s = Sheet("S", grid(
+      Seq(null, null, "x"),
+      Seq(1.0, 2.0, 3.0)),
+      merged = Seq((0, 0, 0, 1)))
+    val (h, det) = HeaderNormalizer.normalize(s, 0, Nil)
+    assert(det)
+    assert(h == List("merged_A1_A", "merged_A1_B", "x"))
+  }
+
+  test("split_year_month: numeric year headers stringify like pandas") {
+    val p = tmp.resolve("split_year_month.xlsx")
+    XlsxMini.write(p, Seq(Sheet("Split", grid(
+      Seq("SKU", 2020.0, 2021.0),
+      Seq("a1", 5.0, 6.0),
+      Seq("a2", 7.0, 8.0)))))
+    val df = TemplateReader.readExcel(spark, p, Template())
+    assert(df.columns.toSeq == Seq("SKU", "2020", "2021"))
+  }
+
+  test("multi-sheet combine adds source_sheet lineage and unions by name") {
+    val p = tmp.resolve("multi_sheet.xlsx")
+    XlsxMini.write(p, Seq(
+      Sheet("Orders", grid(
+        Seq("order_id", "region"), Seq(1.0, "north"), Seq(2.0, "south"))),
+      Sheet("Adjustments", grid(
+        Seq("order_id", "amount"), Seq(1.0, 5.5)))))
+    val t = Template(sheets = List("Orders", "Adjustments"), combineSheets = true)
+    val df = TemplateReader.readExcel(spark, p, t)
+    assert(df.columns.toSet == Set("order_id", "region", "amount", "source_sheet"))
+    assert(df.count() == 3)
+    assert(df.filter(df("source_sheet") === "Adjustments").count() == 1)
+  }
+
+  test("skiprows shift the header and drop raw rows (pandas semantics)") {
+    val p = tmp.resolve("skiprows.xlsx")
+    XlsxMini.write(p, Seq(Sheet("S", grid(
+      Seq("junk1", null),
+      Seq("a", "b"),
+      Seq("junk2", "junk2"),
+      Seq(1.0, 2.0)))))
+    // skiprows=[0,2]: header is then row 0 of the remainder = ("a","b")
+    val df = TemplateReader.readExcel(spark, p, Template(skiprows = List(0, 2)))
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 1)
+    assert(HeaderNormalizer.effectiveHeaderRow(0, Seq(0, 2)) == 1)
+  }
+
+  test("positional HeaderCell usecols select by column index with aliases") {
+    val p = tmp.resolve("usecols.xlsx")
+    XlsxMini.write(p, Seq(Sheet("S", grid(
+      Seq("c0", "c1", "c2"),
+      Seq("x", 1.0, "keep"),
+      Seq("y", 2.0, "keep2")))))
+    val t = Template(headers = List(
+      HeaderCell("c0", 0, 0, alias = Some("name")),
+      HeaderCell("c2", 2, 0)))
+    val df = TemplateReader.readExcel(spark, p, t)
+    assert(df.columns.toSeq == Seq("name", "c2"))
+    assert(df.count() == 2)
+  }
+
+  test("all-null rows and columns drop at read (reference dropna)") {
+    val p = tmp.resolve("nulls.xlsx")
+    XlsxMini.write(p, Seq(Sheet("S", grid(
+      Seq("a", "b", "empty"),
+      Seq(1.0, "x", null),
+      Seq(null, null, null),
+      Seq(2.0, "y", null)))))
+    val df = TemplateReader.readExcel(spark, p, Template())
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+  }
+
+  test("mislabeled CSV with .xlsx suffix falls back to the CSV reader") {
+    val dir = tmp
+    val p = dir.resolve("fake.xlsx")
+    Files.writeString(p, "a,b\n1,2\n3,4\n")
+    val df = TemplateReader.read(spark, p, Template())
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+  }
+
+  test("CSV: header_row + skiprows + delimiter (pandas replay)") {
+    val p = tmp.resolve("messy.csv")
+    Files.writeString(p,
+      "banner;;\nskipme;;\ncol_a;col_b;col_c\n1;x;10\n2;y;20\n")
+    // skiprows=[1], header_row=1 → drop raw row 1, header = 2nd remaining row
+    val t = Template(sourceType = "csv", delimiter = ";", headerRow = 1,
+      skiprows = List(1))
+    val df = TemplateReader.readCsv(spark, p, t)
+    assert(df.columns.toSeq == Seq("col_a", "col_b", "col_c"))
+    assert(df.count() == 2)
+    val r = df.orderBy("col_a").head()
+    assert(r.getString(0) == "1" && r.getString(1) == "x")
+  }
+
+  test("upload bytes parse like a path read (S9)") {
+    val bytes = "k,v\n1,a\n2,b\n".getBytes("UTF-8")
+    val df = TemplateReader.readBytes(spark, bytes, "up.csv", Template())
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.count() == 2)
+  }
+}
