@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.operators.Dedup
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (beyond-reference north star):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * Pure Catalyst expressions — every function is a scalar/array expression
+  * that stays in whole-stage codegen and pushes through any scan.
+  */
+object TextAnalysis {
+
+  /** Marker-word profiles for the n-gram/stopword language heuristic. Tiny on
+    * purpose: the operator contract is a deterministic argmax over per-language
+    * marker hits, not a statistical model. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das", "ein", "zu"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "que", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "zai", "you"))
+
+  /** Language ID: argmax of marker-token hits (count WITH multiplicity),
+    * deterministic alphabetical tie-break, 'und' (undetermined) when no
+    * marker hits at all. */
+  def langId(text: Column): Column = {
+    val ws = Dedup.words(text)
+    val best = LangMarkers
+      .map { case (lang, markers) =>
+        size(filter(ws, w => markers.map(m => w === m).reduce(_ || _))) -> lang
+      }
+      .foldLeft((lit(0), lit("und"))) { case ((bs, bl), (s, l)) =>
+        // strictly-greater keeps the FIRST (alphabetically smallest) on ties
+        (when(s > bs, s).otherwise(bs), when(s > bs, lit(l)).otherwise(bl))
+      }._2
+    when(size(ws) === 0, lit("und")).otherwise(best)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Dedup.words(text))
+
+  /** BPE-ish subword count: alphanumeric runs + standalone punctuation marks,
+    * the usual pre-tokenizer regex shape. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Quality score in [0,1] from cheap surface stats: length band, alpha
+    * ratio, punctuation ratio, mean word length band. One expression, no
+    * shuffle; meant to gate documents before expensive pipeline stages. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lenScore = when(len >= 200 && len <= 8000, 1.0)
+      .when(len >= 50, 0.5).otherwise(0.0)
+    val alphaScore = when(len === 0, 0.0).otherwise(
+      when(alpha / len >= 0.6, 1.0).when(alpha / len >= 0.3, 0.5).otherwise(0.0))
+    val punctScore = when(len === 0, 0.0).otherwise(
+      when(punct / len <= 0.1, 1.0).otherwise(0.5))
+    val wordScore = when(toks === 0, 0.0).otherwise(
+      when((alpha / toks).between(2.5, 12.0), 1.0).otherwise(0.5))
+    round((lenScore + alphaScore + punctScore + wordScore) / 4.0, 4)
+  }
+
+  /** Document fingerprint: minimum seeded hash over word shingles — a
+    * one-permutation minhash, stable under small edits, identical across
+    * engines (md5-derived). */
+  def fingerprint(text: Column, k: Int = 3): Column = {
+    val shs = Dedup.shingles(Dedup.words(text), k)
+    when(size(shs) === 0, lit(null).cast("long"))
+      .otherwise(array_min(transform(shs, s => Dedup.seededHash(0, s))))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication (beyond-reference north star):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * 100 TB design rules baked in:
+  *  - NEVER an all-pairs cross join: candidates come from LSH band bucketing
+  *    (O(n·bands) shuffle), verified pairwise only within buckets;
+  *  - exact dedup is one hash-partitioned groupBy (map-side combine);
+  *  - all hashing is md5-derived (deterministic, engine-portable, seedable) —
+  *    every step is reproducible across runs and engines, which the DuckDB
+  *    oracle exploits;
+  *  - signatures are fixed-width columns, not variable blobs, so the whole
+  *    path stays in whole-stage codegen.
+  */
+object Dedup {
+
+  /** Lowercased alphanumeric word tokens. */
+  def words(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "),
+      w => w =!= "")
+
+  /** Distinct word k-shingles ("a b c" strings); empty when fewer than k
+    * words (an unguarded descending `sequence` would blow up). */
+  def shingles(ws: Column, k: Int = 3): Column =
+    when(size(ws) < k, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(0), size(ws) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*))))
+
+  /** Seeded 32-bit hash from md5 — identical in any engine with md5:
+    * first 8 hex digits of md5("<seed>:<value>") as an unsigned int. */
+  def seededHash(seed: Int, v: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), v)), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup at scale: one groupBy on md5(text), keeping the smallest id
+    * per group (deterministic winner, unlike dropDuplicates). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures: `numPerms` min-hash columns `h0..h{n-1}` per id.
+    * One explode + one groupBy — the heavy lifting is a single shuffle with
+    * partial aggregation. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, shingleK: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(words(col(textCol)), shingleK)).as("sh"))
+    val aggs = (0 until numPerms).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: signatures → banded bucket join →
+    * true-Jaccard verify on the shingle sets. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * bands×rowsPerBand = numPerms. Candidate generation is a self-join on
+    * (band, band_key) — skew-safe because band keys are hashes; at 100 TB
+    * the bucket join shuffles O(n·bands) rows, never O(n²).
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      shingleK: Int = 3): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val sets = df.select(col(idCol).as("id"),
+      shingles(words(col(textCol)), shingleK).as("shs"))
+    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleK)
+
+    // band rows: (id, band, key = "_"-joined minhashes of the band)
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bandRows = sig.select(col(idCol).as("id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val a = bandRows.alias("a")
+    val b = bandRows.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sa = sets.select(col("id").as("id_a"), col("shs").as("shs_a"))
+    val sb = sets.select(col("id").as("id_b"), col("shs").as("shs_b"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) -
+            size(array_intersect(col("shs_a"), col("shs_b"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: 32-bit signature from token hashes with multiplicity — bit j of
+    * the signature is 1 when the weighted sum of (±1 per token occurrence)
+    * is positive. One explode + one groupBy with 32 conditional sums. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol), explode(words(col(textCol))).as("tok"))
+      .withColumn("h", seededHash(0, col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), value.as("simhash"))
+  }
+
+  /** Character n-gram Jaccard similarity for a bounded candidate set (the
+    * caller restricts ids — e.g. LSH buckets or a sampled block). This is the
+    * verify primitive, NOT a scalable discovery path on its own. */
+  def charNgramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    // dynamic-position substring needs the SQL form of transform
+    val grams = df
+      .withColumn("__norm", trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")))
+      .select(col(idCol).as("id"),
+        array_distinct(expr(
+          s"case when length(__norm) >= $n then " +
+          s"transform(sequence(1, length(__norm) - ${n - 1}), i -> substring(__norm, i, $n)) " +
+          s"else array() end")).as("grams"))
+    val a = grams.select(col("id").as("id_a"), col("grams").as("ga"))
+    val b = grams.select(col("id").as("id_b"), col("grams").as("gb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))))
+          .as("jaccard"))
+  }
+}

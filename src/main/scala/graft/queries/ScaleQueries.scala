@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.functions.{Multimodal, TextAnalysis}
+import graft.operators.{Combiner, Dedup, Similarity}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Beyond-reference scale operators (the LLM-training-data north star):
+  * dedup (exact/minhash-LSH/simhash/n-gram), similarity search (brute +
+  * IVF), text analysis, multimodal plumbing, and the streaming batch-twin.
+  * Oracles replicate the exact same md5-derived hash pipeline in DuckDB, so
+  * candidate generation is compared step-for-step, not just end results.
+  */
+object ScaleQueries {
+  import Tables.t
+
+  /** DuckDB twin of Dedup.words/shingles (word 3-grams, distinct). */
+  private val SETS_CTE =
+    """sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(regexp_replace(lower(text),
+      |            '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+      |        FROM documents))""".stripMargin
+
+  private def duckHash(seed: Int, v: String): String =
+    s"('0x' || substring(md5('$seed:' || $v), 1, 8))::BIGINT"
+
+  // Exact dedup: hash-groupBy keeps the smallest id per content hash.
+  // Input doubled via self-union so dup_count is observable.
+  private val x1 = Q("x1_exact_dedup", Some(
+    """SELECT md5(text) AS text_hash, doc_id, CAST(2 AS BIGINT) AS dup_count
+      |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dedup.exactDedup(Combiner.concat(Seq(docs, docs)), "doc_id", "text")
+      .select("text_hash", "doc_id", "dup_count")
+      .orderBy("doc_id")
+  }
+
+  // MinHash(8 perms) + LSH(4 bands × 2 rows) near-dup pairs, verified at
+  // true Jaccard ≥ 0.8. The oracle replays signature, banding, candidate
+  // join, and verification identically.
+  private val x2 = Q("x2_minhash_lsh_neardups", Some {
+    val hashes = (0 until 8).map(i => s"list_min(list_transform(shs, s -> ${duckHash(i, "s")})) AS h$i").mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
+    s"""WITH $SETS_CTE,
+       |sig AS (SELECT doc_id, $hashes FROM sets),
+       |bands AS (
+       |  SELECT doc_id, u.b[1]::INT AS band, u.b[2] AS bkey
+       |  FROM sig, unnest([$bandKeys]) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 4) AS jaccard
+       |FROM cand JOIN sets x ON cand.id_a = x.doc_id
+       |          JOIN sets y ON cand.id_b = y.doc_id
+       |WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, dir) =>
+    Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // SimHash 32-bit signatures (token hashes with multiplicity).
+  private val x3 = Q("x3_simhash", Some {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val value = (0 until 32).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckHash(0, "u.tok")} AS h
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(regexp_replace(lower(text),
+       |            '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+       |        FROM documents), unnest(ws) AS u(tok)),
+       |bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // Character-4-gram Jaccard over a bounded block (verify primitive).
+  private val x4 = Q("x4_char_ngram_jaccard", Some(
+    """WITH grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(nt)-2, 1)),
+      |           i -> substring(nt, i, 4))) AS gs
+      |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      |        FROM documents WHERE doc_id < 60))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.gs, b.gs))::DOUBLE /
+      |    (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) AS jaccard
+      |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+      |    (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    Dedup.charNgramJaccard(
+        t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text")
+      .filter(col("jaccard") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // Brute-force cosine top-10 against the vec_id=0 embedding (exact baseline;
+  // a single broadcast + TakeOrderedAndProject).
+  private val x5 = Q("x5_ann_brute_force", Some(
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+      |FROM embeddings, q
+      |ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |LIMIT 10""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), 10)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // IVF: label-partitioned cells, probe top-3 centroids, search within.
+  private val x6 = Q("x6_ann_ivf", Some(
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |cent AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |cscore AS (
+      |  SELECT label,
+      |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+      |  FROM cent, q GROUP BY label),
+      |probe AS (SELECT label FROM cscore ORDER BY cs DESC, label LIMIT 3)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+      |FROM embeddings, q WHERE label IN (SELECT label FROM probe)
+      |ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |LIMIT 10""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, "vec_id", "label", "embedding",
+        emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // Text analysis: language-ID + token counts + quality + fingerprint.
+  private val x7 = Q("x7_text_analysis", Some {
+    val markers = TextAnalysis.LangMarkers
+    val scores = markers.map { case (lang, ms) =>
+      val set = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(ws, w -> w IN ($set))) AS s_$lang"
+    }.mkString(", ")
+    val maxExpr = "greatest(" + markers.map("s_" + _._1).mkString(", ") + ")"
+    val winner = markers.map { case (lang, _) =>
+      s"WHEN s_$lang = __m THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(regexp_replace(lower(text),
+       |      '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+       |  FROM documents),
+       |sc AS (SELECT doc_id, text, ws, $scores FROM w),
+       |m AS (SELECT *, $maxExpr AS __m FROM sc),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sl
+       |  FROM w)
+       |SELECT m.doc_id,
+       |  CASE WHEN len(ws) = 0 OR __m <= 0 THEN 'und' $winner END AS lang_pred,
+       |  CAST(len(ws) AS INT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+       |       len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS INT) AS n_subwords,
+       |  round((
+       |    (CASE WHEN length(text) BETWEEN 200 AND 8000 THEN 1.0
+       |          WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) +
+       |    (CASE WHEN length(text) = 0 THEN 0.0
+       |          WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) >= 0.6 THEN 1.0
+       |          WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) >= 0.3 THEN 0.5
+       |          ELSE 0.0 END) +
+       |    (CASE WHEN length(text) = 0 THEN 0.0
+       |          WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) <= 0.1 THEN 1.0
+       |          ELSE 0.5 END) +
+       |    (CASE WHEN len(ws) = 0 THEN 0.0
+       |          WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / len(ws)
+       |               BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS quality,
+       |  (SELECT CASE WHEN len(sl) = 0 THEN NULL
+       |     ELSE list_min(list_transform(sl, s -> ${duckHash(0, "s")})) END
+       |   FROM shs WHERE shs.doc_id = m.doc_id) AS fingerprint
+       |FROM m ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // Multimodal plumbing: binary payload + partition-wise decode stub.
+  private val x8 = Q("x8_multimodal_decode", Some(
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, md5(text) AS content_hash,
+      |  CAST((length(text) * 7) % 640 + 1 AS INT) AS width,
+      |  CAST((length(text) * 13) % 480 + 1 AS INT) AS height,
+      |  CAST(length(text) % 16 + 1 AS INT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    Multimodal.decodeStub(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  // Streaming batch-twin: the same windowedCounts plan the readStream path
+  // runs, executed on the static events frame.
+  private val x9 = Q("x9_event_windows", Some(
+    """SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)) {
+    (s, dir) =>
+      EventStream.windowedCounts(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")
+  }
+
+  val qs: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9)
+}

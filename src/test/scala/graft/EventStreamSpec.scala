@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming layer: windowed aggregation with watermark over a
+  * real stream (MemoryStream), equivalence with the batch twin, and
+  * stateful sessionization. */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("windowedCounts on a real stream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStream.windowedCounts(streamDf, windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(1), "click", 1.5), (ts(2), "click", 2.0), (ts(11), "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("win_test").orderBy("window_start", "event_type").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[String]("event_type") == "click")
+      assert(got(0).getAs[Long]("n_events") == 2L)
+      assert(got(0).getAs[Double]("total_value") == 3.5)
+
+      // batch twin over the same rows produces identical aggregates
+      val batch = EventStream.windowedCounts(
+        Seq((ts(1), "click", 1.5), (ts(2), "click", 2.0), (ts(11), "view", 3.0))
+          .toDF("ts", "event_type", "value"), windowLength = "10 minutes")
+        .orderBy("window_start", "event_type").collect()
+      assert(batch.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("watermark bounds state in append mode (late rows beyond it dropped)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.windowedCounts(mem.toDF().toDF("ts", "event_type", "value"),
+        windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(31), "click", 1.0)) // advances watermark past window 10:00-10:10
+      q.processAllAvailable()
+      mem.addData((ts(2), "click", 99.0)) // late beyond watermark → dropped
+      q.processAllAvailable()
+      val closed = spark.table("wm_test")
+        .filter($"window_start" === ts(0)).collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Double]("total_value") == 1.0) // late row excluded
+    } finally q.stop()
+  }
+
+  test("sessionize groups events by inactivity gap per user") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → new session
+      (2L, ts(10)))
+      .toDF("user_id", "ts")
+    val out = EventStream.sessionize(events, gapSeconds = 1800)
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    val u1 = out(0)
+    assert(u1.getAs[Long]("user_id") == 1L)
+    assert(u1.getAs[Timestamp]("session_start") == ts(40)) // latest session
+    assert(u1.getAs[Long]("n_events") == 1L)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+}

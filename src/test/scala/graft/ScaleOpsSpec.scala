@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions.{Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis / multimodal operator semantics on
+  * controlled fixtures (the oracle queries cover the testdata-scale paths). */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps smallest id and counts duplicates") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, "id", "text").orderBy("id").collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("dup_count"))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds a planted near-duplicate, skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra"
+    val far = (200 to 260).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "text")
+    val m = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(m(1L) == m(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(3L)) <= 6)
+    assert(hamming(m(1L), m(4L)) > 6)
+  }
+
+  test("char n-gram jaccard: identity 1.0, disjoint filtered out") {
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")).toDF("id", "text")
+    val out = Dedup.charNgramJaccard(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.contains((1L, 2L, 1.0)))
+    assert(out.filter(p => p._2 == 3L || p._1 == 3L).forall(_._3 == 0.0))
+  }
+
+  test("cosine math: orthogonal 0, identical 1") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      df.filter($"vec_id" === 1), 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    assert(math.abs(top(1).getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(math.abs(top(2).getAs[Double]("cosine")) < 1e-12)
+  }
+
+  test("IVF centroids average per cell; probe restricts the scan") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f)),
+      (3L, 1, Seq(0.0f, 1.0f)), (4L, 1, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.centroids(df, "label", "embedding").orderBy("cell").collect()
+    assert(cents.length == 2)
+    val c0 = cents(0).getSeq[Double](cents(0).fieldIndex("centroid"))
+    assert(math.abs(c0.head - 0.95) < 1e-6)
+    // nprobe=1 near cell 0: only label-0 vectors are candidates
+    val out = Similarity.ivfTopK(df, "vec_id", "label", "embedding",
+      df.filter($"vec_id" === 1), k = 4, nprobe = 1).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("langId picks marker-dominant language with deterministic tie-break") {
+    val df = Seq(
+      "the cat is in the house and the dog",
+      "der hund ist nicht das problem und die katze",
+      "xyzzy plugh").toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("token/subword counts and quality bands") {
+    val df = Seq("Hello, world! This is fine.").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.subwordCount($"text").as("s"),
+      TextAnalysis.qualityScore($"text").as("q")).head()
+    assert(r.getAs[Int]("t") == 5)
+    assert(r.getAs[Int]("s") == 8) // 5 words + 3 punctuation marks
+    assert(r.getAs[Double]("q") > 0.0 && r.getAs[Double]("q") <= 1.0)
+  }
+
+  test("fingerprint is stable under a small edit far from the minimum") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq(base).toDF("text")
+    val f1 = df.select(TextAnalysis.fingerprint($"text")).head().getLong(0)
+    // appending tokens can only lower or keep the min-hash…
+    val f2 = Seq(base + " zzz zzz zzz").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).head().getLong(0)
+    assert(f2 <= f1)
+    assert(Seq("").toDF("text").select(TextAnalysis.fingerprint($"text")).head().isNullAt(0))
+  }
+
+  test("multimodal: media schema, partition-wise decode, frame sampling") {
+    val df = Seq((1L, "abcdefgh" * 4), (2L, "xy")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "doc_id", "text")
+    assert(media.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.decodeStub(media).orderBy("doc_id").collect()
+    assert(feats(0).getAs[Long]("byte_len") == 32L)
+    assert(feats(0).getAs[Int]("width") == (32 * 7) % 640 + 1)
+    assert(feats(1).getAs[Long]("byte_len") == 2L)
+    val frames = Multimodal.sampleFrames(media.filter($"doc_id" === 1), 8, 2)
+      .collect()
+    assert(frames.length == 2) // 32 bytes / (8*2) stride
+    assert(frames.forall(_.getAs[Int]("frame_bytes") == 8))
+  }
+}
