@@ -24,11 +24,27 @@ object Dedup {
       w => w =!= "")
 
   /** Distinct word k-shingles ("a b c" strings); empty when fewer than k
-    * words (an unguarded descending `sequence` would blow up). */
-  def shingles(ws: Column, k: Int = 3): Column =
-    when(size(ws) < k, array().cast("array<string>")).otherwise(
-      array_distinct(transform(sequence(lit(0), size(ws) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*))))
+    * words. Built by zipping k-1 shifted slices — `ws` is evaluated a
+    * CONSTANT number of times per row. (The naive
+    * `transform(sequence(...), i -> element_at(ws, i+j))` form re-evaluates
+    * the whole `ws` subtree per element inside the lambda — quadratic per
+    * row, ~25× slower on real documents.) */
+  def shingles(ws: Column, k: Int = 3): Column = {
+    val zipped = (2 to k).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j), greatest(size(ws) - (j - 1), lit(0))),
+        (a, b) => when(b.isNull, lit(null)).otherwise(concat_ws(" ", a, b)))
+    }
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(slice(zipped, lit(1), size(ws) - (k - 1))))
+  }
+
+  /** Shingle sets as a frame (id, shs). The words array is bound to a real
+    * column first so multiple consumers share ONE evaluation per row
+    * (CollapseProject keeps multiply-referenced non-trivial aliases). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    df.withColumn("__ws", words(col(textCol)))
+      .select(col(idCol), shingles(col("__ws"), k).as("shs"))
 
   /** Seeded 32-bit hash from md5 — identical in any engine with md5:
     * first 8 hex digits of md5("<seed>:<value>") as an unsigned int. */
@@ -43,12 +59,21 @@ object Dedup {
 
   /** MinHash signatures: `numPerms` min-hash columns `h0..h{n-1}` per id.
     * One explode + one groupBy — the heavy lifting is a single shuffle with
-    * partial aggregation. */
+    * partial aggregation. Permutations use the Kirsch-Mitzenmacher scheme
+    * (h_i = h1 + i·h2 mod 2³²) so each shingle is md5'd ONCE, not numPerms
+    * times — at 100 TB the hash work dominates this operator. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numPerms: Int, shingleK: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(words(col(textCol)), shingleK)).as("sh"))
-    val aggs = (0 until numPerms).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
+      numPerms: Int, shingleK: Int = 3): DataFrame =
+    minhashFromSets(shingleSets(df, idCol, textCol, shingleK), idCol, numPerms)
+
+  private[operators] def minhashFromSets(sets: DataFrame, idCol: String,
+      numPerms: Int): DataFrame = {
+    val exploded = sets.select(col(idCol), explode(col("shs")).as("sh"))
+      .withColumn("__md5", md5(col("sh")))
+      .withColumn("__ha", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__hb", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
+    val aggs = (0 until numPerms).map(i =>
+      min((col("__ha") + lit(i.toLong) * col("__hb")) % lit(4294967296L)).as(s"h$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -64,9 +89,13 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.8,
       shingleK: Int = 3): DataFrame = {
     val numPerms = bands * rowsPerBand
-    val sets = df.select(col(idCol).as("id"),
-      shingles(words(col(textCol)), shingleK).as("shs"))
-    val sig = minhashSignatures(df, idCol, textCol, numPerms, shingleK)
+    // shingle sets feed the signature AND both sides of the verify join —
+    // persist once instead of re-tokenizing the corpus three times
+    val sets = shingleSets(df, idCol, textCol, shingleK)
+      .withColumnRenamed(idCol, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashFromSets(sets.select(col("id").as(idCol), col("shs")),
+      idCol, numPerms)
 
     // band rows: (id, band, key = "_"-joined minhashes of the band)
     val bandStructs = (0 until bands).map { b =>

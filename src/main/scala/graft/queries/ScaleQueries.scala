@@ -42,11 +42,18 @@ object ScaleQueries {
   // true Jaccard ≥ 0.8. The oracle replays signature, banding, candidate
   // join, and verification identically.
   private val x2 = Q("x2_minhash_lsh_neardups", Some {
-    val hashes = (0 until 8).map(i => s"list_min(list_transform(shs, s -> ${duckHash(i, "s")})) AS h$i").mkString(", ")
+    // Kirsch-Mitzenmacher permutations: ONE md5 per shingle, h_i = ha + i·hb
+    val hashes = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
     val bandKeys = (0 until 4).map(b =>
       s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
     s"""WITH $SETS_CTE,
-       |sig AS (SELECT doc_id, $hashes FROM sets),
+       |expl AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substring(md5(u.sh), 9, 8))::BIGINT AS hb
+       |  FROM sets, unnest(shs) AS u(sh)),
+       |sig AS (SELECT doc_id, $hashes FROM expl GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, u.b[1]::INT AS band, u.b[2] AS bkey
        |  FROM sig, unnest([$bandKeys]) AS u(b)),
