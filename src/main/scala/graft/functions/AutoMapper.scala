@@ -166,7 +166,9 @@ object AutoMapper {
 
   /** H4 type sniffing for display (reference: webapp/pages/02_Mapping.py:50-57). */
   def sniffType(dt: org.apache.spark.sql.types.DataType): String = dt match {
-    case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => "Date"
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.DateType => "Date"
     case _: org.apache.spark.sql.types.NumericType => "Number"
     case org.apache.spark.sql.types.BooleanType => "Boolean"
     case _ => "Text"
