@@ -43,15 +43,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Elementwise mean of double-array rows as a typed Aggregator: one pass,
+    * one buffer of d doubles per group — no row explosion. The posexplode
+    * alternative multiplies the shuffle by d (64× here); at 100 TB that is
+    * the difference between a d-sized partial aggregate per partition and a
+    * d× full-table shuffle. */
+  private val vectorMean: org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], (Array[Double], Long), Seq[Double]] =
+    new org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], (Array[Double], Long), Seq[Double]] {
+      def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+      def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+        val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+        var i = 0
+        while (i < v.length) { sums(i) += v(i); i += 1 }
+        (sums, b._2 + 1)
+      }
+      def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+        if (a._1.isEmpty) b
+        else if (b._1.isEmpty) a
+        else {
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          (a._1, a._2 + b._2)
+        }
+      }
+      def finish(r: (Array[Double], Long)): Seq[Double] =
+        if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
+      def bufferEncoder = org.apache.spark.sql.Encoders.product[(Array[Double], Long)]
+      def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+
   /** Per-cell centroids: mean vector per `cellCol` (e.g. a cluster label or
-    * a hash bucket). One explode + one groupBy on (cell, dim) — numCells×d
-    * output rows, small enough to broadcast. */
-  def centroids(data: DataFrame, cellCol: String, vecCol: String): DataFrame =
-    data.select(col(cellCol).as("cell"), posexplode(asDouble(col(vecCol))))
-      .groupBy("cell", "pos").agg(avg("col").as("v"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-      .select(col("cell"), transform(col("pv"), p => p.getField("v")).as("centroid"))
+    * a hash bucket) via the one-pass vectorMean Aggregator — numCells×d
+    * output, small enough to broadcast. */
+  def centroids(data: DataFrame, cellCol: String, vecCol: String): DataFrame = {
+    val agg = udaf(vectorMean, org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[Double]]())
+    data.select(col(cellCol).as("cell"), asDouble(col(vecCol)).as("__v"))
+      .groupBy("cell").agg(agg(col("__v")).as("centroid"))
+  }
 
   /** IVF search: probe the `nprobe` cells whose centroids are closest to the
     * query (by cosine), then brute-force only within those cells. */
