@@ -15,14 +15,22 @@ import org.apache.spark.sql.functions._
 object Profiler {
 
   /** One-row frame: `n_rows`, `n_cols`, `dup_rows`, and `null_pct_<col>`
-    * (percentage, rounded to 2 decimals like the reference manifest). */
-  def profile(df: DataFrame): DataFrame = {
+    * (percentage, rounded to 2 decimals like the reference manifest).
+    *
+    * `approx = true` swaps the exact full-row distinct (a full-width
+    * shuffle) for `approx_count_distinct` (HLL±2.5%, a constant-size
+    * sketch per partition) — the right manifest mode at 100 TB, where an
+    * exact duplicate count costs more than the export itself. */
+  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
     val cols = df.columns
+    val rowStruct = struct(cols.map(c => col(quoted(c))): _*)
+    val distinctRows =
+      if (approx) approx_count_distinct(rowStruct, 0.025)
+      else count_distinct(rowStruct)
     val aggs =
       count(lit(1)).as("n_rows") +:
       lit(cols.length).cast("int").as("n_cols") +:
-      (count(lit(1)) - count_distinct(struct(cols.map(c => col(quoted(c))): _*)))
-        .as("dup_rows") +:
+      greatest(count(lit(1)) - distinctRows, lit(0L)).as("dup_rows") +:
       cols.map(c =>
         round(avg(col(quoted(c)).isNull.cast("double")) * 100, 2).as(s"null_pct_$c")).toSeq
     df.agg(aggs.head, aggs.tail: _*)

@@ -240,5 +240,65 @@ object ScaleQueries {
         .orderBy("window_start", "event_type")
   }
 
-  val qs: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9)
+  // End-to-end curation pipeline — the composition a training-data run
+  // performs: quality gate → language filter → near-dup removal (LSH pairs,
+  // drop the higher id) → fingerprinted survivors.
+  private val x10 = Q("x10_curation_pipeline", Some {
+    val hashes = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
+    s"""WITH $SETS_CTE,
+       |expl AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substring(md5(u.sh), 9, 8))::BIGINT AS hb
+       |  FROM sets, unnest(shs) AS u(sh)),
+       |sig AS (SELECT doc_id, $hashes FROM expl GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, u.b[1]::INT AS band, u.b[2] AS bkey
+       |  FROM sig, unnest([$bandKeys]) AS u(b)),
+       |dups AS (
+       |  SELECT DISTINCT b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN sets x ON a.doc_id = x.doc_id JOIN sets y ON b.doc_id = y.doc_id
+       |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
+       |quality AS (
+       |  SELECT doc_id, text, round((
+       |    (CASE WHEN length(text) BETWEEN 200 AND 8000 THEN 1.0
+       |          WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) +
+       |    (CASE WHEN length(text) = 0 THEN 0.0
+       |          WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) >= 0.6 THEN 1.0
+       |          WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) >= 0.3 THEN 0.5
+       |          ELSE 0.0 END) +
+       |    (CASE WHEN length(text) = 0 THEN 0.0
+       |          WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) <= 0.1 THEN 1.0
+       |          ELSE 0.5 END) +
+       |    (CASE WHEN len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) = 0 THEN 0.0
+       |          WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+       |               len(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> ''))
+       |               BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 4.0, 4) AS quality
+       |  FROM documents)
+       |SELECT q.doc_id, q.quality,
+       |  (SELECT CASE WHEN len(s.shs) = 0 THEN NULL
+       |     ELSE list_min(list_transform(s.shs, x -> ('0x' || substring(md5('0:' || x), 1, 8))::BIGINT)) END
+       |   FROM sets s WHERE s.doc_id = q.doc_id) AS fingerprint
+       |FROM quality q
+       |WHERE q.quality >= 0.5 AND q.doc_id NOT IN (SELECT id_b FROM dups)
+       |ORDER BY q.doc_id""".stripMargin
+  }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val dupIds = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .filter(col("quality") >= 0.5)
+      .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan regressions: the properties that make these operators scale are
+  * asserted on the PHYSICAL PLAN, not just timed — filter pushdown, column
+  * pruning, broadcast joins, partial aggregation, top-k without total sort.
+  * If a refactor silently de-optimizes a path, this suite fails. */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Registry.byName(name).run(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("f1 filters push into the parquet scan; scan reads only needed columns") {
+    val p = plan("f1_query_filters")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), IsNotNull(p_retailprice)"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(p_size,25)"))
+    // pruned read schema: exactly the 4 projected columns, not all 6
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_type:string,p_size:int,p_retailprice:double>"))
+  }
+
+  test("j1 3-way merge broadcasts both small dimension sides") {
+    val p = plan("j1_merge_suffixes")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, "expected 2 broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "small dims must not sort-merge")
+  }
+
+  test("a1 group-sum does partial aggregation before the shuffle") {
+    val p = plan("a1_combine_groupsum")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("Partial"), "map-side combine missing")
+  }
+
+  test("o1 top-k plans TakeOrderedAndProject, never a global sort") {
+    val p = plan("o1_o2_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the scalar-heavy paths") {
+    // duration parse + engagement metrics are pure expressions → codegen'd.
+    // AQE defers codegen assembly until execution, so inspect with AQE off.
+    def codegen(name: String): String = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try Registry.byName(name).run(spark, sf).queryExecution
+        .explainString(ExplainMode.fromString("codegen"))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val c8 = codegen("c8_duration_seconds")
+    assert(c8.contains("WholeStageCodegen subtrees") && !c8.startsWith("Found 0"), c8.take(120))
+    val c7 = codegen("c7_engagement_metrics")
+    assert(c7.contains("WholeStageCodegen subtrees") && !c7.startsWith("Found 0"), c7.take(120))
+  }
+
+  test("x5 ANN broadcasts the one-row query vector") {
+    val p = plan("x5_ann_brute_force")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query vector should broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune")
+    Seq(("a", 1), ("b", 2), ("a", 3)).toDF("part_key", "v")
+      .write.partitionBy("part_key").parquet(dir.resolve("t").toString)
+    val read = spark.read.parquet(dir.resolve("t").toString)
+      .filter($"part_key" === "a")
+    val p = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [isnotnull(part_key"), p.take(400))
+    assert(read.count() == 2)
+  }
+}

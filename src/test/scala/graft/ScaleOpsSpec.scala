@@ -106,6 +106,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Seq("").toDF("text").select(TextAnalysis.fingerprint($"text")).head().isNullAt(0))
   }
 
+  test("approx profile estimates duplicates within HLL tolerance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select("o_orderstatus", "o_orderpriority")
+    val exact = graft.operators.Profiler.profile(docs).head().getAs[Long]("dup_rows")
+    val approx = graft.operators.Profiler.profile(docs, approx = true)
+      .head().getAs[Long]("dup_rows")
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("multimodal: media schema, partition-wise decode, frame sampling") {
     val df = Seq((1L, "abcdefgh" * 4), (2L, "xy")).toDF("doc_id", "text")
     val media = Multimodal.asMedia(df, "doc_id", "text")
