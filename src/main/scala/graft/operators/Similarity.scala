@@ -74,6 +74,23 @@ object Similarity {
       def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     }
 
+  /** Batch ANN: exact top-k per query vector. The query SET broadcasts (it
+    * is the small side by construction); ranking is a per-query window —
+    * Spark plans `WindowGroupLimit`, so each partition forwards at most k
+    * rows per query before the shuffle. At 100 TB this is one scan of the
+    * data side regardless of how many queries ride along. */
+  def bruteForceTopKBatch(data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv")))
+    val scored = data.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(q)
+      .select(col("query_id"), col(idCol), cosine(col("__v"), col("__qv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-cell centroids: mean vector per `cellCol` (e.g. a cluster label or
     * a hash bucket) via the one-pass vectorMean Aggregator — numCells×d
     * output, small enough to broadcast. */

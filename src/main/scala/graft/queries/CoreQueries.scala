@@ -254,5 +254,40 @@ object CoreQueries {
       .toDF("col_name", "status").orderBy("col_name")
   }
 
-  val qs: Seq[Q] = Seq(p1, p2, p3, r1, a1, d1, f3, f4, c1, c2, c5, a6, h9)
+  // R1 + H7 + P2 end-to-end: localized month headers ("2020 tammikuu")
+  // normalized to period labels, headers replaced, then melted through the
+  // engine — the reference's real messy-spreadsheet flow
+  // (reference: src/services/schema_candidates.py:145-158 + engine unpivot).
+  private val r2 = Q("r2_localized_unpivot", Some {
+    val stack = Seq("jan" -> "m1", "feb" -> "m2", "mar" -> "m3").map { case (m, c) =>
+      s"SELECT customer_id, '2020-$m' AS period, round(coalesce($c, 0.0), 2) AS sales_amount FROM wide"
+    }.mkString(" UNION ALL ")
+    s"""WITH wide AS (
+       |  SELECT o_custkey AS customer_id,
+       |    sum(CASE WHEN month(o_orderdate) = 1 THEN o_totalprice END) AS m1,
+       |    sum(CASE WHEN month(o_orderdate) = 2 THEN o_totalprice END) AS m2,
+       |    sum(CASE WHEN month(o_orderdate) = 3 THEN o_totalprice END) AS m3
+       |  FROM orders GROUP BY 1)
+       |SELECT customer_id, period, sales_amount, 'acme' AS provider_id
+       |FROM ($stack) ORDER BY customer_id, period""".stripMargin
+  }) { (s, dir) =>
+    val wide = t(s, dir, "orders").groupBy(col("o_custkey").as("customer_id"))
+      .agg(
+        sum(when(month(col("o_orderdate")) === 1, col("o_totalprice"))).as("2020 tammikuu"),
+        sum(when(month(col("o_orderdate")) === 2, col("o_totalprice"))).as("2020 helmikuu"),
+        sum(when(month(col("o_orderdate")) === 3, col("o_totalprice"))).as("2020 maerz"))
+    val (normalized, changed) =
+      graft.functions.SchemaCandidates.combineYearMonth(wide.columns.toSeq)
+    assert(changed && normalized.contains("2020-jan"))
+    val renamed = TransformEngine.replaceHeaders(wide, normalized)
+    val tpl = Template(columnMappings = Map("customer_id" -> "customer_id"),
+      unpivot = true, varName = "period", valueName = "sales_amount",
+      providerName = Some("acme"))
+    val (out, _) = TransformEngine.transform(renamed, tpl)
+    out.select(col("customer_id"), col("period"),
+        round(col("sales_amount"), 2).as("sales_amount"), col("provider_id"))
+      .orderBy("customer_id", "period")
+  }
+
+  val qs: Seq[Q] = Seq(p1, p2, p3, r1, r2, a1, d1, f3, f4, c1, c2, c5, a6, h9)
 }

@@ -300,5 +300,29 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
+  // Batch ANN: one scan of the data side, top-5 per query vector.
+  private val x11 = Q("x11_ann_batch", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 3)
+      |SELECT query_id, vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine,
+      |  CAST(row_number() OVER w AS INT) AS rank
+      |FROM embeddings, q
+      |WINDOW w AS (PARTITION BY query_id ORDER BY
+      |  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id)
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", 5)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val qs: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
 }
