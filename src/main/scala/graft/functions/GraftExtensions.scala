@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.functions.expr.DurationSeconds
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * as SQL functions. Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.durationSecondsFn)
+  }
+}
+
+object GraftExtensions {
+  private val durationSecondsFn = (
+    new FunctionIdentifier("duration_seconds"),
+    new ExpressionInfo(classOf[DurationSeconds].getName, "duration_seconds"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "duration_seconds takes exactly one argument")
+      DurationSeconds(children.head)
+    })
+
+  /** Register into an already-running session (the config-based extension
+    * only applies to sessions created after it is set). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "duration_seconds", durationSecondsFn._3, "scala_udf")
+}

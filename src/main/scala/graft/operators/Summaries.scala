@@ -27,17 +27,16 @@ object Summaries {
   }
 
   /** C8 ISO-8601 duration → seconds, 0 on any parse failure
-    * (reference: src/youtube.py:64-83). Pure regexp_extract arithmetic —
-    * stays inside whole-stage codegen. The pattern mirrors the reference's
-    * anchored `P(nD)?(T(nH)?(nM)?(nS)?)?$`. */
+    * (reference: src/youtube.py:64-83). A native Catalyst expression with
+    * codegen — ONE compiled regex match per row (the pure-built-ins form
+    * costs up to 9 regex executions: rlike + 4 extract/compare pairs).
+    * Also registered as SQL `duration_seconds` via GraftExtensions. */
   def durationSeconds(duration: Column): Column = {
-    val pattern = "^P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?$"
-    def part(group: Int, mult: Long): Column = {
-      val s = regexp_extract(duration, pattern, group)
-      when(s === "", lit(0L)).otherwise(s.cast("long") * mult)
-    }
-    when(duration.isNull || !duration.rlike(pattern), lit(0L))
-      .otherwise(part(1, 86400L) + part(2, 3600L) + part(3, 60L) + part(4, 1L))
+    import org.apache.spark.sql.graftbridge.Bridge
+    coalesce(
+      Bridge.column(graft.functions.expr.DurationSeconds(
+        Bridge.expression(duration.cast("string")))),
+      lit(0L))
   }
 
   /** C10 tags flatten: list → `", "`-joined string (reference: src/youtube.py:201). */

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 made `ExpressionUtils`
+  * `private[sql]`, so third-party native expressions need this one-liner in
+  * an `org.apache.spark.sql` subpackage — the same pattern every OSS Spark
+  * extension library uses. Nothing else lives in this namespace. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

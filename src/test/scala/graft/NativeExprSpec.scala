@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.GraftExtensions
+import graft.functions.expr.DurationSeconds
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native DurationSeconds expression: interpreted + codegen parity, SQL
+  * registration via SparkSessionExtensions. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = Seq(
+    "PT1H2M3S" -> 3723L, "P1DT1S" -> 86401L, "P2D" -> 172800L,
+    "PT45S" -> 45L, "P" -> 0L, "bogus" -> 0L, "" -> 0L)
+
+  test("static parse matches the reference semantics") {
+    cases.foreach { case (in, want) =>
+      assert(DurationSeconds.parse(UTF8String.fromString(in)) == want, in)
+    }
+    assert(DurationSeconds.parse(null) == 0L)
+  }
+
+  test("interpreted and codegen paths agree on a real frame") {
+    val df = cases.map(_._1).toDF("d")
+    // codegen on (default)
+    val gen = df.select(graft.operators.Summaries.durationSeconds($"d"))
+      .collect().map(_.getLong(0))
+    assert(gen.toSeq == cases.map(_._2))
+    // force interpreted eval
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(graft.operators.Summaries.durationSeconds($"d"))
+        .collect().map(_.getLong(0))
+      assert(interp.toSeq == cases.map(_._2))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("duration_seconds registers as a SQL function") {
+    GraftExtensions.register(spark)
+    val r = spark
+      .sql("SELECT duration_seconds('PT2M3S') AS s, duration_seconds(NULL) AS n")
+      .head()
+    assert(r.getLong(0) == 123L)
+    assert(r.isNullAt(1)) // raw expression is null-intolerant; wrapper adds the 0
+  }
+
+  test("type check rejects non-string input") {
+    val e = intercept[Exception] {
+      Seq(1, 2).toDF("n")
+        .select(org.apache.spark.sql.graftbridge.Bridge.column(
+          DurationSeconds(org.apache.spark.sql.graftbridge.Bridge.expression($"n"))))
+        .collect()
+    }
+    assert(e.getMessage.contains("duration_seconds") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
+}
