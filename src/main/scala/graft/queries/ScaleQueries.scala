@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Multimodal, TextAnalysis}
+import graft.functions.{Curation, Multimodal, TextAnalysis}
 import graft.operators.{Combiner, Dedup, Similarity}
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
@@ -324,5 +324,62 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
-  val qs: Seq[Q] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
+  // Token-bounded chunking with overlap (context-window prep).
+  private val x12 = Q("x12_doc_chunking", Some(
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text),
+      |      '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    array_to_string(ws[i * 40 + 1 : i * 40 + 50], ' ') AS chunk_text
+      |  FROM w, unnest(range(0, ((greatest(len(ws) - 11, 0)) // 40) + 1)) AS u(i)
+      |  WHERE len(ws) > 0)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+      |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_tokens
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin)) { (s, dir) =>
+    Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 50, overlap = 10)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // Deterministic stratified sampling by language (hash-bucketed, seeded).
+  private val x13 = Q("x13_stratified_sample", Some(
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substring(md5('0:s:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+      |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 50, "de" -> 25), defaultPct = 10)
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  // PII scrubbing with audit counts over deterministically injected PII.
+  private val x14 = Q("x14_pii_scrub", Some(
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    substring(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.example.com or ' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '555-867-5309' ELSE 'n/a' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g') AS text,
+      |  CAST(1 AS INT) AS n_emails,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_phones
+      |FROM dirty ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val dirty = t(s, dir, "documents").select(col("doc_id"),
+      concat(substring(col("text"), 1, 40),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.com or "),
+        when(col("doc_id") % 3 === 0, lit("555-867-5309")).otherwise(lit("n/a")))
+        .as("text"))
+    Curation.scrubPiiWithCounts(dirty, "text")
+      .select("doc_id", "text", "n_emails", "n_phones")
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] =
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14)
 }
