@@ -23,7 +23,7 @@ object Profiler {
     * exact duplicate count costs more than the export itself. */
   def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
     val cols = df.columns
-    val rowStruct = struct(cols.map(c => col(quoted(c))): _*)
+    val rowStruct = struct(cols.toIndexedSeq.map(c => col(quoted(c))): _*)
     val distinctRows =
       if (approx) approx_count_distinct(rowStruct, 0.025)
       else count_distinct(rowStruct)

@@ -93,13 +93,13 @@ object TransformEngine {
           .getOrElse(hc.name)
         col(quoted(actual)).as(target)
       }
-      df.select(exprs: _*)
+      df.select(exprs.toIndexedSeq: _*)
     } else if (t.columns.nonEmpty) {
       val present = t.columns.filter(df.columns.contains)
       if (present.isEmpty) df
       else df.select(present.map(c => col(quoted(c)).as(t.columnMappings.getOrElse(c, c))): _*)
     } else if (t.columnMappings.nonEmpty) {
-      df.select(df.columns.map(c => col(quoted(c)).as(t.columnMappings.getOrElse(c, c))): _*)
+      df.select(df.columns.toIndexedSeq.map(c => col(quoted(c)).as(t.columnMappings.getOrElse(c, c))): _*)
     } else df
   }
 
@@ -129,12 +129,12 @@ object TransformEngine {
     if (cols.isEmpty) return df
     val fracs = df.agg(
       avg(col(quoted(cols.head)).isNotNull.cast("double")).as(cols.head),
-      cols.tail.map(c => avg(col(quoted(c)).isNotNull.cast("double")).as(c)): _*
+      cols.tail.toIndexedSeq.map(c => avg(col(quoted(c)).isNotNull.cast("double")).as(c)): _*
     ).head()
     val keep = cols.zipWithIndex.collect {
       case (c, i) if !fracs.isNullAt(i) && fracs.getDouble(i) >= threshold => c
     }
-    if (keep.isEmpty) df else df.select(keep.map(c => col(quoted(c))): _*)
+    if (keep.isEmpty) df else df.select(keep.toIndexedSeq.map(c => col(quoted(c))): _*)
   }
 
   /** C5 trim all string columns (reference: src/api/v1/engine.py:178-180). */
