@@ -31,7 +31,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integral div, NOT floor(x / 1000.0): nanosecond epochs exceed 2^53,
+      // so a double round-trip corrupts the low microseconds
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }
@@ -41,7 +43,7 @@ object Tables {
   * query can never ship without its oracle decision. */
 object Registry {
   lazy val all: Seq[Q] =
-    CoreQueries.qs ++ CombineQueries.qs ++ YoutubeQueries.qs ++ SourceSinkQueries.qs ++ ScaleQueries.qs ++ HeaderQueries.qs ++ ApiSourceQueries.qs ++ LifecycleQueries.qs
+    CoreQueries.qs ++ CombineQueries.qs ++ YoutubeQueries.qs ++ SourceSinkQueries.qs ++ ScaleQueries.qs ++ HeaderQueries.qs ++ ApiSourceQueries.qs ++ LifecycleQueries.qs ++ EventQueries.qs
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
     require(names.distinct.length == names.length,
