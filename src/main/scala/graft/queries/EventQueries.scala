@@ -107,5 +107,56 @@ object EventQueries {
           .otherwise(0)).cast("long").as("full_funnel"))
   }
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4)
+  // Semi-structured extraction: the events `props` JSON column parsed with
+  // a schema (from_json beats get_json_object: one parse, typed columns).
+  private val e5 = Q("e5_json_extract", Some(
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  count(*) AS n
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, dir) =>
+    val parsed = Tables.events(s, dir).withColumn("k",
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k"))
+    parsed.filter(col("k") > 50)
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // R2 pivot (absent in the reference, free in Spark): per-user event-type
+  // counts as columns.
+  private val e6 = Q("e6_pivot", Some(
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events WHERE user_id < 20 GROUP BY user_id ORDER BY user_id""".stripMargin)) {
+    (s, dir) =>
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L, Seq("click", "purchase", "view"))
+        .orderBy("user_id")
+  }
+
+  // U3 intersect/except (absent in the reference, free in Spark).
+  private val e7 = Q("e7_set_ops", Some(
+    """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)) AS both,
+      |  (SELECT count(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM buyers)) AS click_only""".stripMargin)) {
+    (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      import s.implicits._
+      Seq((clickers.intersect(buyers).count(), clickers.except(buyers).count()))
+        .toDF("both", "click_only")
+  }
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7)
 }
