@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{Curation, TextAnalysis}
+import graft.model.Template
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty frames, empty text, missing keys —
+  * every operator must degrade gracefully, not throw. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDf = Seq.empty[(String, String)].toDF("report_date", "sales_amount")
+
+  test("transform pipeline on an empty frame returns empty, metrics compute") {
+    val (out, m) = TransformEngine.transform(emptyDf,
+      Template(providerName = Some("p"), combineOn = List("x"), dedupeOn = List("y")))
+    assert(out.count() == 0)
+    val metrics = m.compute()
+    assert(metrics("unpivot_before") == ((0L, 2)))
+    assert(metrics("date_parse_failures") == 0L)
+  }
+
+  test("profile on an empty frame yields zero counts, null percentages") {
+    val row = Profiler.profile(emptyDf).head()
+    assert(row.getAs[Long]("n_rows") == 0L)
+    assert(row.getAs[Long]("dup_rows") == 0L)
+  }
+
+  test("dropNullColumns on an empty frame keeps the frame usable") {
+    val out = TransformEngine.dropNullColumns(emptyDf, 0.5)
+    assert(out.count() == 0)
+  }
+
+  test("dedupe/combineOn with keys absent from the frame are no-ops") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    assert(TransformEngine.dedupe(df, List("missing")).count() == 1)
+    assert(TransformEngine.combineOn(df, List("missing"), Nil).count() == 1)
+  }
+
+  test("minhash near-dups on empty and single-doc corpora return no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(empty, "doc_id", "text").count() == 0)
+    val one = Seq((1L, "only one document here with several words")).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(one, "doc_id", "text").count() == 0)
+  }
+
+  test("text analysis over empty and whitespace-only strings") {
+    val df = Seq("", "   ", "\t\n").toDF("text")
+    val rows = df.select(
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.qualityScore($"text").as("q"),
+      TextAnalysis.fingerprint($"text").as("f")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang") == "und")
+      assert(r.getAs[Int]("t") == 0)
+      // empty text scores 0; whitespace-only earns only the punct band (0.25)
+      assert(r.getAs[Double]("q") <= 0.25)
+      assert(r.isNullAt(3))
+    }
+  }
+
+  test("chunking skips empty documents, single-word docs yield one chunk") {
+    val df = Seq((1L, ""), (2L, "word"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", "text", chunkTokens = 2, overlap = 1)
+      .collect()
+    assert(!out.exists(_.getLong(0) == 1L)) // empty doc dropped
+    assert(out.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("scrub on text without PII is the identity") {
+    val t = "plain text with no addresses at all"
+    assert(Seq(t).toDF("text").select(Curation.scrubPii($"text")).head().getString(0) == t)
+  }
+
+  test("concat of a single frame and merge of a single frame are identities") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    assert(Combiner.concat(Seq(df)).count() == 1)
+    assert(Combiner.merge(Seq(df), Seq("k")).count() == 1)
+  }
+
+  test("frequency table on an empty frame returns no rows") {
+    assert(Profiler.frequencyTable(emptyDf, "report_date").count() == 0)
+  }
+
+  test("similarity against an empty data side returns no results") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(empty, "vec_id", "embedding", q, 5).count() == 0)
+  }
+}
