@@ -30,6 +30,30 @@ object SourceSinkQueries {
       .orderBy("nation_key")
   }
 
+  // S1 multi-sheet combine: union-by-name with null-fill + source_sheet
+  // lineage (P4) across sheets of one workbook
+  // (reference: src/templates.py:575-588).
+  private val s1b = Q("s1b_excel_multisheet", Some(
+    """SELECT CAST(r_regionkey AS INT) AS key, r_name AS name,
+      |  CAST(NULL AS INT) AS region_ref, 'Regions' AS source_sheet FROM region
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 'Nations' FROM nation
+      |ORDER BY source_sheet DESC, key""".stripMargin)) { (s, dir) =>
+    val dirp = Files.createTempDirectory("graft_s1b")
+    val wb = dirp.resolve("multi.xlsx")
+    Exporter.writeWorkbook(wb, Seq(
+      "Regions" -> t(s, dir, "region")
+        .select(col("r_regionkey").as("key"), col("r_name").as("name")),
+      "Nations" -> t(s, dir, "nation")
+        .select(col("n_nationkey").as("key"), col("n_name").as("name"),
+          col("n_regionkey").as("region_ref"))))
+    val tpl = Template(sheets = List("Regions", "Nations"), combineSheets = true)
+    TemplateReader.readExcel(s, wb, tpl)
+      .select(col("key").cast("int").as("key"), col("name"),
+        col("region_ref").cast("int").as("region_ref"), col("source_sheet"))
+      .orderBy(desc("source_sheet"), col("key"))
+  }
+
   // S2 template CSV scan (fast path: distributed spark.read.csv with header
   // + delimiter; header_row/skiprows replay covered by XlsxSourcesSpec)
   // (reference: src/templates.py:521-529).
@@ -202,5 +226,5 @@ object SourceSinkQueries {
       .toDF("level", "col_name", "failure").orderBy("level")
   }
 
-  val qs: Seq[Q] = Seq(s1, s2, s3, s6, k1, k2, k3, k4, k6, v1)
+  val qs: Seq[Q] = Seq(s1, s1b, s2, s3, s6, k1, k2, k3, k4, k6, v1)
 }
