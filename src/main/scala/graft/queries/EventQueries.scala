@@ -158,5 +158,38 @@ object EventQueries {
         .toDF("both", "click_only")
   }
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7)
+  // A7 extension: exact DISCRETE percentiles — actual data elements, no
+  // interpolation, so Spark percentile_disc and DuckDB quantile_disc agree
+  // bit-for-bit (continuous interpolation rounds differently at fp
+  // midpoints across engines).
+  private val e8 = Q("e8_percentiles", Some(
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50,
+      |  quantile_disc(l_extendedprice, 0.95) AS p95,
+      |  quantile_disc(l_extendedprice, 0.99) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+    (s, dir) =>
+      Tables.t(s, dir, "lineitem").createOrReplaceTempView("l_e8")
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95,
+          |  percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+          |FROM l_e8 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // A7 extension: ROLLUP subtotals + grand total (grouping sets).
+  private val e9 = Q("e9_rollup", Some(
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)) {
+    (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
 }
