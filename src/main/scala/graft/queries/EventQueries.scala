@@ -191,5 +191,30 @@ object EventQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
+  // As-of join: each purchase matched to the user's latest signup at or
+  // before it. Spark side = union+marker+window carry-forward (one shuffle);
+  // DuckDB oracle = native ASOF JOIN.
+  private val e10 = Q("e10_asof_join", Some(
+    """WITH purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+      |signups AS (
+      |  SELECT user_id, ts, round(value, 2) AS signup_value
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id, round(p.value, 2) AS value, s.signup_value
+      |FROM purchases p ASOF LEFT JOIN signups s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), round(col("value"), 2).as("signup_value"))
+    graft.operators.AsofJoin.asofJoin(purchases, signups, "user_id", "ts",
+        Seq("signup_value"))
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"),
+        col("signup_value"))
+      .orderBy("event_id")
+  }
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
 }

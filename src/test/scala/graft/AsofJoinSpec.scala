@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.AsofJoin
+import java.sql.Timestamp
+
+/** As-of join semantics: latest state at-or-before, ties favor state,
+  * no prior state → null. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("each left row sees the latest right payload at or before its time") {
+    val left = Seq((1L, ts(5), "q1"), (1L, ts(15), "q2"), (1L, ts(30), "q3"),
+      (2L, ts(10), "q4"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(0), "s0"), (1L, ts(15), "s15"), (1L, ts(20), "s20"))
+      .toDF("k", "ts", "state")
+    val out = AsofJoin.asofJoin(left, right, "k", "ts", Seq("state"))
+      .orderBy("tag").collect()
+    val byTag = out.map(r => r.getAs[String]("tag") -> Option(r.getAs[String]("state"))).toMap
+    assert(byTag("q1").contains("s0"))
+    assert(byTag("q2").contains("s15")) // exact tie: state row visible
+    assert(byTag("q3").contains("s20"))
+    assert(byTag("q4").isEmpty) // key 2 has no state at all
+  }
+
+  test("payload collision with left columns is rejected") {
+    val l = Seq((1L, ts(1), "x")).toDF("k", "ts", "state")
+    val r = Seq((1L, ts(0), "y")).toDF("k", "ts", "state")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(l, r, "k", "ts", Seq("state"))
+    }
+  }
+
+  test("multiple payload columns carry together") {
+    val left = Seq((1L, ts(10), 99.0)).toDF("k", "ts", "v")
+    val right = Seq((1L, ts(1), "a", 10), (1L, ts(5), "b", 20))
+      .toDF("k", "ts", "name", "level")
+    val r = AsofJoin.asofJoin(left, right, "k", "ts", Seq("name", "level")).head()
+    assert(r.getAs[String]("name") == "b" && r.getAs[Int]("level") == 20)
+  }
+}
