@@ -216,5 +216,33 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
+  // Range join: purchases falling inside 5-minute incident windows opened
+  // by error events of the same user. Spark side = binned equi-join (one
+  // shuffle, no cartesian); DuckDB oracle = plain inequality join.
+  private val e11 = Q("e11_range_join", Some(
+    """WITH incidents AS (
+      |  SELECT user_id, event_id AS incident_id, ts AS t_start,
+      |    ts + INTERVAL 5 MINUTE AS t_end
+      |  FROM events WHERE event_type = 'error'),
+      |purchases AS (
+      |  SELECT user_id, event_id AS purchase_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, i.incident_id, p.user_id
+      |FROM purchases p JOIN incidents i
+      |  ON p.user_id = i.user_id AND p.ts >= i.t_start AND p.ts <= i.t_end
+      |ORDER BY purchase_id, incident_id""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("incident_id"),
+        col("ts").as("t_start"),
+        (col("ts") + expr("INTERVAL 5 MINUTE")).as("t_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    graft.operators.RangeJoin.binnedRangeJoin(purchases, incidents,
+        Seq("user_id"), "ts", "t_start", "t_end", binSeconds = 300L)
+      .select("purchase_id", "incident_id", "user_id")
+      .orderBy("purchase_id", "incident_id")
+  }
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
 }
