@@ -141,25 +141,61 @@ object Dedup {
     agg.select(col(idCol), value.as("simhash"))
   }
 
-  /** Character n-gram Jaccard similarity for a bounded candidate set (the
-    * caller restricts ids — e.g. LSH buckets or a sampled block). This is the
-    * verify primitive, NOT a scalable discovery path on its own. */
-  def charNgramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4): DataFrame = {
-    // dynamic-position substring needs the SQL form of transform
-    val grams = df
-      .withColumn("__norm", trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")))
+  /** Distinct char n-grams per id: (id, grams). */
+  private def charGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.withColumn("__norm", trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")))
+      // dynamic-position substring needs the SQL form of transform
       .select(col(idCol).as("id"),
         array_distinct(expr(
           s"case when length(__norm) >= $n then " +
           s"transform(sequence(1, length(__norm) - ${n - 1}), i -> substring(__norm, i, $n)) " +
           s"else array() end")).as("grams"))
-    val a = grams.select(col("id").as("id_a"), col("grams").as("ga"))
-    val b = grams.select(col("id").as("id_b"), col("grams").as("gb"))
+
+  private def jaccardOf(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
+
+  /** Character n-gram Jaccard verified over an EXPLICIT candidate-pair frame
+    * `(id_a, id_b)` — the same verify shape `minhashNearDups` uses for its
+    * LSH buckets. Cost is two hash equi-joins: O(|candidates| + |df|), never
+    * all-pairs, so this entry point is safe on unbounded inputs. */
+  def charNgramJaccard(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, n: Int): DataFrame = {
+    require(candidates.columns.contains("id_a") && candidates.columns.contains("id_b"),
+      "candidate frame must have columns (id_a, id_b)")
+    val grams = charGrams(df, idCol, textCol, n)
+    val ga = grams.select(col("id").as("id_a"), col("grams").as("ga"))
+    val gb = grams.select(col("id").as("id_b"), col("grams").as("gb"))
+    candidates.select("id_a", "id_b").join(ga, "id_a").join(gb, "id_b")
+      .select(col("id_a"), col("id_b"), jaccardOf(col("ga"), col("gb")).as("jaccard"))
+  }
+
+  /** All-pairs convenience for a SMALL bounded block (an LSH bucket, a
+    * sampled window). The bound is enforced IN the plan: a global window
+    * count feeds a `raise_error` guard on the grams column, so exceeding
+    * `maxRows` fails the job at runtime — lazily (no builder-time action)
+    * and un-prunable (the guard wraps a column every downstream op reads).
+    * The O(n²) discovery path is therefore unreachable on large frames;
+    * for those, generate candidates (LSH) and call [[charNgramJaccard]].
+    * The global window serializes the block through one partition — fine
+    * precisely because the block is bounded. */
+  def charNgramJaccardBlock(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, maxRows: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val guarded = charGrams(df, idCol, textCol, n)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("grams",
+        when(col("__cnt") > maxRows,
+          raise_error(concat(lit("charNgramJaccardBlock: block has "),
+            col("__cnt").cast("string"),
+            lit(s" rows > maxRows=$maxRows — pass a candidate-pair frame" +
+              " to charNgramJaccard instead"))).cast("array<string>"))
+        .otherwise(col("grams")))
+      .drop("__cnt")
+    val a = guarded.select(col("id").as("id_a"), col("grams").as("ga"))
+    val b = guarded.select(col("id").as("id_b"), col("grams").as("gb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))))
-          .as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardOf(col("ga"), col("gb")).as("jaccard"))
   }
 }

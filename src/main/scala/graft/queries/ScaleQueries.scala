@@ -109,7 +109,7 @@ object ScaleQueries {
       |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
       |    (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
-    Dedup.charNgramJaccard(
+    Dedup.charNgramJaccardBlock(
         t(s, dir, "documents").filter(col("doc_id") < 60), "doc_id", "text")
       .filter(col("jaccard") >= 0.4)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -40,4 +40,25 @@ class AsofJoinSpec extends SparkSpec {
     val r = AsofJoin.asofJoin(left, right, "k", "ts", Seq("name", "level")).head()
     assert(r.getAs[String]("name") == "b" && r.getAs[Int]("level") == 20)
   }
+
+  test("null payload in the matched right row stays null (no stale leak)") {
+    // latest right row at ts(5) has name=null, level=20; true ASOF semantics
+    // take ALL payload values from that row — name must be null, not "a".
+    val left = Seq((1L, ts(10), "q")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(1), Option("a"), Option(10)),
+      (1L, ts(5), Option.empty[String], Option(20)))
+      .toDF("k", "ts", "name", "level")
+    val r = AsofJoin.asofJoin(left, right, "k", "ts", Seq("name", "level")).head()
+    assert(r.isNullAt(r.fieldIndex("name")), "stale name leaked from older right row")
+    assert(r.getAs[Int]("level") == 20)
+  }
+
+  test("all-null payload row still counts as the match (no mixing of rows)") {
+    val left = Seq((1L, ts(10), "q")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(1), Option("a")), (1L, ts(5), Option.empty[String]))
+      .toDF("k", "ts", "name")
+    val r = AsofJoin.asofJoin(left, right, "k", "ts", Seq("name")).head()
+    assert(r.isNullAt(r.fieldIndex("name")),
+      "match must be the ts(5) row whose payload is null, not the older ts(1) row")
+  }
 }

@@ -41,12 +41,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hamming(m(1L), m(4L)) > 6)
   }
 
-  test("char n-gram jaccard: identity 1.0, disjoint filtered out") {
+  test("char n-gram jaccard block: identity 1.0, disjoint filtered out") {
     val df = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")).toDF("id", "text")
-    val out = Dedup.charNgramJaccard(df, "id", "text").collect()
+    val out = Dedup.charNgramJaccardBlock(df, "id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.contains((1L, 2L, 1.0)))
     assert(out.filter(p => p._2 == 3L || p._1 == 3L).forall(_._3 == 0.0))
+  }
+
+  test("char n-gram jaccard block: oversized block is unreachable (runtime guard)") {
+    val df = (1 to 30).map(i => (i.toLong, s"document text number $i")).toDF("id", "text")
+    val ex = intercept[Exception] {
+      Dedup.charNgramJaccardBlock(df, "id", "text", maxRows = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxRows")), s"wrong failure: $ex")
+  }
+
+  test("char n-gram jaccard over explicit candidate pairs: only given pairs scored") {
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")).toDF("id", "text")
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.charNgramJaccard(df, "id", "text", cands, n = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 1.0)
   }
 
   test("cosine math: orthogonal 0, identical 1") {
