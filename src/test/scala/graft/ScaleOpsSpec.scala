@@ -134,18 +134,43 @@ class ScaleOpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
-  test("multimodal: media schema, partition-wise decode, frame sampling") {
+  test("multimodal: media schema, stub fallback decode, frame sampling") {
     val df = Seq((1L, "abcdefgh" * 4), (2L, "xy")).toDF("doc_id", "text")
     val media = Multimodal.asMedia(df, "doc_id", "text")
     assert(media.schema("content").dataType ==
       org.apache.spark.sql.types.BinaryType)
-    val feats = Multimodal.decodeStub(media).orderBy("doc_id").collect()
+    val feats = Multimodal.decodeFeatures(media).orderBy("doc_id").collect()
     assert(feats(0).getAs[Long]("byte_len") == 32L)
     assert(feats(0).getAs[Int]("width") == (32 * 7) % 640 + 1)
+    assert(!feats(0).getAs[Boolean]("decoded")) // video/fake → stub path
     assert(feats(1).getAs[Long]("byte_len") == 2L)
     val frames = Multimodal.sampleFrames(media.filter($"doc_id" === 1), 8, 2)
       .collect()
     assert(frames.length == 2) // 32 bytes / (8*2) stride
     assert(frames.forall(_.getAs[Int]("frame_bytes") == 8))
+  }
+
+  test("multimodal: real PNG encode → javax.imageio decode round-trip") {
+    val text1 = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, text1), (2L, "short")).toDF("doc_id", "text")
+    val media = Multimodal.asPngMedia(df, "doc_id", "text")
+    val rows = media.orderBy("doc_id").collect()
+    // payload is a genuine PNG: magic bytes \x89PNG
+    val png = rows(0).getAs[Array[Byte]]("content")
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("media_meta")
+      .getAs[String]("mime") == "image/png")
+
+    val feats = Multimodal.decodeFeatures(media).orderBy("doc_id").collect()
+    val len1 = text1.getBytes("UTF-8").length
+    assert(feats(0).getAs[Boolean]("decoded"))
+    assert(feats(0).getAs[Int]("width") == (len1 * 7) % 64 + 16)
+    assert(feats(0).getAs[Int]("height") == (len1 * 13) % 48 + 16)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(feats(0).getAs[Int]("corner_rgb") == Integer.parseInt(md5.substring(0, 6), 16))
+    assert(feats(0).getAs[Int]("n_frames") == 1)
+    // byte_len/content_hash describe the PNG payload itself
+    assert(feats(0).getAs[Long]("byte_len") == png.length.toLong)
   }
 }
