@@ -77,25 +77,46 @@ object Dedup {
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash+LSH near-duplicate pairs: signatures → banded bucket join →
-    * true-Jaccard verify on the shingle sets. Returns
-    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+  /** MinHash+LSH near-duplicate pairs: exact-dup pre-pass → signatures over
+    * distinct content → banded bucket join → true-Jaccard verify → group
+    * re-expansion. Returns (id_a, id_b, jaccard) with id_a < id_b,
+    * jaccard >= threshold.
     *
     * bands×rowsPerBand = numPerms. Candidate generation is a self-join on
     * (band, band_key) — skew-safe because band keys are hashes; at 100 TB
     * the bucket join shuffles O(n·bands) rows, never O(n²).
-    */
+    *
+    * EXACT-DUP PRE-PASS: identical texts have identical signatures, so a
+    * group of m exact copies would put m rows in every one of its band
+    * buckets — O(m²) candidate pairs per bucket, the classic LSH blow-up on
+    * real corpora (where exact duplication is heavy). Instead LSH runs over
+    * ONE representative per distinct content (min id) and membership is
+    * re-expanded afterwards. The output is provably identical to running
+    * LSH over every row, because signatures depend only on content: two
+    * rows share a bucket iff their representatives do. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.8,
       shingleK: Int = 3): DataFrame = {
     val numPerms = bands * rowsPerBand
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__th", md5(col("__text")))
+    // one groupBy on the content hash yields the representative per group …
+    val repAgg = hashed.groupBy("__th")
+      .agg(min(col("id")).as("rep"), min_by(col("__text"), col("id")).as("__text"))
+      .persist(lvl)
+    // … the membership map (id → rep) …
+    val members = hashed.select(col("id"), col("__th"))
+      .join(repAgg.select(col("__th"), col("rep")), "__th")
+      .select(col("id"), col("rep"))
+      .persist(lvl)
+    // … and the distinct-content frame LSH actually runs on.
+    val reps = repAgg.select(col("rep").as("id"), col("__text"))
+
     // shingle sets feed the signature AND both sides of the verify join —
     // persist once instead of re-tokenizing the corpus three times
-    val sets = shingleSets(df, idCol, textCol, shingleK)
-      .withColumnRenamed(idCol, "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashFromSets(sets.select(col("id").as(idCol), col("shs")),
-      idCol, numPerms)
+    val sets = shingleSets(reps, "id", "__text", shingleK).persist(lvl)
+    val sig = minhashFromSets(sets, "id", numPerms)
 
     // band rows: (id, band, key = "_"-joined minhashes of the band)
     val bandStructs = (0 until bands).map { b =>
@@ -103,7 +124,7 @@ object Dedup {
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val bandRows = sig.select(col(idCol).as("id"),
+    val bandRows = sig.select(col("id"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
@@ -112,17 +133,36 @@ object Dedup {
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("ra"), col("b.id").as("rb"))
       .distinct()
 
-    val sa = sets.select(col("id").as("id_a"), col("shs").as("shs_a"))
-    val sb = sets.select(col("id").as("id_b"), col("shs").as("shs_b"))
-    candidates.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"),
+    val sa = sets.select(col("id").as("ra"), col("shs").as("shs_a"))
+    val sb = sets.select(col("id").as("rb"), col("shs").as("shs_b"))
+    val repPairs = candidates.join(sa, "ra").join(sb, "rb")
+      .select(col("ra"), col("rb"),
         (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
           (size(col("shs_a")) + size(col("shs_b")) -
             size(array_intersect(col("shs_a"), col("shs_b"))))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+    // Re-expansion. Intra-group: every pair of exact copies has Jaccard 1.0
+    // exactly — but only groups whose representative produced a signature
+    // (non-empty shingle set) ever appeared in LSH, matching the all-rows
+    // semantics where short docs emit no pairs.
+    val sigReps = sets.filter(size(col("shs")) > 0).select(col("id").as("rep"))
+    val inSig = members.join(sigReps, "rep")
+    val intra = inSig.select(col("rep"), col("id").as("id_a"))
+      .join(inSig.select(col("rep"), col("id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b") && lit(1.0) >= lit(threshold))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    // Cross-group: each verified representative pair expands to all member
+    // combinations (hash joins on rep — no new shuffling shape).
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("id").as("xa")), "ra")
+      .join(members.select(col("rep").as("rb"), col("id").as("xb")), "rb")
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("jaccard"))
+    intra.unionByName(cross)
   }
 
   /** SimHash: 32-bit signature from token hashes with multiplicity — bit j of

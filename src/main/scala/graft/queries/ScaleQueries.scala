@@ -388,6 +388,57 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  // Near-dup discovery on a HEAVILY exact-duplicated corpus (every doc ×8):
+  // exercises minhashNearDups' exact-dup pre-pass — LSH candidates stay at
+  // distinct-content scale while the oracle replays the naive all-rows
+  // banding (provably the same result, since signatures are content-only).
+  private val x17 = Q("x17_neardup_heavy_dup", Some {
+    val hashes = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
+    s"""WITH docs8 AS (
+       |  SELECT doc_id * 8 + r.i AS doc_id, text FROM documents, range(0, 8) r(i)),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(regexp_replace(lower(text),
+       |            '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+       |        FROM docs8)),
+       |expl AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substring(md5(u.sh), 9, 8))::BIGINT AS hb
+       |  FROM sets, unnest(shs) AS u(sh)),
+       |sig AS (SELECT doc_id, $hashes FROM expl GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, u.b[1]::INT AS band, u.b[2] AS bkey
+       |  FROM sig, unnest([$bandKeys]) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |      (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
+       |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
+       |            JOIN sets y ON cand.id_b = y.doc_id
+       |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |      (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN jaccard >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+       |FROM pairs""".stripMargin
+  }) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val fat = Combiner.concat((0 until 8).map(i =>
+      docs.select((col("doc_id") * 8 + lit(i)).as("doc_id"), col("text"))))
+    Dedup.minhashNearDups(fat, "doc_id", "text")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 1.0, 1L).otherwise(0L)).as("n_exact"))
+  }
+
   val qs: Seq[Q] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x17)
 }
