@@ -27,13 +27,13 @@ object EventQueries {
   // (the per-user window); the streaming twin is EventStream.sessionize.
   private val e2 = Q("e2_batch_sessionize", Some(
     """WITH flagged AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
       |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM flagged)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -41,7 +41,9 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin)) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val wRun = Window.partitionBy("user_id").orderBy("ts")
+    // event_id tiebreaks the running sum too, so tied (user_id, ts) rows get
+    // a deterministic session assignment on both engines
+    val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .withColumn("boundary",

@@ -388,6 +388,29 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  // Streaming sessionization under the SAME oracle as the batch twin (e2):
+  // the static events frame is replayed through flatMapGroupsWithState as a
+  // real MemoryStream in time-ordered micro-batches (sentinel-flushed), so
+  // the stateful streaming path — not just its batch twin — is hash-gated.
+  private val x15 = Q("x15_stream_sessionize", Some(
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  count(*) AS n_events, min(ts) AS session_start
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin)) { (s, dir) =>
+    EventStream.sessionizeReplay(s, Tables.events(s, dir))
+      .orderBy("user_id", "session_id")
+  }
+
   // Near-dup discovery on a HEAVILY exact-duplicated corpus (every doc ×8):
   // exercises minhashNearDups' exact-dup pre-pass — LSH candidates stay at
   // distinct-content scale while the oracle replays the naive all-rows
@@ -440,5 +463,5 @@ object ScaleQueries {
   }
 
   val qs: Seq[Q] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x17)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x17)
 }

@@ -58,6 +58,83 @@ object EventStream {
       }.toDF()
   }
 
+  /** Full sessionization: emits every CLOSED session (inactivity gap
+    * exceeded) as (user_id, session_id, n_events, session_start), with
+    * session_id a 1-based per-user ordinal — the same semantics as the
+    * batch twin (e2_batch_sessionize). Open sessions stay in state; stream
+    * a far-future sentinel event per user to flush them. Timestamps are
+    * carried as epoch MICROS through state so sub-millisecond precision
+    * survives the round-trip. State is one small record per active user. */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long, idx: Long)
+  final case class ClosedSession(user_id: Long, session_id: Long,
+      n_events: Long, start_us: Long)
+
+  def sessionizeFull(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val typed = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[OpenSession]) =>
+          val times = rows.map(_._2).toArray.sorted
+          val out = Vector.newBuilder[ClosedSession]
+          var st = state.getOption.orNull
+          times.foreach { t =>
+            if (st == null) st = OpenSession(t, t, 1L, 1L)
+            else if (t - st.lastUs > gapUs) {
+              out += ClosedSession(user, st.idx, st.n, st.startUs)
+              st = OpenSession(t, t, 1L, st.idx + 1L)
+            } else st = OpenSession(st.startUs, t, st.n + 1L, st.idx)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"))
+  }
+
+  /** Replay a STATIC events frame through [[sessionizeFull]] as a real
+    * stream: time-ordered micro-batches into a MemoryStream, then one
+    * sentinel event per user far past the last timestamp to flush open
+    * sessions. Returns the static closed-session frame — which therefore
+    * must equal the batch sessionization of the same input, giving the
+    * streaming path a correctness gate instead of spec-only coverage. */
+  def sessionizeReplay(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val users = rows.map(_._1).distinct.toSeq
+    val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._2).max
+    val sentinelUs = maxUs + 2 * gapSeconds * 1000000L
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val streamDf = mem.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val q = sessionizeFull(streamDf, gapSeconds)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+      rows.grouped(chunk).foreach { c =>
+        mem.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+      mem.addData(users.map(u => (u, sentinelUs)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** File-source stream over a directory of parquet events → sink. The
     * standard deploy shape: checkpointed, append-mode, watermarked. */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,

@@ -60,6 +60,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeFull replay emits every closed session with batch semantics") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → two sessions
+      (2L, ts(10)))
+      .toDF("user_id", "ts")
+    val out = EventStream.sessionizeReplay(spark, events, gapSeconds = 1800,
+        batches = 2)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("user_id") == 1L &&
+      out(0).getAs[Long]("session_id") == 1L &&
+      out(0).getAs[Long]("n_events") == 2L &&
+      out(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(out(1).getAs[Long]("session_id") == 2L &&
+      out(1).getAs[Long]("n_events") == 1L &&
+      out(1).getAs[Timestamp]("session_start") == ts(40))
+    assert(out(2).getAs[Long]("user_id") == 2L &&
+      out(2).getAs[Long]("n_events") == 1L)
+  }
+
   test("sessionize groups events by inactivity gap per user") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → new session
