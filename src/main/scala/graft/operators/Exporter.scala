@@ -20,13 +20,21 @@ object Exporter {
 
   val XlsxRowCap = 1048575 // sheet format limit (1 header row reserved)
 
-  /** K1 xlsx writer: suffix forced to `.xlsx` (reference: src/cli.py:44-51). */
+  /** K1 xlsx writer: suffix forced to `.xlsx` (reference: src/cli.py:44-51).
+    * Matches the reference's presentation (src/exporter.py:44-57): header
+    * row + first column frozen at B2, autofilter over the data range, and —
+    * when `meta` is non-empty — a key/value `meta` sheet alongside. */
   def writeXlsx(df: DataFrame, path: Path, sheetName: String = "data",
-      rowCap: Int = XlsxRowCap): Path = {
+      rowCap: Int = XlsxRowCap, meta: Seq[(String, String)] = Nil): Path = {
     val out =
       if (path.getFileName.toString.toLowerCase.endsWith(".xlsx")) path
       else path.resolveSibling(path.getFileName.toString + ".xlsx")
-    XlsxMini.write(out, Seq(frameToSheet(df, sheetName, rowCap)))
+    val metaSheets =
+      if (meta.isEmpty) Nil
+      else Seq(XlsxMini.Sheet("meta",
+        Vector[Any]("key", "value") +:
+          meta.toVector.map { case (k, v) => Vector[Any](k, v) }))
+    XlsxMini.write(out, frameToSheet(df, sheetName, rowCap) +: metaSheets)
     out
   }
 
@@ -60,7 +68,12 @@ object Exporter {
         case other => other.toString
       }
     }).toVector
-    XlsxMini.Sheet(name, header +: rows)
+    val filter = // header row through last data row (reference: exporter.py:51-56)
+      if (rows.nonEmpty && header.nonEmpty)
+        Some(s"A1:${XlsxMini.colLetter(header.length - 1)}${rows.length + 1}")
+      else None
+    XlsxMini.Sheet(name, header +: rows, freezeAt = Some("B2"),
+      autoFilterRef = filter)
   }
 
   /** K2/K3/K4 bulk writers (reference: src/cli.py:46-48; src/exporter.py:61-66,106-109). */
@@ -82,13 +95,6 @@ object Exporter {
       now: () => ZonedDateTime = () => ZonedDateTime.now(ZoneOffset.UTC)):
       (Path, Map[String, Any]) = {
     Files.createDirectories(outDir)
-    formats.foreach {
-      case "parquet" => writeParquet(df, outDir.resolve(s"$name.parquet"))
-      case "jsonl" | "json" => writeJsonl(df, outDir.resolve(s"$name.jsonl"))
-      case "csv" => writeCsv(df, outDir.resolve(s"$name.csv"))
-      case "xlsx" => writeXlsx(df, outDir.resolve(s"$name.xlsx"))
-      case other => throw new IllegalArgumentException(s"unknown format: $other")
-    }
     val prof = Profiler.profile(df).head()
     val cols = df.columns
     val nullPct = cols.map(c => c -> prof.getAs[Double](s"null_pct_$c")).toMap
@@ -99,6 +105,23 @@ object Exporter {
       "null_pct" -> nullPct,
       "duplicate_rows" -> prof.getAs[Long]("dup_rows"),
     )
+    // xlsx gets the manifest as a key/value meta sheet (reference:
+    // src/exporter.py:102 passes the manifest into _write_excel)
+    val metaRows: Seq[(String, String)] =
+      Seq("run_id" -> runId, "dataset" -> name,
+        "created_utc" -> now().format(DateTimeFormatter.ISO_OFFSET_DATE_TIME),
+        "formats" -> formats.mkString(","),
+        "rows" -> metrics("rows").toString,
+        "columns" -> metrics("columns").toString,
+        "duplicate_rows" -> metrics("duplicate_rows").toString) ++
+        callerMeta.toSeq.sortBy(_._1)
+    formats.foreach {
+      case "parquet" => writeParquet(df, outDir.resolve(s"$name.parquet"))
+      case "jsonl" | "json" => writeJsonl(df, outDir.resolve(s"$name.jsonl"))
+      case "csv" => writeCsv(df, outDir.resolve(s"$name.csv"))
+      case "xlsx" => writeXlsx(df, outDir.resolve(s"$name.xlsx"), meta = metaRows)
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
     val manifest: Map[String, Any] = Map(
       "run_id" -> runId,
       "created_utc" -> now().format(DateTimeFormatter.ISO_OFFSET_DATE_TIME),

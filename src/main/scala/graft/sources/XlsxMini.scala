@@ -22,9 +22,14 @@ object XlsxMini {
 
   /** One worksheet: a dense row-major grid (null = empty cell; values are
     * String | Double | Boolean) plus merged ranges as (r1, c1, r2, c2),
-    * all 0-indexed inclusive. */
+    * all 0-indexed inclusive. Presentation extras mirror the reference
+    * summary workbook (src/exporter.py:44-57): `freezeAt` freezes panes
+    * above/left of the given cell (e.g. "B2" = header row + first column),
+    * `autoFilterRef` puts a filter over the given range (e.g. "A1:C10"). */
   final case class Sheet(name: String, grid: Vector[Vector[Any]],
-      merged: Seq[(Int, Int, Int, Int)] = Nil)
+      merged: Seq[(Int, Int, Int, Int)] = Nil,
+      freezeAt: Option[String] = None,
+      autoFilterRef: Option[String] = None)
 
   // ---------------------------------------------------------------- write
 
@@ -74,7 +79,17 @@ object XlsxMini {
   private def sheetXml(s: Sheet): String = {
     val sb = new StringBuilder
     sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
-    sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+    sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">"""
+    s.freezeAt.foreach { cell =>
+      val (row, colIdx) = parseRef(cell) // 0-indexed → splits ARE the counts
+      val active =
+        if (row > 0 && colIdx > 0) "bottomRight"
+        else if (row > 0) "bottomLeft" else "topRight"
+      sb ++= s"""<sheetViews><sheetView workbookViewId="0">""" +
+        s"""<pane xSplit="$colIdx" ySplit="$row" topLeftCell="$cell"""" +
+        s""" activePane="$active" state="frozen"/></sheetView></sheetViews>"""
+    }
+    sb ++= "<sheetData>"
     s.grid.zipWithIndex.foreach { case (row, r) =>
       sb ++= s"""<row r="${r + 1}">"""
       row.zipWithIndex.foreach { case (v, c) =>
@@ -95,6 +110,8 @@ object XlsxMini {
       sb ++= "</row>"
     }
     sb ++= "</sheetData>"
+    // schema order: autoFilter precedes mergeCells
+    s.autoFilterRef.foreach(ref => sb ++= s"""<autoFilter ref="$ref"/>""")
     if (s.merged.nonEmpty) {
       sb ++= s"""<mergeCells count="${s.merged.length}">"""
       s.merged.foreach { case (r1, c1, r2, c2) =>
@@ -208,7 +225,8 @@ object XlsxMini {
           cellType = Option(attrOrNull(r, "t")).getOrElse("")
           text.clear()
         case "v" => inV = true; text.clear()
-        case "t" => inIsT = true; text.clear()
+        case "is" => text.clear() // runs accumulate across the whole <is>
+        case "t" => inIsT = true // do NOT clear: multi-run rich text appends
         case "mergeCell" =>
           val Array(a, b) = attr(r, "ref").split(":")
           val (r1, c1) = parseRef(a); val (r2, c2) = parseRef(b)
@@ -226,8 +244,8 @@ object XlsxMini {
             case _ => text.toString.toDoubleOption.map(d => d: Any).getOrElse(text.toString)
           }
           if (v != null) cells((rowIdx, colIdx)) = v
-        case "t" =>
-          inIsT = false
+        case "t" => inIsT = false
+        case "is" => // cell written ONCE with all runs concatenated
           if (cellType == "inlineStr") cells((rowIdx, colIdx)) = text.toString
         case _ =>
       }

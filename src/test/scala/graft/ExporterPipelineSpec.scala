@@ -30,6 +30,29 @@ class ExporterPipelineSpec extends SparkSpec {
     assert(text.contains("66.67")) // s is 2/3 null
   }
 
+  test("xlsx export: meta sheet + frozen header pane + autofilter (presentation parity)") {
+    val dir = tmp
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("s", "v")
+    Exporter.exportDataset(df, dir, "ds", Seq("xlsx"), runId = "r9",
+      callerMeta = Map("src" -> "test"))
+    val p = dir.resolve("ds.xlsx")
+    assert(XlsxMini.sheetNames(p) == Seq("data", "meta"))
+    // meta sheet carries manifest key/value rows
+    val meta = XlsxMini.readSheet(p, Some(Right("meta"))).get.grid
+    assert(meta.head == Vector("key", "value"))
+    val kv = meta.tail.map(r => r(0) -> r(1)).toMap
+    assert(kv("run_id") == "r9" && kv("dataset") == "ds" && kv("src") == "test")
+    assert(kv("rows") == "2")
+    // raw sheet XML has the frozen pane and the autofilter over the range
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    val xml = try new String(
+      zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes,
+      java.nio.charset.StandardCharsets.UTF_8) finally zf.close()
+    assert(xml.contains("""<pane xSplit="1" ySplit="1" topLeftCell="B2""""))
+    assert(xml.contains("""state="frozen""""))
+    assert(xml.contains("""<autoFilter ref="A1:B3"/>"""))
+  }
+
   test("workbook sheet names truncate to 31 chars") {
     val p = tmp.resolve("wb.xlsx")
     val longName = "x" * 40

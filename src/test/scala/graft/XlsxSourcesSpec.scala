@@ -32,6 +32,37 @@ class XlsxSourcesSpec extends SparkSpec {
     assert(back(1).merged == Seq((0, 0, 0, 0)))
   }
 
+  test("multi-run inline rich text concatenates runs (Excel-authored cells)") {
+    // hand-build a workbook whose inline string has THREE <t> runs — the
+    // shape Excel emits for rich-formatted cells; all runs must survive
+    val p = tmp.resolve("runs.xlsx")
+    XlsxMini.write(p, Seq(Sheet("S", grid(Seq("placeholder")))))
+    // rewrite sheet1 with a multi-run <is> payload
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    val entries = new java.util.zip.ZipFile(p.toFile)
+    val parts = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
+    val en = entries.entries()
+    while (en.hasMoreElements) {
+      val e = en.nextElement()
+      parts(e.getName) = entries.getInputStream(e).readAllBytes()
+    }
+    entries.close(); zf.close()
+    parts("xl/worksheets/sheet1.xml") =
+      ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+       """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+       """<row r="1"><c r="A1" t="inlineStr"><is>""" +
+       """<r><t>Hello </t></r><r><t>rich </t></r><r><t>world</t></r>""" +
+       """</is></c></row></sheetData></worksheet>""").getBytes("UTF-8")
+    val zos = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(p))
+    parts.foreach { case (name, bytes) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(bytes); zos.closeEntry()
+    }
+    zos.close()
+    val back = XlsxMini.read(p)
+    assert(back.head.grid(0)(0) == "Hello rich world")
+  }
+
   test("sheetNames returns empty on a non-xlsx file (graceful failure)") {
     val p = tmp.resolve("bogus.xlsx")
     Files.writeString(p, "not a zip")
