@@ -30,6 +30,17 @@ final class TransformMetrics private[operators] (
     *      (count - countDistinct(keys), valid for any keep-mode).
     */
   def compute(): Map[String, Any] = {
+    // The three metric jobs share the input's lineage; without caching each
+    // one re-executes the source read. Persist the input for the duration
+    // of compute() — job 1 materializes the cache, jobs 2 and 3 read it —
+    // then release it.
+    val cached = Seq(inputFrame) ++ preDropFrame ++ preDedupeFrame
+    cached.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try computeJobs()
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private def computeJobs(): Map[String, Any] = {
     val rowsBefore = inputFrame.count()
     val rowsAfterUnpivot = if (unpivotApplied) rowsBefore * nValueCols else rowsBefore
 

@@ -155,9 +155,10 @@ object EventQueries {
       val ev = Tables.events(s, dir)
       val clickers = ev.filter(col("event_type") === "click").select("user_id").distinct()
       val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
-      import s.implicits._
-      Seq((clickers.intersect(buyers).count(), clickers.except(buyers).count()))
-        .toDF("both", "click_only")
+      // one LAZY plan: cross join of two single-row aggregates — nothing
+      // executes at query-construction time, so bench timings are honest
+      clickers.intersect(buyers).agg(count(lit(1)).as("both"))
+        .crossJoin(clickers.except(buyers).agg(count(lit(1)).as("click_only")))
   }
 
   // A7 extension: exact DISCRETE percentiles — actual data elements, no

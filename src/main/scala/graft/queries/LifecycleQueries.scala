@@ -35,8 +35,9 @@ object LifecycleQueries {
     // keep one header + data rows
     Files.write(fake, (lines.head +: lines.filterNot(_ == lines.head)).asJava)
     val fallback = TemplateReader.read(s, fake, Template())
-    import s.implicits._
-    Seq((preview.count(), fallback.count())).toDF("preview_rows", "fallback_rows")
+    // fixture files above are setup; the QUERY itself is one lazy plan
+    preview.agg(count(lit(1)).as("preview_rows"))
+      .crossJoin(fallback.agg(count(lit(1)).as("fallback_rows")))
   }
 
   // C4 string coercion via the field_types vocabulary

@@ -96,6 +96,40 @@ class TransformEngineSpec extends SparkSpec {
     assert(metrics("numeric_parse_failures") == 1L)
   }
 
+  test("metrics jobs read the persisted input, then release it") {
+    val dir = java.nio.file.Files.createTempDirectory("metrics_cache")
+    Seq(("2021-01-02", "10.5", "a"), ("2021-01-05", "2", "a"), ("bad", "junk", "b"))
+      .toDF("report_date", "sales_amount", "k")
+      .write.mode("overwrite").parquet(dir.toString)
+    val df = spark.read.parquet(dir.toString)
+    val (_, m) = TransformEngine.transform(df,
+      Template(providerName = Some("p"), dedupeOn = List("k")))
+
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val metrics = m.compute()
+      assert(metrics("dedupe_dropped") == 1L)
+      org.apache.spark.GraftTestBus.flush(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      val captured = plans.asScala.toList
+      assert(captured.size >= 3, s"expected 3 metric jobs, saw ${captured.size}")
+      // every metric job reads the cached input, not the parquet source
+      captured.foreach(p => assert(p.contains("InMemoryTableScan"),
+        s"metric job bypassed the cache:\n$p"))
+    } finally spark.listenerManager.unregister(listener)
+    // cache released after compute()
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("filter_and_rename positional header mode takes first N columns") {
     val df = Seq((1, "a", true)).toDF("x", "y", "z")
     val tpl = Template(headers = List(
