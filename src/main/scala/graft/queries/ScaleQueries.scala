@@ -462,6 +462,58 @@ object ScaleQueries {
         sum(when(col("jaccard") >= 1.0, 1L).otherwise(0L)).as("n_exact"))
   }
 
+  // Salted skew join, hash-gated: 80% of events collapse onto one hot key
+  // (the pathology AQE can't always split), the dim side is replicated
+  // salts×, and the aggregate must equal a plain join. Oracle is the plain
+  // join — salting must be semantically invisible.
+  private val x16 = Q("x16_salted_join", Some(
+    """WITH ev AS (
+      |  SELECT user_id, value,
+      |    CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS k
+      |  FROM events),
+      |dim AS (SELECT DISTINCT k, k % 7 AS bucket FROM ev)
+      |SELECT bucket, count(*) AS n_rows, round(sum(value), 2) AS total_value
+      |FROM ev JOIN dim USING (k)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("user_id"), col("value"),
+      when(col("user_id") % 10 < 8, lit(0L)).otherwise(col("user_id")).as("k"))
+    val dim = ev.select("k").distinct().withColumn("bucket", col("k") % 7)
+    graft.operators.SkewJoin.saltedJoin(ev, dim, Seq("k"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("bucket")
+  }
+
+  // Bucketed co-located join, hash-gated: both sides written bucketed on
+  // user_id (saveAsTable — the only way Spark honors bucketing), joined and
+  // aggregated WITHOUT any exchange. Oracle is the plain join+agg.
+  private val x18 = Q("x18_bucketed_join", Some(
+    """WITH purch AS (SELECT user_id, value FROM events WHERE event_type = 'purchase'),
+      |clicks AS (SELECT user_id, count(*) AS n_clicks FROM events
+      |           WHERE event_type = 'click' GROUP BY user_id)
+      |SELECT p.user_id, count(*) AS n_purchases,
+      |  CAST(max(c.n_clicks) AS BIGINT) AS n_clicks,
+      |  round(sum(p.value), 2) AS total_value
+      |FROM purch p JOIN clicks c ON p.user_id = c.user_id
+      |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    graft.operators.Bucketing.writeBucketed(purch, "graft_bkt_purch", 8,
+      Seq("user_id"), Seq("user_id"))
+    graft.operators.Bucketing.writeBucketed(clicks, "graft_bkt_clicks", 8,
+      Seq("user_id"), Seq("user_id"))
+    graft.operators.Bucketing
+      .bucketedJoin(s, "graft_bkt_purch", "graft_bkt_clicks", Seq("user_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), max(col("n_clicks")).as("n_clicks"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+
   val qs: Seq[Q] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x17)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
+      x17, x18)
 }
