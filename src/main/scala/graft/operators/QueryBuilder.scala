@@ -71,9 +71,11 @@ object QueryBuilder {
     * Catalyst pushes the resulting LocalLimit into the scan. */
   def injectLimit(sql: String, n: Int): String = {
     val trimmed = sql.trim.stripSuffix(";")
-    val lower = trimmed.toLowerCase
-    if (lower.contains(" limit ") || lower.contains(" fetch ")) trimmed
-    else s"$trimmed LIMIT $n"
+    // word-boundary match: a LIMIT/FETCH preceded by any whitespace (newline,
+    // tab) or ending the statement still counts — a literal " limit " probe
+    // would double-append and break the pushed-down preview query
+    val hasLimit = "(?is).*\\b(limit|fetch)\\b.*".r.matches(trimmed)
+    if (hasLimit) trimmed else s"$trimmed LIMIT $n"
   }
 
   /** Run generated SQL against a temp view of the frame — the Spark shape of

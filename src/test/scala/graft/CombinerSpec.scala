@@ -73,5 +73,14 @@ class CombinerSpec extends SparkSpec {
   test("injectLimit appends LIMIT unless one exists") {
     assert(QueryBuilder.injectLimit("SELECT * FROM t", 5) == "SELECT * FROM t LIMIT 5")
     assert(QueryBuilder.injectLimit("SELECT * FROM t LIMIT 3;", 5) == "SELECT * FROM t LIMIT 3")
+    // whitespace-insensitive detection: newline/tab-separated and trailing
+    // limits, FETCH FIRST, and mixed case all count as existing limits
+    assert(QueryBuilder.injectLimit("SELECT *\nFROM t\nLIMIT 3", 5) == "SELECT *\nFROM t\nLIMIT 3")
+    assert(QueryBuilder.injectLimit("SELECT * FROM t\tlimit 3", 5) == "SELECT * FROM t\tlimit 3")
+    assert(QueryBuilder.injectLimit("SELECT * FROM t FETCH FIRST 3 ROWS ONLY", 5)
+      == "SELECT * FROM t FETCH FIRST 3 ROWS ONLY")
+    // a column merely CONTAINING 'limit' must not suppress injection
+    assert(QueryBuilder.injectLimit("SELECT limitless FROM t", 5)
+      == "SELECT limitless FROM t LIMIT 5")
   }
 }
