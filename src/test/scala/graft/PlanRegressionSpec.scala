@@ -64,6 +64,33 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("x16 salted join stays a hash join — salting must not nested-loop") {
+    val p = plan("x16_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "salted join degenerated to a non-equi join:\n" + p.take(600))
+  }
+
+  test("x18 bucketed join+agg needs no hash-partition exchange") {
+    // the only Exchange allowed is the presentation sort's rangepartitioning
+    val p = plan("x18_bucketed_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join/agg must not shuffle on the bucket key:\n" + p.take(900))
+  }
+
+  test("x4 block guard survives optimization (raise_error in the plan)") {
+    val p = plan("x4_char_ngram_jaccard")
+    assert(p.toLowerCase.contains("raise_error"),
+      "the maxRows guard was pruned out of the plan:\n" + p.take(600))
+  }
+
+  test("x2 LSH persists shingle sets once (InMemoryTableScan in verify)") {
+    val p = plan("x2_minhash_lsh_neardups")
+    assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+      "shingle sets no longer persisted:\n" + p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
