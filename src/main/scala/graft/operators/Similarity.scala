@@ -101,6 +101,26 @@ object Similarity {
       .groupBy("cell").agg(agg(col("__v")).as("centroid"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, cell-bucketed: candidates come
+    * from an EQUI-join on the cell key (a cluster label, an IVF cell id, or
+    * any locality hash) — never a global all-pairs — and are verified with
+    * exact cosine ≥ threshold. The same candidates-then-verify shape as
+    * MinHash LSH, with cells playing the role of bands: recall is bounded by
+    * the cell assignment (near-dups in different cells are missed — use
+    * overlapping/multi-probe cells to trade cost for recall), cost is
+    * Σ|cell|² instead of n². */
+  def embeddingNearDups(data: DataFrame, idCol: String, cellCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val v = data.select(col(idCol).as("id"), col(cellCol).as("cell"),
+      asDouble(col(vecCol)).as("__v"))
+    val a = v.select(col("id").as("id_a"), col("cell"), col("__v").as("__va"))
+    val b = v.select(col("id").as("id_b"), col("cell"), col("__v").as("__vb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF search: probe the `nprobe` cells whose centroids are closest to the
     * query (by cosine), then brute-force only within those cells. */
   def ivfTopK(data: DataFrame, idCol: String, cellCol: String, vecCol: String,

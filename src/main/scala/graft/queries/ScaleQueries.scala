@@ -513,7 +513,38 @@ object ScaleQueries {
       .orderBy("user_id")
   }
 
+  // Embedding-cosine near-dup (the 5th dedup family from the brief):
+  // cell-bucketed candidates (equi-join on label, never global all-pairs)
+  // verified at exact cosine. Near-dups are planted as ×2-scaled copies —
+  // scaling is exact in float math, so both engines see identical bits and
+  // the planted pairs score cosine ≈ 1.0 deterministically.
+  private val x19 = Q("x19_embedding_neardup", Some(
+    """WITH cp AS (
+      |  SELECT vec_id + 100000 AS vec_id, label,
+      |    list_transform(embedding, x -> x * 2) AS embedding
+      |  FROM embeddings WHERE vec_id < 50),
+      |all_e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM cp)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+      |FROM all_e a JOIN all_e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+      |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+    val copies = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    Similarity.embeddingNearDups(Combiner.concat(Seq(emb, copies)),
+        "vec_id", "label", "embedding", threshold = 0.99)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18)
+      x17, x18, x19)
 }

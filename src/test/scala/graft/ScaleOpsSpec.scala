@@ -67,6 +67,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("embedding near-dups: same-cell scaled copies found, cross-cell missed by design") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, 0, Seq(2.0f, 4.0f, 6.0f)),  // ×2 copy, same cell → near-dup
+      (3L, 1, Seq(1.0f, 2.0f, 3.0f)),  // identical but other cell → missed
+      (4L, 0, Seq(-3.0f, 1.0f, 0.5f))) // same cell, dissimilar → filtered
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingNearDups(df, "vec_id", "label", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
   test("cosine math: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
