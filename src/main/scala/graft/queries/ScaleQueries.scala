@@ -513,6 +513,20 @@ object ScaleQueries {
       .orderBy("user_id")
   }
 
+  // Streaming dedup under the oracle: the doubled events table is replayed
+  // as a real stream through dropDuplicatesWithinWatermark (state bounded
+  // by the watermark, first occurrence wins) and must reproduce the
+  // original table exactly — the streaming twin of D2's union-dedupe.
+  private val x20 = Q("x20_stream_dedupe", Some(
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    EventStream.dedupeReplay(s, Combiner.concat(Seq(ev, ev)), Seq("event_id"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   // Embedding-cosine near-dup (the 5th dedup family from the brief):
   // cell-bucketed candidates (equi-join on label, never global all-pairs)
   // verified at exact cosine. Near-dups are planted as ×2-scaled copies —
@@ -546,5 +560,5 @@ object ScaleQueries {
 
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19)
+      x17, x18, x19, x20)
 }

@@ -135,6 +135,56 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming dedup: keep the first occurrence per key, with state bounded
+    * by the watermark — the streaming twin of the batch D2 union-dedupe. On
+    * a stream, `dropDuplicatesWithinWatermark` evicts each key's state once
+    * the watermark passes its event time (a true 100 TB stream cannot hold
+    * every key forever); on a batch frame it degrades to dropDuplicates. */
+  def dedupeStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
+  /** Replay a STATIC events frame (with planted duplicates) through
+    * [[dedupeStream]] as a real MemoryStream in time-ordered micro-batches;
+    * returns the static deduplicated frame. Duplicates arriving within the
+    * watermark of their original are dropped, so replaying `df ∪ df` must
+    * return exactly `df`. */
+  def dedupeReplay(spark: SparkSession, events: DataFrame,
+      keys: Seq[String], watermark: String = "10 minutes",
+      batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("event_id").cast("long"),
+        unix_micros(col("ts")), col("user_id").cast("long"),
+        col("event_type").cast("string"), col("value").cast("double"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect().sortBy(r => (r._2, r._1))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val name = "dedupe_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("dedupe_ckpt").toString
+    val q = dedupeStream(streamDf, keys)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+      rows.grouped(chunk).foreach { c =>
+        mem.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** File-source stream over a directory of parquet events → sink. The
     * standard deploy shape: checkpointed, append-mode, watermarked. */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,

@@ -80,6 +80,20 @@ class EventStreamSpec extends SparkSpec {
       out(2).getAs[Long]("n_events") == 1L)
   }
 
+  test("dedupeStream drops in-watermark duplicates, keeps first occurrence") {
+    val ev = Seq(
+      (1L, ts(0), 10L, "click", 1.0), (2L, ts(1), 10L, "view", 2.0),
+      (3L, ts(2), 11L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val doubled = ev.union(ev)
+    val out = EventStream.dedupeReplay(spark, doubled, Seq("event_id"),
+        batches = 3)
+      .orderBy("event_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[Double]("value") == 1.0)
+  }
+
   test("sessionize groups events by inactivity gap per user") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → new session
