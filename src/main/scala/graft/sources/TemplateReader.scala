@@ -140,6 +140,8 @@ object TemplateReader {
       val dt: DataType =
         if (vals.nonEmpty && vals.forall(_.isInstanceOf[Double])) DoubleType
         else if (vals.nonEmpty && vals.forall(_.isInstanceOf[Boolean])) BooleanType
+        else if (vals.nonEmpty && vals.forall(_.isInstanceOf[java.sql.Timestamp]))
+          TimestampType // date-styled Excel serials (pandas datetime64)
         else StringType
       StructField(names(i), dt, nullable = true)
     }
@@ -149,6 +151,7 @@ object TemplateReader {
           case (null, _) => null
           case (v: Double, DoubleType) => v
           case (v: Boolean, BooleanType) => v
+          case (v: java.sql.Timestamp, TimestampType) => v
           case (v: Double, StringType) if v == v.floor && math.abs(v) < 1e15 =>
             v.toLong.toString
           case (v, _) => v.toString

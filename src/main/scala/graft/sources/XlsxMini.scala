@@ -50,6 +50,7 @@ object XlsxMini {
       """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
       """<Default Extension="xml" ContentType="application/xml"/>""" +
       """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
       (1 to n).map(i =>
         s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
         .mkString + "</Types>")
@@ -69,7 +70,18 @@ object XlsxMini {
       """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
       (1 to n).map(i =>
         s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
-        .mkString + "</Relationships>")
+        .mkString +
+      s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
+      "</Relationships>")
+    // minimal styles part: xf 0 = general, xf 1 = builtin datetime (numFmt 22)
+    put("xl/styles.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>""" +
+      """<borders count="1"><border/></borders>""" +
+      """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
+      """<cellXfs count="2"><xf numFmtId="0"/>""" +
+      """<xf numFmtId="22" applyNumberFormat="1"/></cellXfs></styleSheet>""")
     sheets.zipWithIndex.foreach { case (s, i) =>
       put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s))
     }
@@ -103,6 +115,8 @@ object XlsxMini {
             sb ++= s"""<c r="$ref"><v>$num</v></c>"""
           case i: Int => sb ++= s"""<c r="$ref"><v>$i</v></c>"""
           case l: Long => sb ++= s"""<c r="$ref"><v>$l</v></c>"""
+          case ts: java.sql.Timestamp => // Excel serial, date-styled (xf 1)
+            sb ++= s"""<c r="$ref" s="1"><v>${tsToSerial(ts)}</v></c>"""
           case other =>
             sb ++= s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>"""
         }
@@ -136,8 +150,10 @@ object XlsxMini {
     val zf = new ZipFile(path.toFile)
     try {
       val shared = readSharedStrings(zf)
+      val dateStyles = readDateStyles(zf)
       readWorkbookIndex(path).flatMap { case (name, target) =>
-        Option(zf.getEntry(s"xl/$target")).map(e => readSheet(zf, e, name, shared))
+        Option(zf.getEntry(s"xl/$target"))
+          .map(e => readSheet(zf, e, name, shared, dateStyles))
       }
     } finally zf.close()
   }
@@ -202,8 +218,42 @@ object XlsxMini {
     }
   }
 
+  /** Builtin OOXML date/time number formats (ECMA-376 §18.8.30) plus any
+    * custom numFmt whose code carries date tokens outside brackets/quotes. */
+  private def readDateStyles(zf: ZipFile): IndexedSeq[Boolean] = {
+    val builtinDates = (14 to 22).toSet ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)
+    Option(zf.getEntry("xl/styles.xml")) match {
+      case None => Vector.empty
+      case Some(e) =>
+        val r = xmlReader(zf, e)
+        val customDate = mutable.Set[Int]()
+        val xfDates = mutable.ArrayBuffer[Boolean]()
+        var inCellXfs = false
+        while (r.hasNext) r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              val code = Option(attrOrNull(r, "formatCode")).getOrElse("")
+              val stripped = code.replaceAll("\\[[^\\]]*\\]", "")
+                .replaceAll("\"[^\"]*\"", "")
+              if (stripped.exists("ymdhs".contains(_)))
+                customDate += attr(r, "numFmtId").toInt
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              val fmt = Option(attrOrNull(r, "numFmtId")).map(_.toInt).getOrElse(0)
+              xfDates += (builtinDates.contains(fmt) || customDate.contains(fmt))
+            case _ =>
+          }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+        r.close()
+        xfDates.toVector
+    }
+  }
+
   private def readSheet(zf: ZipFile, entry: ZipEntry, name: String,
-      shared: Vector[String]): Sheet = {
+      shared: Vector[String], dateStyles: IndexedSeq[Boolean]): Sheet = {
     val r = xmlReader(zf, entry)
     val cells = mutable.Map[(Int, Int), Any]()
     val merged = mutable.ArrayBuffer[(Int, Int, Int, Int)]()
@@ -211,6 +261,7 @@ object XlsxMini {
     var colIdx = -1
     var cellRef: Option[(Int, Int)] = None
     var cellType = ""
+    var styleIdx = 0
     var inV = false
     var inIsT = false
     val text = new StringBuilder
@@ -223,6 +274,7 @@ object XlsxMini {
           cellRef = Option(attrOrNull(r, "r")).map(parseRef)
           colIdx = cellRef.map(_._2).getOrElse(colIdx + 1)
           cellType = Option(attrOrNull(r, "t")).getOrElse("")
+          styleIdx = Option(attrOrNull(r, "s")).map(_.toInt).getOrElse(0)
           text.clear()
         case "v" => inV = true; text.clear()
         case "is" => text.clear() // runs accumulate across the whole <is>
@@ -241,7 +293,10 @@ object XlsxMini {
             case "s" => shared.lift(text.toString.trim.toInt).orNull
             case "b" => text.toString.trim == "1"
             case "str" => text.toString
-            case _ => text.toString.toDoubleOption.map(d => d: Any).getOrElse(text.toString)
+            case _ => text.toString.toDoubleOption.map { d =>
+              if (dateStyles.lift(styleIdx).getOrElse(false)) serialToTs(d): Any
+              else d: Any
+            }.getOrElse(text.toString)
           }
           if (v != null) cells((rowIdx, colIdx)) = v
         case "t" => inIsT = false
@@ -264,6 +319,15 @@ object XlsxMini {
   }
 
   // ---------------------------------------------------------------- utils
+
+  /** Excel 1900-system serial ↔ epoch, day 25569 = 1970-01-01, treated as
+    * UTC for determinism (Excel serials carry no zone). Round-trips to the
+    * millisecond. */
+  private val EpochSerialDays = 25569.0
+  def tsToSerial(ts: java.sql.Timestamp): Double =
+    ts.getTime / 86400000.0 + EpochSerialDays
+  def serialToTs(serial: Double): java.sql.Timestamp =
+    new java.sql.Timestamp(math.round((serial - EpochSerialDays) * 86400000.0))
 
   def colLetter(idx: Int): String = {
     var i = idx

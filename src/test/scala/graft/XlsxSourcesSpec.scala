@@ -32,6 +32,27 @@ class XlsxSourcesSpec extends SparkSpec {
     assert(back(1).merged == Seq((0, 0, 0, 0)))
   }
 
+  test("date-styled serial cells round-trip as timestamps (Excel dates)") {
+    val ts1 = java.sql.Timestamp.valueOf("2021-03-15 10:30:00")
+    val ts2 = java.sql.Timestamp.valueOf("1999-12-31 23:59:59")
+    val p = tmp.resolve("dates.xlsx")
+    XlsxMini.write(p, Seq(Sheet("D", grid(
+      Seq("when", "qty"),
+      Seq(ts1, 3.0),
+      Seq(ts2, 4.0)))))
+    val back = XlsxMini.read(p).head
+    assert(back.grid(1)(0) == ts1, s"got ${back.grid(1)(0)}")
+    assert(back.grid(2)(0) == ts2)
+    assert(back.grid(1)(1) == 3.0) // plain numerics untouched
+
+    // and through the template scan: the column types as timestamp
+    val df = TemplateReader.read(spark, p, Template())
+    assert(df.schema("when").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = df.orderBy("qty").collect().map(_.getAs[java.sql.Timestamp]("when"))
+    assert(got.toSeq == Seq(ts1, ts2))
+  }
+
   test("multi-run inline rich text concatenates runs (Excel-authored cells)") {
     // hand-build a workbook whose inline string has THREE <t> runs — the
     // shape Excel emits for rich-formatted cells; all runs must survive
