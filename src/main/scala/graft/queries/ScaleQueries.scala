@@ -558,7 +558,30 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // Z-order layout, hash-gated: lineitem is rewritten on a Morton curve
+  // over (l_partkey, l_suppkey) — files cover compact z-ranges so range
+  // filters on EITHER column skip files (ZOrderSpec measures that) — and
+  // a filtered aggregate over the re-laid-out copy must equal the plain
+  // table: layout must lose/alter nothing.
+  private val x21 = Q("x21_zorder_layout", Some(
+    """SELECT l_suppkey, count(*) AS n_rows,
+      |  round(sum(l_quantity), 2) AS total_qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 10 AND 150 AND l_suppkey BETWEEN 1 AND 8
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .resolve("li").toString
+    graft.operators.ZOrder.writeZOrdered(li, Seq("l_partkey", "l_suppkey"), 16, out)
+    s.read.parquet(out)
+      .filter(col("l_partkey").between(10, 150) && col("l_suppkey").between(1, 8))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("total_qty"))
+      .orderBy("l_suppkey")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20)
+      x17, x18, x19, x20, x21)
 }
