@@ -581,7 +581,28 @@ object ScaleQueries {
       .orderBy("l_suppkey")
   }
 
+  // Bloom-pruned join, hash-gated: lineitem joins a small high-balance
+  // supplier subset; the fact side is bloom-pruned before the join (no
+  // false negatives), so the result must equal the plain join — the
+  // explicit form of the runtime filters big engines inject.
+  private val x22 = Q("x22_bloom_pruned_join", Some(
+    """WITH s AS (SELECT s_suppkey, s_acctbal FROM supplier WHERE s_acctbal > 5000)
+      |SELECT l.l_suppkey, count(*) AS n_rows,
+      |  round(sum(l.l_extendedprice), 2) AS total_price
+      |FROM lineitem l JOIN s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY l.l_suppkey ORDER BY l.l_suppkey""".stripMargin)) { (s, dir) =>
+    val li = t(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    val supp = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+      .select("s_suppkey", "s_acctbal")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    graft.operators.BloomPrune.prunedJoin(li, supp, "l_suppkey")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy("l_suppkey")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21)
+      x17, x18, x19, x20, x21, x22)
 }

@@ -79,6 +79,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("bloom-pruned join equals the plain join; pruning actually drops rows") {
+    import graft.operators.BloomPrune
+    val large = (1L to 2000L).map(k => (k % 100, k)).toDF("k", "v")
+    val small = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "tag")
+    val plain = large.join(small, Seq("k"), "inner")
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val pruned = BloomPrune.prunedJoin(large, small, "k")
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(pruned == plain, "bloom pruning changed join semantics")
+    val kept = BloomPrune.pruneLarge(large, small, "k").count()
+    assert(kept < 200, s"pruning kept $kept of 2000 rows — filter not effective")
+  }
+
   test("cosine math: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
