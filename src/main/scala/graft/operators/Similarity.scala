@@ -111,13 +111,18 @@ object Similarity {
     * Σ|cell|² instead of n². */
   def embeddingNearDups(data: DataFrame, idCol: String, cellCol: String,
       vecCol: String, threshold: Double): DataFrame = {
+    // norms are per-ROW, computed once before the pair join — the pairwise
+    // work is one dot product, not three (same fp operations, same result)
     val v = data.select(col(idCol).as("id"), col(cellCol).as("cell"),
-      asDouble(col(vecCol)).as("__v"))
-    val a = v.select(col("id").as("id_a"), col("cell"), col("__v").as("__va"))
-    val b = v.select(col("id").as("id_b"), col("cell"), col("__v").as("__vb"))
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val a = v.select(col("id").as("id_a"), col("cell"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = v.select(col("id").as("id_b"), col("cell"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("__va"), col("__vb")).as("cosine"))
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
