@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expr.DurationSeconds
+import graft.functions.expr.{DotProduct, DurationSeconds}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.durationSecondsFn)
+    ext.injectFunction(GraftExtensions.dotProductFn)
   }
 }
 
@@ -25,9 +26,20 @@ object GraftExtensions {
       DurationSeconds(children.head)
     })
 
+  private val dotProductFn = (
+    new FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "dot_product takes exactly two arguments")
+      DotProduct(children.head, children(1))
+    })
+
   /** Register into an already-running session (the config-based extension
     * only applies to sessions created after it is set). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "duration_seconds", durationSecondsFn._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", dotProductFn._3, "scala_udf")
+  }
 }

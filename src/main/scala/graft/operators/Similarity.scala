@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Elementwise dot product of two double-array columns — a native
+    * codegen'd expression (the `aggregate(zip_with(...))` formulation is
+    * interpreted per element and breaks whole-stage codegen; same fold
+    * order, bit-identical results). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.expr.DotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

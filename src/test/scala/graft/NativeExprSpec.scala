@@ -41,6 +41,27 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("dot_product: bit-parity with the HOF fold, null elements, SQL registration") {
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.125), Seq(0.5, 4.0, -1.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)))
+      .toDF("a", "b")
+    val native = df.select(graft.operators.Similarity.dot($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    val folded = df.select(hof($"a", $"b")).collect().map(_.getDouble(0))
+    // same fold order → identical bits, not just approximately equal
+    assert(native.toSeq.map(java.lang.Double.doubleToLongBits) ==
+      folded.toSeq.map(java.lang.Double.doubleToLongBits))
+
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
   test("duration_seconds registers as a SQL function") {
     GraftExtensions.register(spark)
     val r = spark
