@@ -602,7 +602,29 @@ object ScaleQueries {
       .orderBy("l_suppkey")
   }
 
+  // Hive-partitioned layout, hash-gated: events rewritten partitioned by
+  // event_type (one task per partition value — no small-file explosion),
+  // read back with a partition filter that prunes whole directories
+  // (PlanRegressionSpec asserts the PartitionFilters), aggregate must
+  // equal the plain table.
+  private val x23 = Q("x23_partitioned_layout", Some(
+    """SELECT date_trunc('day', ts)::TIMESTAMP AS d, count(*) AS n_events,
+      |  round(sum(value), 2) AS total_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY d""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft_partlay")
+      .resolve("events").toString
+    graft.operators.PartitionLayout.writePartitioned(ev, Seq("event_type"), out)
+    graft.operators.PartitionLayout.readPartitioned(s, out)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("d")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22)
+      x17, x18, x19, x20, x21, x22, x23)
 }

@@ -91,6 +91,13 @@ class PlanRegressionSpec extends SparkSpec {
       "shingle sets no longer persisted:\n" + p.take(600))
   }
 
+  test("x23 partitioned layout prunes whole directories on the event_type filter") {
+    val p = plan("x23_partitioned_layout")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      "partition filter did not reach the scan:\n" + p.take(600))
+    assert(p.contains("(event_type") && p.contains("purchase"), p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
