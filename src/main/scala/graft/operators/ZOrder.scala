@@ -69,4 +69,44 @@ object ZOrder {
     // would let the optimizer collapse the layout
     zOrdered(df, cols, numFiles).write.mode("overwrite").parquet(path)
   }
+
+  /** Equal-MASS variant for skewed columns: equal-width quantization
+    * collapses a skewed column into a handful of rank values (most rows
+    * share a z-prefix → most files overlap → nothing skips). Here each
+    * column is ranked by approx-quantile boundaries (one driver-side sketch
+    * per column — the documented build action), compiled into a BALANCED
+    * `when()` tree: ⌈log₂ buckets⌉ codegen'd comparisons per row, no UDF,
+    * no window. Ranks are scaled to the 16-bit curve. */
+  def zOrderedQuantile(df: DataFrame, cols: Seq[String], numFiles: Int,
+      buckets: Int = 256): DataFrame = {
+    require(cols.size >= 2, "z-ordering needs at least two columns")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two")
+    val scale = (1 << Bits) / buckets
+    val ranked = cols.foldLeft(df) { (d, c) =>
+      val bounds = df.stat.approxQuantile(c,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 1.0 / (8 * buckets))
+      d.withColumn(s"__r_$c", bucketOf(col(c).cast("double"), bounds, 0, buckets - 1) * scale)
+    }
+    ranked
+      .withColumn("__z", interleave(cols.map(c => col(s"__r_$c"))))
+      .drop(cols.map(c => s"__r_$c"): _*)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+  }
+
+  def writeZOrderedQuantile(df: DataFrame, cols: Seq[String], numFiles: Int,
+      path: String, buckets: Int = 256): Unit =
+    zOrderedQuantile(df, cols, numFiles, buckets).write.mode("overwrite").parquet(path)
+
+  /** Balanced binary search over sorted boundaries as a nested-when tree:
+    * bucket index in [lo, hi]; `bounds(i)` is the upper boundary of bucket
+    * i (bucket b holds values in (bounds(b-1), bounds(b)]). */
+  private def bucketOf(c: Column, bounds: Array[Double], lo: Int, hi: Int): Column =
+    if (lo >= hi) lit(lo)
+    else {
+      val mid = (lo + hi) / 2 // c <= bounds(mid) → left half
+      when(c <= lit(bounds(mid)), bucketOf(c, bounds, lo, mid))
+        .otherwise(bucketOf(c, bounds, mid + 1, hi))
+    }
 }
