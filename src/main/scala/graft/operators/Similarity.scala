@@ -132,6 +132,46 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Multi-probe variant of [[embeddingNearDups]]: each vector is assigned
+    * to its `probes` nearest CENTROIDS (computed from the given cells), so
+    * a near-dup pair split across a cell boundary still shares a probed
+    * cell. Candidates remain an equi-join on the probed cell id; pairs
+    * sharing several cells are deduplicated BEFORE the vector verify (the
+    * minhashNearDups candidate shape). Cost ≈ probes² × Σ|cell|²/cells;
+    * recall loss only when a pair's vectors rank no common centroid in
+    * their top `probes`. */
+  def embeddingNearDupsMultiProbe(data: DataFrame, idCol: String,
+      cellCol: String, vecCol: String, threshold: Double,
+      probes: Int = 2): DataFrame = {
+    val cents = broadcast(centroids(data, cellCol, vecCol)
+      .select(col("cell"), col("centroid"),
+        norm(col("centroid")).as("__cn")))
+    val v = data.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy(desc("__cs"), col("cell"))
+    val assigned = v.crossJoin(cents)
+      .select(col("id"),
+        (dot(col("__v"), col("centroid")) / (col("__n") * col("__cn"))).as("__cs"),
+        col("cell"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= probes)
+      .select(col("id"), col("cell"))
+
+    val candidates = assigned.select(col("id").as("id_a"), col("cell"))
+      .join(assigned.select(col("id").as("id_b"), col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val va = v.select(col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val vb = v.select(col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF search: probe the `nprobe` cells whose centroids are closest to the
     * query (by cosine), then brute-force only within those cells. */
   def ivfTopK(data: DataFrame, idCol: String, cellCol: String, vecCol: String,

@@ -624,7 +624,53 @@ object ScaleQueries {
       .orderBy("d")
   }
 
+  // Multi-probe embedding near-dup: each vector is assigned to its 2
+  // nearest centroids, so boundary-splitting pairs still share a probed
+  // cell. The oracle replays centroids, top-2 assignment, candidate join
+  // and verify step-for-step. Planted ×2-scaled copies score identical
+  // cell rankings (scaling is exact), so the output is the planted pairs
+  // on both engines regardless of ulp-level centroid differences.
+  private val x24 = Q("x24_embedding_multiprobe", Some(
+    """WITH cp AS (
+      |  SELECT vec_id + 100000 AS vec_id, label,
+      |    list_transform(embedding, x -> x * 2) AS embedding
+      |  FROM embeddings WHERE vec_id < 50),
+      |e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM cp),
+      |cent AS (
+      |  SELECT label AS cell, r.i, avg(v[r.i]) AS cv
+      |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+      |cnorm AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY cell),
+      |score AS (
+      |  SELECT e.vec_id, c.cell, sum(c.cv * e.v[c.i]) AS dp,
+      |    any_value(sqrt(list_dot_product(e.v, e.v))) AS vn
+      |  FROM e CROSS JOIN cent c GROUP BY e.vec_id, c.cell),
+      |assigned AS (
+      |  SELECT s.vec_id, s.cell FROM score s JOIN cnorm cn ON s.cell = cn.cell
+      |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+      |    ORDER BY s.dp / (cn.cn * s.vn) DESC, s.cell) <= 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+      |  SELECT cand.id_a, cand.id_b,
+      |    list_dot_product(x.v, y.v) /
+      |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+      |  FROM cand JOIN e x ON cand.id_a = x.vec_id JOIN e y ON cand.id_b = y.vec_id)
+      |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+    val copies = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    Similarity.embeddingNearDupsMultiProbe(Combiner.concat(Seq(emb, copies)),
+        "vec_id", "label", "embedding", threshold = 0.99, probes = 2)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23)
+      x17, x18, x19, x20, x21, x22, x23, x24)
 }

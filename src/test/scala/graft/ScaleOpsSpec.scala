@@ -92,6 +92,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(kept < 200, s"pruning kept $kept of 2000 rows — filter not effective")
   }
 
+  test("multi-probe near-dup recovers a pair split across a cell boundary") {
+    def vec(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // three well-separated cells, anchored by 8 copies of each centroid;
+    // v (15°, cell 0) and w (25°, cell 1) are near-dups across the boundary
+    val anchors =
+      (1L to 8L).map(i => (i, 0, vec(0))) ++
+      (11L to 18L).map(i => (i, 1, vec(45))) ++
+      (21L to 28L).map(i => (i, 2, vec(180)))
+    val df = (anchors ++ Seq((100L, 0, vec(15)), (200L, 1, vec(25))))
+      .toDF("vec_id", "label", "embedding")
+
+    // single-cell candidates miss the pair…
+    val single = Similarity.embeddingNearDups(df, "vec_id", "label",
+        "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!single.contains((100L, 200L)), "cells differ — should be missed")
+    // …multi-probe (2 nearest centroids) finds it
+    val multi = Similarity.embeddingNearDupsMultiProbe(df, "vec_id", "label",
+        "embedding", 0.98, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(multi.contains((100L, 200L)), s"missed across boundary: ${multi.toSeq}")
+    // anchors of different cells stay unmatched (cos 45° < threshold)
+    assert(!multi.exists(p => p._1 <= 8 && p._2 >= 11 && p._2 <= 18))
+  }
+
   test("cosine math: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
