@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Headline analytical queries over the TPC-H-ish star schema (beyond
+  * reference — the multi-join/aggregate shapes a warehouse engine lives on;
+  * modeled on TPC-H Q1/Q3/Q5 against the driver tables).
+  *
+  * Money sums go through DECIMAL: double summation order differs between
+  * engines (partial aggregation vs sequential), and at 1e9 magnitudes the
+  * ulp drift can cross a round(…, 2) boundary. Casting each term to an
+  * exact decimal FIRST (the per-row double products are bit-identical
+  * cross-engine) makes every sum exact, then one final double round is
+  * deterministic.
+  */
+object AnalyticsQueries {
+  import Tables.t
+
+  // Q1-style pricing summary: one scan, map-side partial aggregation.
+  private val t1 = Q("t1_pricing_summary", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+      |  count(*) AS n_rows
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_base"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("sum_disc"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double"), 2).as("sum_charge"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // Q3-style shipping priority: dims broadcast into the fact scan, top-10
+  // via TakeOrderedAndProject (rounded revenue + key tiebreak → stable).
+  private val t2 = Q("t2_shipping_priority", Some(
+    """SELECT l.l_orderkey,
+      |  round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      |  o.o_orderdate
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin)) { (s, dir) =>
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    // no broadcast hints: orders/customer are fact-sized at scale — AQE
+    // converts to broadcast at runtime when the filtered side turns small
+    l.join(o.join(c, col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // Q5-style local supplier volume: 6-way join, every dim broadcast; the
+  // only shuffle is the final per-nation aggregate.
+  private val t3 = Q("t3_local_volume", Some(
+    """SELECT n.n_name,
+      |  round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)) { (s, dir) =>
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    // broadcast hints ONLY on the fixed-size dims (region 5, nation 25);
+    // orders/customer/supplier scale with the data — AQE decides for them
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n.join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3)
+}

@@ -98,6 +98,13 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("(event_type") && p.contains("purchase"), p.take(600))
   }
 
+  test("t3 6-way join broadcasts the fixed dims, no nested loop anywhere") {
+    val p = plan("t3_local_volume")
+    assert(p.contains("BroadcastHashJoin"), "nation/region should broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
