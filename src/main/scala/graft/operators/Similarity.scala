@@ -172,6 +172,34 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Lloyd (k-means) refinement of an initial cell assignment: `iters`
+    * rounds of (centroid = mean per cell) → (cell = nearest centroid by
+    * cosine, ties to the lowest cell id). Returns (id, cell). Each round is
+    * one small aggregate (numCells×d, broadcast) + one scan with a top-1
+    * window per id — no driver loops over data, deterministic given the
+    * input. Better-fitting cells mean IVF probes prune more of the scan. */
+  def refineCells(data: DataFrame, idCol: String, cellCol: String,
+      vecCol: String, iters: Int): DataFrame = {
+    val v = data.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var assign = data.select(col(idCol).as("id"), col(cellCol).as("cell"))
+    for (_ <- 1 to iters) {
+      val cents = broadcast(
+        centroids(v.join(assign, "id"), "cell", "__v")
+          .select(col("cell"), col("centroid"), norm(col("centroid")).as("__cn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(desc("__cs"), col("cell"))
+      assign = v.crossJoin(cents)
+        .select(col("id"), col("cell"),
+          (dot(col("__v"), col("centroid")) / (col("__n") * col("__cn"))).as("__cs"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("id"), col("cell"))
+    }
+    assign
+  }
+
   /** IVF search: probe the `nprobe` cells whose centroids are closest to the
     * query (by cosine), then brute-force only within those cells. */
   def ivfTopK(data: DataFrame, idCol: String, cellCol: String, vecCol: String,
@@ -183,8 +211,10 @@ object Similarity {
       .orderBy(desc("cs"), col("cell"))
       .limit(nprobe)
     // cell list is tiny: broadcast the probe set into the candidate filter
-    val candidates = data.join(broadcast(probed.select("cell")),
-      data(cellCol) === col("cell"))
+    // (aliased so a data cell column literally named "cell" stays unambiguous)
+    val candidates = data.join(
+      broadcast(probed.select(col("cell").as("__probe_cell"))),
+      data(cellCol) === col("__probe_cell"))
     bruteForceTopK(candidates, idCol, vecCol, queryDf, k)
   }
 }

@@ -670,7 +670,61 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // IVF with 2 Lloyd refinement rounds: labels seed the cells, k-means
+  // tightens them, the probe runs against the REFINED centroids. The
+  // oracle replays both iterations (centroid → nearest-centroid
+  // reassignment with the same tie-break) and the probe+search
+  // step-for-step.
+  private val x25 = Q("x25_ivf_kmeans", Some {
+    def cents(assign: String, name: String) =
+      s"""$name AS (
+         |  SELECT a.cell, r.i, avg(e.v[r.i]) AS cv
+         |  FROM $assign a JOIN e USING (vec_id) CROSS JOIN range(1, 65) r(i)
+         |  GROUP BY 1, 2),
+         |${name}n AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM $name GROUP BY cell)""".stripMargin
+    def reassign(cent: String, name: String) =
+      s"""${name}s AS (
+         |  SELECT e.vec_id, c.cell, sum(c.cv * e.v[c.i]) AS dp,
+         |    any_value(sqrt(list_dot_product(e.v, e.v))) AS vn
+         |  FROM e CROSS JOIN $cent c GROUP BY 1, 2),
+         |$name AS (
+         |  SELECT s.vec_id, s.cell FROM ${name}s s JOIN ${cent}n cn ON s.cell = cn.cell
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+         |    ORDER BY s.dp / (cn.cn * s.vn) DESC, s.cell) = 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |a0 AS (SELECT vec_id, label AS cell FROM e),
+       |${cents("a0", "c1")},
+       |${reassign("c1", "a1")},
+       |${cents("a1", "c2")},
+       |${reassign("c2", "a2")},
+       |${cents("a2", "c3")},
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT c.cell FROM c3 c JOIN c3n cn ON c.cell = cn.cell, q
+       |  GROUP BY c.cell, cn.cn
+       |  ORDER BY sum(c.cv * q.qv[c.i]) /
+       |    (cn.cn * (SELECT sqrt(list_dot_product(qv, qv)) FROM q)) DESC, c.cell
+       |  LIMIT 3)
+       |SELECT e.vec_id,
+       |  round(list_dot_product(e.v, q.qv) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+       |FROM e JOIN a2 ON e.vec_id = a2.vec_id, q
+       |WHERE a2.cell IN (SELECT cell FROM probe)
+       |ORDER BY list_dot_product(e.v, q.qv) /
+       |  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+  }) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val cells = Similarity.refineCells(emb, "vec_id", "label", "embedding", 2)
+      .withColumnRenamed("id", "vec_id")
+    val data2 = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    Similarity.ivfTopK(data2, "vec_id", "cell", "embedding",
+        emb.filter(col("vec_id") === 0), 10, 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25)
 }

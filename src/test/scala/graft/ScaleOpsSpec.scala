@@ -120,6 +120,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!multi.exists(p => p._1 <= 8 && p._2 >= 11 && p._2 <= 18))
   }
 
+  test("refineCells: Lloyd rounds pull a mislabeled vector to its true cluster") {
+    // two tight angular clusters; vector 99 starts with the WRONG label
+    def vec(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val df = (
+      (1L to 5L).map(i => (i, 0, vec(i.toDouble))) ++        // cluster at ~3°
+      (11L to 15L).map(i => (i, 1, vec(80 + i.toDouble - 10))) ++ // ~83°
+      Seq((99L, 1, vec(2.5)))) // near cluster 0, labeled 1
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.refineCells(df, "vec_id", "label", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(99L) == out(1L), s"mislabeled vector not reassigned: $out")
+    assert(out(11L) != out(1L), "clusters collapsed")
+  }
+
   test("cosine math: orthogonal 0, identical 1") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
