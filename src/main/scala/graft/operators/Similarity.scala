@@ -115,21 +115,74 @@ object Similarity {
     * the cell assignment (near-dups in different cells are missed — use
     * overlapping/multi-probe cells to trade cost for recall), cost is
     * Σ|cell|² instead of n². */
+  private val CacheLvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Exact-duplicate pre-pass shared by the near-dup discoverers: group rows
+    * by a content key, return (reps with one row per distinct content,
+    * members id→rep). Identical embeddings are the normal case in a real
+    * corpus (re-ingested shards, mirrored documents); without this, a group
+    * of m copies contributes m² candidate pairs per cell — the same blow-up
+    * the LSH text pre-pass removes. Pair discovery runs over reps only and
+    * is re-expanded afterwards; because cell assignment and cosine depend
+    * only on content, the expanded output is provably identical to running
+    * discovery over every row. */
+  private def contentGroups(base: DataFrame, keyCols: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val keyed = base.withColumn("__vk",
+      md5(to_json(struct(keyCols.map(col): _*))))
+    val repAgg = keyed.groupBy("__vk")
+      .agg(min(col("id")).as("id"),
+        min_by(col("cell"), col("id")).as("cell"),
+        min_by(col("__v"), col("id")).as("__v"),
+        min_by(col("__n"), col("id")).as("__n"))
+      .persist(CacheLvl)
+    val members = keyed.select(col("id"), col("__vk"))
+      .join(repAgg.select(col("__vk"), col("id").as("rep")), "__vk")
+      .select(col("id"), col("rep"))
+      .persist(CacheLvl)
+    (repAgg.drop("__vk"), members)
+  }
+
+  /** Expand rep-level pairs back to member pairs, plus the intra-group
+    * pairs (identical content in the same group): cosine of identical
+    * vectors is computed the same way a pairwise compare would
+    * (dot/(n·n)), so thresholds and hashes match the all-rows algorithm. */
+  private def expandPairs(repPairs: DataFrame, reps: DataFrame,
+      members: DataFrame, threshold: Double): DataFrame = {
+    val selfCos = reps.select(col("id").as("rep"),
+      (dot(col("__v"), col("__v")) / (col("__n") * col("__n"))).as("cosine"))
+    val intra = members.select(col("rep"), col("id").as("id_a"))
+      .join(members.select(col("rep"), col("id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .join(selfCos, "rep")
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("id").as("xa")), "ra")
+      .join(members.select(col("rep").as("rb"), col("id").as("xb")), "rb")
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("cosine"))
+    intra.unionByName(cross)
+  }
+
   def embeddingNearDups(data: DataFrame, idCol: String, cellCol: String,
       vecCol: String, threshold: Double): DataFrame = {
     // norms are per-ROW, computed once before the pair join — the pairwise
     // work is one dot product, not three (same fp operations, same result)
-    val v = data.select(col(idCol).as("id"), col(cellCol).as("cell"),
+    val base = data.select(col(idCol).as("id"), col(cellCol).as("cell"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
-    val a = v.select(col("id").as("id_a"), col("cell"),
+    // same (content, cell) → one representative; pairs discovered over reps
+    val (reps, members) = contentGroups(base, Seq("cell", "__v"))
+    val a = reps.select(col("id").as("ra"), col("cell"),
       col("__v").as("__va"), col("__n").as("__na"))
-    val b = v.select(col("id").as("id_b"), col("cell"),
+    val b = reps.select(col("id").as("rb"), col("cell"),
       col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val repPairs = a.join(b, Seq("cell")).filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"),
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+    expandPairs(repPairs, reps, members, threshold)
   }
 
   /** Multi-probe variant of [[embeddingNearDups]]: each vector is assigned
@@ -143,15 +196,22 @@ object Similarity {
   def embeddingNearDupsMultiProbe(data: DataFrame, idCol: String,
       cellCol: String, vecCol: String, threshold: Double,
       probes: Int = 2): DataFrame = {
+    // centroids come from the FULL corpus (duplicates weigh into the mean,
+    // exactly as the all-rows algorithm computes them)…
     val cents = broadcast(centroids(data, cellCol, vecCol)
       .select(col("cell"), col("centroid"),
         norm(col("centroid")).as("__cn")))
-    val v = data.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+    val base = data.select(col(idCol).as("id"), col(cellCol).as("cell"),
+        asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
+    // …but assignment ranks and pair discovery run over one representative
+    // per distinct content: identical vectors rank identical probe cells,
+    // so the expanded output equals the all-rows run
+    val (reps, members) = contentGroups(base, Seq("__v"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id")
       .orderBy(desc("__cs"), col("cell"))
-    val assigned = v.crossJoin(cents)
+    val assigned = reps.select(col("id"), col("__v"), col("__n")).crossJoin(cents)
       .select(col("id"),
         (dot(col("__v"), col("centroid")) / (col("__n") * col("__cn"))).as("__cs"),
         col("cell"))
@@ -159,17 +219,18 @@ object Similarity {
       .filter(col("__rk") <= probes)
       .select(col("id"), col("cell"))
 
-    val candidates = assigned.select(col("id").as("id_a"), col("cell"))
-      .join(assigned.select(col("id").as("id_b"), col("cell")), Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val candidates = assigned.select(col("id").as("ra"), col("cell"))
+      .join(assigned.select(col("id").as("rb"), col("cell")), Seq("cell"))
+      .filter(col("ra") < col("rb"))
+      .select("ra", "rb").distinct()
 
-    val va = v.select(col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
-    val vb = v.select(col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
-    candidates.join(va, "id_a").join(vb, "id_b")
-      .select(col("id_a"), col("id_b"),
+    val va = reps.select(col("id").as("ra"), col("__v").as("__va"), col("__n").as("__na"))
+    val vb = reps.select(col("id").as("rb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val repPairs = candidates.join(va, "ra").join(vb, "rb")
+      .select(col("ra"), col("rb"),
         (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+    expandPairs(repPairs, reps, members, threshold)
   }
 
   /** Lloyd (k-means) refinement of an initial cell assignment: `iters`
