@@ -94,9 +94,17 @@ object Dedup {
     * re-expanded afterwards. The output is provably identical to running
     * LSH over every row, because signatures depend only on content: two
     * rows share a bucket iff their representatives do. */
+  /** @param maxBucket optional per-bucket cap (default: unlimited). The
+    *   exact-dup pre-pass removes byte-identical floods, but m NEAR-identical
+    *   documents (templated spam, boilerplate) still share every band key and
+    *   cost O(m²) candidates. Buckets larger than the cap are degenerate
+    *   ("everything matches everything") and are dropped wholesale — a
+    *   recall/cost trade the caller opts into; pair discovery for capped
+    *   content should fall back to coarser keys (e.g. exactDedup on a
+    *   normalized prefix). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.8,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
     val numPerms = bands * rowsPerBand
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
@@ -128,8 +136,15 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
-    val a = bandRows.alias("a")
-    val b = bandRows.alias("b")
+    val capped =
+      if (maxBucket == Int.MaxValue) bandRows
+      else {
+        val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+        bandRows.withColumn("__bs", count(lit(1)).over(wB))
+          .filter(col("__bs") <= maxBucket).drop("__bs")
+      }
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))

@@ -41,6 +41,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hamming(m(1L), m(4L)) > 6)
   }
 
+  test("LSH bucket cap bounds a near-identical flood, keeps normal pairs") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    // 40 near-identical docs (templated flood: same body, unique tail word)
+    val flood = (1L to 40L).map(i => (i, s"$base tail$i"))
+    // one ordinary planted near-dup pair, disjoint vocabulary
+    val other = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val pair = Seq((100L, other), (101L, other + " extra"))
+    val df = (flood ++ pair).toDF("id", "text")
+
+    val uncapped = Dedup.minhashNearDups(df, "id", "text").count()
+    val capped = Dedup.minhashNearDups(df, "id", "text", maxBucket = 5)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cappedPairs.length < uncapped,
+      s"cap had no effect: $uncapped vs ${cappedPairs.length}")
+    // the ordinary pair lives in small buckets and survives the cap
+    assert(cappedPairs.contains((100L, 101L)))
+  }
+
   test("char n-gram jaccard block: identity 1.0, disjoint filtered out") {
     val df = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")).toDF("id", "text")
     val out = Dedup.charNgramJaccardBlock(df, "id", "text").collect()
