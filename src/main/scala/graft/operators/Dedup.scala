@@ -196,6 +196,57 @@ object Dedup {
     agg.select(col(idCol), value.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: signatures → byte-banded bucket join →
+    * hamming verify. Pigeonhole guarantee: two 32-bit signatures within
+    * hamming distance 3 differ in at most 3 of the 4 bytes, so they share
+    * at least one identical (band, byte) bucket — full recall for
+    * `maxHamming` ≤ 3, heuristic above. Same skeleton as minhashNearDups:
+    * exact-dup pre-pass (identical text ⇒ identical signature), candidates
+    * from an equi-join, re-expansion — never all-pairs. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__th", md5(col("__text")))
+    val repAgg = hashed.groupBy("__th")
+      .agg(min(col("id")).as("rep"), min_by(col("__text"), col("id")).as("__text"))
+      .persist(lvl)
+    val members = hashed.select(col("id"), col("__th"))
+      .join(repAgg.select(col("__th"), col("rep")), "__th")
+      .select(col("id"), col("rep"))
+      .persist(lvl)
+
+    val sig = simhash(repAgg.select(col("rep").as("id"), col("__text")),
+      "id", "__text").persist(lvl)
+    val bandRows = sig.select(col("id"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bv"))
+    val cands = bandRows.alias("a").join(bandRows.alias("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ra"), col("b.id").as("rb")).distinct()
+    val sa = sig.select(col("id").as("ra"), col("simhash").as("__sa"))
+    val sb = sig.select(col("id").as("rb"), col("simhash").as("__sb"))
+    val repPairs = cands.join(sa, "ra").join(sb, "rb")
+      .select(col("ra"), col("rb"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
+    // identical text ⇒ identical signature ⇒ hamming 0 (always ≤ max);
+    // only groups whose rep SIGNED (had tokens) pair, matching all-rows
+    val inSig = members.join(sig.select(col("id").as("rep")), "rep")
+    val intra = inSig.select(col("rep"), col("id").as("id_a"))
+      .join(inSig.select(col("rep"), col("id").as("id_b")), "rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("ra"), col("id").as("xa")), "ra")
+      .join(members.select(col("rep").as("rb"), col("id").as("xb")), "rb")
+      .select(least(col("xa"), col("xb")).as("id_a"),
+        greatest(col("xa"), col("xb")).as("id_b"), col("hamming"))
+    intra.unionByName(cross)
+  }
+
   /** Distinct char n-grams per id: (id, grams). */
   private def charGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =

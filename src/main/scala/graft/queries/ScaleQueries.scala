@@ -724,7 +724,41 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // SimHash near-dup pairs: byte-banded buckets (pigeonhole: hamming ≤ 3
+  // guarantees a shared byte), hamming verify — completes the simhash
+  // story from signature (x3) to dedup decision. Oracle replays banding
+  // and verify over every row; the Spark side's pre-pass provably matches.
+  private val x26 = Q("x26_simhash_neardups", Some {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val value = (0 until 32).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${duckHash(0, "u.tok")} AS h
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(regexp_replace(lower(text),
+       |            '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+       |        FROM documents), unnest(ws) AS u(tok)),
+       |bits AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($value AS BIGINT) AS sh FROM bits),
+       |bands AS (
+       |  SELECT doc_id, b.i AS band, (sh >> CAST(b.i * 8 AS INT)) & 255 AS bv
+       |  FROM sig CROSS JOIN range(0, 4) b(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+       |FROM cand JOIN sig x ON cand.id_a = x.doc_id
+       |          JOIN sig y ON cand.id_b = y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, dir) =>
+    Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
 }

@@ -28,6 +28,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("simhashNearDups pairs planted near-dups, skips unrelated, hamming 0 for copies") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base),          // exact copies → intra pair, hamming 0
+      (3L, base + " extra"),           // near-dup of 1/2
+      (4L, (200 to 260).map(i => s"q$i").mkString(" "))) // unrelated
+      .toDF("id", "text")
+    val out = Dedup.simhashNearDups(df, "id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.get((1L, 2L)).contains(0))
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)))
+    assert(!out.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base + " extra"
