@@ -758,7 +758,72 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // Corpus vocabulary stats: top-50 terms with counts + document frequency.
+  // One explode + one partial-aggregated groupBy; top-k via the usual
+  // TakeOrderedAndProject (count desc, term tiebreak).
+  private val x27 = Q("x27_vocab_topk", Some(
+    """WITH w AS (
+      |  SELECT doc_id, u.tok FROM (
+      |    SELECT doc_id,
+      |      list_filter(string_split_regex(regexp_replace(lower(text),
+      |        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+      |    FROM documents), unnest(ws) AS u(tok))
+      |SELECT tok, count(*) AS n_occurrences,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM w GROUP BY tok
+      |ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin)) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), col("tok"))
+      .limit(50)
+  }
+
+  // TF-IDF keywords: top-3 terms per document (raw tf × ln(N/df), rank
+  // with deterministic tie-breaks). Two aggregates + a broadcast-joined
+  // doc-frequency table + one per-doc window; every arithmetic step is
+  // the same IEEE op sequence on both engines.
+  private val x28 = Q("x28_tfidf_keywords", Some(
+    """WITH w AS (
+      |  SELECT doc_id, u.tok FROM (
+      |    SELECT doc_id,
+      |      list_filter(string_split_regex(regexp_replace(lower(text),
+      |        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+      |    FROM documents WHERE doc_id < 100), unnest(ws) AS u(tok)),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM w GROUP BY tok),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    tf.tf * ln(n.n::DOUBLE / df.df) AS score
+      |  FROM tf JOIN df USING (tok), n)
+      |SELECT doc_id, tok, round(score, 4) AS score,
+      |  CAST(rank AS INT) AS rank
+      |FROM (SELECT doc_id, tok, score,
+      |        row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY score DESC, tok) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)) { (s, dir) =>
+    val w = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("tok"))
+    val tf = w.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = w.groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
+    val n = w.agg(count_distinct(col("doc_id")).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), col("tok"))
+    tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("score"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), round(col("score"), 4).as("score"),
+        col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
 }
