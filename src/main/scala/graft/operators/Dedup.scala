@@ -247,6 +247,30 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** Near-dup pairs → dedup GROUPS: connected components over the pair
+    * graph by iterative min-label propagation. Each round is one edge join
+    * + one min aggregate (all hash-partitioned on the node id — the
+    * standard scalable CC formulation); labels converge to the component's
+    * minimum id in ≤ graph-diameter rounds. `iters` is FIXED so the
+    * computation is a deterministic, engine-replayable plan; dedup
+    * clusters are near-cliques (diameter 1-2), so a handful of rounds
+    * converges. Returns (node, component) for every node with ≥1 edge —
+    * keep `component = node` rows as survivors, drop the rest. */
+  def nearDupComponents(pairs: DataFrame, iters: Int = 4): DataFrame = {
+    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to iters) {
+      val viaEdges = und.join(labels.withColumnRenamed("node", "v"), "v")
+        .select(col("u").as("node"), col("lab"))
+      labels = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("lab")).as("lab"))
+    }
+    labels.select(col("node"), col("lab").as("component"))
+  }
+
   /** Distinct char n-grams per id: (id, grams). */
   private def charGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =

@@ -823,7 +823,59 @@ object ScaleQueries {
       .orderBy("doc_id", "rank")
   }
 
+  // Near-dup pairs → dedup groups: connected components by 4 rounds of
+  // min-label propagation over the LSH pair graph (pairs ⊂ x2's output).
+  // The oracle replays the pair pipeline AND all four propagation rounds,
+  // so every cluster assignment is hash-checked.
+  private val x29 = Q("x29_neardup_components", Some {
+    val hashes = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
+    def prop(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT node, min(lab) AS lab FROM (
+         |    SELECT node, lab FROM $prev
+         |    UNION ALL
+         |    SELECT e.u AS node, l.lab FROM und e JOIN $prev l ON e.v = l.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH $SETS_CTE,
+       |expl AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substring(md5(u.sh), 9, 8))::BIGINT AS hb
+       |  FROM sets, unnest(shs) AS u(sh)),
+       |sig AS (SELECT doc_id, $hashes FROM expl GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, u.b[1]::INT AS band, u.b[2] AS bkey
+       |  FROM sig, unnest([$bandKeys]) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |prs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
+       |            JOIN sets y ON cand.id_b = y.doc_id
+       |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |      (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
+       |und AS (SELECT id_a AS u, id_b AS v FROM prs
+       |        UNION ALL SELECT id_b AS u, id_a AS v FROM prs),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und),
+       |${prop("l0", "l1")},
+       |${prop("l1", "l2")},
+       |${prop("l2", "l3")},
+       |${prop("l3", "l4")}
+       |SELECT node AS doc_id, CAST(lab AS BIGINT) AS component
+       |FROM l4 ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.nearDupComponents(pairs, iters = 4)
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
 }

@@ -55,6 +55,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hamming(m(1L), m(4L)) > 6)
   }
 
+  test("nearDupComponents merges a chain into one group, keeps others apart") {
+    // path 1-2-3-4 (diameter 3) + separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupComponents(pairs, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+  }
+
   test("LSH bucket cap bounds a near-identical flood, keeps normal pairs") {
     val base = (1 to 60).map(i => s"word$i").mkString(" ")
     // 40 near-identical docs (templated flood: same body, unique tail word)
