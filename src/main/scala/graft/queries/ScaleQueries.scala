@@ -875,7 +875,22 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  // Stream-stream interval join under the oracle: clicks and purchases
+  // replayed as two real watermarked streams in lockstep; with an ordered
+  // feed nothing is late, so the streamed attribution must equal the plain
+  // batch interval join.
+  private val x30 = Q("x30_stream_attribution", Some(
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY purchase_id, click_id""".stripMargin)) { (s, dir) =>
+    EventStream.attributionReplay(s, Tables.events(s, dir), withinSeconds = 14400)
+      .orderBy("purchase_id", "click_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30)
 }

@@ -185,6 +185,72 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks within the preceding `withinSeconds`. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH ends, so
+    * Spark can evict click state once the watermark passes
+    * `click_ts + withinSeconds` — the state stays proportional to the
+    * window, not the stream. Works identically on static frames (the
+    * batch twin the oracle checks). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      withinSeconds: Long = 1800, watermark: String = "30 minutes"): DataFrame = {
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermark)
+             else clicks)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", watermark)
+             else purchases)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinSeconds SECONDS") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
+  /** Replay static clicks/purchases through [[attributionJoin]] as two real
+    * MemoryStreams advancing in lockstep over global time windows; with an
+    * ordered feed nothing is late, so the streamed result must equal the
+    * batch join — the correctness gate for the stream-stream path. */
+  def attributionReplay(spark: SparkSession, events: DataFrame,
+      withinSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def side(tpe: String) = events.filter(col("event_type") === tpe)
+      .select(col("event_id").cast("long"), unix_micros(col("ts")),
+        col("user_id").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val clicks = side("click")
+    val purchases = side("purchase")
+    val allTs = (clicks.map(_._2) ++ purchases.map(_._2)).sorted
+    val cuts = (1 until batches).map(i => allTs((allTs.length.toLong * i / batches).toInt))
+
+    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val memP = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    def streamDf(m: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("event_id", "ts_us", "user_id")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
+    val name = "attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("attr_ckpt").toString
+    val q = attributionJoin(streamDf(memC), streamDf(memP), withinSeconds)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val bounds = cuts :+ Long.MaxValue
+      var (ci, pi) = (0, 0)
+      bounds.foreach { hi =>
+        val cChunk = clicks.drop(ci).takeWhile(_._2 <= hi); ci += cChunk.length
+        val pChunk = purchases.drop(pi).takeWhile(_._2 <= hi); pi += pChunk.length
+        if (cChunk.nonEmpty) memC.addData(cChunk.toSeq)
+        if (pChunk.nonEmpty) memP.addData(pChunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** File-source stream over a directory of parquet events → sink. The
     * standard deploy shape: checkpointed, append-mode, watermarked. */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,

@@ -94,6 +94,21 @@ class EventStreamSpec extends SparkSpec {
     assert(out(0).getAs[Double]("value") == 1.0)
   }
 
+  test("stream-stream attribution equals the batch interval join") {
+    val events = Seq(
+      (1L, ts(0), 10L, "click", 0.0),   // within 30 min of purchase → match
+      (2L, ts(29), 10L, "purchase", 9.9),
+      (3L, ts(35), 10L, "click", 0.0),  // after the purchase → no match
+      (4L, ts(1), 11L, "click", 0.0))   // other user → no match
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.attributionReplay(spark, events, withinSeconds = 1800,
+        batches = 2)
+      .orderBy("purchase_id", "click_id").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("purchase_id") == 2L &&
+      out.head.getAs[Long]("click_id") == 1L)
+  }
+
   test("sessionize groups events by inactivity gap per user") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → new session
