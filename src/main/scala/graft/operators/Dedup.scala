@@ -257,16 +257,23 @@ object Dedup {
     * converges. Returns (node, component) for every node with ≥1 edge —
     * keep `component = node` rows as survivors, drop the rest. */
   def nearDupComponents(pairs: DataFrame, iters: Int = 4): DataFrame = {
-    val und = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // pairs is read twice to build the undirected edge list — persist it so
+    // an expensive upstream (the whole LSH pipeline) executes once
+    val p0 = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = p0.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(p0.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (_ <- 1 to iters) {
       val viaEdges = und.join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("lab"))
+      // each round references the previous labels TWICE (identity ∪ via
+      // edges); persisting per round keeps the work linear in `iters`
+      // instead of 2^iters plan re-evaluations
       labels = labels.unionByName(viaEdges)
         .groupBy("node").agg(min(col("lab")).as("lab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     labels.select(col("node"), col("lab").as("component"))
   }

@@ -823,10 +823,10 @@ object ScaleQueries {
       .orderBy("doc_id", "rank")
   }
 
-  // Near-dup pairs → dedup groups: connected components by 4 rounds of
-  // min-label propagation over the LSH pair graph (pairs ⊂ x2's output).
-  // The oracle replays the pair pipeline AND all four propagation rounds,
-  // so every cluster assignment is hash-checked.
+  // Near-dup pairs → dedup groups: connected components by 2 rounds of
+  // min-label propagation over the LSH pair graph (near-dup clusters are
+  // near-cliques, diameter ≤ 2). The oracle replays the pair pipeline AND
+  // both propagation rounds, so every cluster assignment is hash-checked.
   private val x29 = Q("x29_neardup_components", Some {
     val hashes = (0 until 8).map(i =>
       s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
@@ -863,14 +863,12 @@ object ScaleQueries {
        |        UNION ALL SELECT id_b AS u, id_a AS v FROM prs),
        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und),
        |${prop("l0", "l1")},
-       |${prop("l1", "l2")},
-       |${prop("l2", "l3")},
-       |${prop("l3", "l4")}
+       |${prop("l1", "l2")}
        |SELECT node AS doc_id, CAST(lab AS BIGINT) AS component
-       |FROM l4 ORDER BY doc_id""".stripMargin
+       |FROM l2 ORDER BY doc_id""".stripMargin
   }) { (s, dir) =>
     val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")
-    Dedup.nearDupComponents(pairs, iters = 4)
+    Dedup.nearDupComponents(pairs, iters = 2)
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
   }
@@ -883,10 +881,10 @@ object ScaleQueries {
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
       |FROM events p JOIN events c
       |  ON p.user_id = c.user_id
-      | AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+      | AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |ORDER BY purchase_id, click_id""".stripMargin)) { (s, dir) =>
-    EventStream.attributionReplay(s, Tables.events(s, dir), withinSeconds = 14400)
+    EventStream.attributionReplay(s, Tables.events(s, dir), withinSeconds = 7200, batches = 2)
       .orderBy("purchase_id", "click_id")
   }
 
