@@ -21,6 +21,49 @@ class EdgeCaseSpec extends SparkSpec {
     assert(metrics("date_parse_failures") == 0L)
   }
 
+  test("nearDupComponents on an empty pair frame returns no components") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupComponents(pairs, iters = 2).count() == 0)
+  }
+
+  test("simhashNearDups on empty and single-doc corpora return no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.simhashNearDups(empty, "id", "text").count() == 0)
+    val one = Seq((1L, "only doc here with words")).toDF("id", "text")
+    assert(Dedup.simhashNearDups(one, "id", "text").count() == 0)
+  }
+
+  test("embeddingNearDups on an empty frame returns no pairs") {
+    val empty = Seq.empty[(Long, Int, Seq[Float])].toDF("vec_id", "label", "embedding")
+    assert(Similarity.embeddingNearDups(empty, "vec_id", "label", "embedding", 0.9)
+      .count() == 0)
+    assert(Similarity.embeddingNearDupsMultiProbe(empty, "vec_id", "label",
+      "embedding", 0.9).count() == 0)
+  }
+
+  test("bloom prune with an empty build side yields an empty (not full) join") {
+    val large = Seq((1L, "x")).toDF("k", "v")
+    val none = Seq.empty[(Long, String)].toDF("k", "tag")
+    assert(BloomPrune.prunedJoin(large, none, "k").count() == 0)
+  }
+
+  test("zOrdered requires two columns; single-row frame still lays out") {
+    intercept[IllegalArgumentException] {
+      ZOrder.zOrdered(Seq((1.0, 2.0)).toDF("a", "b"), Seq("a"), 4)
+    }
+    val one = Seq((1.0, 2.0)).toDF("a", "b")
+    assert(ZOrder.zOrdered(one, Seq("a", "b"), 4).count() == 1)
+  }
+
+  test("attribution join on frames with no matching side is empty") {
+    val clicks = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("event_id", "ts", "user_id")
+    val purchases = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L))
+      .toDF("event_id", "ts", "user_id")
+    assert(graft.streaming.EventStream.attributionJoin(clicks, purchases)
+      .count() == 0)
+  }
+
   test("profile on an empty frame yields zero counts, null percentages") {
     val row = Profiler.profile(emptyDf).head()
     assert(row.getAs[Long]("n_rows") == 0L)
