@@ -888,7 +888,30 @@ object ScaleQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  // Small-file compaction, content-gated: events written as 64 shards,
+  // compacted to a handful of bin-packed files, and the aggregate over the
+  // compacted copy must equal the plain table — compaction may change
+  // layout, never content.
+  private val x31 = Q("x31_compaction", Some(
+    """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_compact")
+      .resolve("events").toString
+    Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(64).write.mode("overwrite").parquet(out)
+    val (before, after) = graft.operators.Compaction.compact(s, out,
+      targetFileBytes = 8L * 1024 * 1024)
+    assert(after < before, s"compaction did not reduce files: $before -> $after")
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30)
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30,
+      x31)
 }

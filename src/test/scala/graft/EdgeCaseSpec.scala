@@ -64,6 +64,20 @@ class EdgeCaseSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("compaction reduces file count, preserves rows, survives re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_spec")
+      .resolve("t").toString
+    spark.range(10000).selectExpr("id", "id * 2 AS v")
+      .repartition(32).write.parquet(dir)
+    val (b1, a1) = Compaction.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(b1 == 32 && a1 < b1)
+    assert(spark.read.parquet(dir).count() == 10000)
+    // idempotent: compacting a compacted table is a no-op-sized rewrite
+    val (b2, a2) = Compaction.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(b2 == a1 && a2 <= b2)
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("profile on an empty frame yields zero counts, null percentages") {
     val row = Profiler.profile(emptyDf).head()
     assert(row.getAs[Long]("n_rows") == 0L)
