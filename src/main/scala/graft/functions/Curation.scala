@@ -44,6 +44,58 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Benchmark decontamination: flag training documents that share any word
+    * n-gram with an eval/benchmark set (the standard n-gram-overlap
+    * decontamination step of LLM training-data prep; production uses n≈13,
+    * the parameter scales freely). 100 TB design: the benchmark side is an
+    * eval suite — small by construction — so its DISTINCT grams broadcast
+    * (`broadcastBench=false` falls back to a shuffle hash join when the
+    * "benchmark" is itself large); the train side is one shingle explode +
+    * one hash aggregate, never a cross join. Returns one row per train doc:
+    * (id, n_overlap = distinct shared grams, contaminated). */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, broadcastBench: Boolean = true): DataFrame = {
+    val bg0 = Dedup.shingleSets(bench, idCol, textCol, n)
+      .select(explode(col("shs")).as("g")).distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    val tg = Dedup.shingleSets(train, idCol, textCol, n)
+      .select(col(idCol), explode(col("shs")).as("g"))
+    val hits = tg.join(bg, "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** GPT-style sequence packing: conceptually concatenate all documents of a
+    * shard in id order and cut the token stream at `capacity` boundaries.
+    * Emits, per document, the pack its first token lands in, the offset
+    * inside that pack, and how many packs it spans — everything a writer
+    * needs to materialize packed training sequences. Zero-token documents
+    * contribute nothing to the stream and are dropped.
+    *
+    * 100 TB design: the only non-map operation is a running sum windowed BY
+    * SHARD (`shardCol`) — packs are per-shard, so shards pack in parallel
+    * with no global ordering bottleneck (pack ids are unique per shard, as
+    * training shards are). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, shardCol: String): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("n_tokens", size(Dedup.words(col(textCol))).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        expr(s"__start div $capacity").as("pack_id"),
+        (col("__start") % capacity).as("pack_offset"),
+        (expr(s"(__cum - 1) div $capacity") -
+          expr(s"__start div $capacity") + 1).as("n_packs"))
+  }
+
   /** PII scrubbing: redact emails and phone-shaped tokens. RE2-compatible
     * patterns (portable across engines); extend the list per policy. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -65,6 +65,40 @@ object TextAnalysis {
     round((lenScore + alphaScore + punctScore + wordScore) / 4.0, 4)
   }
 
+  /** Stopword list shared by the quality-rule gate (English function words —
+    * the Gopher-style "has at least N stopwords" naturalness check). */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+
+  /** Gopher-style quality RULES: unlike [[qualityScore]]'s blended score,
+    * each rule is an independent boolean gate (word-count band, mean word
+    * length band, minimum stopword hits, numeric-token ratio cap) so a
+    * pipeline can report per-rule rejection counts — the shape real curation
+    * stacks (Gopher §A1.1, C4) use. One struct-valued expression: stays in
+    * codegen, no shuffle. */
+  def qualityRules(text: Column, minWords: Int = 20, maxWords: Int = 80,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 8.0,
+      minStopwords: Int = 2, maxNumericRatio: Double = 0.3): Column = {
+    val ws = Dedup.words(text)
+    val n = size(ws).cast("double")
+    // sum of word lengths == length of the gap-free join (expression-only,
+    // no higher-order aggregate needed)
+    val meanLen = when(n === 0, 0.0)
+      .otherwise(length(array_join(ws, "")).cast("double") / n)
+    val stopHits = size(filter(ws, w => StopWords.map(w === _).reduce(_ || _)))
+    val numRatio = when(n === 0, 1.0)
+      .otherwise(size(filter(ws, w => w.rlike("^[0-9]+$"))).cast("double") / n)
+    val rWords = n >= minWords && n <= maxWords
+    val rMean = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rStop = stopHits >= minStopwords
+    val rNum = numRatio <= maxNumericRatio
+    struct(
+      rWords.as("r_word_count"),
+      rMean.as("r_mean_word_len"),
+      rStop.as("r_stopwords"),
+      rNum.as("r_numeric_ratio"),
+      (rWords && rMean && rStop && rNum).as("passes"))
+  }
+
   /** Document fingerprint: minimum seeded hash over word shingles — a
     * one-permutation minhash, stable under small edits, identical across
     * engines (md5-derived). */

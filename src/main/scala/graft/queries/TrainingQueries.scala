@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.functions.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-data pipeline operators (beyond-reference north star):
+  * benchmark decontamination, quality-rule gating, sequence packing, and
+  * sketch-based profiling. Oracles replay the exact same deterministic
+  * (md5-derived where hashed) pipeline in DuckDB, step for step.
+  */
+object TrainingQueries {
+  import Tables.t
+
+  /** DuckDB twin of Dedup.words (lowercased alphanumeric tokens). */
+  private val WORDS =
+    """list_filter(string_split_regex(regexp_replace(lower(text),
+      |  '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')""".stripMargin
+
+  /** DuckDB twin of Dedup.shingles(words, 3) over documents. */
+  private val SETS3_CTE =
+    s"""sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents))""".stripMargin
+
+  // Benchmark n-gram decontamination: docs with doc_id % 37 = 0 act as the
+  // held-out eval set; every remaining (train) doc reports how many distinct
+  // word 3-grams it shares with the benchmark. The oracle replays shingling,
+  // the distinct-gram join, and the per-doc count identically. (Production
+  // n≈13; 3 here because the synthetic docs are 10-99 tokens.)
+  private val x32 = Q("x32_decontamination", Some(
+    s"""WITH $SETS3_CTE,
+       |ben AS (SELECT DISTINCT u.g AS g
+       |        FROM sets b, unnest(b.shs) AS u(g) WHERE b.doc_id % 37 = 0),
+       |hits AS (
+       |  SELECT tr.doc_id, count(*) AS n_overlap
+       |  FROM (SELECT doc_id, u.g FROM sets, unnest(shs) AS u(g)
+       |        WHERE doc_id % 37 <> 0) tr
+       |  JOIN ben USING (g) GROUP BY tr.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |       coalesce(h.n_overlap, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Curation.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
+  // Gopher-style quality-rule gate: per-document booleans for each rule plus
+  // the conjunction — the per-rule rejection accounting a curation stack
+  // reports. Pure expressions; the oracle replays every formula.
+  private val x37 = Q("x37_quality_rules", Some(
+    s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+       |m AS (SELECT doc_id, len(ws) AS n,
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |       ELSE len(array_to_string(ws, ''))::DOUBLE / len(ws) END AS mwl,
+       |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','that'))) AS stops,
+       |  CASE WHEN len(ws) = 0 THEN 1.0
+       |       ELSE len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$$')))::DOUBLE / len(ws) END AS numr
+       | FROM w)
+       |SELECT doc_id,
+       |  n BETWEEN 20 AND 80 AS r_word_count,
+       |  mwl BETWEEN 2.0 AND 8.0 AS r_mean_word_len,
+       |  stops >= 2 AS r_stopwords,
+       |  numr <= 0.3 AS r_numeric_ratio,
+       |  (n BETWEEN 20 AND 80) AND (mwl BETWEEN 2.0 AND 8.0)
+       |    AND stops >= 2 AND numr <= 0.3 AS passes
+       |FROM m ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityRules(col("text")).as("q"))
+      .select(col("doc_id"), col("q.r_word_count").as("r_word_count"),
+        col("q.r_mean_word_len").as("r_mean_word_len"),
+        col("q.r_stopwords").as("r_stopwords"),
+        col("q.r_numeric_ratio").as("r_numeric_ratio"),
+        col("q.passes").as("passes"))
+      .orderBy("doc_id")
+  }
+
+  // GPT-style sequence packing at capacity 64, sharded by source: the oracle
+  // replays the running token sum and the integer pack arithmetic.
+  private val x38 = Q("x38_sequence_packing", Some(
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, len($WORDS) AS n_tokens FROM documents),
+       |w AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM toks WHERE n_tokens > 0)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST((cum - n_tokens) // 64 AS BIGINT) AS pack_id,
+       |  CAST((cum - n_tokens) % 64 AS BIGINT) AS pack_offset,
+       |  CAST((cum - 1) // 64 - (cum - n_tokens) // 64 + 1 AS BIGINT) AS n_packs
+       |FROM w ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    Curation.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        capacity = 64, shardCol = "source")
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(x32, x37, x38)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{Curation, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Decontamination / quality-rule / sequence-packing semantics on controlled
+  * fixtures (the x32/x37/x38 oracle queries cover the testdata-scale paths). */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zzz alpha beta gamma yyy"),       // shares "alpha beta gamma"
+      (2L, "totally different words here"),   // clean
+      (3L, "beta gamma delta and more")       // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
+  test("decontaminate counts DISTINCT shared grams, not occurrences") {
+    val bench = Seq((9L, "a b c d")).toDF("doc_id", "text")
+    // "a b c" appears twice in the train doc but counts once (distinct set)
+    val train = Seq((1L, "a b c x a b c")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", n = 3).collect()
+    assert(out.head.getAs[Long]("n_overlap") == 1L)
+  }
+
+  test("qualityRules: each gate fires independently") {
+    def rules(s: String) = {
+      val r = Seq(Tuple1(s)).toDF("text")
+        .select(TextAnalysis.qualityRules(col("text")).as("q"))
+        .select("q.*").collect().head
+      (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+    }
+    val good = (1 to 30).map(_ => "the cat sat").mkString(" ") // 90 words > 80
+    assert(rules(good) == (false, true, true, true, false))
+    val ok = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to the hills in the morning light again and again ok"
+    assert(rules(ok)._1 && rules(ok)._2 && rules(ok)._3 && rules(ok)._4 && rules(ok)._5)
+    // numeric flood fails the numeric-ratio gate only
+    val nums = "the a " + (1 to 28).map(_.toString).mkString(" ")
+    val rn = rules(nums)
+    assert(rn._1 && rn._3 && !rn._4 && !rn._5)
+    // empty text fails everything except mean-word-len=0 handling
+    assert(!rules("")._5)
+  }
+
+  test("packSequences cuts the concatenated token stream at capacity boundaries") {
+    // one shard, capacity 10: docs of 4, 5, 3 tokens → cum 4, 9, 12
+    val df = Seq(
+      (1L, "s", "w w w w"),
+      (2L, "s", "w w w w w"),
+      (3L, "s", "w w w")).toDF("doc_id", "source", "text")
+    val out = Curation.packSequences(df, "doc_id", "text", 10, "source")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("pack_offset"), r.getAs[Long]("n_packs")))
+    assert(out.toSeq == Seq((1L, 0L, 0L, 1L), (2L, 0L, 4L, 1L), (3L, 0L, 9L, 2L)))
+  }
+
+  test("packSequences packs shards independently and drops empty docs") {
+    val df = Seq(
+      (1L, "a", "x x x x x x"), (2L, "a", "!!!"),  // doc 2 has 0 tokens
+      (3L, "b", "y y y y y y y y")).toDF("doc_id", "source", "text")
+    val out = Curation.packSequences(df, "doc_id", "text", 5, "source")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
+    // both shards start at pack 0 offset 0
+    assert(out.forall(r => r.getAs[Long]("pack_id") == 0L &&
+      r.getAs[Long]("pack_offset") == 0L && r.getAs[Long]("n_packs") == 2L))
+  }
+
+  test("doc spanning many packs reports the full span") {
+    val df = Seq((1L, "s", (1 to 23).map(_ => "t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.packSequences(df, "doc_id", "text", 5, "source").collect().head
+    assert(r.getAs[Long]("n_packs") == 5L) // 23 tokens over capacity-5 packs
+  }
+}
