@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.functions.{Curation, TextAnalysis}
+import graft.functions.{Curation, Sketches, TextAnalysis}
+import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
 /** Round-4 training-data pipeline operators (beyond-reference north star):
@@ -99,5 +100,71 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(x32, x37, x38)
+  // Count-min heavy hitters: 4×32 md5-seeded sketch over the token stream,
+  // top-20 words with exact count AND sketch estimate side by side (the
+  // estimate is ≥ exact by construction; with 32 buckets collisions are
+  // visible, which is the point). The oracle replays sketch construction
+  // cell for cell and the min-of-buckets estimate.
+  private val x33 = Q("x33_heavy_hitters", Some(
+    s"""WITH toks AS (
+       |  SELECT u.tok FROM (SELECT $WORDS AS ws FROM documents),
+       |    unnest(ws) AS u(tok)),
+       |exact AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |cells AS (
+       |  SELECT t.r AS r,
+       |    ('0x' || substring(md5(t.r::VARCHAR || ':' || tok), 1, 8))::BIGINT % 32 AS bucket
+       |  FROM toks, range(4) t(r)),
+       |sketch AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY r, bucket),
+       |keycells AS (
+       |  SELECT e.tok, t.r AS r,
+       |    ('0x' || substring(md5(t.r::VARCHAR || ':' || e.tok), 1, 8))::BIGINT % 32 AS bucket
+       |  FROM exact e, range(4) t(r)),
+       |est AS (
+       |  SELECT k.tok, min(coalesce(s.cnt, 0)) AS est
+       |  FROM keycells k LEFT JOIN sketch s ON k.r = s.r AND k.bucket = s.bucket
+       |  GROUP BY k.tok)
+       |SELECT e.tok AS word, CAST(e.c AS BIGINT) AS exact_count,
+       |       CAST(est.est AS BIGINT) AS cms_estimate
+       |FROM exact e JOIN est ON e.tok = est.tok
+       |ORDER BY exact_count DESC, word LIMIT 20""".stripMargin)) { (s, dir) =>
+    val toks = t(s, dir, "documents")
+      .select(explode(Dedup.words(col("text"))).as("tok"))
+    val sketch = Sketches.countMin(toks, "tok", depth = 4, width = 32)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+    val est = Sketches.cmsEstimate(sketch, exact.select("tok"), "tok",
+      depth = 4, width = 32)
+    exact.join(est, "tok")
+      .select(col("tok").as("word"), col("exact_count"), col("cms_estimate"))
+      .orderBy(desc("exact_count"), col("word")).limit(20)
+  }
+
+  // KMV distinct-count sketch per event_type (k=8, exact alongside the
+  // estimate); the oracle replays the distinct-hash ranking and the
+  // (k-1)/kth-minimum estimator bit for bit.
+  private val x39 = Q("x39_kmv_distinct", Some(
+    """WITH d AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substring(md5('7:' || user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM events),
+      |rk AS (SELECT event_type, hv,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      |       FROM d),
+      |kth AS (SELECT event_type, hv FROM rk WHERE rn = 8),
+      |ex AS (SELECT event_type,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      |       FROM events GROUP BY event_type)
+      |SELECT ex.event_type, ex.exact_distinct,
+      |       round(7 / (kth.hv::DOUBLE / 4294967296.0), 2) AS kmv_estimate
+      |FROM ex JOIN kth ON ex.event_type = kth.event_type
+      |ORDER BY ex.event_type""".stripMargin)) { (s, dir) =>
+    val ev = t(s, dir, "events").select("event_type", "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val est = Sketches.kmvDistinct(ev, "event_type", "user_id", k = 8, seed = 7)
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("exact_distinct"), col("kmv_estimate"))
+      .orderBy("event_type")
+  }
+
+  val qs: Seq[Q] = Seq(x32, x33, x37, x38, x39)
 }
