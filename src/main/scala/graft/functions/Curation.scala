@@ -96,6 +96,31 @@ object Curation {
           expr(s"__start div $capacity") + 1).as("n_packs"))
   }
 
+  /** Data-driven domain rebalancing: hit a target corpus MIX, not fixed
+    * per-stratum rates. Given target weights per domain and a total row
+    * budget, the keep-rate for domain d is min(1, budget·w_d / n_d) —
+    * computed FROM the data (one tiny count aggregate, broadcast back) —
+    * and rows are kept by the same deterministic seeded-hash filter as
+    * [[stratifiedSample]]. Domains without a weight fall back to
+    * `defaultWeight`. At 100 TB the counts frame is |domains| rows; the
+    * data-side work is a broadcast join + a pushed-down filter. */
+  def domainMix(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double], totalTarget: Long,
+      defaultWeight: Double = 0.0, seed: String = "mix"): DataFrame = {
+    val wExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (d, w)) =>
+      when(col(domainCol) === d, lit(w)).otherwise(acc)
+    }
+    val rates = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__cut",
+        floor(least(lit(1.0), lit(totalTarget.toDouble) * wExpr / col("__n"))
+          * 10000).cast("long"))
+      .select(col(domainCol), col("__cut"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(Dedup.seededHash(0,
+        concat(lit(s"$seed:"), col(idCol).cast("string"))) % 10000 < col("__cut"))
+      .drop("__cut")
+  }
+
   /** PII scrubbing: redact emails and phone-shaped tokens. RE2-compatible
     * patterns (portable across engines); extend the list per policy. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -114,5 +114,85 @@ object AnalyticsQueries {
       .orderBy("n_name")
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3)
+  // Q6-style forecast revenue: single scan, every predicate pushed to the
+  // parquet reader, one global decimal-exact aggregate.
+  private val t4 = Q("t4_forecast_revenue", Some(
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // Q10-style returned-item report: top-20 customers by returned revenue in
+  // a quarter; nation dim broadcast, AQE picks the fact-join strategy.
+  private val t5 = Q("t5_returned_items", Some(
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin)) { (s, dir) =>
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-10-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+      .select("c_custkey", "c_name", "n_name", "revenue")
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  // Q18-style large-volume orders: the HAVING aggregate runs ONCE and its
+  // result (already carrying total_qty) joins back — no second pass over
+  // lineitem. Quantities are integral doubles, so the BIGINT cast is exact.
+  private val t6 = Q("t6_large_orders", Some(
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+      |  round(o.o_totalprice, 2) AS totalprice, b.total_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY totalprice DESC, o.o_orderkey""".stripMargin)) { (s, dir) =>
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("__q"))
+      .filter(col("__q") > 250)
+      .select(col("l_orderkey"), col("__q").cast("bigint").as("total_qty"))
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = t(s, dir, "customer").select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"),
+        col("total_qty"))
+      .orderBy(desc("totalprice"), col("o_orderkey"))
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6)
 }

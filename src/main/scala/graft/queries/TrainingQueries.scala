@@ -166,5 +166,32 @@ object TrainingQueries {
       .orderBy("event_type")
   }
 
-  val qs: Seq[Q] = Seq(x32, x33, x37, x38, x39)
+  // Data-driven domain rebalancing: keep-rates derived from per-source
+  // counts to hit a 40-row target mix (src0 half, src1/src2 a quarter,
+  // long tail 5%), rows kept by the deterministic seeded-hash filter. The
+  // oracle replays the rate computation and the md5 filter; every float op
+  // is forced to DOUBLE in both engines so the floor() boundaries agree.
+  private val x36 = Q("x36_domain_mix", Some(
+    """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source,
+      |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+      |      CAST(40.0 AS DOUBLE) * CAST(CASE source
+      |        WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+      |        WHEN 'src2' THEN 0.25 ELSE 0.05 END AS DOUBLE) / n) * 10000)
+      |      AS BIGINT) AS cut
+      |  FROM counts),
+      |kept AS (
+      |  SELECT d.source, d.doc_id FROM documents d JOIN rates r ON d.source = r.source
+      |  WHERE ('0x' || substring(md5('0:mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < r.cut)
+      |SELECT source, count(*) AS n_kept FROM kept
+      |GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
+    Curation.domainMix(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+        totalTarget = 40, defaultWeight = 0.05)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39)
 }
