@@ -72,8 +72,9 @@ object Exporter {
       if (rows.nonEmpty && header.nonEmpty)
         Some(s"A1:${XlsxMini.colLetter(header.length - 1)}${rows.length + 1}")
       else None
-    XlsxMini.Sheet(name, header +: rows, freezeAt = Some("B2"),
-      autoFilterRef = filter)
+    val grid = header +: rows
+    XlsxMini.Sheet(name, grid, freezeAt = Some("B2"),
+      autoFilterRef = filter, colWidths = XlsxMini.autoWidths(grid))
   }
 
   /** K2/K3/K4 bulk writers (reference: src/cli.py:46-48; src/exporter.py:61-66,106-109). */

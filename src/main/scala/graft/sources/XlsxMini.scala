@@ -29,7 +29,29 @@ object XlsxMini {
   final case class Sheet(name: String, grid: Vector[Vector[Any]],
       merged: Seq[(Int, Int, Int, Int)] = Nil,
       freezeAt: Option[String] = None,
-      autoFilterRef: Option[String] = None)
+      autoFilterRef: Option[String] = None,
+      colWidths: Map[Int, Double] = Map.empty,
+      colFormats: Map[Int, CellFormat] = Map.empty)
+
+  /** Number formats a column can opt into (beyond the default General and
+    * the datetime style every Timestamp cell gets): builtin numFmt ids 4
+    * (thousands + 2 decimals) and 10 (percent). */
+  sealed abstract class CellFormat(val xfIndex: Int)
+  case object NumberFormat extends CellFormat(2)  // #,##0.00
+  case object PercentFormat extends CellFormat(3) // 0.00%
+
+  /** openpyxl-recipe auto column widths: max rendered length + 2 padding,
+    * clamped to [6, 60] characters. */
+  def autoWidths(grid: Vector[Vector[Any]]): Map[Int, Double] = {
+    if (grid.isEmpty) return Map.empty
+    val nCols = grid.map(_.length).max
+    (0 until nCols).map { c =>
+      val w = grid.iterator.map { row =>
+        if (c < row.length && row(c) != null) row(c).toString.length else 0
+      }.max
+      c -> math.min(60.0, math.max(6.0, w + 2.0))
+    }.toMap
+  }
 
   // ---------------------------------------------------------------- write
 
@@ -80,8 +102,10 @@ object XlsxMini {
       """<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>""" +
       """<borders count="1"><border/></borders>""" +
       """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
-      """<cellXfs count="2"><xf numFmtId="0"/>""" +
-      """<xf numFmtId="22" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+      """<cellXfs count="4"><xf numFmtId="0"/>""" +
+      """<xf numFmtId="22" applyNumberFormat="1"/>""" +
+      """<xf numFmtId="4" applyNumberFormat="1"/>""" +
+      """<xf numFmtId="10" applyNumberFormat="1"/></cellXfs></styleSheet>""")
     sheets.zipWithIndex.foreach { case (s, i) =>
       put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s))
     }
@@ -101,6 +125,17 @@ object XlsxMini {
         s"""<pane xSplit="$colIdx" ySplit="$row" topLeftCell="$cell"""" +
         s""" activePane="$active" state="frozen"/></sheetView></sheetViews>"""
     }
+    if (s.colWidths.nonEmpty) {
+      // schema order: cols must precede sheetData
+      sb ++= "<cols>"
+      s.colWidths.toSeq.sortBy(_._1).foreach { case (c, w) =>
+        sb ++= s"""<col min="${c + 1}" max="${c + 1}" width="$w" customWidth="1"/>"""
+      }
+      sb ++= "</cols>"
+    }
+    // numeric cells in a formatted column carry that column's style index
+    def numStyle(c: Int): String =
+      s.colFormats.get(c).map(f => s""" s="${f.xfIndex}"""").getOrElse("")
     sb ++= "<sheetData>"
     s.grid.zipWithIndex.foreach { case (row, r) =>
       sb ++= s"""<row r="${r + 1}">"""
@@ -112,9 +147,9 @@ object XlsxMini {
           case d: Double =>
             val num = if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
                       else d.toString
-            sb ++= s"""<c r="$ref"><v>$num</v></c>"""
-          case i: Int => sb ++= s"""<c r="$ref"><v>$i</v></c>"""
-          case l: Long => sb ++= s"""<c r="$ref"><v>$l</v></c>"""
+            sb ++= s"""<c r="$ref"${numStyle(c)}><v>$num</v></c>"""
+          case i: Int => sb ++= s"""<c r="$ref"${numStyle(c)}><v>$i</v></c>"""
+          case l: Long => sb ++= s"""<c r="$ref"${numStyle(c)}><v>$l</v></c>"""
           case ts: java.sql.Timestamp => // Excel serial, date-styled (xf 1)
             sb ++= s"""<c r="$ref" s="1"><v>${tsToSerial(ts)}</v></c>"""
           case other =>

@@ -53,6 +53,41 @@ class ExporterPipelineSpec extends SparkSpec {
     assert(xml.contains("""<autoFilter ref="A1:B3"/>"""))
   }
 
+  test("xlsx export auto-sizes columns (cols element with customWidth)") {
+    val dir = tmp
+    val df = Seq(("a-rather-long-cell-value-here", 1.0), ("b", 2.0)).toDF("s", "v")
+    Exporter.exportDataset(df, dir, "dw", Seq("xlsx"), runId = "r10")
+    val zf = new java.util.zip.ZipFile(dir.resolve("dw.xlsx").toFile)
+    val xml = try new String(
+      zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes,
+      java.nio.charset.StandardCharsets.UTF_8) finally zf.close()
+    // width = longest cell (29 chars) + 2 padding; narrow col clamps to 6
+    assert(xml.contains("""<col min="1" max="1" width="31.0" customWidth="1"/>"""))
+    assert(xml.contains("""<col min="2" max="2" width="6.0" customWidth="1"/>"""))
+    assert(xml.indexOf("<cols>") < xml.indexOf("<sheetData>")) // schema order
+  }
+
+  test("column number formats style numeric cells; values survive roundtrip") {
+    val p = tmp.resolve("fmt.xlsx")
+    val sheet = XlsxMini.Sheet("s",
+      Vector(Vector[Any]("amount", "rate"), Vector[Any](1234.56, 0.25)),
+      colFormats = Map(0 -> XlsxMini.NumberFormat, 1 -> XlsxMini.PercentFormat))
+    XlsxMini.write(p, Seq(sheet))
+    val zf = new java.util.zip.ZipFile(p.toFile)
+    val (xml, styles) = try (
+      new String(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))
+        .readAllBytes, java.nio.charset.StandardCharsets.UTF_8),
+      new String(zf.getInputStream(zf.getEntry("xl/styles.xml"))
+        .readAllBytes, java.nio.charset.StandardCharsets.UTF_8)) finally zf.close()
+    assert(xml.contains("""<c r="A2" s="2"><v>1234.56</v></c>"""))
+    assert(xml.contains("""<c r="B2" s="3"><v>0.25</v></c>"""))
+    assert(styles.contains("""<xf numFmtId="4" applyNumberFormat="1"/>"""))
+    assert(styles.contains("""<xf numFmtId="10" applyNumberFormat="1"/>"""))
+    // non-date numFmts must NOT read back as serial dates
+    val back = XlsxMini.readSheet(p, Some(Right("s"))).get.grid
+    assert(back(1) == Vector(1234.56, 0.25))
+  }
+
   test("workbook sheet names truncate to 31 chars") {
     val p = tmp.resolve("wb.xlsx")
     val longName = "x" * 40
