@@ -98,6 +98,21 @@ object EventStream {
         timestamp_micros(col("start_us")).as("session_start"))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * every stateful streaming operator commits one state store PER shuffle
+    * partition PER micro-batch, so a small bounded replay pays the session
+    * default (32×) in fixed state-store overhead each round regardless of
+    * data volume. 8 shards keep the replay parallel while cutting that
+    * fixed cost 4×; a production stream sizes the state width to its real
+    * key volume instead. Result content is partition-count-independent
+    * (the oracle gates prove it); the previous value is always restored. */
+  private def withReplayShuffle[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Replay a STATIC events frame through [[sessionizeFull]] as a real
     * stream: time-ordered micro-batches into a MemoryStream, then one
     * sentinel event per user far past the last timestamp to flush open
@@ -119,19 +134,21 @@ object EventStream {
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
     val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
-    val q = sessionizeFull(streamDf, gapSeconds)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
-      .start()
-    try {
-      val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
-      rows.grouped(chunk).foreach { c =>
-        mem.addData(c.toSeq)
+    withReplayShuffle(spark) {
+      val q = sessionizeFull(streamDf, gapSeconds)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData(users.map(u => (u, sentinelUs)))
         q.processAllAvailable()
-      }
-      mem.addData(users.map(u => (u, sentinelUs)))
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -171,17 +188,19 @@ object EventStream {
         col("user_id"), col("event_type"), col("value"))
     val name = "dedupe_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("dedupe_ckpt").toString
-    val q = dedupeStream(streamDf, keys)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
-      .start()
-    try {
-      val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
-      rows.grouped(chunk).foreach { c =>
-        mem.addData(c.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayShuffle(spark) {
+      val q = dedupeStream(streamDf, keys)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -233,21 +252,23 @@ object EventStream {
         .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
     val name = "attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("attr_ckpt").toString
-    val q = attributionJoin(streamDf(memC), streamDf(memP), withinSeconds)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
-      .start()
-    try {
-      val bounds = cuts :+ Long.MaxValue
-      var (ci, pi) = (0, 0)
-      bounds.foreach { hi =>
-        val cChunk = clicks.drop(ci).takeWhile(_._2 <= hi); ci += cChunk.length
-        val pChunk = purchases.drop(pi).takeWhile(_._2 <= hi); pi += pChunk.length
-        if (cChunk.nonEmpty) memC.addData(cChunk.toSeq)
-        if (pChunk.nonEmpty) memP.addData(pChunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayShuffle(spark) {
+      val q = attributionJoin(streamDf(memC), streamDf(memP), withinSeconds)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val bounds = cuts :+ Long.MaxValue
+        var (ci, pi) = (0, 0)
+        bounds.foreach { hi =>
+          val cChunk = clicks.drop(ci).takeWhile(_._2 <= hi); ci += cChunk.length
+          val pChunk = purchases.drop(pi).takeWhile(_._2 <= hi); pi += pChunk.length
+          if (cChunk.nonEmpty) memC.addData(cChunk.toSeq)
+          if (pChunk.nonEmpty) memP.addData(pChunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(name)
   }
 
