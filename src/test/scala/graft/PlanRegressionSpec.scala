@@ -105,6 +105,39 @@ class PlanRegressionSpec extends SparkSpec {
       p.take(600))
   }
 
+  test("x32 decontamination broadcasts the benchmark grams, no self-join") {
+    val p = plan("x32_decontamination")
+    assert(p.contains("BroadcastExchange"), "bench grams should broadcast:\n" + p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decontamination must stay an equi-join:\n" + p.take(600))
+  }
+
+  test("x33 count-min builds cells with partial aggregation and broadcasts the sketch") {
+    val p = plan("x33_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "sketch cells need map-side combine:\n" + p.take(600))
+    assert(p.contains("BroadcastExchange"), "sketch should broadcast:\n" + p.take(600))
+  }
+
+  test("x35 cube is one Expand + aggregate, not a union of aggregates") {
+    val p = plan("x35_grouping_cube")
+    assert(p.contains("Expand"), "cube should plan an Expand:\n" + p.take(400))
+    assert(!p.contains("Union"), "cube must not union grouping sets:\n" + p.take(400))
+  }
+
+  test("x38 packing windows are partitioned by shard (no global window)") {
+    val df = Registry.byName("x38_sequence_packing").run(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("partitionBy") || logical.contains("source"),
+      "window must be shard-partitioned:\n" + logical.take(600))
+    // the sort is the presentation orderBy; the window itself must not
+    // move all rows to one partition (the empty-partitionBy warning shape)
+    val p = plan("x38_sequence_packing")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "packing window collapsed to a single partition:\n" + p.take(900))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
