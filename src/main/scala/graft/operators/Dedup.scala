@@ -308,6 +308,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccardOf(col("ga"), col("gb")).as("jaccard"))
   }
 
+  /** Edit-distance verify over an EXPLICIT candidate-pair frame — the third
+    * verify primitive next to Jaccard (charNgramJaccard) and cosine: exact
+    * Levenshtein distance plus a length-normalized similarity. Candidates
+    * come from LSH/simhash buckets or any bounded pairing; cost is two hash
+    * equi-joins + a per-pair DP, never all-pairs. */
+  def editDistanceVerify(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame): DataFrame = {
+    require(candidates.columns.contains("id_a") && candidates.columns.contains("id_b"),
+      "candidate frame must have columns (id_a, id_b)")
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    candidates.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_distance"),
+        round(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)), 4)
+          .as("similarity"))
+  }
+
   /** All-pairs convenience for a SMALL bounded block (an LSH bucket, a
     * sampled window). The bound is enforced IN the plan: a global window
     * count feeds a `raise_error` guard on the grams column, so exceeding

@@ -194,5 +194,48 @@ object AnalyticsQueries {
       .orderBy(desc("totalprice"), col("o_orderkey"))
   }
 
-  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6)
+  // Q22-style anti join: lapsed customers (no orders since 2001),
+  // summarized per segment. Spark plans a HASH anti join — the orders side
+  // is filtered AND reduced to its key column before the join, so the
+  // build side is small regardless of history depth.
+  private val t7 = Q("t7_cust_no_orders", Some(
+    """SELECT c_mktsegment, count(*) AS n_custs,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2001-01-01")).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  // Q13-style customer order-count distribution: LEFT join keeps the
+  // zero-order customers, count(o_orderkey) skips their nulls, then the
+  // tiny (c_count → custdist) histogram aggregates a second time.
+  private val t8 = Q("t8_order_distribution", Some(
+    """WITH co AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin)) { (s, dir) =>
+    t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders").select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val qs: Seq[Q] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
 }

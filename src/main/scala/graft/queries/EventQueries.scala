@@ -247,5 +247,37 @@ object EventQueries {
       .orderBy("purchase_id", "incident_id")
   }
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11)
+  // Rank-window family over per-user totals: ntile deciles, percent_rank,
+  // cume_dist — ties broken by user_id so every rank is deterministic in
+  // both engines. The global window runs over the AGGREGATED frame (one row
+  // per user), not the event stream; at 100 TB rank windows over raw facts
+  // would be partitioned (see x38's shard windows) or replaced by approx
+  // quantiles (e8).
+  private val e12 = Q("e12_rank_windows", Some(
+    """WITH agg AS (
+      |  SELECT user_id,
+      |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, total, n_events,
+      |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume
+      |FROM agg WINDOW w AS (ORDER BY total DESC, user_id)
+      |ORDER BY user_id""".stripMargin)) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("total"), col("user_id"))
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2)
+          .as("total"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("total"), col("n_events"),
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("user_id")
+  }
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
 }

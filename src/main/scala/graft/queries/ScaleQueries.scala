@@ -888,6 +888,20 @@ object ScaleQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  // Stream-static enrichment: events replayed as a real stream, each
+  // micro-batch joined against the BROADCAST customer dim (stateless — no
+  // watermark/state store); streamed result must equal the batch join.
+  // Completes the streaming join matrix: windowed agg, sessionization,
+  // dedup, stream-stream interval, stream-static broadcast.
+  private val x42 = Q("x42_stream_enrich", Some(
+    """SELECT e.event_id, e.user_id, c.c_mktsegment
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+      |ORDER BY e.event_id""".stripMargin)) { (s, dir) =>
+    EventStream.enrichReplay(s, Tables.events(s, dir),
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"))
+      .orderBy("event_id")
+  }
+
   // Small-file compaction, content-gated: events written as 64 shards,
   // compacted to a handful of bin-packed files, and the aggregate over the
   // compacted copy must equal the plain table — compaction may change
@@ -912,6 +926,6 @@ object ScaleQueries {
 
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
-      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30,
+      x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31)
 }

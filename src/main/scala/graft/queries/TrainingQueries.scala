@@ -193,5 +193,23 @@ object TrainingQueries {
       .orderBy("source")
   }
 
-  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39)
+  // Edit-distance verify primitive over an explicit candidate frame (here:
+  // adjacent doc ids — any LSH/simhash bucket output plugs in the same way).
+  // Both engines run the identical Levenshtein DP and the same normalized
+  // similarity, so the hash gate covers the whole verify path.
+  private val x41 = Q("x41_edit_distance", Some(
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+      |  round(1.0 - levenshtein(a.text, b.text)::DOUBLE /
+      |    greatest(len(a.text), len(b.text), 1), 4) AS similarity
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val cand = docs.select(col("doc_id").as("id_a"),
+      (col("doc_id") + 1).as("id_b"))
+    Dedup.editDistanceVerify(docs, "doc_id", "text", cand)
+      .orderBy("id_a")
+  }
+
+  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41)
 }

@@ -272,6 +272,45 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * BROADCAST static dimension — stateless (no watermark, no state store),
+    * the workhorse shape for attaching dimension attributes to a live
+    * stream. Works identically on a batch frame (the oracle's twin). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      joinCond: org.apache.spark.sql.Column): DataFrame =
+    events.join(broadcast(dim), joinCond)
+
+  /** Replay a STATIC events frame through [[enrichStream]] as a real
+    * MemoryStream: the streamed enrichment must equal the batch join of the
+    * same inputs — the correctness gate for the stream-static path. */
+  def enrichReplay(spark: SparkSession, events: DataFrame, dim: DataFrame,
+      batches: Int = 2): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("event_id").cast("long"),
+        unix_micros(col("ts")), col("user_id").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val streamDf = mem.toDF().toDF("event_id", "ts_us", "user_id")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"))
+    val name = "enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("enrich_ckpt").toString
+    val q = enrichStream(streamDf, dim, col("c_custkey") === col("user_id") + 1)
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+      rows.grouped(chunk).foreach { c =>
+        mem.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** File-source stream over a directory of parquet events → sink. The
     * standard deploy shape: checkpointed, append-mode, watermarked. */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,

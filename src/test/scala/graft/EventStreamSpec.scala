@@ -109,6 +109,20 @@ class EventStreamSpec extends SparkSpec {
       out.head.getAs[Long]("click_id") == 1L)
   }
 
+  test("stream-static enrichment equals the batch broadcast join") {
+    val events = Seq(
+      (1L, ts(0), 0L, "view", 0.0),   // user 0 → custkey 1
+      (2L, ts(1), 1L, "view", 0.0),   // user 1 → custkey 2
+      (3L, ts(2), 99L, "view", 0.0))  // custkey 100 absent → dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = EventStream.enrichReplay(spark, events, dim, batches = 2)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("c_mktsegment")))
+    assert(out.toSeq == Seq((1L, "BUILDING"), (2L, "MACHINERY")))
+  }
+
   test("sessionize groups events by inactivity gap per user") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → new session

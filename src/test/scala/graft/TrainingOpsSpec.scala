@@ -49,6 +49,18 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!rules("")._5)
   }
 
+  test("editDistanceVerify computes exact Levenshtein over the candidate frame only") {
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "zzz"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.editDistanceVerify(docs, "doc_id", "text", cand)
+      .orderBy("id_a", "id_b").collect()
+    assert(out.length == 2) // only candidate pairs, (4) never touched
+    assert(out(0).getAs[Long]("edit_distance") == 3L) // kitten→sitting classic
+    assert(out(1).getAs[Long]("edit_distance") == 0L &&
+      out(1).getAs[Double]("similarity") == 1.0)
+  }
+
   test("packSequences cuts the concatenated token stream at capacity boundaries") {
     // one shard, capacity 10: docs of 4, 5, 3 tokens → cum 4, 9, 12
     val df = Seq(
