@@ -49,6 +49,44 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** HyperLogLog distinct-count estimate per group (2^b registers, md5
+    * hashing — deterministic and engine-replayable, unlike library HLLs).
+    * Register = low b hash bits, rho = leading-zero rank of the remaining
+    * 32-b bits; the register table is one groupBy MAX (mergeable across
+    * shards by the same max, like every sketch here). Small cardinalities
+    * take the standard linear-counting branch. Estimates are rounded to 2
+    * decimals so libm 1-ulp drift cannot flip the gate. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      b: Int = 5, seed: Int = 11): DataFrame = {
+    require(b >= 4 && b <= 16, "b must be in [4,16]")
+    val m = 1 << b
+    val restBits = 32 - b
+    // alpha constants from the HLL paper (m>=128 uses the closed form)
+    val alpha =
+      if (m == 16) 0.673 else if (m == 32) 0.697
+      else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+    val h = Dedup.seededHash(seed, col(valueCol).cast("string"))
+    val rest = shiftright(h, b)
+    // bit length via bin() string length — identical in DuckDB; rest == 0
+    // means all restBits bits are zero → rho = restBits + 1
+    val rho = when(rest === 0, lit(restBits + 1))
+      .otherwise(lit(restBits + 1) - length(bin(rest)))
+    val regs = df
+      .select(col(groupCol), (h % m).as("reg"), rho.as("rho"))
+      .groupBy(col(groupCol), col("reg")).agg(max(col("rho")).as("mr"))
+    val sums = regs.groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), -col("mr"))).as("s"),
+        count(lit(1)).as("npresent"))
+    sums
+      .withColumn("__v", lit(m) - col("npresent"))
+      .withColumn("__raw",
+        lit(alpha) * m * m / (col("s") + (lit(m) - col("npresent"))))
+      .select(col(groupCol),
+        round(when(col("__raw") <= 2.5 * m && col("__v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+          .otherwise(col("__raw")), 2).as("hll_estimate"))
+  }
+
   /** KMV (k-minimum-values) distinct-count estimate per group: hash the
     * value space with one seeded md5, keep the k smallest DISTINCT hashes
     * per group, estimate distinct = (k-1) / normalized k-th minimum.

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an event stream to a fixed daily
+  * grid per group, filling gaps with zero counts and carrying the last
+  * observed aggregate forward (the dashboard/feature-store prep shape).
+  *
+  * 100 TB design: the day spine is generated per group with
+  * `sequence()+explode` — distributed, one row-group per group, no driver
+  * loop and no calendar table to maintain. Everything downstream is hash
+  * joins and ONE per-group window (days per group are bounded by the date
+  * range, not the data volume). */
+object Resample {
+
+  /** Daily counts + sums per group over each group's [min-day, max-day]
+    * span: gap days appear with n_events = 0, null total_value, and
+    * `carried_total` = last observed day's total. */
+  def dailyResample(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), date_trunc("DAY", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__tv"))
+    val spine = daily.groupBy(col(groupCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(groupCol),
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(groupCol).orderBy("day")
+    spine.join(daily, Seq(groupCol, "day"), "left")
+      .select(col(groupCol), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(col("__tv").cast("double"), 2).as("total_value"),
+        round(last(col("__tv"), ignoreNulls = true).over(w).cast("double"), 2)
+          .as("carried_total"))
+  }
+}

@@ -211,5 +211,46 @@ object TrainingQueries {
       .orderBy("id_a")
   }
 
-  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41)
+  // HLL distinct sketch per event_type (m=32 registers, md5-derived), exact
+  // count alongside. The oracle replays register assignment (low 5 bits),
+  // rho ranks via bin()-length, the max-per-register table, and the
+  // harmonic/linear-counting estimator. Register sums are sums of powers of
+  // two spanning < 53 bits — exact in double, so no summation-order risk;
+  // the final round(2) absorbs libm ulp drift in ln().
+  private val x43 = Q("x43_hll_distinct", Some(
+    """WITH h AS (
+      |  SELECT event_type,
+      |    ('0x' || substring(md5('11:' || user_id::VARCHAR), 1, 8))::BIGINT AS hv
+      |  FROM events),
+      |r AS (SELECT event_type, hv % 32 AS reg,
+      |        CASE WHEN hv // 32 = 0 THEN 28
+      |             ELSE 28 - length(bin(hv // 32)) END AS rho
+      |      FROM h),
+      |regs AS (SELECT event_type, reg, max(rho) AS mr
+      |         FROM r GROUP BY event_type, reg),
+      |sums AS (SELECT event_type, sum(power(2.0, -mr)) AS s, count(*) AS np
+      |         FROM regs GROUP BY event_type),
+      |est AS (SELECT event_type,
+      |          CAST(0.697 AS DOUBLE) * 32 * 32 / (s + (32 - np)) AS raw,
+      |          32 - np AS v
+      |        FROM sums),
+      |ex AS (SELECT event_type,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      |       FROM events GROUP BY event_type)
+      |SELECT ex.event_type, ex.exact_distinct,
+      |  round(CASE WHEN raw <= CAST(80 AS DOUBLE) AND v > 0
+      |             THEN CAST(32 AS DOUBLE) * ln(CAST(32 AS DOUBLE) / v)
+      |             ELSE raw END, 2) AS hll_estimate
+      |FROM ex JOIN est ON ex.event_type = est.event_type
+      |ORDER BY ex.event_type""".stripMargin)) { (s, dir) =>
+    val ev = t(s, dir, "events").select("event_type", "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val est = Sketches.hllDistinct(ev, "event_type", "user_id", b = 5, seed = 11)
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("exact_distinct"), col("hll_estimate"))
+      .orderBy("event_type")
+  }
+
+  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43)
 }

@@ -83,5 +83,51 @@ object WarehouseQueries {
       .orderBy("c_custkey")
   }
 
-  val qs: Seq[Q] = Seq(x34, x35, x40)
+  // Incremental aggregate maintenance: state over the first half of the
+  // month merged with the second half's delta state must equal the direct
+  // aggregate over everything — the oracle computes the DIRECT aggregate,
+  // so the gate proves merge == recompute. Decimal state sums make the
+  // merge order irrelevant.
+  private val x44 = Q("x44_incremental_agg", Some(
+    """SELECT event_type, count(*) AS n_rows,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("event_type", "ts", "value")
+    val base = graft.operators.Incremental.aggState(
+      ev.filter(col("ts") < lit("2024-01-16")), Seq("event_type"), Seq("value"))
+    val delta = graft.operators.Incremental.aggState(
+      ev.filter(col("ts") >= lit("2024-01-16")), Seq("event_type"), Seq("value"))
+    graft.operators.Incremental.mergeStates(Seq(base, delta), Seq("event_type"))
+      .select(col("event_type"), col("n_rows"),
+        round(col("sum_value").cast("double"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // Daily gap-filled resample per event_type: sequence()+explode spine,
+  // zero-filled counts, last-observation-carried-forward totals. The
+  // oracle builds the same spine with generate_series and the same
+  // IGNORE NULLS window.
+  private val x45 = Q("x45_time_resample", Some(
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS tv
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |           FROM daily GROUP BY event_type),
+      |spine AS (SELECT event_type, u.day AS day
+      |          FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(day))
+      |SELECT s.event_type, s.day,
+      |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+      |  round(CAST(d.tv AS DOUBLE), 2) AS total_value,
+      |  round(CAST(last_value(d.tv IGNORE NULLS)
+      |    OVER (PARTITION BY s.event_type ORDER BY s.day) AS DOUBLE), 2) AS carried_total
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.event_type = d.event_type AND s.day = d.day
+      |ORDER BY s.event_type, s.day""".stripMargin)) { (s, dir) =>
+    graft.operators.Resample.dailyResample(Tables.events(s, dir),
+        "event_type", "ts", "value")
+      .orderBy("event_type", "day")
+  }
+
+  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45)
 }

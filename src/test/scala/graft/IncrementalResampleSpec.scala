@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.Sketches
+import graft.operators.{Incremental, Resample}
+import org.apache.spark.sql.functions._
+
+class IncrementalResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merged incremental states equal the direct aggregate") {
+    val all = (1 to 300).map(i => (s"k${i % 3}", i.toDouble / 7)).toDF("k", "v")
+    val parts = Seq(all.filter($"v" < 10), all.filter($"v" >= 10 && $"v" < 30),
+      all.filter($"v" >= 30))
+    val merged = Incremental.mergeStates(
+        parts.map(p => Incremental.aggState(p, Seq("k"), Seq("v"))), Seq("k"))
+      .orderBy("k").collect()
+    val direct = Incremental.aggState(all, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+    assert(merged.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
+  test("state merge is order-independent (decimal sums)") {
+    val a = Incremental.aggState(Seq(("k", 0.1), ("k", 0.2)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val b = Incremental.aggState(Seq(("k", 0.3)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val ab = Incremental.mergeStates(Seq(a, b), Seq("k")).collect().head.toSeq
+    val ba = Incremental.mergeStates(Seq(b, a), Seq("k")).collect().head.toSeq
+    assert(ab == ba)
+  }
+
+  test("dailyResample fills gaps with 0 and carries totals forward") {
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00", 5.0),
+      ("a", "2024-01-01 11:00:00", 3.0),
+      // Jan 2 missing entirely
+      ("a", "2024-01-03 09:00:00", 7.0))
+      .toDF("g", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = Resample.dailyResample(df, "g", "ts", "v").orderBy("day").collect()
+    assert(out.length == 3) // full span, gap day materialized
+    val gap = out(1)
+    assert(gap.getAs[Long]("n_events") == 0L)
+    assert(gap.isNullAt(gap.fieldIndex("total_value")))
+    assert(gap.getAs[Double]("carried_total") == 8.0) // Jan 1 total carried
+    assert(out(2).getAs[Double]("carried_total") == 7.0)
+  }
+
+  test("dailyResample spines are per group, not global") {
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-05 00:00:00", 1.0),
+      ("b", "2024-02-10 00:00:00", 1.0))
+      .toDF("g", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
+    val out = Resample.dailyResample(df, "g", "ts", "v")
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 5L, "b" -> 1L)) // b never inherits a's span
+  }
+
+  test("HLL estimate tracks the true cardinality within sketch error") {
+    val df = (1 to 5000).map(i => ("g", i % 1000)).toDF("grp", "v")
+    val est = Sketches.hllDistinct(df, "grp", "v", b = 5).collect().head
+      .getAs[Double]("hll_estimate")
+    // m=32 → ~18.5% relative s.d.; allow 3 sigma
+    assert(est > 1000 * 0.45 && est < 1000 * 1.55, s"estimate $est vs 1000")
+  }
+
+  test("HLL takes the linear-counting branch at tiny cardinalities") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 3)).toDF("grp", "v")
+    val est = Sketches.hllDistinct(df, "grp", "v", b = 5).collect().head
+      .getAs[Double]("hll_estimate")
+    assert(est > 0.5 && est < 10, s"tiny-cardinality estimate off: $est")
+  }
+}
