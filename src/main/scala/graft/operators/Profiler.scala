@@ -36,6 +36,28 @@ object Profiler {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Key-skew diagnostics (beyond reference — the pre-flight check for
+    * choosing salting/AQE-skew settings before a big join): per-key counts
+    * reduced to the top-k hottest keys, each annotated with its share of
+    * all rows and its ratio to the mean key load. One groupBy + a tiny
+    * top-k (TakeOrderedAndProject); the global stats ride along via a
+    * 1-row broadcast cross join, so the key counts are computed ONCE. */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(sum(col("n_rows")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total") * 100, 4)
+          .as("pct_of_total"),
+        round(col("n_rows").cast("double") /
+          (col("__total").cast("double") / col("__nkeys")), 4)
+          .as("ratio_to_avg"))
+      .orderBy(desc("n_rows"), col(keyCol))
+      .limit(topK)
+  }
+
   /** A4 frequency table: value counts of one column, top-k by count with a
     * deterministic value tie-break (reference: webapp/pages/05_Diagnostics.py:110-115). */
   def frequencyTable(df: DataFrame, column: String, k: Int = 25): DataFrame =

@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
   * range, not the data volume). */
 object Resample {
 
+  /** Trailing moving average over an ordered per-group series: ROWS window
+    * of the last `days` rows. The sum stays DECIMAL (exact, order-free) and
+    * the average is an explicit sum/count double division so both engines
+    * compute identical bits. The 2-decimal rounding is floor(x·100+0.5)/100
+    * rather than round(): engine round() implementations resolve exact .xx5
+    * ties differently (Spark HALF_UP on the exact binary expansion, DuckDB
+    * scaled-multiply), while this form is the same IEEE ops on the same
+    * bits in both engines. */
+  def movingAverage(daily: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, days: Int = 7): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(-(days - 1), 0)
+    val avgD = sum(col(valueCol)).over(w).cast("double") /
+      count(col(valueCol)).over(w)
+    daily.withColumn(s"ma$days", floor(avgD * 100 + 0.5) / 100)
+  }
+
   /** Daily counts + sums per group over each group's [min-day, max-day]
     * span: gap days appear with n_events = 0, null total_value, and
     * `carried_total` = last observed day's total. */

@@ -279,5 +279,35 @@ object EventQueries {
       .orderBy("user_id")
   }
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
+  // Top-3 days by value per event type: the rank filter sits directly on
+  // the window so Spark plans a WindowGroupLimit — map tasks forward at
+  // most k rows per group before the shuffle (asserted in
+  // PlanRegressionSpec). Decimal day sums keep the rank order exact.
+  private val e13 = Q("e13_topk_per_group", Some(
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS tv
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |rk AS (
+      |  SELECT event_type, day, n_events,
+      |    round(CAST(tv AS DOUBLE), 2) AS total_value,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY tv DESC, day) AS BIGINT) AS rn
+      |  FROM daily)
+      |SELECT event_type, day, n_events, total_value, rn
+      |FROM rk WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin)) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(desc("__tv"), col("day"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__tv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("__tv").cast("double"), 2).as("total_value"), col("rn"))
+      .orderBy("event_type", "rn")
+  }
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
 }

@@ -129,5 +129,57 @@ object WarehouseQueries {
       .orderBy("event_type", "day")
   }
 
-  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45)
+  // 7-day trailing moving average over the daily series: decimal window
+  // sums with an explicit sum/count division so both engines compute
+  // identical doubles.
+  private val x46 = Q("x46_moving_average", Some(
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS tv
+      |  FROM events GROUP BY event_type, date_trunc('day', ts))
+      |SELECT event_type, day, round(CAST(tv AS DOUBLE), 2) AS total_value,
+      |  floor(CAST(sum(tv) OVER w AS DOUBLE) / count(tv) OVER w * 100 + 0.5) / 100 AS ma7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin)) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("__tv"))
+    graft.operators.Resample.movingAverage(daily, "event_type", "day", "__tv", 7)
+      .select(col("event_type"), col("day"),
+        round(col("__tv").cast("double"), 2).as("total_value"), col("ma7"))
+      .orderBy("event_type", "day")
+  }
+
+  // Key-skew diagnostics: top-10 hottest order keys with share-of-total and
+  // ratio-to-mean — the pre-flight check before salting a join. Counts are
+  // computed once; the 1-row totals ride in via broadcast cross join.
+  private val x47 = Q("x47_skew_profile", Some(
+    """WITH counts AS (
+      |  SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY o_custkey),
+      |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS nkeys
+      |        FROM counts)
+      |SELECT c.o_custkey, c.n_rows,
+      |  round(c.n_rows::DOUBLE / t.total * 100, 4) AS pct_of_total,
+      |  round(c.n_rows::DOUBLE / (t.total::DOUBLE / t.nkeys), 4) AS ratio_to_avg
+      |FROM counts c, tot t
+      |ORDER BY c.n_rows DESC, c.o_custkey LIMIT 10""".stripMargin)) { (s, dir) =>
+    graft.operators.Profiler.keySkew(t(s, dir, "orders"), "o_custkey", topK = 10)
+  }
+
+  // Global row numbering WITHOUT the single-partition window: range
+  // repartition + local row_number + broadcast offsets must equal the
+  // naive global row_number the oracle computes.
+  private val x48 = Q("x48_global_index", Some(
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS global_idx
+      |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    graft.operators.Indexing.globalIndex(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("global_idx"))
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48)
 }

@@ -53,6 +53,37 @@ class IncrementalResampleSpec extends SparkSpec {
     assert(out == Map("a" -> 5L, "b" -> 1L)) // b never inherits a's span
   }
 
+  test("movingAverage averages only the trailing window rows") {
+    val daily = Seq(
+      ("g", 1, java.math.BigDecimal.valueOf(10)),
+      ("g", 2, java.math.BigDecimal.valueOf(20)),
+      ("g", 3, java.math.BigDecimal.valueOf(60)))
+      .toDF("g", "d", "v").withColumn("v", col("v").cast("decimal(18,6)"))
+    val out = Resample.movingAverage(daily, "g", "d", "v", days = 2)
+      .orderBy("d").collect().map(_.getAs[Double]("ma2"))
+    assert(out.toSeq == Seq(10.0, 15.0, 40.0))
+  }
+
+  test("globalIndex equals the naive global row_number") {
+    val df = (1 to 500).map(i => Tuple1(i * 3L)).toDF("k")
+    val out = graft.operators.Indexing.globalIndex(df, "k", partitions = 8)
+      .orderBy("k").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("global_idx") == i + 1L,
+        s"row $i got ${r.getAs[Long]("global_idx")}")
+    }
+  }
+
+  test("keySkew reports hot keys with share and ratio") {
+    val df = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"k$i")).toDF("key")
+    val out = graft.operators.Profiler.keySkew(df, "key", topK = 3).collect()
+    assert(out.head.getAs[String]("key") == "hot")
+    assert(out.head.getAs[Long]("n_rows") == 60L)
+    assert(out.head.getAs[Double]("pct_of_total") == 60.0)
+    // 100 rows / 41 keys → mean ≈ 2.439; 60 / mean ≈ 24.6
+    assert(math.abs(out.head.getAs[Double]("ratio_to_avg") - 24.6) < 0.01)
+  }
+
   test("HLL estimate tracks the true cardinality within sketch error") {
     val df = (1 to 5000).map(i => ("g", i % 1000)).toDF("grp", "v")
     val est = Sketches.hllDistinct(df, "grp", "v", b = 5).collect().head

@@ -138,6 +138,21 @@ class PlanRegressionSpec extends SparkSpec {
       "packing window collapsed to a single partition:\n" + p.take(900))
   }
 
+  test("e13 rank filter plans a WindowGroupLimit (pre-shuffle top-k)") {
+    val p = plan("e13_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k filter should prune before the shuffle:\n" + p.take(600))
+  }
+
+  test("x48 global index never funnels data through one partition") {
+    val p = plan("x48_global_index")
+    // the data-side window is partitioned by __pid; only the tiny
+    // per-partition offsets frame may pass through a single partition
+    assert(p.contains("BroadcastExchange"), "offsets should broadcast:\n" + p.take(600))
+    val dataWindows = "Window".r.findAllIn(p).length
+    assert(dataWindows >= 2, p.take(400)) // local rn + offsets cumsum
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
