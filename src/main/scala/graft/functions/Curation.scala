@@ -96,6 +96,34 @@ object Curation {
           expr(s"__start div $capacity") + 1).as("n_packs"))
   }
 
+  /** Vocabulary-based token-id encoding: build a frequency-ranked vocab of
+    * the top `vocabSize` tokens (deterministic count-then-token ordering),
+    * then encode every document as its token-id sequence (OOV → 0). The
+    * classic text→ids step before sequence packing.
+    *
+    * 100 TB design: the vocab is bounded (`vocabSize` rows) and broadcast;
+    * encoding is one posexplode + broadcast join + one groupBy with an
+    * in-group sort — no global ordering. Token ids are emitted as a
+    * comma-joined string column (`token_ids`), ready for a writer. */
+  def vocabEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 50): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(Dedup.words(col(textCol))).as(Seq("pos", "w")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("__c"), col("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), col("w")).limit(vocabSize)
+      .withColumn("token_id", row_number().over(wRank).cast("long"))
+      .select(col("w"), col("token_id"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("__tid", coalesce(col("token_id"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__tid")))),
+          s => s.getField("__tid").cast("string")), ",").as("token_ids"))
+  }
+
   /** Data-driven domain rebalancing: hit a target corpus MIX, not fixed
     * per-stratum rates. Given target weights per domain and a total row
     * budget, the keep-rate for domain d is min(1, budget·w_d / n_d) —

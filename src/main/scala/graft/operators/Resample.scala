@@ -32,6 +32,31 @@ object Resample {
     daily.withColumn(s"ma$days", floor(avgD * 100 + 0.5) / 100)
   }
 
+  /** Z-score anomaly flags against a TRAILING baseline (the preceding
+    * `days` rows, excluding the current one). Mean and variance come from
+    * manual moments — decimal sum and sum-of-squares cast to double, then
+    * (Σx² − (Σx)²/n)/(n−1) — because engine stddev implementations
+    * (Welford vs naive) drift in the last ulps; identical formulas on
+    * identical bits keep both engines bit-equal. Rounding uses the
+    * tie-free floor form (see [[movingAverage]]). */
+  def anomalyZScore(daily: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, days: Int = 7, threshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(-days, -1)
+    val n = count(col(valueCol)).over(w)
+    val s1 = sum(col(valueCol)).over(w).cast("double")
+    val s2 = sum(col(valueCol) * col(valueCol)).over(w).cast("double")
+    val mean = s1 / n
+    val variance = (s2 - s1 * s1 / n) / (n - 1)
+    val z = (col(valueCol).cast("double") - mean) / sqrt(variance)
+    daily
+      .withColumn("z",
+        when(n >= 3 && variance > 0,
+          floor(z * 10000 + 0.5) / 10000).otherwise(lit(null).cast("double")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+  }
+
   /** Daily counts + sums per group over each group's [min-day, max-day]
     * span: gap days appear with n_events = 0, null total_value, and
     * `carried_total` = last observed day's total. */

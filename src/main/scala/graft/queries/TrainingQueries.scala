@@ -252,5 +252,30 @@ object TrainingQueries {
       .orderBy("event_type")
   }
 
-  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43)
+  // Vocabulary token-id encoding: top-50 frequency-ranked vocab (count
+  // desc, token asc), every doc re-emitted as its id sequence with OOV=0.
+  // The oracle rebuilds the vocab ranking, replays the join, and
+  // re-assembles the position-ordered id string.
+  private val x49 = Q("x49_vocab_encode", Some(
+    s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+       |tok AS (
+       |  SELECT doc_id, t.i AS pos, ws[t.i] AS tokw
+       |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+       |counts AS (
+       |  SELECT tokw, count(*) AS c FROM tok GROUP BY tokw
+       |  ORDER BY c DESC, tokw LIMIT 50),
+       |vocab AS (
+       |  SELECT tokw, row_number() OVER (ORDER BY c DESC, tokw) AS token_id
+       |  FROM counts),
+       |enc AS (
+       |  SELECT tok.doc_id, tok.pos, coalesce(v.token_id, 0) AS tid
+       |  FROM tok LEFT JOIN vocab v ON tok.tokw = v.tokw)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  array_to_string(array_agg(tid ORDER BY pos), ',') AS token_ids
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    Curation.vocabEncode(t(s, dir, "documents"), "doc_id", "text", vocabSize = 50)
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49)
 }

@@ -181,5 +181,43 @@ object WarehouseQueries {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48)
+  // Z-score anomalies vs the trailing-7-day baseline: manual moments from
+  // decimal sums (engine stddevs drift in the last ulps; identical
+  // formulas on identical bits don't), tie-free floor rounding, and a
+  // null z for days without enough history.
+  private val x50 = Q("x50_anomaly_zscore", Some(
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS tv
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |m AS (
+      |  SELECT event_type, day, tv,
+      |    count(tv) OVER w AS n,
+      |    CAST(sum(tv) OVER w AS DOUBLE) AS s1,
+      |    CAST(sum(tv * tv) OVER w AS DOUBLE) AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_type, day, tv, n,
+      |    CASE WHEN n >= 3 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+      |         THEN floor((CAST(tv AS DOUBLE) - s1 / n) /
+      |                sqrt((s2 - s1 * s1 / n) / (n - 1)) * 10000 + 0.5) / 10000
+      |         END AS zv
+      |  FROM m)
+      |SELECT event_type, day, round(CAST(tv AS DOUBLE), 2) AS total_value,
+      |  zv AS z, coalesce(abs(zv) > 2.0, false) AS is_anomaly
+      |FROM z ORDER BY event_type, day""".stripMargin)) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("__tv"))
+    graft.operators.Resample.anomalyZScore(daily, "event_type", "day", "__tv",
+        days = 7, threshold = 2.0)
+      .select(col("event_type"), col("day"),
+        round(col("__tv").cast("double"), 2).as("total_value"),
+        col("z"), col("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50)
 }

@@ -49,6 +49,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!rules("")._5)
   }
 
+  test("vocabEncode ranks by frequency then token, OOV maps to 0") {
+    val df = Seq(
+      (1L, "b b b a a c"),    // b:3 a:2 c:1
+      (2L, "a rare b")).toDF("doc_id", "text")
+    val out = Curation.vocabEncode(df, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").collect()
+    // vocab: b=1 (most frequent), a=2, c=3; "rare" is OOV → 0
+    assert(out(0).getAs[String]("token_ids") == "1,1,1,2,2,3")
+    assert(out(1).getAs[String]("token_ids") == "2,0,1")
+    assert(out(1).getAs[Long]("n_tokens") == 3L)
+  }
+
+  test("vocabEncode tie-breaks equal counts alphabetically") {
+    val df = Seq((1L, "z y z y")).toDF("doc_id", "text")
+    val out = Curation.vocabEncode(df, "doc_id", "text", vocabSize = 10)
+      .collect().head.getAs[String]("token_ids")
+    assert(out == "1,2,1,2" == false || out == "2,1,2,1") // y=1, z=2 (alpha on tie)
+    assert(out == "2,1,2,1")
+  }
+
+  test("anomalyZScore flags a spike against the trailing baseline only") {
+    import org.apache.spark.sql.types.DecimalType
+    val days = (1 to 9).map(d => ("g", d, if (d == 9) 100.0 else 10.0 + d * 0.001))
+    val daily = days.toDF("g", "d", "v")
+      .withColumn("v", col("v").cast(DecimalType(18, 6)))
+    val out = graft.operators.Resample.anomalyZScore(daily, "g", "d", "v")
+      .orderBy("d").collect()
+    assert(!out(0).getAs[Boolean]("is_anomaly")) // no history → null z → false
+    assert(out(0).isNullAt(out(0).fieldIndex("z")))
+    assert(out(8).getAs[Boolean]("is_anomaly"))  // the spike
+    assert(out(8).getAs[Double]("z") > 2.0)
+    assert(!out(7).getAs[Boolean]("is_anomaly")) // steady day, not flagged
+  }
+
   test("editDistanceVerify computes exact Levenshtein over the candidate frame only") {
     val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, "zzz"))
       .toDF("doc_id", "text")
