@@ -149,6 +149,56 @@ object Curation {
       .drop("__cut")
   }
 
+  /** URL canonicalization — the normalization step before URL-keyed dedup
+    * of a crawl (same page fetched as `HTTP://Site.com/a?utm_source=x#top`
+    * and `http://site.com/a` must collide). Steps, in order: lowercase the
+    * scheme+host (path stays case-sensitive), drop the fragment, strip
+    * tracking params (utm_*, fbclid, gclid), drop default ports (:80/:443),
+    * collapse a now-empty query, and trim one trailing slash. Pure
+    * RE2-compatible regexp_replace chain — codegen'd, engine-portable, no
+    * UDF. */
+  def canonicalizeUrl(url: Column): Column = {
+    // lowercase scheme://host[:port] only: rebuild from extracted groups
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val tail = regexp_replace(rest, "^[^/?#]*", "")
+    val noFragment = regexp_replace(tail, "#.*", "")
+    val noTracking = regexp_replace(noFragment,
+      "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val noDanglingSep = regexp_replace(noTracking, "[?&]$", "")
+    val noDefaultPort = regexp_replace(host, ":(80|443)$", "")
+    val joined = concat(scheme, lit("://"), noDefaultPort, noDanglingSep)
+    regexp_replace(joined, "/$", "")
+  }
+
+  /** Keyed crawl dedup: canonicalize `urlCol`, keep the first (min-id) row
+    * per canonical URL. Same one-shuffle min-aggregate shape as
+    * Dedup.exactDedup — no window, map-side combine does most of the work. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val withC = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    val winners = withC.groupBy("canonical_url")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+    withC.drop("n_dups").join(winners, Seq("canonical_url", idCol))
+  }
+
+  /** Exactly-n-per-group sampling: rank rows inside each stratum by a
+    * seeded md5 of the id and keep the first n. Unlike [[stratifiedSample]]
+    * (rate-based, size ∝ stratum), this guarantees the sample SIZE —
+    * the eval-set / few-shot-selection primitive. The rank filter plans a
+    * WindowGroupLimit, so each map task forwards at most n rows per group
+    * before the shuffle. Deterministic across runs and engines. */
+  def groupSample(df: DataFrame, idCol: String, stratumCol: String,
+      n: Int, seed: String = "gs"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** PII scrubbing: redact emails and phone-shaped tokens. RE2-compatible
     * patterns (portable across engines); extend the list per policy. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

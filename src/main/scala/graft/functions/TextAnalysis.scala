@@ -107,4 +107,38 @@ object TextAnalysis {
     when(size(shs) === 0, lit(null).cast("long"))
       .otherwise(array_min(transform(shs, s => Dedup.seededHash(0, s))))
   }
+
+  /** Corpus-model fluency score: fraction of a document's word bigrams that
+    * appear in the corpus's top-`modelSize` bigram model — the cheap
+    * n-gram-LM proxy for "does this text look like the corpus" (quality
+    * filtering, outlier triage). Documents with < 2 words are dropped.
+    *
+    * 100 TB design: the model is a bounded top-k (one partial-aggregated
+    * groupBy + TakeOrderedAndProject) and broadcasts; scoring is one explode
+    * + broadcast left join + one per-doc aggregate — no shuffle wider than
+    * |docs|. The score divides two exact integers and re-quantizes with
+    * floor(x·1e4 + 0.5) (round() tie-break semantics differ across engines;
+    * floor of identical IEEE ops cannot). */
+  def bigramModelScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, modelSize: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(modelSize > 0, "modelSize must be positive")
+    // bind words to a named column: HOF lambdas re-evaluate the outer
+    // subtree per element if inlined (the x2 25x lesson)
+    val bg = df.withColumn("__ws", Dedup.words(col(textCol)))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") >= 2)
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(__ws, 1, __n - 1), slice(__ws, 2, __n - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("bg"))
+    val model = bg.groupBy("bg").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), col("bg")).limit(modelSize)
+      .select(col("bg"), lit(1).as("__hit"))
+    bg.join(broadcast(model), Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("bigint").as("n_covered"))
+      .withColumn("lm_score",
+        floor(col("n_covered").cast("double") / col("n_bigrams").cast("double")
+          * lit(10000) + lit(0.5)) / lit(10000))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation — PageRank over an edge list. Complements
+  * Dedup.nearDupComponents (min-label propagation): components answer
+  * "which rows are the same thing", PageRank answers "which nodes matter",
+  * e.g. weighting crawl domains or ranking near-dup cluster exemplars.
+  *
+  * 100 TB design: each iteration is ONE equi-join (rank onto the edge list,
+  * which carries its out-degree) plus ONE groupBy(dst) — both shuffle on
+  * the node key, so a k-iteration run is 2k key-partitioned stages with no
+  * driver-side state and no global sort. Ranks are persisted per iteration:
+  * without it the lineage doubles per round (the x29 lesson). Contributions
+  * are quantized to DECIMAL before the sum — double summation order differs
+  * under partial aggregation, and exact decimal sums make the result
+  * independent of shuffle order (and bit-reproducible across engines).
+  *
+  * Determinism notes: the per-iteration re-quantization uses
+  * floor(x·1e10 + 0.5)/1e10, NOT round(x, 10) — round() tie-break
+  * semantics differ across engines on boundary values, floor of the same
+  * IEEE ops cannot. A fixed iteration count (default 3) rather than a
+  * convergence test keeps the plan static and replayable.
+  */
+object Graph {
+
+  /** Undirected PageRank: `edges` are (src, dst) pairs; the graph is
+    * symmetrized and deduplicated, so every node has out-degree ≥ 1 (no
+    * dangling-mass correction needed). Returns (node, rank) after `iters`
+    * damped iterations from the uniform start. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    val fwd = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    // edge list with out-degree attached, reused every iteration
+    val edgesDeg = und.join(deg, "src").persist()
+    // node count as a broadcast 1-row frame (no driver-side action)
+    val nNodes = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val quant = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
+    var rank = deg.select(col("src").as("node"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("node"), quant(lit(1.0) / col("n_nodes")).as("rank"),
+        col("n_nodes"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val next = edgesDeg
+        .join(rank, col("src") === col("node"))
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(28,14)").as("contrib"),
+          col("n_nodes"))
+        .groupBy("dst")
+        .agg(quant(lit(1.0 - damping) / first(col("n_nodes")) +
+          lit(damping) * sum(col("contrib")).cast("double")).as("rank"),
+          first(col("n_nodes")).as("n_nodes"))
+        .select(col("dst").as("node"), col("rank"), col("n_nodes"))
+        .persist()
+      rank = next
+    }
+    rank.select("node", "rank")
+  }
+}

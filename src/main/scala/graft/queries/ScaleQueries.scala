@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{Curation, Multimodal, TextAnalysis}
-import graft.operators.{Combiner, Dedup, Similarity}
+import graft.operators.{Combiner, Dedup, Graph, Similarity}
 import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
 
@@ -924,8 +924,52 @@ object ScaleQueries {
       .orderBy("event_type")
   }
 
+  // PageRank over the part↔supplier co-purchase graph (symmetrized, 3
+  // damped iterations): which parts/suppliers sit at the center of the
+  // supply network. The oracle unrolls all three iterations with the SAME
+  // decimal-quantized contribution sums and floor-requantized ranks, so
+  // every iteration's fixed point is hash-checked, not just the last.
+  private val x55 = Q("x55_pagerank", Some(
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+      |    's' || l_suppkey::VARCHAR AS dst
+      |  FROM lineitem),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+      |r0 AS (SELECT d.src AS node,
+      |         floor(CAST(1 AS DOUBLE) / n.nn * 1e10 + 0.5) / 1e10 AS pr
+      |       FROM deg d, n),
+      |r1 AS (SELECT e.dst AS node,
+      |         floor(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(n.nn)
+      |           + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+      |       FROM e JOIN r0 r ON r.node = e.src
+      |       JOIN deg d ON d.src = e.src, n
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |         floor(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(n.nn)
+      |           + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+      |       FROM e JOIN r1 r ON r.node = e.src
+      |       JOIN deg d ON d.src = e.src, n
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node,
+      |         floor(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(n.nn)
+      |           + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+      |       FROM e JOIN r2 r ON r.node = e.src
+      |       JOIN deg d ON d.src = e.src, n
+      |       GROUP BY e.dst)
+      |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 30""".stripMargin)) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    Graph.pageRank(e, "src", "dst", iters = 3)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy(desc("pr"), col("node"))
+      .limit(30)
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31)
+      x31, x55)
 }

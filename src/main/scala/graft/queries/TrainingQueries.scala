@@ -277,5 +277,101 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
-  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49)
+  // URL canonicalization + crawl dedup: deterministic synthetic URLs (case
+  // noise, tracking params, default ports, fragments, trailing slashes)
+  // derived from doc fields IDENTICALLY in both engines; the oracle replays
+  // the same regexp chain and the same min-id winner per canonical URL.
+  private val x52 = Q("x52_url_dedup", Some(
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https' ELSE 'http' END)
+      |    || '://' || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+      |    || '.Example.COM' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      |    || '/Page/' || (doc_id % 40)::VARCHAR
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' ELSE '?ref=' END)
+      |    || (doc_id % 7)::VARCHAR
+      |    || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)
+      |    AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+      |      regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':(80|443)$', '') ||
+      |      regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*', ''),
+      |        '#.*', ''), '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'), '[?&]$', ''),
+      |      '/$', '') AS canonical_url
+      |  FROM urls)
+      |SELECT w.canonical_url, w.doc_id, w.n_dups
+      |FROM (SELECT canonical_url, min(doc_id) AS doc_id,
+      |        count(*) AS n_dups
+      |      FROM canon GROUP BY canonical_url) w
+      |ORDER BY w.canonical_url""".stripMargin)) { (s, dir) =>
+    val urls = t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS"))
+          .when(col("doc_id") % 3 === 1, lit("https")).otherwise(lit("http")),
+        lit("://"),
+        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Page/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref="))
+          .otherwise(lit("?ref=")),
+        (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("#sec")).otherwise(lit(""))
+      ).as("url"))
+    Curation.urlDedup(urls, "doc_id", "url")
+      .select("canonical_url", "doc_id", "n_dups")
+      .orderBy("canonical_url")
+  }
+
+  // Exactly-n-per-group sampling: 5 docs per language, ranked by a seeded
+  // md5 of the id (lexicographic hex compare — identical cross-engine).
+  // The rank filter plans a WindowGroupLimit, so map tasks forward ≤ 5
+  // rows per group.
+  private val x53 = Q("x53_group_sample", Some(
+    """SELECT lang, doc_id, source
+      |FROM (SELECT lang, doc_id, source,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY md5('gs:' || doc_id::VARCHAR), doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin)) { (s, dir) =>
+    Curation.groupSample(t(s, dir, "documents"), "doc_id", "lang", n = 5)
+      .select("lang", "doc_id", "source")
+      .orderBy("lang", "doc_id")
+  }
+
+  // Corpus bigram-model fluency score: top-100 bigram model, per-doc
+  // coverage ratio. The oracle rebuilds the same model (count desc, bigram
+  // tie-break) and replays the coverage join; the score re-quantizes with
+  // the engine-portable floor(x·1e4 + 0.5) (NOT round — 1/32 = 0.03125 is
+  // binary-exact and round() tie-breaks differ).
+  private val x54 = Q("x54_bigram_lm_score", Some(
+    s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+       |bgs AS (
+       |  SELECT doc_id, u.bg FROM (
+       |    SELECT doc_id, list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1]) AS bgl
+       |    FROM w WHERE len(ws) >= 2), unnest(bgl) AS u(bg)),
+       |model AS (
+       |  SELECT bg FROM (SELECT bg, count(*) AS c FROM bgs GROUP BY bg
+       |                  ORDER BY c DESC, bg LIMIT 100)),
+       |per AS (
+       |  SELECT b.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CASE WHEN m.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM bgs b LEFT JOIN model m ON b.bg = m.bg
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, n_bigrams, n_covered,
+       |  floor(CAST(n_covered AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |    * 10000 + 0.5) / 10000 AS lm_score
+       |FROM per ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    TextAnalysis.bigramModelScore(t(s, dir, "documents"), "doc_id", "text",
+        modelSize = 100)
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
+    x53, x54)
 }

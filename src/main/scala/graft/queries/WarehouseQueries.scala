@@ -219,5 +219,48 @@ object WarehouseQueries {
       .orderBy("event_type", "day")
   }
 
-  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50)
+  // Snapshot diff (CDC derivation): v2 is v1 with deterministic mutations —
+  // every 13th key deleted, every 7th balance shifted, every 11th re-keyed
+  // into fresh ids (inserts). One full-outer join, null-safe per-column
+  // compare, unchanged rows dropped in-plan. The oracle replays the same
+  // mutation and the same FULL OUTER JOIN classification.
+  private val x51 = Q("x51_snapshot_diff", Some(
+    """WITH v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 11 = 0)
+      |SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey,
+      |  v1.c_acctbal AS c_acctbal_old, v2.c_acctbal AS c_acctbal_new,
+      |  v1.c_mktsegment AS c_mktsegment_old,
+      |  v2.c_mktsegment AS c_mktsegment_new,
+      |  CASE WHEN v1.c_custkey IS NULL THEN 'insert'
+      |       WHEN v2.c_custkey IS NULL THEN 'delete'
+      |       WHEN v1.c_acctbal IS NOT DISTINCT FROM v2.c_acctbal
+      |        AND v1.c_mktsegment IS NOT DISTINCT FROM v2.c_mktsegment
+      |       THEN 'same' ELSE 'update' END AS change_type
+      |FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+      |WHERE NOT (v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL
+      |  AND v1.c_acctbal IS NOT DISTINCT FROM v2.c_acctbal
+      |  AND v1.c_mktsegment IS NOT DISTINCT FROM v2.c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+    val v1 = t(s, dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    val v2 = v1.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 10)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+      .unionAll(v1.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 2000000).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    graft.operators.Snapshot.changesOnly(v1, v2, "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51)
 }

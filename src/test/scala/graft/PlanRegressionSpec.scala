@@ -153,6 +153,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert(dataWindows >= 2, p.take(400)) // local rn + offsets cumsum
   }
 
+  test("x53 group sample plans a WindowGroupLimit (≤ n rows per group pre-shuffle)") {
+    val p = plan("x53_group_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=n filter should prune before the shuffle:\n" + p.take(600))
+  }
+
+  test("x55 pagerank iterations stay equi-join + hash aggregate (no nested loop)") {
+    val p = plan("x55_pagerank")
+    // the only nested-loop allowed is the 1-row n_nodes crossJoin broadcast
+    assert(!p.contains("CartesianProduct"),
+      "pagerank must not plan a cartesian product:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(p.contains("InMemoryTableScan"), "per-iteration ranks must persist")
+  }
+
+  test("x51 snapshot diff is one full-outer join with the 'same' filter in-plan") {
+    val p = plan("x51_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(600))
+    // formatted explain lists each node twice (tree + detail) — count the
+    // detail lines so exactly ONE shuffled join exists
+    val joins = "(?m)^\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 1, s"diff must be exactly one shuffled join, got $joins:\n" +
+      p.take(800))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")

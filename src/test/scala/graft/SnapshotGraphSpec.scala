@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.{Curation, TextAnalysis}
+import graft.operators.{Graph, Snapshot}
+import org.apache.spark.sql.functions._
+
+/** Controlled-fixture semantics for the wave-10 operators: snapshot diff
+  * (CDC), PageRank, URL canonicalization/dedup, exact-n group sampling, and
+  * the bigram-model score (the x51-x55 oracle queries cover the
+  * testdata-scale paths). */
+class SnapshotGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies insert/delete/update/same with null safety") {
+    val v1 = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, None: Option[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "bal", "seg")
+    val v2 = Seq((1L, Some(10.0), "a"),          // same
+      (2L, Some(99.0), "b"),                     // update (value change)
+      (3L, Some(30.0), "c"),                     // update (null → value)
+      (5L, Some(50.0), "e"))                     // insert; 4 deleted
+      .toDF("k", "bal", "seg")
+    val out = Snapshot.snapshotDiff(v1, v2, "k", Seq("bal", "seg"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(5))).toSeq ==
+      Seq((1L, "same"), (2L, "update"), (3L, "update"), (4L, "delete"),
+        (5L, "insert")))
+    val changes = Snapshot.changesOnly(v1, v2, "k", Seq("bal", "seg"))
+    assert(changes.count() == 4 &&
+      changes.filter(col("change_type") === "same").count() == 0)
+  }
+
+  test("pageRank: ranks sum to ~1 and the hub outranks the spokes") {
+    // star graph: hub 0 connected to 1..4
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .orderBy(desc("rank")).collect()
+    assert(out.head.getString(0) == "0", "hub must rank first")
+    val total = out.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"ranks should sum to ~1, got $total")
+    // spokes are symmetric → identical ranks
+    assert(out.tail.map(_.getDouble(1)).distinct.length == 1)
+  }
+
+  test("pageRank is deterministic across runs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val a = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val b = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("canonicalizeUrl normalizes case/port/tracking/fragment/slash") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/Path?utm_source=x&id=1#frag",
+        "https://www.example.com/Path?id=1"),
+      ("http://site.com:80/a/", "http://site.com/a"),
+      ("https://Site.com/a?fbclid=abc", "https://site.com/a"),
+      ("https://site.com/a?gclid=1&utm_medium=m&keep=2",
+        "https://site.com/a?keep=2"),
+      ("http://site.com", "http://site.com"),
+      // path case is preserved; only scheme+host fold
+      ("HTTP://HOST.COM/CaseSensitive", "http://host.com/CaseSensitive"))
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c")).collect()
+    out.zip(cases).foreach { case (r, (in, want)) =>
+      assert(r.getString(0) == want, s"canonicalize($in)") }
+  }
+
+  test("urlDedup keeps the min-id row per canonical URL with dup counts") {
+    val df = Seq(
+      (3L, "https://a.com/x?utm_source=s"),
+      (1L, "HTTPS://A.COM/x"),
+      (2L, "https://a.com/y")).toDF("doc_id", "url")
+    val out = Curation.urlDedup(df, "doc_id", "url")
+      .orderBy("canonical_url").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("canonical_url") == "https://a.com/x" &&
+      out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("n_dups") == 2L)
+    assert(out(1).getAs[Long]("doc_id") == 2L &&
+      out(1).getAs[Long]("n_dups") == 1L)
+  }
+
+  test("groupSample returns exactly n rows per stratum (or all if fewer)") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "stratum")
+    val out = Curation.groupSample(df, "id", "stratum", n = 7)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") == 7L && counts("small") == 7L)
+    // deterministic: same call, same rows
+    val ids1 = out.orderBy("id").collect().map(_.getLong(0)).toSeq
+    val ids2 = Curation.groupSample(df, "id", "stratum", n = 7)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("bigramModelScore: in-model docs score 1, alien docs 0, <2 words dropped") {
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "zzz qqq"),      // bigram "zzz qqq" appears once → still in model
+      (5L, "single")        // < 2 words → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramModelScore(df, "doc_id", "text", modelSize = 10)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getDouble(3) == 1.0))
+    // tiny model that excludes the alien bigram
+    val out2 = TextAnalysis.bigramModelScore(df, "doc_id", "text", modelSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out2.take(3).forall(_.getDouble(3) == 1.0) &&
+      out2(3).getDouble(3) == 0.0)
+  }
+}
