@@ -131,6 +131,119 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decoded-audio schema: header fields come from parsing the actual RIFF
+    * container; `sum_sq` is the exact integer sum of squared PCM samples
+    * (the RMS numerator) read from the data chunk — real feature
+    * extraction, exact because it stays integral. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("sum_sq", LongType),
+    StructField("decoded", BooleanType)))
+
+  /** Render each document as a REAL RIFF/WAVE payload (PCM16 LE mono).
+    * Generation contract (what an external oracle replays): sample rate =
+    * 8000 + (len%3)·4000, n_samples = len·20 + 100, sample i =
+    * ((i·73 + id·7919) mod 4096) − 2048 — all integer, all deterministic.
+    * One mapPartitions pass, no shuffle. */
+  def asWavMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("content", BinaryType),
+        StructField("media_meta", StructType(Seq(
+          StructField("mime", StringType),
+          StructField("size", LongType)))))))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val len = row.getString(1).getBytes("UTF-8").length
+          val sampleRate = 8000 + (len % 3) * 4000
+          val nSamples = len * 20 + 100
+          val dataSize = nSamples * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)                     // PCM
+            .putShort(1)                     // mono
+            .putInt(sampleRate)
+            .putInt(sampleRate * 2)          // byte rate
+            .putShort(2)                     // block align
+            .putShort(16)                    // bits/sample
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var i = 0
+          while (i < nSamples) {
+            bb.putShort((((i * 73L + id * 7919L) % 4096L) - 2048L).toShort)
+            i += 1
+          }
+          val bytes = bb.array()
+          Row(id, bytes, Row("audio/wav", bytes.length.toLong))
+        }
+      }(enc)
+  }
+
+  /** Decode audio features partition-wise: walk the RIFF chunks of the
+    * actual bytes ("fmt " → rate/channels/bits, "data" → PCM samples),
+    * derive duration and the exact sum of squared samples. Payloads that
+    * are not a parseable PCM16 WAV fall back to nulls with
+    * `decoded = false` (same stub contract as [[decodeFeatures]]). */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioSchema)
+    media.select(col("doc_id"), col("content")).mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val fallback = Row(id, bytes.length.toLong, null, null, null, null,
+          null, null, false)
+        try {
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val riff = new String(bytes, 0, 4, "US-ASCII")
+          val wave = new String(bytes, 8, 4, "US-ASCII")
+          if (riff != "RIFF" || wave != "WAVE") fallback
+          else {
+            var pos = 12
+            var rate = -1; var channels = -1; var bits = -1
+            var dataOff = -1; var dataLen = -1
+            while (pos + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+              val tag = new String(bytes, pos, 4, "US-ASCII")
+              val sz = bb.getInt(pos + 4)
+              if (tag == "fmt ") {
+                channels = bb.getShort(pos + 10).toInt
+                rate = bb.getInt(pos + 12)
+                bits = bb.getShort(pos + 22).toInt
+              } else if (tag == "data") { dataOff = pos + 8; dataLen = sz }
+              pos += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
+            if (rate <= 0 || dataOff < 0 || bits != 16 || channels != 1)
+              fallback
+            else {
+              val n = dataLen / 2
+              var sumSq = 0L
+              var i = 0
+              while (i < n) {
+                val s = bb.getShort(dataOff + i * 2).toLong
+                sumSq += s * s
+                i += 1
+              }
+              Row(id, bytes.length.toLong, rate, channels, bits, n.toLong,
+                n.toLong * 1000L / rate, sumSq, true)
+            }
+          }
+        } catch { case _: Exception => fallback }
+      }
+    }(enc)
+  }
+
   /** Frame sampling as byte-range slices: every `stride`-th chunk of
     * `frameBytes` — the plumbing shape of video frame extraction. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =

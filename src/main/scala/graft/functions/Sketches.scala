@@ -107,4 +107,44 @@ object Sketches {
         round(lit(k - 1) / (col("__hv").cast("double") / lit(4294967296.0)), 2)
           .as("kmv_estimate"))
   }
+
+  /** Fixed-bin histogram quantile estimates — the one-pass approximate
+    * percentile for 100 TB profiling (the shape of t-digest/GK without the
+    * mergeable-summary machinery: an equi-width histogram IS mergeable by
+    * summing bins). Pass 1: global min/max/count (one tiny agg, broadcast).
+    * Pass 2: bin counts (≤ `bins` groups, map-side combine). The estimate
+    * for q is the RIGHT EDGE of the first bin whose cumulative count
+    * reaches q·n — deterministic, no interpolation ties. Every arithmetic
+    * step is the same IEEE op sequence cross-engine; the bins-row window is
+    * tiny (≤ `bins` rows), so the single-partition window is free.
+    * Returns (q_label, bin, est_value). */
+  def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int,
+      qs: Seq[(String, Double)]): DataFrame = {
+    require(bins > 1, "need at least 2 bins")
+    require(qs.nonEmpty, "need at least one quantile")
+    val mm = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"),
+      count(col(valueCol)).as("__n"))
+    val binned = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(least(floor((col("__v") - col("__lo")) /
+          (col("__hi") - col("__lo")) * lit(bins)), lit(bins - 1))
+        .cast("long").as("bin"), col("__lo"), col("__hi"), col("__n"))
+    val hist = binned.groupBy("bin", "__lo", "__hi", "__n")
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+    val sess = df.sparkSession
+    import sess.implicits._
+    val qdf = qs.toDF("q_label", "q")
+    broadcast(qdf).join(cum,
+        col("__cum") >= col("q") * col("__n").cast("double"))
+      .groupBy("q_label", "q", "__lo", "__hi")
+      .agg(min(col("bin")).as("bin"))
+      .select(col("q_label"), col("bin"),
+        (col("__lo") + (col("bin") + lit(1)).cast("double") *
+          (col("__hi") - col("__lo")) / lit(bins)).as("est_value"))
+  }
 }

@@ -87,6 +87,11 @@ object Exporter {
   def writeCsv(df: DataFrame, path: Path): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path.toString)
 
+  /** ORC writer — same contract as [[writeParquet]]; ORC ships in Spark's
+    * own jars, so the columnar sink matrix covers both lakehouse formats. */
+  def writeOrc(df: DataFrame, path: Path): Unit =
+    df.write.mode("overwrite").orc(path.toString)
+
   /** K6 export manifest with quality metrics, all from ONE Profiler agg
     * (reference: src/exporter.py:69-118, metrics :14-33). Returns the
     * manifest path; metrics also returned for the K7 report. */

@@ -35,4 +35,26 @@ object Incremental {
         stateCols.tail.map(c =>
           sum(col(c)).cast(all.schema(c).dataType).as(c)): _*)
   }
+
+  /** Incremental view maintenance for an inner equi-JOIN view V = A ⋈ B:
+    * given base relations and insert-deltas, the view delta is
+    * ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, so the refreshed view is V ∪ ΔV — the
+    * base-base join is NEVER recomputed. Returns the refreshed view.
+    *
+    * 100 TB design: a delta is small, so the three delta joins broadcast
+    * the delta side under AQE; the only full-size work on refresh would be
+    * re-reading V (a materialized table in practice — here the caller
+    * passes it, keeping the operator pure). Delete/update deltas compose
+    * from this plus [[Snapshot.changesOnly]] feeds. */
+  def deltaJoinRefresh(view: DataFrame, baseA: DataFrame, deltaA: DataFrame,
+      baseB: DataFrame, deltaB: DataFrame,
+      joinKeysA: Seq[String], joinKeysB: Seq[String]): DataFrame = {
+    require(joinKeysA.length == joinKeysB.length, "key arity mismatch")
+    val cond = joinKeysA.zip(joinKeysB)
+      .map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
+    val dV = deltaA.join(baseB, cond)
+      .unionByName(baseA.join(deltaB, cond))
+      .unionByName(deltaA.join(deltaB, cond))
+    view.unionByName(dV)
+  }
 }

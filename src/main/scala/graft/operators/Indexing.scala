@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   * one range shuffle + one broadcast, with every heavy step parallel. */
 object Indexing {
 
+  /** Zone-map skipping index: lay rows out in `orderCol` order, cut the
+    * stream into fixed-size blocks, and record per-block min/max for each
+    * stat column — the data-skipping metadata a lakehouse keeps per file
+    * (Delta/Iceberg column stats). A predicate on a stat column can then
+    * skip every block whose [min,max] misses its range; on a layout
+    * clustered by `orderCol` a correlated stat column prunes most blocks.
+    *
+    * 100 TB design: block assignment reuses [[globalIndex]] (range shuffle +
+    * broadcast offsets, no single-partition window); the stats are one
+    * groupBy over |rows|/blockSize groups with map-side combine. */
+  def zoneMap(df: DataFrame, orderCol: String, statCols: Seq[String],
+      blockSize: Int, partitions: Int = 32): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    require(statCols.nonEmpty, "need at least one stat column")
+    globalIndex(df, orderCol, partitions)
+      .withColumn("block_id", expr(s"(global_idx - 1) div $blockSize"))
+      .groupBy("block_id")
+      .agg(count(lit(1)).as("n_rows"),
+        statCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))): _*)
+  }
+
+  /** Pruning decision against a zone map: `would_scan` is false when the
+    * block's [min,max] for `statCol` provably misses [lo, hi). */
+  def pruneBlocks(zoneMap: DataFrame, statCol: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame =
+    zoneMap.withColumn("would_scan",
+      !(col(s"${statCol}_max") < lo || col(s"${statCol}_min") >= hi))
+
   /** Add `global_idx` (1-based, ordered by `orderCol`, which must be
     * unique). `partitions` controls the range shuffle width. */
   def globalIndex(df: DataFrame, orderCol: String,
@@ -23,7 +52,12 @@ object Indexing {
     val parts = df.repartitionByRange(partitions, col(orderCol))
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy("__pid").orderBy(orderCol)
-    val local = parts.withColumn("__rn", row_number().over(wLocal))
+    // persist: the offsets aggregate and the data-side join both consume
+    // this frame, and repartitionByRange SAMPLES its boundaries — two
+    // independent executions can pick different ranges, which desyncs
+    // __pid between the offsets and the local ranks (duplicated/gapped
+    // indices). One materialization pins one boundary set.
+    val local = parts.withColumn("__rn", row_number().over(wLocal)).persist()
     // |partitions| rows: cumulative count of all earlier partitions
     val wOff = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)

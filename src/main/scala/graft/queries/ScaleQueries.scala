@@ -968,8 +968,41 @@ object ScaleQueries {
       .limit(30)
   }
 
+  // Audio modality for real: every doc becomes a genuine RIFF/WAVE payload
+  // (PCM16 mono, deterministic synth), decoded back by walking the actual
+  // container bytes — rate/duration from the header, RMS from the PCM
+  // samples. The oracle predicts every field from the generation contract
+  // (the x8 pattern) INCLUDING the exact integer sum of squares.
+  private val x58 = Q("x58_audio_decode", Some(
+    """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+      |p AS (SELECT doc_id, 8000 + (len % 3) * 4000 AS sample_rate,
+      |        len * 20 + 100 AS n_samples FROM d),
+      |sq AS (
+      |  SELECT p.doc_id,
+      |    CAST(sum(((u.i * 73 + p.doc_id * 7919) % 4096 - 2048)
+      |           * ((u.i * 73 + p.doc_id * 7919) % 4096 - 2048)) AS BIGINT) AS sum_sq
+      |  FROM p, unnest(range(0, p.n_samples)) AS u(i)
+      |  GROUP BY p.doc_id)
+      |SELECT p.doc_id, CAST(p.sample_rate AS INT) AS sample_rate,
+      |  CAST(p.n_samples AS BIGINT) AS n_samples,
+      |  CAST(p.n_samples * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
+      |  floor(sqrt(CAST(sq.sum_sq AS DOUBLE) / CAST(p.n_samples AS DOUBLE))
+      |    * 10000 + 0.5) / 10000 AS rms,
+      |  true AS decoded
+      |FROM p JOIN sq ON p.doc_id = sq.doc_id
+      |ORDER BY p.doc_id""".stripMargin)) { (s, dir) =>
+    Multimodal.decodeWavFeatures(
+        Multimodal.asWavMedia(t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"),
+        (floor(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double"))
+          * lit(10000) + lit(0.5)) / lit(10000)).as("rms"),
+        col("decoded"))
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55)
+      x31, x55, x58)
 }

@@ -226,5 +226,89 @@ object SourceSinkQueries {
       .toDF("level", "col_name", "failure").orderBy("level")
   }
 
-  val qs: Seq[Q] = Seq(s1, s1b, s2, s3, s6, k1, k2, k3, k4, k6, v1)
+  // K9 ORC round-trip: same contract as k2, through the other columnar
+  // lakehouse format (ORC ships in Spark's jars — no extra deps).
+  private val k9 = Q("k9_orc_roundtrip", Some(
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem WHERE l_returnflag = 'A' AND l_linenumber = 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
+    val p = Files.createTempDirectory("graft_k9").resolve("lineitem_a.orc")
+    Exporter.writeOrc(
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A" && col("l_linenumber") === 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"), p)
+    s.read.orc(p.toString).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Federated three-format join: the fact stays parquet, one dim written to
+  // ORC and one to CSV, all three joined in ONE plan — the "query the lake
+  // as it is" capability. The CSV/ORC legs re-read what this query wrote,
+  // while the oracle runs over the original parquet tables: format
+  // round-trips AND the join must both be exact.
+  private val k10 = Q("k10_federated_join", Some(
+    """SELECT n.n_name,
+      |  count(*) AS n_rows,
+      |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-04-01'
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)) { (s, dir) =>
+    val tmp = Files.createTempDirectory("graft_k10")
+    Exporter.writeOrc(t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey"), tmp.resolve("supplier.orc"))
+    Exporter.writeCsv(t(s, dir, "nation")
+      .select("n_nationkey", "n_name"), tmp.resolve("nation.csv"))
+    val sup = s.read.orc(tmp.resolve("supplier.orc").toString)
+    val nat = s.read.option("header", "true").option("inferSchema", "true")
+      .csv(tmp.resolve("nation.csv").toString)
+      .select(col("n_nationkey").cast("int"), col("n_name").cast("string"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("1998-04-01"))
+      .select("l_suppkey", "l_extendedprice")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_price"))
+      .orderBy("n_name")
+  }
+
+  // Schema-evolution read: two parquet batches written with DIFFERENT
+  // schemas (a column added later) read back as one evolved table via
+  // mergeSchema; pre-evolution rows surface the new column as null. The
+  // oracle replays the same union-with-null semantics.
+  private val k11 = Q("k11_schema_evolution", Some(
+    """WITH evolved AS (
+      |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT coalesce(o_orderpriority, '(pre-schema)') AS priority,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+    val tmp = Files.createTempDirectory("graft_k11").resolve("evolved")
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.parquet(tmp.resolve("batch=1").toString)
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.parquet(tmp.resolve("batch=2").toString)
+    s.read.option("mergeSchema", "true")
+      .parquet(tmp.resolve("batch=1").toString, tmp.resolve("batch=2").toString)
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-schema)")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("priority")
+  }
+
+  val qs: Seq[Q] = Seq(s1, s1b, s2, s3, s6, k1, k2, k3, k4, k6, v1, k9, k10,
+    k11)
 }

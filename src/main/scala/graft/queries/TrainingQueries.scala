@@ -372,6 +372,38 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // One-pass histogram quantiles (the mergeable approximate-percentile
+  // sketch): 200 equi-width bins over l_extendedprice, estimates = right
+  // edge of the first bin reaching q·n. The oracle replays binning, the
+  // cumulative walk, and the same edge arithmetic.
+  private val x57 = Q("x57_hist_quantiles", Some(
+    """WITH mm AS (
+      |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+      |    CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+      |    count(l_extendedprice) AS n
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mm.lo)
+      |      / (mm.hi - mm.lo) * 200), 199) AS BIGINT) AS bin,
+      |    count(*) AS c
+      |  FROM lineitem, mm GROUP BY 1),
+      |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cumc FROM b),
+      |qs AS (SELECT * FROM (VALUES ('p50', CAST(0.5 AS DOUBLE)),
+      |  ('p90', CAST(0.9 AS DOUBLE)), ('p99', CAST(0.99 AS DOUBLE)))
+      |  AS t(q_label, q)),
+      |sel AS (
+      |  SELECT qs.q_label, min(cum.bin) AS bin
+      |  FROM qs, cum, mm WHERE cum.cumc >= qs.q * CAST(mm.n AS DOUBLE)
+      |  GROUP BY qs.q_label)
+      |SELECT s.q_label, s.bin,
+      |  mm.lo + CAST(s.bin + 1 AS DOUBLE) * (mm.hi - mm.lo) / 200 AS est_value
+      |FROM sel s, mm ORDER BY s.q_label""".stripMargin)) { (s, dir) =>
+    Sketches.histogramQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
+        bins = 200,
+        qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy("q_label")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54)
+    x53, x54, x57)
 }

@@ -262,5 +262,63 @@ object WarehouseQueries {
       .orderBy("c_custkey")
   }
 
-  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51)
+  // Zone-map skipping index over the o_orderkey layout: 500-row blocks,
+  // per-block min/max for date and price, plus the pruning verdict for a
+  // one-year date predicate — the Delta/Iceberg column-stats shape. The
+  // oracle replays block assignment (row_number over the same unique key)
+  // and the same [min,max)-overlap test.
+  private val x56 = Q("x56_zone_map", Some(
+    """WITH idx AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM orders),
+      |blocks AS (
+      |  SELECT (rn - 1) // 500 AS block_id, count(*) AS n_rows,
+      |    min(o_orderdate) AS o_orderdate_min,
+      |    max(o_orderdate) AS o_orderdate_max,
+      |    min(o_totalprice) AS o_totalprice_min,
+      |    max(o_totalprice) AS o_totalprice_max
+      |  FROM idx GROUP BY 1)
+      |SELECT block_id, n_rows, o_orderdate_min, o_orderdate_max,
+      |  o_totalprice_min, o_totalprice_max,
+      |  NOT (o_orderdate_max < TIMESTAMP '1997-01-01'
+      |    OR o_orderdate_min >= TIMESTAMP '1998-01-01') AS would_scan
+      |FROM blocks ORDER BY block_id""".stripMargin)) { (s, dir) =>
+    val zm = graft.operators.Indexing.zoneMap(
+      t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice"),
+      "o_orderkey", Seq("o_orderdate", "o_totalprice"), blockSize = 500)
+    graft.operators.Indexing.pruneBlocks(zm, "o_orderdate",
+        lit("1997-01-01").cast("timestamp"), lit("1998-01-01").cast("timestamp"))
+      .orderBy("block_id")
+  }
+
+  // Incremental view maintenance for a JOIN: V = orders⋈customer is
+  // refreshed with insert-deltas on BOTH sides via ΔV = ΔA⋈B ∪ A⋈ΔB ∪
+  // ΔA⋈ΔB — the base-base join never recomputes. The oracle computes the
+  // view DIRECTLY over the full tables, so the gate proves refresh ==
+  // recompute (the x44 merge==recompute guarantee, lifted to joins).
+  private val x60 = Q("x60_delta_join_ivm", Some(
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)) { (s, dir) =>
+    val orders = t(s, dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val cut = lit("2000-01-01")
+    val (baseA, deltaA) = (orders.filter(col("o_orderdate") < cut),
+      orders.filter(col("o_orderdate") >= cut))
+    val (baseB, deltaB) = (cust.filter(col("c_custkey") % 10 =!= 0),
+      cust.filter(col("c_custkey") % 10 === 0))
+    val view = baseA.join(baseB, col("o_custkey") === col("c_custkey"))
+    graft.operators.Incremental.deltaJoinRefresh(view, baseA, deltaA,
+        baseB, deltaB, Seq("o_custkey"), Seq("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51, x56,
+    x60)
 }

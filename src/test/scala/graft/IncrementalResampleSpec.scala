@@ -98,4 +98,21 @@ class IncrementalResampleSpec extends SparkSpec {
       .getAs[Double]("hll_estimate")
     assert(est > 0.5 && est < 10, s"tiny-cardinality estimate off: $est")
   }
+
+  test("deltaJoinRefresh equals the direct join over full tables") {
+    val baseA = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val deltaA = Seq((2, "a2d"), (3, "a3")).toDF("k", "av")
+    val baseB = Seq((1, "b1"), (3, "b3")).toDF("j", "bv")
+    val deltaB = Seq((2, "b2"), (3, "b3d")).toDF("j", "bv")
+    val view = baseA.join(baseB, col("k") === col("j"))
+    val refreshed = Incremental.deltaJoinRefresh(view, baseA, deltaA,
+      baseB, deltaB, Seq("k"), Seq("j"))
+    val direct = baseA.unionByName(deltaA)
+      .join(baseB.unionByName(deltaB), col("k") === col("j"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getString(1), r.getString(3))
+    assert(refreshed.collect().map(key).sorted.toSeq ==
+      direct.collect().map(key).sorted.toSeq)
+    assert(refreshed.count() == direct.count())
+  }
 }
