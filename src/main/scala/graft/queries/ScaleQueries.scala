@@ -1001,8 +1001,22 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  // Streaming materialized view: events replayed through a foreachBatch
+  // sink that merges per-batch Incremental aggregate states; the final
+  // state must equal the DIRECT aggregate over all events (the oracle) —
+  // merge==recompute proven on the streaming path, not just batch halves.
+  private val x61 = Q("x61_stream_incremental", Some(
+    """SELECT event_type, count(*) AS n_rows,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, dir) =>
+    EventStream.incrementalAggReplay(s, Tables.events(s, dir))
+      .select(col("event_type"), col("n_rows"),
+        round(col("sum_value").cast("double"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58)
+      x31, x55, x58, x61)
 }

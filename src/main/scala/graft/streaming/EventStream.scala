@@ -311,6 +311,63 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming materialized view: replay a static events frame through a
+    * foreachBatch sink that maintains an [[graft.operators.Incremental]]
+    * aggregate state — each micro-batch contributes its own aggState, merged
+    * into the running state (never rescanning earlier batches). Returns the
+    * final state, which must equal the direct aggregate over everything
+    * (the x44 merge==recompute guarantee, proven on the streaming path).
+    *
+    * 100 TB design: the state is |keys| rows and the per-batch work is one
+    * partial aggregate of that batch — the production shape writes the
+    * merged state to a table per batch (exactly-once via the batchId).
+    * State is re-materialized from driver-held rows each batch, so lineage
+    * never chains across batches. */
+  def incrementalAggReplay(spark: SparkSession, events: DataFrame,
+      batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("event_id").cast("long"),
+        unix_micros(col("ts")), col("event_type").cast("string"),
+        col("value").cast("double"))
+      .as[(Long, Long, String, Double)].collect().sortBy(r => (r._2, r._1))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts_us", "event_type", "value")
+    val ckpt = java.nio.file.Files.createTempDirectory("incr_ckpt").toString
+    var state: Array[org.apache.spark.sql.Row] = Array.empty
+    var stateSchema: org.apache.spark.sql.types.StructType = null
+    withReplayShuffle(spark) {
+      val q = streamDf.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val batchState = graft.operators.Incremental.aggState(
+            batch.select("event_type", "value"), Seq("event_type"), Seq("value"))
+          val merged =
+            if (state.isEmpty) batchState
+            else graft.operators.Incremental.mergeStates(Seq(
+              spark.createDataFrame(
+                java.util.Arrays.asList(state: _*), stateSchema),
+              batchState), Seq("event_type"))
+          val collected = merged.collect()
+          stateSchema = merged.schema
+          state = collected
+          ()
+        }
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    require(stateSchema != null, "no batches processed")
+    spark.createDataFrame(java.util.Arrays.asList(state: _*), stateSchema)
+  }
+
   /** File-source stream over a directory of parquet events → sink. The
     * standard deploy shape: checkpointed, append-mode, watermarked. */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,

@@ -137,4 +137,23 @@ class EventStreamSpec extends SparkSpec {
     assert(u1.getAs[Long]("n_events") == 1L)
     assert(out(1).getAs[Long]("n_events") == 1L)
   }
+
+  test("incrementalAggReplay state equals the direct aggregate at any batching") {
+    import spark.implicits._
+    val events = (1 to 40).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"),
+        i.toLong % 5, if (i % 2 == 0) "click" else "view", i * 0.25)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val direct = events.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(18,6)"))
+          .cast("decimal(28,6)").as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    for (batches <- Seq(1, 3, 7)) {
+      val replay = EventStream.incrementalAggReplay(spark, events, batches)
+        .orderBy("event_type").collect().toSeq
+      assert(replay == direct, s"batches=$batches")
+    }
+  }
 }
