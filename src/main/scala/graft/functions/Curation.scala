@@ -199,6 +199,32 @@ object Curation {
       .drop("__rk")
   }
 
+  /** Weight-proportional sampling with EXACT integer tickets: each row gets
+    * `weight` md5 tickets and its priority is the minimum ticket; the k rows
+    * with the smallest priorities win. P(selected) grows with weight like
+    * the classic exponential-key A-Res scheme, but every comparison is an
+    * integer md5 compare — no pow()/ln() whose last-ulp drift could flip a
+    * selection across engines or hardware.
+    *
+    * 100 TB design: the explode is bounded by `maxWeight` (guarded), the
+    * per-row min is a map-side-combined aggregate, and the global top-k is
+    * TakeOrderedAndProject — no global sort, no driver loop. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, maxWeight: Int = 64, seed: String = "ws"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val capped = least(greatest(col(weightCol).cast("int"), lit(1)), lit(maxWeight))
+    df.withColumn("__w", capped)
+      .withColumn("__t", explode(expr("sequence(1, __w)")))
+      .withColumn("__ticket", Dedup.seededHash(0,
+        concat(lit(s"$seed:"), col(idCol).cast("string"), lit(":"),
+          col("__t").cast("string"))))
+      .groupBy(col(idCol))
+      .agg(min(col("__ticket")).as("priority"),
+        first(col("__w")).as("eff_weight"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** PII scrubbing: redact emails and phone-shaped tokens. RE2-compatible
     * patterns (portable across engines); extend the list per policy. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -119,6 +119,26 @@ object TextAnalysis {
     * |docs|. The score divides two exact integers and re-quantizes with
     * floor(x·1e4 + 0.5) (round() tie-break semantics differ across engines;
     * floor of identical IEEE ops cannot). */
+  /** Inverted-index build: token → sorted posting list (+ document
+    * frequency), the search-side artifact of a corpus. Posting lists are
+    * capped at `maxPostings` ids (stop-word tokens would otherwise emit
+    * |corpus|-sized rows — the classic long-posting skew); `truncated`
+    * reports when the cap bit. One explode + one distinct + one groupBy
+    * with map-side combine; in-group sort only (no global order).
+    *
+    * At 100 TB: posting lists shard naturally by token (the groupBy key);
+    * a production index would also shard WITHIN hot tokens (doc-range
+    * segments) — the cap marks exactly the tokens needing that. */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPostings: Int = 1000): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(array_distinct(Dedup.words(col(textCol))))
+        .as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"),
+        array_join(slice(array_sort(collect_list(col(idCol))), 1, maxPostings),
+          ",").as("postings"),
+        (count(lit(1)) > maxPostings).as("truncated"))
+
   def bigramModelScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, modelSize: Int = 100): org.apache.spark.sql.DataFrame = {
     require(modelSize > 0, "modelSize must be positive")

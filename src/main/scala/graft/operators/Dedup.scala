@@ -180,6 +180,49 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** Cross-corpus MinHash+LSH near-duplicate pairs: the FUZZY
+    * decontamination / contamination-audit primitive — find (left, right)
+    * pairs whose texts are near-identical across two different corpora
+    * (train vs eval set, fresh crawl vs existing corpus). Same banded
+    * machinery as [[minhashNearDups]], but the candidate join is
+    * left-bands ⋈ right-bands: still an equi-join on (band, key), still
+    * O(n·bands) shuffle — never a cross join between the corpora.
+    * Returns (id_a ∈ left, id_b ∈ right, jaccard ≥ threshold). */
+  def minhashCrossDups(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8, shingleK: Int = 3): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def prep(df: DataFrame) = shingleSets(
+      df.select(col(idCol).as("id"), col(textCol).as("__text")),
+      "id", "__text", shingleK).persist(lvl)
+    def bandRows(sets: DataFrame) = {
+      val sig = minhashFromSets(sets, "id", numPerms)
+      val bandStructs = (0 until bands).map { b =>
+        val key = concat_ws("_", (0 until rowsPerBand)
+          .map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*)
+        struct(lit(b).as("band"), key.as("bkey"))
+      }
+      sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val setsL = prep(left)
+    val setsR = prep(right)
+    val candidates = bandRows(setsL).alias("a")
+      .join(bandRows(setsR).alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("shs_a"), col("shs_b")))
+    candidates
+      .join(setsL.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(setsR.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") /
+          (size(col("shs_a")) + size(col("shs_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash: 32-bit signature from token hashes with multiplicity — bit j of
     * the signature is 1 when the weighted sum of (±1 per token occurrence)
     * is positive. One explode + one groupBy with 32 conditional sums. */

@@ -1015,8 +1015,64 @@ object ScaleQueries {
       .orderBy("event_type")
   }
 
+  // Cross-corpus FUZZY decontamination: LSH near-dup join between the
+  // corpus and a synthetic "benchmark" built from every 11th doc with one
+  // appended token (guaranteed near-dups, J = n/(n+1) on the shingle
+  // sets). The oracle replays BOTH sides' signatures, the cross band join,
+  // and the verify — candidate generation is checked step-for-step.
+  private val x64 = Q("x64_fuzzy_decontamination", Some {
+    val hashes = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
+    def sets(src: String, name: String) =
+      s"""$name AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(regexp_replace(lower(text),
+         |            '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+         |        FROM $src))"""
+    def pipe(setsName: String, p: String) =
+      s"""expl$p AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
+         |    ('0x' || substring(md5(u.sh), 9, 8))::BIGINT AS hb
+         |  FROM $setsName, unnest(shs) AS u(sh)),
+         |sig$p AS (SELECT doc_id, $hashes FROM expl$p GROUP BY doc_id),
+         |bands$p AS (
+         |  SELECT doc_id, u.b[1]::INT AS band, u.b[2] AS bkey
+         |  FROM sig$p, unnest([$bandKeys]) AS u(b))"""
+    s"""WITH bench0 AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' extrabenchtoken' AS text
+       |  FROM documents WHERE doc_id % 11 = 0),
+       |${sets("documents", "setsT")},
+       |${sets("bench0", "setsB")},
+       |${pipe("setsT", "T")},
+       |${pipe("setsB", "B")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandsT a JOIN bandsB b ON a.band = b.band AND a.bkey = b.bkey)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 4) AS jaccard
+       |FROM cand JOIN setsT x ON cand.id_a = x.doc_id
+       |          JOIN setsB y ON cand.id_b = y.doc_id
+       |WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |    (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extrabenchtoken")).as("text"))
+    Dedup.minhashCrossDups(docs, bench, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61)
+      x31, x55, x58, x61, x64)
 }

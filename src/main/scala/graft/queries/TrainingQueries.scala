@@ -404,6 +404,51 @@ object TrainingQueries {
       .orderBy("q_label")
   }
 
+  // Weight-proportional sampling with exact integer tickets: min over
+  // `weight` md5 tickets per doc, global top-k by that priority. No
+  // pow()/ln() keys whose last-ulp drift could flip a selection — every
+  // comparison is an integer compare, replayed ticket-for-ticket.
+  private val x62 = Q("x62_weighted_sample", Some(
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    least(greatest(CAST(1 + n_chars // 200 AS INT), 1), 64) AS wt
+      |  FROM documents),
+      |tix AS (
+      |  SELECT w.doc_id, w.wt,
+      |    ('0x' || substring(md5('0:ws:' || CAST(w.doc_id AS VARCHAR) || ':'
+      |      || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT AS ticket
+      |  FROM w, unnest(range(1, w.wt + 1)) AS t(i)),
+      |pri AS (SELECT doc_id, min(ticket) AS priority, min(wt) AS eff_weight
+      |        FROM tix GROUP BY doc_id)
+      |SELECT doc_id, priority, CAST(eff_weight AS INT) AS eff_weight
+      |FROM pri ORDER BY priority, doc_id LIMIT 40""".stripMargin)) { (s, dir) =>
+    Curation.weightedSample(
+        t(s, dir, "documents")
+          .withColumn("wt", (lit(1) + expr("n_chars div 200")).cast("int")),
+        "doc_id", "wt", k = 40)
+      .select("doc_id", "priority", "eff_weight")
+  }
+
+  // Inverted index: token → sorted posting list with a 50-id cap (the
+  // long-posting skew guard) + doc frequency. The oracle rebuilds the same
+  // per-doc-distinct explode, the same sorted slice, and the same
+  // truncation flag.
+  private val x63 = Q("x63_inverted_index", Some(
+    s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+       |tok AS (SELECT doc_id, u.tok FROM w, unnest(list_distinct(ws)) AS u(tok)),
+       |idx AS (
+       |  SELECT tok AS token, count(*) AS doc_freq,
+       |    array_to_string(list_slice(list_sort(array_agg(doc_id)), 1, 50), ',') AS postings,
+       |    count(*) > 50 AS truncated
+       |  FROM tok GROUP BY tok)
+       |SELECT token, doc_freq, postings, truncated
+       |FROM idx WHERE doc_freq >= 5 ORDER BY token""".stripMargin)) { (s, dir) =>
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 50)
+      .filter(col("doc_freq") >= 5)
+      .orderBy("token")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57)
+    x53, x54, x57, x62, x63)
 }

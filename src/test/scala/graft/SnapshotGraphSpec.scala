@@ -96,6 +96,56 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("weightedSample: exact k, deterministic, higher weight wins more often") {
+    val df = (1L to 400L).map(i => (i, if (i <= 200) 16 else 1))
+      .toDF("id", "wt")
+    val out = Curation.weightedSample(df, "id", "wt", k = 50)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    val heavy = rows.count(_.getLong(0) <= 200)
+    // 200 docs at weight 16 vs 200 at weight 1 → heavy side should dominate
+    assert(heavy > 35, s"heavy-weight docs won only $heavy/50")
+    val again = Curation.weightedSample(df, "id", "wt", k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == again)
+    // weights are capped at maxWeight and floored at 1
+    val capped = Curation.weightedSample(
+      Seq((1L, 1000), (2L, -5)).toDF("id", "wt"), "id", "wt", k = 2,
+      maxWeight = 8).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(capped(1L) == 8 && capped(2L) == 1)
+  }
+
+  test("minhashCrossDups finds cross-corpus near-dups, never same-side pairs") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the green fields toward the river bank"
+    val left = Seq((1L, base), (2L, "completely unrelated content here " +
+      "about databases and distributed systems at large scale today"))
+      .toDF("doc_id", "text")
+    val right = Seq((100L, base + " tail"), (200L, "nothing like anything " +
+      "in the left corpus at all whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .minhashCrossDups(left, right, "doc_id", "text", threshold = 0.7)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 100L)
+    assert(out.head.getDouble(2) > 0.8)
+  }
+
+  test("invertedIndex: distinct-per-doc postings, sorted, capped with flag") {
+    val df = Seq(
+      (3L, "apple banana apple"),  // dup token counts once per doc
+      (1L, "apple cherry"),
+      (2L, "apple banana")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, "doc_id", "text", maxPostings = 2)
+      .orderBy("token").collect()
+    val byTok = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(byTok("apple") == (3L, "1,2", true))   // capped at 2, sorted
+    assert(byTok("banana") == (2L, "2,3", false))
+    assert(byTok("cherry") == (1L, "1", false))
+  }
+
   test("bigramModelScore: in-model docs score 1, alien docs 0, <2 words dropped") {
     val df = Seq(
       (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
