@@ -179,7 +179,7 @@ object Curation {
     val withC = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
     val winners = withC.groupBy("canonical_url")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
-    withC.drop("n_dups").join(winners, Seq("canonical_url", idCol))
+    withC.join(winners, Seq("canonical_url", idCol))
   }
 
   /** Exactly-n-per-group sampling: rank rows inside each stratum by a

@@ -128,9 +128,11 @@ object Sketches {
     val binned = df.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .crossJoin(broadcast(mm))
-      .select(least(floor((col("__v") - col("__lo")) /
-          (col("__hi") - col("__lo")) * lit(bins)), lit(bins - 1))
-        .cast("long").as("bin"), col("__lo"), col("__hi"), col("__n"))
+      .select(when(col("__hi") === col("__lo"), lit(0L)) // constant column
+          .otherwise(least(floor((col("__v") - col("__lo")) /
+            (col("__hi") - col("__lo")) * lit(bins)), lit(bins - 1))
+            .cast("long")).as("bin"),
+        col("__lo"), col("__hi"), col("__n"))
     val hist = binned.groupBy("bin", "__lo", "__hi", "__n")
       .agg(count(lit(1)).as("__c"))
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")

@@ -119,6 +119,41 @@ object TextAnalysis {
     * |docs|. The score divides two exact integers and re-quantizes with
     * floor(x·1e4 + 0.5) (round() tie-break semantics differ across engines;
     * floor of identical IEEE ops cannot). */
+  /** Token co-occurrence PMI over the top-`vocabSize` vocabulary: which
+    * word pairs appear in the same document more than chance predicts —
+    * corpus topic structure without a topic model. PMI(a,b) =
+    * ln(n_ab·N / (n_a·n_b)) over document-level occurrence counts.
+    *
+    * 100 TB design: the pair explosion is the classic co-occurrence
+    * scale-killer, so tokens are FILTERED to the broadcast top-k vocab
+    * BEFORE pairing — the per-doc pair count is bounded by the vocab hits
+    * in that doc, and the pair space by vocabSize², independent of corpus
+    * size. One vocab pass + one pair aggregate. The association score is
+    * emitted as an EXACT integer `lift_ppm` = ⌊n_ab·N·10⁶ / (n_a·n_b)⌋
+    * (PMI = ln(lift_ppm/10⁶)) — pure integer arithmetic, so rankings can
+    * never drift across engines the way libm ln() last-ulps can. */
+  def pmiPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int = 100,
+      minPairCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(Dedup.words(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      .orderBy(desc("n_tok"), col("tok")).limit(vocabSize)
+    val vtoks = toks.join(broadcast(vocab), "tok")
+    val nDocs = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val a = vtoks.select(col(idCol), col("tok").as("tok_a"), col("n_tok").as("n_a"))
+    val b = vtoks.select(col(idCol), col("tok").as("tok_b"), col("n_tok").as("n_b"))
+    a.join(b, Seq(idCol.toString))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        expr("n_ab * n_docs * 1000000 div (n_a * n_b)").as("lift_ppm"))
+  }
+
   /** Inverted-index build: token → sorted posting list (+ document
     * frequency), the search-side artifact of a corpus. Posting lists are
     * capped at `maxPostings` ids (stop-word tokens would otherwise emit

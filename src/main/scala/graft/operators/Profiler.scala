@@ -60,6 +60,35 @@ object Profiler {
 
   /** A4 frequency table: value counts of one column, top-k by count with a
     * deterministic value tie-break (reference: webapp/pages/05_Diagnostics.py:110-115). */
+  /** Dataset card for a text corpus: the one-row summary a training-data
+    * release ships (HF dataset-card "dataset statistics" shape) — corpus
+    * size, language spread, length distribution, exact-dup rate — computed
+    * in ONE fused aggregate over ONE scan (no per-metric jobs). Length
+    * stats stay integral (token counts sum exactly); the dup rate divides
+    * two exact longs. */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val words = graft.operators.Dedup.words(col(textCol))
+    df.select(col(idCol), col(langCol),
+        size(words).cast("long").as("__tok"),
+        length(col(textCol)).cast("long").as("__chars"),
+        md5(col(textCol)).as("__h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("__h")).as("n_distinct_texts"),
+        count_distinct(col(langCol)).as("n_langs"),
+        sum(col("__tok")).as("total_tokens"),
+        min(col("__tok")).as("min_tokens"),
+        max(col("__tok")).as("max_tokens"),
+        sum(col("__chars")).as("total_chars"))
+      .select(col("n_docs"), col("n_distinct_texts"), col("n_langs"),
+        col("total_tokens"), col("min_tokens"), col("max_tokens"),
+        col("total_chars"),
+        floor((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs").cast("double") * lit(10000) + lit(0.5)).cast("long")
+          .as("dup_bps"))
+  }
+
   def frequencyTable(df: DataFrame, column: String, k: Int = 25): DataFrame =
     df.groupBy(col(quoted(column)).cast("string").as("value"))
       .agg(count(lit(1)).as("count"))

@@ -49,6 +49,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar quantization (the SQ8 compression step of a production ANN
+    * index): per-dimension min/max over the corpus, each component mapped
+    * to a `levels`-bucket code, reconstruction at bucket centers. Returns
+    * one row per vector: the code sequence (comma string), an exact
+    * integer code checksum, and the reconstruction RMSE.
+    *
+    * 100 TB design: the stats frame is |dims| rows (broadcast back); the
+    * quantize pass is one explode + broadcast join + per-vector aggregate.
+    * Determinism: codes are floor() of identical IEEE ops (never round);
+    * the RMSE sums DECIMAL-quantized squared errors, so partial-aggregation
+    * order cannot move it; the final quantize is floor(x·1e8 + 0.5). */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String,
+      levels: Int = 256): DataFrame = {
+    require(levels > 1, "need at least 2 quantization levels")
+    val e = df.select(col(idCol),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    val dims = e.groupBy("pos")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val q = e.join(broadcast(dims), "pos")
+      .withColumn("qc", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(floor((col("v") - col("lo")) /
+            (col("hi") - col("lo")) * lit(levels)), lit(levels - 1))
+          .cast("long")))
+      .withColumn("deq", col("lo") + (col("qc").cast("double") + lit(0.5)) *
+        (col("hi") - col("lo")) / lit(levels.toDouble))
+    q.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("qc")))),
+          s => s.getField("qc").cast("string")), ",").as("codes"),
+        sum(col("qc") * (col("pos") + 1)).as("q_checksum"),
+        count(lit(1)).as("__nd"),
+        sum(((col("v") - col("deq")) * (col("v") - col("deq")))
+          .cast("decimal(20,18)")).as("__sse"))
+      .select(col(idCol), col("codes"), col("q_checksum"),
+        (floor(sqrt(col("__sse").cast("double") / col("__nd").cast("double"))
+          * lit(1e8) + lit(0.5)) / lit(1e8)).as("rmse"))
+  }
+
   /** Elementwise mean of double-array rows as a typed Aggregator: one pass,
     * one buffer of d doubles per group — no row explosion. The posexplode
     * alternative multiplies the shuffle by d (64× here); at 100 TB that is

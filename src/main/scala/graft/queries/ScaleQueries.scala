@@ -1071,8 +1071,40 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // Scalar quantization of the embedding corpus (SQ8): per-dim min/max →
+  // 256-level codes → reconstruction RMSE. The oracle replays the stats,
+  // every code (checksum + full code string), and the decimal-quantized
+  // error sum.
+  private val x67 = Q("x67_embedding_quantize", Some(
+    """WITH e AS (
+      |  SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |d AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM e GROUP BY pos),
+      |q AS (
+      |  SELECT e.vec_id, e.pos, e.v, d.lo, d.hi,
+      |    CASE WHEN d.hi = d.lo THEN 0
+      |         ELSE CAST(least(floor((e.v - d.lo) / (d.hi - d.lo) * 256), 255) AS BIGINT)
+      |    END AS qc
+      |  FROM e JOIN d ON e.pos = d.pos),
+      |r AS (SELECT vec_id, pos, qc, v,
+      |        lo + (CAST(qc AS DOUBLE) + 0.5) * (hi - lo) / 256 AS deq
+      |      FROM q),
+      |s AS (
+      |  SELECT vec_id,
+      |    array_to_string(array_agg(qc ORDER BY pos), ',') AS codes,
+      |    CAST(sum(qc * (pos + 1)) AS BIGINT) AS q_checksum,
+      |    count(*) AS nd,
+      |    sum(CAST((v - deq) * (v - deq) AS DECIMAL(20,18))) AS sse
+      |  FROM r GROUP BY vec_id)
+      |SELECT vec_id, codes, q_checksum,
+      |  floor(sqrt(CAST(sse AS DOUBLE) / CAST(nd AS DOUBLE)) * 1e8 + 0.5) / 1e8 AS rmse
+      |FROM s ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+    Similarity.scalarQuantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64)
+      x31, x55, x58, x61, x64, x67)
 }

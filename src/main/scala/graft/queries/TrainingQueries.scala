@@ -449,6 +449,54 @@ object TrainingQueries {
       .orderBy("token")
   }
 
+  // Token co-occurrence lift (exact-integer PMI) over the top-100 vocab:
+  // which word pairs co-occur above chance. Pairing happens AFTER the
+  // broadcast vocab filter, so the pair space is vocab², not corpus².
+  private val x65 = Q("x65_pmi_pairs", Some(
+    s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+       |tok AS (SELECT doc_id, u.tok FROM w, unnest(list_distinct(ws)) AS u(tok)),
+       |vocab AS (SELECT tok, count(*) AS n_tok FROM tok GROUP BY tok
+       |          ORDER BY n_tok DESC, tok LIMIT 100),
+       |vt AS (SELECT t.doc_id, t.tok, v.n_tok
+       |       FROM tok t JOIN vocab v ON t.tok = v.tok),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |pairs AS (
+       |  SELECT a.tok AS tok_a, b.tok AS tok_b, a.n_tok AS n_a,
+       |    b.n_tok AS n_b, count(*) AS n_ab
+       |  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT tok_a, tok_b, n_ab,
+       |  CAST(n_ab * nd.n_docs * 1000000 // (n_a * n_b) AS BIGINT) AS lift_ppm
+       |FROM pairs, nd WHERE n_ab >= 5
+       |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 30""".stripMargin)) { (s, dir) =>
+    TextAnalysis.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 100, minPairCount = 5)
+      .orderBy(desc("lift_ppm"), col("tok_a"), col("tok_b"))
+      .limit(30)
+  }
+
+  // One-pass dataset card: the release-statistics row of a training corpus
+  // (docs, languages, token/char totals, exact-dup basis points) from ONE
+  // fused aggregate.
+  private val x66 = Q("x66_dataset_card", Some(
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, md5(text) AS h, length(text) AS chars,
+       |    len($WORDS) AS toks
+       |  FROM documents)
+       |SELECT count(*) AS n_docs,
+       |  count(DISTINCT h) AS n_distinct_texts,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |  CAST(min(toks) AS BIGINT) AS min_tokens,
+       |  CAST(max(toks) AS BIGINT) AS max_tokens,
+       |  CAST(sum(chars) AS BIGINT) AS total_chars,
+       |  CAST(floor(CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS dup_bps
+       |FROM s""".stripMargin)) { (s, dir) =>
+    graft.operators.Profiler.datasetCard(t(s, dir, "documents"),
+      "doc_id", "text", "lang")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57, x62, x63)
+    x53, x54, x57, x62, x63, x65, x66)
 }

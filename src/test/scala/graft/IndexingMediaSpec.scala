@@ -45,6 +45,13 @@ class IndexingMediaSpec extends SparkSpec {
     assert(out("p90")._1 == 8L && math.abs(out("p90")._2 - 90.1) < 1e-9)
   }
 
+  test("histogramQuantiles survives a constant column (hi == lo)") {
+    val df = Seq.fill(10)(5.0).toDF("v")
+    val out = Sketches.histogramQuantiles(df, "v", bins = 4,
+      qs = Seq("p50" -> 0.5)).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 0L)
+  }
+
   test("WAV round-trip: header fields and PCM sum of squares survive decode") {
     val df = Seq((7L, "hello world"), (8L, "x")).toDF("doc_id", "text")
     val out = Multimodal.decodeWavFeatures(
@@ -66,6 +73,24 @@ class IndexingMediaSpec extends SparkSpec {
     val junk = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "content")
     val out = Multimodal.decodeWavFeatures(junk).collect().head
     assert(!out.getAs[Boolean]("decoded") && out.isNullAt(2))
+  }
+
+  test("scalarQuantize: codes span the range, RMSE bounded by bucket width") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 10.0f)), (2L, Seq(10.0f, 0.0f)), (3L, Seq(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .scalarQuantize(vecs, "vec_id", "embedding", levels = 4)
+      .orderBy("vec_id").collect()
+    // dim range [0,10], 4 levels of width 2.5: 0→code 0, 10→code 3, 5→code 2
+    assert(out.map(_.getString(1)).toSeq == Seq("0,3", "3,0", "2,2"))
+    // reconstruction at bucket centers → |err| ≤ 1.25 per dim
+    assert(out.forall(_.getDouble(3) <= 1.25))
+    // constant dimension quantizes to code 0 without dividing by zero
+    val const = Seq((1L, Seq(7.0f)), (2L, Seq(7.0f))).toDF("vec_id", "embedding")
+    val c = graft.operators.Similarity
+      .scalarQuantize(const, "vec_id", "embedding").collect()
+    assert(c.forall(r => r.getString(1) == "0" && r.getDouble(3) == 0.0))
   }
 
   test("ORC writer round-trips schema and values") {

@@ -115,6 +115,35 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(capped(1L) == 8 && capped(2L) == 1)
   }
 
+  test("pmiPairs: frequent co-occurrence lifts above chance, integer-exact") {
+    // "alpha beta" always together (5 docs), "gamma" alone in 5 others
+    val df = ((1L to 5L).map(i => (i, "alpha beta filler")) ++
+      (6L to 10L).map(i => (i, "gamma filler other"))).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(df, "doc_id", "text",
+        vocabSize = 10, minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // alpha+beta: n_ab=5, n_a=n_b=5, N=10 → lift = 5*10*1e6/25 = 2,000,000
+    assert(out(("alpha", "beta")) == (5L, 2000000L))
+    // alpha+filler: 5*10*1e6/(5*10) = 1,000,000 (independence)
+    assert(out(("alpha", "filler")) == (5L, 1000000L))
+  }
+
+  test("datasetCard: one-row corpus stats with exact dup basis points") {
+    val df = Seq(
+      (1L, "one two three", "en"), (2L, "one two three", "en"),
+      (3L, "vier fuenf sechs sieben", "de"), (4L, "uno", "es"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.Profiler.datasetCard(df, "doc_id", "text", "lang")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 4L &&
+      r.getAs[Long]("n_distinct_texts") == 3L &&
+      r.getAs[Long]("n_langs") == 3L)
+    assert(r.getAs[Long]("total_tokens") == 3 + 3 + 4 + 1)
+    assert(r.getAs[Long]("min_tokens") == 1L && r.getAs[Long]("max_tokens") == 4L)
+    assert(r.getAs[Long]("dup_bps") == 2500L) // 1 dup of 4 docs
+  }
+
   test("minhashCrossDups finds cross-corpus near-dups, never same-side pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps " +
       "running through the green fields toward the river bank"
