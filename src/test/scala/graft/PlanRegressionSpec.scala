@@ -179,6 +179,19 @@ class PlanRegressionSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("x64 cross-corpus LSH is an equi-join on band keys, never a cross join") {
+    val p = plan("x64_fuzzy_decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cross-corpus candidates must come from the band equi-join:\n" + p.take(800))
+  }
+
+  test("x67 scalar quantization broadcasts the per-dim stats") {
+    val p = plan("x67_embedding_quantize")
+    assert(p.contains("BroadcastExchange"),
+      "the |dims|-row stats frame should broadcast:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
