@@ -49,6 +49,25 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** Join-cardinality estimation from two count-min sketches — the
+    * query-optimizer primitive: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k), whose
+    * CMS estimator is min over rows of the bucket-wise inner product
+    * Σ_b cntA(r,b)·cntB(r,b) (an overestimate, like every CMS read). Lets
+    * a planner size a join from two d·w-cell sketches without touching
+    * either table. All integer arithmetic — exact, order-free, replayable.
+    * Returns a 1-row frame (join_size_estimate). */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val sa = countMin(a, keyCol, depth, width)
+      .withColumnRenamed("cnt", "cnt_a")
+    val sb = countMin(b, keyCol, depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    sa.join(sb, Seq("row", "bucket")) // absent buckets contribute 0
+      .groupBy("row")
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("__ip"))
+      .agg(min(col("__ip")).as("join_size_estimate"))
+  }
+
   /** HyperLogLog distinct-count estimate per group (2^b registers, md5
     * hashing — deterministic and engine-replayable, unlike library HLLs).
     * Register = low b hash bits, rho = leading-zero rank of the remaining

@@ -57,4 +57,35 @@ object Merge {
         .otherwise(lit("update")).as("action")
     merged.select(outCols: _*)
   }
+
+  /** Delete-cascade (right-to-be-forgotten): given a frame of subject keys
+    * to erase, produce each table's surviving rows AND an audit count of
+    * what was removed. Every table is one LEFT ANTI hash join against the
+    * (small, broadcast) key set — no table ever joins another table, so
+    * the cascade over N tables is N independent scans that run in
+    * parallel. Returns (tableName → survivors) plus a one-row-per-table
+    * audit frame via [[deleteCascadeAudit]]. */
+  def deleteCascade(tables: Map[String, (DataFrame, String)],
+      keys: DataFrame, keyCol: String): Map[String, DataFrame] = {
+    require(tables.nonEmpty, "need at least one table")
+    val k = broadcast(keys.select(col(keyCol).as("__delkey")).distinct())
+    tables.map { case (name, (df, fk)) =>
+      name -> df.join(k, col(fk) === col("__delkey"), "left_anti")
+    }
+  }
+
+  /** Audit for [[deleteCascade]]: per table, rows before / deleted /
+    * after — the compliance evidence. One lazy plan (unioned 1-row
+    * aggregates; each table is scanned twice: once for the total, once
+    * anti-joined — still no cross-table join). */
+  def deleteCascadeAudit(tables: Map[String, (DataFrame, String)],
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val survivors = deleteCascade(tables, keys, keyCol)
+    tables.toSeq.sortBy(_._1).map { case (name, (df, _)) =>
+      df.agg(count(lit(1)).as("n_before"))
+        .crossJoin(survivors(name).agg(count(lit(1)).as("n_after")))
+        .select(lit(name).as("table_name"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_deleted"), col("n_after"))
+    }.reduce(_ unionByName _)
+  }
 }

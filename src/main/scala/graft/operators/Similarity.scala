@@ -88,6 +88,20 @@ object Similarity {
           * lit(1e8) + lit(0.5)) / lit(1e8)).as("rmse"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * eval primitive every ANN deployment needs (is nprobe/banding good
+    * enough?). One lazy plan: three 1-row aggregates cross-joined, overlap
+    * via an id equi-join, recall as exact integer basis points. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame = {
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val na = approx.agg(count(lit(1)).as("n_approx"))
+    val no = exact.select(col(idCol))
+      .join(approx.select(col(idCol)), Seq(idCol.toString))
+      .agg(count(lit(1)).as("n_overlap"))
+    ne.crossJoin(na).crossJoin(no)
+      .withColumn("recall_bps", expr("n_overlap * 10000 div n_exact"))
+  }
+
   /** Elementwise mean of double-array rows as a typed Aggregator: one pass,
     * one buffer of d doubles per group — no row explosion. The posexplode
     * alternative multiplies the shuffle by d (64× here); at 100 TB that is

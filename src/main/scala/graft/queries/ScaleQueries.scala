@@ -1103,8 +1103,49 @@ object ScaleQueries {
       .orderBy("vec_id")
   }
 
+  // ANN recall@10: IVF(nprobe=3) scored against exact brute force — the
+  // eval that decides whether an index config ships. The oracle replays
+  // BOTH retrieval pipelines and the same integer-bps recall.
+  private val x69 = Q("x69_ann_recall", Some(
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |bf AS (
+      |  SELECT vec_id FROM embeddings, q
+      |  ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10),
+      |cent AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |cscore AS (
+      |  SELECT label,
+      |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+      |  FROM cent, q GROUP BY label),
+      |probe AS (SELECT label FROM cscore ORDER BY cs DESC, label LIMIT 3),
+      |ivf AS (
+      |  SELECT vec_id FROM embeddings, q
+      |  WHERE label IN (SELECT label FROM probe)
+      |  ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10)
+      |SELECT (SELECT count(*) FROM bf) AS n_exact,
+      |  (SELECT count(*) FROM ivf) AS n_approx,
+      |  (SELECT count(*) FROM bf JOIN ivf USING (vec_id)) AS n_overlap,
+      |  CAST((SELECT count(*) FROM bf JOIN ivf USING (vec_id)) * 10000
+      |    // (SELECT count(*) FROM bf) AS BIGINT) AS recall_bps""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10),
+      Similarity.ivfTopK(emb, "vec_id", "label", "embedding", query,
+        k = 10, nprobe = 3),
+      "vec_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67)
+      x31, x55, x58, x61, x64, x67, x69)
 }

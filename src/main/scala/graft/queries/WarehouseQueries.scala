@@ -319,6 +319,69 @@ object WarehouseQueries {
       .orderBy("c_mktsegment")
   }
 
+  // Join-size estimation from two count-min sketches (the optimizer
+  // primitive: size a join WITHOUT running it), alongside the exact join
+  // count it over-approximates. The oracle replays both sketches
+  // cell-for-cell and the min-over-rows inner product — all integer math.
+  private val x68 = Q("x68_join_size_estimate", Some(
+    """WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+      |kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+      |sa AS (
+      |  SELECT r, bucket, count(*) AS cnt FROM (
+      |    SELECT t.r AS r,
+      |      ('0x' || substring(md5(t.r::VARCHAR || ':' || k), 1, 8))::BIGINT % 64 AS bucket
+      |    FROM ka, range(4) t(r)) GROUP BY r, bucket),
+      |sb AS (
+      |  SELECT r, bucket, count(*) AS cnt FROM (
+      |    SELECT t.r AS r,
+      |      ('0x' || substring(md5(t.r::VARCHAR || ':' || k), 1, 8))::BIGINT % 64 AS bucket
+      |    FROM kb, range(4) t(r)) GROUP BY r, bucket),
+      |ip AS (
+      |  SELECT sa.r, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+      |  FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+      |  GROUP BY sa.r),
+      |est AS (SELECT min(ip) AS join_size_estimate FROM ip),
+      |ex AS (SELECT count(*) AS exact_join_size
+      |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT est.join_size_estimate, ex.exact_join_size FROM est, ex""".stripMargin)) { (s, dir) =>
+    val ka = t(s, dir, "orders").select(col("o_custkey").cast("string").as("k"))
+    val kb = t(s, dir, "customer").select(col("c_custkey").cast("string").as("k"))
+    val est = graft.functions.Sketches.cmsJoinSize(ka, kb, "k",
+      depth = 4, width = 64)
+    val exact = t(s, dir, "orders").select("o_custkey")
+      .join(t(s, dir, "customer").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_join_size"))
+    est.crossJoin(exact)
+  }
+
+  // Delete cascade (right-to-be-forgotten): erase a subject-key set from
+  // every table that references it — N independent broadcast anti joins,
+  // never a cross-table join — with the per-table compliance audit. The
+  // oracle replays the NOT EXISTS semantics and the same counts.
+  private val x70 = Q("x70_delete_cascade", Some(
+    """WITH delkeys AS (
+      |  SELECT DISTINCT c_custkey AS dk FROM customer WHERE c_custkey % 97 = 0),
+      |ca AS (SELECT count(*) AS nb FROM customer),
+      |cs AS (SELECT count(*) AS na FROM customer c
+      |       WHERE NOT EXISTS (SELECT 1 FROM delkeys WHERE dk = c.c_custkey)),
+      |oa AS (SELECT count(*) AS nb FROM orders),
+      |os AS (SELECT count(*) AS na FROM orders o
+      |       WHERE NOT EXISTS (SELECT 1 FROM delkeys WHERE dk = o.o_custkey))
+      |SELECT 'customer' AS table_name, ca.nb AS n_before,
+      |  ca.nb - cs.na AS n_deleted, cs.na AS n_after FROM ca, cs
+      |UNION ALL
+      |SELECT 'orders', oa.nb, oa.nb - os.na, os.na FROM oa, os
+      |ORDER BY table_name""".stripMargin)) { (s, dir) =>
+    val keys = t(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+    Merge.deleteCascadeAudit(
+        Map("customer" -> (t(s, dir, "customer"), "c_custkey"),
+          "orders" -> (t(s, dir, "orders"), "o_custkey")),
+        keys, "c_custkey")
+      .orderBy("table_name")
+  }
+
   val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51, x56,
-    x60)
+    x60, x68, x70)
 }

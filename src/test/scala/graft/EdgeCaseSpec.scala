@@ -146,4 +146,25 @@ class EdgeCaseSpec extends SparkSpec {
     val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(Similarity.bruteForceTopK(empty, "vec_id", "embedding", q, 5).count() == 0)
   }
+
+  test("round-4 second-half operators survive empty inputs") {
+    import graft.operators.{Graph, Indexing, Snapshot}
+    val emptyKV = Seq.empty[(Long, Double)].toDF("k", "v")
+    // snapshot diff of two empty versions → empty, schema intact
+    val d = Snapshot.snapshotDiff(emptyKV, emptyKV, "k", Seq("v"))
+    assert(d.count() == 0 && d.columns.contains("change_type"))
+    // pagerank on an empty edge list → no nodes, no failure
+    assert(Graph.pageRank(Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d",
+      iters = 2).count() == 0)
+    // zone map / global index over empty frames → empty
+    assert(Indexing.zoneMap(emptyKV, "k", Seq("v"), 10).count() == 0)
+    assert(Indexing.globalIndex(emptyKV, "k").count() == 0)
+    // weighted sample with k larger than the frame returns every row
+    val small = Seq((1L, 3), (2L, 1)).toDF("id", "w")
+    assert(Curation.weightedSample(small, "id", "w", k = 10).count() == 2)
+    // cross-corpus LSH with one empty side → no pairs
+    val docs = Seq((1L, "some long enough text here ok")).toDF("doc_id", "text")
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashCrossDups(docs, noDocs, "doc_id", "text").count() == 0)
+  }
 }

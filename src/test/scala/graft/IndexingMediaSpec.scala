@@ -93,6 +93,15 @@ class IndexingMediaSpec extends SparkSpec {
     assert(c.forall(r => r.getString(1) == "0" && r.getDouble(3) == 0.0))
   }
 
+  test("recallAtK: overlap and basis points are exact") {
+    val exact = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val approx = Seq(1L, 2L, 3L, 9L, 10L).toDF("id")
+    val r = graft.operators.Similarity.recallAtK(exact, approx, "id")
+      .collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 6000L)
+  }
+
   test("ORC writer round-trips schema and values") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc")
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "s", "v")

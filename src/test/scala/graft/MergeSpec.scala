@@ -65,4 +65,20 @@ class MergeSpec extends SparkSpec {
       totalTarget = 100).collect().map(_.getLong(1)).toSet
     assert(run() == run())
   }
+
+  test("deleteCascade erases matching rows everywhere; audit counts agree") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("ck", "name")
+    val ords = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 3L))
+      .toDF("ok", "cust_fk")
+    val keys = Seq(Tuple1(1L)).toDF("ck")
+    val tables = Map("cust" -> (cust, "ck"), "ords" -> (ords, "cust_fk"))
+    val survivors = Merge.deleteCascade(tables, keys, "ck")
+    assert(survivors("cust").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(survivors("ords").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(12L, 13L))
+    val audit = Merge.deleteCascadeAudit(tables, keys, "ck")
+      .orderBy("table_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.toSeq == Seq(("cust", 3L, 1L, 2L), ("ords", 4L, 2L, 2L)))
+  }
 }

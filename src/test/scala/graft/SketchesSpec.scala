@@ -56,4 +56,18 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(out == Set("big"))
   }
+
+  test("cmsJoinSize never underestimates and is exact without collisions") {
+    import org.apache.spark.sql.functions.col
+    // 2 keys, a:(x×3, y×1), b:(x×2, y×4) → true join size 3·2 + 1·4 = 10
+    val a = Seq("x", "x", "x", "y").toDF("k")
+    val b = Seq("x", "x", "y", "y", "y", "y").toDF("k")
+    val est = Sketches.cmsJoinSize(a, b, "k", depth = 4, width = 64)
+      .collect().head.getLong(0)
+    val exact = a.join(b, Seq("k")).count()
+    assert(exact == 10L)
+    assert(est >= exact, s"CMS must overestimate: $est < $exact")
+    // 2 keys in 64 buckets × 4 rows: at least one row collision-free
+    assert(est == exact, s"no-collision case should be exact, got $est")
+  }
 }
