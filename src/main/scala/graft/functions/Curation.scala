@@ -199,6 +199,51 @@ object Curation {
       .drop("__rk")
   }
 
+  /** Content-defined chunking (stateless gear-hash style): a position is a
+    * chunk boundary when the md5 of the trailing `window` chars hits
+    * 0 mod `mask` — so boundaries depend only on LOCAL content and survive
+    * insertions/deletions elsewhere (the CDC property that makes
+    * blob-level dedup work across edits; average chunk ≈ `mask` chars).
+    * Returns per doc: n_chunks, max_chunk, and the exact boundary-position
+    * sum (the audit checksum).
+    *
+    * 100 TB design: one explode over positions + one per-doc window/agg —
+    * embarrassingly parallel across docs, no cross-doc state. (A
+    * min/max-chunk-size variant needs a sequential scan per doc — this
+    * stateless form is the one that parallelizes.) */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, mask: Int = 32): DataFrame = {
+    require(window >= 2 && mask >= 2, "window and mask must be >= 2")
+    val base = df.select(col(idCol), col(textCol).cast("string").as("__t"))
+      .withColumn("__len", length(col("__t")).cast("long"))
+    // sequence(a, b) with b < a generates DESCENDING values — guard first
+    val bounds = base.filter(col("__len") >= window)
+      .select(col(idCol), col("__len"), col("__t"),
+        explode(expr(s"sequence($window, __len)")).as("i"))
+      .withColumn("__w", expr(s"substring(__t, i - ${window - 1}, $window)"))
+      .filter(Dedup.seededHash(1, col("__w")) % mask === 0)
+      .select(col(idCol), col("__len"), col("i"))
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("i")
+    val agg = bounds
+      .withColumn("__gap", col("i") - coalesce(lag(col("i"), 1).over(wLag), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nb"), sum(col("i")).as("boundary_sum"),
+        max(col("__gap")).as("__maxgap"), max(col("i")).as("__lastb"),
+        max(col("__len")).as("__len"))
+    base.select(col(idCol), col("__len").as("__dlen"))
+      .join(agg, Seq(idCol.toString), "left")
+      .select(col(idCol),
+        when(col("__nb").isNull, lit(1L))
+          .otherwise(col("__nb") +
+            when(col("__dlen") > col("__lastb"), lit(1L)).otherwise(lit(0L)))
+          .as("n_chunks"),
+        when(col("__nb").isNull, col("__dlen"))
+          .otherwise(greatest(col("__maxgap"), col("__dlen") - col("__lastb")))
+          .as("max_chunk"),
+        coalesce(col("boundary_sum"), lit(0L)).as("boundary_sum"))
+  }
+
   /** Weight-proportional sampling with EXACT integer tickets: each row gets
     * `weight` md5 tickets and its priority is the minimum ticket; the k rows
     * with the smallest priorities win. P(selected) grows with weight like

@@ -119,6 +119,26 @@ object TextAnalysis {
     * |docs|. The score divides two exact integers and re-quantizes with
     * floor(x·1e4 + 0.5) (round() tie-break semantics differ across engines;
     * floor of identical IEEE ops cannot). */
+  /** Repetition profile (the Gopher-style duplicate-n-gram gate): per doc,
+    * the fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same doc — templated/spammy text scores high, natural text low.
+    * All counts are exact integers; the fraction is floor-quantized to
+    * basis points. Pure expressions over the shingle array — no shuffle,
+    * stays parallel at any scale. */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 4,
+      maxRepeatBps: Long = 2000): org.apache.spark.sql.DataFrame = {
+    val shs = Dedup.shingleList(Dedup.words(col(textCol)), n)
+    df.select(col(idCol),
+        size(shs).cast("long").as("n_grams"),
+        size(array_distinct(shs)).cast("long").as("n_distinct"))
+      .withColumn("repeat_bps",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(floor((col("n_grams") - col("n_distinct")).cast("double") /
+            col("n_grams").cast("double") * lit(10000) + lit(0.5)).cast("long")))
+      .withColumn("passes_gate", col("repeat_bps") <= maxRepeatBps)
+  }
+
   /** Token co-occurrence PMI over the top-`vocabSize` vocabulary: which
     * word pairs appear in the same document more than chance predicts —
     * corpus topic structure without a topic model. PMI(a,b) =

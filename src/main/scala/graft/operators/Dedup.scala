@@ -29,13 +29,19 @@ object Dedup {
     * `transform(sequence(...), i -> element_at(ws, i+j))` form re-evaluates
     * the whole `ws` subtree per element inside the lambda — quadratic per
     * row, ~25× slower on real documents.) */
-  def shingles(ws: Column, k: Int = 3): Column = {
+  def shingles(ws: Column, k: Int = 3): Column =
+    array_distinct(shingleList(ws, k))
+
+  /** Positional (NON-distinct) k-shingles, in document order — what
+    * repetition metrics need (`shingles` is the distinct view for set
+    * semantics). */
+  def shingleList(ws: Column, k: Int = 3): Column = {
     val zipped = (2 to k).foldLeft(ws) { (acc, j) =>
       zip_with(acc, slice(ws, lit(j), greatest(size(ws) - (j - 1), lit(0))),
         (a, b) => when(b.isNull, lit(null)).otherwise(concat_ws(" ", a, b)))
     }
     when(size(ws) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(slice(zipped, lit(1), size(ws) - (k - 1))))
+      .otherwise(slice(zipped, lit(1), size(ws) - (k - 1)))
   }
 
   /** Shingle sets as a frame (id, shs). The words array is bound to a real

@@ -64,4 +64,34 @@ object Graph {
     }
     rank.select("node", "rank")
   }
+
+  /** Per-node triangle counts — the clustering/community signal (dense
+    * near-dup clusters, coordinated-behavior detection). Edges are
+    * canonicalized to (a < b) and deduplicated; each triangle a<b<c is
+    * found exactly once by the two-hop equi-join e(a,b) ⋈ e(b,c) ⋈ e(a,c),
+    * then credited to all three corners.
+    *
+    * 100 TB design: three hash equi-joins on node keys — no nested loop;
+    * the canonical edge frame is persisted and reused by all three join
+    * legs. The classic caveat applies: a hub node of degree d contributes
+    * O(d²) two-hop candidates — cap degrees upstream (the same move as
+    * LSH's maxBucket) when the graph has hubs. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val tri = e
+      .join(e.select(col("a").as("__b2"), col("b").as("c")),
+        col("b") === col("__b2"))
+      .join(e.select(col("a").as("__a3"), col("b").as("__c3")),
+        col("a") === col("__a3") && col("c") === col("__c3"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1144,8 +1144,56 @@ object ScaleQueries {
       "vec_id")
   }
 
+  // Per-node triangle counts over the user co-occurrence graph (same
+  // event_type + hour bucket, bucket size capped at 10 — the hub-cap move
+  // that keeps the pair explosion bounded). The oracle replays bucketing,
+  // the cap, edge canonicalization, and the two-hop triangle join.
+  private val x71 = Q("x71_triangle_counts", Some(
+    """WITH bkt AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+      |  FROM events),
+      |capped AS (
+      |  SELECT event_type, h FROM bkt GROUP BY event_type, h
+      |  HAVING count(*) <= 10),
+      |inb AS (SELECT b.* FROM bkt b JOIN capped c
+      |        ON b.event_type = c.event_type AND b.h = c.h),
+      |e AS (
+      |  SELECT DISTINCT least(x.user_id, y.user_id) AS a,
+      |    greatest(x.user_id, y.user_id) AS b
+      |  FROM inb x JOIN inb y
+      |    ON x.event_type = y.event_type AND x.h = y.h
+      |   AND x.user_id < y.user_id),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |nodes AS (
+      |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT node, count(*) AS n_triangles
+      |FROM nodes GROUP BY node
+      |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    val capped = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= 10)
+      .select("event_type", "h")
+    val inb = ev.join(capped, Seq("event_type", "h"))
+    val edges = inb.alias("x")
+      .join(inb.alias("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
+    Graph.triangleCounts(edges, "src", "dst")
+      .orderBy(desc("n_triangles"), col("node"))
+      .limit(20)
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69)
+      x31, x55, x58, x61, x64, x67, x69, x71)
 }

@@ -497,6 +497,61 @@ object TrainingQueries {
       "doc_id", "text", "lang")
   }
 
+  // Content-defined chunking: rolling-hash boundaries (8-char window,
+  // 1-in-32 mask). The oracle replays every window hash, the boundary
+  // set, the lag-gap chunk sizes, and the no-boundary fallback.
+  private val x72 = Q("x72_cdc_chunks", Some(
+    """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+      |           FROM documents),
+      |b AS (
+      |  SELECT d.doc_id, d.len, u.i
+      |  FROM d, unnest(range(8, d.len + 1)) AS u(i)
+      |  WHERE ('0x' || substring(md5('1:' || substring(d.text, u.i - 7, 8)), 1, 8))::BIGINT % 32 = 0),
+      |g AS (
+      |  SELECT doc_id, len, i,
+      |    i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS gap
+      |  FROM b),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS nb, CAST(sum(i) AS BIGINT) AS boundary_sum,
+      |    max(gap) AS max_gap, max(i) AS last_b, max(len) AS blen
+      |  FROM g GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN a.doc_id IS NULL THEN 1
+      |       ELSE a.nb + CASE WHEN a.blen > a.last_b THEN 1 ELSE 0 END
+      |       END AS BIGINT) AS n_chunks,
+      |  CAST(CASE WHEN a.doc_id IS NULL THEN d.len
+      |       ELSE greatest(a.max_gap, a.blen - a.last_b) END AS BIGINT) AS max_chunk,
+      |  coalesce(a.boundary_sum, 0) AS boundary_sum
+      |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+    Curation.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // Gopher-style repetition gate: duplicate word-4-gram fraction per doc
+  // (templated/spammy text scores high). The oracle rebuilds the same
+  // positional gram list and the same integer-bps fraction.
+  private val x73 = Q("x73_repetition_score", Some(
+    s"""WITH w AS (SELECT doc_id, $WORDS AS ws FROM documents),
+       |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 2),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS gl
+       |      FROM w)
+       |SELECT doc_id,
+       |  CAST(len(gl) AS BIGINT) AS n_grams,
+       |  CAST(len(list_distinct(gl)) AS BIGINT) AS n_distinct,
+       |  CASE WHEN len(gl) = 0 THEN 0
+       |       ELSE CAST(floor(CAST(len(gl) - len(list_distinct(gl)) AS DOUBLE)
+       |              / CAST(len(gl) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |  END AS repeat_bps,
+       |  CASE WHEN len(gl) = 0 THEN 0
+       |       ELSE CAST(floor(CAST(len(gl) - len(list_distinct(gl)) AS DOUBLE)
+       |              / CAST(len(gl) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |  END <= 2000 AS passes_gate
+       |FROM g ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    TextAnalysis.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57, x62, x63, x65, x66)
+    x53, x54, x57, x62, x63, x65, x66, x72, x73)
 }

@@ -51,6 +51,49 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("repetitionProfile: looped text fails the gate, natural text passes") {
+    val docs = Seq(
+      (1L, "one two three four " * 10),            // all repeated 4-grams
+      (2L, (1 to 40).map("w" + _).mkString(" ")),  // all distinct
+      (3L, "a b c"))                               // < 4 words → 0 grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val (g1, d1, bps1, pass1) = out(1L)
+    assert(g1 == 37L && d1 == 4L && bps1 > 8000L && !pass1)
+    assert(out(2L) == (37L, 37L, 0L, true))
+    assert(out(3L) == (0L, 0L, 0L, true))
+  }
+
+  test("cdcChunks: boundaries are content-local (stable under prefix edits)") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val docs = Seq((1L, text), (2L, "PREFIX-EDIT " + text)).toDF("doc_id", "text")
+    val bounds = Curation.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // the prefix shifts every absolute position by 12, but the boundary
+    // COUNT from the shared suffix must be preserved within ±1 (only the
+    // window spanning the splice can change)
+    val (n1, n2) = (bounds(1L)._1, bounds(2L)._1)
+    assert(math.abs(n1 - n2) <= 1, s"chunk counts diverged: $n1 vs $n2")
+    // short doc (< window) → exactly one chunk covering the whole text
+    val short = Curation.cdcChunks(Seq((9L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(short.getLong(1) == 1L && short.getLong(2) == 4L &&
+      short.getLong(3) == 0L)
+  }
+
+  test("triangleCounts: K4 yields 3 per node; duplicates/reversals collapse") {
+    // complete graph on 4 nodes (C(4,3)=4 triangles, each node in 3), with
+    // noisy duplicate and reversed edges that must canonicalize away
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (5L, 6L)) // 5-6 edge is in no triangle
+      .toDF("s", "d")
+    val out = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("canonicalizeUrl normalizes case/port/tracking/fragment/slash") {
     val cases = Seq(
       ("HTTPS://WWW.Example.COM:443/Path?utm_source=x&id=1#frag",
