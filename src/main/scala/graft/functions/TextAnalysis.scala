@@ -119,6 +119,25 @@ object TextAnalysis {
     * |docs|. The score divides two exact integers and re-quantizes with
     * floor(x·1e4 + 0.5) (round() tie-break semantics differ across engines;
     * floor of identical IEEE ops cannot). */
+  /** Per-stratum quality report: how each slice of the corpus (language,
+    * source, …) fares against the [[qualityRules]] gates — the dashboard
+    * row a curation run publishes per shard. One pass, one groupBy;
+    * every metric is an integer count or integer basis points. */
+  def qualityReport(df: org.apache.spark.sql.DataFrame, textCol: String,
+      stratumCol: String): org.apache.spark.sql.DataFrame = {
+    val q = qualityRules(col(textCol))
+    def cnt(flag: Column) = sum(when(flag, 1L).otherwise(0L))
+    df.select(col(stratumCol), q.as("__q"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("__q.r_word_count")).as("n_word_count"),
+        cnt(col("__q.r_mean_word_len")).as("n_mean_word_len"),
+        cnt(col("__q.r_stopwords")).as("n_stopwords"),
+        cnt(col("__q.r_numeric_ratio")).as("n_numeric_ratio"),
+        cnt(col("__q.passes")).as("n_pass"))
+      .withColumn("pass_bps", expr("n_pass * 10000 div n_docs"))
+  }
+
   /** Repetition profile (the Gopher-style duplicate-n-gram gate): per doc,
     * the fraction of word n-grams that are repeats of an earlier n-gram in
     * the same doc — templated/spammy text scores high, natural text low.

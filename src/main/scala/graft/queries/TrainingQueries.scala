@@ -552,6 +552,37 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // Per-language quality dashboard: gate pass-counts and pass rate per
+  // corpus slice, all integer counts/bps. The oracle replays every gate
+  // and the same per-stratum sums.
+  private val x74 = Q("x74_quality_report", Some(
+    s"""WITH w AS (SELECT lang, $WORDS AS ws FROM documents),
+       |m AS (SELECT lang, len(ws) AS n,
+       |  CASE WHEN len(ws) = 0 THEN 0.0
+       |       ELSE len(array_to_string(ws, ''))::DOUBLE / len(ws) END AS mwl,
+       |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','that'))) AS stops,
+       |  CASE WHEN len(ws) = 0 THEN 1.0
+       |       ELSE len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$$')))::DOUBLE / len(ws) END AS numr
+       | FROM w),
+       |r AS (SELECT lang,
+       |  n BETWEEN 20 AND 80 AS rw,
+       |  mwl BETWEEN 2.0 AND 8.0 AS rm,
+       |  stops >= 2 AS rs,
+       |  numr <= 0.3 AS rn
+       | FROM m)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN rw THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count,
+       |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_word_len,
+       |  CAST(sum(CASE WHEN rs THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+       |  CAST(sum(CASE WHEN rn THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_ratio,
+       |  CAST(sum(CASE WHEN rw AND rm AND rs AND rn THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN rw AND rm AND rs AND rn THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS pass_bps
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+    TextAnalysis.qualityReport(t(s, dir, "documents"), "text", "lang")
+      .orderBy("lang")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57, x62, x63, x65, x66, x72, x73)
+    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74)
 }

@@ -51,6 +51,20 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("qualityReport aggregates gate counts and pass rate per stratum") {
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to the hills in the morning light again and again ok"
+    val docs = Seq((good, "en"), (good, "en"), ("1 2 3", "xx"))
+      .toDF("text", "lang")
+    val out = TextAnalysis.qualityReport(docs, "text", "lang")
+      .orderBy("lang").collect()
+    val en = out(0)
+    assert(en.getString(0) == "en" && en.getAs[Long]("n_docs") == 2L &&
+      en.getAs[Long]("n_pass") == 2L && en.getAs[Long]("pass_bps") == 10000L)
+    val xx = out(1)
+    assert(xx.getAs[Long]("n_pass") == 0L && xx.getAs[Long]("pass_bps") == 0L)
+  }
+
   test("repetitionProfile: looped text fails the gate, natural text passes") {
     val docs = Seq(
       (1L, "one two three four " * 10),            // all repeated 4-grams
