@@ -30,6 +30,29 @@ class SnapshotGraphSpec extends SparkSpec {
       changes.filter(col("change_type") === "same").count() == 0)
   }
 
+  test("CDC algebra: applying the diff to v1 reconstructs v2 exactly") {
+    // diff(v1,v2) → delete + upsert must rebuild v2 for several mutation mixes
+    for ((dm, um, im) <- Seq((7, 5, 9), (3, 2, 11), (13, 4, 6))) {
+      val v1 = (1L to 60L).map(k => (k, k * 1.5, s"seg${k % 3}"))
+        .toDF("k", "bal", "seg")
+      val v2 = (1L to 60L).filterNot(_ % dm == 0)
+        .map(k => (k, if (k % um == 0) k * 1.5 + 99 else k * 1.5, s"seg${k % 3}"))
+        .++((1L to 60L).filter(_ % im == 0).map(k => (k + 1000, -1.0, "new")))
+        .toDF("k", "bal", "seg")
+      val diff = Snapshot.changesOnly(v1, v2, "k", Seq("bal", "seg"))
+      val deletes = diff.filter(col("change_type") === "delete").select("k")
+      val upserts = diff.filter(col("change_type").isin("update", "insert"))
+        .select(col("k"), col("bal_new").as("bal"), col("seg_new").as("seg"))
+      val rec = graft.operators.Merge.mergeUpsert(
+          v1.join(deletes, Seq("k"), "left_anti"), upserts, "k")
+        .select("k", "bal", "seg")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))
+      assert(rec.collect().map(key).sortBy(_._1).toSeq ==
+        v2.collect().map(key).sortBy(_._1).toSeq, s"mods ($dm,$um,$im)")
+    }
+  }
+
   test("pageRank: ranks sum to ~1 and the hub outranks the spokes") {
     // star graph: hub 0 connected to 1..4
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
