@@ -88,6 +88,29 @@ object Similarity {
           * lit(1e8) + lit(0.5)) / lit(1e8)).as("rmse"))
   }
 
+  /** Reconstructed (dequantized) vectors from the same SQ codes
+    * [[scalarQuantize]] emits — the corpus an asymmetric-distance search
+    * (full-precision query vs compressed corpus) actually scans. Returns
+    * (id, qvec: array<double>) with components at bucket centers. */
+  def dequantizedVectors(df: DataFrame, idCol: String, vecCol: String,
+      levels: Int = 256): DataFrame = {
+    require(levels > 1, "need at least 2 quantization levels")
+    val e = df.select(col(idCol),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    val dims = e.groupBy("pos")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    e.join(broadcast(dims), "pos")
+      .withColumn("qc", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(floor((col("v") - col("lo")) /
+            (col("hi") - col("lo")) * lit(levels)), lit(levels - 1))
+          .cast("long")))
+      .withColumn("deq", col("lo") + (col("qc").cast("double") + lit(0.5)) *
+        (col("hi") - col("lo")) / lit(levels.toDouble))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("deq")))),
+        s => s.getField("deq")).as("qvec"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * eval primitive every ANN deployment needs (is nprobe/banding good
     * enough?). One lazy plan: three 1-row aggregates cross-joined, overlap

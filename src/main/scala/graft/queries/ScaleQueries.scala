@@ -1192,8 +1192,52 @@ object ScaleQueries {
       .limit(20)
   }
 
+  // Quantized ANN end-to-end (asymmetric distance): full-precision query
+  // against the SQ8-RECONSTRUCTED corpus, recall@10 vs exact search — the
+  // proof the compressed index path retrieves. The oracle replays
+  // quantization, reconstruction, both searches, and the recall.
+  private val x75 = Q("x75_quantized_ann", Some(
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |bf AS (
+      |  SELECT vec_id FROM embeddings, q
+      |  ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10),
+      |e AS (
+      |  SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |d AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM e GROUP BY pos),
+      |r AS (
+      |  SELECT e.vec_id, e.pos,
+      |    d.lo + (CAST(CASE WHEN d.hi = d.lo THEN 0
+      |      ELSE CAST(least(floor((e.v - d.lo) / (d.hi - d.lo) * 256), 255) AS BIGINT)
+      |      END AS DOUBLE) + 0.5) * (d.hi - d.lo) / 256 AS deq
+      |  FROM e JOIN d ON e.pos = d.pos),
+      |vecs AS (SELECT vec_id, array_agg(deq ORDER BY pos) AS qvec
+      |         FROM r GROUP BY vec_id),
+      |ann AS (
+      |  SELECT vec_id FROM vecs, q
+      |  ORDER BY list_dot_product(qvec, q.qv) /
+      |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(q.qv, q.qv)))
+      |    DESC, vec_id
+      |  LIMIT 10)
+      |SELECT (SELECT count(*) FROM bf) AS n_exact,
+      |  (SELECT count(*) FROM ann) AS n_approx,
+      |  (SELECT count(*) FROM bf JOIN ann USING (vec_id)) AS n_overlap,
+      |  CAST((SELECT count(*) FROM bf JOIN ann USING (vec_id)) * 10000
+      |    // (SELECT count(*) FROM bf) AS BIGINT) AS recall_bps""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+    val approx = Similarity.bruteForceTopK(
+      Similarity.dequantizedVectors(emb, "vec_id", "embedding"),
+      "vec_id", "qvec", query.select(col("embedding").as("qvec")), 10)
+    Similarity.recallAtK(exact, approx, "vec_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69, x71)
+      x31, x55, x58, x61, x64, x67, x69, x71, x75)
 }
