@@ -186,6 +186,41 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** Incremental-ingest exact dedup: drop batch rows whose content already
+    * exists in the (much larger) history, then keep one min-id winner per
+    * content within the batch — the "dedupe today's crawl against
+    * everything ever crawled" step. A Bloom filter of history content
+    * hashes splits the batch: definitely-new rows skip the join entirely
+    * (no false negatives ⇒ safe), only maybe-dup rows pay the exact
+    * left-anti confirm (false positives cost a lookup, never a wrong
+    * drop). Returns (text_hash, idCol = min surviving id, n_dups).
+    *
+    * 100 TB design: history is touched ONCE to build the filter (the
+    * documented BloomPrune action) plus the anti join against only the
+    * maybe subset — at a typical <1% batch-vs-history overlap the join
+    * probe is ~fpp·|batch| rows, not |batch|. */
+  def incrementalDedup(history: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.01): DataFrame = {
+    val b = batch.select(col(idCol),
+      seededHash(2, col(textCol)).as("__pk"), md5(col(textCol)).as("text_hash"))
+    val h = history.select(seededHash(2, col(textCol)).as("__pk"),
+      md5(col(textCol)).as("text_hash")).distinct()
+    val n = h.count() // explicit build-side scan (BloomPrune contract)
+    val surv =
+      if (n == 0) b
+      else {
+        val bf = h.stat.bloomFilter("__pk", math.max(n, 1L), fpp)
+        val bc = batch.sparkSession.sparkContext.broadcast(bf)
+        val maybe = udf((v: java.lang.Long) =>
+          v != null && bc.value.mightContainLong(v.longValue()))
+        b.filter(!maybe(col("__pk")))
+          .unionByName(b.filter(maybe(col("__pk")))
+            .join(h.select("text_hash"), Seq("text_hash"), "left_anti"))
+      }
+    surv.groupBy("text_hash")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+  }
+
   /** Cross-corpus MinHash+LSH near-duplicate pairs: the FUZZY
     * decontamination / contamination-audit primitive — find (left, right)
     * pairs whose texts are near-identical across two different corpora

@@ -1236,8 +1236,35 @@ object ScaleQueries {
     Similarity.recallAtK(exact, approx, "vec_id")
   }
 
+  // Incremental-ingest dedup: a batch (new docs + re-keyed copies of
+  // history docs) deduped against history via bloom-split + exact anti
+  // confirm, then min-id within the batch. The bloom is semantically
+  // transparent (x22's property), so the oracle is the exact NOT EXISTS +
+  // group-min replay.
+  private val x76 = Q("x76_incremental_dedup", Some(
+    """WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |surv AS (
+      |  SELECT b.doc_id, md5(b.text) AS text_hash FROM batch b
+      |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE md5(h.text) = md5(b.text)))
+      |SELECT text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+      |FROM surv GROUP BY text_hash
+      |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    Dedup.incrementalDedup(hist, batch, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69, x71, x75)
+      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76)
 }

@@ -224,6 +224,28 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_bps") == 2500L) // 1 dup of 4 docs
   }
 
+  test("incrementalDedup: history dups dropped, batch dups collapsed, bloom transparent") {
+    val hist = Seq((1L, "known text one"), (2L, "known text two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known text one"),   // dup of history → dropped
+      (11L, "fresh text a"), (12L, "fresh text a"),  // batch-internal dup
+      (13L, "fresh text b")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalDedup(hist, batch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((11L, 2L), (13L, 1L)))
+    // empty history → pure within-batch dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val solo = graft.operators.Dedup.incrementalDedup(empty, batch, "doc_id", "text")
+    assert(solo.count() == 3)
+    // bloom transparency: result equals the exact anti-join at any fpp
+    val loose = graft.operators.Dedup
+      .incrementalDedup(hist, batch, "doc_id", "text", fpp = 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(loose.toSeq == out.toSeq)
+  }
+
   test("minhashCrossDups finds cross-corpus near-dups, never same-side pairs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps " +
       "running through the green fields toward the river bank"
