@@ -192,6 +192,30 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t20 supplier-count excludes via hash anti join, never nested-loop") {
+    val p = plan("t20_supplier_part_cnt")
+    assert(p.contains("LeftAnti"), "NOT IN should plan an anti join:\n" + p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("t22 waiting-suppliers is aggregates over ONE order join — no lineitem self-join") {
+    val p = plan("t22_waiting_suppliers")
+    // lineitem is scanned exactly once: the EXISTS/NOT-EXISTS pair is folded
+    // into per-order counts instead of two more fact joins
+    val liScans = "(?m)Location.*lineitem".r.findAllIn(p).length
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("t18 important-parts total is a broadcast 1-row aggregate over the persisted frame") {
+    val p = plan("t18_important_parts")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "per-part values must persist (no second fact pass):\n" + p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the global total should broadcast:\n" + p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
