@@ -286,4 +286,43 @@ object Curation {
     .withColumn("n_phones",
       size(split(col(textCol), PhonePattern, -1)) - 1)
     .withColumn(textCol, scrubPii(col(textCol)))
+
+  /** CCNet-style boilerplate removal: segments that recur across ≥ `minDocs`
+    * DISTINCT documents (headers, footers, navigation chrome) are dropped
+    * from every document, and the survivors reassemble in order.
+    *
+    * Segmentation is expression-only (slice over the word array — no
+    * shuffle); the cross-corpus frequency is ONE distinct-count groupBy,
+    * and membership is a hash anti join on the segment text (AQE broadcasts
+    * the boilerplate set — by construction it is small: every entry appears
+    * in ≥ minDocs docs, so there are at most |corpus segments|/minDocs).
+    * Returns (id, clean_text, n_kept, n_removed); fully-boilerplate docs
+    * survive with empty clean_text. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 2, minDocs: Long = 150): DataFrame = {
+    val segs = df
+      .withColumn("__ws", Dedup.words(col(textCol)))
+      .withColumn("__segs", expr(
+        s"transform(sequence(0, int((size(__ws) - 1) / $segWords)), " +
+        s"i -> array_join(slice(__ws, i * $segWords + 1, $segWords), ' '))"))
+      .select(col(idCol), posexplode(col("__segs")))
+      .select(col(idCol), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"))
+      .persist()
+    val boilerplate = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("seg")
+    val kept = segs.join(boilerplate, Seq("seg"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"), " ")
+          .as("clean_text"))
+    val totals = segs.groupBy(idCol).agg(count(lit(1)).as("__n_total"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expr.{DotProduct, DurationSeconds}
+import graft.functions.expr.{DotProduct, DurationSeconds, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.durationSecondsFn)
     ext.injectFunction(GraftExtensions.dotProductFn)
+    ext.injectFunction(GraftExtensions.nfcNormalizeFn)
   }
 }
 
@@ -34,6 +35,14 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  private val nfcNormalizeFn = (
+    new FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "nfc_normalize takes exactly one argument")
+      NfcNormalize(children.head)
+    })
+
   /** Register into an already-running session (the config-based extension
     * only applies to sessions created after it is set). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -41,5 +50,7 @@ object GraftExtensions {
       "duration_seconds", durationSecondsFn._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", dotProductFn._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", nfcNormalizeFn._3, "scala_udf")
   }
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical analytics over distributed frames: Pearson correlation
+  * matrices, closed-form OLS trend fits, percentile winsorization, and
+  * k-anonymity audits.
+  *
+  * Engine-parity discipline (same as the query registry): every moment is
+  * accumulated as an exact DECIMAL sum (per-row double products are
+  * bit-identical cross-engine, decimal addition is order-free), and the
+  * closed-form double arithmetic happens ONCE at the end in a fixed
+  * operation order — so Spark and the DuckDB oracle produce the same bits.
+  * Spark's own `corr`/`regr_slope` aggregate doubles in shuffle order and
+  * cannot be hash-gated; these can.
+  */
+object Stats {
+
+  private def dec(c: Column): Column = c.cast("decimal(28,6)")
+
+  /** All pairwise Pearson correlations between `cols` in ONE scan: a single
+    * aggregate computes every first/second moment (map-side combined), and
+    * the |cols|²/2 result rows are projected lazily from that 1-row frame —
+    * no per-pair passes, no shuffle beyond the one partial agg. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String],
+      roundTo: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(dec(col(c))).cast("double").as(s"s_$c")) ++
+      cols.map(c => sum(dec(col(c) * col(c))).cast("double").as(s"q_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(dec(col(a) * col(b))).cast("double").as(s"p_${a}_$b") }
+    val m = df.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      val corr = (col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        sqrt((col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+          (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")))
+      m.select(lit(a).as("col_x"), lit(b).as("col_y"),
+        round(corr, roundTo).as("pearson_r"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  /** Closed-form per-group OLS fit y ~ slope·x + intercept, from one
+    * grouped aggregate of exact decimal moments. The standard trend query
+    * (`regr_slope`) without the engine-specific double-summation drift. */
+  def olsTrend(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String, roundTo: Int = 4): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(dec(x)).cast("double").as("sx"),
+        sum(dec(y)).cast("double").as("sy"),
+        sum(dec(x * y)).cast("double").as("sxy"),
+        sum(dec(x * x)).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    g.select(groupCols.map(col) ++ Seq(
+      col("n").cast("bigint").as("n_rows"),
+      round(slope, roundTo).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), roundTo)
+        .as("intercept")): _*)
+  }
+
+  /** Winsorize `valueCol` at the [pLo, pHi] DISCRETE percentiles per group
+    * (percentile_disc picks actual data elements — bit-identical across
+    * engines, unlike interpolated percentiles). The two-pass shape is the
+    * scalable one: a tiny per-group bounds frame joins back (AQE broadcasts
+    * it) instead of a per-row window re-sorting the whole fact table. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val bounds = df.groupBy(col(groupCol).as("__g"))
+      .agg(expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $valueCol)")
+          .as("__lo"),
+        expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $valueCol)")
+          .as("__hi"))
+    df.join(bounds, col(groupCol) === col("__g"))
+      .withColumn("__w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__g")
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: one grouped count of
+    * equivalence classes, then a 1-row report — min class size (the
+    * dataset's k), violating classes, and rows at re-identification risk.
+    * The class frame is |distinct QID combos| rows, never the fact size. */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String], k: Long): DataFrame = {
+    df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .agg(min(col("__sz")).as("min_class_size"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_violating_classes"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("n_rows_at_risk"))
+      .select(lit(k).as("k"), col("min_class_size"), col("n_classes"),
+        col("n_violating_classes"), col("n_rows_at_risk"),
+        (col("min_class_size") >= k).as("is_k_anonymous"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.functions.Curation
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Statistical analytics + text-normalization queries: boilerplate removal,
+  * NFC unicode normalization (native expression), one-pass correlation
+  * matrix, closed-form OLS trends, winsorization, k-anonymity audit.
+  *
+  * Moments accumulate as exact decimal sums; the closed-form double math
+  * happens once, in the same operation order as the oracle (see Stats).
+  */
+object StatsQueries {
+  import Tables.t
+
+  // CCNet-style boilerplate removal: 2-word segments recurring in ≥150
+  // distinct docs are dropped everywhere, survivors reassemble in order.
+  // The oracle replays segmentation, the distinct-count threshold, the
+  // anti join, and the ordered reassembly — gate on counts + md5 of the
+  // cleaned text.
+  private val x77 = Q("x77_boilerplate_removal", Some(
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(
+      |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS ws
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i
+      |      FROM base),
+      |segs AS (
+      |  SELECT doc_id, CAST((i - 1) // 2 AS BIGINT) AS seg_idx,
+      |    string_agg(wd, ' ' ORDER BY i) AS seg
+      |  FROM w GROUP BY doc_id, (i - 1) // 2),
+      |bp AS (SELECT seg FROM segs GROUP BY seg
+      |       HAVING count(DISTINCT doc_id) >= 150),
+      |kept AS (
+      |  SELECT s.doc_id, count(*) AS n_kept,
+      |    string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS clean_text
+      |  FROM segs s ANTI JOIN bp ON s.seg = bp.seg
+      |  GROUP BY s.doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_total FROM segs GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+      |  md5(coalesce(k.clean_text, '')) AS clean_md5
+      |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      |ORDER BY t.doc_id""".stripMargin)) { (s, dir) =>
+    Curation.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        segWords = 2, minDocs = 150)
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // NFC normalization via the native codegen expression. Each doc gets a
+  // DECOMPOSED "café" (e + U+0301) appended; normalization must compose it
+  // (length shrinks by exactly one codepoint) and the md5 gates the full
+  // normalized bytes against DuckDB's nfc_normalize.
+  private val x78 = Q("x78_nfc_normalize", Some(
+    s"""SELECT doc_id, length(text || ' café') AS n_raw,
+      |  length(nfc_normalize(text || ' café')) AS n_norm,
+      |  md5(nfc_normalize(text || ' café')) AS norm_md5
+      |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    graft.functions.GraftExtensions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("docs_x78")
+    s.sql(
+      s"""SELECT doc_id, length(text || ' café') AS n_raw,
+        |  length(nfc_normalize(text || ' café')) AS n_norm,
+        |  md5(nfc_normalize(text || ' café')) AS norm_md5
+        |FROM docs_x78 ORDER BY doc_id""".stripMargin)
+  }
+
+  // One-pass Pearson correlation matrix over the lineitem measures: every
+  // moment in a single aggregate, pair rows projected lazily from the
+  // 1-row frame. The oracle replays the identical moment sums and the
+  // identical double formula.
+  private val x79 = Q("x79_corr_matrix", Some(
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s_q,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s_e,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s_d,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS q_q,
+      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS q_e,
+      |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS q_d,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS p_qe,
+      |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS p_qd,
+      |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS p_ed
+      |  FROM lineitem)
+      |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+      |  round((n * p_qe - s_q * s_e) /
+      |    sqrt((n * q_q - s_q * s_q) * (n * q_e - s_e * s_e)), 6) AS pearson_r
+      |FROM m
+      |UNION ALL
+      |SELECT 'l_quantity', 'l_discount',
+      |  round((n * p_qd - s_q * s_d) /
+      |    sqrt((n * q_q - s_q * s_q) * (n * q_d - s_d * s_d)), 6) FROM m
+      |UNION ALL
+      |SELECT 'l_extendedprice', 'l_discount',
+      |  round((n * p_ed - s_e * s_d) /
+      |    sqrt((n * q_e - s_e * s_e) * (n * q_d - s_d * s_d)), 6) FROM m
+      |ORDER BY col_x, col_y""".stripMargin)) { (s, dir) =>
+    Stats.correlationMatrix(
+        t(s, dir, "lineitem").select("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("col_x", "col_y")
+  }
+
+  // Per-event-type OLS trend of value over the day index — closed-form
+  // slope/intercept from exact decimal moments, one grouped aggregate.
+  private val x80 = Q("x80_ols_trend", Some(
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS day_x,
+      |    value FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(day_x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(day_x * value AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(day_x * day_x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      |  FROM pts GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin)) { (s, dir) =>
+    Stats.olsTrend(
+        Tables.events(s, dir).select(col("event_type"),
+          datediff(col("ts"), lit("2024-01-01")).as("day_x"), col("value")),
+        Seq("event_type"), "day_x", "value")
+      .orderBy("event_type")
+  }
+
+  // Winsorized per-flag revenue: clamp l_extendedprice to its per-group
+  // [p5, p95] DISCRETE percentiles (actual data elements — cross-engine
+  // bit-parity), then compare clamped vs raw totals and clamp counts.
+  private val x81 = Q("x81_winsorize", Some(
+    """WITH b AS (
+      |  SELECT l_returnflag AS g,
+      |    quantile_disc(l_extendedprice, 0.05) AS lo,
+      |    quantile_disc(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |  CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+      |  round(CAST(sum(CAST(least(greatest(l.l_extendedprice, b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_winsorized,
+      |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_raw
+      |FROM lineitem l JOIN b ON l.l_returnflag = b.g
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)) { (s, dir) =>
+    val w = Stats.winsorize(t(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", 0.05, 0.95)
+    w.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") < col("__lo"), 1).otherwise(0))
+          .cast("bigint").as("n_clamped_lo"),
+        sum(when(col("l_extendedprice") > col("__hi"), 1).otherwise(0))
+          .cast("bigint").as("n_clamped_hi"),
+        round(sum(col("__w").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_winsorized"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_raw"))
+      .orderBy("l_returnflag")
+  }
+
+  // k-anonymity audit over customer quasi-identifiers (nation × segment):
+  // the class frame is |QID combos| rows, the report one row. The oracle
+  // replays the class sizes and the risk sums.
+  private val x82 = Q("x82_k_anonymity", Some(
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(10 AS BIGINT) AS k,
+      |  min(sz) AS min_class_size,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+      |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  min(sz) >= 10 AS is_k_anonymous
+      |FROM cls""".stripMargin)) { (s, dir) =>
+    Stats.kAnonymity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), 10L)
+  }
+
+  val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82)
+}

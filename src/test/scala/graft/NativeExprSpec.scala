@@ -81,4 +81,37 @@ class NativeExprSpec extends SparkSpec {
     assert(e.getMessage.contains("duration_seconds") ||
       e.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("nfc_normalize: composes decomposed text, fast-path identity, SQL registration") {
+    import graft.functions.expr.NfcNormalize
+    val decomposed = "cafe\u0301" // e + combining acute (NFD)
+    val composed = "caf\u00e9"    // precomposed (NFC)
+    // static semantics
+    assert(NfcNormalize.normalize(UTF8String.fromString(decomposed)).toString == composed)
+    assert(NfcNormalize.normalize(UTF8String.fromString("plain ascii")).toString == "plain ascii")
+    assert(NfcNormalize.normalize(null) == null)
+    // NFC keeps compatibility chars (ligature U+FB01 -- NFKC would expand it)
+    assert(NfcNormalize.normalize(UTF8String.fromString("\ufb01le")).toString == "\ufb01le")
+    // idempotence + already-NFC fast path returns the same object
+    val once = NfcNormalize.normalize(UTF8String.fromString("A\u030angstro\u0308m"))
+    assert(once.toString == "\u00c5ngstr\u00f6m")
+    assert(NfcNormalize.normalize(once) eq once)
+    // SQL registration + codegen path over a frame
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS c, length(nfc_normalize('$decomposed')) AS n, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS z")
+      .head()
+    assert(r.getString(0) == composed && r.getInt(1) == 4 && r.isNullAt(2))
+    // interpreted parity
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val i = spark.sql(s"SELECT nfc_normalize('$decomposed') AS c").head().getString(0)
+      assert(i == composed)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.Curation
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Stats operators: correlation, OLS, winsorize, k-anonymity, boilerplate
+  * removal — closed-form results checked against hand-computed values. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("correlationMatrix: perfect line r=1, anti-line r=-1, one row per pair") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val m = Stats.correlationMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_x", "col_y").collect()
+    assert(m.length == 3)
+    val byPair = m.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(byPair(("x", "y")) == 1.0)
+    assert(byPair(("x", "z")) == -1.0)
+    assert(byPair(("y", "z")) == -1.0)
+  }
+
+  test("olsTrend: recovers exact slope/intercept of a noiseless line per group") {
+    val df = (0 to 9).flatMap(i => Seq(("a", i, 3.0 * i + 1.0), ("b", i, -0.5 * i + 4.0)))
+      .toDF("g", "x", "y")
+    val fit = Stats.olsTrend(df, Seq("g"), "x", "y").orderBy("g").collect()
+    assert(fit(0).getString(0) == "a" && fit(0).getLong(1) == 10)
+    assert(fit(0).getDouble(2) == 3.0 && fit(0).getDouble(3) == 1.0)
+    assert(fit(1).getDouble(2) == -0.5 && fit(1).getDouble(3) == 4.0)
+  }
+
+  test("winsorize: values clamp to the discrete percentile bounds per group") {
+    val df = ((1 to 100).map(i => ("g", i.toDouble)) :+ (("g", 10000.0)))
+      .toDF("grp", "v")
+    val w = Stats.winsorize(df, "grp", "v", 0.05, 0.95)
+    val rows = w.select("v", "__lo", "__hi", "__w").collect()
+    val lo = rows.head.getDouble(1)
+    val hi = rows.head.getDouble(2)
+    assert(lo > 1.0 && hi < 10000.0)
+    assert(rows.forall(r => r.getDouble(3) >= lo && r.getDouble(3) <= hi))
+    // the outlier clamps to hi; in-range values pass through
+    assert(rows.find(_.getDouble(0) == 10000.0).get.getDouble(3) == hi)
+    assert(rows.find(_.getDouble(0) == 50.0).get.getDouble(3) == 50.0)
+  }
+
+  test("kAnonymity: reports min class size, violators, and rows at risk") {
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(3)(("US", "B")) ++
+      Seq(("FI", "A"))).toDF("country", "seg")
+    val r = Stats.kAnonymity(df, Seq("country", "seg"), 3L).head()
+    assert(r.getLong(0) == 3L)           // k
+    assert(r.getLong(1) == 1L)           // min class size (FI,A)
+    assert(r.getLong(2) == 3L)           // classes
+    assert(r.getLong(3) == 1L)           // violating classes
+    assert(r.getLong(4) == 1L)           // rows at risk
+    assert(!r.getBoolean(5))             // not 3-anonymous
+    assert(Stats.kAnonymity(df, Seq("seg"), 3L).head().getBoolean(5))
+  }
+
+  test("removeBoilerplate: recurring segments drop everywhere, order survives, all-boilerplate docs stay") {
+    val docs = Seq(
+      (1L, "foo bar alpha beta next one"),
+      (2L, "foo bar gamma delta"),
+      (3L, "foo bar"),
+      (4L, "solo text here now")).toDF("doc_id", "text")
+    val out = Curation.removeBoilerplate(docs, "doc_id", "text",
+        segWords = 2, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // "foo bar" appears in 3 distinct docs → boilerplate
+    assert(out(0).getString(1) == "alpha beta next one" &&
+      out(0).getLong(2) == 2 && out(0).getLong(3) == 1)
+    assert(out(1).getString(1) == "gamma delta")
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0 &&
+      out(2).getLong(3) == 1) // fully boilerplate, still present
+    assert(out(3).getString(1) == "solo text here now" && out(3).getLong(3) == 0)
+  }
+}
