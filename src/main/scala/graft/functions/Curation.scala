@@ -287,6 +287,56 @@ object Curation {
       size(split(col(textCol), PhonePattern, -1)) - 1)
     .withColumn(textCol, scrubPii(col(textCol)))
 
+  /** Hashing-trick bag-of-words: each token hashes (md5 — engine-portable,
+    * seedable) into one of `dim` buckets; a document becomes its sparse
+    * (bucket → count) vector. Fixed dimensionality with NO vocabulary pass —
+    * the point of feature hashing at corpus scale. Returns per-doc
+    * (nnz, l1, checksum, vec_md5) plus the sparse vector itself. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 32): DataFrame = {
+    val buckets = df
+      .select(col(idCol), explode(Dedup.words(col(textCol))).as("__w"))
+      .withColumn("__bucket",
+        conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % dim)
+      .groupBy(col(idCol), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    buckets.groupBy(idCol)
+      .agg(count(lit(1)).as("nnz"),
+        sum(col("__cnt")).cast("long").as("l1"),
+        sum((col("__bucket") + 1) * col("__cnt")).cast("long").as("checksum"),
+        expr("transform(array_sort(collect_list(struct(__bucket, __cnt))), " +
+          "x -> concat(x.__bucket, ':', x.__cnt))").as("__vec"))
+      .withColumn("vec_md5", md5(array_join(col("__vec"), ",")))
+      .withColumn("vector", col("__vec"))
+      .drop("__vec")
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are the
+    * split unit, so two near-identical documents can never land in
+    * different splits (the classic eval-contamination bug). Cluster labels
+    * come from [[Dedup.nearDupComponents]] over the supplied candidate
+    * pairs; singletons cluster as themselves. Assignment is a seeded md5
+    * bucket of the CLUSTER id — deterministic, engine-portable, and stable
+    * under re-runs. Buckets 0..trainPct-1 → train, next valPct → val,
+    * rest → test (out of 10). */
+  def groupAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      seed: String, trainPct: Int = 8, valPct: Int = 1,
+      iters: Int = 2): DataFrame = {
+    require(trainPct + valPct < 10, "train+val must leave room for test")
+    val comps = Dedup.nearDupComponents(pairs, iters)
+    docs.select(col(idCol))
+      .join(comps, col(idCol) === col("node"), "left")
+      .withColumn("cluster", coalesce(col("component"), col(idCol)))
+      .withColumn("__b", conv(substring(md5(
+        concat(lit(seed + ":"), col("cluster").cast("string"))), 1, 6), 16, 10)
+        .cast("long") % 10)
+      .withColumn("split",
+        when(col("__b") < trainPct, "train")
+          .when(col("__b") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("cluster"), col("split"))
+  }
+
   /** CCNet-style boilerplate removal: segments that recur across ≥ `minDocs`
     * DISTINCT documents (headers, footers, navigation chrome) are dropped
     * from every document, and the survivors reassemble in order.

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expr.{DotProduct, DurationSeconds, NfcNormalize}
+import graft.functions.expr.{DotProduct, DurationSeconds, JaroWinkler, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.durationSecondsFn)
     ext.injectFunction(GraftExtensions.dotProductFn)
     ext.injectFunction(GraftExtensions.nfcNormalizeFn)
+    ext.injectFunction(GraftExtensions.jaroWinklerFn)
   }
 }
 
@@ -43,6 +44,14 @@ object GraftExtensions {
       NfcNormalize(children.head)
     })
 
+  private val jaroWinklerFn = (
+    new FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2, "jaro_winkler takes exactly two arguments")
+      JaroWinkler(children.head, children(1))
+    })
+
   /** Register into an already-running session (the config-based extension
     * only applies to sessions created after it is set). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -52,5 +61,7 @@ object GraftExtensions {
       "dot_product", dotProductFn._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", nfcNormalizeFn._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", jaroWinklerFn._3, "scala_udf")
   }
 }

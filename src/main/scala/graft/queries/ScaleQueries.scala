@@ -1263,8 +1263,84 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  // Leakage-safe train/val/test split: the near-dup CLUSTER (x29's
+  // connected components; singletons = themselves) is the split unit, so
+  // near-identical docs can never straddle splits. Assignment is a seeded
+  // md5 bucket of the cluster id. The oracle replays the whole chain —
+  // LSH → components → bucket → split — and the max_splits_per_cluster
+  // column PROVES the no-leak invariant (must be 1) inside the hash gate.
+  private val x85 = Q("x85_group_split", Some {
+    val hashes = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
+    def prop(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT node, min(lab) AS lab FROM (
+         |    SELECT node, lab FROM $prev
+         |    UNION ALL
+         |    SELECT e.u AS node, l.lab FROM und e JOIN $prev l ON e.v = l.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH $SETS_CTE,
+       |expl AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substring(md5(u.sh), 9, 8))::BIGINT AS hb
+       |  FROM sets, unnest(shs) AS u(sh)),
+       |sig AS (SELECT doc_id, $hashes FROM expl GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, u.b[1]::INT AS band, u.b[2] AS bkey
+       |  FROM sig, unnest([$bandKeys]) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |prs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
+       |            JOIN sets y ON cand.id_b = y.doc_id
+       |  WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |      (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.8),
+       |und AS (SELECT id_a AS u, id_b AS v FROM prs
+       |        UNION ALL SELECT id_b AS u, id_a AS v FROM prs),
+       |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und),
+       |${prop("l0", "l1")},
+       |${prop("l1", "l2")},
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(c.lab, d.doc_id) AS cluster,
+       |    ('0x' || substring(md5('split42:' ||
+       |      coalesce(c.lab, d.doc_id)::VARCHAR), 1, 6))::BIGINT % 10 AS b
+       |  FROM documents d LEFT JOIN l2 c ON d.doc_id = c.node),
+       |labeled AS (
+       |  SELECT doc_id, cluster,
+       |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM assigned),
+       |leak AS (
+       |  SELECT max(ns) AS max_splits_per_cluster FROM (
+       |    SELECT cluster, count(DISTINCT split) AS ns
+       |    FROM labeled GROUP BY cluster))
+       |SELECT split, count(*) AS n_docs,
+       |  count(DISTINCT cluster) AS n_clusters,
+       |  (SELECT max_splits_per_cluster FROM leak) AS max_splits_per_cluster
+       |FROM labeled GROUP BY split ORDER BY split""".stripMargin
+  }) { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+    val split = graft.functions.Curation
+      .groupAwareSplit(docs, "doc_id", pairs, "split42").persist()
+    val leak = split.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("__ns"))
+      .agg(max(col("__ns")).as("max_splits_per_cluster"))
+    split.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .crossJoin(broadcast(leak))
+      .orderBy("split")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76)
+      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85)
 }
