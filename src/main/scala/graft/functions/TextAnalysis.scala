@@ -235,4 +235,51 @@ object TextAnalysis {
         floor(col("n_covered").cast("double") / col("n_bigrams").cast("double")
           * lit(10000) + lit(0.5)) / lit(10000))
   }
+
+  /** Learn the first `iters` BPE merges from a corpus — the distributed
+    * heart of tokenizer training. Classic word-frequency formulation: the
+    * corpus collapses to (word, freq) ONCE (all further passes touch only
+    * the vocabulary — thousands of rows, not billions), words split to
+    * space-joined character tokens, then each iteration (a) counts adjacent
+    * token pairs weighted by word freq, (b) takes the argmax pair
+    * (count DESC, pair ASC — a total order, so the learned merge table is
+    * deterministic), and (c) applies the merge via space-delimited
+    * replace — left-to-right non-overlapping, identical in Spark and the
+    * oracle. Per-iteration persists keep lineage linear in `iters`
+    * (the [[graft.operators.Dedup.nearDupComponents]] discipline); the
+    * 1-row argmax broadcasts back, never a driver collect in the plan.
+    * Returns (iter, merge_pair, weighted_count). */
+  def bpeLearnMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+      iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    var vocab = df
+      .select(explode(Dedup.words(col(textCol))).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+      .withColumn("tok", array_join(
+        expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"),
+        " "))
+      .select("tok", "freq")
+      .persist()
+    val merges = (1 to iters).map { k =>
+      val pairs = vocab
+        .withColumn("__lp", split(col("tok"), " "))
+        // guard: Spark's sequence(1, 0) steps DOWN; single-token words have
+        // no pairs and must not explode a bogus descending range
+        .filter(size(col("__lp")) >= 2)
+        .withColumn("pair", explode(expr(
+          "transform(sequence(1, size(__lp) - 1), " +
+          "i -> concat(element_at(__lp, i), ' ', element_at(__lp, i + 1)))")))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), col("pair")).limit(1).persist()
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("pair").as("__p"))))
+        .withColumn("tok", expr(
+          "trim(replace(concat(' ', tok, ' '), concat(' ', __p, ' '), " +
+          "concat(' ', replace(__p, ' ', ''), ' ')))"))
+        .select("tok", "freq")
+        .persist()
+      best.select(lit(k).as("iter"), col("pair").as("merge_pair"),
+        col("cnt").cast("long").as("weighted_count"))
+    }
+    merges.reduce(_ unionAll _)
+  }
 }

@@ -180,5 +180,111 @@ object StatsQueries {
       Seq("c_nationkey", "c_mktsegment"), 10L)
   }
 
-  val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82)
+  // Arbitrary GROUPING SETS (the general grouping-lattice form beyond
+  // x35's CUBE / e9's ROLLUP): three explicit sets in ONE Expand +
+  // aggregate, with grouping() flags disambiguating the null lattice.
+  private val x86 = Q("x86_grouping_sets", Some(
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |                        (l_returnflag, l_linestatus))
+      |ORDER BY gid, rf, ls""".stripMargin)) { (s, dir) =>
+    t(s, dir, "lineitem").createOrReplaceTempView("li_x86")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM li_x86
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY gid, rf, ls""".stripMargin)
+  }
+
+  // RANGE-frame window over event time: per-customer trailing-30-day order
+  // revenue — the frame bound is an INTERVAL over the ORDER BY timestamp,
+  // so peers (same-day orders) aggregate identically in both engines.
+  private val x87 = Q("x87_range_frame_window", Some(
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS rev30,
+      |  count(*) OVER w AS n30
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+    t(s, dir, "orders").createOrReplaceTempView("ord_x87")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS rev30,
+        |  count(*) OVER w AS n30
+        |FROM ord_x87
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // BPE merge learning (tokenizer training): first 3 merges over the doc
+  // corpus. The oracle unrolls ALL THREE iterations — pair counts, argmax
+  // with the same total order, and the space-delimited replace — so each
+  // iteration's fixed point is hash-checked, not just the final table.
+  private val x88 = Q("x88_bpe_learn", Some {
+    def iter(prev: String, p: String, b: String) =
+      s"""$p AS (
+         |  SELECT u.pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $prev, unnest(list_transform(range(1, len(string_split(tok, ' '))),
+         |    i -> string_split(tok, ' ')[i] || ' ' || string_split(tok, ' ')[i+1])) AS u(pr)
+         |  GROUP BY u.pr),
+         |$b AS (SELECT pair, cnt FROM $p ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    def apply(prev: String, b: String, name: String) =
+      s"""$name AS (
+         |  SELECT trim(replace(' ' || tok || ' ',
+         |    ' ' || (SELECT pair FROM $b) || ' ',
+         |    ' ' || replace((SELECT pair FROM $b), ' ', '') || ' ')) AS tok, freq
+         |  FROM $prev)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |    x -> x <> '')) AS wd
+       |  FROM documents),
+       |vf AS (SELECT wd, count(*) AS freq FROM w GROUP BY wd),
+       |v0 AS (SELECT array_to_string(list_transform(range(1, length(wd) + 1),
+       |         i -> substring(wd, i, 1)), ' ') AS tok, freq FROM vf),
+       |${iter("v0", "p1", "b1")},
+       |${apply("v0", "b1", "v1")},
+       |${iter("v1", "p2", "b2")},
+       |${apply("v1", "b2", "v2")},
+       |${iter("v2", "p3", "b3")}
+       |SELECT 1 AS iter, pair AS merge_pair, cnt AS weighted_count FROM b1
+       |UNION ALL SELECT 2, pair, cnt FROM b2
+       |UNION ALL SELECT 3, pair, cnt FROM b3
+       |ORDER BY iter""".stripMargin
+  }) { (s, dir) =>
+    graft.functions.TextAnalysis
+      .bpeLearnMerges(t(s, dir, "documents"), "text", iters = 3)
+      .orderBy("iter")
+  }
+
+  // File-source streaming pipeline, end to end: parquet directory →
+  // watermarked windowed aggregate → parquet SINK, run with AvailableNow;
+  // a far-future sentinel file flushes every real window out of state. The
+  // streamed sink must equal the batch aggregate (decimal sums make the
+  // cross-micro-batch state merge order-free).
+  private val x89 = Q("x89_stream_file_pipeline", Some(
+    """SELECT time_bucket(INTERVAL '1 hour', ts)::TIMESTAMP AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)) {
+    (s, dir) =>
+      graft.streaming.EventStream
+        .fileSourceReplay(s, Tables.events(s, dir)
+          .select("ts", "event_type", "value"))
+        .orderBy("window_start", "event_type")
+  }
+
+  val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89)
 }

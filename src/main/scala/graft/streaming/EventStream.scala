@@ -29,6 +29,63 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** [[windowedCounts]] with DECIMAL-exact value sums: streaming state
+    * merges partial sums across micro-batches in arrival order, so a double
+    * accumulator could drift an ulp across a round(…,2) boundary vs the
+    * batch plan; decimal addition is order-free, making the streamed result
+    * bit-equal to the batch twin no matter how the feed is batched. */
+  def windowedCountsExact(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__tv"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), round(col("__tv").cast("double"), 2).as("total_value"))
+  }
+
+  /** THE deploy shape, end to end: a real file-source stream (parquet
+    * directory, one file per micro-batch) through the watermarked windowed
+    * aggregate into a parquet SINK, run to completion with AvailableNow.
+    *
+    * Append-mode windowed aggs only emit a window once the watermark passes
+    * it — the tail windows would stay in state forever on a bounded feed, so
+    * the replay plants a far-future SENTINEL event as the LAST file: every
+    * real window flushes, and only the sentinel's own window stays behind.
+    * Returns the sink parquet read back; it must equal the batch aggregate
+    * of the same input — the gate for the whole file→stream→file path. */
+  def fileSourceReplay(spark: SparkSession, events: DataFrame,
+      windowLength: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("stream_file")
+    val inDir = tmp.resolve("in").toString
+    val outDir = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val cols = Seq(col("ts"), col("event_type"), col("value"))
+    // file 1: the real feed; file 2 (written after): the watermark sentinel
+    events.select(cols: _*).coalesce(1).write.mode("append").parquet(inDir)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    events.sparkSession.range(1)
+      .select(timestamp_micros(lit(maxTs.getTime * 1000L + 2L * 86400L * 1000000L)).as("ts"),
+        lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    withReplayShuffle(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = windowedCountsExact(stream, windowLength)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(outDir)
+  }
+
   /** Per-user sessionization with mapGroupsWithState: a session closes after
     * `gapSeconds` of inactivity; emits (user_id, session_start, n_events).
     * State is one small record per active user — bounded by the timeout. */

@@ -57,6 +57,25 @@ class StatsSpec extends SparkSpec {
     assert(Stats.kAnonymity(df, Seq("seg"), 3L).head().getBoolean(5))
   }
 
+  test("bpeLearnMerges: hand-computed merge sequence with weighted counts and tie order") {
+    // corpus: aaab ×2, ab ×1 →
+    //   iter1: 'a a' appears 2× in aaab, weighted 4 > 'a b' (3) → merge 'a a'
+    //   iter2: vocab 'aa a b'(2), 'a b'(1) → 'a b' = 3 > 'aa a' = 2
+    //   iter3: vocab 'aa ab'(2), 'ab'(1) → 'aa ab' = 2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val m = graft.functions.TextAnalysis.bpeLearnMerges(docs, "text", iters = 3)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m.toSeq == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
+  }
+
+  test("bpeLearnMerges: single-char words contribute no pairs") {
+    val docs = Seq((1L, "a a a bc")).toDF("doc_id", "text")
+    val m = graft.functions.TextAnalysis.bpeLearnMerges(docs, "text", iters = 1)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(m.toSeq == Seq(("b c", 1L)))
+  }
+
   test("removeBoilerplate: recurring segments drop everywhere, order survives, all-boilerplate docs stay") {
     val docs = Seq(
       (1L, "foo bar alpha beta next one"),
