@@ -354,4 +354,61 @@ object Similarity {
       data(cellCol) === col("__probe_cell"))
     bruteForceTopK(candidates, idCol, vecCol, queryDf, k)
   }
+
+  /** Product quantization, end to end: train per-subspace codebooks (`m`
+    * subspaces of `dim/m` dims, `k` L2 centroids each — one Lloyd
+    * refinement from the deterministic id%k seed), encode every vector as
+    * m codes, and search by ASYMMETRIC distance: the full-precision query
+    * scored against codebook-reconstructed corpus vectors. Returns the
+    * `topK` ids with their reconstructed cosine.
+    *
+    * 100 TB shape: the codebook is m·k·(dim/m) = dim·k rows and BROADCASTS
+    * everywhere it is used; training and encoding are grouped aggregates +
+    * one WindowGroupLimit argmin per (vector, subspace) — the corpus is
+    * never joined against itself, and a stored index would persist just the
+    * m small codes per vector (dim/m × compression at k=256). */
+  def pqTopK(data: DataFrame, idCol: String, vecCol: String,
+      queryDf: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+      topK: Int = 10): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val e = data.select(col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .withColumn("sub", expr(s"pos div $subDim"))
+      .persist()
+    // seed assignment id%k → subspace centroids (float-exact double sums)
+    val c1 = e.withColumn("cell", pmod(col("id"), lit(k)))
+      .groupBy("sub", "cell", "pos").agg(avg(col("v")).as("cv"))
+    def assign(codebook: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id", "sub").orderBy(col("dist"), col("cell"))
+      e.join(broadcast(codebook), Seq("sub", "pos"))
+        .groupBy(col("id"), col("sub"), col("cell"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("sub"), col("cell").as("code"))
+    }
+    // one Lloyd round: reassign, recompute, re-encode against the refined book
+    val c2 = e.join(assign(c1), Seq("id", "sub"))
+      .groupBy(col("sub"), col("code").as("cell"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .persist()
+    val codes = assign(c2)
+    // asymmetric-distance scoring: reconstruct from the broadcast codebook,
+    // one grouped dot product per vector — no arrays materialized
+    val q = queryDf.select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "qv")))
+    val qn = q.agg(sqrt(sum(col("qv") * col("qv"))).as("qnorm"))
+    codes
+      .join(broadcast(c2.withColumnRenamed("cell", "code")), Seq("sub", "code"))
+      .join(broadcast(q), "pos")
+      .groupBy("id")
+      .agg(sum(col("cv") * col("qv")).as("dp"),
+        sqrt(sum(col("cv") * col("cv"))).as("rnorm"))
+      .crossJoin(broadcast(qn))
+      .withColumn("pq_cosine", col("dp") / (col("rnorm") * col("qnorm")))
+      .orderBy(desc("pq_cosine"), col("id"))
+      .limit(topK)
+      .select(col("id").as(idCol), col("pq_cosine"))
+  }
 }

@@ -34,14 +34,17 @@ object Stats {
       pairs.map { case (a, b) =>
         sum(dec(col(a) * col(b))).cast("double").as(s"p_${a}_$b") }
     val m = df.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
-    val rows = pairs.map { case (a, b) =>
+    // ONE explode of per-pair structs off the single 1-row aggregate — a
+    // union of per-pair selects would re-evaluate the aggregate (and
+    // re-scan the source) once per pair
+    val pairStructs = pairs.map { case (a, b) =>
       val corr = (col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
         sqrt((col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
           (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")))
-      m.select(lit(a).as("col_x"), lit(b).as("col_y"),
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
         round(corr, roundTo).as("pearson_r"))
     }
-    rows.reduce(_ unionAll _)
+    m.select(explode(array(pairStructs: _*)).as("pr")).select("pr.*")
   }
 
   /** Closed-form per-group OLS fit y ~ slope·x + intercept, from one

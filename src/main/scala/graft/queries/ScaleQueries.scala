@@ -1329,6 +1329,11 @@ object ScaleQueries {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
     val split = graft.functions.Curation
       .groupAwareSplit(docs, "doc_id", pairs, "split42").persist()
+    // materialize the assignment ONCE before fan-out: the broadcast (leak)
+    // subtree and the main aggregate otherwise evaluate concurrently,
+    // racing the persist and re-running the whole LSH+components chain
+    // several times (measured 47 s vs 9 s at sf0.1)
+    split.count()
     val leak = split.groupBy("cluster")
       .agg(countDistinct(col("split")).as("__ns"))
       .agg(max(col("__ns")).as("max_splits_per_cluster"))
@@ -1339,8 +1344,61 @@ object ScaleQueries {
       .orderBy("split")
   }
 
+  // Product quantization end-to-end: per-subspace codebooks (8 subspaces ×
+  // 16 L2 centroids, one Lloyd round from the id%k seed), byte-code
+  // encoding, asymmetric-distance search, and recall vs exact — the
+  // compressed-index path beyond SQ8 (x75): 8× smaller codes, codebook
+  // broadcast everywhere. The oracle replays training, encoding, and both
+  // searches step-for-step; each top-10 row carries the recall gate.
+  private val x90 = Q("x90_product_quantization", Some(
+    """WITH e AS (
+      |  SELECT vec_id AS id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v,
+      |    (u.i - 1) // 8 AS sub
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |c1 AS (SELECT sub, id % 16 AS cell, pos, avg(v) AS cv FROM e GROUP BY 1, 2, 3),
+      |d1 AS (SELECT e.id, e.sub, c.cell, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+      |       FROM e JOIN c1 c ON e.sub = c.sub AND e.pos = c.pos GROUP BY 1, 2, 3),
+      |a1 AS (SELECT id, sub, cell AS code FROM d1
+      |       QUALIFY row_number() OVER (PARTITION BY id, sub ORDER BY dist, cell) = 1),
+      |c2 AS (SELECT e.sub, a.code AS cell, e.pos, avg(e.v) AS cv
+      |       FROM e JOIN a1 a ON e.id = a.id AND e.sub = a.sub GROUP BY 1, 2, 3),
+      |d2 AS (SELECT e.id, e.sub, c.cell, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+      |       FROM e JOIN c2 c ON e.sub = c.sub AND e.pos = c.pos GROUP BY 1, 2, 3),
+      |codes AS (SELECT id, sub, cell AS code FROM d2
+      |       QUALIFY row_number() OVER (PARTITION BY id, sub ORDER BY dist, cell) = 1),
+      |q AS (SELECT u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS qv
+      |      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      |      WHERE vec_id = 0),
+      |qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q),
+      |sc AS (SELECT c.id, sum(cb.cv * q.qv) AS dp, sqrt(sum(cb.cv * cb.cv)) AS rnorm
+      |       FROM codes c JOIN c2 cb ON c.sub = cb.sub AND c.code = cb.cell
+      |       JOIN q ON cb.pos = q.pos GROUP BY c.id),
+      |ann AS (SELECT id, dp / (rnorm * (SELECT qnorm FROM qn)) AS pq_cos FROM sc
+      |        ORDER BY pq_cos DESC, id LIMIT 10),
+      |qv2 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |bf AS (SELECT vec_id AS id FROM embeddings, qv2
+      |       ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+      |         (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |          sqrt(list_dot_product(qv, qv))) DESC, vec_id LIMIT 10)
+      |SELECT a.id AS vec_id, round(a.pq_cos, 4) AS pq_cosine,
+      |  CAST((SELECT count(*) FROM bf JOIN ann USING (id)) * 1000 AS BIGINT) AS recall_bps
+      |FROM ann a ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+    val approx = Similarity.pqTopK(emb, "vec_id", "embedding", query, dim = 64)
+      .persist()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 10)
+    val recall = exact.select("vec_id")
+      .join(approx.select("vec_id"), "vec_id")
+      .agg((count(lit(1)) * 1000).cast("bigint").as("recall_bps"))
+    approx
+      .select(col("vec_id"), round(col("pq_cosine"), 4).as("pq_cosine"))
+      .crossJoin(broadcast(recall))
+      .orderBy("vec_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85)
+      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90)
 }

@@ -216,6 +216,43 @@ class PlanRegressionSpec extends SparkSpec {
       "the global total should broadcast:\n" + p.take(600))
   }
 
+  test("x83 sorted-neighborhood pairs come from equi-joins, never a range nested-loop") {
+    val p = plan("x83_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rank-window pairing degenerated to a non-equi join:\n" + p.take(800))
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "global index must be persisted (range boundaries re-sample otherwise)")
+  }
+
+  test("x77 boilerplate membership is a hash anti join") {
+    val p = plan("x77_boilerplate_removal")
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("x79 correlation matrix reads lineitem exactly once") {
+    val p = plan("x79_corr_matrix")
+    val scans = "(?m)Location.*lineitem".r.findAllIn(p).length
+    assert(scans == 1, s"all moments must come from ONE scan, got $scans:\n" + p.take(800))
+  }
+
+  test("x88 BPE iterations persist the vocab (linear lineage, no cartesian)") {
+    val p = plan("x88_bpe_learn")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "per-iteration vocab must persist:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      "only the broadcast 1-row argmax may cross-join:\n" + p.take(600))
+  }
+
+  test("x90 PQ codebook broadcasts; argmin encodes via WindowGroupLimit") {
+    val p = plan("x90_product_quantization")
+    assert(p.contains("BroadcastExchange"),
+      "the dim·k codebook must broadcast:\n" + p.take(600))
+    assert(p.contains("WindowGroupLimit"),
+      "the per-(vector,subspace) argmin must prune pre-shuffle:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
