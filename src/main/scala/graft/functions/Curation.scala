@@ -287,6 +287,25 @@ object Curation {
       size(split(col(textCol), PhonePattern, -1)) - 1)
     .withColumn(textCol, scrubPii(col(textCol)))
 
+  /** Deterministic epoch shuffle into training shards: each row's md5
+    * ticket (seed + id) decides its shard AND its position within the
+    * shard — a seeded pseudo-random permutation with no global sort.
+    * Changing the seed reshuffles every epoch; the same seed replays
+    * identically (resumable training). The position window partitions BY
+    * SHARD, so shards order themselves in parallel — no SinglePartition
+    * exchange at any scale. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__r"), col(idCol))
+    df.withColumn("__r",
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("__r"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos_in_shard", row_number().over(w))
+      .drop("__r")
+  }
+
   /** Hashing-trick bag-of-words: each token hashes (md5 — engine-portable,
     * seedable) into one of `dim` buckets; a document becomes its sparse
     * (bucket → count) vector. Fixed dimensionality with NO vocabulary pass —

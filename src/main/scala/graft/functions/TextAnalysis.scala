@@ -250,14 +250,41 @@ object TextAnalysis {
     * 1-row argmax broadcasts back, never a driver collect in the plan.
     * Returns (iter, merge_pair, weighted_count). */
   def bpeLearnMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
-      iters: Int = 3): org.apache.spark.sql.DataFrame = {
+      iters: Int = 3): org.apache.spark.sql.DataFrame =
+    bpeTrain(df, textCol, iters)._2.reduce(_ unionAll _)
+
+  /** Greedy BPE encoding with the merges learned from the same corpus:
+    * every document's word occurrences join the trained (word → token
+    * sequence) vocabulary, so encode cost is ONE corpus pass + a
+    * vocab-sized join (AQE broadcasts the vocab when it fits). Returns
+    * per-doc (n_words, n_chars, n_subwords) — the compression the learned
+    * merges actually buy. */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    val vocab = bpeTrain(df, textCol, iters)._1
+      .select(col("wd").as("__wd"), size(split(col("tok"), " ")).as("__nsub"))
+    df.select(col(idCol), explode(Dedup.words(col(textCol))).as("wd"))
+      .join(vocab, col("wd") === col("__wd"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("wd"))).cast("long").as("n_chars"),
+        sum(col("__nsub")).cast("long").as("n_subwords"))
+  }
+
+  /** Shared BPE training loop: returns the post-merge vocabulary
+    * (wd, tok, freq) and the per-iteration (iter, merge_pair,
+    * weighted_count) argmax frames. See [[bpeLearnMerges]] for the
+    * algorithm and scale notes. */
+  private def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      iters: Int): (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame]) = {
     var vocab = df
       .select(explode(Dedup.words(col(textCol))).as("wd"))
       .groupBy("wd").agg(count(lit(1)).as("freq"))
       .withColumn("tok", array_join(
         expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"),
         " "))
-      .select("tok", "freq")
+      .select("wd", "tok", "freq")
       .persist()
     val merges = (1 to iters).map { k =>
       val pairs = vocab
@@ -275,11 +302,11 @@ object TextAnalysis {
         .withColumn("tok", expr(
           "trim(replace(concat(' ', tok, ' '), concat(' ', __p, ' '), " +
           "concat(' ', replace(__p, ' ', ''), ' ')))"))
-        .select("tok", "freq")
+        .select("wd", "tok", "freq")
         .persist()
       best.select(lit(k).as("iter"), col("pair").as("merge_pair"),
         col("cnt").cast("long").as("weighted_count"))
     }
-    merges.reduce(_ unionAll _)
+    (vocab, merges)
   }
 }

@@ -87,6 +87,29 @@ object Stats {
       .drop("__g")
   }
 
+  /** Per-cluster quality report for a vector clustering: size and inertia
+    * (sum of squared L2 distance to the cell centroid). Centroid sums over
+    * float-mantissa doubles are exact; every squared-distance term is
+    * quantized to DECIMAL before the cell sum, so the aggregate is
+    * order-free and cross-engine exact. One explode + two grouped
+    * aggregates + a broadcast centroid join — never a pairwise pass. */
+  def clusterInertia(df: DataFrame, idCol: String, cellCol: String,
+      vecCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("__id"), col(cellCol).as("cell"),
+      posexplode(expr(s"transform($vecCol, x -> cast(x as double))"))
+        .as(Seq("pos", "v")))
+    val cents = e.groupBy("cell", "pos").agg(avg(col("v")).as("cv"))
+    e.join(broadcast(cents), Seq("cell", "pos"))
+      .withColumn("__term",
+        ((col("v") - col("cv")) * (col("v") - col("cv")))
+          .cast("decimal(28,18)"))
+      .groupBy("cell")
+      .agg(countDistinct(col("__id")).as("n_vectors"),
+        round(sum(col("__term")).cast("double"), 6).as("inertia"),
+        round(sum(col("__term")).cast("double") /
+          countDistinct(col("__id")), 6).as("avg_inertia"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: one grouped count of
     * equivalence classes, then a 1-row report — min class size (the
     * dataset's k), violating classes, and rows at re-identification risk.

@@ -286,5 +286,95 @@ object StatsQueries {
         .orderBy("window_start", "event_type")
   }
 
-  val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89)
+  // Deterministic epoch shuffle into 8 training shards: md5 tickets decide
+  // shard and in-shard position (seeded permutation, no global sort). The
+  // checksum sums doc_id·position, so the gate pins BOTH membership and
+  // the exact within-shard order.
+  private val x91 = Q("x91_epoch_shuffle", Some(
+    """WITH a AS (
+      |  SELECT doc_id, md5('epoch1:' || doc_id::VARCHAR) AS r FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(r, 1, 8))::BIGINT % 8 AS shard,
+      |    row_number() OVER (
+      |      PARTITION BY ('0x' || substring(r, 1, 8))::BIGINT % 8
+      |      ORDER BY r, doc_id) AS pos_in_shard
+      |  FROM a)
+      |SELECT shard, count(*) AS n_rows,
+      |  CAST(sum(doc_id * pos_in_shard) AS BIGINT) AS order_checksum
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin)) { (s, dir) =>
+    Curation.epochShuffle(t(s, dir, "documents").select("doc_id"),
+        "doc_id", "epoch1", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id") * col("pos_in_shard")).cast("bigint")
+          .as("order_checksum"))
+      .orderBy("shard")
+  }
+
+  // Cluster-quality report over the embedding labels: per-cell size and
+  // inertia. Centroid sums are float-exact; each squared-distance term is
+  // decimal-quantized before the cell sum — order-free, hash-gateable.
+  private val x92 = Q("x92_cluster_inertia", Some(
+    """WITH e AS (
+      |  SELECT vec_id, label, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |c AS (SELECT label, pos, avg(v) AS cv FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT e.vec_id, e.label,
+      |    CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(28,18)) AS term
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos)
+      |SELECT label AS cell, count(DISTINCT vec_id) AS n_vectors,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS inertia,
+      |  round(CAST(sum(term) AS DOUBLE) / count(DISTINCT vec_id), 6) AS avg_inertia
+      |FROM t GROUP BY label ORDER BY cell""".stripMargin)) { (s, dir) =>
+    graft.operators.Stats.clusterInertia(t(s, dir, "embeddings"),
+        "vec_id", "label", "embedding")
+      .orderBy("cell")
+  }
+
+  // BPE ENCODE with the merges learned in x88: word occurrences join the
+  // trained vocabulary; per-doc char vs subword counts show the
+  // compression the merges buy. The oracle replays training AND encoding.
+  private val x93 = Q("x93_bpe_encode", Some {
+    def iter(prev: String, p: String, b: String) =
+      s"""$p AS (
+         |  SELECT u.pr AS pair, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $prev, unnest(list_transform(range(1, len(string_split(tok, ' '))),
+         |    i -> string_split(tok, ' ')[i] || ' ' || string_split(tok, ' ')[i+1])) AS u(pr)
+         |  GROUP BY u.pr),
+         |$b AS (SELECT pair, cnt FROM $p ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    def apply(prev: String, b: String, name: String) =
+      s"""$name AS (
+         |  SELECT wd, trim(replace(' ' || tok || ' ',
+         |    ' ' || (SELECT pair FROM $b) || ' ',
+         |    ' ' || replace((SELECT pair FROM $b), ' ', '') || ' ')) AS tok, freq
+         |  FROM $prev)""".stripMargin
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(
+       |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |    x -> x <> '')) AS wd
+       |  FROM documents),
+       |vf AS (SELECT wd, count(*) AS freq FROM occ GROUP BY wd),
+       |v0 AS (SELECT wd, array_to_string(list_transform(range(1, length(wd) + 1),
+       |         i -> substring(wd, i, 1)), ' ') AS tok, freq FROM vf),
+       |${iter("v0", "p1", "b1")},
+       |${apply("v0", "b1", "v1")},
+       |${iter("v1", "p2", "b2")},
+       |${apply("v1", "b2", "v2")},
+       |${iter("v2", "p3", "b3")},
+       |${apply("v2", "b3", "v3")}
+       |SELECT o.doc_id, count(*) AS n_words,
+       |  CAST(sum(length(o.wd)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(string_split(v.tok, ' '))) AS BIGINT) AS n_subwords
+       |FROM occ o JOIN v3 v ON o.wd = v.wd
+       |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+  }) { (s, dir) =>
+    graft.functions.TextAnalysis
+      .bpeEncode(t(s, dir, "documents"), "doc_id", "text", iters = 3)
+      .orderBy("doc_id")
+  }
+
+  val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
+    x91, x92, x93)
 }

@@ -76,6 +76,47 @@ class StatsSpec extends SparkSpec {
     assert(m.toSeq == Seq(("b c", 1L)))
   }
 
+  test("bpeEncode: subword counts reflect the learned merges") {
+    // merges: 'a a', then 'a b', then 'aa ab' — so aaab collapses all the
+    // way to ONE token and ab to one: "aaab aaab ab" → 1+1+1 subwords;
+    // with only 2 merges applied it is 2+2+1
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val r3 = graft.functions.TextAnalysis.bpeEncode(docs, "doc_id", "text", 3)
+      .head()
+    assert(r3.getLong(1) == 3 && r3.getLong(2) == 10 && r3.getLong(3) == 3)
+    val r2 = graft.functions.TextAnalysis.bpeEncode(docs, "doc_id", "text", 2)
+      .head()
+    assert(r2.getLong(3) == 5)
+  }
+
+  test("epochShuffle: seeded permutation is deterministic, positions contiguous per shard") {
+    val df = (1L to 100L).map(i => Tuple1(i)).toDF("id")
+    val a = Curation.epochShuffle(df, "id", "s1", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val b = Curation.epochShuffle(df, "id", "s1", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // same seed → identical shards AND positions
+    val c = Curation.epochShuffle(df, "id", "s2", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq != c.toSeq) // new seed → new permutation
+    assert(a.length == 100)
+    // positions are 1..n within each shard
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("clusterInertia: hand-computed centroid distances") {
+    val df = Seq((1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(2.0f, 0.0f)),
+      (3L, 1, Seq(5.0f, 5.0f))).toDF("id", "cell", "vec")
+    val r = graft.operators.Stats.clusterInertia(df, "id", "cell", "vec")
+      .orderBy("cell").collect()
+    // cell 0: centroid (1,0), inertia 1+1 = 2, avg 1; cell 1: singleton, 0
+    assert(r(0).getLong(1) == 2 && r(0).getDouble(2) == 2.0 &&
+      r(0).getDouble(3) == 1.0)
+    assert(r(1).getLong(1) == 1 && r(1).getDouble(2) == 0.0)
+  }
+
   test("removeBoilerplate: recurring segments drop everywhere, order survives, all-boilerplate docs stay") {
     val docs = Seq(
       (1L, "foo bar alpha beta next one"),
