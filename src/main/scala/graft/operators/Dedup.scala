@@ -438,4 +438,50 @@ object Dedup {
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccardOf(col("ga"), col("gb")).as("jaccard"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (PPJoin-style) —
+    * the guarantee-carrying complement to [[minhashNearDups]]: zero false
+    * negatives at Jaccard ≥ num/den, no probabilistic banding.
+    *
+    * Theorem: order every doc's shingles by ascending global document
+    * frequency (rare first, token as tiebreak); two sets with Jaccard ≥ t
+    * MUST share a token within each other's first |x| − ⌈t·|x|⌉ + 1
+    * tokens. So candidates come from an EQUI-join on prefix tokens only —
+    * and rare-first ordering makes those the least-shared tokens, keeping
+    * the candidate count near the true-pair count. The threshold is a
+    * rational num/den and every gate comparison is integer-exact
+    * (⌈t·sz⌉ = (num·sz + den − 1) div den; verify cross-multiplies).
+    * One shuffle for the per-doc rank windows, one for the candidate join. */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum < thresholdDen,
+      "threshold must be a proper fraction")
+    val w = org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(df, idCol, textCol)
+      .filter(size(col("shs")) > 0).persist()
+    val toks = sets.select(col(idCol).as("id"), explode(col("shs")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        w.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(w.partitionBy("id")))
+      .filter(col("rn") <=
+        col("sz") - expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
+      .select(col("id"), col("tok"))
+    val cand = pref.select(col("id").as("id_a"), col("tok"))
+      .join(pref.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col(idCol).as("__ia"), col("shs").as("__sa")),
+        col("id_a") === col("__ia"))
+      .join(sets.select(col(idCol).as("__ib"), col("shs").as("__sb")),
+        col("id_b") === col("__ib"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__u",
+        size(col("__sa")) + size(col("__sb")) - col("__i"))
+      .filter(col("__i") * thresholdDen >= lit(thresholdNum) * col("__u"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__i").cast("double") / col("__u"), 4).as("jaccard"))
+  }
 }

@@ -1397,8 +1397,41 @@ object ScaleQueries {
       .orderBy("vec_id")
   }
 
+  // EXACT similarity self-join via prefix filtering — the zero-false-
+  // negative complement to x2's LSH: same shingle sets, same 0.8 Jaccard
+  // bar, but candidates come from an equi-join on the RAREST ⌈0.2·sz⌉+1
+  // tokens per doc (prefix-filter theorem), and every gate comparison is
+  // integer-exact. The oracle replays ranking, prefix selection, candidate
+  // join, and verify.
+  private val x96 = Q("x96_prefix_filter_join", Some(
+    s"""WITH $SETS_CTE,
+       |sets2 AS (SELECT doc_id, shs FROM sets WHERE len(shs) > 0),
+       |toks AS (SELECT doc_id, unnest(shs) AS tok FROM sets2),
+       |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+       |pref AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT t.doc_id, t.tok,
+       |      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+       |      count(*) OVER (PARTITION BY t.doc_id) AS sz
+       |    FROM toks t JOIN dfreq d ON t.tok = d.tok)
+       |  WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b, len(list_intersect(x.shs, y.shs)) AS i,
+       |    len(x.shs) AS sa, len(y.shs) AS sb
+       |  FROM cand c JOIN sets2 x ON c.id_a = x.doc_id
+       |              JOIN sets2 y ON c.id_b = y.doc_id)
+       |SELECT id_a, id_b, round(i::DOUBLE / (sa + sb - i), 4) AS jaccard
+       |FROM ver WHERE i * 5 >= 4 * (sa + sb - i)
+       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    Dedup.prefixFilterJoin(t(s, dir, "documents"), "doc_id", "text", 4, 5)
+      .orderBy("id_a", "id_b")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90)
+      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96)
 }

@@ -375,6 +375,77 @@ object StatsQueries {
       .orderBy("doc_id")
   }
 
+  // SCD2 temporal lookup: each order joined to the customer-dimension
+  // VERSION valid the day before it (state-before-the-event — the classic
+  // warehouse fact↔dim-at-time join). Composes Merge.scd2FromHistory with
+  // the as-of join (union+marker+window — ONE shuffle, no range join).
+  // The oracle builds the same dim and uses DuckDB's native ASOF JOIN.
+  private val x94 = Q("x94_scd2_lookup", Some(
+    """WITH hist AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS order_value
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |dim AS (
+      |  SELECT o_custkey AS d_custkey, order_value, o_orderdate AS valid_from
+      |  FROM hist),
+      |f AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    o_orderdate - INTERVAL 1 DAY AS asof_ts
+      |  FROM orders)
+      |SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+      |  d.order_value AS prev_value
+      |FROM f ASOF LEFT JOIN dim d
+      |  ON f.o_custkey = d.d_custkey AND f.asof_ts >= d.valid_from
+      |ORDER BY f.o_orderkey""".stripMargin)) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val hist = orders.groupBy("o_custkey", "o_orderdate")
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+        .as("order_value"))
+    val dim = hist.select(col("o_custkey"), col("o_orderdate").as("__ts"),
+      col("order_value").as("prev_value"))
+    val facts = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"),
+      (col("o_orderdate") - expr("INTERVAL 1 DAY")).as("__ts"))
+    graft.operators.AsofJoin.asofJoin(facts, dim, "o_custkey", "__ts",
+        Seq("prev_value"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "prev_value")
+      .orderBy("o_orderkey")
+  }
+
+  // Event transition matrix: per-user consecutive event-type bigrams (one
+  // lag window), transition shares in integer ppm — the Markov-chain view
+  // of user behavior, all-integer gate.
+  private val x95 = Q("x95_event_transitions", Some(
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n) AS tn FROM tr GROUP BY from_type)
+      |SELECT tr.from_type, tr.to_type, CAST(tr.n AS BIGINT) AS n,
+      |  CAST(tr.n * 1000000 // tot.tn AS BIGINT) AS ppm
+      |FROM tr JOIN tot ON tr.from_type = tot.from_type
+      |ORDER BY tr.from_type, tr.to_type""".stripMargin)) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("from_type").as("__ft"))
+      .agg(sum(col("n")).as("tn"))
+    tr.join(tot, col("from_type") === col("__ft"))
+      .select(col("from_type"), col("to_type"), col("n").cast("bigint").as("n"),
+        expr("n * 1000000 div tn").cast("bigint").as("ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93)
+    x91, x92, x93, x94, x95)
 }

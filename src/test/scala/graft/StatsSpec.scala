@@ -117,6 +117,30 @@ class StatsSpec extends SparkSpec {
     assert(r(1).getLong(1) == 1 && r(1).getDouble(2) == 0.0)
   }
 
+  test("prefixFilterJoin finds EXACTLY the exhaustive ≥0.8-Jaccard pairs (no false negatives)") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      3L -> "a completely different sentence about spark query planning",
+      4L -> "a completely different sentence about spark query planning", // exact dup of 3
+      5L -> "nothing in common with anything else whatsoever here now")
+    val df = texts.toDF("doc_id", "text")
+    val got = graft.operators.Dedup.prefixFilterJoin(df, "doc_id", "text", 4, 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exhaustive ground truth on 3-word shingle sets
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      i = (shingles(ta) intersect shingles(tb)).size
+      u = (shingles(ta) union shingles(tb)).size
+      if i * 5 >= 4 * u
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    assert(expected.contains((3L, 4L))) // sanity: the planted pairs exist
+    assert(expected.contains((1L, 2L)))
+  }
+
   test("removeBoilerplate: recurring segments drop everywhere, order survives, all-boilerplate docs stay") {
     val docs = Seq(
       (1L, "foo bar alpha beta next one"),
