@@ -392,6 +392,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccardOf(col("ga"), col("gb")).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT over an EXPLICIT candidate-pair frame —
+    * the verify primitive for quote/subset detection, where Jaccard fails:
+    * a paragraph wholly quoted inside a much longer document has low
+    * Jaccard (the union is huge) but containment(A in B) =
+    * |grams(A)∩grams(B)| / |grams(A)| ≈ 1. Reported in integer basis
+    * points both directions, so the gate never touches a float. Same cost
+    * shape as [[charNgramJaccard]]: two hash equi-joins, never all-pairs. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, n: Int): DataFrame = {
+    require(candidates.columns.contains("id_a") && candidates.columns.contains("id_b"),
+      "candidate frame must have columns (id_a, id_b)")
+    val grams = charGrams(df, idCol, textCol, n)
+    val ga = grams.select(col("id").as("id_a"), col("grams").as("ga"))
+    val gb = grams.select(col("id").as("id_b"), col("grams").as("gb"))
+    candidates.select("id_a", "id_b").join(ga, "id_a").join(gb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(col("gb")).cast("long").as("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0, expr("n_inter * 10000 div n_a"))
+          .otherwise(0L).as("containment_a_bps"),
+        when(col("n_b") > 0, expr("n_inter * 10000 div n_b"))
+          .otherwise(0L).as("containment_b_bps"))
+  }
+
   /** Edit-distance verify over an EXPLICIT candidate-pair frame — the third
     * verify primitive next to Jaccard (charNgramJaccard) and cosine: exact
     * Levenshtein distance plus a length-normalized similarity. Candidates

@@ -76,6 +76,43 @@ object Graph {
     * legs. The classic caveat applies: a hub node of degree d contributes
     * O(d²) two-hop candidates — cap degrees upstream (the same move as
     * LSH's maxBucket) when the graph has hubs. */
+  /** Synchronous label propagation — community detection between
+    * [[pageRank]] (importance) and Dedup.nearDupComponents (connectivity):
+    * every node starts labeled with itself; each iteration it adopts the
+    * label MOST FREQUENT among its neighbors, ties broken by the smallest
+    * label. Unlike classic randomized LPA this update is a total order
+    * (count desc, label asc), so the result is deterministic and an
+    * external engine can replay it iteration by iteration.
+    *
+    * 100 TB design: per iteration ONE equi-join (labels onto the
+    * symmetrized edge list) + ONE groupBy(dst, label) + ONE argmax
+    * aggregate — all shuffles on node keys, no driver state; labels are
+    * persisted per iteration so lineage stays linear (the x29/x55 lesson).
+    * The argmax is `max(struct(cnt, -label))`, a plain hash aggregate —
+    * no per-node window/sort. Labels must be numeric (node ids). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    val fwd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).persist()
+    for (_ <- 1 to iters) {
+      val next = und
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("best"))
+        .select(col("dst").as("node"), (-col("best.nl")).as("lab"))
+        .persist()
+      labels = next
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))

@@ -57,6 +57,34 @@ object Resample {
         coalesce(abs(col("z")) > threshold, lit(false)))
   }
 
+  /** Trailing exponentially-weighted moving average with alpha = 1/2 over
+    * an ordered per-group DECIMAL series: ewma_t = Σ_k 0.5^k·v_{t−k} /
+    * Σ_k 0.5^k over the last `terms` rows. The weights 0.5^k are EXACT
+    * decimals (0.5^k has exactly k fractional digits), so numerator and
+    * denominator accumulate with zero rounding in any engine; the single
+    * double division at the end is the same IEEE op on the same bits, and
+    * the 4-decimal quantization is the tie-free floor form (see
+    * [[movingAverage]]). One window pass: the k lags share one window spec
+    * (alpha is pinned at 1/2 precisely because other alphas are not exactly
+    * representable — a general-alpha EWMA cannot be replayed bit-equal). */
+  def ewmaHalf(daily: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, terms: Int = 10): DataFrame = {
+    require(terms >= 1 && terms <= 20, s"terms=$terms out of [1,20]")
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    val num = (0 until terms).map { k =>
+      val wk = java.math.BigDecimal.valueOf(0.5).pow(k)
+      coalesce(lag(col(valueCol), k).over(w).cast("decimal(28,6)") * lit(wk),
+        lit(java.math.BigDecimal.ZERO))
+    }.reduce(_ + _)
+    val den = (0 until terms).map { k =>
+      val wk = java.math.BigDecimal.valueOf(0.5).pow(k)
+      when(lag(col(valueCol), k).over(w).isNotNull, lit(wk))
+        .otherwise(lit(java.math.BigDecimal.ZERO))
+    }.reduce(_ + _)
+    daily.withColumn("ewma",
+      floor(num.cast("double") / den.cast("double") * 10000 + 0.5) / 10000)
+  }
+
   /** Daily counts + sums per group over each group's [min-day, max-day]
     * span: gap days appear with n_events = 0, null total_value, and
     * `carried_total` = last observed day's total. */

@@ -88,6 +88,39 @@ object Similarity {
           * lit(1e8) + lit(0.5)) / lit(1e8)).as("rmse"))
   }
 
+  /** Johnson-Lindenstrauss random projection with a SEEDED ±1 sign matrix:
+    * sign(j,i) = parity of the first hex digit of md5("seed:j:i"), so the
+    * matrix is a pure function of (seed, shape) that any engine can replay —
+    * no RNG state, no shipped matrix files. Input components are
+    * floor-quantized to integers FIRST (×10⁴), so projection and every
+    * downstream distance is exact BIGINT arithmetic: the gate never touches
+    * a float, and E[‖y‖²] = outDim·‖x‖² gives the distortion check its
+    * expected ratio.
+    *
+    * 100 TB design: the matrix is built ONCE on a 1-row frame (outDim·inDim
+    * md5 calls total, NOT per data row) and broadcast via crossJoin; the
+    * projection itself is a per-row zip_with/aggregate fold — one scan, no
+    * shuffle. Returns (id, xq: array<long>, yq: array<long>). */
+  def randomProjectSigned(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, seed: String): DataFrame = {
+    require(outDim >= 1 && outDim <= inDim, s"outDim=$outDim out of [1,$inDim]")
+    val spark = df.sparkSession
+    val sign = (j: Column, i: Column) =>
+      when(conv(substring(md5(concat_ws(":", lit(seed), j, i)), 1, 1), 16, 10)
+        .cast("int") % 2 === 0, 1L).otherwise(-1L)
+    val mat = spark.range(1).select(
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        transform(sequence(lit(0), lit(inDim - 1)), i => sign(j, i))).as("__m"))
+    df.select(col(idCol),
+        transform(col(vecCol), v =>
+          floor(v.cast("double") * lit(10000)).cast("long")).as("xq"))
+      .crossJoin(broadcast(mat))
+      .select(col(idCol), col("xq"),
+        transform(col("__m"), row =>
+          aggregate(zip_with(col("xq"), row, (x, s) => x * s),
+            lit(0L), (acc, v) => acc + v)).as("yq"))
+  }
+
   /** Reconstructed (dequantized) vectors from the same SQ codes
     * [[scalarQuantize]] emits — the corpus an asymmetric-distance search
     * (full-precision query vs compressed corpus) actually scans. Returns

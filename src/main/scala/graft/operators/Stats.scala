@@ -125,4 +125,23 @@ object Stats {
         col("n_violating_classes"), col("n_rows_at_risk"),
         (col("min_class_size") >= k).as("is_k_anonymous"))
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s companion: k-anonymity bounds how
+    * small an equivalence class can get, l-diversity bounds how HOMOGENEOUS
+    * its sensitive attribute can be (a class of 50 rows that all share one
+    * diagnosis still leaks). One grouped count-distinct over the QID classes
+    * (|classes| rows, never the fact size), then a 1-row report. */
+  def lDiversity(df: DataFrame, qidCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    df.groupBy(qidCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__nd"),
+        count(lit(1)).as("__sz"))
+      .agg(min(col("__nd")).as("min_diversity"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("__nd") < l, 1L).otherwise(0L)).as("n_violating_classes"),
+        sum(when(col("__nd") < l, col("__sz")).otherwise(0L)).as("n_rows_at_risk"))
+      .select(lit(l).as("l"), col("min_diversity"), col("n_classes"),
+        col("n_violating_classes"), col("n_rows_at_risk"),
+        (col("min_diversity") >= l).as("is_l_diverse"))
+  }
 }

@@ -86,6 +86,27 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Native session-window aggregation — Spark's `session_window` groupBy
+    * (the declarative sibling of [[sessionizeFull]]'s mapGroupsWithState):
+    * events of one user merge while consecutive gaps stay UNDER `gap`; the
+    * window end is the last event plus the gap. Catalyst plans its own
+    * merging-session aggregate — no user state code, and on a stream the
+    * watermark evicts closed sessions. Value sums are decimal so per-session
+    * totals are independent of merge order (same rationale as
+    * [[windowedCountsExact]]). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__tv"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        round(col("__tv").cast("double"), 2).as("total_value"))
+  }
+
   /** Per-user sessionization with mapGroupsWithState: a session closes after
     * `gapSeconds` of inactivity; emits (user_id, session_start, n_events).
     * State is one small record per active user — bounded by the timeout. */
