@@ -45,7 +45,11 @@ object Expectations {
     case NotNull(column) =>
       sum(when(col(column).isNull, 1L).otherwise(0L))
     case Unique(columns) =>
-      count(lit(1)) - countDistinct(columns.map(col): _*)
+      // Distinct over a struct, not the raw columns: countDistinct(c1, c2)
+      // drops rows where ANY argument is NULL, misreporting every NULL-keyed
+      // row as a duplicate. A struct of the key columns is itself never NULL,
+      // so NULL keys participate in the distinct like any other value.
+      count(lit(1)) - countDistinct(struct(columns.map(col): _*))
     case Between(column, lo, hi) =>
       sum(when(col(column).isNotNull &&
         (col(column) < lo || col(column) > hi), 1L).otherwise(0L))
