@@ -340,9 +340,19 @@ object Curation {
     * rest → test (out of 10). */
   def groupAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
       seed: String, trainPct: Int = 8, valPct: Int = 1,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    groupAwareSplitFromComponents(docs, idCol,
+      Dedup.nearDupComponents(pairs, iters), seed, trainPct, valPct)
+
+  /** [[groupAwareSplit]] over PRE-COMPUTED components (node, component) —
+    * the entry point when the near-dup clustering already exists (it is
+    * the expensive half: LSH + iterative propagation), so one persisted
+    * components frame can feed dedup reporting and splitting without
+    * re-deriving the chain. */
+  def groupAwareSplitFromComponents(docs: DataFrame, idCol: String,
+      comps: DataFrame, seed: String, trainPct: Int = 8,
+      valPct: Int = 1): DataFrame = {
     require(trainPct + valPct < 10, "train+val must leave room for test")
-    val comps = Dedup.nearDupComponents(pairs, iters)
     docs.select(col(idCol))
       .join(comps, col(idCol) === col("node"), "left")
       .withColumn("cluster", coalesce(col("component"), col(idCol)))

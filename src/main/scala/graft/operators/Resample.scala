@@ -66,14 +66,23 @@ object Resample {
     * the 4-decimal quantization is the tie-free floor form (see
     * [[movingAverage]]). One window pass: the k lags share one window spec
     * (alpha is pinned at 1/2 precisely because other alphas are not exactly
-    * representable — a general-alpha EWMA cannot be replayed bit-equal). */
+    * representable — a general-alpha EWMA cannot be replayed bit-equal).
+    *
+    * Precision budget (why the bounds are what they are): term k is
+    * decimal(18,6) × decimal(k,k) → (19+k, 6+k), 13 integer digits for
+    * every k. Spark's left-fold `+` widens the accumulator to
+    * (int digits + 1, max scale) per addition, so after term k the
+    * accumulator is (20+2k, 6+k); terms = 10 peaks at exactly (38, 15) —
+    * the last type that fits Spark's 38-digit cap with ZERO truncation.
+    * terms = 11 would silently round (allowPrecisionLoss), breaking the
+    * bit-equal replay, hence the hard clamp. */
   def ewmaHalf(daily: DataFrame, groupCol: String, orderCol: String,
       valueCol: String, terms: Int = 10): DataFrame = {
-    require(terms >= 1 && terms <= 20, s"terms=$terms out of [1,20]")
+    require(terms >= 1 && terms <= 10, s"terms=$terms out of [1,10]")
     val w = Window.partitionBy(groupCol).orderBy(orderCol)
     val num = (0 until terms).map { k =>
       val wk = java.math.BigDecimal.valueOf(0.5).pow(k)
-      coalesce(lag(col(valueCol), k).over(w).cast("decimal(28,6)") * lit(wk),
+      coalesce(lag(col(valueCol), k).over(w).cast("decimal(18,6)") * lit(wk),
         lit(java.math.BigDecimal.ZERO))
     }.reduce(_ + _)
     val den = (0 until terms).map { k =>

@@ -51,12 +51,34 @@ object Pipeline {
 
   /** Full file pipeline with V3 quarantine-on-failure control flow. Writes
     * `<out>.parquet` (bulk) or `.xlsx` (summary) + the K7 sidecar, then moves
-    * the source to archive/ on success or copies to quarantine/ on failure. */
+    * the source to archive/ on success or copies to quarantine/ on failure.
+    *
+    * Enforces the reference's documented-but-unenforced quarantine threshold
+    * (reference: src/config.yaml:124-127 `quarantine_threshold: 0.1` — "If
+    * >10% of rows fail, reject the whole file"): parse failures (A6's
+    * date + numeric counts, already computed in the fused metrics pass — no
+    * extra job) over the post-unpivot row count; exceeding the ratio
+    * quarantines the file even though each bad row alone would only be
+    * coerced to null. Pass `quarantineThreshold = 1.0` to disable. */
   def runPipeline(spark: SparkSession, sourcePath: Path, t: Template,
       outputPath: Path, archiveDir: Path, quarantineDir: Path,
       validationLevel: String = "coerce",
-      failOnMissing: Boolean = false, failOnExtra: Boolean = false): ProcessResult = {
-    val (result, dfOpt) = runFullProcess(spark, sourcePath, t, validationLevel)
+      failOnMissing: Boolean = false, failOnExtra: Boolean = false,
+      quarantineThreshold: Double = 0.1): ProcessResult = {
+    val (result0, dfOpt) = runFullProcess(spark, sourcePath, t, validationLevel)
+    val result = if (!result0.success) result0 else {
+      val failed =
+        result0.metrics.get("date_parse_failures").collect { case n: Long => n }.getOrElse(0L) +
+        result0.metrics.get("numeric_parse_failures").collect { case n: Long => n }.getOrElse(0L)
+      val total = result0.metrics.get("unpivot_after")
+        .collect { case (n: Long, _) => n }.getOrElse(0L)
+      if (total > 0 && failed.toDouble / total > quarantineThreshold)
+        result0.copy(success = false, message =
+          s"Quarantine threshold exceeded: $failed of $total rows " +
+          f"(${failed.toDouble / total * 100}%.1f%%) failed to parse " +
+          f"(threshold ${quarantineThreshold * 100}%.0f%%).")
+      else result0
+    }
     dfOpt match {
       case Some(df) if result.success =>
         try {

@@ -289,5 +289,18 @@ object CoreQueries {
       .orderBy("customer_id", "period")
   }
 
-  val qs: Seq[Q] = Seq(p1, p2, p3, r1, r2, a1, d1, f3, f4, c1, c2, c5, a6, h9)
+  // P5 snake_case fallback naming (reference: src/core.py:246-250): messy
+  // real-world headers collapse to canonical snake_case identifiers.
+  private val p5 = Q("p5_snake_case", Some(
+    """SELECT n_nationkey AS nation_key_1, n_name AS the_name_field
+      |FROM nation ORDER BY nation_key_1""".stripMargin)) { (s, dir) =>
+    val messy = t(s, dir, "nation").select(
+      col("n_nationkey").as("  Nation//Key--1 "),
+      col("n_name").as("The NAME field!"))
+    messy.toDF(messy.columns.map(TransformEngine.snakeCase).toIndexedSeq: _*)
+      .orderBy("nation_key_1")
+  }
+
+  val qs: Seq[Q] = Seq(p1, p2, p3, p5, r1, r2, a1, d1, f3, f4, c1, c2, c5, a6,
+    h9)
 }

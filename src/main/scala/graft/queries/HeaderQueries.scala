@@ -119,5 +119,31 @@ object HeaderQueries {
         .orderBy("label", "headers")
   }
 
-  val qs: Seq[Q] = Seq(h1, h5, h6, h7, h8)
+  // H3 synonym config load/merge/learn (reference: src/core.py:222-243):
+  // a learn cycle writes the user overlay, loadConfig merges base + user
+  // (user lists EXTEND base lists, deduped), and the merged mapping is
+  // emitted row-wise. Fixed-input path → VALUES oracle (the h1 pattern).
+  private val h3 = Q("h3_synonym_learn", Some(
+    """SELECT * FROM (VALUES
+      |  ('qty', 'quantity'),
+      |  ('report_date', 'date'),
+      |  ('report_date', 'pvm'),
+      |  ('report_date', 'raportointi pvm'),
+      |  ('sales_amount', 'sales'))
+      |AS t(field, synonym) ORDER BY field, synonym""".stripMargin)) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_h3")
+    val base = tmp.resolve("base.yaml")
+    val user = tmp.resolve("user.yaml")
+    java.nio.file.Files.writeString(base,
+      "synonyms:\n  report_date:\n    - date\n    - pvm\n  sales_amount:\n    - sales\n")
+    AutoMapper.learnMapping(user, "report_date", " Raportointi PVM ")
+    AutoMapper.learnMapping(user, "qty", "Quantity")
+    val merged = AutoMapper.loadConfig(base, user)
+    import s.implicits._
+    merged.synonyms.toSeq
+      .flatMap { case (f, syns) => syns.map(f -> _) }
+      .toDF("field", "synonym").orderBy("field", "synonym")
+  }
+
+  val qs: Seq[Q] = Seq(h1, h3, h5, h6, h7, h8)
 }

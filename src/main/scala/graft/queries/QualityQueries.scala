@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.operators.{Dedup, Expectations, Graph, Resample, Stats}
+import graft.operators.Similarity
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+import Tables.t
+
+/** Round-5 wiring for operators that previously existed without a driver
+  * gate: the deequ-style expectations suite, n-gram containment verify,
+  * deterministic label propagation, exact-decimal EWMA, seeded JL random
+  * projection, native session windows, and the l-diversity audit. Every
+  * oracle replays the full computation in DuckDB (same hashes, same
+  * quantization), not just a row count. */
+object QualityQueries {
+
+  // Expectations suite over orders: four column checks fused into ONE
+  // aggregate (one scan regardless of check count) plus a broadcast
+  // anti-join referential-integrity probe of lineitem→orders. Two checks
+  // are chosen to have non-zero violation counts (totalprice cap, status
+  // set without 'P') so the violation arithmetic is gated, not just zeros.
+  private val x97 = Q("x97_expectations_audit", Some(
+    """WITH r AS (
+      |  SELECT 'not_null:o_custkey' AS check_name,
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'unique:o_orderkey',
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'between:o_totalprice',
+      |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+      |      AND (o_totalprice < 0 OR o_totalprice > 300000)
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'in_set:o_orderstatus',
+      |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+      |      AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'ri:l_orderkey',
+      |    CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |      AS BIGINT))
+      |SELECT check_name, n_violations, n_violations = 0 AS passed
+      |FROM r ORDER BY check_name""".stripMargin)) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    Expectations.audit(orders, Seq(
+        Expectations.NotNull("o_custkey"),
+        Expectations.Unique(Seq("o_orderkey")),
+        Expectations.Between("o_totalprice", 0, 300000),
+        Expectations.InSet("o_orderstatus", Seq("O", "F"))))
+      .unionByName(Expectations.refIntegrity(
+        t(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey",
+        "ri:l_orderkey"))
+      .orderBy("check_name")
+  }
+
+  // Asymmetric n-gram containment over an explicit candidate frame (the
+  // quote/subset-detection verify where Jaccard fails): all 60×59/2 pairs
+  // of a bounded block, every count and basis-point ratio integer-exact.
+  private val x98 = Q("x98_ngram_containment", Some(
+    """WITH grams AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(nt)-2, 1)),
+      |           i -> substring(nt, i, 4))) AS gs
+      |  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+      |        FROM documents WHERE doc_id < 60))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_inter,
+      |  CAST(len(a.gs) AS BIGINT) AS n_a,
+      |  CAST(len(b.gs) AS BIGINT) AS n_b,
+      |  CAST(CASE WHEN len(a.gs) > 0
+      |    THEN CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) * 10000 // len(a.gs)
+      |    ELSE 0 END AS BIGINT) AS containment_a_bps,
+      |  CAST(CASE WHEN len(b.gs) > 0
+      |    THEN CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) * 10000 // len(b.gs)
+      |    ELSE 0 END AS BIGINT) AS containment_b_bps
+      |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+    val cands = docs.select(col("doc_id").as("id_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    Dedup.ngramContainment(docs, "doc_id", "text", cands, 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  // Deterministic label propagation over the part↔supplier co-purchase
+  // graph (x55's graph, community semantics instead of importance): the
+  // oracle unrolls all three iterations with the identical total-order
+  // update (count desc, label asc), so every iteration's fixed point is
+  // hash-checked. Parts get even node ids, suppliers odd, keeping the two
+  // key spaces disjoint without strings.
+  private val x99 = Q("x99_label_propagation", Some {
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT e.dst AS node, l.lab AS lab
+         |  FROM e JOIN $prev l ON l.node = e.src
+         |  GROUP BY e.dst, l.lab
+         |  QUALIFY row_number() OVER (PARTITION BY e.dst
+         |    ORDER BY count(*) DESC, l.lab) = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (SELECT node, node AS lab
+       |       FROM (SELECT DISTINCT src AS node FROM e)),
+       |${iter("l0", "i1")},
+       |${iter("i1", "i2")},
+       |${iter("i2", "i3")}
+       |SELECT node, lab AS community FROM i3 ORDER BY node""".stripMargin
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    Graph.labelPropagation(e, "src", "dst", iters = 3)
+      .orderBy("node")
+  }
+
+  // EWMA(alpha=1/2) over the daily event series: every weighted term is an
+  // exact decimal in BOTH engines (0.5^k has exactly k fractional digits;
+  // the fold peaks at decimal(38,15) — see Resample.ewmaHalf's precision
+  // budget), so the final double division sees identical bits.
+  private val x100 = Q("x100_ewma_half", Some {
+    val terms = (0 until 10).map { k =>
+      val w = java.math.BigDecimal.valueOf(0.5).pow(k).toPlainString
+      (s"coalesce(lag(tv, $k) OVER w * $w, 0)",
+        s"CASE WHEN lag(tv, $k) OVER w IS NOT NULL THEN $w ELSE 0 END")
+    }
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS tv
+       |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+       |lagged AS (
+       |  SELECT event_type, day, tv,
+       |    ${terms.map(_._1).mkString(" + ")} AS num,
+       |    ${terms.map(_._2).mkString(" + ")} AS den
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       |SELECT event_type, day, round(CAST(tv AS DOUBLE), 2) AS total_value,
+       |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 + 0.5) / 10000 AS ewma
+       |FROM lagged ORDER BY event_type, day""".stripMargin
+  }) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("__tv"))
+    Resample.ewmaHalf(daily, "event_type", "day", "__tv", terms = 10)
+      .select(col("event_type"), col("day"),
+        round(col("__tv").cast("double"), 2).as("total_value"), col("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  // Johnson-Lindenstrauss random projection 64→8 with the seeded ±1 sign
+  // matrix: the oracle re-derives every matrix entry from the same
+  // md5-parity rule and re-computes the projection in exact BIGINT
+  // arithmetic; the distortion ratio (E[‖y‖²] = outDim·‖x‖²) is the one
+  // double, floor-quantized identically.
+  private val x101 = Q("x101_random_projection", Some(
+    """WITH x AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    v -> CAST(floor(v * 10000) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT j, i,
+      |    CASE WHEN ('0x' || substring(md5('jl5:' || j::VARCHAR || ':' || i::VARCHAR), 1, 1))::INT % 2 = 0
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM range(0, 8) r1(j), range(0, 64) r2(i)),
+      |y AS (
+      |  SELECT x.vec_id, m.j, CAST(sum(x.xq[m.i + 1] * m.s) AS BIGINT) AS yj
+      |  FROM x, m GROUP BY x.vec_id, m.j),
+      |ya AS (
+      |  SELECT vec_id,
+      |    CAST(max(CASE WHEN j = 0 THEN yj END) AS BIGINT) AS y0,
+      |    CAST(max(CASE WHEN j = 1 THEN yj END) AS BIGINT) AS y1,
+      |    CAST(sum(yj * yj) AS BIGINT) AS l2y
+      |  FROM y GROUP BY vec_id),
+      |xs AS (
+      |  SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS l2x
+      |  FROM (SELECT vec_id, unnest(xq) AS v FROM x) GROUP BY vec_id)
+      |SELECT a.vec_id, a.y0, a.y1, xs.l2x, a.l2y,
+      |  floor(CAST(a.l2y AS DOUBLE) / (8 * CAST(xs.l2x AS DOUBLE)) * 10000 + 0.5) / 10000
+      |    AS distortion
+      |FROM ya a JOIN xs USING (vec_id)
+      |ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+    Similarity.randomProjectSigned(t(s, dir, "embeddings"),
+        "vec_id", "embedding", inDim = 64, outDim = 8, seed = "jl5")
+      .select(col("vec_id"),
+        element_at(col("yq"), 1).as("y0"),
+        element_at(col("yq"), 2).as("y1"),
+        aggregate(col("xq"), lit(0L), (a, v) => a + v * v).as("l2x"),
+        aggregate(col("yq"), lit(0L), (a, v) => a + v * v).as("l2y"))
+      .withColumn("distortion",
+        floor(col("l2y").cast("double") / (lit(8) * col("l2x").cast("double"))
+          * 10000 + 0.5) / 10000)
+      .orderBy("vec_id")
+  }
+
+  // Native session_window aggregation (the declarative sibling of x15's
+  // mapGroupsWithState sessionizer): sessions merge while gaps stay UNDER
+  // 30 minutes, window end = last event + gap. The oracle rebuilds the
+  // same sessions with a boundary cumulative sum (diff >= gap starts a new
+  // session — [t,t+g) windows touching at the boundary do NOT merge).
+  private val x102 = Q("x102_session_windows", Some(
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin)) { (s, dir) =>
+    EventStream.sessionWindows(Tables.events(s, dir), gap = "30 minutes")
+      .orderBy("user_id", "session_start")
+  }
+
+  // l-diversity audit (x82's k-anonymity companion): bound how homogeneous
+  // a quasi-identifier class's sensitive attribute can get. One grouped
+  // count-distinct over |classes| rows, then a 1-row report.
+  private val x103 = Q("x103_l_diversity", Some(
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    count(DISTINCT c_acctbal) AS nd, count(*) AS sz
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(5 AS BIGINT) AS l,
+      |  min(nd) AS min_diversity,
+      |  count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN nd < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+      |  CAST(sum(CASE WHEN nd < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+      |  min(nd) >= 5 AS is_l_diverse
+      |FROM cls""".stripMargin)) { (s, dir) =>
+    Stats.lDiversity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 5L)
+  }
+
+  val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103)
+}

@@ -867,8 +867,9 @@ object ScaleQueries {
        |SELECT node AS doc_id, CAST(lab AS BIGINT) AS component
        |FROM l2 ORDER BY doc_id""".stripMargin
   }) { (s, dir) =>
-    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text")
-    Dedup.nearDupComponents(pairs, iters = 2)
+    // the LSH → verify → components chain is shared with x85 (one persisted
+    // frame per session+dir) — see queries.Shared
+    Shared.neardupComponents(s, dir)
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
   }
@@ -1326,13 +1327,14 @@ object ScaleQueries {
        |FROM labeled GROUP BY split ORDER BY split""".stripMargin
   }) { (s, dir) =>
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+    // components shared with x29 (one persisted frame per session+dir);
+    // only the cheap join+bucket assignment is computed here
     val split = graft.functions.Curation
-      .groupAwareSplit(docs, "doc_id", pairs, "split42").persist()
+      .groupAwareSplitFromComponents(docs, "doc_id",
+        Shared.neardupComponents(s, dir), "split42").persist()
     // materialize the assignment ONCE before fan-out: the broadcast (leak)
     // subtree and the main aggregate otherwise evaluate concurrently,
-    // racing the persist and re-running the whole LSH+components chain
-    // several times (measured 47 s vs 9 s at sf0.1)
+    // racing the persist and re-running the assignment several times
     split.count()
     val leak = split.groupBy("cluster")
       .agg(countDistinct(col("split")).as("__ns"))

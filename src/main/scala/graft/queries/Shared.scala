@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Cross-query shared frames (harness-level memo, NOT a library feature):
+  * x29 (near-dup components) and x85 (leakage-safe group split) both embed
+  * the same MinHash-LSH → verify → connected-components chain over the
+  * `documents` table — the two heaviest non-streaming queries in the bench.
+  * Computing the components ONCE per (session, dataset) and persisting them
+  * roughly halves the combined cost without changing either query's hashes
+  * (both consume the identical frame the chain always produced).
+  *
+  * The memo key is (session identity, dir) so tests touching several scale
+  * factors, or several sessions, never cross wires. The frame is
+  * materialized eagerly inside the memo so concurrent first-callers can't
+  * race the persist (the x85 round-4 lesson: a broadcast subtree evaluated
+  * before persist completion re-runs the whole chain). */
+object Shared {
+  private val comps =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Near-dup components (node, component) over `documents` at minhash
+    * defaults — persisted, materialized, computed once per session+dir. */
+  def neardupComponents(s: SparkSession, dir: String): DataFrame =
+    comps.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+      val pairs = Dedup.minhashNearDups(
+        Tables.t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")
+      val c = Dedup.nearDupComponents(pairs, iters = 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    })
+}

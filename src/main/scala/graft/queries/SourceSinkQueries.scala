@@ -309,6 +309,23 @@ object SourceSinkQueries {
       .orderBy("priority")
   }
 
-  val qs: Seq[Q] = Seq(s1, s1b, s2, s3, s6, k1, k2, k3, k4, k6, v1, k9, k10,
-    k11)
+  // S9 upload scan: the bytes→scratch-file→template-read path the webapp
+  // upload uses (reference: src/core/streamlit_io.py:11-47) — round-trips
+  // region through a real xlsx payload handed over as raw bytes.
+  private val s9 = Q("s9_upload_scan", Some(
+    """SELECT CAST(r_regionkey AS INT) AS region_key, r_name AS region_name
+      |FROM region ORDER BY region_key""".stripMargin)) { (s, dir) =>
+    val dirp = Files.createTempDirectory("graft_s9")
+    val p = dirp.resolve("region.xlsx")
+    Exporter.writeXlsx(t(s, dir, "region"), p, "Sheet1")
+    val tpl = Template(
+      columns = List("r_regionkey", "r_name"),
+      columnMappings = Map("r_regionkey" -> "region_key", "r_name" -> "region_name"))
+    TemplateReader.readBytes(s, Files.readAllBytes(p), "upload.xlsx", tpl)
+      .select(col("region_key").cast("int").as("region_key"), col("region_name"))
+      .orderBy("region_key")
+  }
+
+  val qs: Seq[Q] = Seq(s1, s1b, s2, s3, s6, s9, k1, k2, k3, k4, k6, v1, k9,
+    k10, k11)
 }

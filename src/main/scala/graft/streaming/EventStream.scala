@@ -397,12 +397,17 @@ object EventStream {
     * (the x44 merge==recompute guarantee, proven on the streaming path).
     *
     * 100 TB design: the state is |keys| rows and the per-batch work is one
-    * partial aggregate of that batch — the production shape writes the
-    * merged state to a table per batch (exactly-once via the batchId).
+    * partial aggregate of that batch — the PRODUCTION shape writes the
+    * merged state to a keyed sink table per batch (exactly-once via the
+    * batchId), never holding it on the driver. This REPLAY keeps state in
+    * driver memory only because the oracle harness must hand the final
+    * frame back synchronously, so it is the one place a data-sized
+    * structure could land on the driver: `maxKeys` hard-bounds the grouped
+    * key domain (the replay aborts rather than silently ballooning).
     * State is re-materialized from driver-held rows each batch, so lineage
     * never chains across batches. */
   def incrementalAggReplay(spark: SparkSession, events: DataFrame,
-      batches: Int = 4): DataFrame = {
+      batches: Int = 4, maxKeys: Int = 100000): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = events.select(col("event_id").cast("long"),
@@ -429,6 +434,10 @@ object EventStream {
                 java.util.Arrays.asList(state: _*), stateSchema),
               batchState), Seq("event_type"))
           val collected = merged.collect()
+          require(collected.length <= maxKeys,
+            s"incrementalAggReplay: ${collected.length} state keys exceed " +
+              s"maxKeys=$maxKeys — this replay holds state on the driver; " +
+              "use a keyed sink store for unbounded key domains")
           stateSchema = merged.schema
           state = collected
           ()

@@ -13,14 +13,18 @@ class CliSpec extends SparkSpec {
     val dir = Files.createTempDirectory("cli_run")
     val in = dir.resolve("input"); Files.createDirectories(in)
     val out = dir.resolve("output")
+    // one bad-date row in eleven (9%) — under the 10% quarantine threshold,
+    // so the file processes and F6 drops just the unparseable row
     Files.writeString(in.resolve("sales.csv"),
-      "article_sku,report_date,sales_amount\ns1,2021-01-02,10.5\ns2,bad-date,3\n")
+      "article_sku,report_date,sales_amount\n" +
+        (1 to 10).map(i => s"s$i,2021-01-${i + 10},$i.5\n").mkString +
+        "sbad,bad-date,3\n")
     TemplateCodec.save(
       Template(sourceType = "csv", providerName = Some("acme")),
       in.resolve("sales" + TemplateCodec.TemplateSuffixJson))
     Main.main(Array("run", "--target-dir", in.toString, "--output-dir", out.toString))
     val result = spark.read.parquet(out.resolve("sales_clean.parquet").toString)
-    assert(result.count() == 1) // bad-date row dropped by F6
+    assert(result.count() == 10) // bad-date row dropped by F6
     assert(result.columns.contains("provider_id"))
     assert(Files.exists(in.resolve("archive").resolve("sales.csv")))
   }

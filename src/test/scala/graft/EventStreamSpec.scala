@@ -156,4 +156,18 @@ class EventStreamSpec extends SparkSpec {
       assert(replay == direct, s"batches=$batches")
     }
   }
+
+  test("incrementalAggReplay aborts when state keys exceed the driver bound") {
+    import spark.implicits._
+    val events = (1 to 40).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"),
+        i.toLong % 5, s"type_${i % 4}", i * 0.25)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e = intercept[Exception] {
+      EventStream.incrementalAggReplay(spark, events, batches = 2, maxKeys = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxKeys")), messages(e).mkString("; "))
+  }
 }

@@ -175,6 +175,28 @@ class ExporterPipelineSpec extends SparkSpec {
     assert(Files.exists(src)) // quarantine copies; source stays for inspection
   }
 
+  test("runPipeline: quarantine threshold rejects files with >10% parse failures") {
+    val dir = tmp
+    val csv = "article_sku,report_date,sales_amount\n" +
+      "s1,NOT_A_DATE,10.5\ns2,ALSO_BAD,2\ns3,2021-01-03,4\n"
+    val src = dir.resolve("in.csv")
+    Files.writeString(src, csv)
+    val r = Pipeline.runPipeline(spark, src, Template(sourceType = "csv",
+      providerName = Some("acme")), dir.resolve("out.parquet"),
+      dir.resolve("archive"), dir.resolve("quarantine"))
+    assert(!r.success)
+    assert(r.message.contains("Quarantine threshold"), r.message)
+    assert(Files.exists(dir.resolve("quarantine").resolve("in.csv")))
+    // threshold disabled → same file processes (bad rows coerce/drop per C1/F6)
+    val src2 = dir.resolve("in2.csv")
+    Files.writeString(src2, csv)
+    val r2 = Pipeline.runPipeline(spark, src2, Template(sourceType = "csv",
+      providerName = Some("acme")), dir.resolve("out2.parquet"),
+      dir.resolve("archive"), dir.resolve("quarantine"),
+      quarantineThreshold = 1.0)
+    assert(r2.success, r2.message)
+  }
+
   test("runPipeline: drift gate failure quarantines (fail_on_missing)") {
     val dir = tmp
     val src = dir.resolve("in.csv")

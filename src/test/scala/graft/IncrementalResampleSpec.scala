@@ -64,6 +64,30 @@ class IncrementalResampleSpec extends SparkSpec {
     assert(out.toSeq == Seq(10.0, 15.0, 40.0))
   }
 
+  test("ewmaHalf is exact at the largest allowed terms (10) and max magnitude") {
+    import java.math.BigDecimal
+    val half = BigDecimal.valueOf(0.5)
+    // 12 integer digits + 6 fractional — the full decimal(18,6) width the
+    // precision budget in the scaladoc is sized for.
+    val vals = (0 until 12).map(i =>
+      new BigDecimal(s"98765432109${i % 10}.7654${i % 10}3"))
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i, v) }
+      .toDF("g", "i", "v").withColumn("v", col("v").cast("decimal(18,6)"))
+    val out = Resample.ewmaHalf(df, "g", "i", "v", terms = 10)
+      .orderBy("i").collect().map(_.getAs[Double]("ewma"))
+    vals.indices.foreach { t =>
+      val ks = 0 to math.min(t, 9)
+      val num = ks.map(k => vals(t - k).multiply(half.pow(k))).reduce(_ add _)
+      val den = ks.map(k => half.pow(k)).reduce(_ add _)
+      val expect =
+        math.floor(num.doubleValue / den.doubleValue * 10000 + 0.5) / 10000
+      assert(out(t) == expect, s"t=$t: got ${out(t)}, want $expect")
+    }
+    intercept[IllegalArgumentException] {
+      Resample.ewmaHalf(df, "g", "i", "v", terms = 11)
+    }
+  }
+
   test("globalIndex equals the naive global row_number") {
     val df = (1 to 500).map(i => Tuple1(i * 3L)).toDF("k")
     val out = graft.operators.Indexing.globalIndex(df, "k", partitions = 8)
