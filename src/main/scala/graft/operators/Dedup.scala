@@ -353,11 +353,14 @@ object Dedup {
       val viaEdges = und.join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("lab"))
       // each round references the previous labels TWICE (identity ∪ via
-      // edges); persisting per round keeps the work linear in `iters`
-      // instead of 2^iters plan re-evaluations
+      // edges); lineage-truncate per round (localCheckpoint) so the work
+      // stays linear in `iters` — persist alone leaves a plan tree that
+      // grows every round and is re-analyzed on the driver by every later
+      // round AND every downstream consumer (measured ~4 s of planning per
+      // action behind this chain at sf0.1; see Graph.pageRank)
       labels = labels.unionByName(viaEdges)
         .groupBy("node").agg(min(col("lab")).as("lab"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     }
     labels.select(col("node"), col("lab").as("component"))
   }

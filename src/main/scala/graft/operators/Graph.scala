@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * 100 TB design: each iteration is ONE equi-join (rank onto the edge list,
   * which carries its out-degree) plus ONE groupBy(dst) — both shuffle on
   * the node key, so a k-iteration run is 2k key-partitioned stages with no
-  * driver-side state and no global sort. Ranks are persisted per iteration:
-  * without it the lineage doubles per round (the x29 lesson). Contributions
-  * are quantized to DECIMAL before the sum — double summation order differs
-  * under partial aggregation, and exact decimal sums make the result
-  * independent of shuffle order (and bit-reproducible across engines).
+  * driver-side state and no global sort. Ranks are lineage-TRUNCATED per
+  * iteration via localCheckpoint: a persist alone keeps the full plan tree
+  * growing linearly per round, and every later round (and every downstream
+  * consumer) re-analyzes that whole tree on the driver — measured ~4 s of
+  * pure planning per action behind the x29 chain at sf0.1. The checkpoint
+  * swaps in a flat LogicalRDD leaf (non-reliable: executor loss forces a
+  * recompute; long-lived cluster jobs should use reliable checkpoint() on
+  * a shared dir). Contributions are quantized to DECIMAL before the sum —
+  * double summation order differs under partial aggregation, and exact
+  * decimal sums make the result independent of shuffle order (and
+  * bit-reproducible across engines).
   *
   * Determinism notes: the per-iteration re-quantization uses
   * floor(x·1e10 + 0.5)/1e10, NOT round(x, 10) — round() tie-break
@@ -59,7 +65,7 @@ object Graph {
           lit(damping) * sum(col("contrib")).cast("double")).as("rank"),
           first(col("n_nodes")).as("n_nodes"))
         .select(col("dst").as("node"), col("rank"), col("n_nodes"))
-        .persist()
+        .localCheckpoint()
       rank = next
     }
     rank.select("node", "rank")
@@ -87,7 +93,9 @@ object Graph {
     * 100 TB design: per iteration ONE equi-join (labels onto the
     * symmetrized edge list) + ONE groupBy(dst, label) + ONE argmax
     * aggregate — all shuffles on node keys, no driver state; labels are
-    * persisted per iteration so lineage stays linear (the x29/x55 lesson).
+    * lineage-truncated per iteration (localCheckpoint, see [[pageRank]] —
+    * persist alone leaves a growing plan tree that the driver re-analyzes
+    * every round).
     * The argmax is `max(struct(cnt, -label))`, a plain hash aggregate —
     * no per-node window/sort. Labels must be numeric (node ids). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
@@ -98,7 +106,7 @@ object Graph {
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab")).persist()
+      .select(col("node"), col("node").as("lab")).localCheckpoint()
     for (_ <- 1 to iters) {
       val next = und
         .join(labels, col("src") === col("node"))
@@ -107,7 +115,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("best"))
         .select(col("dst").as("node"), (-col("best.nl")).as("lab"))
-        .persist()
+        .localCheckpoint()
       labels = next
     }
     labels.select(col("node"), col("lab").as("community"))

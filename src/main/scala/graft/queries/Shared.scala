@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
 /** Cross-query shared frames (harness-level memo, NOT a library feature):
   * x29 (near-dup components) and x85 (leakage-safe group split) both embed
@@ -22,15 +21,19 @@ object Shared {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   /** Near-dup components (node, component) over `documents` at minhash
-    * defaults — persisted, materialized, computed once per session+dir. */
+    * defaults — computed once per session+dir and LINEAGE-TRUNCATED via
+    * localCheckpoint: a merely-persisted frame keeps the whole LSH+CC plan
+    * tree as the InMemoryRelation's child, and every downstream action
+    * re-analyzes/canonicalizes that tree on the driver (measured ~4 s per
+    * action at sf0.1 — more than the actual aggregation). The checkpoint
+    * swaps in a flat LogicalRDD, so consumers plan against a leaf.
+    * (localCheckpoint is non-reliable — executor loss would force a full
+    * recompute; at cluster scale a persisted TABLE is the durable shape.) */
   def neardupComponents(s: SparkSession, dir: String): DataFrame =
     comps.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
       val pairs = Dedup.minhashNearDups(
         Tables.t(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text")
-      val c = Dedup.nearDupComponents(pairs, iters = 2)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      c
+      Dedup.nearDupComponents(pairs, iters = 2).localCheckpoint()
     })
 }

@@ -165,7 +165,11 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "pagerank must not plan a cartesian product:\n" + p.take(800))
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
-    assert(p.contains("InMemoryTableScan"), "per-iteration ranks must persist")
+    // per-iteration ranks are lineage-truncated (localCheckpoint → flat
+    // LogicalRDD leaf), not merely persisted — a growing cached plan tree
+    // costs seconds of driver re-analysis per downstream action
+    assert(p.contains("Scan ExistingRDD"),
+      "per-iteration ranks must be checkpointed:\n" + p.take(800))
   }
 
   test("x51 snapshot diff is one full-outer join with the 'same' filter in-plan") {
