@@ -285,7 +285,11 @@ object TextAnalysis {
         expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"),
         " "))
       .select("wd", "tok", "freq")
-      .persist()
+      // lineage-truncate the evolving vocab per iteration (localCheckpoint):
+      // each merge round rewrites `tok` on top of the previous round, so a
+      // persist-only loop grows the plan tree per iteration and the driver
+      // re-analyzes the whole chain on every action (see Graph.pageRank)
+      .localCheckpoint()
     val merges = (1 to iters).map { k =>
       val pairs = vocab
         .withColumn("__lp", split(col("tok"), " "))
@@ -296,14 +300,14 @@ object TextAnalysis {
           "transform(sequence(1, size(__lp) - 1), " +
           "i -> concat(element_at(__lp, i), ' ', element_at(__lp, i + 1)))")))
         .groupBy("pair").agg(sum(col("freq")).as("cnt"))
-      val best = pairs.orderBy(desc("cnt"), col("pair")).limit(1).persist()
+      val best = pairs.orderBy(desc("cnt"), col("pair")).limit(1).localCheckpoint()
       vocab = vocab
         .crossJoin(broadcast(best.select(col("pair").as("__p"))))
         .withColumn("tok", expr(
           "trim(replace(concat(' ', tok, ' '), concat(' ', __p, ' '), " +
           "concat(' ', replace(__p, ' ', ''), ' ')))"))
         .select("wd", "tok", "freq")
-        .persist()
+        .localCheckpoint()
       best.select(lit(k).as("iter"), col("pair").as("merge_pair"),
         col("cnt").cast("long").as("weighted_count"))
     }
