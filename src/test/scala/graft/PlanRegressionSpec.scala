@@ -240,10 +240,10 @@ class PlanRegressionSpec extends SparkSpec {
     assert(scans == 1, s"all moments must come from ONE scan, got $scans:\n" + p.take(800))
   }
 
-  test("x88 BPE iterations persist the vocab (linear lineage, no cartesian)") {
+  test("x88 BPE iterations checkpoint the vocab (flat lineage, no cartesian)") {
     val p = plan("x88_bpe_learn")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      "per-iteration vocab must persist:\n" + p.take(600))
+    assert(p.contains("Scan ExistingRDD"),
+      "per-iteration vocab must be lineage-truncated:\n" + p.take(600))
     assert(!p.contains("CartesianProduct"),
       "only the broadcast 1-row argmax may cross-join:\n" + p.take(600))
   }
@@ -255,6 +255,48 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       "the per-(vector,subspace) argmin must prune pre-shuffle:\n" + p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("x97 expectations suite is ONE scan + a broadcast anti RI probe") {
+    val p = plan("x97_expectations_audit")
+    // all 4 column checks fuse into one aggregate over one orders scan
+    assert("FileScan parquet".r.findAllIn(p).length <= 3, // orders, lineitem, orders-dim
+      "check fan-out must not re-scan per check:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "RI must be a broadcast anti join:\n" + p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("x98 containment verify joins candidates by hash, never all-pairs") {
+    val p = plan("x98_ngram_containment")
+    // the 60-doc candidate block builds with one nested-loop pair join, but
+    // the gram frames must attach via hash equi-joins
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "grams must attach to the candidate frame by equi-join:\n" + p.take(800))
+  }
+
+  test("x99 label propagation is equi-join + hash aggregates, no windows") {
+    val p = plan("x99_label_propagation")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-iteration labels must be lineage-truncated:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // argmax is max(struct(cnt, -lab)) — a plain aggregate, not a window
+    assert(!p.contains("Window"), "argmax must not plan a per-node window")
+  }
+
+  test("x102 session windows plan Spark's native merging-session aggregate") {
+    val p = plan("x102_session_windows")
+    assert(p.contains("session_window") || p.contains("SessionWindow"),
+      "must use the native session_window, not a manual cumsum:\n" + p.take(600))
+  }
+
+  test("x101 random projection broadcasts the 1-row sign matrix") {
+    val p = plan("x101_random_projection")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the sign matrix must ride in as a broadcast:\n" + p.take(600))
+    // matrix is built from range(1) — no shuffle on the data side beyond sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      "projection itself must be map-only:\n" + p.take(800))
   }
 
   test("partitioned write prunes partitions on read") {
