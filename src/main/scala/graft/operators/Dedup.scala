@@ -513,4 +513,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("__i").cast("double") / col("__u"), 4).as("jaccard"))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    * algorithm, at word granularity): hash every `k`-WORD shingle, slide a
+    * window of `w` consecutive shingle hashes, keep each window's MINIMUM
+    * hash (ties → rightmost position), dedup'd per document. The guarantee
+    * the other near-dup primitives lack: any shared word run of ≥
+    * w + k − 1 words yields at least one SHARED fingerprint — minhash sees
+    * whole-document similarity, simhash near-identity; winnowing finds
+    * LOCAL overlap (quotes, partial plagiarism) with a proof, at expected
+    * density 2/(w+1) of the shingle count. Word shingles (the minhash
+    * granularity) keep the hash count ~6× below char-grams at equal
+    * detection power for quote-length matches.
+    *
+    * 100 TB design: shingle hashing is expression-only; the per-window
+    * minimum is a frame-bounded window aggregate `min(struct(h, -p))`
+    * (lexicographic struct order ⇒ smallest hash, ties to the RIGHTMOST
+    * position) — one shuffle on the document key, codegen'd end to end.
+    * Deliberately NOT the nested-lambda array formulation
+    * (aggregate-inside-transform with an outer lambda reference hangs
+    * Catalyst's optimizer on Spark 4.1); window-over-posexplode is the
+    * battle-tested equivalent and DuckDB replays it verbatim.
+    * Returns (id, fp_hash, fp_pos), distinct. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 16, s"k=$k out of [1,16]")
+    require(w >= 2 && w <= 64, s"w=$w out of [2,64]")
+    val grams = df
+      .withColumn("__ws", words(col(textCol)))
+      .filter(size(col("__ws")) >= k)
+      // shuffle BEFORE the hash work, not after: the window below needs
+      // hash-partitioning on id anyway, so repartitioning here elides the
+      // window's own Exchange (same shuffle count) while moving the md5
+      // extraction behind the full partition fan-out — otherwise a compact
+      // source (one parquet row-group) serializes all hashing on one core,
+      // and the shuffled payload is the raw word arrays, smaller than the
+      // k-times-duplicated exploded shingles
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), posexplode(expr(
+        s"transform(sequence(1, size(__ws) - ${k - 1}), i -> " +
+          s"cast(conv(substring(md5(array_join(slice(__ws, i, $k), ' ')), 1, 8), 16, 10) as bigint))"))
+        .as(Seq("__i", "h")))
+      .select(col("id"), (col("__i") + 1).cast("int").as("p"), col("h"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val perDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    grams
+      .withColumn("__best",
+        min(struct(col("h"), (-col("p")).as("np"))).over(frame))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      // full windows only: starts p ≤ n−w+1; short docs (n < w) keep the
+      // single all-grams window at p = 1
+      .filter(col("p") <= greatest(col("__n") - (w - 1), lit(1)))
+      .select(col("id"), col("__best.h").as("fp_hash"),
+        (-col("__best.np")).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Local-overlap pair discovery over [[winnowFingerprints]]: the
+    * inverted-index shape — fingerprints equi-join on fp_hash, document
+    * frequency capped at `maxDf` (a fingerprint present in more documents
+    * than that is boilerplate, and the winnowing guarantee is about rare
+    * shared content, not chrome), pairs gated at ≥ `minShared` shared
+    * hashes. One groupBy for the df filter + one hash join + one pair
+    * aggregate; the cap bounds every posting list, so no bucket can go
+    * quadratic. Returns (id_a, id_b, n_shared). */
+  def winnowMatches(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 3,
+      maxDf: Long = 16): DataFrame = {
+    // eager lineage truncation, not lazy persist: this frame feeds FOUR
+    // scans of one plan (df filter + both join sides + the aggregate), and
+    // a lazy cache lets parallel stages race its first materialization and
+    // re-run the whole fingerprint extraction per scan
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp_hash")).distinct()
+      .localCheckpoint()
+    val rare = fps.groupBy("fp_hash")
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("fp_hash")
+    val kept = fps.join(rare, "fp_hash")
+    kept.select(col("fp_hash"), col("id").as("id_a"))
+      .join(kept.select(col("fp_hash"), col("id").as("id_b")), "fp_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -245,5 +245,44 @@ object QualityQueries {
       Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 5L)
   }
 
-  val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103)
+  // Winnowing (MOSS) fingerprints + local-overlap pair discovery: the
+  // oracle replays the whole pipeline — word-shingle hashing, the
+  // per-window rightmost-min selection (struct-min over the same frame),
+  // df-capped inverted join — so both the fingerprint SELECTION and the
+  // pair gate are hash-checked. 3-word shingles / window 4 over the
+  // documents corpus; planted near-dups surface as high-n_shared pairs.
+  private val x104 = Q("x104_winnowing_overlap", Some(
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text),
+      |      '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, u.i::INT AS p,
+      |    ('0x' || substring(md5(ws[u.i::INT] || ' ' || ws[u.i::INT + 1] || ' ' ||
+      |      ws[u.i::INT + 2]), 1, 8))::BIGINT AS h
+      |  FROM ws, unnest(range(1, len(ws) - 1)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |win AS (
+      |  SELECT doc_id, p,
+      |    min({'h': h, 'np': -p}) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS best,
+      |    count(*) OVER (PARTITION BY doc_id) AS nn
+      |  FROM g),
+      |f0 AS (
+      |  SELECT DISTINCT doc_id, best.h AS h
+      |  FROM win WHERE p <= greatest(nn - 3, 1)),
+      |rare AS (SELECT h FROM f0 GROUP BY h HAVING count(DISTINCT doc_id) <= 16),
+      |kept AS (SELECT f0.doc_id, f0.h FROM f0 JOIN rare USING (h))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+      |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    Dedup.winnowMatches(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, minShared = 3, maxDf = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104)
 }

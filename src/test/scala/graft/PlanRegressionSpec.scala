@@ -299,6 +299,18 @@ class PlanRegressionSpec extends SparkSpec {
       "projection itself must be map-only:\n" + p.take(800))
   }
 
+  test("x104 winnowing has ONE pre-hash exchange and a checkpointed fp frame") {
+    val p = plan("x104_winnowing_overlap")
+    assert(p.contains("Scan ExistingRDD"),
+      "fingerprints must be eagerly lineage-truncated before the 4-scan join:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the repartition(id) BEFORE hashing doubles as the window's exchange —
+    // the plan upstream of the checkpoint leaf was audited separately; here
+    // the pair join must be hash joins over the flat leaf only
+    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
