@@ -370,6 +370,61 @@ object Similarity {
     assign
   }
 
+  /** Hard-negative mining for contrastive training: for every vector, the
+    * `k` most-cosine-similar vectors carrying a DIFFERENT label — the
+    * near-misses an embedding model must learn to separate (random
+    * negatives are trivially far; these are the gradient-bearing ones).
+    *
+    * Candidates come from multi-probe cell assignment (each vector lands
+    * in its own and `probes−1` nearest label-centroid regions), so a
+    * cross-label pair is discoverable exactly when the two vectors sit in
+    * overlapping regions — the same candidates-then-verify shape as
+    * [[embeddingNearDupsMultiProbe]], never an all-pairs join.
+    *
+    * 100 TB design: centroids are |labels|·d and broadcast; assignment is
+    * one scan × |labels| dot products with a top-`probes` row_number
+    * window (WindowGroupLimit prunes pre-shuffle); candidates equi-join on
+    * the cell key; the final top-k is a per-query window over candidate
+    * rows only. Ranking uses the RAW cosine (ties → smallest neighbor id)
+    * and only the reported value is quantized. */
+  def hardNegatives(data: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int = 3, probes: Int = 2): DataFrame = {
+    require(k >= 1 && probes >= 1, "k and probes must be positive")
+    val cents = broadcast(centroids(data, labelCol, vecCol)
+      .select(col("cell"), col("centroid"), norm(col("centroid")).as("__cn")))
+    val base = data.select(col(idCol).as("id"), col(labelCol).as("lab"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("__cs"), col("cell"))
+    val assigned = base.select(col("id"), col("__v"), col("__n"))
+      .crossJoin(cents)
+      .select(col("id"),
+        (dot(col("__v"), col("centroid")) / (col("__n") * col("__cn"))).as("__cs"),
+        col("cell"))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= probes)
+      .select(col("id"), col("cell"))
+    val cand = assigned.select(col("id").as("qid"), col("cell"))
+      .join(assigned.select(col("id").as("nid"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val qa = base.select(col("id").as("qid"), col("lab").as("__ql"),
+      col("__v").as("__qv"), col("__n").as("__qn"))
+    val nb = base.select(col("id").as("nid"), col("lab").as("__nl"),
+      col("__v").as("__nv"), col("__n").as("__nn"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("__cos"), col("nid"))
+    cand.join(qa, "qid").join(nb, "nid")
+      .filter(col("__ql") =!= col("__nl"))
+      .select(col("qid"), col("nid"), col("__nl"),
+        (dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))).as("__cos"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neg_id"),
+        col("__nl").as("neg_label"), round(col("__cos"), 4).as("cosine"))
+  }
+
   /** IVF search: probe the `nprobe` cells whose centroids are closest to the
     * query (by cosine), then brute-force only within those cells. */
   def ivfTopK(data: DataFrame, idCol: String, cellCol: String, vecCol: String,

@@ -284,4 +284,54 @@ class ScaleOpsSpec extends SparkSpec {
     // byte_len/content_hash describe the PNG payload itself
     assert(feats(0).getAs[Long]("byte_len") == png.length.toLong)
   }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 words shares a fingerprint") {
+    // k=3, w=4 → any common run of 6+ words MUST yield >= 1 shared
+    // fingerprint (Schleimer et al. theorem 2); these two docs share only
+    // the 7-word quote in the middle
+    val quote = "to be or not to be that"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $quote delta echo foxtrot golf"),
+      (2L, s"one two three four $quote nine ten eleven twelve")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowMatches(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxDf = 100).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Long]("n_shared") >= 1L)
+    // below the guarantee length (5 shared words) nothing is promised, and
+    // for these texts no window minimum coincides
+    val short = Seq(
+      (1L, "alpha bravo charlie to be or not tower delta echo foxtrot"),
+      (2L, "one two three four five six be or not seven eight nine")).toDF("doc_id", "text")
+    val none = Dedup.winnowMatches(short, "doc_id", "text",
+      k = 3, w = 4, minShared = 1, maxDf = 100).collect()
+    assert(none.isEmpty, none.mkString(","))
+  }
+
+  test("winnowing fingerprints: tie-rightmost and short-doc window") {
+    // a doc shorter than w shingles keeps exactly one all-shingles window
+    val tiny = Seq((1L, "just four words here")).toDF("doc_id", "text") // 2 shingles < w
+    val fp = Dedup.winnowFingerprints(tiny, "doc_id", "text", k = 3, w = 4).collect()
+    assert(fp.length == 1)
+    // and a doc below k words yields nothing
+    val sub = Seq((2L, "two words")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(sub, "doc_id", "text", k = 3, w = 4).isEmpty)
+  }
+
+  test("hardNegatives returns only cross-label neighbors, ranked by cosine") {
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, 1, Seq(0.8f, 0.2f, 0.0f)),  // near label-0 vectors: the hard negative
+      (4L, 1, Seq(0.0f, 0.0f, 1.0f))   // far: easy negative
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "label", "embedding",
+      k = 2, probes = 2).collect()
+    out.foreach { r =>
+      val q = r.getAs[Long]("vec_id"); val lab = r.getAs[Int]("neg_label")
+      assert((q <= 2 && lab == 1) || (q >= 3 && lab == 0),
+        s"same-label pair leaked: $r")
+    }
+    val top1 = out.filter(r => r.getAs[Long]("vec_id") == 1L &&
+      r.getAs[Long]("rank") == 1L)
+    assert(top1.head.getAs[Long]("neg_id") == 3L) // nearest cross-label vector
+  }
 }
