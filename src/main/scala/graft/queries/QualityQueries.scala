@@ -323,5 +323,33 @@ object QualityQueries {
       .orderBy("vec_id", "rank")
   }
 
-  val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105)
+  // The STREAMING path of the native session_window aggregate, under the
+  // SAME oracle as its batch twin x102: the static frame replays through a
+  // real watermarked MemoryStream in time-ordered micro-batches; sentinel
+  // events push the watermark past every real session so Append emits
+  // them, while the sentinel sessions stay open and unemitted.
+  private val x106 = Q("x106_stream_session_windows", Some(
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin)) { (s, dir) =>
+    EventStream.sessionWindowsReplay(s, Tables.events(s, dir), gap = "30 minutes")
+      .orderBy("user_id", "session_start")
+  }
+
+  val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
+    x106)
 }

@@ -107,6 +107,53 @@ object EventStream {
         round(col("__tv").cast("double"), 2).as("total_value"))
   }
 
+  /** Replay a STATIC events frame through [[sessionWindows]] as a real
+    * watermarked stream (the x15 pattern applied to the NATIVE
+    * session_window aggregate): time-ordered micro-batches into a
+    * MemoryStream, then one sentinel event per user far past the last
+    * timestamp so the watermark overtakes every real session's end and
+    * Append mode emits it. Sentinel sessions themselves stay open (the
+    * watermark never passes them) and are therefore never emitted, so the
+    * returned frame must equal the batch [[sessionWindows]] of the same
+    * input — the merging-session STATE PATH, not just its batch plan, is
+    * hash-gated. */
+  def sessionWindowsReplay(spark: SparkSession, events: DataFrame,
+      gap: String = "30 minutes", batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("user_id").cast("long"),
+        unix_micros(col("ts")), col("value").cast("double"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._2, r._1))
+    val users = rows.map(_._1).distinct.toSeq
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapTotalUs = gapUs.microseconds + gapUs.days * 86400000000L
+    val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._2).max
+    val sentinelUs = maxUs + 3 * gapTotalUs
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "ts_us", "value")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("value"))
+    val name = "sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("sesswin_ckpt").toString
+    withReplayShuffle(spark) {
+      val q = sessionWindows(streamDf, gap, watermark = gap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData(users.map(u => (u, sentinelUs, 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** Per-user sessionization with mapGroupsWithState: a session closes after
     * `gapSeconds` of inactivity; emits (user_id, session_start, n_events).
     * State is one small record per active user — bounded by the timeout. */
