@@ -286,40 +286,39 @@ object QualityQueries {
 
   // Hard-negative mining for contrastive training: per vector, the top-3
   // most-similar vectors with a DIFFERENT label, candidates bounded by
-  // multi-probe cell assignment (the x24 geometry). The oracle replays
-  // centroids → probe ranking → cross-label candidates → raw-cosine top-k
-  // step for step, so both the candidate bound and the ranking are gated.
-  private val x105 = Q("x105_hard_negatives", Some(
-    """WITH e AS (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cent AS (
-      |  SELECT label AS cell, r.i, avg(v[r.i]) AS cv
-      |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
-      |cnorm AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY cell),
-      |score AS (
-      |  SELECT e.vec_id, c.cell, sum(c.cv * e.v[c.i]) AS dp,
-      |    any_value(sqrt(list_dot_product(e.v, e.v))) AS vn
-      |  FROM e CROSS JOIN cent c GROUP BY e.vec_id, c.cell),
-      |assigned AS (
-      |  SELECT s.vec_id, s.cell FROM score s JOIN cnorm cn ON s.cell = cn.cell
-      |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
-      |    ORDER BY s.dp / (cn.cn * s.vn) DESC, s.cell) <= 2),
-      |cand AS (
-      |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-      |scored AS (
-      |  SELECT c.qid, c.nid, y.label AS neg_label,
-      |    list_dot_product(x.v, y.v) /
-      |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
-      |  FROM cand c JOIN e x ON c.qid = x.vec_id JOIN e y ON c.nid = y.vec_id
-      |  WHERE x.label <> y.label)
-      |SELECT qid AS vec_id, CAST(rk AS BIGINT) AS rank, nid AS neg_id,
-      |  neg_label, round(cos, 4) AS cosine
-      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-      |        ORDER BY cos DESC, nid) AS rk FROM scored)
-      |WHERE rk <= 3 ORDER BY vec_id, rank""".stripMargin)) { (s, dir) =>
+  // sign-bucket LSH (first-8-components sign pattern → 256 cells; probes =
+  // home bucket + the 8 one-bit flips). The oracle replays bucketing,
+  // probing, cross-label candidates, and the raw-cosine top-k step for
+  // step, so both the candidate bound and the ranking are gated.
+  private val x105 = Q("x105_hard_negatives", Some {
+    val flips = (0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, label, v,
+       |    list_sum([CASE WHEN v[i] > 0 THEN (1 << (i - 1)::INT) ELSE 0 END
+       |              FOR i IN range(1, 9)])::INT AS bucket
+       |  FROM e),
+       |p AS (
+       |  SELECT vec_id AS qid, u.pb::INT AS bucket
+       |  FROM b, unnest([bucket, $flips]) AS u(pb)),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id AS nid
+       |  FROM p JOIN b c USING (bucket) WHERE p.qid <> c.vec_id),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid, y.label AS neg_label,
+       |    list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+       |  FROM cand JOIN b x ON cand.qid = x.vec_id JOIN b y ON cand.nid = y.vec_id
+       |  WHERE x.label <> y.label)
+       |SELECT qid AS vec_id, CAST(rk AS BIGINT) AS rank, nid AS neg_id,
+       |  neg_label, round(cos, 4) AS cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, nid) AS rk FROM scored)
+       |WHERE rk <= 3 ORDER BY vec_id, rank""".stripMargin
+  }) { (s, dir) =>
     Similarity.hardNegatives(t(s, dir, "embeddings"),
-        "vec_id", "label", "embedding", k = 3, probes = 2)
+        "vec_id", "label", "embedding", k = 3, bits = 8, probeHamming = 1)
       .orderBy("vec_id", "rank")
   }
 

@@ -324,7 +324,7 @@ class ScaleOpsSpec extends SparkSpec {
       (4L, 1, Seq(0.0f, 0.0f, 1.0f))   // far: easy negative
     ).toDF("vec_id", "label", "embedding")
     val out = Similarity.hardNegatives(vecs, "vec_id", "label", "embedding",
-      k = 2, probes = 2).collect()
+      k = 2, bits = 3, probeHamming = 1).collect()
     out.foreach { r =>
       val q = r.getAs[Long]("vec_id"); val lab = r.getAs[Int]("neg_label")
       assert((q <= 2 && lab == 1) || (q >= 3 && lab == 0),
