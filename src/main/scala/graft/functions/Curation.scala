@@ -287,6 +287,69 @@ object Curation {
       size(split(col(textCol), PhonePattern, -1)) - 1)
     .withColumn(textCol, scrubPii(col(textCol)))
 
+  /** 13–19 digit runs with optional single space/dash separators — the
+    * payment-card CANDIDATE shape; the Luhn checksum decides. */
+  val CardPattern = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn-validated card scrub: candidates come from [[CardPattern]], but
+    * only sequences passing the Luhn mod-10 checksum are redacted — the
+    * distinction a naive regex cannot make (invoices, order ids and
+    * timestamps are 16-digit runs too; scrubbing them destroys data for
+    * zero privacy gain). Returns the frame with `textCol` scrubbed and an
+    * exact `n_cards` audit count.
+    *
+    * Shape: candidates explode to rows (the checksum is a single-level
+    * expression fold per candidate — nested-lambda folds with outer
+    * references hang Catalyst, see Dedup.winnowFingerprints), valid
+    * matches regroup per row, and the redaction is one fold of `replace`
+    * over the distinct matches, longest first so a shorter match can
+    * never corrupt a longer one it is a substring of. One explode + one
+    * groupBy on the row key; no shuffle wider than the candidate count. */
+  def scrubCardsWithAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cand = df.select(col(idCol), col(textCol).as("__text"),
+        explode_outer(regexp_extract_all(col(textCol), lit(CardPattern), lit(0)))
+          .as("__m"))
+      .withColumn("__d", regexp_replace(col("__m"), "[ -]", ""))
+      .withColumn("__rs", reverse(col("__d")))
+      // Luhn: from the rightmost digit, double every second one, subtract
+      // 9 when doubling overflows a digit; valid iff the sum is ≡ 0 mod 10
+      .withColumn("__luhn", expr(
+        "aggregate(transform(sequence(1, length(__rs)), i -> " +
+          "case when i % 2 = 0 then " +
+          "case when 2 * (ascii(substring(__rs, i, 1)) - 48) > 9 " +
+          "then 2 * (ascii(substring(__rs, i, 1)) - 48) - 9 " +
+          "else 2 * (ascii(substring(__rs, i, 1)) - 48) end " +
+          "else ascii(substring(__rs, i, 1)) - 48 end), 0, (a, x) -> a + x)"))
+      .withColumn("__ok", col("__m").isNotNull &&
+        length(col("__d")).between(13, 19) && col("__luhn") % 10 === 0)
+    cand.groupBy(col(idCol), col("__text"))
+      .agg(sum(when(col("__ok"), 1L).otherwise(0L)).as("n_cards"),
+        array_distinct(collect_list(when(col("__ok"), col("__m")))).as("__cards"))
+      .withColumn("__sorted", expr(
+        "transform(array_sort(transform(__cards, " +
+          "m -> struct(-length(m) as l, m as m))), s -> s.m)"))
+      .withColumn(textCol, expr(
+        "aggregate(__sorted, __text, (acc, m) -> replace(acc, m, '[CARD]'))"))
+      .drop("__text", "__cards", "__sorted")
+  }
+
+  /** Drop the bottom `fraction` of rows by `keyCol` — the exact-percentile
+    * corpus gate ("prune the worst-quality 20%") with NO SinglePartition
+    * window: ranks come from Indexing.globalIndex (range shuffle + local
+    * row_number + broadcast offsets) and the row count rides in as a
+    * broadcast 1-row frame, so the cut is exact and deterministic (make
+    * `keyCol` unique — compose score and id) at any scale. */
+  def pruneBottomQuantile(df: DataFrame, keyCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction < 1.0, s"fraction=$fraction out of [0,1)")
+    val n = df.agg(count(lit(1)).as("__n"))
+    graft.operators.Indexing.globalIndex(df, keyCol)
+      .crossJoin(broadcast(n))
+      .filter(col("global_idx") > floor(col("__n") * fraction))
+      .drop("__n", "global_idx")
+  }
+
   /** Deterministic epoch shuffle into training shards: each row's md5
     * ticket (seed + id) decides its shard AND its position within the
     * shard — a seeded pseudo-random permutation with no global sort.

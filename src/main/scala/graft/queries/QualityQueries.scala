@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Curation
 import graft.operators.{Dedup, Expectations, Graph, Resample, Stats}
 import graft.operators.Similarity
 import graft.streaming.EventStream
@@ -349,6 +350,74 @@ object QualityQueries {
       .orderBy("user_id", "session_start")
   }
 
+  // Luhn-gated card scrub over synthesized payment text: each order row
+  // carries two 16-digit candidates (orderkey left-padded with '4's,
+  // custkey with '5's), of which only the Luhn-valid ~10% may be redacted.
+  // The candidate regex, the mod-10 checksum arithmetic, the longest-first
+  // redaction fold and the audit count all replay digit-for-digit in
+  // DuckDB, so a naive scrub-everything (or scrub-nothing) implementation
+  // fails the hash.
+  private val x107 = Q("x107_card_scrub", Some {
+    def luhn(c: String) =
+      s"""list_sum([CASE WHEN i % 2 = 0 THEN
+         |      CASE WHEN 2 * (ascii(substring(reverse($c), i, 1)) - 48) > 9
+         |        THEN 2 * (ascii(substring(reverse($c), i, 1)) - 48) - 9
+         |        ELSE 2 * (ascii(substring(reverse($c), i, 1)) - 48) END
+         |      ELSE ascii(substring(reverse($c), i, 1)) - 48 END
+         |      FOR i IN range(1, 17)]) % 10 = 0""".stripMargin
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    lpad(CAST(o_orderkey AS VARCHAR), 16, '4') AS c1,
+       |    lpad(CAST(o_custkey AS VARCHAR), 16, '5') AS c2
+       |  FROM orders WHERE o_orderkey <= 5000),
+       |lu AS (
+       |  SELECT o_orderkey, c1, c2,
+       |    'inv ' || o_orderkey || ' pay ' || c1 || ' alt ' || c2 AS text,
+       |    ${luhn("c1")} AS ok1,
+       |    ${luhn("c2")} AS ok2
+       |  FROM base)
+       |SELECT o_orderkey,
+       |  CAST((CASE WHEN ok1 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN ok2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cards,
+       |  CASE WHEN ok2 THEN replace(t1, c2, '[CARD]') ELSE t1 END AS text
+       |FROM (SELECT *, CASE WHEN ok1 THEN replace(text, c1, '[CARD]')
+       |        ELSE text END AS t1 FROM lu)
+       |ORDER BY o_orderkey""".stripMargin
+  }) { (s, dir) =>
+    val base = t(s, dir, "orders").filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"),
+        concat(lit("inv "), col("o_orderkey").cast("string"),
+          lit(" pay "), lpad(col("o_orderkey").cast("string"), 16, "4"),
+          lit(" alt "), lpad(col("o_custkey").cast("string"), 16, "5"))
+          .as("text"))
+    Curation.scrubCardsWithAudit(base, "o_orderkey", "text")
+      .orderBy("o_orderkey")
+  }
+
+  // Exact bottom-quantile corpus gate ("drop the worst 20%") with no
+  // SinglePartition window: ranks come from the range-partitioned global
+  // index, the cut is floor(n * fraction), and the (n_chars, doc_id)
+  // composed key makes the boundary deterministic even on tied lengths —
+  // the oracle replays the exact same rank>cut arithmetic.
+  private val x108 = Q("x108_prune_quantile", Some(
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    n_chars * 10000000 + doc_id AS sort_key
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_chars, sort_key,
+      |        row_number() OVER (ORDER BY sort_key) AS rn,
+      |        count(*) OVER () AS n
+      |      FROM k)
+      |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(sort_key AS BIGINT) AS sort_key
+      |FROM r WHERE rn > floor(n * 0.2)
+      |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      (col("n_chars") * 10000000L + col("doc_id")).as("sort_key"))
+    Curation.pruneBottomQuantile(docs, "sort_key", 0.2)
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106)
+    x106, x107, x108)
 }

@@ -126,4 +126,40 @@ class TrainingOpsSpec extends SparkSpec {
     val r = Curation.packSequences(df, "doc_id", "text", 5, "source").collect().head
     assert(r.getAs[Long]("n_packs") == 5L) // 23 tokens over capacity-5 packs
   }
+
+  test("scrubCardsWithAudit redacts only Luhn-valid candidates") {
+    val df = Seq(
+      // 4111111111111111 is Luhn-valid (separators allowed); the order id
+      // 4111111111111112 fails the checksum and must survive untouched
+      (1L, "pay 4111 1111 1111 1111 ref order 4111111111111112 done"),
+      (2L, "no digits worth scrubbing, just 12345 and 2024-01-01"),
+      // two valid cards in one row, counted and redacted independently
+      (3L, "a 4111111111111111 b 5500005555555559 c")
+    ).toDF("doc_id", "text")
+    val out = Curation.scrubCardsWithAudit(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_cards")).toSeq == Seq(1L, 0L, 2L))
+    assert(out(0).getAs[String]("text") ==
+      "pay [CARD] ref order 4111111111111112 done")
+    assert(out(1).getAs[String]("text") ==
+      "no digits worth scrubbing, just 12345 and 2024-01-01")
+    assert(out(2).getAs[String]("text") == "a [CARD] b [CARD] c")
+  }
+
+  test("scrubCardsWithAudit counts repeated occurrences but redacts all") {
+    val df = Seq((1L, "x 4111111111111111 y 4111111111111111 z"))
+      .toDF("doc_id", "text")
+    val r = Curation.scrubCardsWithAudit(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_cards") == 2L)
+    assert(r.getAs[String]("text") == "x [CARD] y [CARD] z")
+  }
+
+  test("pruneBottomQuantile drops exactly floor(n * fraction) rows") {
+    val df = (1 to 10).map(i => (i.toLong, i.toLong * 100)).toDF("id", "key")
+    val kept = Curation.pruneBottomQuantile(df, "key", 0.2)
+      .orderBy("id").collect().map(_.getAs[Long]("id")).toSeq
+    assert(kept == (3L to 10L))            // bottom 2 of 10 pruned
+    val all = Curation.pruneBottomQuantile(df, "key", 0.0).count()
+    assert(all == 10L)                     // fraction 0 keeps everything
+  }
 }
