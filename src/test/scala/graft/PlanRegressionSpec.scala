@@ -311,6 +311,29 @@ class PlanRegressionSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("x107 card scrub pushes the key filter and aggregates partially") {
+    val p = plan("x107_card_scrub")
+    assert(p.contains("LessThanOrEqual(o_orderkey,5000)"),
+      "row filter must reach the parquet scan:\n" + p.take(600))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      "scan must read only the two key columns:\n" + p.take(600))
+    // regroup after the candidate explode: partial ObjectHashAggregate on
+    // both sides of ONE exchange — candidates never ride a second shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("x108 quantile prune ranks via __pid windows, count rides broadcast") {
+    val p = plan("x108_prune_quantile")
+    // every data-side window is partitioned by __pid (local rank); the only
+    // unpartitioned window runs over the 32-row offsets frame
+    assert(p.contains("windowspecdefinition(__pid"),
+      "local ranks must window over __pid, not a global sort:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "offsets must join back as a broadcast:\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row count must ride in as a broadcast cross join:\n" + p.take(800))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
