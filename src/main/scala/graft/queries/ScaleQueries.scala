@@ -827,7 +827,10 @@ object ScaleQueries {
   // min-label propagation over the LSH pair graph (near-dup clusters are
   // near-cliques, diameter ≤ 2). The oracle replays the pair pipeline AND
   // both propagation rounds, so every cluster assignment is hash-checked.
-  private val x29 = Q("x29_neardup_components", Some {
+  /** The full MinHash-LSH → Jaccard-verify → 2-round min-label CC chain as a
+    * DuckDB WITH body ending at `l2(node, lab)` — the oracle twin of
+    * [[Shared.neardupComponents]], shared by x29 and x109. */
+  private val COMPONENTS_CTE: String = {
     val hashes = (0 until 8).map(i =>
       s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
     val bandKeys = (0 until 4).map(b =>
@@ -839,7 +842,7 @@ object ScaleQueries {
          |    UNION ALL
          |    SELECT e.u AS node, l.lab FROM und e JOIN $prev l ON e.v = l.node)
          |  GROUP BY node)""".stripMargin
-    s"""WITH $SETS_CTE,
+    s"""$SETS_CTE,
        |expl AS (
        |  SELECT doc_id,
        |    ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
@@ -863,15 +866,54 @@ object ScaleQueries {
        |        UNION ALL SELECT id_b AS u, id_a AS v FROM prs),
        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und),
        |${prop("l0", "l1")},
-       |${prop("l1", "l2")}
+       |${prop("l1", "l2")}""".stripMargin
+  }
+
+  private val x29 = Q("x29_neardup_components", Some(
+    s"""WITH $COMPONENTS_CTE
        |SELECT node AS doc_id, CAST(lab AS BIGINT) AS component
-       |FROM l2 ORDER BY doc_id""".stripMargin
-  }) { (s, dir) =>
+       |FROM l2 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
     // the LSH → verify → components chain is shared with x85 (one persisted
     // frame per session+dir) — see queries.Shared
     Shared.neardupComponents(s, dir)
       .select(col("node").as("doc_id"), col("component"))
       .orderBy("doc_id")
+  }
+
+  // Canonical-doc selection per near-dup cluster — the KEEP side of dedup
+  // (detection alone only finds the clusters; a pipeline must then choose
+  // ONE survivor each). Survivor = argmax n_chars, ties to the smaller
+  // doc_id, computed as one max(struct) hash aggregate over the shared
+  // components frame — no per-cluster window, no second LSH pass. The
+  // oracle replays the full LSH → verify → CC chain and the argmax.
+  private val x109 = Q("x109_dedup_canonical", Some(
+    s"""WITH $COMPONENTS_CTE,
+       |j AS (
+       |  SELECT l2.lab AS component, d.doc_id, d.n_chars
+       |  FROM l2 JOIN documents d ON l2.node = d.doc_id)
+       |SELECT CAST(component AS BIGINT) AS component,
+       |  doc_id AS canonical_doc,
+       |  CAST(n_chars AS BIGINT) AS canonical_chars,
+       |  CAST(n_members AS BIGINT) AS n_members
+       |FROM (SELECT component, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY component
+       |          ORDER BY n_chars DESC, doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY component) AS n_members
+       |      FROM j)
+       |WHERE rk = 1 ORDER BY component""".stripMargin)) { (s, dir) =>
+    val comps = Shared.neardupComponents(s, dir)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    comps.join(docs, comps("node") === docs("doc_id"))
+      .groupBy(col("component"))
+      // argmax(n_chars, then smaller doc_id) as a plain aggregate: struct
+      // max orders lexicographically, and negating the id flips its tie
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component").cast("long").as("component"),
+        (-col("m.neg")).as("canonical_doc"),
+        col("m.n_chars").cast("long").as("canonical_chars"),
+        col("n_members"))
+      .orderBy("component")
   }
 
   // Stream-stream interval join under the oracle: clicks and purchases
@@ -1435,5 +1477,5 @@ object ScaleQueries {
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96)
+      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109)
 }

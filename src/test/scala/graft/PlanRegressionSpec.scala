@@ -334,6 +334,15 @@ class PlanRegressionSpec extends SparkSpec {
       "the 1-row count must ride in as a broadcast cross join:\n" + p.take(800))
   }
 
+  test("x109 canonical pick is one aggregate over the shared components") {
+    val p = plan("x109_dedup_canonical")
+    assert(p.contains("Scan ExistingRDD"),
+      "must reuse the checkpointed shared components frame:\n" + p.take(600))
+    // survivor = max(struct) hash/sort aggregate — never a per-cluster window
+    assert(!p.contains("Window"), "argmax must not plan a window:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
