@@ -298,31 +298,27 @@ object Curation {
     * zero privacy gain). Returns the frame with `textCol` scrubbed and an
     * exact `n_cards` audit count.
     *
-    * Shape: candidates explode to rows (the checksum is a single-level
-    * expression fold per candidate — nested-lambda folds with outer
-    * references hang Catalyst, see Dedup.winnowFingerprints), valid
-    * matches regroup per row, and the redaction is one fold of `replace`
-    * over the distinct matches, longest first so a shorter match can
-    * never corrupt a longer one it is a substring of. One explode + one
-    * groupBy on the row key; no shuffle wider than the candidate count. */
+    * Shape: candidates explode to rows, the checksum is the native
+    * codegen'd [[graft.functions.expr.LuhnValid]] (one right-to-left byte
+    * scan — no regexp_replace/reverse/HOF-fold chain, no per-row lambda
+    * interpretation), valid matches regroup per row, and the redaction is
+    * one fold of `replace` over the distinct matches, longest first so a
+    * shorter match can never corrupt a longer one it is a substring of.
+    * One explode + one groupBy on the row key; no shuffle wider than the
+    * candidate count. */
   def scrubCardsWithAudit(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val cand = df.select(col(idCol), col(textCol).as("__text"),
         explode_outer(regexp_extract_all(col(textCol), lit(CardPattern), lit(0)))
           .as("__m"))
-      .withColumn("__d", regexp_replace(col("__m"), "[ -]", ""))
-      .withColumn("__rs", reverse(col("__d")))
       // Luhn: from the rightmost digit, double every second one, subtract
       // 9 when doubling overflows a digit; valid iff the sum is ≡ 0 mod 10
-      .withColumn("__luhn", expr(
-        "aggregate(transform(sequence(1, length(__rs)), i -> " +
-          "case when i % 2 = 0 then " +
-          "case when 2 * (ascii(substring(__rs, i, 1)) - 48) > 9 " +
-          "then 2 * (ascii(substring(__rs, i, 1)) - 48) - 9 " +
-          "else 2 * (ascii(substring(__rs, i, 1)) - 48) end " +
-          "else ascii(substring(__rs, i, 1)) - 48 end), 0, (a, x) -> a + x)"))
-      .withColumn("__ok", col("__m").isNotNull &&
-        length(col("__d")).between(13, 19) && col("__luhn") % 10 === 0)
+      // AND the digit count (separators ignored) lands in [13, 19]
+      .withColumn("__ok", {
+        import org.apache.spark.sql.graftbridge.Bridge
+        col("__m").isNotNull && Bridge.column(
+          graft.functions.expr.LuhnValid(Bridge.expression(col("__m"))))
+      })
     cand.groupBy(col(idCol), col("__text"))
       .agg(sum(when(col("__ok"), 1L).otherwise(0L)).as("n_cards"),
         array_distinct(collect_list(when(col("__ok"), col("__m")))).as("__cards"))

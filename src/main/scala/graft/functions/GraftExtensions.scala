@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expr.{DotProduct, DurationSeconds, JaroWinkler, NfcNormalize}
+import graft.functions.expr.{DotProduct, DurationSeconds, JaroWinkler, LuhnValid, NfcNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductFn)
     ext.injectFunction(GraftExtensions.nfcNormalizeFn)
     ext.injectFunction(GraftExtensions.jaroWinklerFn)
+    ext.injectFunction(GraftExtensions.luhnValidFn)
   }
 }
 
@@ -52,6 +53,14 @@ object GraftExtensions {
       JaroWinkler(children.head, children(1))
     })
 
+  private val luhnValidFn = (
+    new FunctionIdentifier("luhn_valid"),
+    new ExpressionInfo(classOf[LuhnValid].getName, "luhn_valid"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "luhn_valid takes exactly one argument")
+      LuhnValid(children.head)
+    })
+
   /** Register into an already-running session (the config-based extension
     * only applies to sessions created after it is set). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -63,5 +72,7 @@ object GraftExtensions {
       "nfc_normalize", nfcNormalizeFn._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", jaroWinklerFn._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "luhn_valid", luhnValidFn._3, "scala_udf")
   }
 }

@@ -114,4 +114,41 @@ class NativeExprSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("luhn_valid: checksum, separators, length bounds, SQL + codegen parity") {
+    import graft.functions.expr.LuhnValid
+    def chk(s: String) = LuhnValid.check(UTF8String.fromString(s))
+    // classic valid test numbers — bare, spaced, dashed
+    assert(chk("4111111111111111"))
+    assert(chk("4111 1111 1111 1111"))
+    assert(chk("5500-0055-5555-5559"))
+    assert(chk("4222222222222"))          // 13-digit Visa test number
+    // single-digit corruption flips the checksum
+    assert(!chk("4111111111111112"))
+    // length bounds: 12 digits too short even when mod-10 holds (all-zero
+    // sums to 0), 20 digits too long
+    assert(!chk("000000000000"))          // 12 digits, sum 0
+    assert(!chk("41111111111111111111")) // 20 digits
+    // non-separator characters make it a non-card, and null is false
+    assert(!chk("4111a111111111111"))
+    assert(!chk(""))
+    assert(!LuhnValid.check(null))
+
+    // SQL registration + codegen/interpreted parity on a frame
+    GraftExtensions.register(spark)
+    val sql = "SELECT luhn_valid('4111 1111 1111 1111') AS a, " +
+      "luhn_valid('4111111111111112') AS b, " +
+      "luhn_valid(CAST(NULL AS STRING)) AS z"
+    val g = spark.sql(sql).head()
+    assert(g.getBoolean(0) && !g.getBoolean(1) && g.isNullAt(2))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val i = spark.sql(sql).head()
+      assert(i.getBoolean(0) && !i.getBoolean(1) && i.isNullAt(2))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
