@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical analytics over distributed frames: Pearson correlation
@@ -85,6 +86,50 @@ object Stats {
       .withColumn("__w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__g")
+  }
+
+  /** Exact per-group quantiles with BOUNDED memory. Spark's exact
+    * `percentile` aggregate buffers every value of a group in one
+    * in-memory map — a group with billions of rows OOMs an executor. This
+    * formulation never holds a group: one partition-sorted window pass
+    * ranks the values (WindowExec spills), rank arithmetic selects the one
+    * or two boundary rows per quantile, and linear interpolation rides in
+    * as a weighted sum — `v_lo·(1−frac) + v_hi·frac` with
+    * `pos = (n−1)·q`, the same definition DuckDB's `quantile_cont` uses.
+    * Adding the zero contributions of non-boundary rows is IEEE-exact, so
+    * the sum is deterministic under any aggregation order.
+    *
+    * Pass quantiles that are exact binary fractions (0.25, 0.5, 0.75) so
+    * `pos`/`frac` are bit-identical across engines; output columns are
+    * `p25`-style plus `n` (group size). */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles out of [0,1]: ${qs.mkString(",")}")
+    val gs = groupCols.map(col)
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(gs: _*)
+    val ranked = df
+      .withColumn("__v", col(valueCol).cast("double"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def pos(q: Double) = (col("__n") - 1) * lit(q)
+    def lo(q: Double) = floor(pos(q)) + 1
+    def frac(q: Double) = pos(q) - floor(pos(q))
+    // keep only rows that bound some requested quantile — the aggregate
+    // input is ≤ 2·|qs| rows per group, not the group itself
+    val isBoundary = qs.map(q =>
+      col("__rn") === lo(q) || col("__rn") === lo(q) + 1).reduce(_ || _)
+    val aggs = qs.map { q =>
+      val contrib =
+        when(col("__rn") === lo(q), col("__v") * (lit(1.0) - frac(q)))
+          .when(col("__rn") === lo(q) + 1, col("__v") * frac(q))
+          .otherwise(lit(0.0))
+      round(sum(contrib), 4).as(s"p${math.round(q * 100)}")
+    } :+ max(col("__n")).as("n")
+    ranked.filter(isBoundary)
+      .groupBy(gs: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-cluster quality report for a vector clustering: size and inertia

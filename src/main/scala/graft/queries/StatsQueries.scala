@@ -446,6 +446,25 @@ object StatsQueries {
       .orderBy("from_type", "to_type")
   }
 
+  // Exact per-group quartiles with bounded memory: Spark's own exact
+  // percentile aggregate buffers whole groups in executor memory (OOM at
+  // billion-row groups); Stats.exactQuantiles ranks in one spill-safe
+  // window pass and interpolates via a weighted sum over the ≤2 boundary
+  // rows per quantile. The oracle is DuckDB's quantile_cont — the same
+  // (n−1)·q interpolation definition — so the arithmetic itself is gated.
+  private val x110 = Q("x110_exact_quantiles", Some(
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+    Stats.exactQuantiles(t(s, dir, "orders"), Seq("o_orderpriority"),
+        "o_totalprice", Seq(0.25, 0.5, 0.75))
+      .orderBy("o_orderpriority")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93, x94, x95)
+    x91, x92, x93, x94, x95, x110)
 }

@@ -343,6 +343,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("x110 exact quantiles window by group and filter before the aggregate") {
+    val p = plan("x110_exact_quantiles")
+    assert(p.contains("windowspecdefinition(o_orderpriority"),
+      "ranking must partition by the group key, never a global window:\n" + p.take(800))
+    // boundary-row filter sits between the window and the aggregate, so the
+    // agg consumes ≤ 2·|qs| rows per group, not whole groups
+    assert("(?s)Filter.*HashAggregate".r.findFirstIn(p).isDefined ||
+      "(?s)HashAggregate.*Filter.*Window".r.findFirstIn(p).isDefined, p.take(900))
+    assert(!p.contains("percentile"), "must not fall back to the buffering aggregate")
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")

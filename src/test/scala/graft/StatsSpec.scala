@@ -158,4 +158,28 @@ class StatsSpec extends SparkSpec {
       out(2).getLong(3) == 1) // fully boilerplate, still present
     assert(out(3).getString(1) == "solo text here now" && out(3).getLong(3) == 0)
   }
+
+  test("exactQuantiles: odd/even groups, interpolated quartiles, n") {
+    val df = (Seq(("odd", 10.0), ("odd", 20.0), ("odd", 30.0),
+        ("odd", 40.0), ("odd", 50.0)) ++
+      Seq(("even", 1.0), ("even", 2.0), ("even", 3.0), ("even", 4.0)))
+      .toDF("g", "v")
+    val out = Stats.exactQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("g").collect()
+    // even n=4: pos(q)=3q → p25 at 0.75 between 1 and 2, median 2.5
+    assert(out(0).getString(0) == "even")
+    assert(out(0).getDouble(1) == 1.75 && out(0).getDouble(2) == 2.5 &&
+      out(0).getDouble(3) == 3.25 && out(0).getLong(4) == 4L)
+    // odd n=5: pos(q)=4q lands on exact ranks — no interpolation
+    assert(out(1).getString(0) == "odd")
+    assert(out(1).getDouble(1) == 20.0 && out(1).getDouble(2) == 30.0 &&
+      out(1).getDouble(3) == 40.0 && out(1).getLong(4) == 5L)
+  }
+
+  test("exactQuantiles: single-row group returns the value at every q") {
+    val df = Seq(("a", 7.5)).toDF("g", "v")
+    val r = Stats.exactQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5, 0.75)).collect().head
+    assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5 && r.getDouble(3) == 7.5)
+    assert(r.getLong(4) == 1L)
+  }
 }
