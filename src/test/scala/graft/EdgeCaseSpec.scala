@@ -167,4 +167,24 @@ class EdgeCaseSpec extends SparkSpec {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashCrossDups(docs, noDocs, "doc_id", "text").count() == 0)
   }
+
+  test("round-5 curation/stats additions degrade gracefully on empty input") {
+    val emptyText = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // card scrub: no rows in, no rows out; text column keeps its type
+    val scrubbed = Curation.scrubCardsWithAudit(emptyText, "doc_id", "text")
+    assert(scrubbed.count() == 0 &&
+      scrubbed.schema("text").dataType.typeName == "string")
+    // text with NO card candidates keeps every row, zero counts, same text
+    val clean = Seq((1L, "nothing numeric"), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.scrubCardsWithAudit(clean, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_cards")).toSeq == Seq(0L, 0L))
+    assert(out.map(_.getAs[String]("text")).toSeq == Seq("nothing numeric", ""))
+    // quantile prune of an empty frame: empty, not a crash
+    val emptyKeyed = Seq.empty[(Long, Long)].toDF("id", "key")
+    assert(Curation.pruneBottomQuantile(emptyKeyed, "key", 0.5).count() == 0)
+    // exact quantiles of an empty frame: no groups, no failure
+    assert(Stats.exactQuantiles(emptyKeyed.withColumnRenamed("key", "v")
+      .withColumn("g", lit("x")), Seq("g"), "v", Seq(0.5)).count() == 0)
+  }
 }
