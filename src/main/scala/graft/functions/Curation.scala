@@ -346,6 +346,41 @@ object Curation {
       .drop("__n", "global_idx")
   }
 
+  /** Training-mixture token allocator — the "data recipe" step: given
+    * per-source integer weights and a total token budget, how many FULL
+    * passes of each source to take plus what fraction of one more. All
+    * arithmetic is integer (targets are `budget·w div Σw`, the tail
+    * fraction is basis points of the last pass), so the plan replays
+    * bit-exactly in any engine — no fp mixture drift. Sources absent from
+    * `weights` are excluded from the plan (not in the recipe, not in the
+    * run). One token-count aggregate over the corpus + a broadcast join
+    * against the |sources|-row weight frame. */
+  def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
+      weights: Map[String, Long], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens")
+    val sumW = weights.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights.toSeq.sortBy(_._1)
+      .toDF(sourceCol, "__w"))
+    df.select(col(sourceCol),
+        size(Dedup.words(col(textCol))).cast("long").as("__t"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("available_tokens"))
+      .join(w, sourceCol)
+      .withColumn("target_tokens",
+        expr(s"${budgetTokens}L * __w div ${sumW}L"))
+      .withColumn("n_full_epochs",
+        expr("target_tokens div available_tokens"))
+      .withColumn("tail_sample_bps",
+        expr("(target_tokens % available_tokens) * 10000 div available_tokens"))
+      .withColumn("oversampled",
+        col("target_tokens") > col("available_tokens"))
+      .drop("__w")
+  }
+
   /** Deterministic epoch shuffle into training shards: each row's md5
     * ticket (seed + id) decides its shard AND its position within the
     * shard — a seeded pseudo-random permutation with no global sort.

@@ -309,5 +309,26 @@ object EventQueries {
       .orderBy("event_type", "rn")
   }
 
-  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
+  // Sliding event-time windows (1 h length, 15 min slide) — completes the
+  // window matrix (tumbling x9, session x102/x106, sliding here). Each
+  // event lands in exactly 4 windows; the oracle unrolls that fan-out with
+  // an explicit k ∈ 0..3 cross join off the 15-minute bucket, which is
+  // precisely Spark's epoch-aligned assignment rule.
+  private val e14 = Q("e14_sliding_windows", Some(
+    """SELECT ws AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+      |    AS total_value
+      |FROM (SELECT (time_bucket(INTERVAL '15 minutes', ts)
+      |               - k.k * INTERVAL '15 minutes')::TIMESTAMP AS ws,
+      |        event_type, value
+      |      FROM events, range(4) k(k))
+      |GROUP BY ws, event_type
+      |ORDER BY window_start, event_type""".stripMargin)) { (s, dir) =>
+    graft.streaming.EventStream.slidingWindowedCounts(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+  }
+
+  val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13,
+    e14)
 }

@@ -583,6 +583,40 @@ object TrainingQueries {
       .orderBy("lang")
   }
 
+  // cycle 100..500 so neighboring sources get different epoch counts
+  private val MixtureWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> ((i % 5) + 1) * 100L).toMap
+  private val MixtureBudget = 1000000L
+
+  // Training-mixture token allocator: integer-exact "data recipe" — per
+  // source, full epochs of the corpus plus a basis-point tail fraction to
+  // hit budget·w/Σw tokens. Weights are deliberately non-uniform (cycle
+  // 100..500 bps over the 20 sources) so epochs and tails differ by row;
+  // every div/mod replays exactly in DuckDB (no fp mixture drift).
+  private val x111 = Q("x111_mixture_plan", Some {
+    val values = MixtureWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"('$s', ${w})" }.mkString(", ")
+    val sumW = MixtureWeights.values.sum
+    s"""WITH w(source, wt) AS (VALUES $values),
+       |a AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len($WORDS)) AS BIGINT) AS available_tokens
+       |  FROM documents GROUP BY source)
+       |SELECT a.source, a.n_docs, a.available_tokens,
+       |  CAST($MixtureBudget * wt // $sumW AS BIGINT) AS target_tokens,
+       |  CAST(($MixtureBudget * wt // $sumW) // available_tokens AS BIGINT)
+       |    AS n_full_epochs,
+       |  CAST((($MixtureBudget * wt // $sumW) % available_tokens) * 10000
+       |    // available_tokens AS BIGINT) AS tail_sample_bps,
+       |  ($MixtureBudget * wt // $sumW) > available_tokens AS oversampled
+       |FROM a JOIN w USING (source)
+       |ORDER BY source""".stripMargin
+  }) { (s, dir) =>
+    Curation.mixturePlan(t(s, dir, "documents"), "source", "text",
+        MixtureWeights, MixtureBudget)
+      .orderBy("source")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74)
+    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111)
 }

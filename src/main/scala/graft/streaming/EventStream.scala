@@ -46,6 +46,26 @@ object EventStream {
         col("n_events"), round(col("__tv").cast("double"), 2).as("total_value"))
   }
 
+  /** Sliding-window counts + sums: each event lands in windowLength/slide
+    * overlapping windows — `window(ts, len, slide)` explodes that constant
+    * fan-out BEFORE the shuffle, so partial aggregation still collapses it
+    * map-side and the exchange carries |windows|·|types| rows, not events.
+    * DECIMAL value sums keep the result independent of aggregation order
+    * (same discipline as [[windowedCountsExact]]); on a stream the
+    * watermark bounds state per window exactly as in the tumbling shape. */
+  def slidingWindowedCounts(events: DataFrame,
+      windowLength: String = "1 hour", slide: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__tv"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), round(col("__tv").cast("double"), 2).as("total_value"))
+  }
+
   /** THE deploy shape, end to end: a real file-source stream (parquet
     * directory, one file per micro-batch) through the watermarked windowed
     * aggregate into a parquet SINK, run to completion with AvailableNow.

@@ -39,6 +39,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingWindowedCounts: 4-window fan-out, stream equals batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val rows = Seq((ts(16), "click", 1.5), (ts(16), "click", 2.0))
+
+    val q = EventStream.slidingWindowedCounts(streamDf,
+        windowLength = "20 minutes", slide = "5 minutes")
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("slide_test").orderBy("window_start").collect()
+      // one event time → exactly windowLength/slide = 4 overlapping windows,
+      // each carrying BOTH events
+      assert(got.length == 4)
+      assert(got.forall(r => r.getAs[Long]("n_events") == 2L &&
+        r.getAs[Double]("total_value") == 3.5))
+      // consecutive window starts are 5 minutes apart
+      val starts = got.map(_.getAs[Timestamp]("window_start").getTime)
+      assert(starts.sliding(2).forall(p => p(1) - p(0) == 5 * 60 * 1000L))
+
+      val batch = EventStream.slidingWindowedCounts(
+          rows.toDF("ts", "event_type", "value"),
+          windowLength = "20 minutes", slide = "5 minutes")
+        .orderBy("window_start").collect()
+      assert(batch.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("watermark bounds state in append mode (late rows beyond it dropped)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]

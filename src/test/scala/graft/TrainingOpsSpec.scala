@@ -154,6 +154,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.getAs[String]("text") == "x [CARD] y [CARD] z")
   }
 
+  test("mixturePlan: integer targets, epochs, tail fraction, recipe-only sources") {
+    // a: 4 tokens over 2 docs; b: 2 tokens; c: unweighted → excluded
+    val df = Seq(
+      ("a", "one two"), ("a", "three four"),
+      ("b", "five six"),
+      ("c", "seven")).toDF("source", "text")
+    val out = Curation.mixturePlan(df, "source", "text",
+        Map("a" -> 3L, "b" -> 1L), budgetTokens = 10L)
+      .orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = out(0)
+    // target = 10*3 div 4 = 7 → 1 full epoch of 4 + 3/4 tail, oversampled
+    assert(a.getAs[Long]("available_tokens") == 4L &&
+      a.getAs[Long]("target_tokens") == 7L &&
+      a.getAs[Long]("n_full_epochs") == 1L &&
+      a.getAs[Long]("tail_sample_bps") == 7500L &&
+      a.getAs[Boolean]("oversampled"))
+    val b = out(1)
+    // target = 10*1 div 4 = 2 → exactly one epoch, no tail, not oversampled
+    assert(b.getAs[Long]("available_tokens") == 2L &&
+      b.getAs[Long]("target_tokens") == 2L &&
+      b.getAs[Long]("n_full_epochs") == 1L &&
+      b.getAs[Long]("tail_sample_bps") == 0L &&
+      !b.getAs[Boolean]("oversampled"))
+  }
+
   test("pruneBottomQuantile drops exactly floor(n * fraction) rows") {
     val df = (1 to 10).map(i => (i.toLong, i.toLong * 100)).toDF("id", "key")
     val kept = Curation.pruneBottomQuantile(df, "key", 0.2)
