@@ -346,6 +346,51 @@ object Curation {
       .drop("__n", "global_idx")
   }
 
+  /** Leakage-safe TEMPORAL train/val/test split with embargo — the
+    * time-series complement to [[groupAwareSplit]]'s cluster split:
+    * boundaries
+    * are the actual timestamps at ranks `floor(n·trainFrac)` and
+    * `floor(n·(trainFrac+valFrac))` (discrete, so no interpolation
+    * arithmetic can differ across engines), and rows within
+    * `embargoSeconds` AFTER each boundary are labeled `embargo_*` — a
+    * model trained on `train` never sees a `val` row whose look-back
+    * window overlaps the training period (the purged/embargoed split of
+    * financial ML). Rank assignment is by (`tsCol`, `idCol`) — the id
+    * tiebreak makes the boundary deterministic on timestamp ties.
+    *
+    * Scale shape: ranks via the range-partitioned [[graft.operators
+    * .Indexing.globalIndexBy]] (never a SinglePartition window), the two
+    * boundary timestamps and the row count ride back as a broadcast 1-row
+    * frame, and the labeling itself is a map-only projection. */
+  def temporalSplit(df: DataFrame, tsCol: String, idCol: String,
+      trainFrac: Double = 0.7, valFrac: Double = 0.15,
+      embargoSeconds: Long = 3600): DataFrame = {
+    require(trainFrac > 0 && valFrac > 0 && trainFrac + valFrac < 1,
+      s"bad fractions: train=$trainFrac val=$valFrac")
+    require(embargoSeconds >= 0, s"embargoSeconds=$embargoSeconds")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val bounds = graft.operators.Indexing.globalIndexBy(df, Seq(tsCol, idCol))
+      .crossJoin(broadcast(n))
+      .filter(col("global_idx") ===
+          greatest(lit(1L), floor(col("__n") * trainFrac)) ||
+        col("global_idx") ===
+          greatest(lit(1L), floor(col("__n") * (trainFrac + valFrac))))
+      // the smaller rank is the earlier timestamp (ordering is by ts)
+      .agg(min(col(tsCol)).as("__t1"), max(col(tsCol)).as("__t2"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col(tsCol) <= col("__t1"), "train")
+          .when(col(tsCol) <=
+            col("__t1") + expr(s"INTERVAL $embargoSeconds SECOND"),
+            "embargo_train_val")
+          .when(col(tsCol) <= col("__t2"), "val")
+          .when(col(tsCol) <=
+            col("__t2") + expr(s"INTERVAL $embargoSeconds SECOND"),
+            "embargo_val_test")
+          .otherwise("test"))
+      .drop("__t1", "__t2")
+  }
+
   /** Training-mixture token allocator — the "data recipe" step: given
     * per-source integer weights and a total token budget, how many FULL
     * passes of each source to take plus what fraction of one more. All

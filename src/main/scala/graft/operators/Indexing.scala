@@ -48,10 +48,19 @@ object Indexing {
   /** Add `global_idx` (1-based, ordered by `orderCol`, which must be
     * unique). `partitions` controls the range shuffle width. */
   def globalIndex(df: DataFrame, orderCol: String,
+      partitions: Int = 32): DataFrame =
+    globalIndexBy(df, Seq(orderCol), partitions)
+
+  /** [[globalIndex]] over a COMPOSITE ordering (e.g. ts with a unique id
+    * tiebreak) — same range-shuffle + local-rank + broadcast-offsets
+    * shape, no key-packing arithmetic and no overflow risk. The column
+    * tuple must be unique across rows. */
+  def globalIndexBy(df: DataFrame, orderCols: Seq[String],
       partitions: Int = 32): DataFrame = {
-    val parts = df.repartitionByRange(partitions, col(orderCol))
+    require(orderCols.nonEmpty, "need at least one order column")
+    val parts = df.repartitionByRange(partitions, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(orderCol)
+    val wLocal = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
     // persist: the offsets aggregate and the data-side join both consume
     // this frame, and repartitionByRange SAMPLES its boundaries — two
     // independent executions can pick different ranges, which desyncs

@@ -329,6 +329,40 @@ object EventQueries {
       .orderBy("window_start", "event_type")
   }
 
+  // Purged/embargoed temporal split (70/15/15, 1 h embargo): boundaries
+  // are the ACTUAL timestamps at ranks floor(0.7·n)/floor(0.85·n) under
+  // (ts, event_id) order — discrete, so no interpolation arithmetic —
+  // and the two embargo gaps after each boundary are labeled, not
+  // silently dropped. The oracle replays rank selection, boundary
+  // lookup, and interval labeling on micro-truncated timestamps (the
+  // parquet is TIMESTAMP_NS; Spark reads it truncated to micros).
+  private val e15 = Q("e15_temporal_split", Some(
+    """WITH k AS (
+      |  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
+      |r AS (SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+      |        count(*) OVER () AS n
+      |      FROM k),
+      |b AS (SELECT min(ts) AS t1, max(ts) AS t2 FROM r
+      |      WHERE rn = greatest(1, floor(0.7 * n))
+      |         OR rn = greatest(1, floor(0.85 * n)))
+      |SELECT split, count(*) AS n_rows,
+      |  min(ts) AS min_ts, max(ts) AS max_ts
+      |FROM (SELECT CASE
+      |        WHEN ts <= t1 THEN 'train'
+      |        WHEN ts <= t1 + INTERVAL 1 HOUR THEN 'embargo_train_val'
+      |        WHEN ts <= t2 THEN 'val'
+      |        WHEN ts <= t2 + INTERVAL 1 HOUR THEN 'embargo_val_test'
+      |        ELSE 'test' END AS split, ts
+      |      FROM k, b)
+      |GROUP BY split ORDER BY split""".stripMargin)) { (s, dir) =>
+    graft.functions.Curation.temporalSplit(
+        Tables.events(s, dir), "ts", "event_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .orderBy("split")
+  }
+
   val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13,
-    e14)
+    e14, e15)
 }

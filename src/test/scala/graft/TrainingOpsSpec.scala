@@ -180,6 +180,42 @@ class TrainingOpsSpec extends SparkSpec {
       !b.getAs[Boolean]("oversampled"))
   }
 
+  test("temporalSplit: boundary ranks, embargo gaps, no temporal leakage") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // 10 rows one minute apart; fracs 0.7/0.15 → boundaries at ranks 7, 8
+    val df = (1 to 10).map(i => (i.toLong, ts(i))).toDF("id", "t")
+    val out = Curation.temporalSplit(df, "t", "id",
+        trainFrac = 0.7, valFrac = 0.15, embargoSeconds = 60)
+      .orderBy("id").collect()
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("id")).toSeq.sorted).toMap
+    // t1 = minute 7: rows 1-7 train; minute 8 inside the 60 s embargo;
+    // t2 = minute 8: nothing left for val; minute 9 in the second gap
+    assert(bySplit("train") == (1L to 7L))
+    assert(bySplit("embargo_train_val") == Seq(8L))
+    assert(bySplit("embargo_val_test") == Seq(9L))
+    assert(bySplit("test") == Seq(10L))
+    assert(!bySplit.contains("val"))
+    // leakage guard: every train ts + embargo < every val/test ts
+    val trainMax = ts(7).getTime
+    assert(out.filter(_.getAs[String]("split") == "test")
+      .forall(_.getAs[Timestamp]("t").getTime > trainMax + 60000L))
+  }
+
+  test("temporalSplit with a wide val window fills all five labels") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val df = (1 to 20).map(i => (i.toLong, ts(i))).toDF("id", "t")
+    val out = Curation.temporalSplit(df, "t", "id",
+        trainFrac = 0.5, valFrac = 0.3, embargoSeconds = 60)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // t1 = minute 10, t2 = minute 16: 10 train, 1+1 embargoed, 5 val, 3 test
+    assert(out == Map("train" -> 10L, "embargo_train_val" -> 1L,
+      "val" -> 5L, "embargo_val_test" -> 1L, "test" -> 3L))
+  }
+
   test("pruneBottomQuantile drops exactly floor(n * fraction) rows") {
     val df = (1 to 10).map(i => (i.toLong, i.toLong * 100)).toDF("id", "key")
     val kept = Curation.pruneBottomQuantile(df, "key", 0.2)
