@@ -132,6 +132,36 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust outlier flags via the MAD modified z-score (Iglewicz-Hoaglin:
+    * `0.6745·(x − median) / MAD`, |z| > threshold) — the mean/stddev
+    * z-score's breakdown point is 0 (one extreme day drags the mean toward
+    * itself and inflates the stddev, masking itself); median and MAD have
+    * breakdown point 1/2, so up to half the group can be corrupt and the
+    * flags still hold. Medians come from [[exactQuantiles]] (bounded
+    * memory); the two |groups|-row median frames broadcast back. Signed z
+    * is quantized `floor(z·10⁴ + 0.5)/10⁴` — the cross-engine-safe
+    * rounding for negative values (round() half-up conventions differ).
+    * MAD = 0 (over half the group identical) yields null z / no flag. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val gs = groupCols.map(col)
+    val med = exactQuantiles(df, groupCols, valueCol, Seq(0.5))
+      .select(gs :+ col("p50").as("group_median"): _*)
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__adev",
+        abs(col(valueCol).cast("double") - col("group_median")))
+    val mad = exactQuantiles(dev, groupCols, "__adev", Seq(0.5))
+      .select(gs :+ col("p50").as("group_mad"): _*)
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("robust_z", when(col("group_mad") > 0,
+        floor((lit(0.6745) *
+          (col(valueCol).cast("double") - col("group_median")) /
+          col("group_mad")) * 10000 + 0.5) / 10000))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .drop("__adev")
+  }
+
   /** Per-cluster quality report for a vector clustering: size and inertia
     * (sum of squared L2 distance to the cell centroid). Centroid sums over
     * float-mantissa doubles are exact; every squared-distance term is

@@ -382,6 +382,49 @@ object WarehouseQueries {
       .orderBy("table_name")
   }
 
+  // Robust (MAD) anomaly flags over the same daily series x50 scores with
+  // mean/stddev: median and MAD have breakdown point 1/2, so extreme days
+  // cannot mask themselves by inflating the baseline. Medians replay as
+  // quantile_cont in the oracle; the signed modified z uses the
+  // floor(z·10⁴+0.5) quantization (same negative-safe convention as x50).
+  private val x112 = Q("x112_anomaly_mad", Some(
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS tv
+      |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+      |med AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(CAST(tv AS DOUBLE), 0.5), 4) AS group_median
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT d.event_type, day, tv, group_median,
+      |    abs(CAST(tv AS DOUBLE) - group_median) AS adev
+      |  FROM daily d JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS group_mad
+      |  FROM dev GROUP BY event_type),
+      |z AS (
+      |  SELECT dev.event_type, day, tv, group_median, group_mad,
+      |    CASE WHEN group_mad > 0
+      |         THEN floor(0.6745 * (CAST(tv AS DOUBLE) - group_median)
+      |                / group_mad * 10000 + 0.5) / 10000
+      |         END AS robust_z
+      |  FROM dev JOIN mad USING (event_type))
+      |SELECT event_type, day, round(CAST(tv AS DOUBLE), 2) AS total_value,
+      |  group_median, group_mad, robust_z,
+      |  coalesce(abs(robust_z) > 3.5, false) AS is_anomaly
+      |FROM z ORDER BY event_type, day""".stripMargin)) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("__tv"))
+    graft.operators.Stats.madOutliers(daily, Seq("event_type"), "__tv")
+      .select(col("event_type"), col("day"),
+        round(col("__tv").cast("double"), 2).as("total_value"),
+        col("group_median"), col("group_mad"), col("robust_z"),
+        col("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51, x56,
-    x60, x68, x70)
+    x60, x68, x70, x112)
 }

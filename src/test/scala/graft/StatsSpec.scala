@@ -176,6 +176,25 @@ class StatsSpec extends SparkSpec {
       out(1).getDouble(3) == 40.0 && out(1).getLong(4) == 5L)
   }
 
+  test("madOutliers flags the extreme day a mean/std z-score would mask") {
+    val df = (Seq(8.0, 9.0, 10.0, 11.0, 12.0, 1000.0).map(("a", _)) ++
+      Seq(5.0, 5.0, 5.0).map(("flat", _))).toDF("g", "v")
+    val out = Stats.madOutliers(df, Seq("g"), "v").collect()
+    val a = out.filter(_.getString(0) == "a")
+    // median 10.5, MAD 1.5: the 1000 day is z ≈ 445 — flagged. (Its own
+    // presence drags the MEAN to 175 and the stddev to ~404, so the
+    // classic z-score is only ~2 and would miss it.)
+    assert(a.count(_.getAs[Boolean]("is_anomaly")) == 1)
+    assert(a.find(_.getAs[Double]("v") == 1000.0)
+      .get.getAs[Double]("robust_z") > 100)
+    assert(a.find(_.getAs[Double]("v") == 8.0)
+      .get.getAs[Double]("robust_z") < 0) // signed, not |z|
+    // all-identical group: MAD = 0 → null z, nothing flagged
+    val flat = out.filter(_.getString(0) == "flat")
+    assert(flat.forall(r => r.isNullAt(r.fieldIndex("robust_z")) &&
+      !r.getAs[Boolean]("is_anomaly")))
+  }
+
   test("exactQuantiles: single-row group returns the value at every q") {
     val df = Seq(("a", 7.5)).toDF("g", "v")
     val r = Stats.exactQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5, 0.75)).collect().head
