@@ -213,6 +213,34 @@ object TextAnalysis {
           ",").as("postings"),
         (count(lit(1)) > maxPostings).as("truncated"))
 
+  /** Per-doc perplexity under the corpus's own unigram LM — the classic
+    * CCNet-style quality filter: repetitive junk scores LOW (its words are
+    * its own corpus mass), off-distribution noise scores HIGH. No
+    * smoothing is needed because every scored word is in the corpus by
+    * construction; docs with zero tokens drop out. Each `−ln p(w)` term is
+    * quantized to DECIMAL(28,18) before the per-doc sum so aggregation
+    * order cannot move the result (the clusterInertia discipline); the
+    * final `exp(nll/n)` runs once per doc. Two grouped aggregates + one
+    * equi-join on the word key — the frequency table shards by word and is
+    * NEVER broadcast (vocabulary is data-sized); only the 1-row corpus
+    * total rides a broadcast. */
+  def unigramPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = df.select(col(idCol), explode(Dedup.words(col(textCol))).as("__w"))
+    val freq = w.groupBy("__w").agg(count(lit(1)).as("__c"))
+    val tot = w.agg(count(lit(1)).as("__tot"))
+    w.join(freq, "__w").crossJoin(broadcast(tot))
+      .withColumn("__term",
+        (-log(col("__c").cast("double") / col("__tot").cast("double")))
+          .cast("decimal(28,18)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__term")).as("__nll"))
+      .withColumn("nll", round(col("__nll").cast("double"), 4))
+      .withColumn("perplexity",
+        round(exp(col("__nll").cast("double") / col("n_tokens")), 4))
+      .drop("__nll")
+  }
+
   def bigramModelScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, modelSize: Int = 100): org.apache.spark.sql.DataFrame = {
     require(modelSize > 0, "modelSize must be positive")

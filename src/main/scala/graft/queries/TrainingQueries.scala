@@ -617,6 +617,30 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  // Perplexity under the corpus unigram LM — the CCNet-style quality
+  // filter: repetitive junk scores low, off-distribution noise high. The
+  // oracle rebuilds the same model and replays every −ln p(w) term with
+  // the identical DECIMAL(28,18) per-term quantization, so the per-doc
+  // sums are order-free and cross-engine comparable at round-4.
+  private val x113 = Q("x113_unigram_perplexity", Some(
+    s"""WITH w AS (
+       |  SELECT doc_id, u.w FROM (
+       |    SELECT doc_id, $WORDS AS ws FROM documents), unnest(ws) AS u(w)),
+       |f AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+       |t AS (SELECT count(*) AS tot FROM w),
+       |terms AS (
+       |  SELECT doc_id,
+       |    CAST(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      AS DECIMAL(28,18)) AS term
+       |  FROM w JOIN f USING (w), t)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(term) AS DOUBLE), 4) AS nll,
+       |  round(exp(CAST(sum(term) AS DOUBLE) / count(*)), 4) AS perplexity
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    TextAnalysis.unigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111)
+    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113)
 }

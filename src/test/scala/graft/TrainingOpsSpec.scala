@@ -154,6 +154,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r.getAs[String]("text") == "x [CARD] y [CARD] z")
   }
 
+  test("unigramPerplexity: repetitive low, rare-word high, degenerate = 1") {
+    val df = Seq(
+      (1L, "the the the the the the the the"),   // pure corpus mass → low
+      (2L, "zeta omega quux xyzzy"),             // all rare words → high
+      (3L, "the the zeta the the the")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramPerplexity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val ppl = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    assert(ppl(1L) < ppl(3L) && ppl(3L) < ppl(2L))
+    // doc of only the corpus's dominant word: p(the)=13/18, ppl = 18/13
+    assert(math.abs(ppl(1L) - 18.0 / 13.0) < 1e-3)
+    // a doc with zero tokens drops out rather than scoring
+    val out2 = TextAnalysis.unigramPerplexity(
+      Seq((1L, "word here"), (2L, "!!!")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(out2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // single-repeated-word corpus: p=1 everywhere → perplexity exactly 1
+    val uni = TextAnalysis.unigramPerplexity(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(uni.getAs[Double]("perplexity") == 1.0 && uni.getAs[Long]("n_tokens") == 3L)
+  }
+
   test("mixturePlan: integer targets, epochs, tail fraction, recipe-only sources") {
     // a: 4 tokens over 2 docs; b: 2 tokens; c: unweighted → excluded
     val df = Seq(
