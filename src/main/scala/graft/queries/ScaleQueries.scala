@@ -1474,8 +1474,40 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // Inter-label centroid similarity matrix — the domain-similarity report
+  // behind mixing/dedup decisions ("how close are these two sources?").
+  // The |labels|×d centroid frame comes out of ONE vectorMean aggregate;
+  // the pairwise pass is a self-join of that tiny frame (|labels|²/2
+  // rows), never a pass over the vectors. Cosines replay in DuckDB from
+  // per-dimension averages (x25's centroid discipline, round-4 gate).
+  private val x114 = Q("x114_label_similarity", Some(
+    """WITH e AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (
+      |  SELECT label, r.i, avg(v[r.i]) AS cv
+      |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY 1, 2),
+      |n AS (SELECT label, sqrt(sum(cv * cv)) AS nn FROM c GROUP BY label),
+      |d AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, sum(a.cv * b.cv) AS dp
+      |  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  round(dp / (na.nn * nb.nn), 4) AS cosine
+      |FROM d JOIN n na ON label_a = na.label JOIN n nb ON label_b = nb.label
+      |ORDER BY label_a, label_b""".stripMargin)) { (s, dir) =>
+    val cents = Similarity.centroids(t(s, dir, "embeddings"),
+      "label", "embedding")
+    val a = cents.select(col("cell").as("label_a"), col("centroid").as("__va"))
+    val b = cents.select(col("cell").as("label_b"), col("centroid").as("__vb"))
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(Similarity.cosine(col("__va"), col("__vb")), 4).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
-      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109)
+      x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
+      x114)
 }
