@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcNormalizeFn)
     ext.injectFunction(GraftExtensions.jaroWinklerFn)
     ext.injectFunction(GraftExtensions.luhnValidFn)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -74,5 +75,8 @@ object GraftExtensions {
       "jaro_winkler", jaroWinklerFn._3, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "luhn_valid", luhnValidFn._3, "scala_udf")
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        graft.plans.AsofJoinStrategy +: spark.experimental.extraStrategies
   }
 }

@@ -194,10 +194,9 @@ object EventQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
-  // As-of join: each purchase matched to the user's latest signup at or
-  // before it. Spark side = union+marker+window carry-forward (one shuffle);
-  // DuckDB oracle = native ASOF JOIN.
-  private val e10 = Q("e10_asof_join", Some(
+  // ONE oracle, two Spark formulations (e10 composed, x115 native exec):
+  // DuckDB's ASOF LEFT JOIN is the ground truth for both.
+  private val AsofOracle =
     """WITH purchases AS (
       |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
       |signups AS (
@@ -206,7 +205,12 @@ object EventQueries {
       |SELECT p.event_id, p.user_id, round(p.value, 2) AS value, s.signup_value
       |FROM purchases p ASOF LEFT JOIN signups s
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
-      |ORDER BY p.event_id""".stripMargin)) { (s, dir) =>
+      |ORDER BY p.event_id""".stripMargin
+
+  // As-of join: each purchase matched to the user's latest signup at or
+  // before it. Spark side = union+marker+window carry-forward (one shuffle);
+  // DuckDB oracle = native ASOF JOIN.
+  private val e10 = Q("e10_asof_join", Some(AsofOracle)) { (s, dir) =>
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("user_id", "ts", "event_id", "value")
@@ -216,6 +220,26 @@ object EventQueries {
         Seq("signup_value"))
       .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"),
         col("signup_value"))
+      .orderBy("event_id")
+  }
+
+  // The NATIVE custom-operator as-of join under e10's exact oracle: a
+  // custom LogicalPlan + planner Strategy + physical exec whose
+  // distribution/ordering REQUIREMENTS make the engine insert the hash
+  // exchanges and (key, time) sorts — the merge itself is one forward
+  // pass per partition holding a single carried right row. Same driver
+  // hash as e10 ⇒ the exec's merge logic is gated row-for-row.
+  private val x115 = Q("x115_native_asof", Some(AsofOracle)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("ts").as("sts"),
+        round(col("value"), 2).as("signup_value"))
+    graft.plans.AsofJoinNative.join(purchases, signups,
+        "user_id", "ts", "su", "sts")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("signup_value"))
       .orderBy("event_id")
   }
 
@@ -364,5 +388,5 @@ object EventQueries {
   }
 
   val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13,
-    e14, e15)
+    e14, e15, x115)
 }
