@@ -1495,8 +1495,11 @@ object ScaleQueries {
       |  round(dp / (na.nn * nb.nn), 4) AS cosine
       |FROM d JOIN n na ON label_a = na.label JOIN n nb ON label_b = nb.label
       |ORDER BY label_a, label_b""".stripMargin)) { (s, dir) =>
+    // one centroid pass, not two: without the checkpoint both sides of the
+    // self-join re-scan embeddings and re-aggregate — at corpus scale that
+    // doubles the dominant cost. The checkpointed frame is |labels|×d.
     val cents = Similarity.centroids(t(s, dir, "embeddings"),
-      "label", "embedding")
+      "label", "embedding").localCheckpoint()
     val a = cents.select(col("cell").as("label_a"), col("centroid").as("__va"))
     val b = cents.select(col("cell").as("label_b"), col("centroid").as("__vb"))
     a.crossJoin(b).filter(col("label_a") < col("label_b"))

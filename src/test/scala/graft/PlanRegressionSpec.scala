@@ -354,6 +354,35 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("percentile"), "must not fall back to the buffering aggregate")
   }
 
+  test("x115 native asof plans the custom exec between key exchanges and sorts") {
+    val p = plan("x115_native_asof")
+    // the custom physical node made it through the planner
+    assert(p.contains("AsofJoin"), p.take(800))
+    // EnsureRequirements satisfied the declared distribution/ordering: a
+    // hash exchange per side plus the final range exchange for ORDER BY —
+    // and nothing more
+    assert("hashpartitioning\\((user_id|su)#".r.findAllIn(p).length >= 2, p.take(900))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 3,
+      "expected exactly 3 exchanges:\n" + p.take(900))
+    // (key, time) sorts feed the merge; event_type filters reach the scans
+    assert(p.contains("ts#") && p.contains("sts#"), p.take(900))
+    assert("EqualTo\\(event_type,(purchase|signup)\\)".r.findAllIn(p).length == 2,
+      "both event_type filters must push into parquet:\n" + p.take(900))
+    // the merge replaces the window formulation entirely
+    assert(!p.contains("Window"), "native path must not plan a window:\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
+
+  test("x114 centroid pass runs once; pairwise join reads the checkpoint") {
+    val p = plan("x114_label_similarity")
+    // both self-join sides must reuse the checkpointed centroid frame —
+    // a regression here re-scans embeddings and re-aggregates twice
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 2, p.take(800))
+    assert(!p.contains("Scan parquet"), "centroids must not recompute:\n" + p.take(800))
+    // the tiny |labels|×d frame broadcasts; the corpus never self-joins
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
