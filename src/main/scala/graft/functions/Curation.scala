@@ -543,4 +543,62 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", hashed-n-gram variant):
+    * every document is scored by the log-likelihood ratio of its hashed
+    * word-unigram features under an add-1-smoothed TARGET bucket model vs
+    * the RAW (non-target) corpus model, and the top-k highest-ratio
+    * documents are kept — "give me more raw data that looks like my
+    * high-quality domain".
+    *
+    * Determinism discipline: bucket = md5-hash(word) % dim (the
+    * [[featureHash]] convention, engine-portable); each of the two ln
+    * bucket-probabilities is quantized to DECIMAL(24,14) BEFORE the
+    * subtraction, so per-bucket log-ratios are exact decimals, the
+    * BIGINT count × DECIMAL(24,14) product fits decimal(35,14) with zero
+    * loss, and the per-document sum is order-free — identical in any
+    * engine. The top-k boundary tie-breaks on id.
+    *
+    * Scale shape: ONE explode over the corpus feeds a (doc, bucket)
+    * count aggregate that is lineage-truncated and reused by BOTH the
+    * model pass and the scoring pass (without it the corpus tokenizes
+    * twice). The model, totals, and log-ratio frames are ≤ dim rows and
+    * broadcast; scoring is a broadcast join + per-doc aggregate; the
+    * final top-k is TakeOrderedAndProject, never a global sort.
+    * (localCheckpoint is the single-JVM shape — on a real cluster the
+    * counts frame would land in an intermediate table.)
+    *
+    * Documents with zero alphanumeric tokens have no features, hence no
+    * score, and are never selected. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int = 64, topK: Int = 100): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
+    val counts = df
+      .select(col(idCol), isTarget.as("__t"),
+        explode(Dedup.words(col(textCol))).as("__w"))
+      .withColumn("__bucket",
+        conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % dim)
+      .groupBy(col(idCol), col("__t"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val model = counts.groupBy("__bucket")
+      .agg(sum(when(col("__t"), col("__n")).otherwise(0L)).as("__tn"),
+        sum(when(!col("__t"), col("__n")).otherwise(0L)).as("__rn"))
+    val totals = model.agg(sum("__tn").as("__tt"), sum("__rn").as("__rt"))
+    val ratio = model.crossJoin(broadcast(totals))
+      .select(col("__bucket"),
+        (log((col("__tn") + 1).cast("double") / (col("__tt") + dim).cast("double"))
+            .cast("decimal(24,14)")
+          - log((col("__rn") + 1).cast("double") / (col("__rt") + dim).cast("double"))
+            .cast("decimal(24,14)")).as("__lr"))
+    counts.join(broadcast(ratio), "__bucket")
+      .groupBy(col(idCol))
+      .agg(sum("__n").cast("long").as("n_tokens"),
+        sum(col("__n").cast("decimal(10,0)") * col("__lr")).as("__s"))
+      .orderBy(col("__s").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s").cast("double"), 4).as("log_ratio"))
+  }
 }

@@ -601,4 +601,51 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cross-document duplicated-PASSAGE extraction (the substring-level
+    * dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", at word-k-gram granularity): for every
+    * document, the maximal word spans whose every k-gram also appears in
+    * at least one OTHER document — the passages a substring-dedup pass
+    * would cut. Unlike [[winnowFingerprints]] (sampled fingerprints, used
+    * to DETECT overlap) this reports the exact duplicated spans with
+    * positions, and unlike [[ngramContainment]] (one doc-level score) it
+    * localizes WHERE the duplication sits.
+    *
+    * Returns (id, start_word, end_word, n_words, n_dup_grams) — 1-based
+    * inclusive word positions; overlapping/adjacent duplicated k-grams
+    * merge into one maximal span (positions p, q chain iff q−p ≤ k, i.e.
+    * their covered intervals [p, p+k−1], [q, q+k−1] touch).
+    *
+    * Scale shape: positional k-grams are a map-side posexplode; the
+    * duplicated-gram set comes from one (gram-hash, doc) dedup +
+    * per-hash count — hash-partitioned shuffles, skew-safe because keys
+    * are md5 hashes; the join back is a shuffle join on the same hash
+    * key (the dup-gram set is corpus-sized in the worst case — never
+    * assume broadcast); island merging is a per-document window, and the
+    * span aggregate reuses the window's doc partitioning (groupBy on a
+    * superset of the partition key adds no exchange). */
+  def duplicatedPassages(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        posexplode(shingleList(words(col(textCol)), k)).as(Seq("__p0", "__g")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), md5(col("__g")).as("__h"))
+    val dupGrams = grams.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select("__h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    grams.join(dupGrams, "__h")
+      .withColumn("__new", when(col("__pos") - lag("__pos", 1).over(w) > k, 1)
+        .otherwise(0))
+      .withColumn("__island", sum("__new").over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("__pos").cast("long").as("start_word"),
+        (max("__pos") + (k - 1)).cast("long").as("end_word"),
+        count(lit(1)).cast("long").as("n_dup_grams"))
+      .select(col(idCol), col("start_word"), col("end_word"),
+        (col("end_word") - col("start_word") + 1L).as("n_words"),
+        col("n_dup_grams"))
+  }
 }

@@ -1508,9 +1508,48 @@ object ScaleQueries {
       .orderBy("label_a", "label_b")
   }
 
+  // Substring-level dup extraction (Lee et al. 2021 at k-gram grain):
+  // maximal word spans whose every 3-gram appears in >= 2 docs. The
+  // oracle replays positional grams, the cross-doc dup-gram set, the
+  // island chaining (gap > 3 starts a new span), and the span aggregate.
+  private val x117 = Q("x117_dup_passages", Some(
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(regexp_replace(lower(text),
+      |      '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, u.g['i']::BIGINT AS pos, u.g['h']::VARCHAR AS h
+      |  FROM (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+      |          i -> {'i': i,
+      |                'h': md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])}) AS gs
+      |        FROM w), unnest(gs) AS u(g)),
+      |dup AS (
+      |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM grams)
+      |  GROUP BY h HAVING count(*) >= 2),
+      |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+      |gaps AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM hits),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM gaps)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+      |  CAST(max(pos) + 2 AS BIGINT) AS end_word,
+      |  CAST(max(pos) + 2 - min(pos) + 1 AS BIGINT) AS n_words,
+      |  CAST(count(*) AS BIGINT) AS n_dup_grams
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, start_word""".stripMargin)) { (s, dir) =>
+    Dedup.duplicatedPassages(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "start_word")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114)
+      x114, x117)
 }

@@ -641,6 +641,44 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // DSIR importance selection: treat src0-src3 as the "high-quality
+  // target domain" and pick the 100 raw docs (target docs score too —
+  // they ARE in-domain) whose hashed-unigram features look most like it.
+  // The oracle replays hashing, both smoothed bucket models, the
+  // per-bucket DECIMAL(24,14) log-ratio quantization, the order-free
+  // decimal doc sums, and the id-tiebroken top-k boundary.
+  private val x116 = Q("x116_dsir_selection", Some(
+    s"""WITH toks AS (
+       |  SELECT doc_id, t,
+       |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % 64 AS bucket
+       |  FROM (SELECT doc_id, source IN ('src0','src1','src2','src3') AS t,
+       |          $WORDS AS ws FROM documents), unnest(ws) AS u(w)),
+       |counts AS (
+       |  SELECT doc_id, t, bucket, count(*) AS n FROM toks GROUP BY 1, 2, 3),
+       |model AS (
+       |  SELECT bucket,
+       |    sum(CASE WHEN t THEN n ELSE 0 END) AS tn,
+       |    sum(CASE WHEN NOT t THEN n ELSE 0 END) AS rn
+       |  FROM counts GROUP BY bucket),
+       |tot AS (SELECT sum(tn) AS tt, sum(rn) AS rt FROM model),
+       |ratio AS (
+       |  SELECT bucket,
+       |    CAST(ln((tn + 1)::DOUBLE / (tt + 64)::DOUBLE) AS DECIMAL(24,14))
+       |    - CAST(ln((rn + 1)::DOUBLE / (rt + 64)::DOUBLE) AS DECIMAL(24,14))
+       |      AS lr
+       |  FROM model, tot),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    sum(CAST(n AS DECIMAL(10,0)) * lr) AS s
+       |  FROM counts JOIN ratio USING (bucket) GROUP BY doc_id),
+       |top AS (SELECT * FROM scored ORDER BY s DESC, doc_id LIMIT 100)
+       |SELECT doc_id, n_tokens, round(CAST(s AS DOUBLE), 4) AS log_ratio
+       |FROM top ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    Curation.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3"))
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113)
+    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116)
 }

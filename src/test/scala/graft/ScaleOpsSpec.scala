@@ -334,4 +334,37 @@ class ScaleOpsSpec extends SparkSpec {
       r.getAs[Long]("rank") == 1L)
     assert(top1.head.getAs[Long]("neg_id") == 3L) // nearest cross-label vector
   }
+
+  test("duplicatedPassages localizes cross-doc spans and merges islands") {
+    // docs 1 and 2 share the 5-word run "the quick brown fox jumps";
+    // doc 3 is unrelated. k=3 → dup grams at positions 3,4,5 of doc 1
+    // chain into ONE span covering words 3..7.
+    val docs = Seq(
+      (1L, "alpha beta the quick brown fox jumps gamma delta"),
+      (2L, "one two three the quick brown fox jumps four"),
+      (3L, "completely unrelated words in this document here")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedPassages(docs, "doc_id", "text")
+      .orderBy("doc_id", "start_word").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val d1 = out.head
+    assert(d1.getAs[Long]("start_word") == 3L && d1.getAs[Long]("end_word") == 7L)
+    assert(d1.getAs[Long]("n_words") == 5L && d1.getAs[Long]("n_dup_grams") == 3L)
+    // a gram repeated only WITHIN one doc is not cross-doc duplication
+    val selfRep = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "totally different text entirely here")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedPassages(selfRep, "doc_id", "text").isEmpty)
+    // two shared runs far apart in the same doc stay separate spans
+    val far = Seq(
+      (1L, "the quick brown fox AA BB CC DD EE FF lazy dog sleeps tight".toLowerCase),
+      (2L, "the quick brown fox GG HH II JJ KK LL lazy dog sleeps tight".toLowerCase))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedPassages(far, "doc_id", "text")
+      .filter($"doc_id" === 1L).orderBy("start_word").collect()
+    assert(spans.length == 2, spans.mkString(","))
+    assert(spans(0).getAs[Long]("start_word") == 1L &&
+      spans(0).getAs[Long]("end_word") == 4L)
+    assert(spans(1).getAs[Long]("start_word") == 11L &&
+      spans(1).getAs[Long]("end_word") == 14L)
+  }
 }

@@ -245,4 +245,29 @@ class TrainingOpsSpec extends SparkSpec {
     val all = Curation.pruneBottomQuantile(df, "key", 0.0).count()
     assert(all == 10L)                     // fraction 0 keeps everything
   }
+
+  test("dsirSelect ranks in-domain-looking raw docs above off-domain ones") {
+    // target domain speaks "alpha beta gamma"; raw docs 10-12 mimic it,
+    // 20-22 speak an unrelated vocabulary. k=5 must pick the two target
+    // docs (strongest in-domain signal) plus the three mimics.
+    val target = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "beta gamma alpha gamma", true))
+    val mimics = (10L to 12L).map(i => (i, "alpha beta gamma", false))
+    val offdom = (20L to 22L).map(i => (i, "zig zag zug quux", false))
+    val df = (target ++ mimics ++ offdom).toDF("id", "text", "is_t")
+    val out = Curation.dsirSelect(df, "id", "text", $"is_t", dim = 64,
+      topK = 5).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 10L, 11L, 12L))
+    // every selected doc scores strictly above every off-domain doc
+    val all = Curation.dsirSelect(df, "id", "text", $"is_t", dim = 64,
+      topK = 100).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Double]("log_ratio")).toMap
+    assert(Set(1L, 2L, 10L).map(all).min > Set(20L, 21L, 22L).map(all).max)
+    // zero-token docs have no features and are never selected
+    val withEmpty = df.union(Seq((30L, "!!!", false)).toDF("id", "text", "is_t"))
+    val sel = Curation.dsirSelect(withEmpty, "id", "text", $"is_t",
+      topK = 100).collect().map(_.getAs[Long]("id"))
+    assert(!sel.contains(30L) && sel.length == 8)
+  }
 }
