@@ -109,4 +109,46 @@ class AsofJoinSpec extends SparkSpec {
         s"match existence diverged on row ${c.getAs[Long]("row_id")}")
     }
   }
+
+  test("native exec over bucketed+sorted tables plans ZERO exchanges") {
+    // THE scale claim of the native operator: when both sides are bucketed
+    // by key and sorted by (key, time), EnsureRequirements finds the
+    // declared distribution/ordering already satisfied and the as-of merge
+    // runs with no shuffle and no sort at all — the composed union+window
+    // formulation can never do this (its union repartitions both sides).
+    import org.apache.spark.sql.functions._
+    val left = (1 to 500).map(i => ((i % 7).toLong, ts(i % 60), i.toLong))
+      .toDF("k", "ts", "row_id")
+    val right = (1 to 100).map(i => ((i % 7).toLong, ts(i % 60), i.toLong))
+      .toDF("rk", "rts", "sid")
+    spark.sql("DROP TABLE IF EXISTS asof_l_bkt")
+    spark.sql("DROP TABLE IF EXISTS asof_r_bkt")
+    // one file per bucket: the scan only reports its sortBy ordering when
+    // every bucket is a single file (multi-file buckets interleave) — and
+    // only under the opt-in flag (default-off since Spark 3.0 because
+    // multi-file buckets silently voided the guarantee)
+    left.repartition(1).write.bucketBy(4, "k").sortBy("k", "ts")
+      .saveAsTable("asof_l_bkt")
+    right.repartition(1).write.bucketBy(4, "rk").sortBy("rk", "rts")
+      .saveAsTable("asof_r_bkt")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val out = graft.plans.AsofJoinNative.join(
+        spark.table("asof_l_bkt"), spark.table("asof_r_bkt"),
+        "k", "ts", "rk", "rts")
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("AsofJoin"), p.take(600))
+      assert(!p.contains("Exchange"), "bucketed asof must not shuffle:\n" + p.take(900))
+      assert(!p.contains("Sort"), "bucketed asof must not re-sort:\n" + p.take(900))
+      // and it still computes the right answer
+      val viaPlain = graft.plans.AsofJoinNative.join(left, right,
+        "k", "ts", "rk", "rts").select("row_id", "sid").orderBy("row_id").collect()
+      val viaBucket = out.select("row_id", "sid").orderBy("row_id").collect()
+      assert(viaBucket.sameElements(viaPlain))
+    } finally {
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS asof_l_bkt")
+      spark.sql("DROP TABLE IF EXISTS asof_r_bkt")
+    }
+  }
 }
