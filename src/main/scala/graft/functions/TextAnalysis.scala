@@ -341,4 +341,68 @@ object TextAnalysis {
     }
     (vocab, merges)
   }
+
+  /** Distinct-n corpus diversity per group (the distinct-1/2/3 metric of
+    * Li et al. 2016): for n ∈ [1, maxN], the fraction of n-gram tokens in
+    * each group that are distinct — 1.0 is maximally diverse, repetitive
+    * or templated text drives it toward 0. The standard pre-training
+    * corpus health report alongside [[qualityReport]].
+    *
+    * Scale shape: one positional-shingle explode per n (map-side, no
+    * distinct set materialized per doc), unioned into ONE shuffle on
+    * (group, n, gram) — the distinct count is the standard two-phase
+    * expanded aggregate, partial per partition. Output is |groups|·maxN
+    * rows. */
+  def distinctNgrams(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, maxN: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN=$maxN out of [1,6]")
+    val grams = (1 to maxN).map { n =>
+      df.select(col(groupCol), lit(n).as("n"),
+        explode(Dedup.shingleList(Dedup.words(col(textCol)), n)).as("__g"))
+    }.reduce(_ unionAll _)
+    grams.groupBy(col(groupCol), col("n"))
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("__g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_total"), 4))
+  }
+
+  /** Per-group domain-shift report: KL(P_group ‖ P_corpus) over word
+    * unigrams — how far each source's word distribution sits from the
+    * corpus mixture (0 = indistinguishable; large = its own dialect).
+    * The drift/mixture diagnostic consumed alongside [[graft.functions
+    * .Curation.mixturePlan]] and x116's DSIR scores.
+    *
+    * No smoothing is needed: every group word occurs in the corpus by
+    * construction, so p_corpus > 0 wherever p_group > 0. Each term
+    * p_g·ln(p_g/p_c) is quantized to DECIMAL(28,18) (the x113
+    * discipline) so the per-group sum is order-free and engine-exact.
+    *
+    * Scale shape: words explode once; per-(group, word) counts are one
+    * hash shuffle; corpus word counts derive from those counts (re-agg
+    * over |vocab|·|groups| rows, NOT a second corpus pass); group totals
+    * are a |groups|-row broadcast; the word-key join is AQE-decided
+    * (broadcast at test scale, shuffle join for data-sized vocabularies). */
+  def sourceKlDivergence(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val gw = df
+      .select(col(groupCol), explode(Dedup.words(col(textCol))).as("__w"))
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val corpus = gw.groupBy("__w").agg(sum("__c").as("__cc"))
+    val gtot = gw.groupBy(groupCol).agg(sum("__c").as("__gt"))
+    val ctot = corpus.agg(sum("__cc").as("__ct"))
+    gw.join(corpus, "__w")
+      .join(broadcast(gtot), Seq(groupCol))
+      .crossJoin(broadcast(ctot))
+      .withColumn("__term",
+        ((col("__c").cast("double") / col("__gt").cast("double")) *
+          log((col("__c").cast("double") * col("__ct").cast("double")) /
+            (col("__gt").cast("double") * col("__cc").cast("double"))))
+          .cast("decimal(28,18)"))
+      .groupBy(col(groupCol))
+      .agg(sum("__c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        round(sum(col("__term")).cast("double"), 4).as("kl_nats"))
+  }
 }

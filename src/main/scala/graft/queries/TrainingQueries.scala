@@ -679,6 +679,51 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // Distinct-n diversity per source (Li et al. 2016): distinct n-gram
+  // fraction for n=1..3 — repetitive/templated sources sink toward 0.
+  private val x118 = Q("x118_distinct_ngrams", Some(
+    s"""WITH w AS (SELECT source, $WORDS AS ws FROM documents),
+       |grams AS (
+       |  SELECT source, n.n,
+       |    unnest(list_transform(range(1, len(ws) - n.n + 2),
+       |      i -> array_to_string(ws[i : i + n.n - 1], ' '))) AS g
+       |  FROM w, (VALUES (1), (2), (3)) n(n)
+       |  WHERE len(ws) >= n.n)
+       |SELECT source, n, CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       |  round(count(DISTINCT g)::DOUBLE / count(*), 4) AS distinct_ratio
+       |FROM grams GROUP BY source, n
+       |ORDER BY source, n""".stripMargin)) { (s, dir) =>
+    TextAnalysis.distinctNgrams(t(s, dir, "documents"), "source", "text")
+      .orderBy("source", "n")
+  }
+
+  // Domain shift per source: KL(source ‖ corpus) over word unigrams.
+  // The oracle replays counts, totals, and the DECIMAL(28,18)-quantized
+  // KL terms; sums are order-free in both engines.
+  private val x119 = Q("x119_source_kl", Some(
+    s"""WITH w AS (
+       |  SELECT source, u.w FROM (
+       |    SELECT source, $WORDS AS ws FROM documents), unnest(ws) AS u(w)),
+       |gw AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w),
+       |corpus AS (SELECT w, sum(c) AS cc FROM gw GROUP BY w),
+       |gtot AS (SELECT source, sum(c) AS gt FROM gw GROUP BY source),
+       |ctot AS (SELECT sum(cc) AS ct FROM corpus),
+       |terms AS (
+       |  SELECT source, c,
+       |    CAST((c::DOUBLE / gt::DOUBLE) *
+       |      ln((c::DOUBLE * ct::DOUBLE) / (gt::DOUBLE * cc::DOUBLE))
+       |      AS DECIMAL(28,18)) AS term
+       |  FROM gw JOIN corpus USING (w) JOIN gtot USING (source), ctot)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS vocab,
+       |  round(CAST(sum(term) AS DOUBLE), 4) AS kl_nats
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
+    TextAnalysis.sourceKlDivergence(t(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
-    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116)
+    x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
+    x118, x119)
 }

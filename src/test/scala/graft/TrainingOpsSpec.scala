@@ -246,6 +246,45 @@ class TrainingOpsSpec extends SparkSpec {
     assert(all == 10L)                     // fraction 0 keeps everything
   }
 
+  test("distinctNgrams: repetitive text sinks, diverse text stays at 1.0") {
+    val df = Seq(
+      ("rep", "spam spam spam spam spam spam spam spam"),
+      ("div", "eight totally different words appear exactly once here"))
+      .toDF("source", "text")
+    val out = TextAnalysis.distinctNgrams(df, "source", "text")
+      .orderBy("source", "n").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("distinct_ratio"))).toMap
+    assert(out(("div", 1)) == ((8L, 8L, 1.0)))
+    assert(out(("div", 3)) == ((6L, 6L, 1.0)))
+    assert(out(("rep", 1)) == ((8L, 1L, 0.125)))
+    assert(out(("rep", 2)) == ((7L, 1L, 0.1429)))  // "spam spam" x7
+    assert(out.size == 6)                          // 2 sources x n=1..3
+  }
+
+  test("sourceKlDivergence: corpus-identical group at 0, skewed group above") {
+    // two groups with the SAME word distribution → each is the corpus
+    // mixture → KL = 0 for both
+    val same = Seq(
+      ("a", "x x y z"), ("b", "x x y z")).toDF("source", "text")
+    val zero = TextAnalysis.sourceKlDivergence(same, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats"))
+    assert(zero.forall(_._2 == 0.0), zero.mkString(","))
+    // a group speaking its own vocabulary diverges; the KL is computable
+    // exactly: p_g = 1 for "q", p_c = 4/12 → KL = ln(3)
+    val skew = Seq(
+      ("a", "x y z w"), ("b", "x y z w"), ("c", "q q q q"))
+      .toDF("source", "text")
+    val out = TextAnalysis.sourceKlDivergence(skew, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Double]("kl_nats"))).toMap
+    assert(out("c") == ((4L, 1L, BigDecimal(math.log(3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out("a")._3 > 0.0 && out("a") == out("b"))
+  }
+
   test("dsirSelect ranks in-domain-looking raw docs above off-domain ones") {
     // target domain speaks "alpha beta gamma"; raw docs 10-12 mimic it,
     // 20-22 speak an unrelated vocabulary. k=5 must pick the two target
