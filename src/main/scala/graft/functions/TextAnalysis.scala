@@ -367,6 +367,34 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_total"), 4))
   }
 
+  /** Zipf slope per group: OLS fit of ln(frequency) against ln(rank) over
+    * the top-k words — natural language sits near −1 (Zipf's law);
+    * machine-generated or templated text bends away. The third corpus
+    * fingerprint next to [[distinctNgrams]] and [[sourceKlDivergence]].
+    *
+    * Ranking is a per-group window (count desc, word asc — the word
+    * tiebreak pins equal-frequency ranks cross-engine); the regression
+    * reuses [[graft.operators.Stats.olsTrend]]'s DECIMAL(28,6)-quantized
+    * moment discipline, so the fit replays exactly. The window ranks the
+    * per-group vocabulary (sort-based, spill-safe), and only topK rows
+    * per group survive into the tiny moment aggregate. */
+  def zipfSlope(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    val gw = df
+      .select(col(groupCol), explode(Dedup.words(col(textCol))).as("__w"))
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__c").desc, col("__w"))
+    val top = gw.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topK)
+    graft.operators.Stats.olsTrend(
+      top.select(col(groupCol),
+        log(col("__r").cast("double")).as("ln_rank"),
+        log(col("__c").cast("double")).as("ln_freq")),
+      Seq(groupCol), "ln_rank", "ln_freq")
+  }
+
   /** Per-group domain-shift report: KL(P_group ‖ P_corpus) over word
     * unigrams — how far each source's word distribution sits from the
     * corpus mixture (0 = indistinguishable; large = its own dialect).

@@ -502,4 +502,33 @@ object Similarity {
       .limit(topK)
       .select(col("id").as(idCol), col("pq_cosine"))
   }
+
+  /** Per-dimension statistics of an embedding column — the drift/health
+    * monitor in front of every ANN index (a collapsed dimension means a
+    * broken encoder; a shifted mean invalidates trained centroids and PQ
+    * codebooks). Returns one row per dimension (1-based): count, mean,
+    * population variance, min, max.
+    *
+    * One posexplode + one aggregate keyed by dimension — d keys total,
+    * perfectly balanced, map-side combined. Moments follow the
+    * DECIMAL(28,6) per-term quantization of Stats.olsTrend so mean and
+    * variance replay exactly in any engine; min/max of float values are
+    * exact by nature. */
+  def embeddingDimStats(data: DataFrame, vecCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(28,6)")
+    data.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__d0", "__x")))
+      .select((col("__d0") + 1).as("dim"), col("__x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col("__x"))).cast("double").as("__sx"),
+        sum(dec(col("__x") * col("__x"))).cast("double").as("__sxx"),
+        round(min("__x"), 4).as("min_v"),
+        round(max("__x"), 4).as("max_v"))
+      .select(col("dim").cast("long"), col("__n").cast("long").as("n_vals"),
+        round(col("__sx") / col("__n"), 4).as("mean"),
+        round((col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
+          col("__n"), 4).as("variance"),
+        col("min_v"), col("max_v"))
+  }
 }

@@ -723,7 +723,59 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  // Zipf slope per source: ln(freq) ~ ln(rank) OLS over the top-100
+  // words. The oracle replays ranking (word tiebreak), the ln points,
+  // and olsTrend's DECIMAL(28,6) moment quantization.
+  private val x120 = Q("x120_zipf_slope", Some(
+    s"""WITH w AS (
+       |  SELECT source, u.w FROM (
+       |    SELECT source, $WORDS AS ws FROM documents), unnest(ws) AS u(w)),
+       |gw AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w),
+       |rk AS (
+       |  SELECT source, c, row_number() OVER (
+       |    PARTITION BY source ORDER BY c DESC, w) AS r
+       |  FROM gw),
+       |pts AS (
+       |  SELECT source, ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y
+       |  FROM rk WHERE r <= 100),
+       |m AS (
+       |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+       |  FROM pts GROUP BY source)
+       |SELECT source, CAST(n AS BIGINT) AS n_rows,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+       |    AS intercept
+       |FROM m ORDER BY source""".stripMargin)) { (s, dir) =>
+    TextAnalysis.zipfSlope(t(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+  }
+
+  // Embedding column health: per-dimension count/mean/variance/min/max —
+  // the drift monitor in front of the ANN indexes. DECIMAL(28,6) moment
+  // quantization; min/max of float values are exact.
+  private val x121 = Q("x121_embedding_dim_stats", Some(
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT r.i AS dim, v[r.i] AS x FROM e CROSS JOIN range(1, 65) r(i)),
+      |m AS (
+      |  SELECT dim, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    round(min(x), 4) AS min_v, round(max(x), 4) AS max_v
+      |  FROM d GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vals,
+      |  round(sx / n, 4) AS mean,
+      |  round((sxx - sx * sx / n) / n, 4) AS variance, min_v, max_v
+      |FROM m ORDER BY dim""".stripMargin)) { (s, dir) =>
+    graft.operators.Similarity.embeddingDimStats(
+        t(s, dir, "embeddings"), "embedding")
+      .orderBy("dim")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119)
+    x118, x119, x120, x121)
 }

@@ -285,6 +285,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out("a")._3 > 0.0 && out("a") == out("b"))
   }
 
+  test("zipfSlope: steep for power-law text, exactly 0 for flat text") {
+    val power = Seq(("p", ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim))
+      .toDF("source", "text")
+    val flat = Seq(("f", "u v w x y z")).toDF("source", "text")
+    val out = TextAnalysis.zipfSlope(power.unionAll(flat), "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("slope"))).toMap
+    assert(out(("f"))._1 == 6L && out(("f"))._2 == 0.0) // all freq 1 → flat
+    // freq 8,4,2,1 over ranks 1,2,3,4: decreasing → clearly negative slope
+    assert(out(("p"))._1 == 4L && out(("p"))._2 < -1.0)
+  }
+
+  test("embeddingDimStats: exact moments per dimension") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f)),
+      (2L, Array(3.0f, 2.0f))).toDF("id", "vec")
+    val out = graft.operators.Similarity.embeddingDimStats(df, "vec")
+      .orderBy("dim").collect()
+    assert(out.length == 2)
+    val d1 = out.head
+    assert(d1.getAs[Long]("dim") == 1L && d1.getAs[Long]("n_vals") == 2L)
+    assert(d1.getAs[Double]("mean") == 2.0 && d1.getAs[Double]("variance") == 1.0)
+    assert(d1.getAs[Double]("min_v") == 1.0 && d1.getAs[Double]("max_v") == 3.0)
+    val d2 = out(1)
+    assert(d2.getAs[Double]("mean") == 0.0 && d2.getAs[Double]("variance") == 4.0)
+  }
+
   test("dsirSelect ranks in-domain-looking raw docs above off-domain ones") {
     // target domain speaks "alpha beta gamma"; raw docs 10-12 mimic it,
     // 20-22 speak an unrelated vocabulary. k=5 must pick the two target
