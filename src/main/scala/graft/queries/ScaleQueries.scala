@@ -392,7 +392,9 @@ object ScaleQueries {
   // the static events frame is replayed through flatMapGroupsWithState as a
   // real MemoryStream in time-ordered micro-batches (sentinel-flushed), so
   // the stateful streaming path — not just its batch twin — is hash-gated.
-  private val x15 = Q("x15_stream_sessionize", Some(
+  // ONE batch-sessionization oracle, TWO streaming formulations (x15
+  // sentinel-flushed NoTimeout, x122 watermark-driven EventTimeTimeout).
+  private val SessionOracle =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
@@ -406,8 +408,27 @@ object ScaleQueries {
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
       |  count(*) AS n_events, min(ts) AS session_start
       |FROM sessions GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin)) { (s, dir) =>
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val x15 = Q("x15_stream_sessionize", Some(SessionOracle)) { (s, dir) =>
     EventStream.sessionizeReplay(s, Tables.events(s, dir))
+      .orderBy("user_id", "session_id")
+  }
+
+  // The EVENT-TIME-TIMEOUT sessionizer under the identical oracle: tail
+  // sessions close because the watermark passes last-event + gap — no
+  // per-user sentinel exists to flush them — so the state-timeout
+  // machinery itself is what the hash gate verifies.
+  private val x122 = Q("x122_timeout_sessions", Some(SessionOracle)) { (s, dir) =>
+    EventStream.sessionizeTimeoutReplay(s, Tables.events(s, dir))
+      .orderBy("user_id", "session_id")
+  }
+
+  // Spark 4's transformWithState (typed ValueState + explicit event-time
+  // TIMERS on the RocksDB store) under the same oracle: the replacement
+  // API for flatMapGroupsWithState, hash-gated against the batch cumsum.
+  private val x123 = Q("x123_tws_sessions", Some(SessionOracle)) { (s, dir) =>
+    EventStream.sessionizeTwsReplay(s, Tables.events(s, dir))
       .orderBy("user_id", "session_id")
   }
 
@@ -1551,5 +1572,5 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117)
+      x114, x117, x122, x123)
 }

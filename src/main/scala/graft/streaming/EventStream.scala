@@ -243,6 +243,236 @@ object EventStream {
         timestamp_micros(col("start_us")).as("session_start"))
   }
 
+  /** [[sessionizeFull]] driven by EVENT-TIME TIMEOUTS — the third state
+    * API path (after NoTimeout flatMap and the native session_window): a
+    * session also closes when the WATERMARK passes its last event + gap,
+    * so a user who simply goes quiet gets their session emitted without
+    * any later event of their own arriving. Same output shape and
+    * semantics as the batch twin; with time-ordered input the
+    * timeout-closed sessions are provably identical to gap-closed ones
+    * (any event after a fired timeout is beyond the gap by watermark
+    * monotonicity, so it would have started a new session anyway).
+    *
+    * A closed-by-timeout user leaves a zero-count tombstone carrying the
+    * next session ordinal (state stays one record per user either way);
+    * the timeout timestamp clamps above the current watermark for users
+    * whose tail is older than what other users' events already advanced
+    * the watermark to. */
+  def sessionizeTimeout(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(OpenSession(0L, 0L, 0L, st.idx + 1L)) // tombstone
+            Iterator.single(ClosedSession(user, st.idx, st.n, st.startUs))
+          } else {
+            val times = rows.map(_._3).toArray.sorted
+            val out = Vector.newBuilder[ClosedSession]
+            var st = state.getOption.orNull
+            times.foreach { t =>
+              if (st == null) st = OpenSession(t, t, 1L, 1L)
+              else if (st.n == 0L) st = OpenSession(t, t, 1L, st.idx)
+              else if (t - st.lastUs > gapUs) {
+                out += ClosedSession(user, st.idx, st.n, st.startUs)
+                st = OpenSession(t, t, 1L, st.idx + 1L)
+              } else st = OpenSession(st.startUs, t, st.n + 1L, st.idx)
+            }
+            if (st != null && st.n > 0L) {
+              state.update(st)
+              val fireMs = st.lastUs / 1000L + gapSeconds * 1000L
+              state.setTimeoutTimestamp(
+                math.max(fireMs, state.getCurrentWatermarkMs + 1L))
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"))
+  }
+
+  /** Replay a STATIC events frame through [[sessionizeTimeout]]: unlike
+    * [[sessionizeReplay]], NO per-user sentinel is needed — two far-future
+    * events for one reserved user (-1) advance the watermark and then let
+    * the fired timeouts drain, closing every real user's tail session.
+    * The result must equal the batch sessionization — the timeout path's
+    * correctness gate. */
+  def sessionizeTimeoutReplay(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._2).max
+    val gapUs = gapSeconds * 1000000L
+    val sentinelUs = maxUs + 2 * gapUs
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val streamDf = mem.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val name = "tsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("tsess_ckpt").toString
+    withReplayShuffle(spark) {
+      val q = sessionizeTimeout(streamDf, gapSeconds)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        // batch 1: watermark jumps past every last-event + gap;
+        // batch 2: the fired timeouts are processed and their sessions emitted
+        mem.addData(Seq((-1L, sentinelUs)))
+        q.processAllAvailable()
+        mem.addData(Seq((-1L, sentinelUs + 2 * gapUs)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  /** [[sessionizeFull]] on Spark 4's `transformWithState` — the arbitrary-
+    * state API that replaces `flatMapGroupsWithState` (SPARK-46815): typed
+    * `ValueState` handles, explicit per-key event-time TIMERS, and the
+    * RocksDB state store (the only provider the operator supports — state
+    * lives off-heap and spills to disk, so per-executor state is bounded
+    * by local SSD, not JVM heap; exactly what 100 TB session state needs).
+    *
+    * Timer discipline: each input batch for a user deletes that user's
+    * registered timers (`listTimers` is per-key) and arms one at
+    * last-event + gap, clamped above the current watermark; the fired
+    * timer emits the session and leaves the zero-count tombstone carrying
+    * the next ordinal — identical output to [[sessionizeTimeout]], but the
+    * close logic lives in `handleExpiredTimer`, not in a hasTimedOut
+    * branch of the input path. */
+  private final class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    private val gapUs = gapSeconds * 1000000L
+    @transient private var session: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[OpenSession](
+        "session", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val times = rows.map(_._3).toArray.sorted
+      val out = Vector.newBuilder[ClosedSession]
+      var st = if (session.exists()) session.get() else null
+      times.foreach { t =>
+        if (st == null) st = OpenSession(t, t, 1L, 1L)
+        else if (st.n == 0L) st = OpenSession(t, t, 1L, st.idx)
+        else if (t - st.lastUs > gapUs) {
+          out += ClosedSession(user, st.idx, st.n, st.startUs)
+          st = OpenSession(t, t, 1L, st.idx + 1L)
+        } else st = OpenSession(st.startUs, t, st.n + 1L, st.idx)
+      }
+      if (st != null && st.n > 0L) {
+        session.update(st)
+        getHandle.listTimers().foreach(ms => getHandle.deleteTimer(ms.asInstanceOf[Long]))
+        val fireMs = st.lastUs / 1000L + gapSeconds * 1000L
+        getHandle.registerTimer(
+          math.max(fireMs, timerValues.getCurrentWatermarkInMs + 1L))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val st = if (session.exists()) session.get() else null
+      // Guard against a stale timer (deleted-then-fired races can't happen
+      // with the delete-on-input discipline, but the check is free): the
+      // timer is current only if it was armed at/after last + gap.
+      if (st != null && st.n > 0L &&
+          info.getExpiryTimeInMs >= st.lastUs / 1000L + gapSeconds * 1000L) {
+        session.update(OpenSession(0L, 0L, 0L, st.idx + 1L)) // tombstone
+        Iterator.single(ClosedSession(user, st.idx, st.n, st.startUs))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionizeTimeout]] re-expressed on `transformWithState` (see
+    * [[SessionProcessor]]). Requires the RocksDB state store provider. */
+  def sessionizeTws(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"))
+  }
+
+  /** Replay a STATIC events frame through [[sessionizeTws]] — the same
+    * watermark-advance drain as [[sessionizeTimeoutReplay]] (no per-user
+    * sentinel; fired TIMERS close every tail session), with the RocksDB
+    * provider the operator requires swapped in for the query's lifetime. */
+  def sessionizeTwsReplay(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._2).max
+    val gapUs = gapSeconds * 1000000L
+    val sentinelUs = maxUs + 2 * gapUs
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val streamDf = mem.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+    val name = "wsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("wsess_ckpt").toString
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withReplayShuffle(spark) {
+      val q = sessionizeTws(streamDf, gapSeconds)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData(Seq((-1L, sentinelUs)))
+        q.processAllAvailable()
+        mem.addData(Seq((-1L, sentinelUs + 2 * gapUs)))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
     * every stateful streaming operator commits one state store PER shuffle
     * partition PER micro-batch, so a small bounded replay pays the session

@@ -111,6 +111,84 @@ class EventStreamSpec extends SparkSpec {
       out(2).getAs[Long]("n_events") == 1L)
   }
 
+  test("sessionizeTimeout closes tail sessions by watermark, matching batch") {
+    // No per-user sentinel exists: user 1's second session and user 2's only
+    // session can ONLY be emitted by the EventTimeTimeout firing once the
+    // reserved-user watermark advance passes last-event + gap.
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → two sessions
+      (2L, ts(10)))
+      .toDF("user_id", "ts")
+    val out = EventStream.sessionizeTimeoutReplay(spark, events,
+        gapSeconds = 1800, batches = 2)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("user_id") == 1L &&
+      out(0).getAs[Long]("session_id") == 1L &&
+      out(0).getAs[Long]("n_events") == 2L &&
+      out(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(out(1).getAs[Long]("session_id") == 2L &&
+      out(1).getAs[Long]("n_events") == 1L &&
+      out(1).getAs[Timestamp]("session_start") == ts(40))
+    assert(out(2).getAs[Long]("user_id") == 2L &&
+      out(2).getAs[Long]("n_events") == 1L)
+  }
+
+  test("sessionizeTws (transformWithState + timers) matches batch semantics") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // gap > 30 min → two sessions
+      (2L, ts(10)))
+      .toDF("user_id", "ts")
+    val out = EventStream.sessionizeTwsReplay(spark, events,
+        gapSeconds = 1800, batches = 2)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("user_id") == 1L &&
+      out(0).getAs[Long]("session_id") == 1L &&
+      out(0).getAs[Long]("n_events") == 2L &&
+      out(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(out(1).getAs[Long]("session_id") == 2L &&
+      out(1).getAs[Long]("n_events") == 1L &&
+      out(1).getAs[Timestamp]("session_start") == ts(40))
+    assert(out(2).getAs[Long]("user_id") == 2L &&
+      out(2).getAs[Long]("n_events") == 1L)
+  }
+
+  test("sessionizeTimeout reopens after a tombstone with the next ordinal") {
+    // User 1's first session closes by timeout mid-stream (tombstone left in
+    // state); a later event for the same user must start session 2, not 1.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val streamDf = mem.toDF().toDF("user_id", "ts")
+    val name = "tsess_reopen"
+    val ckpt = java.nio.file.Files.createTempDirectory("tsess_reopen").toString
+    val q = EventStream.sessionizeTimeout(streamDf, gapSeconds = 1800)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    try {
+      mem.addData((1L, ts(0)))
+      q.processAllAvailable()
+      mem.addData((2L, t("12:00"))) // watermark → 12:00, past 10:00+gap
+      q.processAllAvailable()
+      mem.addData((2L, t("12:01"))) // user 1's timeout fires: session 1 out
+      q.processAllAvailable()
+      mem.addData((1L, t("12:05"))) // reopens from the tombstone
+      q.processAllAvailable()
+      mem.addData((2L, t("14:00"))) // watermark → 14:00, past 12:05+gap
+      q.processAllAvailable()
+      mem.addData((2L, t("14:01"))) // user 1's second timeout fires
+      q.processAllAvailable()
+      val closed = spark.table(name).filter($"user_id" === 1L)
+        .orderBy("session_id").collect()
+      assert(closed.length == 2)
+      assert(closed(0).getAs[Long]("session_id") == 1L &&
+        closed(0).getAs[Timestamp]("session_start") == ts(0))
+      assert(closed(1).getAs[Long]("session_id") == 2L &&
+        closed(1).getAs[Timestamp]("session_start") == t("12:05"))
+    } finally q.stop()
+  }
+
   test("dedupeStream drops in-watermark duplicates, keeps first occurrence") {
     val ev = Seq(
       (1L, ts(0), 10L, "click", 1.0), (2L, ts(1), 10L, "view", 2.0),

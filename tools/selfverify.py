@@ -27,7 +27,8 @@ def run_verify():
     cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
     cmd = ["java", "-Xmx8g", *ADD_OPENS,
            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-           "-cp", cp, "graft.Verify", SF, OUT]
+           "-cp", cp, "graft.Verify", SF, OUT] + \
+          (["|".join(sorted(ONLY))] if ONLY else [])
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
