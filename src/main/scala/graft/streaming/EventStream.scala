@@ -446,10 +446,17 @@ object EventStream {
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
     val name = "wsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("wsess_ckpt").toString
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing: per-batch commits upload only the delta;
+    // full RocksDB snapshots move to background maintenance. This is also
+    // the production-recommended setting — synchronous full-snapshot
+    // uploads are the dominant micro-batch cost once state is large.
+    val swapped = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = swapped.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    swapped.foreach { case (k, v) => spark.conf.set(k, v) }
     try withReplayShuffle(spark) {
       val q = sessionizeTws(streamDf, gapSeconds)
         .writeStream.format("memory").queryName(name)
@@ -466,9 +473,9 @@ object EventStream {
         mem.addData(Seq((-1L, sentinelUs + 2 * gapUs)))
         q.processAllAvailable()
       } finally q.stop()
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     spark.table(name).filter(col("user_id") >= 0)
   }
