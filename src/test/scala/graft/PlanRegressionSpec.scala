@@ -383,6 +383,26 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("x124 variant path parses the JSON exactly once, no filter re-parse") {
+    val p = plan("x124_variant_extract")
+    // the conditional-agg form keeps parse_json out of any pushed filter;
+    // a regression back to a WHERE on variant_get doubles the parse work
+    assert("parseJson".r.findAllIn(p).length == 1,
+      "parse_json must appear exactly once:\n" + p.take(1200))
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
+      "scan must prune to the two used columns:\n" + p.take(800))
+  }
+
+  test("x126 collated distinct expands once and aggregates partially") {
+    val p = plan("x126_collated_group")
+    // two DISTINCT lanes + the plain lane ride ONE Expand over one scan
+    assert("Expand".r.findAllIn(p).length >= 1, p.take(800))
+    // formatted mode prints each node in the tree AND the details section,
+    // so ONE scan appears at most twice
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      "multi-distinct must not rescan:\n" + p.take(800))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
