@@ -432,6 +432,27 @@ object ScaleQueries {
       .orderBy("user_id", "session_id")
   }
 
+  // Spark 4's state data source reading x123's RocksDB state BACK as a
+  // batch frame after the drain: every user's ValueState must be the
+  // zero-count tombstone carrying next-session ordinal = sessions + 1,
+  // derived independently by the oracle from the events table. This gates
+  // the operator's INTERNAL state machine (a bug that emits correct
+  // sessions but corrupts the carried ordinal breaks tomorrow's resume
+  // and is invisible to x15/x122/x123).
+  private val x127 = Q("x127_state_introspection", Some(
+    """WITH flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events)
+      |SELECT user_id, CAST(2 + sum(new_s) AS BIGINT) AS next_session_id,
+      |  CAST(0 AS BIGINT) AS n_open
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, dir) =>
+    EventStream.twsStateSnapshot(s, Tables.events(s, dir))
+      .orderBy("user_id")
+  }
+
   // Near-dup discovery on a HEAVILY exact-duplicated corpus (every doc ×8):
   // exercises minhashNearDups' exact-dup pre-pass — LSH candidates stay at
   // distinct-content scale while the oracle replays the naive all-rows
@@ -1572,5 +1593,5 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117, x122, x123)
+      x114, x117, x122, x123, x127)
 }

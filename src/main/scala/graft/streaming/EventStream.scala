@@ -432,7 +432,14 @@ object EventStream {
     * sentinel; fired TIMERS close every tail session), with the RocksDB
     * provider the operator requires swapped in for the query's lifetime. */
   def sessionizeTwsReplay(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+      gapSeconds: Long = 1800, batches: Int = 4): DataFrame =
+    runTwsReplay(spark, events, gapSeconds, batches)._1
+
+  /** [[sessionizeTwsReplay]] body, also handing back the query's
+    * checkpoint location so [[twsStateSnapshot]] can batch-read the
+    * RocksDB state it left behind. */
+  private def runTwsReplay(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long, batches: Int): (DataFrame, String) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = events.select(col("user_id").cast("long"), unix_micros(col("ts")))
@@ -477,7 +484,31 @@ object EventStream {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
-    spark.table(name).filter(col("user_id") >= 0)
+    (spark.table(name).filter(col("user_id") >= 0), ckpt)
+  }
+
+  /** Batch-introspect the streaming state [[sessionizeTws]] leaves behind,
+    * via Spark 4's state data source (SPARK-45511): after the watermark
+    * drain, every real user's RocksDB `session` ValueState MUST be the
+    * zero-count tombstone carrying their next session ordinal — a fact the
+    * oracle derives independently from the events table (sessions per user
+    * + 1). This gates the operator's internal state, not just its output:
+    * a state-machine bug that emitted correct sessions but corrupted the
+    * carried ordinal (breaking the NEXT day's resume) is invisible to
+    * x15/x122/x123 and caught only here. At scale this reader is the
+    * debugging/repair path for production state: a corrupt store is
+    * diagnosed with a batch query instead of replaying the stream. */
+  def twsStateSnapshot(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+    val (_, ckpt) = runTwsReplay(spark, events, gapSeconds, batches)
+    spark.read.format("statestore")
+      .option("path", ckpt)
+      .option("stateVarName", "session")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("value.idx").as("next_session_id"),
+        col("value.n").as("n_open"))
+      .filter(col("user_id") >= 0)
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:

@@ -154,6 +154,23 @@ class EventStreamSpec extends SparkSpec {
       out(2).getAs[Long]("n_events") == 1L)
   }
 
+  test("twsStateSnapshot reads tombstone ordinals back from RocksDB state") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(40)), // two sessions → next = 3
+      (2L, ts(10)))                           // one session  → next = 2
+      .toDF("user_id", "ts")
+    val snap = EventStream.twsStateSnapshot(spark, events,
+        gapSeconds = 1800, batches = 2)
+      .orderBy("user_id").collect()
+    assert(snap.length == 2)
+    assert(snap(0).getAs[Long]("user_id") == 1L &&
+      snap(0).getAs[Long]("next_session_id") == 3L &&
+      snap(0).getAs[Long]("n_open") == 0L)
+    assert(snap(1).getAs[Long]("user_id") == 2L &&
+      snap(1).getAs[Long]("next_session_id") == 2L &&
+      snap(1).getAs[Long]("n_open") == 0L)
+  }
+
   test("sessionizeTimeout reopens after a tombstone with the next ordinal") {
     // User 1's first session closes by timeout mid-stream (tombstone left in
     // state); a later event for the same user must start session 2, not 1.
