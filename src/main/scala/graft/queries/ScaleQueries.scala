@@ -439,6 +439,31 @@ object ScaleQueries {
   // the operator's INTERNAL state machine (a bug that emits correct
   // sessions but corrupts the carried ordinal breaks tomorrow's resume
   // and is invisible to x15/x122/x123).
+  // ListState: a bounded per-user recency window (last 3 events), state
+  // read back and gated against the batch row_number window — the
+  // "serving context" feature kept O(n) per user regardless of history.
+  private val x128 = Q("x128_liststate_recency", Some(
+    """WITH r AS (
+      |  SELECT user_id, event_id, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id FROM r WHERE rn <= 3
+      |ORDER BY user_id, event_id""".stripMargin)) { (s, dir) =>
+    EventStream.lastNStateSnapshot(s, Tables.events(s, dir), n = 3)
+      .orderBy("user_id", "event_id")
+  }
+
+  // MapState: per-user event-type counts updated one entry per event —
+  // the streaming store IS an incrementally-maintained group-by cube,
+  // and must equal the batch group-by exactly.
+  private val x129 = Q("x129_mapstate_counts", Some(
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin)) { (s, dir) =>
+    EventStream.typeCountsStateSnapshot(s, Tables.events(s, dir))
+      .orderBy("user_id", "event_type")
+  }
+
   private val x127 = Q("x127_state_introspection", Some(
     """WITH flagged AS (
       |  SELECT user_id,
@@ -1593,5 +1618,5 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117, x122, x123, x127)
+      x114, x117, x122, x123, x127, x128, x129)
 }

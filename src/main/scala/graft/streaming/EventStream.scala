@@ -453,18 +453,7 @@ object EventStream {
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
     val name = "wsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("wsess_ckpt").toString
-    // Changelog checkpointing: per-batch commits upload only the delta;
-    // full RocksDB snapshots move to background maintenance. This is also
-    // the production-recommended setting — synchronous full-snapshot
-    // uploads are the dominant micro-batch cost once state is large.
-    val swapped = Map(
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-        "true")
-    val prev = swapped.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    swapped.foreach { case (k, v) => spark.conf.set(k, v) }
-    try withReplayShuffle(spark) {
+    try withRocksDb(spark) { withReplayShuffle(spark) {
       val q = sessionizeTws(streamDf, gapSeconds)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
@@ -480,11 +469,165 @@ object EventStream {
         mem.addData(Seq((-1L, sentinelUs + 2 * gapUs)))
         q.processAllAvailable()
       } finally q.stop()
-    } finally prev.foreach {
+    } }
+    (spark.table(name).filter(col("user_id") >= 0), ckpt)
+  }
+
+  /** The remaining two transformWithState primitives, each gated through
+    * the state READER (the processors emit nothing; their state IS the
+    * product):
+    *  - [[LastNProcessor]]: a bounded per-user recency window in
+    *    `ListState` — the "context" feature a serving layer reads (last N
+    *    events per user), size-capped so state never grows with history;
+    *  - [[TypeCountProcessor]]: per-user event-type counts in `MapState` —
+    *    incremental update of one (type → count) entry per event, no
+    *    read-modify-write of a whole composite value.
+    */
+  private final class LastNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), Long] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+    @transient private var recent: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long)](
+        "recent", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[Long] = {
+      // merge the carried window with the batch, keep the top-n by
+      // (ts, event_id) — the put() rewrites one bounded array, so state
+      // per user is O(n) regardless of event history
+      val merged = (recent.get().toArray ++ rows.map(r => (r._3, r._2)))
+        .sorted.takeRight(n)
+      recent.put(merged)
+      Iterator.empty
+    }
+  }
+
+  private final class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), Long] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[Long] = {
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Replay `events` through a no-output stateful processor and hand back
+    * the checkpoint for state introspection (no watermark, no timers —
+    * TimeMode.None; the drain IS the last processed batch). */
+  private def runSilentStateReplay[T <: Product : org.apache.spark.sql.Encoder](
+      spark: SparkSession, rows: Seq[T], toStream: DataFrame => DataFrame,
+      batches: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val name = "silent_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("silent_ckpt").toString
+    withRocksDb(spark) { withReplayShuffle(spark) {
+      val q = toStream(mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } }
+    ckpt
+  }
+
+  /** Last-n-events-per-user via `ListState`, read back through the state
+    * data source: returns (user_id, event_id) — each user's n most recent
+    * events by (ts, event_id). The oracle recomputes the same window from
+    * the batch table. */
+  def lastNStateSnapshot(spark: SparkSession, events: DataFrame,
+      n: Int = 3, batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = events.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+    val ckpt = runSilentStateReplay[(Long, Long, Long)](spark, rows.toSeq,
+      df => {
+        import org.apache.spark.sql.streaming.TimeMode
+        df.toDF("user_id", "event_id", "ts_us")
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new LastNProcessor(n),
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+      }, batches)
+    spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "recent")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("list_element._2").as("event_id"))
+  }
+
+  /** Per-user event-type counts via `MapState`, read back through the
+    * state data source: returns (user_id, event_type, n) ≡ the batch
+    * group-by — the streaming store IS an incrementally-maintained cube. */
+  def typeCountsStateSnapshot(spark: SparkSession, events: DataFrame,
+      batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val rows = events.select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+      .map(r => (r._2, r._3))
+    val ckpt = runSilentStateReplay[(Long, String)](spark, rows.toSeq,
+      df => {
+        import org.apache.spark.sql.streaming.TimeMode
+        df.toDF("user_id", "event_type")
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new TypeCountProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+      }, batches)
+    spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "counts")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("event_type"),
+        col("user_map_value.value").as("n"))
+  }
+
+  /** Run `body` with the RocksDB state store provider + changelog
+    * checkpointing swapped in (restored after): transformWithState only
+    * runs on RocksDB, and changelog checkpointing makes each micro-batch
+    * commit upload only the delta (full snapshots move to background
+    * maintenance) — the production-recommended setting once state is
+    * large, and measurably faster even on the local replay. */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val swapped = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = swapped.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    swapped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
-    (spark.table(name).filter(col("user_id") >= 0), ckpt)
   }
 
   /** Batch-introspect the streaming state [[sessionizeTws]] leaves behind,

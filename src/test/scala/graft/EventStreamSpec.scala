@@ -171,6 +171,30 @@ class EventStreamSpec extends SparkSpec {
       snap(1).getAs[Long]("n_open") == 0L)
   }
 
+  test("lastNStateSnapshot keeps only the n most recent events per user") {
+    val events = Seq(
+      (1L, 101L, ts(0), "click"), (1L, 102L, ts(5), "view"),
+      (1L, 103L, ts(10), "click"), (1L, 104L, ts(15), "click"),
+      (2L, 201L, ts(1), "buy"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventStream.lastNStateSnapshot(spark, events, n = 3, batches = 2)
+      .orderBy("user_id", "event_id").collect()
+    // 101 must be evicted: ListState holds a bounded window, not history
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 102L), (1L, 103L), (1L, 104L), (2L, 201L)))
+  }
+
+  test("typeCountsStateSnapshot equals the batch group-by") {
+    val events = Seq(
+      (1L, 101L, ts(0), "click"), (1L, 102L, ts(5), "view"),
+      (1L, 103L, ts(10), "click"), (2L, 201L, ts(1), "buy"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventStream.typeCountsStateSnapshot(spark, events, batches = 2)
+      .orderBy("user_id", "event_type").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "click", 2L), (1L, "view", 1L), (2L, "buy", 1L)))
+  }
+
   test("sessionizeTimeout reopens after a tombstone with the next ordinal") {
     // User 1's first session closes by timeout mid-stream (tombstone left in
     // state); a later event for the same user must start session 2, not 1.
