@@ -439,6 +439,18 @@ object ScaleQueries {
   // the operator's INTERNAL state machine (a bug that emits correct
   // sessions but corrupts the carried ordinal breaks tomorrow's resume
   // and is invisible to x15/x122/x123).
+  // Batch history → streaming continuation under the identical oracle:
+  // the first half of the time range sessionizes in BATCH, each user's
+  // still-open final session seeds transformWithState INITIAL STATE, and
+  // only the second half streams. Union(batch-closed, stream output) must
+  // equal one-pass sessionization — proving the handoff continues
+  // mid-session (no restart, globally correct ordinals): the no-replay
+  // migration path from batch history to a live stream.
+  private val x130 = Q("x130_bootstrap_sessions", Some(SessionOracle)) { (s, dir) =>
+    EventStream.sessionizeBootstrapReplay(s, Tables.events(s, dir))
+      .orderBy("user_id", "session_id")
+  }
+
   // ListState: a bounded per-user recency window (last 3 events), state
   // read back and gated against the batch row_number window — the
   // "serving context" feature kept O(n) per user regardless of history.
@@ -1618,5 +1630,5 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117, x122, x123, x127, x128, x129)
+      x114, x117, x122, x123, x127, x128, x129, x130)
 }

@@ -358,22 +358,25 @@ object EventStream {
     * the next ordinal — identical output to [[sessionizeTimeout]], but the
     * close logic lives in `handleExpiredTimer`, not in a hasTimedOut
     * branch of the input path. */
-  private final class SessionProcessor(gapSeconds: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, java.sql.Timestamp, Long), ClosedSession] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
-    import org.apache.spark.sql.{Encoders, streaming}
-    private val gapUs = gapSeconds * 1000000L
-    @transient private var session: ValueState[OpenSession] = _
+  /** The session fold + timer discipline shared by [[SessionProcessor]]
+    * and [[SessionBootstrapProcessor]] (single inheritance: the bootstrap
+    * variant must extend StatefulProcessorWithInitialState, so the common
+    * logic lives here as static helpers over the handle + state). */
+  private object TwsSessionFold {
+    import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TimerValues, ValueState}
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      session = getHandle.getValueState[OpenSession](
-        "session", Encoders.product[OpenSession], TTLConfig.NONE)
+    def armTimer(handle: StatefulProcessorHandle, st: OpenSession,
+        gapSeconds: Long, timerValues: TimerValues): Unit = {
+      handle.listTimers().foreach(ms => handle.deleteTimer(ms.asInstanceOf[Long]))
+      val fireMs = st.lastUs / 1000L + gapSeconds * 1000L
+      handle.registerTimer(
+        math.max(fireMs, timerValues.getCurrentWatermarkInMs + 1L))
+    }
 
-    override def handleInputRows(user: Long,
-        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+    def onRows(handle: StatefulProcessorHandle, session: ValueState[OpenSession],
+        gapSeconds: Long, user: Long, times: Array[Long],
         timerValues: TimerValues): Iterator[ClosedSession] = {
-      val times = rows.map(_._3).toArray.sorted
+      val gapUs = gapSeconds * 1000000L
       val out = Vector.newBuilder[ClosedSession]
       var st = if (session.exists()) session.get() else null
       times.foreach { t =>
@@ -386,26 +389,80 @@ object EventStream {
       }
       if (st != null && st.n > 0L) {
         session.update(st)
-        getHandle.listTimers().foreach(ms => getHandle.deleteTimer(ms.asInstanceOf[Long]))
-        val fireMs = st.lastUs / 1000L + gapSeconds * 1000L
-        getHandle.registerTimer(
-          math.max(fireMs, timerValues.getCurrentWatermarkInMs + 1L))
+        armTimer(handle, st, gapSeconds, timerValues)
       }
       out.result().iterator
     }
 
-    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
-        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    def onTimer(session: ValueState[OpenSession], gapSeconds: Long,
+        user: Long, expiryMs: Long): Iterator[ClosedSession] = {
       val st = if (session.exists()) session.get() else null
       // Guard against a stale timer (deleted-then-fired races can't happen
       // with the delete-on-input discipline, but the check is free): the
       // timer is current only if it was armed at/after last + gap.
       if (st != null && st.n > 0L &&
-          info.getExpiryTimeInMs >= st.lastUs / 1000L + gapSeconds * 1000L) {
+          expiryMs >= st.lastUs / 1000L + gapSeconds * 1000L) {
         session.update(OpenSession(0L, 0L, 0L, st.idx + 1L)) // tombstone
         Iterator.single(ClosedSession(user, st.idx, st.n, st.startUs))
       } else Iterator.empty
     }
+  }
+
+  private final class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var session: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[OpenSession](
+        "session", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[ClosedSession] =
+      TwsSessionFold.onRows(getHandle, session, gapSeconds, user,
+        rows.map(_._3).toArray.sorted, timerValues)
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      TwsSessionFold.onTimer(session, gapSeconds, user, info.getExpiryTimeInMs)
+  }
+
+  /** [[SessionProcessor]] plus batch BOOTSTRAP: `handleInitialState` seeds
+    * each user's ValueState from a batch-computed open session and arms its
+    * gap timer, so a streaming deployment takes over from a batch history
+    * mid-session with no replay — the migration path for a pipeline that
+    * has years of history in tables and switches to streaming today. */
+  private final class SessionBootstrapProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, java.sql.Timestamp, Long), ClosedSession, OpenSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var session: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[OpenSession](
+        "session", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, initial: OpenSession,
+        timerValues: TimerValues): Unit = {
+      session.update(initial)
+      // the timer matters for users with NO post-handoff events: their
+      // carried-open session must still close once the watermark passes
+      TwsSessionFold.armTimer(getHandle, initial, gapSeconds, timerValues)
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[ClosedSession] =
+      TwsSessionFold.onRows(getHandle, session, gapSeconds, user,
+        rows.map(_._3).toArray.sorted, timerValues)
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      TwsSessionFold.onTimer(session, gapSeconds, user, info.getExpiryTimeInMs)
   }
 
   /** [[sessionizeTimeout]] re-expressed on `transformWithState` (see
@@ -608,6 +665,100 @@ object EventStream {
       .select(col("key.value").as("user_id"),
         col("user_map_key.value").as("event_type"),
         col("user_map_value.value").as("n"))
+  }
+
+  /** Batch history → streaming continuation: sessionize the FIRST HALF of
+    * the time range in batch (gap-cumsum windows), hand each user's final
+    * — still open — session to [[SessionBootstrapProcessor]] as
+    * transformWithState INITIAL STATE, stream only the second half, and
+    * union batch-closed sessions with the stream's output. The result must
+    * equal sessionizing the whole table in one pass (x15's oracle): the
+    * handoff is seamless — sessions SPANNING the cut are continued, not
+    * restarted, and carried ordinals stay globally correct. This is the
+    * migration path for a pipeline with years of batch history switching
+    * to streaming: no replay of history, one initial-state join. */
+  def sessionizeBootstrapReplay(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapUs = gapSeconds * 1000000L
+
+    val evUs = events.select(col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val (minUs, maxUs) = {
+      val r = evUs.agg(min("ts_us"), max("ts_us")).head
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
+    val cutUs = minUs + (maxUs - minUs) / 2
+
+    // batch prefix: per-user gap-cumsum sessions over events ≤ cut
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val perSession = evUs.filter(col("ts_us") <= cutUs)
+      .withColumn("new_s",
+        when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("last_us"),
+        count(lit(1)).as("n"))
+    val withMax = perSession.withColumn("max_sid",
+      max("sid").over(Window.partitionBy("user_id")))
+    // each user's LAST prefix session is handed over still-open; the rest
+    // closed inside the prefix and are emitted from batch directly
+    val handoff = withMax.filter(col("sid") === col("max_sid"))
+      .select(col("user_id"), col("start_us"), col("last_us"), col("n"),
+        col("sid").cast("long").as("idx"))
+      .as[(Long, Long, Long, Long, Long)]
+      .map(r => (r._1, OpenSession(r._2, r._3, r._4, r._5)))
+      .groupByKey(_._1).mapValues(_._2)
+    val closedBatch = withMax.filter(col("sid") < col("max_sid"))
+      .select(col("user_id"), col("sid").cast("long").as("session_id"),
+        col("n").as("n_events"),
+        timestamp_micros(col("start_us")).as("session_start"))
+
+    // streaming suffix: only events AFTER the cut, with the handoff state
+    val rows = events.filter(unix_micros(col("ts")) > cutUs)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val sentinelUs = maxUs + 2 * gapUs
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val streamTyped = mem.toDF().toDF("user_id", "ts_us")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    val name = "bsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("bsess_ckpt").toString
+    withRocksDb(spark) { withReplayShuffle(spark) {
+      val q = streamTyped.groupByKey(_._1)
+        .transformWithState(new SessionBootstrapProcessor(gapSeconds),
+          TimeMode.EventTime(), OutputMode.Append(), handoff,
+          Encoders.product[ClosedSession], Encoders.product[OpenSession])
+        .toDF()
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          timestamp_micros(col("start_us")).as("session_start"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData(Seq((-1L, sentinelUs)))
+        q.processAllAvailable()
+        mem.addData(Seq((-1L, sentinelUs + 2 * gapUs)))
+        q.processAllAvailable()
+      } finally q.stop()
+    } }
+    closedBatch.unionByName(
+      spark.table(name).filter(col("user_id") >= 0))
   }
 
   /** Run `body` with the RocksDB state store provider + changelog

@@ -171,6 +171,29 @@ class EventStreamSpec extends SparkSpec {
       snap(1).getAs[Long]("n_open") == 0L)
   }
 
+  test("bootstrap handoff continues a session that spans the batch/stream cut") {
+    // time range 10:00–10:25 → cut at 10:12:30. User 1's session straddles
+    // the cut (10:00 batch; 10:20, 10:25 streamed within the gap): the
+    // initial state must CONTINUE it — one 3-event session, not a restart.
+    // User 2 exists only in the batch half: the initial-state timer alone
+    // must close their session at the drain (they never stream an event).
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(20)), (1L, ts(25)),
+      (2L, ts(5)))
+      .toDF("user_id", "ts")
+    val out = EventStream.sessionizeBootstrapReplay(spark, events,
+        gapSeconds = 1800, batches = 2)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("user_id") == 1L &&
+      out(0).getAs[Long]("session_id") == 1L &&
+      out(0).getAs[Long]("n_events") == 3L &&
+      out(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(out(1).getAs[Long]("user_id") == 2L &&
+      out(1).getAs[Long]("n_events") == 1L &&
+      out(1).getAs[Timestamp]("session_start") == ts(5))
+  }
+
   test("lastNStateSnapshot keeps only the n most recent events per user") {
     val events = Seq(
       (1L, 101L, ts(0), "click"), (1L, 102L, ts(5), "view"),
