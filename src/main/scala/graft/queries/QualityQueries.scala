@@ -205,7 +205,7 @@ object QualityQueries {
   // 30 minutes, window end = last event + gap. The oracle rebuilds the
   // same sessions with a boundary cumulative sum (diff >= gap starts a new
   // session — [t,t+g) windows touching at the boundary do NOT merge).
-  private val x102 = Q("x102_session_windows", Some(
+  private val SessionWindowOracle =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
@@ -222,8 +222,21 @@ object QualityQueries {
       |  count(*) AS n_events,
       |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
       |FROM s GROUP BY user_id, sid
-      |ORDER BY user_id, session_start""".stripMargin)) { (s, dir) =>
+      |ORDER BY user_id, session_start""".stripMargin
+
+  private val x102 = Q("x102_session_windows", Some(SessionWindowOracle)) { (s, dir) =>
     EventStream.sessionWindows(Tables.events(s, dir), gap = "30 minutes")
+      .orderBy("user_id", "session_start")
+  }
+
+  // TWO stateful operators chained in ONE streaming query (legal since
+  // Spark 3.5): watermark-bounded dropDuplicatesWithinWatermark feeding
+  // the native session_window aggregate. The stream sees every event
+  // TWICE; the result must equal x102's single-pass oracle over the
+  // original table — gating in-stream dedup AND the watermark propagating
+  // correctly through the chained stateful pair.
+  private val x131 = Q("x131_chained_stateful", Some(SessionWindowOracle)) { (s, dir) =>
+    EventStream.dedupSessionWindowsReplay(s, Tables.events(s, dir))
       .orderBy("user_id", "session_start")
   }
 
@@ -419,5 +432,5 @@ object QualityQueries {
   }
 
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108)
+    x106, x107, x108, x131)
 }

@@ -243,6 +243,67 @@ object EventStream {
         timestamp_micros(col("start_us")).as("session_start"))
   }
 
+  /** TWO stateful operators CHAINED in one streaming query (SPARK-42376,
+    * allowed since 3.5): watermarked dropDuplicatesWithinWatermark feeds
+    * the native session_window aggregate directly — dedup state expires
+    * with the watermark (bounded, unlike plain dropDuplicates), and the
+    * SAME watermark then evicts closed sessions downstream. The input is
+    * doubled at the source; the replay must equal [[sessionWindows]] of
+    * the ORIGINAL events, proving both the chained-operator watermark
+    * propagation and the in-stream dedup. Sentinels use negative
+    * event_ids so they can never collide with (and get deduped against)
+    * real events; their sessions stay open and are never emitted. */
+  def dedupSessionWindowsReplay(spark: SparkSession, events: DataFrame,
+      gap: String = "30 minutes", batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("event_id").cast("long"),
+        col("user_id").cast("long"), unix_micros(col("ts")),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._3, r._1))
+    val doubled = rows.flatMap(r => Seq(r, r)) // exact duplicate per event
+    val users = rows.map(_._2).distinct.toSeq
+    val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapTotalUs = gapIv.microseconds + gapIv.days * 86400000000L
+    val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._3).max
+    val sentinelUs = maxUs + 3 * gapTotalUs
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Double)]
+    val chained = mem.toDF().toDF("event_id", "user_id", "ts_us", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .withWatermark("ts", gap)             // ONE watermark drives BOTH ops
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__tv"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        round(col("__tv").cast("double"), 2).as("total_value"))
+    val name = "dedupsess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("dedupsess_ckpt").toString
+    withReplayShuffle(spark) {
+      val q = chained.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val chunk = math.max(1, math.ceil(doubled.length.toDouble / batches).toInt)
+        doubled.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData(users.zipWithIndex.map { case (u, i) =>
+          (-1L - i, u, sentinelUs, 0.0) })
+        q.processAllAvailable()
+        mem.addData(users.zipWithIndex.map { case (u, i) =>
+          (-1000000L - i, u, sentinelUs + gapTotalUs, 0.0) })
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** [[sessionizeFull]] driven by EVENT-TIME TIMEOUTS — the third state
     * API path (after NoTimeout flatMap and the native session_window): a
     * session also closes when the WATERMARK passes its last event + gap,

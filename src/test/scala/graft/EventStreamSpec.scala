@@ -171,6 +171,23 @@ class EventStreamSpec extends SparkSpec {
       snap(1).getAs[Long]("n_open") == 0L)
   }
 
+  test("chained dedup + session_window equals the un-doubled batch twin") {
+    val events = Seq(
+      (101L, 1L, ts(0), 2.5), (102L, 1L, ts(5), 1.5),  // one session, 2 events
+      (103L, 2L, ts(10), 4.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    // the replay doubles every event internally; counts/sums must NOT double
+    val out = EventStream.dedupSessionWindowsReplay(spark, events, batches = 2)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("user_id") == 1L &&
+      out(0).getAs[Long]("n_events") == 2L &&
+      out(0).getAs[Double]("total_value") == 4.0)
+    assert(out(1).getAs[Long]("user_id") == 2L &&
+      out(1).getAs[Long]("n_events") == 1L &&
+      out(1).getAs[Double]("total_value") == 4.0)
+  }
+
   test("bootstrap handoff continues a session that spans the batch/stream cut") {
     // time range 10:00–10:25 → cut at 10:12:30. User 1's session straddles
     // the cut (10:00 batch; 10:20, 10:25 streamed within the gap): the
