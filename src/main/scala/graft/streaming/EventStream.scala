@@ -571,7 +571,7 @@ object EventStream {
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
     val name = "wsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("wsess_ckpt").toString
-    try withRocksDb(spark) { withReplayShuffle(spark) {
+    try withRocksDb(spark) { withReplayShuffle(spark, 4) {
       val q = sessionizeTws(streamDf, gapSeconds)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
@@ -657,7 +657,7 @@ object EventStream {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
     val name = "silent_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("silent_ckpt").toString
-    withRocksDb(spark) { withReplayShuffle(spark) {
+    withRocksDb(spark) { withReplayShuffle(spark, 4) {
       val q = toStream(mem.toDF())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
@@ -795,7 +795,7 @@ object EventStream {
       .as[(Long, java.sql.Timestamp, Long)]
     val name = "bsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("bsess_ckpt").toString
-    withRocksDb(spark) { withReplayShuffle(spark) {
+    withRocksDb(spark) { withReplayShuffle(spark, 4) {
       val q = streamTyped.groupByKey(_._1)
         .transformWithState(new SessionBootstrapProcessor(gapSeconds),
           TimeMode.EventTime(), OutputMode.Append(), handoff,
