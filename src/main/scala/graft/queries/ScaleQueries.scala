@@ -1010,6 +1010,23 @@ object ScaleQueries {
       .orderBy("purchase_id", "click_id")
   }
 
+  // LEFT OUTER stream-stream join — a different state machine from x30's
+  // inner: an unmatched purchase is held in state and emitted with NULL
+  // click columns only once the WATERMARK proves no matching click can
+  // still arrive (the replay drains via reserved-user sentinel advances).
+  // Gated against the batch left join, null sort order pinned.
+  private val x132 = Q("x132_outer_attribution", Some(
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM events p LEFT JOIN events c
+      |  ON c.event_type = 'click' AND p.user_id = c.user_id
+      | AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin)) { (s, dir) =>
+    EventStream.attributionReplay(s, Tables.events(s, dir),
+        withinSeconds = 7200, batches = 2, joinType = "left_outer")
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
   // Stream-static enrichment: events replayed as a real stream, each
   // micro-batch joined against the BROADCAST customer dim (stateless — no
   // watermark/state store); streamed result must equal the batch join.
@@ -1630,5 +1647,5 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117, x122, x123, x127, x128, x129, x130)
+      x114, x117, x122, x123, x127, x128, x129, x130, x132)
 }

@@ -980,7 +980,8 @@ object EventStream {
     * window, not the stream. Works identically on static frames (the
     * batch twin the oracle checks). */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      withinSeconds: Long = 1800, watermark: String = "30 minutes"): DataFrame = {
+      withinSeconds: Long = 1800, watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermark)
              else clicks)
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
@@ -992,7 +993,8 @@ object EventStream {
     p.join(c,
       col("click_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinSeconds SECONDS") &&
-        col("click_ts") <= col("purchase_ts"))
+        col("click_ts") <= col("purchase_ts"),
+      joinType)
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 
@@ -1001,7 +1003,8 @@ object EventStream {
     * ordered feed nothing is late, so the streamed result must equal the
     * batch join — the correctness gate for the stream-stream path. */
   def attributionReplay(spark: SparkSession, events: DataFrame,
-      withinSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+      withinSeconds: Long = 1800, batches: Int = 4,
+      joinType: String = "inner"): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def side(tpe: String) = events.filter(col("event_type") === tpe)
@@ -1021,7 +1024,8 @@ object EventStream {
     val name = "attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("attr_ckpt").toString
     withReplayShuffle(spark) {
-      val q = attributionJoin(streamDf(memC), streamDf(memP), withinSeconds)
+      val q = attributionJoin(streamDf(memC), streamDf(memP), withinSeconds,
+          joinType = joinType)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
         .start()
@@ -1035,9 +1039,23 @@ object EventStream {
           if (pChunk.nonEmpty) memP.addData(pChunk.toSeq)
           q.processAllAvailable()
         }
+        if (joinType != "inner") {
+          // OUTER emission is watermark-driven: an unmatched purchase only
+          // surfaces with null click columns once the watermark proves no
+          // matching click can still arrive. Advance both sides twice
+          // (watermark updates at batch END, eviction happens a batch
+          // later) with reserved-user sentinels, filtered below.
+          val maxUs = (clicks.map(_._2) ++ purchases.map(_._2) :+ 0L).max
+          val winUs = withinSeconds * 1000000L
+          Seq(maxUs + 3 * winUs, maxUs + 6 * winUs).foreach { t =>
+            memC.addData(Seq((-1L, t, -1L)))
+            memP.addData(Seq((-2L, t, -1L)))
+            q.processAllAvailable()
+          }
+        }
       } finally q.stop()
     }
-    spark.table(name)
+    spark.table(name).filter(col("user_id") >= 0)
   }
 
   /** Stream-static enrichment join: each micro-batch joins against the

@@ -299,6 +299,22 @@ class EventStreamSpec extends SparkSpec {
       out.head.getAs[Long]("click_id") == 1L)
   }
 
+  test("outer stream-stream join emits unmatched purchases after watermark") {
+    val events = Seq(
+      (1L, ts(0), 10L, "click", 0.0),    // matches purchase 2 (within 30 min)
+      (2L, ts(10), 10L, "purchase", 5.0),
+      (3L, ts(12), 11L, "purchase", 7.0)) // user 11 never clicked → null click
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.attributionReplay(spark, events,
+        withinSeconds = 1800, batches = 2, joinType = "left_outer")
+      .orderBy($"purchase_id", $"click_id".asc_nulls_first).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("purchase_id") == 2L &&
+      out(0).getAs[Long]("click_id") == 1L)
+    assert(out(1).getAs[Long]("purchase_id") == 3L && out(1).isNullAt(1),
+      "unmatched purchase must surface with a NULL click after the drain")
+  }
+
   test("stream-static enrichment equals the batch broadcast join") {
     val events = Seq(
       (1L, ts(0), 0L, "view", 0.0),   // user 0 → custkey 1
