@@ -229,6 +229,40 @@ object QualityQueries {
       .orderBy("user_id", "session_start")
   }
 
+  // session_window with a DYNAMIC per-event gap (the Column overload,
+  // SPARK-36465): purchases hold sessions open 60 min, other events 30.
+  // Merging is interval-UNION — the oracle replays it with a running max
+  // of proposed ends (new session only when ts clears every previous
+  // proposal; [start,end) ⇒ ties do NOT merge) and exact epoch_us math.
+  private val x133 = Q("x133_dynamic_gap_sessions", Some(
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN event_type = 'purchase' THEN 3600000000
+      |         ELSE 1800000000 END AS gap_us
+      |  FROM events),
+      |p AS (
+      |  SELECT *, max(epoch_us(ts) + gap_us) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM g),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_end IS NULL
+      |      OR epoch_us(ts) >= prev_end THEN 1 ELSE 0 END AS b
+      |  FROM p),
+      |s AS (
+      |  SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, min(ts) AS session_start,
+      |  make_timestamp(max(epoch_us(ts) + gap_us)) AS session_end,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin)) { (s, dir) =>
+    EventStream.sessionWindowsDynamic(Tables.events(s, dir))
+      .orderBy("user_id", "session_start")
+  }
+
   // TWO stateful operators chained in ONE streaming query (legal since
   // Spark 3.5): watermark-bounded dropDuplicatesWithinWatermark feeding
   // the native session_window aggregate. The stream sees every event
@@ -432,5 +466,5 @@ object QualityQueries {
   }
 
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108, x131)
+    x106, x107, x108, x131, x133)
 }

@@ -127,6 +127,28 @@ object EventStream {
         round(col("__tv").cast("double"), 2).as("total_value"))
   }
 
+  /** [[sessionWindows]] with a DYNAMIC per-event gap (session_window's
+    * Column overload, SPARK-36465): each event proposes [ts, ts + gap(row))
+    * and overlapping proposals MERGE — here purchases hold a session open
+    * for 60 minutes, everything else 30. The merging semantics are exactly
+    * interval-union: a new session starts only when an event's ts clears
+    * every previous event's proposed end ([start,end) windows — touching
+    * does NOT merge). */
+  def sessionWindowsDynamic(events: DataFrame): DataFrame = {
+    // string gaps, not ANSI INTERVAL exprs: the dynamic-gap overload
+    // requires CalendarIntervalType and casts strings to it, while
+    // INTERVAL literals are DayTimeIntervalType and are rejected
+    val gapCol = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    events
+      .groupBy(session_window(col("ts"), gapCol).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__tv"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        round(col("__tv").cast("double"), 2).as("total_value"))
+  }
+
   /** Replay a STATIC events frame through [[sessionWindows]] as a real
     * watermarked stream (the x15 pattern applied to the NATIVE
     * session_window aggregate): time-ordered micro-batches into a

@@ -171,6 +171,21 @@ class EventStreamSpec extends SparkSpec {
       snap(1).getAs[Long]("n_open") == 0L)
   }
 
+  test("dynamic gap: a purchase holds its session open longer than a click") {
+    // clicks 45 min apart split (gap 30); a purchase then a 45-min-later
+    // click merge (gap 60) — same spacing, different outcome by type
+    val events = Seq(
+      (1L, ts(0), 10L, "click", 1.0), (2L, Timestamp.valueOf("2024-01-01 10:45:00"), 10L, "click", 1.0),
+      (3L, ts(0), 11L, "purchase", 9.0), (4L, Timestamp.valueOf("2024-01-01 10:45:00"), 11L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.sessionWindowsDynamic(events)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.count(_.getAs[Long]("user_id") == 10L) == 2, "clicks must split")
+    val merged = out.filter(_.getAs[Long]("user_id") == 11L)
+    assert(merged.length == 1 && merged.head.getAs[Long]("n_events") == 2,
+      "purchase's 60-min gap must merge the pair")
+  }
+
   test("chained dedup + session_window equals the un-doubled batch twin") {
     val events = Seq(
       (101L, 1L, ts(0), 2.5), (102L, 1L, ts(5), 1.5),  // one session, 2 events
