@@ -29,12 +29,23 @@ object Tables {
     * builder here); microsecond truncation matches DuckDB's TIMESTAMP. */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integral div, NOT floor(x / 1000.0): nanosecond epochs exceed 2^53,
-      // so a double round-trip corrupts the low microseconds
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integral div, NOT floor(x / 1000.0): nanosecond epochs exceed 2^53,
+        // so a double round-trip corrupts the low microseconds
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // Driver testdata may store TIMESTAMP(MICROS, isAdjustedToUTC=false),
+        // which Spark 4 reads natively as TIMESTAMP_NTZ. Streaming watermarks
+        // (and window/session_window state) require the instant-carrying
+        // TIMESTAMP type; the session timezone is pinned to UTC everywhere
+        // here, so the cast reinterprets the same wall clock as the same
+        // instant — value-identical to the DuckDB oracle's naive TIMESTAMP.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }
 
