@@ -219,4 +219,83 @@ object Stats {
         col("n_violating_classes"), col("n_rows_at_risk"),
         (col("min_diversity") >= l).as("is_l_diverse"))
   }
+
+  /** t-closeness audit — the third privacy lens after [[kAnonymity]] and
+    * [[lDiversity]]: a class can be large AND diverse yet still leak if its
+    * sensitive-attribute DISTRIBUTION differs sharply from the corpus-wide
+    * one. Per equivalence class this reports the total-variation distance
+    * TVD(class, global) = ½ Σ_s |n_gs/n_g − N_s/N| and flags classes with
+    * TVD > tNum/tDen.
+    *
+    * Exactness: everything is integer until the very end. Per class,
+    * 2·n_g·N·TVD = Σ_{s∈class} |n_gs·N − N_s·n_g| + (N − Σ_{s∈class} N_s)·n_g
+    * (the second term folds in every sensitive value ABSENT from the class,
+    * so no class × sensitive-domain cross join is needed). Products are
+    * DECIMAL so a trillion-row corpus can't overflow a long; the violation
+    * test cross-multiplies by the rational threshold (no division); the
+    * reported `tvd` is ONE exact-integer-to-double division, bit-identical
+    * in any engine.
+    *
+    * Scale shape: two grouped counts (cells, classes) + a broadcast join of
+    * the |sensitive-domain| global frame + the 1-row total — the widest
+    * frame is |distinct QID×sensitive combos| rows, never the fact size. */
+  def tCloseness(df: DataFrame, qidCols: Seq[String], sensitiveCol: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(tNum >= 0 && tDen > 0, s"threshold $tNum/$tDen out of range")
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val cell = df.groupBy((qidCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__ngs"))
+    val cls = cell.groupBy(qidCols.map(col): _*)
+      .agg(sum(col("__ngs")).as("__ng"))
+    val glob = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("__ns"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    cell.join(cls, qidCols)
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .groupBy(qidCols.map(col): _*)
+      .agg(first(col("__ng")).as("class_size"),
+        (sum(abs(dec(col("__ngs")) * dec(col("__n")) -
+            dec(col("__ns")) * dec(col("__ng")))) +
+          (dec(first(col("__n"))) - dec(sum(col("__ns")))) *
+            dec(first(col("__ng")))).as("__num"),
+        (dec(lit(2L)) * dec(first(col("__ng"))) *
+          dec(first(col("__n")))).as("__den"))
+      .select(qidCols.map(col) ++ Seq(
+        col("class_size"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("tvd"),
+        (col("__num") * dec(lit(tDen)) > col("__den") * dec(lit(tNum)))
+          .as("violates_t")): _*)
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two binary raters
+    * (two quality classifiers, a model vs a heuristic, annotator vs
+    * annotator). One fused aggregate builds the 2×2 confusion table; kappa
+    * is assembled from the four integer counts in closed form,
+    * κ = (N·(a+d) − ((a+b)(a+c) + (c+d)(b+d))) / (N² − (...)), with DECIMAL
+    * products (overflow-safe at any corpus size) and ONE final
+    * integer-to-double division — bit-identical cross-engine. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val one = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    df.agg(
+        one(raterA && raterB).as("n_both"),
+        one(raterA && !raterB).as("n_a_only"),
+        one(!raterA && raterB).as("n_b_only"),
+        one(!raterA && !raterB).as("n_neither"))
+      .select(col("*"),
+        (dec(col("n_both") + col("n_a_only") + col("n_b_only") +
+          col("n_neither"))).as("__n"),
+        (dec(col("n_both") + col("n_a_only")) *
+            dec(col("n_both") + col("n_b_only")) +
+          dec(col("n_b_only") + col("n_neither")) *
+            dec(col("n_a_only") + col("n_neither"))).as("__pe_num"))
+      .select(col("n_both"), col("n_a_only"), col("n_b_only"),
+        col("n_neither"), col("__n").cast("long").as("n_docs"),
+        round((col("__n") * dec(col("n_both") + col("n_neither")) -
+            col("__pe_num")).cast("double") /
+          (col("__n") * col("__n") - col("__pe_num")).cast("double"), 6)
+          .as("kappa"))
+  }
 }

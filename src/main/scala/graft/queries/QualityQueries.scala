@@ -465,6 +465,53 @@ object QualityQueries {
       .orderBy("doc_id")
   }
 
+  // TextRank keyword extraction — PageRank composed over the word
+  // co-occurrence graph (distinct adjacent-word bigrams, undirected): the
+  // graph-centrality alternative to x28's TF-IDF keywords. Reuses the
+  // decimal-quantized pageRank fixed point, so the oracle replays BOTH the
+  // bigram graph construction and two unrolled rank iterations exactly
+  // (x55's machinery on a corpus-derived graph).
+  private val x136 = Q("x136_textrank_keywords", Some(
+    """WITH ws AS (
+      |  SELECT doc_id, list_filter(string_split_regex(regexp_replace(
+      |    lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |e0 AS (
+      |  SELECT DISTINCT ws[u.i::INT] AS src, ws[u.i::INT + 1] AS dst
+      |  FROM ws, unnest(range(1, len(ws))) AS u(i)
+      |  WHERE len(ws) >= 2 AND ws[u.i::INT] <> ws[u.i::INT + 1]),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+      |r0 AS (SELECT d.src AS node,
+      |         floor(CAST(1 AS DOUBLE) / n.nn * 1e10 + 0.5) / 1e10 AS pr
+      |       FROM deg d, n),
+      |r1 AS (SELECT e.dst AS node,
+      |         floor(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(n.nn)
+      |           + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+      |       FROM e JOIN r0 r ON r.node = e.src
+      |       JOIN deg d ON d.src = e.src, n
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |         floor(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(n.nn)
+      |           + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+      |       FROM e JOIN r1 r ON r.node = e.src
+      |       JOIN deg d ON d.src = e.src, n
+      |       GROUP BY e.dst)
+      |SELECT node AS word, pr FROM r2
+      |ORDER BY pr DESC, word LIMIT 25""".stripMargin)) { (s, dir) =>
+    val pairs = t(s, dir, "documents")
+      .select(explode(Dedup.shingles(Dedup.words(col("text")), 2)).as("sh"))
+      .select(split(col("sh"), " ").as("p"))
+      .select(col("p")(0).as("src"), col("p")(1).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    Graph.pageRank(pairs, "src", "dst", iters = 2)
+      .select(col("node").as("word"), col("rank").as("pr"))
+      .orderBy(desc("pr"), col("word"))
+      .limit(25)
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108, x131, x133)
+    x106, x107, x108, x131, x133, x136)
 }

@@ -465,6 +465,71 @@ object StatsQueries {
       .orderBy("o_orderpriority")
   }
 
+  // t-closeness audit — completes the privacy trio (x82 k-anonymity, x103
+  // l-diversity): per QID class, the total-variation distance between the
+  // class's sensitive-attribute distribution and the global one. Integer
+  // arithmetic end-to-end (the absent-values term folds in sensitive
+  // values the class never saw, so there is no class × domain cross
+  // join); `tvd` is one exact-int-to-double division, and the t=1/5
+  // violation test cross-multiplies — the oracle replays the identical
+  // closed form in HUGEINT.
+  private val x134 = Q("x134_t_closeness", Some(
+    """WITH tot AS (SELECT count(*) AS n FROM customer),
+      |gdist AS (SELECT c_mktsegment AS s, count(*) AS ns
+      |         FROM customer GROUP BY 1),
+      |cell AS (SELECT c_nationkey, c_mktsegment AS s, count(*) AS ngs
+      |         FROM customer GROUP BY 1, 2),
+      |cls AS (SELECT c_nationkey, sum(ngs) AS ng FROM cell GROUP BY 1),
+      |per AS (
+      |  SELECT cell.c_nationkey,
+      |    max(cls.ng) AS class_size,
+      |    sum(abs(cell.ngs * tot.n - gdist.ns * cls.ng))
+      |      + (max(tot.n) - sum(gdist.ns)) * max(cls.ng) AS num,
+      |    2 * max(cls.ng) * max(tot.n) AS den
+      |  FROM cell
+      |  JOIN cls ON cls.c_nationkey = cell.c_nationkey
+      |  JOIN gdist ON gdist.s = cell.s, tot
+      |  GROUP BY cell.c_nationkey)
+      |SELECT c_nationkey, CAST(class_size AS BIGINT) AS class_size,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS tvd,
+      |  num * 5 > den AS violates_t
+      |FROM per ORDER BY c_nationkey""".stripMargin)) { (s, dir) =>
+    Stats.tCloseness(t(s, dir, "customer"), Seq("c_nationkey"),
+        "c_mktsegment", tNum = 1L, tDen = 5L)
+      .orderBy("c_nationkey")
+  }
+
+  // Cohen's kappa between two heuristic quality raters (length gate vs
+  // whitespace-density gate) — the standard chance-corrected agreement
+  // score for auditing classifier/annotator consistency at corpus scale.
+  // One fused aggregate builds the 2×2 table; kappa is four-integer
+  // closed form with a single final division, replayed exactly in SQL.
+  private val x135 = Q("x135_rater_kappa", Some(
+    """WITH r AS (
+      |  SELECT (n_chars >= 200) AS ra,
+      |    (length(text) - length(replace(text, ' ', '')) >= 40) AS rb
+      |  FROM documents),
+      |c AS (SELECT
+      |  CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |  CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+      |  CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+      |  CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+      |  FROM r),
+      |k AS (SELECT *, n_both + n_a_only + n_b_only + n_neither AS n,
+      |  (n_both + n_a_only) * (n_both + n_b_only)
+      |    + (n_b_only + n_neither) * (n_a_only + n_neither) AS pe_num
+      |  FROM c)
+      |SELECT n_both, n_a_only, n_b_only, n_neither,
+      |  CAST(n AS BIGINT) AS n_docs,
+      |  round(CAST(n * (n_both + n_neither) - pe_num AS DOUBLE)
+      |    / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+      |FROM k""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Stats.cohenKappa(docs,
+      col("n_chars") >= 200,
+      length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) >= 40)
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93, x94, x95, x110)
+    x91, x92, x93, x94, x95, x110, x134, x135)
 }

@@ -201,4 +201,34 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5 && r.getDouble(3) == 7.5)
     assert(r.getLong(4) == 1L)
   }
+
+  test("tCloseness: exact TVD per class, absent values included, t gate") {
+    // global: A=9/12, B=3/12. g1 (2A,2B): TVD=.25; g2 (4A): TVD=.25 — the
+    // B it never saw must count; g3 (3A,1B) matches global: TVD=0.
+    val df = (Seq.fill(2)(("g1", "A")) ++ Seq.fill(2)(("g1", "B")) ++
+      Seq.fill(4)(("g2", "A")) ++
+      Seq.fill(3)(("g3", "A")) ++ Seq(("g3", "B"))).toDF("g", "s")
+    val r = Stats.tCloseness(df, Seq("g"), "s", 1L, 5L).orderBy("g").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(4L, 4L, 4L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(0.25, 0.25, 0.0))
+    assert(r.map(_.getBoolean(3)).toSeq == Seq(true, true, false))
+    // exactly-at-threshold is NOT a violation (strict >): t = 1/4
+    val eq = Stats.tCloseness(df, Seq("g"), "s", 1L, 4L).orderBy("g").collect()
+    assert(eq.map(_.getBoolean(3)).toSeq == Seq(false, false, false))
+  }
+
+  test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
+    // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = Stats.cohenKappa(rows.toDF("ra", "rb"), col("ra"), col("rb")).head()
+    assert(r.getLong(0) == 20L && r.getLong(1) == 5L &&
+      r.getLong(2) == 10L && r.getLong(3) == 15L)
+    assert(r.getLong(4) == 50L)
+    assert(r.getDouble(5) == 0.4)
+    // perfect agreement: kappa = 1
+    val perfect = Seq.fill(3)((true, true)) ++ Seq.fill(3)((false, false))
+    assert(Stats.cohenKappa(perfect.toDF("ra", "rb"),
+      col("ra"), col("rb")).head().getDouble(5) == 1.0)
+  }
 }
