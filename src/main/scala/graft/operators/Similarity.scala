@@ -531,4 +531,60 @@ object Similarity {
           col("__n"), 4).as("variance"),
         col("min_v"), col("max_v"))
   }
+
+  /** Embedding-space effective dimensionality via the participation ratio
+    * PR = trace(C)² / ‖C‖_F² of the covariance matrix C — the standard
+    * embedding-collapse monitor (PR ≈ d: variance spread across all
+    * directions; PR ≈ 1: representations collapsed onto a line), computed
+    * WITHOUT an eigendecomposition: trace and Frobenius norm come straight
+    * from the d(d+1)/2 covariance entries.
+    *
+    * Shape: one posexplode to (id, dim, x), a same-key self-join that emits
+    * each row's d²/2 upper-triangle products LOCALLY (the join key is the
+    * row id, so candidates never cross rows), then a map-side-combined
+    * aggregate onto d(d+1)/2 groups — shuffle is O(n·d + partitions·d²),
+    * never the product stream. The O(n·d²) multiply work is inherent to any
+    * Gram/covariance computation (it is MLlib's computeGramianMatrix cost,
+    * expressed declaratively so it stays in whole-stage codegen).
+    *
+    * Exactness: per-term DECIMAL(28,12) quantization makes the moment sums
+    * order-free; covariance entries are assembled in ONE fixed double
+    * operation order; each cv² term is re-quantized to DECIMAL(28,18)
+    * before the final sum — bit-identical in any engine. */
+  def effectiveRank(data: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dec12 = (c: Column) => c.cast("decimal(28,12)")
+    val x = data.select(col(idCol).as("__id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__d0", "__x")))
+      .select(col("__id"), (col("__d0") + 1).as("__i"), col("__x"))
+    val pairSums = x.as("a")
+      .join(x.as("b"),
+        col("a.__id") === col("b.__id") && col("a.__i") <= col("b.__i"))
+      .groupBy(col("a.__i").as("i"), col("b.__i").as("j"))
+      .agg(sum(dec12(col("a.__x") * col("b.__x"))).as("__s"))
+    val dimSums = x.groupBy(col("__i").as("k"))
+      .agg(sum(dec12(col("__x"))).as("__sx"))
+    val tot = data.agg(count(lit(1)).as("__nl"))
+      .select(col("__nl"), col("__nl").cast("double").as("__n"))
+    val cv = (col("__s").cast("double") -
+      col("__sxi").cast("double") * col("__sxj").cast("double") / col("__n")) /
+      col("__n")
+    pairSums
+      .join(broadcast(dimSums.select(col("k"), col("__sx").as("__sxi"))),
+        col("i") === col("k")).drop("k")
+      .join(broadcast(dimSums.select(col("k"), col("__sx").as("__sxj"))),
+        col("j") === col("k")).drop("k")
+      .crossJoin(broadcast(tot))
+      .select(col("i"), col("j"), col("__nl"), cv.as("__cv"))
+      .agg(first(col("__nl")).as("__nv"),
+        sum(when(col("i") === col("j"), col("__cv")).otherwise(lit(0.0))
+          .cast("decimal(28,18)")).cast("double").as("__tr"),
+        sum((col("__cv") * col("__cv") *
+            when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0)))
+          .cast("decimal(28,18)")).cast("double").as("__fro"))
+      .select(col("__nv").cast("long").as("n_vectors"),
+        round(col("__tr"), 6).as("trace"),
+        round(col("__fro"), 9).as("fro_sq"),
+        round(col("__tr") * col("__tr") / col("__fro"), 6)
+          .as("participation_ratio"))
+  }
 }

@@ -775,7 +775,45 @@ object TrainingQueries {
       .orderBy("dim")
   }
 
+  // Embedding-space effective dimensionality (participation ratio
+  // trace(C)²/‖C‖_F²) — the embedding-collapse monitor companion to x121's
+  // per-dim stats: covariance trace + Frobenius norm from decimal-exact
+  // moment sums, no eigendecomposition. The oracle replays the full
+  // pipeline — per-term DECIMAL(28,12) moments, the fixed-order covariance
+  // assembly, DECIMAL(28,18) re-quantization of every cv² term — so all
+  // three reported metrics are bit-gated, not approximated.
+  private val x137 = Q("x137_effective_rank", Some(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT vec_id, r.i AS i, v[r.i] AS xi
+      |      FROM e CROSS JOIN range(1, 65) r(i)),
+      |p AS (SELECT a.i AS i, b.i AS j,
+      |        sum(CAST(a.xi * b.xi AS DECIMAL(28,12))) AS s
+      |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY a.i, b.i),
+      |m AS (SELECT i, sum(CAST(xi AS DECIMAL(28,12))) AS sx FROM x GROUP BY i),
+      |n0 AS (SELECT count(*) AS nl, CAST(count(*) AS DOUBLE) AS n FROM e),
+      |c AS (SELECT p.i, p.j, n0.nl AS nl,
+      |        (CAST(p.s AS DOUBLE)
+      |          - CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) / n0.n)
+      |          / n0.n AS cv
+      |      FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j, n0)
+      |SELECT CAST(max(nl) AS BIGINT) AS n_vectors,
+      |  round(CAST(sum(CAST(CASE WHEN i = j THEN cv ELSE 0.0 END
+      |    AS DECIMAL(28,18))) AS DOUBLE), 6) AS trace,
+      |  round(CAST(sum(CAST(cv * cv * (CASE WHEN i = j THEN 1.0 ELSE 2.0 END)
+      |    AS DECIMAL(28,18))) AS DOUBLE), 9) AS fro_sq,
+      |  round(CAST(sum(CAST(CASE WHEN i = j THEN cv ELSE 0.0 END
+      |      AS DECIMAL(28,18))) AS DOUBLE)
+      |    * CAST(sum(CAST(CASE WHEN i = j THEN cv ELSE 0.0 END
+      |      AS DECIMAL(28,18))) AS DOUBLE)
+      |    / CAST(sum(CAST(cv * cv * (CASE WHEN i = j THEN 1.0 ELSE 2.0 END)
+      |      AS DECIMAL(28,18))) AS DOUBLE), 6) AS participation_ratio
+      |FROM c""".stripMargin)) { (s, dir) =>
+    graft.operators.Similarity.effectiveRank(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121)
+    x118, x119, x120, x121, x137)
 }

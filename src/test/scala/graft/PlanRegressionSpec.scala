@@ -403,6 +403,38 @@ class PlanRegressionSpec extends SparkSpec {
       "multi-distinct must not rescan:\n" + p.take(800))
   }
 
+  test("x134 t-closeness broadcasts the sensitive-domain and total frames") {
+    val p = plan("x134_t_closeness")
+    // gdist (|sensitive domain| rows) and the 1-row total must ride
+    // broadcasts; only the cell/class frames may meet in a keyed join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "1-row total must not shuffle:\n" + p.take(800))
+    assert(p.contains("ReadSchema: struct<c_nationkey:int,c_mktsegment:string>"),
+      "scan must prune to QID + sensitive columns:\n" + p.take(800))
+  }
+
+  test("x135 kappa is one fused aggregate over one pruned scan") {
+    val p = plan("x135_rater_kappa")
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      "2x2 table must come from ONE scan:\n" + p.take(800))
+    assert(p.contains("Partial") || p.contains("partial_sum"),
+      "map-side combine missing:\n" + p.take(800))
+    assert(!p.contains("Join"), "kappa needs no join:\n" + p.take(800))
+  }
+
+  test("x137 effective rank broadcasts dim sums; products stay same-key") {
+    val p = plan("x137_effective_rank")
+    // the two 64-row dim-sum frames and the 1-row total are broadcast;
+    // the d²-producing self-join is keyed on the row id (never cartesian)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(1000))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row total should ride a broadcast nested loop:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "self-join must stay keyed:\n" + p.take(800))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")

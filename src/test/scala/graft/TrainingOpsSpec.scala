@@ -312,6 +312,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(d2.getAs[Double]("mean") == 0.0 && d2.getAs[Double]("variance") == 4.0)
   }
 
+  test("effectiveRank: collapsed embeddings give PR=1, isotropic give PR=d") {
+    // all variance on axis 1 → participation ratio exactly 1
+    val collapsed = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f))).toDF("id", "vec")
+    val r1 = graft.operators.Similarity.effectiveRank(collapsed, "id", "vec").head()
+    assert(r1.getAs[Long]("n_vectors") == 3L)
+    assert(r1.getAs[Double]("participation_ratio") == 1.0)
+    // unit cross, zero mean: C = diag(.5, .5) → trace 1, fro .5, PR = 2
+    val iso = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f))).toDF("id", "vec")
+    val r2 = graft.operators.Similarity.effectiveRank(iso, "id", "vec").head()
+    assert(r2.getAs[Double]("trace") == 1.0)
+    assert(r2.getAs[Double]("fro_sq") == 0.5)
+    assert(r2.getAs[Double]("participation_ratio") == 2.0)
+  }
+
   test("dsirSelect ranks in-domain-looking raw docs above off-domain ones") {
     // target domain speaks "alpha beta gamma"; raw docs 10-12 mimic it,
     // 20-22 speak an unrelated vocabulary. k=5 must pick the two target
