@@ -584,7 +584,10 @@ object Similarity {
       .select(col("__nv").cast("long").as("n_vectors"),
         round(col("__tr"), 6).as("trace"),
         round(col("__fro"), 9).as("fro_sq"),
-        round(col("__tr") * col("__tr") / col("__fro"), 6)
+        // zero-variance corpus (all vectors identical): PR is undefined —
+        // null, not an ANSI divide-by-zero
+        when(col("__fro") === 0.0, lit(null))
+          .otherwise(round(col("__tr") * col("__tr") / col("__fro"), 6))
           .as("participation_ratio"))
   }
 }

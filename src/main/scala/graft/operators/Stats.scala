@@ -278,7 +278,7 @@ object Stats {
     * integer-to-double division — bit-identical cross-engine. */
   def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(19,0)")
-    val one = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    val one = (p: Column) => coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L))
     df.agg(
         one(raterA && raterB).as("n_both"),
         one(raterA && !raterB).as("n_a_only"),
@@ -293,9 +293,12 @@ object Stats {
             dec(col("n_a_only") + col("n_neither"))).as("__pe_num"))
       .select(col("n_both"), col("n_a_only"), col("n_b_only"),
         col("n_neither"), col("__n").cast("long").as("n_docs"),
-        round((col("__n") * dec(col("n_both") + col("n_neither")) -
-            col("__pe_num")).cast("double") /
-          (col("__n") * col("__n") - col("__pe_num")).cast("double"), 6)
+        // pe = 1 (one rater constant over a degenerate corpus) → 0/0:
+        // kappa is undefined there, so emit null rather than divide
+        when(col("__n") * col("__n") === col("__pe_num"), lit(null))
+          .otherwise(round((col("__n") * dec(col("n_both") + col("n_neither")) -
+              col("__pe_num")).cast("double") /
+            (col("__n") * col("__n") - col("__pe_num")).cast("double"), 6))
           .as("kappa"))
   }
 }

@@ -187,4 +187,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Stats.exactQuantiles(emptyKeyed.withColumnRenamed("key", "v")
       .withColumn("g", lit("x")), Seq("g"), "v", Seq(0.5)).count() == 0)
   }
+
+  test("privacy/agreement/rank additions degrade gracefully on empty input") {
+    // t-closeness over an empty frame: no classes, no rows, no crash
+    val emptyGs = Seq.empty[(String, String)].toDF("g", "s")
+    assert(Stats.tCloseness(emptyGs, Seq("g"), "s", 1L, 5L).count() == 0)
+    // one-class frame matching itself: TVD exactly 0, never violating
+    val one = Seq(("g1", "A"), ("g1", "B")).toDF("g", "s")
+    val r = Stats.tCloseness(one, Seq("g"), "s", 1L, 100L).head()
+    assert(r.getAs[Double]("tvd") == 0.0 && !r.getAs[Boolean]("violates_t"))
+    // kappa on an empty frame: one row, zero counts, null kappa (0/0)
+    val emptyBb = Seq.empty[(Boolean, Boolean)].toDF("ra", "rb")
+    val k = Stats.cohenKappa(emptyBb, col("ra"), col("rb")).head()
+    assert(k.getAs[Long]("n_docs") == 0L)
+    assert(k.isNullAt(k.fieldIndex("kappa")) ||
+      k.getAs[Double]("kappa").isNaN) // 0/0 — undefined, never a crash
+    // effective rank of an empty embedding frame: no vectors, no crash
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val er = graft.operators.Similarity.effectiveRank(emptyVec, "id", "vec")
+    assert(er.count() <= 1)
+  }
 }
