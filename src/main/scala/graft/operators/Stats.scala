@@ -269,6 +269,60 @@ object Stats {
           .as("violates_t")): _*)
   }
 
+  /** Two-feature ridge regression (plus intercept) via normal equations —
+    * the distributed "train a linear scorer" pattern: ONE fused aggregate
+    * accumulates every X'X / X'y / y'y moment as an exact DECIMAL sum
+    * (map-side combined, order-free, cross-engine identical), then the 3×3
+    * system solves in closed form by Cramer's rule — no second data pass,
+    * no driver-side matrix library, no iteration. R² comes from the same
+    * moments (SSE = y'y − 2w'X'y + w'X'Xw). The identical shape trains any
+    * small-k linear quality classifier at corpus scale: k² moments in one
+    * pass, a k×k solve that is O(1) regardless of data size.
+    *
+    * λ is added to the two feature diagonals (not the intercept row), the
+    * textbook ridge normalization. Every double operation after the sums
+    * happens in ONE fixed written order, so the oracle replays the exact
+    * bits. */
+  def ridge2(df: DataFrame, x1Col: String, x2Col: String, yCol: String,
+      lambda: Double): DataFrame = {
+    val x1 = col(x1Col); val x2 = col(x2Col); val y = col(yCol)
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(x1)).cast("double").as("s1"),
+      sum(dec(x2)).cast("double").as("s2"),
+      sum(dec(y)).cast("double").as("sy"),
+      sum(dec(x1 * x1)).cast("double").as("s11"),
+      sum(dec(x2 * x2)).cast("double").as("s22"),
+      sum(dec(x1 * x2)).cast("double").as("s12"),
+      sum(dec(x1 * y)).cast("double").as("s1y"),
+      sum(dec(x2 * y)).cast("double").as("s2y"),
+      sum(dec(y * y)).cast("double").as("syy"))
+    // A = [[a,b,c],[b,d,e],[c,e,f]], rhs = [p,q,r] — written once, reused
+    // for every Cramer determinant in the same operation order as the SQL
+    val a = col("s11") + lit(lambda); val b = col("s12"); val c = col("s1")
+    val d = col("s22") + lit(lambda); val e = col("s2"); val f = col("n")
+    val p = col("s1y"); val q = col("s2y"); val r = col("sy")
+    val det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+    val det1 = p * (d * f - e * e) - b * (q * f - e * r) + c * (q * e - d * r)
+    val det2 = a * (q * f - e * r) - p * (b * f - e * c) + c * (b * r - q * c)
+    val det3 = a * (d * r - q * e) - b * (b * r - q * c) + p * (b * e - d * c)
+    val w1 = det1 / det; val w2 = det2 / det; val w0 = det3 / det
+    val sse = col("syy") -
+      lit(2.0) * (w1 * col("s1y") + w2 * col("s2y") + w0 * col("sy")) +
+      (w1 * w1 * col("s11") + w2 * w2 * col("s22") + w0 * w0 * col("n") +
+        lit(2.0) * w1 * w2 * col("s12") + lit(2.0) * w1 * w0 * col("s1") +
+        lit(2.0) * w2 * w0 * col("s2"))
+    val sst = col("syy") - col("sy") * col("sy") / col("n")
+    // CaseWhen evaluates lazily, so a singular system (det = 0: constant
+    // feature, empty frame) yields nulls instead of an ANSI divide error
+    val guard = (o: Column) => when(det === 0.0, lit(null)).otherwise(o)
+    m.select(col("n").cast("long").as("n_rows"),
+      guard(round(w1, 6)).as("w_x1"), guard(round(w2, 6)).as("w_x2"),
+      guard(round(w0, 6)).as("intercept"),
+      when(det === 0.0 || sst === 0.0, lit(null))
+        .otherwise(round(lit(1.0) - sse / sst, 6)).as("r2"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

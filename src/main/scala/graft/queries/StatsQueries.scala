@@ -530,6 +530,52 @@ object StatsQueries {
       length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) >= 40)
   }
 
+  // Distributed ridge regression by normal equations — the "train a
+  // linear scorer without leaving the engine" pattern: ONE fused
+  // aggregate accumulates all ten X'X/X'y/y'y moments as exact decimals,
+  // the 3×3 system solves in closed form by Cramer's rule (no driver
+  // matrix code, no iteration, no second pass; R² from the same
+  // moments). The oracle replays moments, determinants, and the weight
+  // and R² assembly in the identical operation order.
+  private val x138 = Q("x138_ridge_regression", Some(
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s11,
+      |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s22,
+      |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s12,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s1y,
+      |    CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS s2y,
+      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM lineitem),
+      |k AS (
+      |  SELECT *, s11 + 100.0 AS a, s12 AS b, s1 AS c,
+      |    s22 + 100.0 AS d, s2 AS e, n AS f,
+      |    s1y AS p, s2y AS q, sy AS r
+      |  FROM m),
+      |dets AS (
+      |  SELECT *,
+      |    a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c) AS det,
+      |    p * (d * f - e * e) - b * (q * f - e * r) + c * (q * e - d * r) AS det1,
+      |    a * (q * f - e * r) - p * (b * f - e * c) + c * (b * r - q * c) AS det2,
+      |    a * (d * r - q * e) - b * (b * r - q * c) + p * (b * e - d * c) AS det3
+      |  FROM k),
+      |w AS (SELECT *, det1 / det AS w1, det2 / det AS w2, det3 / det AS w0
+      |      FROM dets)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  round(w1, 6) AS w_x1, round(w2, 6) AS w_x2, round(w0, 6) AS intercept,
+      |  round(1.0 - (syy - 2.0 * (w1 * s1y + w2 * s2y + w0 * sy)
+      |      + (w1 * w1 * s11 + w2 * w2 * s22 + w0 * w0 * n
+      |        + 2.0 * w1 * w2 * s12 + 2.0 * w1 * w0 * s1
+      |        + 2.0 * w2 * w0 * s2))
+      |    / (syy - sy * sy / n), 6) AS r2
+      |FROM w""".stripMargin)) { (s, dir) =>
+    Stats.ridge2(t(s, dir, "lineitem"), "l_quantity", "l_discount",
+      "l_extendedprice", lambda = 100.0)
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93, x94, x95, x110, x134, x135)
+    x91, x92, x93, x94, x95, x110, x134, x135, x138)
 }

@@ -217,6 +217,25 @@ class StatsSpec extends SparkSpec {
     assert(eq.map(_.getBoolean(3)).toSeq == Seq(false, false, false))
   }
 
+  test("ridge2: recovers an exact planar fit at lambda=0; singular gives nulls") {
+    // y = 2*x1 + 3*x2 + 5 exactly on non-collinear integer points
+    val df = Seq((1.0, 1.0, 10.0), (2.0, 1.0, 12.0), (1.0, 2.0, 13.0),
+      (3.0, 2.0, 17.0)).toDF("x1", "x2", "y")
+    val r = Stats.ridge2(df, "x1", "x2", "y", lambda = 0.0).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 3.0 &&
+      r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 1.0)
+    // constant feature at lambda=0: singular normal matrix → null weights
+    val sing = Seq((1.0, 7.0, 1.0), (2.0, 7.0, 2.0), (3.0, 7.0, 3.0))
+      .toDF("x1", "x2", "y")
+    val rs = Stats.ridge2(sing, "x1", "x2", "y", lambda = 0.0).head()
+    assert(rs.isNullAt(1) && rs.isNullAt(2) && rs.isNullAt(3) && rs.isNullAt(4))
+    // ...but ridge regularization makes the same system solvable
+    val rr = Stats.ridge2(sing, "x1", "x2", "y", lambda = 1.0).head()
+    assert(!rr.isNullAt(1))
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
