@@ -323,6 +323,49 @@ object Stats {
         .otherwise(round(lit(1.0) - sse / sst, 6)).as("r2"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with Cramér's V effect size — the distribution-shift /
+    * association audit (is `source` independent of `lang`? did the
+    * stratification skew?). One grouped count over the fact table, then
+    * everything runs on the tiny |R|×|C| contingency frame: margins and
+    * totals re-aggregate from the OBSERVED cells (persisted — the corpus
+    * is scanned exactly once), the full grid materializes as
+    * margins × margins so absent cells contribute their expected mass,
+    * and every (O−E)²/E term is DECIMAL-quantized so the statistic is
+    * order-free and cross-engine exact. sqrt is IEEE correctly rounded,
+    * so Cramér's V replays bit-identically too. */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obs = df.groupBy(col(rowCol).as("__rk"), col(colCol).as("__ck"))
+      .agg(count(lit(1)).as("__o")).persist()
+    val rt = obs.groupBy("__rk").agg(sum(col("__o")).as("__rtot"))
+    val ct = obs.groupBy("__ck").agg(sum(col("__o")).as("__ctot"))
+    val n0 = obs.agg(sum(col("__o")).as("__n"))
+    val dims = rt.agg(count(lit(1)).as("__nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("__nc")))
+    val od = (c: Column) => c.cast("double")
+    val cells = rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("__rk", "__ck"), "left")
+      .crossJoin(broadcast(n0))
+      .select(coalesce(col("__o"), lit(0L)).as("__oc"),
+        (od(col("__rtot")) * od(col("__ctot")) / od(col("__n"))).as("__e"),
+        col("__n"))
+    cells
+      .agg(first(col("__n")).as("__nl"), count(lit(1)).as("__cells"),
+        sum(((od(col("__oc")) - col("__e")) * (od(col("__oc")) - col("__e")) /
+          col("__e")).cast("decimal(28,18)")).as("__chi2d"))
+      .crossJoin(broadcast(dims))
+      .select(col("__nl").cast("long").as("n_rows"),
+        col("__cells").cast("long").as("n_cells"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).cast("long").as("dof"),
+        round(col("__chi2d").cast("double"), 6).as("chi2"),
+        // a 1×C or R×1 table has no association to normalize — null V
+        when((col("__nr") - 1) * (col("__nc") - 1) === 0, lit(null))
+          .otherwise(round(sqrt(col("__chi2d").cast("double") /
+            (col("__nl").cast("double") *
+              least(col("__nr") - 1, col("__nc") - 1).cast("double"))), 6))
+          .as("cramers_v"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

@@ -576,6 +576,40 @@ object StatsQueries {
       "l_extendedprice", lambda = 100.0)
   }
 
+  // Chi-square independence test (lang × source) with Cramér's V — the
+  // distribution-shift audit for a stratified corpus: is language mix
+  // independent of the ingest source? Absent grid cells contribute their
+  // expected mass (the margins × margins grid, not just observed cells);
+  // every (O−E)²/E term is DECIMAL-quantized so the statistic is
+  // order-free, and sqrt is IEEE-exact in both engines.
+  private val x139 = Q("x139_chi_square", Some(
+    """WITH obs AS (SELECT lang AS rk, source AS ck, count(*) AS o
+      |             FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT rk, sum(o) AS rtot FROM obs GROUP BY 1),
+      |ct AS (SELECT ck, sum(o) AS ctot FROM obs GROUP BY 1),
+      |n0 AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+      |cells AS (
+      |  SELECT coalesce(o.o, 0) AS oc,
+      |    CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)
+      |      / CAST(n0.n AS DOUBLE) AS e
+      |  FROM rt CROSS JOIN ct
+      |  LEFT JOIN obs o ON o.rk = rt.rk AND o.ck = ct.ck, n0),
+      |s AS (SELECT count(*) AS n_cells,
+      |        sum(CAST((CAST(oc AS DOUBLE) - e) * (CAST(oc AS DOUBLE) - e)
+      |          / e AS DECIMAL(28,18))) AS chi2d
+      |      FROM cells),
+      |d AS (SELECT (SELECT count(*) FROM rt) AS nr,
+      |             (SELECT count(*) FROM ct) AS nc)
+      |SELECT n0.n AS n_rows, CAST(s.n_cells AS BIGINT) AS n_cells,
+      |  CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+      |  round(CAST(s.chi2d AS DOUBLE), 6) AS chi2,
+      |  round(sqrt(CAST(s.chi2d AS DOUBLE)
+      |    / (CAST(n0.n AS DOUBLE) * CAST(least(d.nr - 1, d.nc - 1) AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM s, d, n0""".stripMargin)) { (s, dir) =>
+    Stats.chiSquare(t(s, dir, "documents"), "lang", "source")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93, x94, x95, x110, x134, x135, x138)
+    x91, x92, x93, x94, x95, x110, x134, x135, x138, x139)
 }

@@ -236,6 +236,25 @@ class StatsSpec extends SparkSpec {
     assert(!rr.isNullAt(1))
   }
 
+  test("chiSquare: independent table gives 0, perfect association gives V=1") {
+    val indep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r0 = Stats.chiSquare(indep.toDF("r", "c"), "r", "c").head()
+    assert(r0.getAs[Long]("n_rows") == 40L && r0.getAs[Long]("dof") == 1L)
+    assert(r0.getAs[Double]("chi2") == 0.0 && r0.getAs[Double]("cramers_v") == 0.0)
+    // diagonal-only table: the two ABSENT cells must contribute E=5 each
+    val assoc = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r1 = Stats.chiSquare(assoc.toDF("r", "c"), "r", "c").head()
+    assert(r1.getAs[Long]("n_cells") == 4L)
+    assert(r1.getAs[Double]("chi2") == 20.0)
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    // single-column table: dof 0, V undefined → null, no divide error
+    val flat = Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "x"))
+    val r2 = Stats.chiSquare(flat.toDF("r", "c"), "r", "c").head()
+    assert(r2.getAs[Long]("dof") == 0L &&
+      r2.isNullAt(r2.fieldIndex("cramers_v")))
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
