@@ -366,6 +366,47 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance — the continuous-column
+    * companion to [[chiSquare]] (did `src0`'s length distribution drift
+    * from `src1`'s?). KS = max_v |F_A(v) − F_B(v)| computed EXACTLY: the
+    * per-value frame holds one row per distinct value with both groups'
+    * counts, a cumulative window builds both CDFs in one pass, and the
+    * sup-distance compares integer cross-products |c_A·n_B − c_B·n_A|
+    * (DECIMAL, overflow-safe) — the only division is the final reported
+    * statistic.
+    *
+    * Scale shape: the global-order window runs over |distinct values|
+    * rows, not the corpus (lengths, scores, and token counts have bounded
+    * domains; pre-bin a genuinely continuous metric first). */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    val pv = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pv.select(
+      sum(col("__ca")).over(w).as("__c1"),
+      sum(col("__cb")).over(w).as("__c2"))
+    val tot = pv.agg(sum(col("__ca")).as("__n1"), sum(col("__cb")).as("__n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs(dec(col("__c1")) * dec(col("__n2")) -
+          dec(col("__c2")) * dec(col("__n1"))).as("__d"),
+        col("__n1"), col("__n2"))
+      .agg(first(col("__n1")).as("__n1"), first(col("__n2")).as("__n2"),
+        max(col("__d")).as("__num"))
+      .select(col("__n1").cast("long").as("n_a"),
+        col("__n2").cast("long").as("n_b"),
+        col("__num").cast("long").as("ks_num"),
+        when(col("__n1") === 0 || col("__n2") === 0, lit(null))
+          .otherwise(round(col("__num").cast("double") /
+            (dec(col("__n1")) * dec(col("__n2"))).cast("double"), 6))
+          .as("ks"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

@@ -610,6 +610,34 @@ object StatsQueries {
     Stats.chiSquare(t(s, dir, "documents"), "lang", "source")
   }
 
+  // Two-sample Kolmogorov–Smirnov distance between two sources' document
+  // length distributions — exact sup-distance over integer cross-product
+  // CDFs (|c_A·n_B − c_B·n_A|, no per-step division); the cumulative
+  // window runs over distinct lengths, never the corpus. The oracle
+  // replays the per-value counts, both running CDFs, and the integer
+  // maximization.
+  private val x140 = Q("x140_ks_test", Some(
+    """WITH f AS (
+      |  SELECT n_chars AS v,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS b
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |pv AS (SELECT v, sum(a) AS ca, sum(b) AS cb FROM f GROUP BY v),
+      |cum AS (SELECT
+      |    sum(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+      |    sum(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      |  FROM pv),
+      |tot AS (SELECT sum(ca) AS n1, sum(cb) AS n2 FROM pv)
+      |SELECT CAST(tot.n1 AS BIGINT) AS n_a, CAST(tot.n2 AS BIGINT) AS n_b,
+      |  CAST(max(abs(c1 * tot.n2 - c2 * tot.n1)) AS BIGINT) AS ks_num,
+      |  round(CAST(max(abs(c1 * tot.n2 - c2 * tot.n1)) AS DOUBLE)
+      |    / CAST(tot.n1 * tot.n2 AS DOUBLE), 6) AS ks
+      |FROM cum, tot GROUP BY tot.n1, tot.n2""".stripMargin)) { (s, dir) =>
+    Stats.ksTest(t(s, dir, "documents"), "n_chars", "source", "src0", "src1")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93, x94, x95, x110, x134, x135, x138, x139)
+    x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140)
 }

@@ -255,6 +255,21 @@ class StatsSpec extends SparkSpec {
       r2.isNullAt(r2.fieldIndex("cramers_v")))
   }
 
+  test("ksTest: exact sup-distance; identical gives 0, disjoint gives 1") {
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("B", 4L)).toDF("g", "v")
+    val r = Stats.ksTest(df, "v", "g", "A", "B").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("ks_num") == 3L) // sup |F_A - F_B| = 1/3
+    assert(r.getAs[Double]("ks") == 0.333333)
+    val same = Seq(("A", 5L), ("A", 7L), ("B", 5L), ("B", 7L)).toDF("g", "v")
+    assert(Stats.ksTest(same, "v", "g", "A", "B").head()
+      .getAs[Double]("ks") == 0.0)
+    val disjoint = Seq(("A", 1L), ("A", 2L), ("B", 8L), ("B", 9L)).toDF("g", "v")
+    assert(Stats.ksTest(disjoint, "v", "g", "A", "B").head()
+      .getAs[Double]("ks") == 1.0)
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
