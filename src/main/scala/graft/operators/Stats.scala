@@ -407,6 +407,31 @@ object Stats {
           .as("ks"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-data detector for
+    * positive numeric columns spanning several orders of magnitude.
+    * Reports, per leading digit, the observed share vs Benford's
+    * log10(1 + 1/d) expectation.
+    *
+    * The leading digit comes from the DECIMAL STRING of floor(value) —
+    * integer-to-string is unambiguous in every engine, where
+    * floor(log10(x)) can flip by one ulp near powers of ten and
+    * double-to-string formats diverge. One grouped count (9 groups); the
+    * observed share is one exact-integer division per digit. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.filter(col(valueCol) >= 1.0)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

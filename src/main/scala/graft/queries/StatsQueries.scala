@@ -638,6 +638,26 @@ object StatsQueries {
     Stats.ksTest(t(s, dir, "documents"), "n_chars", "source", "src0", "src1")
   }
 
+  // Benford first-digit audit over order totals — the fabricated-data
+  // detector: observed leading-digit shares vs log10(1 + 1/d). The digit
+  // comes from the decimal STRING of floor(price) (integer-to-string is
+  // engine-unambiguous where floor(log10(x)) can flip an ulp near powers
+  // of ten); the observed share is one exact-integer division per digit.
+  private val x141 = Q("x141_benford_audit", Some(
+    """WITH c AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS n
+      |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+      |t AS (SELECT sum(n) AS tt FROM c)
+      |SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS observed,
+      |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
+      |FROM c, t ORDER BY digit""".stripMargin)) { (s, dir) =>
+    Stats.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+      .orderBy("digit")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140)
+    x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141)
 }

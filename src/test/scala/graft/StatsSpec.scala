@@ -270,6 +270,16 @@ class StatsSpec extends SparkSpec {
       .getAs[Double]("ks") == 1.0)
   }
 
+  test("benfordAudit: string-of-integer digit extraction, exact shares") {
+    // digits: 1 (from 1.5, 123.0, 19.9), 9 (from 987.0), sub-1 filtered
+    val df = Seq(1.5, 123.0, 19.9, 987.0, 0.4).toDF("v")
+    val out = Stats.benfordAudit(df, "v").orderBy("digit").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (9L, 1L)))
+    assert(out.head.getAs[Double]("observed") == 0.75)
+    assert(out.head.getAs[Double]("benford") == 0.30103) // log10(2)
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
