@@ -432,6 +432,54 @@ object Stats {
           .as("benford"))
   }
 
+  /** Mann–Whitney U rank-sum test with tie correction — the rank-based
+    * "did group B's values shift up?" test that pairs with [[ksTest]]
+    * (KS sees any shape change; U sees location shift, robust to
+    * outliers). Like ksTest, everything collapses to one row per distinct
+    * value; average ranks with ties stay EXACT by accumulating 2·R_A =
+    * Σ c_A·(2·S_below + c + 1) as integers (DECIMAL, overflow-safe), so
+    * the reported U is exact and only the normal-approximation z-score
+    * (tie-corrected σ) is double — assembled in one fixed operation
+    * order. */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pv = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__c"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = pv.select(col("__ca"), col("__c"),
+      coalesce(sum(col("__c")).over(w), lit(0L)).as("__s"))
+    val contrib = cum.agg(
+      sum(dec(col("__ca")) *
+        (dec(lit(2L)) * dec(col("__s")) + dec(col("__c")) + dec(lit(1L))))
+        .as("__r2"),
+      sum(dec(col("__ca"))).as("__n1"),
+      sum(dec(col("__c")) - dec(col("__ca"))).as("__n2"),
+      sum(dec(col("__c")) * dec(col("__c")) * dec(col("__c")) -
+        dec(col("__c"))).as("__tsum"))
+    val n1 = col("__n1").cast("double"); val n2 = col("__n2").cast("double")
+    val n = n1 + n2
+    val u = col("__u2").cast("double") / lit(2.0)
+    val mu = n1 * n2 / lit(2.0)
+    val sigma = sqrt(n1 * n2 / lit(12.0) *
+      ((n + lit(1.0)) - col("__tsum").cast("double") / (n * (n - lit(1.0)))))
+    contrib
+      .select(col("__n1"), col("__n2"), col("__tsum"),
+        (col("__r2") - col("__n1") * (col("__n1") + dec(lit(1L)))).as("__u2"))
+      .select(col("__n1").cast("long").as("n_a"),
+        col("__n2").cast("long").as("n_b"),
+        col("__u2").cast("long").as("u2"),
+        round(u, 6).as("u"),
+        // all values tied in one point mass → σ = 0, z undefined
+        when(col("__n1") === 0 || col("__n2") === 0 ||
+            sigma === 0.0, lit(null))
+          .otherwise(round((u - mu) / sigma, 6)).as("z"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

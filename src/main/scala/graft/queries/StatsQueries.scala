@@ -658,6 +658,42 @@ object StatsQueries {
       .orderBy("digit")
   }
 
+  // Mann–Whitney U rank-sum (tie-corrected) between two sources' length
+  // distributions — the location-shift test beside x140's KS. Average
+  // ranks stay exact by accumulating 2·R_A = Σ c_A·(2·S_below + c + 1)
+  // as integers over the distinct-value frame; only the z-score touches
+  // doubles, in one fixed operation order the oracle replays.
+  private val x142 = Q("x142_mann_whitney", Some(
+    """WITH f AS (
+      |  SELECT n_chars AS v,
+      |    CASE WHEN source = 'src2' THEN 1 ELSE 0 END AS a
+      |  FROM documents WHERE source IN ('src2', 'src3')),
+      |pv AS (SELECT v, sum(a) AS ca, count(*) AS c FROM f GROUP BY v),
+      |cum AS (SELECT ca, c,
+      |    coalesce(sum(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      |  FROM pv),
+      |m AS (SELECT sum(ca * (2 * s + c + 1)) AS r2, sum(ca) AS n1,
+      |        sum(c - ca) AS n2, sum(c * c * c - c) AS tsum
+      |      FROM cum),
+      |k AS (SELECT n1, n2, tsum, r2 - n1 * (n1 + 1) AS u2 FROM m)
+      |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+      |  CAST(u2 AS BIGINT) AS u2,
+      |  round(CAST(u2 AS DOUBLE) / 2.0, 6) AS u,
+      |  round((CAST(u2 AS DOUBLE) / 2.0
+      |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+      |      * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+      |        - CAST(tsum AS DOUBLE)
+      |          / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 6)
+      |    AS z
+      |FROM k""".stripMargin)) { (s, dir) =>
+    Stats.mannWhitney(t(s, dir, "documents"), "n_chars", "source",
+      "src2", "src3")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
-    x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141)
+    x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
+    x142)
 }

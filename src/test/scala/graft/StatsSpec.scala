@@ -280,6 +280,25 @@ class StatsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("benford") == 0.30103) // log10(2)
   }
 
+  test("mannWhitney: exact U with ties; separated groups hit the extremes") {
+    // A={1,2}, B={3,4}: A never wins → U_A = 0; no ties → tsum term 0
+    val sep = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r = Stats.mannWhitney(sep, "v", "g", "A", "B").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2") == 0L && r.getAs[Double]("u") == 0.0)
+    assert(r.getAs[Double]("z") < -1.5)
+    // fully tied on one value: U = n1*n2/2 (all average ranks), σ = 0 → z null
+    val tied = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("g", "v")
+    val rt = Stats.mannWhitney(tied, "v", "g", "A", "B").head()
+    assert(rt.getAs[Double]("u") == 1.0) // 2*1*(2*0+3+1)/2... U_A = n1*n2/2
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+    // hand case with a tie across groups: A={1,2}, B={2,3}
+    // ranks: 1→1, 2,2→avg 2.5, 3→4; R_A = 3.5 → U_A = 3.5 - 3 = 0.5
+    val mix = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L)).toDF("g", "v")
+    val rm = Stats.mannWhitney(mix, "v", "g", "A", "B").head()
+    assert(rm.getAs[Long]("u2") == 1L && rm.getAs[Double]("u") == 0.5)
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
