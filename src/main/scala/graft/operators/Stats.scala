@@ -480,6 +480,37 @@ object Stats {
           .otherwise(round((u - mu) / sigma, 6)).as("z"))
   }
 
+  /** Per-group chi-square goodness-of-fit drift — [[chiSquare]] unrolled
+    * into a monitoring TIME SERIES: for every group (a day, a shard, an
+    * ingest batch) the chi-square distance between its category mix and
+    * the pooled corpus mix. The drift dashboard query: a spike on one day
+    * means that day's event/source/language mix shifted.
+    *
+    * Same scale shape as chiSquare: ONE grouped count over the fact
+    * table, margins re-aggregated from the persisted cell frame, the
+    * group × category grid materialized so absent categories contribute
+    * their expected mass, DECIMAL-quantized (O−E)²/E terms. Output is one
+    * row per group. */
+  def mixDrift(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val obs = df.groupBy(col(groupCol).as("__g"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__o")).persist()
+    val gt = obs.groupBy("__g").agg(sum(col("__o")).as("__gtot"))
+    val ctv = obs.groupBy("__c").agg(sum(col("__o")).as("__ctot"))
+    val n0 = obs.agg(sum(col("__o")).as("__n"))
+    val od = (c: Column) => c.cast("double")
+    gt.crossJoin(broadcast(ctv))
+      .join(obs, Seq("__g", "__c"), "left")
+      .crossJoin(broadcast(n0))
+      .select(col("__g"), coalesce(col("__o"), lit(0L)).as("__oc"),
+        (od(col("__gtot")) * od(col("__ctot")) / od(col("__n"))).as("__e"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__oc")).as("__ng"),
+        sum(((od(col("__oc")) - col("__e")) * (od(col("__oc")) - col("__e")) /
+          col("__e")).cast("decimal(28,18)")).as("__chi2d"))
+      .select(col("__g").as(groupCol), col("__ng").cast("long").as("n_rows"),
+        round(col("__chi2d").cast("double"), 6).as("chi2"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

@@ -693,7 +693,34 @@ object StatsQueries {
       "src2", "src3")
   }
 
+  // Daily event-mix drift: per-day chi-square goodness-of-fit of the
+  // event-type distribution against the pooled mix — x139 unrolled into
+  // a monitoring time series (the drift-dashboard query). Absent
+  // (day, type) cells contribute expected mass via the day × type grid.
+  private val x143 = Q("x143_daily_mix_drift", Some(
+    """WITH f AS (SELECT CAST(ts AS DATE) AS g, event_type AS c FROM events),
+      |obs AS (SELECT g, c, count(*) AS o FROM f GROUP BY 1, 2),
+      |gt AS (SELECT g, sum(o) AS gtot FROM obs GROUP BY 1),
+      |ctv AS (SELECT c, sum(o) AS ctot FROM obs GROUP BY 1),
+      |n0 AS (SELECT sum(o) AS n FROM obs),
+      |cells AS (
+      |  SELECT gt.g, coalesce(obs.o, 0) AS oc,
+      |    CAST(gt.gtot AS DOUBLE) * CAST(ctv.ctot AS DOUBLE)
+      |      / CAST(n0.n AS DOUBLE) AS e
+      |  FROM gt CROSS JOIN ctv
+      |  LEFT JOIN obs ON obs.g = gt.g AND obs.c = ctv.c, n0)
+      |SELECT g AS day, CAST(sum(oc) AS BIGINT) AS n_rows,
+      |  round(CAST(sum(CAST((CAST(oc AS DOUBLE) - e) * (CAST(oc AS DOUBLE) - e)
+      |    / e AS DECIMAL(28,18))) AS DOUBLE), 6) AS chi2
+      |FROM cells GROUP BY g ORDER BY day""".stripMargin)) { (s, dir) =>
+    Stats.mixDrift(
+        Tables.events(s, dir).select(to_date(col("ts")).as("day"),
+          col("event_type")),
+        "day", "event_type")
+      .orderBy("day")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142)
+    x142, x143)
 }

@@ -299,6 +299,21 @@ class StatsSpec extends SparkSpec {
     assert(rm.getAs[Long]("u2") == 1L && rm.getAs[Double]("u") == 0.5)
   }
 
+  test("mixDrift: matching groups give 0, shifted groups get symmetric chi2") {
+    // both groups match the pooled 50/50 mix exactly → zero drift
+    val even = Seq(("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "b"))
+      .toDF("g", "c")
+    val r0 = Stats.mixDrift(even, "g", "c").orderBy("g").collect()
+    assert(r0.map(_.getAs[Double]("chi2")).toSeq == Seq(0.0, 0.0))
+    // pooled mix 6a:2b; d1=(2a,2b), d2=(4a,0b): chi2 = 1/3 + 1 each —
+    // the absent (d2, b) cell must contribute its expected mass
+    val skew = (Seq.fill(2)(("d1", "a")) ++ Seq.fill(2)(("d1", "b")) ++
+      Seq.fill(4)(("d2", "a"))).toDF("g", "c")
+    val r1 = Stats.mixDrift(skew, "g", "c").orderBy("g").collect()
+    assert(r1.map(_.getAs[Long]("n_rows")).toSeq == Seq(4L, 4L))
+    assert(r1.map(_.getAs[Double]("chi2")).toSeq == Seq(1.333333, 1.333333))
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
