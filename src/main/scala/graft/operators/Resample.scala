@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,5 +115,49 @@ object Resample {
         round(col("__tv").cast("double"), 2).as("total_value"),
         round(last(col("__tv"), ignoreNulls = true).over(w).cast("double"), 2)
           .as("carried_total"))
+  }
+
+  /** Classical additive seasonal decomposition y = trend + seasonal +
+    * remainder over an evenly spaced integer series: trend is the centered
+    * `period`-row moving average, seasonal is the per-phase mean of the
+    * detrended series, remainder is what's left. The workhorse for "is
+    * Tuesday always low, or did something break on THIS Tuesday?".
+    *
+    * Exactness: detrended values are rational with integer numerator
+    * period·y − Σ_window (the window sum of longs is exact), so per-phase
+    * seasonal means accumulate INTEGER sums and divide once —
+    * period·detrended and its phase aggregation never touch accumulated
+    * doubles. All three emitted components use the engine-tie-free
+    * floor(x·10⁴+0.5)/10⁴ rounding (see [[movingAverage]]).
+    *
+    * Scale shape: runs on the already-aggregated per-bucket series
+    * (|days|, |hours| rows — tiny), so the global-order window is over the
+    * series, never the corpus. The first/last half-window rows have no
+    * centered trend (standard) and are excluded from the phase means. */
+  def seasonalDecompose(daily: DataFrame, orderCol: String, valueCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period=$period — need an odd period >= 3 for a centered window")
+    val half = period / 2
+    val w = Window.orderBy(orderCol).rowsBetween(-half, half)
+    val rn = Window.orderBy(orderCol)
+    val pd = lit(period.toDouble)
+    val q4 = (c: Column) => floor(c * lit(10000) + lit(0.5)) / lit(10000)
+    val base = daily
+      .withColumn("__s", sum(col(valueCol)).over(w))
+      .withColumn("__c", count(col(valueCol)).over(w))
+      .withColumn("__ph", (row_number().over(rn) - 1) % period)
+      .withColumn("__num", when(col("__c") === period,
+        lit(period.toLong) * col(valueCol) - col("__s")))
+    val phase = base.groupBy("__ph")
+      .agg(sum(col("__num")).as("__snum"), count(col("__num")).as("__k"))
+    val seasonal = col("__snum").cast("double") /
+      (pd * col("__k").cast("double"))
+    base.join(broadcast(phase), Seq("__ph"))
+      .select(col(orderCol), col(valueCol).cast("long").as("y"),
+        when(col("__c") === period, q4(col("__s").cast("double") / pd))
+          .as("trend"),
+        q4(seasonal).as("seasonal"),
+        q4(col("__num").cast("double") / pd - seasonal).as("remainder"))
   }
 }

@@ -425,6 +425,41 @@ object WarehouseQueries {
       .orderBy("event_type", "day")
   }
 
+  // Classical additive seasonal decomposition of the daily event series:
+  // centered 7-day MA trend, per-phase seasonal means from the INTEGER
+  // numerators 7·y − Σwindow (exact until one final division), remainder
+  // as what's left. The oracle replays windows, phase assignment, the
+  // integer phase sums, and the tie-free floor rounding.
+  private val x144 = Q("x144_seasonal_decompose", Some(
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS y
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT day, y,
+      |    sum(y) OVER w AS s, count(y) OVER w AS c,
+      |    (row_number() OVER (ORDER BY day) - 1) % 7 AS ph
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |n AS (SELECT *, CASE WHEN c = 7 THEN 7 * y - s END AS num FROM b),
+      |se AS (SELECT ph, sum(num) AS snum, count(num) AS k
+      |       FROM n GROUP BY ph)
+      |SELECT n.day, CAST(n.y AS BIGINT) AS y,
+      |  CASE WHEN n.c = 7 THEN
+      |    floor(CAST(n.s AS DOUBLE) / 7.0 * 10000 + 0.5) / 10000 END AS trend,
+      |  floor(CAST(se.snum AS DOUBLE) / (7.0 * CAST(se.k AS DOUBLE))
+      |    * 10000 + 0.5) / 10000 AS seasonal,
+      |  floor((CAST(n.num AS DOUBLE) / 7.0
+      |      - CAST(se.snum AS DOUBLE) / (7.0 * CAST(se.k AS DOUBLE)))
+      |    * 10000 + 0.5) / 10000 AS remainder
+      |FROM n JOIN se ON se.ph = n.ph
+      |ORDER BY n.day""".stripMargin)) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    graft.operators.Resample.seasonalDecompose(daily, "day", "y", period = 7)
+      .orderBy("day")
+  }
+
   val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51, x56,
-    x60, x68, x70, x112)
+    x60, x68, x70, x112, x144)
 }

@@ -139,4 +139,26 @@ class IncrementalResampleSpec extends SparkSpec {
       direct.collect().map(key).sorted.toSeq)
     assert(refreshed.count() == direct.count())
   }
+
+  test("seasonalDecompose: pure periodic series has flat trend, 0 remainder") {
+    import spark.implicits._
+    // y repeats (3, 6, 9) with period 3: trend = 6 everywhere centered,
+    // seasonal = (-3, 0, +3) by phase, remainder identically 0
+    val df = (1 to 9).map(i => (i, Seq(3L, 6L, 9L)((i - 1) % 3)))
+      .toDF("i", "y")
+    val out = graft.operators.Resample.seasonalDecompose(df, "i", "y", 3)
+      .orderBy("i").collect()
+    assert(out.length == 9)
+    // edges have no centered window → null trend and remainder
+    assert(out.head.isNullAt(2) && out.last.isNullAt(2))
+    val interior = out.slice(1, 8)
+    assert(interior.forall(_.getDouble(2) == 6.0))
+    assert(interior.forall(_.getDouble(4) == 0.0))
+    assert(out.map(_.getDouble(3)).toSeq ==
+      Seq(-3.0, 0.0, 3.0, -3.0, 0.0, 3.0, -3.0, 0.0, 3.0))
+    // even period is rejected (no centered window)
+    intercept[IllegalArgumentException] {
+      graft.operators.Resample.seasonalDecompose(df, "i", "y", 4)
+    }
+  }
 }
