@@ -511,6 +511,65 @@ object Stats {
         round(col("__chi2d").cast("double"), 6).as("chi2"))
   }
 
+  /** CUSUM changepoint scan over an ordered counts series — "WHEN did the
+    * rate shift?" (the complement to [[mixDrift]]'s "did the mix shift?").
+    * The cumulative deviation from a uniform rate is kept as the exact
+    * integer n·P_t − t·T (P_t prefix sum, T total, t row index); its max
+    * |·| normalized by n·T is a KS-style uniformity distance in [0,1], and
+    * the argmax row is the changepoint (ties → earliest). One window pass
+    * over the per-bucket series (|days| rows), one final division. */
+  def cusumChangepoint(daily: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wOrd = Window.orderBy(orderCol)
+    val wAll = Window.orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scanned = daily.select(col(orderCol).as("__d"),
+        sum(col(valueCol)).over(wOrd.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("__p"),
+        row_number().over(wOrd).as("__t"),
+        sum(col(valueCol)).over(wAll).as("__tt"),
+        count(lit(1)).over(wAll).as("__n"))
+      .select(col("__d"), col("__tt"), col("__n"),
+        abs(dec(col("__n")) * dec(col("__p")) -
+          dec(col("__t")) * dec(col("__tt"))).as("__dev"))
+    scanned.orderBy(desc("__dev"), col("__d")).limit(1)
+      .select(col("__n").cast("long").as("n_buckets"),
+        col("__tt").cast("long").as("total"),
+        col("__d").as("changepoint"),
+        col("__dev").cast("long").as("max_dev"),
+        when(col("__tt") === 0, lit(null))
+          .otherwise(round(col("__dev").cast("double") /
+            (col("__n").cast("double") * col("__tt").cast("double")), 6))
+          .as("uniformity_distance"))
+  }
+
+  /** Gini coefficient of a per-key count distribution — the concentration
+    * audit (is event volume dominated by a handful of users? is one
+    * source 90 % of the corpus?). Exact closed form over the ranked
+    * counts: G = (2·Σ t·x_t − (n+1)·Σx) / (n·Σx) with row_number ranks
+    * (ties contribute identically under any stable order, so the key
+    * tiebreak only pins determinism). Integer/DECIMAL throughout, ONE
+    * final division; the rank window runs over |keys| rows. */
+  def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__x"))
+    val wOrd = Window.orderBy(col("__x"), col("__k"))
+    val ranked = counts.select(col("__x"), row_number().over(wOrd).as("__t"))
+    ranked.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(dec(col("__t")) * dec(col("__x"))).as("__stx"))
+      .select(col("__n").cast("long").as("n_keys"),
+        col("__sx").cast("long").as("total"),
+        when(col("__n") === 0 || col("__sx") === 0, lit(null))
+          .otherwise(round(
+            (dec(lit(2L)) * col("__stx") -
+              (dec(col("__n")) + dec(lit(1L))) * dec(col("__sx")))
+              .cast("double") /
+            (dec(col("__n")) * dec(col("__sx"))).cast("double"), 6))
+          .as("gini"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

@@ -720,7 +720,24 @@ object StatsQueries {
       .orderBy("day")
   }
 
+  // Gini coefficient of events-per-user — the concentration audit (bot
+  // detection, "is the corpus 90% one source?"). Exact closed form over
+  // row_number-ranked counts; integer/DECIMAL throughout with ONE final
+  // division, rank window over |users| rows only.
+  private val x146 = Q("x146_gini_concentration", Some(
+    """WITH c AS (SELECT user_id AS k, count(*) AS x
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, k) AS t FROM c),
+      |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(t * x) AS stx FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total,
+      |  round(CAST(2 * stx - (n + 1) * sx AS DOUBLE)
+      |    / CAST(n * sx AS DOUBLE), 6) AS gini
+      |FROM m""".stripMargin)) { (s, dir) =>
+    graft.operators.Stats.giniConcentration(
+      Tables.events(s, dir).select("user_id"), "user_id")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142, x143)
+    x142, x143, x146)
 }

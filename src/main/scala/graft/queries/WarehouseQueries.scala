@@ -460,6 +460,33 @@ object WarehouseQueries {
       .orderBy("day")
   }
 
+  // CUSUM changepoint over the daily event counts: cumulative deviation
+  // from a uniform rate kept as the exact integer n·P_t − t·T; the
+  // normalized max is a KS-style uniformity distance and the argmax day
+  // is the changepoint (ties → earliest). One window pass over |days|.
+  private val x145 = Q("x145_cusum_changepoint", Some(
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, count(*) AS y
+      |  FROM events GROUP BY 1),
+      |sc AS (SELECT d,
+      |    sum(y) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+      |    row_number() OVER (ORDER BY d) AS t,
+      |    sum(y) OVER () AS tt, count(*) OVER () AS n
+      |  FROM daily),
+      |dev AS (SELECT d, tt, n, abs(n * p - t * tt) AS dv FROM sc)
+      |SELECT CAST(n AS BIGINT) AS n_buckets, CAST(tt AS BIGINT) AS total,
+      |  d AS changepoint, CAST(dv AS BIGINT) AS max_dev,
+      |  round(CAST(dv AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tt AS DOUBLE)), 6)
+      |    AS uniformity_distance
+      |FROM dev ORDER BY dv DESC, d LIMIT 1""".stripMargin)) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    graft.operators.Stats.cusumChangepoint(daily, "day", "y")
+      .withColumnRenamed("changepoint", "changepoint")
+  }
+
   val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51, x56,
-    x60, x68, x70, x112, x144)
+    x60, x68, x70, x112, x144, x145)
 }

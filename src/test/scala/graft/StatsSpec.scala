@@ -314,6 +314,33 @@ class StatsSpec extends SparkSpec {
     assert(r1.map(_.getAs[Double]("chi2")).toSeq == Seq(1.333333, 1.333333))
   }
 
+  test("cusumChangepoint: finds the rate-shift day; uniform series scores 0") {
+    // rate triples after day 3 → max |n·P_t − t·T| lands on day 3
+    val shift = Seq((1, 1L), (2, 1L), (3, 1L), (4, 9L), (5, 9L), (6, 9L))
+      .toDF("day", "y")
+    val r = Stats.cusumChangepoint(shift, "day", "y").head()
+    assert(r.getAs[Long]("n_buckets") == 6L && r.getAs[Long]("total") == 30L)
+    assert(r.getAs[Int]("changepoint") == 3)
+    assert(r.getAs[Long]("max_dev") == 72L)
+    assert(r.getAs[Double]("uniformity_distance") == 0.4)
+    // perfectly uniform: zero deviation, earliest day wins the tie
+    val flat = (1 to 6).map(d => (d, 5L)).toDF("day", "y")
+    val rf = Stats.cusumChangepoint(flat, "day", "y").head()
+    assert(rf.getAs[Long]("max_dev") == 0L &&
+      rf.getAs[Int]("changepoint") == 1 &&
+      rf.getAs[Double]("uniformity_distance") == 0.0)
+  }
+
+  test("giniConcentration: equal counts give 0, (1,9) split gives 0.4") {
+    val equal = (1 to 4).flatMap(u => Seq.fill(3)(s"u$u")).toDF("k")
+    val re = Stats.giniConcentration(equal, "k").head()
+    assert(re.getAs[Long]("n_keys") == 4L && re.getAs[Long]("total") == 12L)
+    assert(re.getAs[Double]("gini") == 0.0)
+    val skewed = (Seq.fill(1)("a") ++ Seq.fill(9)("b")).toDF("k")
+    val rs = Stats.giniConcentration(skewed, "k").head()
+    assert(rs.getAs[Double]("gini") == 0.4)
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
