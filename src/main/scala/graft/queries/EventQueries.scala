@@ -387,6 +387,65 @@ object EventQueries {
       .orderBy("split")
   }
 
+  // Multi-model marketing attribution in ONE pass over the click-purchase
+  // pairs: each purchase's preceding-hour clicks (per-user interval join,
+  // x30's batch shape) credit their campaign channel under first-touch,
+  // last-touch, and linear models simultaneously. Linear credit 1/n is
+  // DECIMAL-quantized per pair so the per-channel sums are order-free;
+  // first/last resolve by (ts, click_id) row_number — fully deterministic.
+  private val x147 = Q("x147_attribution_models", Some(
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS cts, event_id AS cid,
+      |    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+      |      AS VARCHAR) AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |buys AS (
+      |  SELECT user_id, ts AS pts, event_id AS pid
+      |  FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT b.pid, c.channel, c.cts, c.cid
+      |  FROM buys b JOIN clicks c ON c.user_id = b.user_id
+      |  WHERE c.cts >= b.pts - INTERVAL 1 HOUR AND c.cts < b.pts),
+      |ranked AS (
+      |  SELECT pid, channel,
+      |    row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS rn_a,
+      |    row_number() OVER (PARTITION BY pid ORDER BY cts DESC, cid DESC) AS rn_d,
+      |    count(*) OVER (PARTITION BY pid) AS n
+      |  FROM pairs)
+      |SELECT channel,
+      |  CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+      |  CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+      |  round(CAST(sum(CAST(CAST(1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS linear_credit,
+      |  count(*) AS n_pairs
+      |FROM ranked GROUP BY channel ORDER BY channel""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val kCol = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"),
+        concat(lit("ch"), (kCol % 4).cast("string")).as("channel"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val pairs = buys.join(clicks, "user_id")
+      .filter(col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") < col("pts"))
+    val byPid = Window.partitionBy("pid")
+    val ranked = pairs
+      .withColumn("rn_a", row_number().over(byPid.orderBy(col("cts"), col("cid"))))
+      .withColumn("rn_d",
+        row_number().over(byPid.orderBy(desc("cts"), desc("cid"))))
+      .withColumn("n", count(lit(1)).over(byPid))
+    ranked.groupBy("channel")
+      .agg(sum(when(col("rn_a") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rn_d") === 1, 1L).otherwise(0L)).as("last_touch"),
+        round(sum((lit(1.0) / col("n").cast("double")).cast("decimal(28,12)"))
+          .cast("double"), 6).as("linear_credit"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("channel")
+  }
+
   val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13,
-    e14, e15, x115)
+    e14, e15, x115, x147)
 }
