@@ -995,6 +995,43 @@ object ScaleQueries {
       .orderBy("component")
   }
 
+  // Dedup-AWARE seeded sampling — sample uniformly over CONTENT, not over
+  // copies: every document joins its near-dup cluster (singletons stand
+  // alone), and ONE member per cluster is chosen uniformly at random by
+  // seeded-hash argmin — deterministic, replayable, and immune to the
+  // "popular pages get sampled 40×" bias of row-uniform sampling. The
+  // keep-side complement to x109's quality-canonical selection.
+  private val x148 = Q("x148_dedup_aware_sample", Some(
+    s"""WITH $COMPONENTS_CTE,
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(l2.lab, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN l2 ON l2.node = d.doc_id),
+       |r AS (
+       |  SELECT cluster, doc_id,
+       |    md5('r5' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM lab),
+       |sel AS (
+       |  SELECT cluster, doc_id,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY h, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY cluster) AS nm
+       |  FROM r)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, doc_id AS sampled_doc,
+       |  CAST(nm AS BIGINT) AS n_members
+       |FROM sel WHERE rk = 1 ORDER BY cluster""".stripMargin)) { (s, dir) =>
+    val comps = Shared.neardupComponents(s, dir)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    docs.join(comps, docs("doc_id") === comps("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"),
+        md5(concat(lit("r5"), col("doc_id").cast("string"))).as("h"))
+      .groupBy("cluster")
+      .agg(min(struct(col("h"), col("doc_id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("m.doc_id").as("sampled_doc"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   // Stream-stream interval join under the oracle: clicks and purchases
   // replayed as two real watermarked streams in lockstep; with an ordered
   // feed nothing is late, so the streamed attribution must equal the plain
@@ -1647,5 +1684,5 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117, x122, x123, x127, x128, x129, x130, x132)
+      x114, x117, x122, x123, x127, x128, x129, x130, x132, x148)
 }
