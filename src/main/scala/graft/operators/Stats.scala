@@ -381,11 +381,14 @@ object Stats {
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(19,0)")
+    // persisted: both the CDF window and the 1-row totals read this tiny
+    // frame, and without the memo each would rescan the corpus
     val pv = df
       .filter(col(groupCol) === groupA || col(groupCol) === groupB)
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+      .persist()
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = pv.select(

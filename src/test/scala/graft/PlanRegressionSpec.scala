@@ -435,6 +435,35 @@ class PlanRegressionSpec extends SparkSpec {
       "self-join must stay keyed:\n" + p.take(800))
   }
 
+  test("x140/x142 rank tests scan the corpus once; windows ride the value frame") {
+    // x140's per-value frame feeds BOTH the CDF window and the totals: the
+    // persist must show up as an InMemoryTableScan consumer (without it,
+    // each branch rescans the corpus — caught live by this test)
+    val p140 = plan("x140_ks_test")
+    assert(p140.contains("InMemoryTableScan"),
+      "pv frame must be cached, not recomputed per branch:\n" + p140.take(800))
+    assert(p140.contains("Window"), p140.take(400))
+    // x142 is one linear chain: a single corpus scan (tree + details = 2)
+    val p142 = plan("x142_mann_whitney")
+    assert("Scan parquet".r.findAllIn(p142).length <= 2,
+      "x142 must not rescan the corpus:\n" + p142.take(800))
+    assert(p142.contains("Window"), p142.take(400))
+    for (p <- Seq(p140, p142))
+      assert(p.contains("ReadSchema: struct<n_chars:bigint,source:string>") ||
+        p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+        "scan must prune to value + group columns:\n" + p.take(800))
+  }
+
+  test("x147 attribution broadcasts neither fact side spuriously, one pair join") {
+    val p = plan("x147_attribution_models")
+    // exactly one equi-join builds the pair frame (clicks ⋈ buys on user)
+    assert("Join".r.findAllIn(p).length >= 1, p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval predicate must ride the user equi-join, not a loop join:\n" +
+        p.take(900))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
