@@ -446,6 +446,70 @@ object EventQueries {
       .orderBy("channel")
   }
 
+  // Conversion-latency quantiles: per converting user, seconds from first
+  // view to first purchase; DISCRETE percentiles (actual data elements —
+  // engine-bit-parity, like x81/x110) over the per-user latency frame.
+  private val x149 = Q("x149_conversion_latency", Some(
+    """WITH m AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      |  FROM events GROUP BY user_id),
+      |d AS (
+      |  SELECT date_diff('second', tv, tp) AS delta_s
+      |  FROM m WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp >= tv)
+      |SELECT count(*) AS n_converted,
+      |  CAST(quantile_disc(delta_s, 0.25) AS BIGINT) AS p25_s,
+      |  CAST(quantile_disc(delta_s, 0.50) AS BIGINT) AS p50_s,
+      |  CAST(quantile_disc(delta_s, 0.75) AS BIGINT) AS p75_s,
+      |  CAST(quantile_disc(delta_s, 0.90) AS BIGINT) AS p90_s
+      |FROM d""".stripMargin)) { (s, dir) =>
+    val m = Tables.events(s, dir).groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+    m.filter(col("tv").isNotNull && col("tp").isNotNull && col("tp") >= col("tv"))
+      .select((unix_timestamp(col("tp")) - unix_timestamp(col("tv")))
+        .as("delta_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY delta_s)")
+          .cast("long").as("p25_s"),
+        expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY delta_s)")
+          .cast("long").as("p50_s"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY delta_s)")
+          .cast("long").as("p75_s"),
+        expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY delta_s)")
+          .cast("long").as("p90_s"))
+  }
+
+  // Top user journeys: the 20 most frequent 3-step event-type paths
+  // (time-ordered per user, event_id tiebreak) — x95's Markov transitions
+  // extended to path mining. Two lead() windows, one grouped count,
+  // TakeOrdered top-k with a path tiebreak.
+  private val x150 = Q("x150_top_paths", Some(
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |paths AS (
+      |  SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT path, n FROM paths
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin)) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(20)
+  }
+
   val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13,
-    e14, e15, x115, x147)
+    e14, e15, x115, x147, x149, x150)
 }
