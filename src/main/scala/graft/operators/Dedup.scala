@@ -496,10 +496,26 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(w.partitionBy("id")))
       .filter(col("rn") <=
         col("sz") - expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
-      .select(col("id"), col("tok"))
-    val cand = pref.select(col("id").as("id_a"), col("tok"))
-      .join(pref.select(col("id").as("id_b"), col("tok")), "tok")
+      .select(col("id"), col("tok"), col("rn"), col("sz"))
+    // Two further exactness-preserving candidate pruners (PPJoin proper),
+    // both integer cross-multiplied:
+    //  - length filter: J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|), so
+    //    wildly different sizes never verify — drop them pre-shuffle;
+    //  - positional filter: for the EARLIEST shared token (global
+    //    freq-then-token order), everything before it in either list is
+    //    unshared, so overlap ≤ 1 + min(szₓ−rnₓ, sz_y−rn_y); a true pair
+    //    keeps at least that token's match row because the earliest shared
+    //    token always lies inside both prefixes.
+    val need = thresholdNum + thresholdDen
+    val cand = pref.select(col("id").as("id_a"), col("tok"),
+        col("rn").as("rn_a"), col("sz").as("sz_a"))
+      .join(pref.select(col("id").as("id_b"), col("tok"),
+        col("rn").as("rn_b"), col("sz").as("sz_b")), "tok")
       .filter(col("id_a") < col("id_b"))
+      .filter(lit(thresholdNum) * col("sz_a") <= lit(thresholdDen) * col("sz_b") &&
+        lit(thresholdNum) * col("sz_b") <= lit(thresholdDen) * col("sz_a"))
+      .filter((least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) +
+        lit(1)) * lit(need) >= lit(thresholdNum) * (col("sz_a") + col("sz_b")))
       .select("id_a", "id_b").distinct()
     cand
       .join(sets.select(col(idCol).as("__ia"), col("shs").as("__sa")),
