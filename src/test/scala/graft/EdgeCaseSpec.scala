@@ -207,4 +207,30 @@ class EdgeCaseSpec extends SparkSpec {
     val er = graft.operators.Similarity.effectiveRank(emptyVec, "id", "vec")
     assert(er.count() <= 1)
   }
+
+  test("time-series/monitoring additions degrade gracefully on short input") {
+    import graft.operators.Stats
+    // series shorter than the period: every trend/remainder is null
+    val short = Seq((1, 5L), (2, 6L)).toDF("i", "y")
+    val sd = graft.operators.Resample.seasonalDecompose(short, "i", "y", 7)
+      .orderBy("i").collect()
+    assert(sd.length == 2 && sd.forall(_.isNullAt(2)))
+    // CUSUM over a single bucket: zero deviation, no crash
+    val one = Seq((1, 5L)).toDF("d", "y")
+    val cu = Stats.cusumChangepoint(one, "d", "y").head()
+    assert(cu.getAs[Long]("max_dev") == 0L &&
+      cu.getAs[Double]("uniformity_distance") == 0.0)
+    // CUSUM with zero totals: null distance rather than a divide error
+    val zeros = Seq((1, 0L), (2, 0L)).toDF("d", "y")
+    val cz = Stats.cusumChangepoint(zeros, "d", "y").head()
+    assert(cz.isNullAt(cz.fieldIndex("uniformity_distance")))
+    // Gini of a single key: 2·1·x − 2x = 0 → perfectly equal
+    val single = Seq("only", "only", "only").toDF("k")
+    assert(Stats.giniConcentration(single, "k").head()
+      .getAs[Double]("gini") == 0.0)
+    // KS with one empty side: null statistic, no crash
+    val oneSided = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    val ks = Stats.ksTest(oneSided, "v", "g", "A", "B").head()
+    assert(ks.getAs[Long]("n_b") == 0L && ks.isNullAt(ks.fieldIndex("ks")))
+  }
 }
