@@ -121,6 +121,48 @@ object Graph {
     labels.select(col("node"), col("lab").as("community"))
   }
 
+  /** Connected components for GENERAL-diameter graphs in O(log d) rounds —
+    * the complement to Dedup.nearDupComponents (which fixes 2 propagation
+    * rounds because near-dup clusters are near-cliques). Each round
+    * alternates (a) min-label propagation over the symmetrized edges with
+    * (b) a POINTER JUMP lab(v) ← lab(lab(v)) — labels always name a node
+    * of the same component (propagation picks neighbors' labels, jumping
+    * follows a member's label), and the jump doubles the distance
+    * information travels, so a chain of length 2^rounds resolves where
+    * plain propagation would need 2^rounds iterations.
+    *
+    * 100 TB design: per round ONE edge equi-join + grouped min (x29's
+    * shape) and ONE self-join on the label pointer — all shuffles on node
+    * keys, no driver state, lineage truncated per round. `rounds` is
+    * data-independent: 5 covers diameter 32, 10 covers 1024. */
+  def connectedComponentsDoubling(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 12, s"rounds=$rounds out of [1,12]")
+    val fwd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // both union branches derive from the same checkpointed `labels`;
+      // fresh aliases keep their attribute ids disjoint (Catalyst's union
+      // constraint rewrite chokes on shared ids across branches)
+      val prop = labels
+        .select(col("node").as("node"), col("lab").as("lab"))
+        .union(und.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lab").as("lab")))
+        .groupBy("node").agg(min(col("lab")).as("lab"))
+      val jumped = prop.as("a")
+        .join(prop.select(col("node").as("__n2"), col("lab").as("__l2")).as("b"),
+          col("a.lab") === col("__n2"))
+        .select(col("a.node").as("node"), col("__l2").as("lab"))
+        .localCheckpoint()
+      labels = jumped
+    }
+    labels.select(col("node"), col("lab").as("component"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))

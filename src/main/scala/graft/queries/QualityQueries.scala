@@ -512,6 +512,42 @@ object QualityQueries {
       .limit(25)
   }
 
+  // General-diameter connected components in O(log d) rounds: alternating
+  // min-label propagation + pointer jump lab(v) ← lab(lab(v)) over the
+  // part–supplier bipartite graph. The oracle unrolls all four
+  // propagate+jump rounds, so the doubling state machine itself is
+  // hash-gated, not just the fixed point.
+  private val x151 = Q("x151_components_doubling", {
+    def round(r: Int): String = {
+      val prev = s"l${r - 1}"
+      s"""pr$r AS (SELECT node, min(lab) AS lab FROM (
+         |    SELECT node, lab FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, l.lab FROM und e JOIN $prev l ON e.src = l.node)
+         |  GROUP BY node),
+         |l$r AS (SELECT a.node, b.lab FROM pr$r a JOIN pr$r b ON a.lab = b.node)""".stripMargin
+    }
+    Some(
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+         |              l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM und),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS component
+         |FROM l4 ORDER BY node""".stripMargin)
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    Graph.connectedComponentsDoubling(e, "src", "dst", rounds = 4)
+      .select(col("node").cast("long").as("node"),
+        col("component").cast("long").as("component"))
+      .orderBy("node")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108, x131, x133, x136)
+    x106, x107, x108, x131, x133, x136, x151)
 }

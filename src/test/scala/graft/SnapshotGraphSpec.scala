@@ -293,4 +293,23 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(out2.take(3).forall(_.getDouble(3) == 1.0) &&
       out2(3).getDouble(3) == 0.0)
   }
+
+  test("connectedComponentsDoubling: a 20-chain resolves in 5 doubling rounds") {
+    import spark.implicits._
+    // path graph 1-2-3-…-20 (diameter 19): plain min-propagation needs 19
+    // rounds; alternating propagate+jump must finish within 5 (2^5 > 19)
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = graft.operators.Graph
+      .connectedComponentsDoubling(chain, "src", "dst", rounds = 5)
+      .collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getLong(1) == 1L), "every node must reach min label 1")
+    // two separate components stay separate
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val comps = graft.operators.Graph
+      .connectedComponentsDoubling(two, "src", "dst", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
 }
