@@ -163,6 +163,35 @@ object Graph {
     labels.select(col("node"), col("lab").as("component"))
   }
 
+  /** k-core peeling — iteratively drop nodes of degree < k and re-induce
+    * the graph: the standard "dense enough to matter" filter (spam rings,
+    * coordinated engagement, well-connected near-dup communities survive;
+    * tendrils peel away). `rounds` fixed peels are unrolled; each is one
+    * grouped degree count + two semi-joins, lineage-truncated — peeling
+    * converges when a round removes nothing, and for typical graphs a
+    * handful of rounds reaches the fixed point (assert convergence with
+    * [[kCorePeel]] twice at different rounds if it matters).
+    * Returns surviving (node, degree-in-core). */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 10,
+      s"k=$k rounds=$rounds out of range")
+    val fwd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    var und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = und.groupBy("src").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src").as("__keep"))
+      und = und
+        .join(keep, col("src") === col("__keep"), "left_semi")
+        .join(keep, col("dst") === col("__keep"), "left_semi")
+        .localCheckpoint()
+    }
+    und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))

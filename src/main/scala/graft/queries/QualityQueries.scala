@@ -548,6 +548,37 @@ object QualityQueries {
       .orderBy("node")
   }
 
+  // k-core peeling of the part–supplier graph: nodes of degree < 10 are
+  // iteratively dropped and the graph re-induced — the "dense enough to
+  // matter" community filter. The oracle unrolls all three peels, so the
+  // peeling trajectory is hash-gated (keep-sets have unique keys, making
+  // the inner joins exact semi-join twins).
+  private val x152 = Q("x152_kcore_peel", {
+    def peel(r: Int): String = {
+      val prev = if (r == 1) "und0" else s"u${r - 1}"
+      s"""k$r AS (SELECT src FROM (
+         |    SELECT src, count(*) AS d FROM $prev GROUP BY src) WHERE d >= 10),
+         |u$r AS (SELECT u.src, u.dst FROM $prev u
+         |        JOIN k$r a ON u.src = a.src JOIN k$r b ON u.dst = b.src)""".stripMargin
+    }
+    Some(
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+         |              l_suppkey * 2 + 1 AS dst FROM lineitem),
+         |und0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)}
+         |SELECT CAST(src AS BIGINT) AS node, count(*) AS core_degree
+         |FROM u3 GROUP BY src ORDER BY node""".stripMargin)
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    Graph.kCorePeel(e, "src", "dst", k = 10, rounds = 3)
+      .select(col("node").cast("long").as("node"), col("core_degree"))
+      .orderBy("node")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108, x131, x133, x136, x151)
+    x106, x107, x108, x131, x133, x136, x151, x152)
 }

@@ -312,4 +312,20 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
+
+  test("kCorePeel: the triangle survives 2-core peeling, the tail peels away") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a tail 3-4-5: 2-core = exactly the triangle,
+    // and the tail needs TWO peels (5 goes first, then 4)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = graft.operators.Graph.kCorePeel(g, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core.keySet == Set(1L, 2L, 3L))
+    assert(core.values.forall(_ == 2L))
+    // one round is NOT enough: node 4 still present after a single peel
+    val onePeel = graft.operators.Graph.kCorePeel(g, "src", "dst", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(onePeel.contains(4L))
+  }
 }
