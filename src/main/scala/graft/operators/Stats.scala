@@ -573,6 +573,45 @@ object Stats {
           .as("gini"))
   }
 
+  /** Autocorrelation function over an ordered integer series — the lag
+    * diagnostic behind [[graft.operators.Resample.seasonalDecompose]]'s
+    * period choice (a weekly rhythm shows as an ACF spike at lag 7). Per
+    * lag L, the Pearson correlation of (y_t, y_{t−L}) pairs: all seven
+    * lag columns come from ONE window pass (an exploded lag-struct
+    * array, no per-lag jobs), moments accumulate as exact decimals per
+    * lag group, and the closed-form r uses [[correlationMatrix]]'s exact
+    * operation order. */
+  def autocorrelation(daily: DataFrame, orderCol: String, valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, s"maxLag=$maxLag out of [1,30]")
+    val w = Window.orderBy(orderCol)
+    // window lags in a plain projection first (generators can't host
+    // window expressions), then the exploded lag-struct array
+    val lagged = daily.select(col(valueCol).as("__y") +:
+      (1 to maxLag).map(l => lag(col(valueCol), l).over(w).as(s"__l$l")): _*)
+    val lagStructs = (1 to maxLag).map(l =>
+      struct(lit(l).as("lag"), col(s"__l$l").as("ylag")))
+    val pairs = lagged
+      .select(col("__y"), explode(array(lagStructs: _*)).as("__p"))
+      .select(col("__p.lag").as("lag"), col("__y"), col("__p.ylag").as("__x"))
+      .filter(col("__x").isNotNull)
+    val m = pairs.groupBy("lag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("__x"))).cast("double").as("sx"),
+      sum(dec(col("__y"))).cast("double").as("sy"),
+      sum(dec(col("__x") * col("__x"))).cast("double").as("sxx"),
+      sum(dec(col("__y") * col("__y"))).cast("double").as("syy"),
+      sum(dec(col("__x") * col("__y"))).cast("double").as("sxy"))
+    val denom = sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy")))
+    m.select(col("lag").cast("long").as("lag"),
+        col("n").cast("long").as("n_pairs"),
+        when(denom === 0.0, lit(null))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            denom, 6)).as("acf"))
+      .orderBy("lag")
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two binary raters
     * (two quality classifiers, a model vs a heuristic, annotator vs
     * annotator). One fused aggregate builds the 2×2 confusion table; kappa

@@ -487,6 +487,38 @@ object WarehouseQueries {
       .withColumnRenamed("changepoint", "changepoint")
   }
 
+  // Autocorrelation of the daily event counts at lags 1–7 — the period
+  // diagnostic behind x144's seasonal decomposition (a weekly rhythm
+  // spikes at lag 7). One window pass feeds all lags via an exploded
+  // lag-struct array; per-lag Pearson uses x79's exact-moment formula.
+  private val x153 = Q("x153_autocorrelation", {
+    val blocks = (1 to 7).map(l =>
+      s"SELECT $l AS lag, y, lag(y, $l) OVER (ORDER BY day) AS x FROM daily")
+      .mkString("\n  UNION ALL\n  ")
+    Some(
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, count(*) AS y
+         |  FROM events GROUP BY 1),
+         |p AS (SELECT * FROM (
+         |  $blocks) WHERE x IS NOT NULL),
+         |m AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+         |  FROM p GROUP BY lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |  round((n * sxy - sx * sy)
+         |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+         |FROM m ORDER BY lag""".stripMargin)
+  }) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    graft.operators.Stats.autocorrelation(daily, "day", "y", maxLag = 7)
+  }
+
   val qs: Seq[Q] = Seq(x34, x35, x40, x44, x45, x46, x47, x48, x50, x51, x56,
-    x60, x68, x70, x112, x144, x145)
+    x60, x68, x70, x112, x144, x145, x153)
 }

@@ -341,6 +341,20 @@ class StatsSpec extends SparkSpec {
     assert(rs.getAs[Double]("gini") == 0.4)
   }
 
+  test("autocorrelation: period-3 series has acf=1 at lag 3, negative at lag 1") {
+    val df = (1 to 12).map(i => (i, Seq(3L, 6L, 9L)((i - 1) % 3))).toDF("i", "y")
+    val out = Stats.autocorrelation(df, "i", "y", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(11L, 10L, 9L))
+    assert(out(2).getDouble(2) == 1.0) // exact self-similarity at the period
+    assert(out(0).getDouble(2) < 0.0) // adjacent values anti-correlate
+    // constant series: zero variance → null acf, no divide error
+    val flat = (1 to 6).map(i => (i, 5L)).toDF("i", "y")
+    val rf = Stats.autocorrelation(flat, "i", "y", maxLag = 2).collect()
+    assert(rf.forall(r => r.isNullAt(2)))
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa = 0.4") {
     // a=20 b=5 c=10 d=15: po=.7, pe=.5, kappa=(.7-.5)/(1-.5)=0.4
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
