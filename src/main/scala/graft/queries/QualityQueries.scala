@@ -579,6 +579,51 @@ object QualityQueries {
       .orderBy("node")
   }
 
+  // Personalized PageRank from a seed set of parts — influence as seen
+  // FROM the seeds (related-entity expansion / taint spread). Same
+  // decimal-quantized fixed point as x55; the oracle unrolls both
+  // iterations with the seed-pinned restart term.
+  private val x154 = Q("x154_personalized_pagerank", {
+    def iter(prev: String, name: String): String =
+      s"""$name AS (SELECT e.dst AS node,
+         |    floor(((CASE WHEN s.node IS NOT NULL
+         |        THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(ns.n)
+         |        ELSE CAST(0 AS DOUBLE) END)
+         |      + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+         |  FROM e JOIN $prev r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  LEFT JOIN sd s ON s.node = e.dst, ns
+         |  GROUP BY e.dst, s.node)""".stripMargin
+    Some(
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+         |              's' || l_suppkey::VARCHAR AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |sd AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS node
+         |       FROM lineitem WHERE l_partkey % 97 = 0),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd),
+         |r0 AS (SELECT d.src AS node,
+         |    floor((CASE WHEN s.node IS NOT NULL
+         |        THEN CAST(1 AS DOUBLE) / ns.n
+         |        ELSE CAST(0 AS DOUBLE) END) * 1e10 + 0.5) / 1e10 AS pr
+         |  FROM deg d LEFT JOIN sd s ON s.node = d.src, ns),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")}
+         |SELECT node, pr FROM r2 ORDER BY pr DESC, node LIMIT 30""".stripMargin)
+  }) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val e = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    val seeds = li.filter(col("l_partkey") % 97 === 0)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    Graph.personalizedPageRank(e, "src", "dst", seeds, "node", iters = 2)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy(desc("pr"), col("node"))
+      .limit(30)
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108, x131, x133, x136, x151, x152)
+    x106, x107, x108, x131, x133, x136, x151, x152, x154)
 }

@@ -313,6 +313,21 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("personalizedPageRank: mass stays in the seed component") {
+    import spark.implicits._
+    // two disconnected triangles; seeds only in the first
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val pr = graft.operators.Graph
+      .personalizedPageRank(g, "src", "dst", seeds, "node", iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(pr("1") > 0 && pr("2") > 0 && pr("3") > 0)
+    assert(pr("10") == 0.0 && pr("11") == 0.0 && pr("12") == 0.0)
+    // the seed outranks its symmetric peers (restart mass lands on it)
+    assert(pr("1") > pr("2") && pr("2") == pr("3"))
+  }
+
   test("kCorePeel: the triangle survives 2-core peeling, the tail peels away") {
     import spark.implicits._
     // triangle 1-2-3 plus a tail 3-4-5: 2-core = exactly the triangle,
