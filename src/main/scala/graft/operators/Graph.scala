@@ -176,6 +176,83 @@ object Graph {
     rank.select(col("node"), col("rank"))
   }
 
+  /** HITS hubs & authorities over a DIRECTED edge list (hub score: "points
+    * at good authorities"; authority: "pointed at by good hubs") — the
+    * two-sided importance measure PageRank flattens, natural on bipartite
+    * graphs (parts→suppliers, queries→documents). Alternating updates
+    * with L1 normalization; every sum is a DECIMAL aggregate over
+    * floor-quantized scores and each normalization is ONE double division,
+    * so the whole trajectory replays bit-exactly. Returns
+    * (role='hub'|'authority', node, score). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().persist()
+    val quant = (c: Column) => floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
+    val dec = (c: Column) => c.cast("decimal(28,14)")
+    val nSrc = e.select("src").distinct()
+      .agg(count(lit(1)).cast("double").as("n_src"))
+    var hub = e.select("src").distinct()
+      .crossJoin(broadcast(nSrc))
+      .select(col("src"), quant(lit(1.0) / col("n_src")).as("h"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, "src")
+        .groupBy("dst").agg(sum(dec(col("h"))).as("__raw"))
+      val aTot = aRaw.agg(sum(col("__raw")).as("__tot"))
+      auth = aRaw.crossJoin(broadcast(aTot))
+        .select(col("dst"),
+          quant(col("__raw").cast("double") / col("__tot").cast("double"))
+            .as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth, "dst")
+        .groupBy("src").agg(sum(dec(col("a"))).as("__raw"))
+      val hTot = hRaw.agg(sum(col("__raw")).as("__tot"))
+      hub = hRaw.crossJoin(broadcast(hTot))
+        .select(col("src"),
+          quant(col("__raw").cast("double") / col("__tot").cast("double"))
+            .as("h"))
+        .localCheckpoint()
+    }
+    hub.select(lit("hub").as("role"), col("src").as("node"),
+        col("h").as("score"))
+      .unionByName(auth.select(lit("authority").as("role"),
+        col("dst").as("node"), col("a").as("score")))
+  }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * across edges: positive means hubs link to hubs (social cores),
+    * negative means hubs link to leaves (hub-and-spoke; most
+    * infrastructure and bipartite-ish graphs). One degree frame joined
+    * onto both endpoints of the symmetrized edges, then
+    * [[Stats.correlationMatrix]]'s exact-moment closed form. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(28,6)")
+    val fwd = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val pairs = und
+      .join(deg.select(col("src"), col("deg").as("__dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("__dy")), "dst")
+    val m = pairs.agg(count(lit(1)).cast("double").as("n"),
+      sum(dec(col("__dx"))).cast("double").as("sx"),
+      sum(dec(col("__dy"))).cast("double").as("sy"),
+      sum(dec(col("__dx") * col("__dx"))).cast("double").as("sxx"),
+      sum(dec(col("__dy") * col("__dy"))).cast("double").as("syy"),
+      sum(dec(col("__dx") * col("__dy"))).cast("double").as("sxy"))
+    val denom = sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy")))
+    m.select(col("n").cast("long").as("n_directed_edges"),
+      when(denom === 0.0, lit(null))
+        .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          denom, 6)).as("assortativity"))
+  }
+
   /** Connected components for GENERAL-diameter graphs in O(log d) rounds —
     * the complement to Dedup.nearDupComponents (which fixes 2 propagation
     * rounds because near-dup clusters are near-cliques). Each round

@@ -624,6 +624,73 @@ object QualityQueries {
       .limit(30)
   }
 
+  // HITS hubs & authorities over the DIRECTED part→supplier graph — the
+  // two-sided importance measure PageRank flattens. Oracle unrolls both
+  // alternating update rounds including every L1 normalization.
+  private val x155 = Q("x155_hits_scores", {
+    val q = (x: String) => s"floor(($x) * 1e10 + 0.5) / 1e10"
+    def authStep(h: String, ar: String, a: String) =
+      s"""$ar AS (SELECT e0.dst, sum(CAST(h.h AS DECIMAL(28,14))) AS raw
+         |  FROM e0 JOIN $h h ON h.src = e0.src GROUP BY e0.dst),
+         |$a AS (SELECT dst, ${q(s"CAST(raw AS DOUBLE) / CAST((SELECT sum(raw) FROM $ar) AS DOUBLE)")} AS a
+         |  FROM $ar)""".stripMargin
+    def hubStep(a: String, hr: String, h: String) =
+      s"""$hr AS (SELECT e0.src, sum(CAST(a.a AS DECIMAL(28,14))) AS raw
+         |  FROM e0 JOIN $a a ON a.dst = e0.dst GROUP BY e0.src),
+         |$h AS (SELECT src, ${q(s"CAST(raw AS DOUBLE) / CAST((SELECT sum(raw) FROM $hr) AS DOUBLE)")} AS h
+         |  FROM $hr)""".stripMargin
+    Some(
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+         |              's' || l_suppkey::VARCHAR AS dst FROM lineitem),
+         |ns AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM e0),
+         |h0 AS (SELECT DISTINCT src, ${q("CAST(1 AS DOUBLE) / ns.n")} AS h
+         |       FROM e0, ns),
+         |${authStep("h0", "a1r", "a1")},
+         |${hubStep("a1", "h1r", "h1")},
+         |${authStep("h1", "a2r", "a2")},
+         |${hubStep("a2", "h2r", "h2")}
+         |SELECT role, node, score FROM (
+         |  SELECT 'hub' AS role, src AS node, h AS score FROM h2
+         |  UNION ALL
+         |  SELECT 'authority' AS role, dst AS node, a AS score FROM a2)
+         |ORDER BY role, score DESC, node LIMIT 40""".stripMargin)
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    Graph.hits(e, "src", "dst", iters = 2)
+      .orderBy(col("role"), desc("score"), col("node"))
+      .limit(40)
+  }
+
+  // Degree assortativity of the part–supplier graph: do hubs link to
+  // hubs? Exact moments over endpoint-degree pairs (x79's closed form).
+  private val x156 = Q("x156_assortativity", Some(
+    """WITH e0 AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+      |              's' || l_suppkey::VARCHAR AS dst FROM lineitem),
+      |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+      |p AS (SELECT dx.deg AS x, dy.deg AS y
+      |      FROM und JOIN deg dx ON dx.src = und.src
+      |      JOIN deg dy ON dy.src = und.dst),
+      |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      |  FROM p)
+      |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+      |  round((n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |    AS assortativity
+      |FROM m""".stripMargin)) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    Graph.degreeAssortativity(e, "src", "dst")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108, x131, x133, x136, x151, x152, x154)
+    x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156)
 }

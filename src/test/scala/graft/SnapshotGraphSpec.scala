@@ -328,6 +328,30 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(pr("1") > pr("2") && pr("2") == pr("3"))
   }
 
+  test("hits: shared authority outranks exclusive one; scores L1-normalize") {
+    import spark.implicits._
+    val g = Seq(("p1", "s1"), ("p2", "s1"), ("p1", "s2")).toDF("src", "dst")
+    val out = graft.operators.Graph.hits(g, "src", "dst", iters = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("authority", "s1")) > out(("authority", "s2")))
+    assert(out(("hub", "p1")) > out(("hub", "p2"))) // p1 points at both
+    val hubSum = out.collect { case (("hub", _), v) => v }.sum
+    val authSum = out.collect { case (("authority", _), v) => v }.sum
+    assert(math.abs(hubSum - 1.0) < 1e-6 && math.abs(authSum - 1.0) < 1e-6)
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative (-1)") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = graft.operators.Graph.degreeAssortativity(star, "src", "dst").head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == -1.0)
+    // regular graph (4-cycle): zero degree variance → null, not an error
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rc = graft.operators.Graph.degreeAssortativity(cycle, "src", "dst").head()
+    assert(rc.isNullAt(1))
+  }
+
   test("kCorePeel: the triangle survives 2-core peeling, the tail peels away") {
     import spark.implicits._
     // triangle 1-2-3 plus a tail 3-4-5: 2-core = exactly the triangle,
