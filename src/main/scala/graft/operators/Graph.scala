@@ -324,6 +324,35 @@ object Graph {
       .agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Neighborhood-overlap link prediction on a bipartite graph: for pairs
+    * of right-side nodes, the exact Jaccard of their left-side
+    * neighborhoods — "suppliers serving the same parts", "users touching
+    * the same documents"; high overlap without an existing edge is the
+    * classic link/merge candidate. Candidates come ONLY from co-occurrence
+    * under a shared left node (one self equi-join keyed on the left id —
+    * never all-pairs), so cost is Σ_left d², the triangle-count caveat:
+    * cap pathological left-side hubs upstream. Counts are integers; the
+    * one division is the reported score. */
+  def neighborhoodSimilarity(edges: DataFrame, leftCol: String,
+      rightCol: String): DataFrame = {
+    val e = edges.select(col(leftCol).cast("string").as("l"),
+      col(rightCol).cast("string").as("r")).distinct().persist()
+    val deg = e.groupBy("r").agg(count(lit(1)).as("deg"))
+    val pairs = e.select(col("l"), col("r").as("r_a"))
+      .join(e.select(col("l"), col("r").as("r_b")), "l")
+      .filter(col("r_a") < col("r_b"))
+      .groupBy("r_a", "r_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(deg.select(col("r").as("r_a"), col("deg").as("__da"))),
+        "r_a")
+      .join(broadcast(deg.select(col("r").as("r_b"), col("deg").as("__db"))),
+        "r_b")
+      .select(col("r_a"), col("r_b"), col("common"),
+        round(col("common").cast("double") /
+          (col("__da") + col("__db") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))

@@ -691,6 +691,31 @@ object QualityQueries {
     Graph.degreeAssortativity(e, "src", "dst")
   }
 
+  // Link prediction by neighborhood overlap: supplier pairs ranked by the
+  // exact Jaccard of the part sets they serve — candidates only from
+  // co-occurrence under a shared part (one keyed self-join, never
+  // all-pairs). Integer counts, one division, deterministic tiebreak.
+  private val x157 = Q("x157_link_prediction", Some(
+    """WITH e AS (SELECT DISTINCT l_partkey AS l,
+      |             CAST(l_suppkey AS VARCHAR) AS r
+      |           FROM lineitem),
+      |deg AS (SELECT r, count(*) AS deg FROM e GROUP BY r),
+      |p AS (SELECT a.r AS r_a, b.r AS r_b, count(*) AS common
+      |      FROM e a JOIN e b ON a.l = b.l AND a.r < b.r
+      |      GROUP BY a.r, b.r)
+      |SELECT p.r_a, p.r_b, CAST(common AS BIGINT) AS common,
+      |  round(CAST(common AS DOUBLE)
+      |    / CAST(da.deg + db.deg - common AS DOUBLE), 6) AS jaccard
+      |FROM p JOIN deg da ON da.r = p.r_a JOIN deg db ON db.r = p.r_b
+      |ORDER BY jaccard DESC, r_a, r_b LIMIT 25""".stripMargin)) { (s, dir) =>
+    Graph.neighborhoodSimilarity(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey")
+      .orderBy(desc("jaccard"), col("r_a"), col("r_b"))
+      .limit(25)
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
-    x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156)
+    x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
+    x157)
 }

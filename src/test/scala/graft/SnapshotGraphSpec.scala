@@ -352,6 +352,20 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(rc.isNullAt(1))
   }
 
+  test("neighborhoodSimilarity: exact Jaccard of shared left neighborhoods") {
+    import spark.implicits._
+    // sA serves {1,2,3}, sB {2,3,4} → J = 2/4; sC {9} shares nothing and
+    // must not pair with anyone (no shared left node, no candidate)
+    val e = Seq((1L, "sA"), (2L, "sA"), (3L, "sA"), (2L, "sB"), (3L, "sB"),
+      (4L, "sB"), (9L, "sC")).toDF("part", "supp")
+    val out = graft.operators.Graph.neighborhoodSimilarity(e, "part", "supp")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "sA" && r.getString(1) == "sB")
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 0.5)
+  }
+
   test("kCorePeel: the triangle survives 2-core peeling, the tail peels away") {
     import spark.implicits._
     // triangle 1-2-3 plus a tail 3-4-5: 2-core = exactly the triangle,
