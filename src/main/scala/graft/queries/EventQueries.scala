@@ -510,6 +510,74 @@ object EventQueries {
       .limit(20)
   }
 
+  // Two-proportion A/B z-test: click→purchase conversion (a purchase by
+  // the same user within the following hour) for campaign ch0 vs ch1.
+  // Counts are exact integers from one interval semi-join; the pooled-
+  // variance z assembles in ONE fixed double operation order.
+  private val x158 = Q("x158_ab_conversion_test", Some(
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS cts,
+      |    'ch' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+      |      AS VARCHAR) AS channel
+      |  FROM events WHERE event_type = 'click'
+      |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 IN (0, 1)),
+      |conv AS (
+      |  SELECT c.channel,
+      |    CASE WHEN EXISTS (SELECT 1 FROM events b
+      |      WHERE b.event_type = 'purchase' AND b.user_id = c.user_id
+      |        AND b.ts > c.cts AND b.ts <= c.cts + INTERVAL 1 HOUR)
+      |      THEN 1 ELSE 0 END AS converted
+      |  FROM clicks c),
+      |m AS (SELECT
+      |  CAST(sum(CASE WHEN channel = 'ch0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN channel = 'ch0' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |  CAST(sum(CASE WHEN channel = 'ch1' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN channel = 'ch1' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM conv)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+      |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+      |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+      |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+      |FROM m""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val kCol = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("__km", kCol % 4)
+      .filter(col("__km").isin(0L, 1L))
+      .select(col("user_id"), col("ts").as("cts"),
+        concat(lit("ch"), col("__km").cast("string")).as("channel"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val converted = clicks
+      .join(buys, clicks("user_id") === buys("user_id") &&
+        col("pts") > col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "left_semi")
+      .groupBy("channel").agg(count(lit(1)).as("__c"))
+    val totals = clicks.groupBy("channel").agg(count(lit(1)).as("__n"))
+    val m = totals.join(converted, Seq("channel"), "left")
+      .select(col("channel"), col("__n"), coalesce(col("__c"), lit(0L)).as("__c"))
+      .agg(
+        sum(when(col("channel") === "ch0", col("__n")).otherwise(0L)).as("n_a"),
+        sum(when(col("channel") === "ch0", col("__c")).otherwise(0L)).as("conv_a"),
+        sum(when(col("channel") === "ch1", col("__n")).otherwise(0L)).as("n_b"),
+        sum(when(col("channel") === "ch1", col("__c")).otherwise(0L)).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("n_a").cast("double")
+    val rb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    m.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(ra, 6).as("rate_a"), round(rb, 6).as("rate_b"),
+      round((ra - rb) / sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))), 6).as("z"))
+  }
+
   val qs: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13,
-    e14, e15, x115, x147, x149, x150)
+    e14, e15, x115, x147, x149, x150, x158)
 }
