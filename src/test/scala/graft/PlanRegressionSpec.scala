@@ -464,6 +464,18 @@ class PlanRegressionSpec extends SparkSpec {
         p.take(900))
   }
 
+  test("x156/x157 graph stats stay on keyed joins, no loop joins") {
+    for (q <- Seq("x156_assortativity", "x157_link_prediction")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must use keyed equi-joins only:\n" + p.take(900))
+      assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+        s"$q must prune the lineitem scan to the two key columns:\n" +
+          p.take(800))
+    }
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
