@@ -178,7 +178,13 @@ object TextAnalysis {
       explode(array_distinct(Dedup.words(col(textCol)))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n_tok"))
       .orderBy(desc("n_tok"), col("tok")).limit(vocabSize)
-    val vtoks = toks.join(broadcast(vocab), "tok")
+    // The vocab-filtered hits frame is BOUNDED (≤ n_docs·vocabSize rows,
+    // 3 narrow columns) while the frame it derives from is corpus-scale
+    // (full tokenize + explode). Both sides of the pair self-join read it,
+    // so without truncation the expensive explode runs twice more after
+    // the vocab pass; the checkpoint pins corpus-scale work at exactly
+    // two passes (vocab count + hits filter) regardless of corpus size.
+    val vtoks = toks.join(broadcast(vocab), "tok").localCheckpoint()
     val nDocs = df.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_docs"))
     val a = vtoks.select(col(idCol), col("tok").as("tok_a"), col("n_tok").as("n_a"))

@@ -472,23 +472,56 @@ object Dedup {
     * the guarantee-carrying complement to [[minhashNearDups]]: zero false
     * negatives at Jaccard ≥ num/den, no probabilistic banding.
     *
-    * Theorem: order every doc's shingles by ascending global document
-    * frequency (rare first, token as tiebreak); two sets with Jaccard ≥ t
-    * MUST share a token within each other's first |x| − ⌈t·|x|⌉ + 1
-    * tokens. So candidates come from an EQUI-join on prefix tokens only —
-    * and rare-first ordering makes those the least-shared tokens, keeping
-    * the candidate count near the true-pair count. The threshold is a
-    * rational num/den and every gate comparison is integer-exact
-    * (⌈t·sz⌉ = (num·sz + den − 1) div den; verify cross-multiplies).
-    * One shuffle for the per-doc rank windows, one for the candidate join. */
+    * Theorem: fix ANY one global total order on tokens (here: ascending
+    * document frequency, token as tiebreak — rare first); two sets with
+    * Jaccard ≥ t MUST share a token within each other's first
+    * |x| − ⌈t·|x|⌉ + 1 tokens under that order. So candidates come from an
+    * EQUI-join on prefix tokens only — and rare-first ordering makes those
+    * the least-shared tokens, keeping the candidate count near the
+    * true-pair count. The threshold is a rational num/den and every gate
+    * comparison is integer-exact (⌈t·sz⌉ = (num·sz + den − 1) div den;
+    * verify cross-multiplies).
+    *
+    * 100 TB design — candidates track DISTINCT contents, not rows: a
+    * content-group pre-pass collapses identical shingle multisets (md5 of
+    * the array) to one representative before the quadratic candidate
+    * stage, exactly the discipline [[minhashNearDups]] uses. A crawl-like
+    * corpus where half the rows are exact dups pays the PPJoin price only
+    * on the distinct half; within-group pairs are emitted directly
+    * (identical sets ⇒ Jaccard exactly 1 ≥ any proper-fraction t) and
+    * cross-group pairs expand from the representative verdict (members
+    * share their representative's set, so the Jaccard carries over
+    * verbatim). Output is bit-identical to the naive all-rows form —
+    * the theorem holds for the rep-frequency order too, it is still one
+    * consistent global order.
+    *
+    * `maxTokenDf` (> 0 to enable) drops prefix tokens whose representative
+    * document frequency exceeds the cap from CANDIDATE GENERATION only —
+    * an OPTIONAL, EXACTNESS-BREAKING throttle for ultra-common shingles,
+    * mirroring `minhashNearDups(maxBucket)`: a pair whose every shared
+    * prefix token is capped is silently missed (within-group exact-dup
+    * pairs are never affected). Leave 0 for the zero-false-negative
+    * contract; use [[prefixCandidateStats]] to see which tokens a cap
+    * would touch before trading recall for a bounded join.
+    *
+    * Persisted frames (the rep sets and the narrow id→group map) follow
+    * the caller-managed lifetime convention of [[minhashNearDups]]. */
   def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
-      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+      thresholdNum: Int = 4, thresholdDen: Int = 5,
+      maxTokenDf: Int = 0): DataFrame = {
     require(thresholdNum > 0 && thresholdNum < thresholdDen,
       "threshold must be a proper fraction")
     val w = org.apache.spark.sql.expressions.Window
-    val sets = shingleSets(df, idCol, textCol)
-      .filter(size(col("shs")) > 0).persist()
-    val toks = sets.select(col(idCol).as("id"), explode(col("shs")).as("tok"))
+    val hashed = shingleSets(df, idCol, textCol)
+      .filter(size(col("shs")) > 0)
+      .withColumn("__h", md5(concat_ws("\u0001", col("shs"))))
+    // narrow (id, group) map — the only all-rows frame the pair stages
+    // touch; everything quadratic below runs on representatives.
+    val members = hashed.select(col(idCol).as("id"), col("__h")).persist()
+    val reps = hashed.groupBy("__h")
+      .agg(min(col(idCol)).as("id"), first(col("shs")).as("shs"))
+      .persist()
+    val toks = reps.select(col("id"), col("__h"), explode(col("shs")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val pref = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(
@@ -496,7 +529,8 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(w.partitionBy("id")))
       .filter(col("rn") <=
         col("sz") - expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
-      .select(col("id"), col("tok"), col("rn"), col("sz"))
+      .filter(if (maxTokenDf > 0) col("df") <= maxTokenDf else lit(true))
+      .select(col("id"), col("__h"), col("tok"), col("rn"), col("sz"))
     // Two further exactness-preserving candidate pruners (PPJoin proper),
     // both integer cross-multiplied:
     //  - length filter: J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|), so
@@ -507,27 +541,75 @@ object Dedup {
     //    keeps at least that token's match row because the earliest shared
     //    token always lies inside both prefixes.
     val need = thresholdNum + thresholdDen
-    val cand = pref.select(col("id").as("id_a"), col("tok"),
+    val cand = pref.select(col("id").as("id_a"), col("__h").as("__ha"), col("tok"),
         col("rn").as("rn_a"), col("sz").as("sz_a"))
-      .join(pref.select(col("id").as("id_b"), col("tok"),
+      .join(pref.select(col("id").as("id_b"), col("__h").as("__hb"), col("tok"),
         col("rn").as("rn_b"), col("sz").as("sz_b")), "tok")
       .filter(col("id_a") < col("id_b"))
       .filter(lit(thresholdNum) * col("sz_a") <= lit(thresholdDen) * col("sz_b") &&
         lit(thresholdNum) * col("sz_b") <= lit(thresholdDen) * col("sz_a"))
       .filter((least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) +
         lit(1)) * lit(need) >= lit(thresholdNum) * (col("sz_a") + col("sz_b")))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(sets.select(col(idCol).as("__ia"), col("shs").as("__sa")),
+      .select("id_a", "id_b", "__ha", "__hb").distinct()
+    // verify on representatives only → (group_a, group_b, jaccard)
+    val repPairs = cand
+      .join(reps.select(col("id").as("__ia"), col("shs").as("__sa")),
         col("id_a") === col("__ia"))
-      .join(sets.select(col(idCol).as("__ib"), col("shs").as("__sb")),
+      .join(reps.select(col("id").as("__ib"), col("shs").as("__sb")),
         col("id_b") === col("__ib"))
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("__u",
         size(col("__sa")) + size(col("__sb")) - col("__i"))
       .filter(col("__i") * thresholdDen >= lit(thresholdNum) * col("__u"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("__ha"), col("__hb"),
         round(col("__i").cast("double") / col("__u"), 4).as("jaccard"))
+    // expansion: identical-content pairs (Jaccard exactly 1)…
+    val within = members.select(col("id").as("id_a"), col("__h"))
+      .join(members.select(col("id").as("id_b"), col("__h")), "__h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    // …plus every member×member pair of each verified group pair (ids of
+    // different groups interleave, so re-order with least/greatest).
+    val cross = repPairs
+      .join(members.select(col("id").as("__ma"), col("__h").as("__ha")), "__ha")
+      .join(members.select(col("id").as("__mb"), col("__h").as("__hb")), "__hb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** Candidate-cost diagnostic for [[prefixFilterJoin]] — run this BEFORE
+    * trading recall for a `maxTokenDf` cap: one row per prefix token with
+    * its representative document frequency (`df`, over distinct contents),
+    * how many representative prefixes it appears in (`df_pref`), and the
+    * candidate pairs it alone would feed into the equi-join
+    * (`cand_pairs` = df_pref·(df_pref−1)/2, pre length/positional
+    * filters). The skew story of the join is the head of this frame
+    * sorted by `cand_pairs`: a handful of ultra-common shingles producing
+    * most candidates is precisely the case the cap exists for. Same
+    * content-group collapse and rare-first ranking as the join itself, so
+    * the numbers are the join's actual inputs, not an approximation. */
+  def prefixCandidateStats(df: DataFrame, idCol: String, textCol: String,
+      thresholdNum: Int = 4, thresholdDen: Int = 5): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum < thresholdDen,
+      "threshold must be a proper fraction")
+    val w = org.apache.spark.sql.expressions.Window
+    val reps = shingleSets(df, idCol, textCol)
+      .filter(size(col("shs")) > 0)
+      .withColumn("__h", md5(concat_ws("\u0001", col("shs"))))
+      .groupBy("__h")
+      .agg(min(col(idCol)).as("id"), first(col("shs")).as("shs"))
+    val toks = reps.select(col("id"), explode(col("shs")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(
+        w.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(w.partitionBy("id")))
+      .filter(col("rn") <=
+        col("sz") - expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
+      .groupBy("tok")
+      .agg(first(col("df")).as("df"), count(lit(1)).as("df_pref"))
+      .withColumn("cand_pairs", expr("df_pref * (df_pref - 1) div 2"))
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the MOSS

@@ -1607,6 +1607,83 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // x96's candidate-cost diagnostic: per prefix token, its rep-corpus
+  // document frequency, prefix hits, and the candidate pairs it alone
+  // feeds the equi-join — the observable form of the PPJoin blowup, and
+  // the evidence to consult before enabling the maxTokenDf recall trade.
+  // The oracle replays the content-group collapse, the rare-first ranking,
+  // the prefix cut, and the per-token pair arithmetic.
+  private val x159 = Q("x159_prefix_candidate_stats", Some(
+    s"""WITH $SETS_CTE,
+       |sets2 AS (SELECT doc_id, shs FROM sets WHERE len(shs) > 0),
+       |hs AS (SELECT doc_id, shs,
+       |         md5(array_to_string(shs, chr(1))) AS hh FROM sets2),
+       |reps AS (SELECT hh, min(doc_id) AS id, arg_min(shs, doc_id) AS shs
+       |         FROM hs GROUP BY hh),
+       |toks AS (SELECT id, unnest(shs) AS tok FROM reps),
+       |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+       |pref AS (
+       |  SELECT id, tok, df FROM (
+       |    SELECT t.id, t.tok, d.df,
+       |      row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn,
+       |      count(*) OVER (PARTITION BY t.id) AS sz
+       |    FROM toks t JOIN dfreq d USING (tok))
+       |  WHERE rn <= sz - ((4 * sz + 4) // 5) + 1)
+       |SELECT tok, any_value(df) AS df, count(*) AS df_pref,
+       |  count(*) * (count(*) - 1) // 2 AS cand_pairs
+       |FROM pref GROUP BY tok
+       |ORDER BY cand_pairs DESC, tok LIMIT 30""".stripMargin)) { (s, dir) =>
+    Dedup.prefixCandidateStats(t(s, dir, "documents"), "doc_id", "text", 4, 5)
+      .orderBy(desc("cand_pairs"), col("tok"))
+      .limit(30)
+  }
+
+  // The capped (exactness-trading) PPJoin variant: prefix tokens with
+  // rep-df > 2 are barred from candidate generation, so ultra-common
+  // shingles can no longer quadratically feed the join — the bounded-cost
+  // mode a 100 TB run would enable after reading x159. The oracle replays
+  // the cap exactly (content collapse → capped candidates → rep verify →
+  // group expansion), so the recall trade is pinned, not hand-waved.
+  private val x160 = Q("x160_prefix_join_capped", Some(
+    s"""WITH $SETS_CTE,
+       |sets2 AS (SELECT doc_id, shs FROM sets WHERE len(shs) > 0),
+       |hs AS (SELECT doc_id, shs,
+       |         md5(array_to_string(shs, chr(1))) AS hh FROM sets2),
+       |reps AS (SELECT hh, min(doc_id) AS id, arg_min(shs, doc_id) AS shs
+       |         FROM hs GROUP BY hh),
+       |toks AS (SELECT id, hh, unnest(shs) AS tok FROM reps),
+       |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+       |pref AS (
+       |  SELECT id, hh, tok FROM (
+       |    SELECT t.id, t.hh, t.tok, d.df,
+       |      row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn,
+       |      count(*) OVER (PARTITION BY t.id) AS sz
+       |    FROM toks t JOIN dfreq d USING (tok))
+       |  WHERE rn <= sz - ((4 * sz + 4) // 5) + 1 AND df <= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.hh AS ha, b.hh AS hb
+       |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id),
+       |rp AS (
+       |  SELECT ha, hb, round(i::DOUBLE / u, 4) AS jaccard FROM (
+       |    SELECT c.ha, c.hb, len(list_intersect(x.shs, y.shs)) AS i,
+       |      len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)) AS u
+       |    FROM cand c JOIN reps x ON c.ha = x.hh JOIN reps y ON c.hb = y.hh)
+       |  WHERE i * 5 >= 4 * u),
+       |within AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM hs a JOIN hs b ON a.hh = b.hh AND a.doc_id < b.doc_id),
+       |crossp AS (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+       |    greatest(ma.doc_id, mb.doc_id) AS id_b, r.jaccard
+       |  FROM rp r JOIN hs ma ON r.ha = ma.hh JOIN hs mb ON r.hb = mb.hh)
+       |SELECT id_a, id_b, jaccard FROM within
+       |UNION ALL SELECT id_a, id_b, jaccard FROM crossp
+       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    Dedup.prefixFilterJoin(t(s, dir, "documents"), "doc_id", "text", 4, 5,
+        maxTokenDf = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   // Inter-label centroid similarity matrix — the domain-similarity report
   // behind mixing/dedup decisions ("how close are these two sources?").
   // The |labels|×d centroid frame comes out of ONE vectorMean aggregate;
@@ -1684,5 +1761,5 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117, x122, x123, x127, x128, x129, x130, x132, x148)
+      x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160)
 }

@@ -139,6 +139,28 @@ class StatsSpec extends SparkSpec {
     assert(got == expected)
     assert(expected.contains((3L, 4L))) // sanity: the planted pairs exist
     assert(expected.contains((1L, 2L)))
+    // exact-dup pair is expanded from the content group, Jaccard exactly 1
+    val full = graft.operators.Dedup.prefixFilterJoin(df, "doc_id", "text", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full((3L, 4L)) == 1.0)
+    assert(full((1L, 2L)) < 1.0 && full((1L, 2L)) >= 0.8)
+    // maxTokenDf=0 (default) is the zero-false-negative contract; a cap of 1
+    // bars every shared prefix token of the near-dup pair (their shared
+    // shingles have rep-df 2) but can never drop the within-group exact dup
+    val capped = graft.operators.Dedup
+      .prefixFilterJoin(df, "doc_id", "text", 4, 5, maxTokenDf = 1)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((3L, 4L)))
+    // diagnostic: shared prefix shingles of the (1,2) pair show df_pref=2 →
+    // 1 candidate pair; everything is over DISTINCT contents (3≡4 collapse)
+    val stats = graft.operators.Dedup
+      .prefixCandidateStats(df, "doc_id", "text", 4, 5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(stats.values.forall { case (df_, dp, cp) =>
+      dp <= df_ && cp == dp * (dp - 1) / 2 })
+    assert(stats.values.exists(_._3 == 1L)) // at least one real candidate token
   }
 
   test("removeBoilerplate: recurring segments drop everywhere, order survives, all-boilerplate docs stay") {
