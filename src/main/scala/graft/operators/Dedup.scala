@@ -340,7 +340,8 @@ object Dedup {
     * clusters are near-cliques (diameter 1-2), so a handful of rounds
     * converges. Returns (node, component) for every node with ≥1 edge —
     * keep `component = node` rows as survivors, drop the rest. */
-  def nearDupComponents(pairs: DataFrame, iters: Int = 4): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, iters: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
     // pairs is read twice to build the undirected edge list — persist it so
     // an expensive upstream (the whole LSH pipeline) executes once
     val p0 = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -353,14 +354,16 @@ object Dedup {
       val viaEdges = und.join(labels.withColumnRenamed("node", "v"), "v")
         .select(col("u").as("node"), col("lab"))
       // each round references the previous labels TWICE (identity ∪ via
-      // edges); lineage-truncate per round (localCheckpoint) so the work
-      // stays linear in `iters` — persist alone leaves a plan tree that
-      // grows every round and is re-analyzed on the driver by every later
-      // round AND every downstream consumer (measured ~4 s of planning per
-      // action behind this chain at sf0.1; see Graph.pageRank)
-      labels = labels.unionByName(viaEdges)
-        .groupBy("node").agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
+      // edges); lineage-truncate per round so the work stays linear in
+      // `iters` — persist alone leaves a plan tree that grows every round
+      // and is re-analyzed on the driver by every later round AND every
+      // downstream consumer (measured ~4 s of planning per action behind
+      // this chain at sf0.1; see Graph.pageRank). checkpointDir switches
+      // local (executor-block) truncation to reliable storage-backed
+      // checkpoints for cluster runs — see Checkpoints.truncate.
+      labels = Checkpoints.truncate(labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("lab")).as("lab")),
+        checkpointDir)
     }
     labels.select(col("node"), col("lab").as("component"))
   }

@@ -34,9 +34,38 @@ object Graph {
   /** Undirected PageRank: `edges` are (src, dst) pairs; the graph is
     * symmetrized and deduplicated, so every node has out-degree ≥ 1 (no
     * dangling-mass correction needed). Returns (node, rank) after `iters`
-    * damped iterations from the uniform start. */
+    * damped iterations from the uniform start. Pass `checkpointDir` (a
+    * shared dir on a real cluster) for reliable per-iteration state — see
+    * [[Checkpoints.truncate]]; results are bit-identical either way. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame =
+    pageRankFrames(edges, srcCol, dstCol, iters, damping, checkpointDir)
+      .last.select("node", "rank")
+
+  /** Per-iteration L1 convergence residuals for [[pageRank]] — the
+    * evidence for choosing `iters`: one row per iteration with
+    * `l1_e10` = Σ_v |rank_k(v) − rank_{k−1}(v)| in exact 1e-10 rank
+    * quanta (a BIGINT — ranks live on the 1e-10 grid by construction, so
+    * the residual is an exact integer any engine reproduces bit-for-bit;
+    * divide by 1e10 for the usual ‖·‖₁). A fixed-iteration run is a
+    * replayable approximation of the fixed point; this query makes the
+    * distance from it observable instead of an article of faith. The node
+    * sets of consecutive iterations coincide (the symmetrized graph has no
+    * rank sinks), so the inner join drops nothing. */
+  def pageRankResiduals(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val frames = pageRankFrames(edges, srcCol, dstCol, iters, damping,
+      checkpointDir)
+    l1Residuals(frames.map(_.select("node", "rank")))
+  }
+
+  /** rank_0 … rank_iters as (node, rank, n_nodes) frames; rank_0 persists,
+    * every iteration truncates lineage (see [[Checkpoints.truncate]]). */
+  private def pageRankFrames(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int, damping: Double,
+      checkpointDir: Option[String]): Seq[DataFrame] = {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
     val fwd = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
@@ -54,8 +83,10 @@ object Graph {
       .select(col("node"), quant(lit(1.0) / col("n_nodes")).as("rank"),
         col("n_nodes"))
       .persist()
+    val frames = Seq.newBuilder[DataFrame]
+    frames += rank
     for (_ <- 1 to iters) {
-      val next = edgesDeg
+      val next = Checkpoints.truncate(edgesDeg
         .join(rank, col("src") === col("node"))
         .select(col("dst"),
           (col("rank") / col("deg")).cast("decimal(28,14)").as("contrib"),
@@ -64,11 +95,28 @@ object Graph {
         .agg(quant(lit(1.0 - damping) / first(col("n_nodes")) +
           lit(damping) * sum(col("contrib")).cast("double")).as("rank"),
           first(col("n_nodes")).as("n_nodes"))
-        .select(col("dst").as("node"), col("rank"), col("n_nodes"))
-        .localCheckpoint()
+        .select(col("dst").as("node"), col("rank"), col("n_nodes")),
+        checkpointDir)
+      frames += next
       rank = next
     }
-    rank.select("node", "rank")
+    frames.result()
+  }
+
+  /** (iter, l1_e10) rows from consecutive (node, <score>) frames: the sum
+    * of per-node |Δ| in exact 1e-10 quanta. Shared by the rank-family
+    * residual reports; scores must live on the 1e-10 grid. */
+  private def l1Residuals(frames: Seq[DataFrame]): DataFrame = {
+    val scoreCol = frames.head.columns(1)
+    frames.sliding(2).zipWithIndex.map {
+      case (Seq(prev, next), i) =>
+        next.select(col("node"), col(scoreCol).as("__cur"))
+          .join(prev.select(col("node"), col(scoreCol).as("__prev")), "node")
+          .agg(sum(floor(abs(col("__cur") - col("__prev")) * lit(1e10) +
+            lit(0.5)).cast("long")).as("l1_e10"))
+          .select(lit(i + 1).as("iter"), col("l1_e10"))
+      case _ => sys.error("unreachable: sliding(2) on >= 2 frames")
+    }.reduce(_ unionByName _)
   }
 
   /** Per-node triangle counts — the clustering/community signal (dense
@@ -99,26 +147,56 @@ object Graph {
     * The argmax is `max(struct(cnt, -label))`, a plain hash aggregate —
     * no per-node window/sort. Labels must be numeric (node ids). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, checkpointDir: Option[String] = None): DataFrame =
+    labelPropagationFrames(edges, srcCol, dstCol, iters, checkpointDir)
+      .last.select(col("node"), col("lab").as("community"))
+
+  /** Per-iteration convergence report for [[labelPropagation]]: one row
+    * per iteration with `n_changed` = how many nodes adopted a different
+    * label that round — exact integers, zero means the fixed point was
+    * reached a round earlier. The deterministic argmax update makes the
+    * whole trajectory (and so this count) engine-replayable. */
+  def labelPropagationConvergence(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val frames =
+      labelPropagationFrames(edges, srcCol, dstCol, iters, checkpointDir)
+    frames.sliding(2).zipWithIndex.map {
+      case (Seq(prev, next), i) =>
+        next.join(prev.select(col("node"), col("lab").as("__prev")), "node")
+          .agg(sum(when(col("lab") =!= col("__prev"), lit(1L))
+            .otherwise(lit(0L))).as("n_changed"))
+          .select(lit(i + 1).as("iter"), col("n_changed"))
+      case _ => sys.error("unreachable: sliding(2) on >= 2 frames")
+    }.reduce(_ unionByName _)
+  }
+
+  private def labelPropagationFrames(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int,
+      checkpointDir: Option[String]): Seq[DataFrame] = {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab")).localCheckpoint()
+    var labels = Checkpoints.truncate(
+      und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab")), checkpointDir)
+    val frames = Seq.newBuilder[DataFrame]
+    frames += labels
     for (_ <- 1 to iters) {
-      val next = und
+      val next = Checkpoints.truncate(und
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("best"))
-        .select(col("dst").as("node"), (-col("best.nl")).as("lab"))
-        .localCheckpoint()
+        .select(col("dst").as("node"), (-col("best.nl")).as("lab")),
+        checkpointDir)
+      frames += next
       labels = next
     }
-    labels.select(col("node"), col("lab").as("community"))
+    frames.result()
   }
 
   /** Personalized PageRank — [[pageRank]] with the restart mass pinned to a
@@ -132,7 +210,23 @@ object Graph {
     * rows. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, iters: Int = 2,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame =
+    personalizedPageRankFrames(edges, srcCol, dstCol, seeds, seedCol, iters,
+      damping, checkpointDir).last.select(col("node"), col("rank"))
+
+  /** Per-iteration L1 residuals for [[personalizedPageRank]] — same
+    * exact-integer `l1_e10` contract as [[pageRankResiduals]]. */
+  def personalizedPageRankResiduals(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iters: Int = 2,
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame =
+    l1Residuals(personalizedPageRankFrames(edges, srcCol, dstCol, seeds,
+      seedCol, iters, damping, checkpointDir).map(_.select("node", "rank")))
+
+  private def personalizedPageRankFrames(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iters: Int,
+      damping: Double, checkpointDir: Option[String]): Seq[DataFrame] = {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
     val fwd = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
@@ -157,8 +251,10 @@ object Graph {
           .otherwise(lit(0.0))).as("rank"),
         col("n_seeds"))
       .persist()
+    val frames = Seq.newBuilder[DataFrame]
+    frames += rank
     for (_ <- 1 to iters) {
-      val next = edgesDeg
+      val next = Checkpoints.truncate(edgesDeg
         .join(rank, col("src") === col("node"))
         .select(col("dst"),
           (col("rank") / col("deg")).cast("decimal(28,14)").as("contrib"),
@@ -169,11 +265,12 @@ object Graph {
         .join(broadcast(seedMark), col("dst") === col("__sn"), "left")
         .select(col("dst").as("node"),
           quant(restart(col("dst")) + lit(damping) * col("__c")).as("rank"),
-          col("n_seeds"))
-        .localCheckpoint()
+          col("n_seeds")),
+        checkpointDir)
+      frames += next
       rank = next
     }
-    rank.select(col("node"), col("rank"))
+    frames.result()
   }
 
   /** HITS hubs & authorities over a DIRECTED edge list (hub score: "points
@@ -185,7 +282,36 @@ object Graph {
     * so the whole trajectory replays bit-exactly. Returns
     * (role='hub'|'authority', node, score). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, checkpointDir: Option[String] = None): DataFrame = {
+    val (hubs, auths) =
+      hitsFrames(edges, srcCol, dstCol, iters, checkpointDir)
+    hubs.last.select(lit("hub").as("role"), col("src").as("node"),
+        col("h").as("score"))
+      .unionByName(auths.last.select(lit("authority").as("role"),
+        col("dst").as("node"), col("a").as("score")))
+  }
+
+  /** Per-iteration L1 residuals for [[hits]], per role — the same
+    * exact-integer `l1_e10` contract as [[pageRankResiduals]]. Hub rows
+    * start at iteration 1 (vs the uniform start); authority rows at
+    * iteration 2 (authorities have no iteration-0 state). */
+  def hitsResiduals(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 2, s"iters=$iters: residuals need >= 2 iterations")
+    val (hubs, auths) =
+      hitsFrames(edges, srcCol, dstCol, iters, checkpointDir)
+    l1Residuals(hubs.map(_.select(col("src").as("node"), col("h"))))
+      .select(lit("hub").as("role"), col("iter"), col("l1_e10"))
+      .unionByName(
+        l1Residuals(auths.map(_.select(col("dst").as("node"), col("a"))))
+          .select(lit("authority").as("role"), (col("iter") + 1).as("iter"),
+            col("l1_e10")))
+  }
+
+  /** (h_0…h_iters, a_1…a_iters) score frames for [[hits]]. */
+  private def hitsFrames(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointDir: Option[String])
+      : (Seq[DataFrame], Seq[DataFrame]) = {
     require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct().persist()
@@ -193,33 +319,34 @@ object Graph {
     val dec = (c: Column) => c.cast("decimal(28,14)")
     val nSrc = e.select("src").distinct()
       .agg(count(lit(1)).cast("double").as("n_src"))
-    var hub = e.select("src").distinct()
+    var hub = Checkpoints.truncate(e.select("src").distinct()
       .crossJoin(broadcast(nSrc))
-      .select(col("src"), quant(lit(1.0) / col("n_src")).as("h"))
-      .localCheckpoint()
-    var auth: DataFrame = null
+      .select(col("src"), quant(lit(1.0) / col("n_src")).as("h")),
+      checkpointDir)
+    val hubs = Seq.newBuilder[DataFrame]
+    val auths = Seq.newBuilder[DataFrame]
+    hubs += hub
     for (_ <- 1 to iters) {
       val aRaw = e.join(hub, "src")
         .groupBy("dst").agg(sum(dec(col("h"))).as("__raw"))
       val aTot = aRaw.agg(sum(col("__raw")).as("__tot"))
-      auth = aRaw.crossJoin(broadcast(aTot))
+      val auth = Checkpoints.truncate(aRaw.crossJoin(broadcast(aTot))
         .select(col("dst"),
           quant(col("__raw").cast("double") / col("__tot").cast("double"))
-            .as("a"))
-        .localCheckpoint()
+            .as("a")),
+        checkpointDir)
+      auths += auth
       val hRaw = e.join(auth, "dst")
         .groupBy("src").agg(sum(dec(col("a"))).as("__raw"))
       val hTot = hRaw.agg(sum(col("__raw")).as("__tot"))
-      hub = hRaw.crossJoin(broadcast(hTot))
+      hub = Checkpoints.truncate(hRaw.crossJoin(broadcast(hTot))
         .select(col("src"),
           quant(col("__raw").cast("double") / col("__tot").cast("double"))
-            .as("h"))
-        .localCheckpoint()
+            .as("h")),
+        checkpointDir)
+      hubs += hub
     }
-    hub.select(lit("hub").as("role"), col("src").as("node"),
-        col("h").as("score"))
-      .unionByName(auth.select(lit("authority").as("role"),
-        col("dst").as("node"), col("a").as("score")))
+    (hubs.result(), auths.result())
   }
 
   /** Degree assortativity — the Pearson correlation of endpoint degrees
@@ -268,14 +395,16 @@ object Graph {
     * keys, no driver state, lineage truncated per round. `rounds` is
     * data-independent: 5 covers diameter 32, 10 covers 1024. */
   def connectedComponentsDoubling(edges: DataFrame, srcCol: String,
-      dstCol: String, rounds: Int = 4): DataFrame = {
+      dstCol: String, rounds: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1 && rounds <= 12, s"rounds=$rounds out of [1,12]")
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = und.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab")).localCheckpoint()
+    var labels = Checkpoints.truncate(
+      und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab")), checkpointDir)
     for (_ <- 1 to rounds) {
       // both union branches derive from the same checkpointed `labels`;
       // fresh aliases keep their attribute ids disjoint (Catalyst's union
@@ -285,11 +414,11 @@ object Graph {
         .union(und.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("lab").as("lab")))
         .groupBy("node").agg(min(col("lab")).as("lab"))
-      val jumped = prop.as("a")
+      val jumped = Checkpoints.truncate(prop.as("a")
         .join(prop.select(col("node").as("__n2"), col("lab").as("__l2")).as("b"),
           col("a.lab") === col("__n2"))
-        .select(col("a.node").as("node"), col("__l2").as("lab"))
-        .localCheckpoint()
+        .select(col("a.node").as("node"), col("__l2").as("lab")),
+        checkpointDir)
       labels = jumped
     }
     labels.select(col("node"), col("lab").as("component"))
@@ -305,20 +434,22 @@ object Graph {
     * [[kCorePeel]] twice at different rounds if it matters).
     * Returns surviving (node, degree-in-core). */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int = 3): DataFrame = {
+      k: Int, rounds: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 10,
       s"k=$k rounds=$rounds out of range")
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    var und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    var und = Checkpoints.truncate(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), checkpointDir)
     for (_ <- 1 to rounds) {
       val keep = und.groupBy("src").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("src").as("__keep"))
-      und = und
+      und = Checkpoints.truncate(und
         .join(keep, col("src") === col("__keep"), "left_semi")
-        .join(keep, col("dst") === col("__keep"), "left_semi")
-        .localCheckpoint()
+        .join(keep, col("dst") === col("__keep"), "left_semi"),
+        checkpointDir)
     }
     und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))

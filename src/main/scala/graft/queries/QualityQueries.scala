@@ -715,7 +715,183 @@ object QualityQueries {
       .limit(25)
   }
 
+  // PageRank convergence residuals: ‖rank_k − rank_{k−1}‖₁ per iteration
+  // in exact 1e-10 rank quanta (BIGINT — ranks live on that grid by
+  // construction, so the residual is an exact integer). Turns the fixed
+  // iteration count into an informed choice: when l1_e10 plateaus, more
+  // iterations buy nothing. The oracle replays all three iterations (the
+  // x55 chain) plus the per-iteration diff aggregates.
+  private val x161 = Q("x161_pagerank_residual", {
+    def iter(prev: String, name: String) =
+      s"""$name AS (SELECT e.dst AS node,
+         |    floor(((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(n.nn)
+         |      + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+         |  FROM e JOIN $prev r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src, n
+         |  GROUP BY e.dst)""".stripMargin
+    def diff(i: Int, cur: String, prev: String) =
+      s"""SELECT $i AS iter,
+         |  CAST(sum(CAST(floor(abs(a.pr - b.pr) * 1e10 + 0.5) AS BIGINT)) AS BIGINT) AS l1_e10
+         |FROM $cur a JOIN $prev b USING (node)""".stripMargin
+    Some(
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+         |    's' || l_suppkey::VARCHAR AS dst
+         |  FROM lineitem),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+         |r0 AS (SELECT d.src AS node,
+         |         floor(CAST(1 AS DOUBLE) / n.nn * 1e10 + 0.5) / 1e10 AS pr
+         |       FROM deg d, n),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT iter, l1_e10 FROM (
+         |  ${diff(1, "r1", "r0")}
+         |  UNION ALL ${diff(2, "r2", "r1")}
+         |  UNION ALL ${diff(3, "r3", "r2")})
+         |ORDER BY iter""".stripMargin)
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    Graph.pageRankResiduals(e, "src", "dst", iters = 3)
+      .orderBy("iter")
+  }
+
+  // Label-propagation convergence: exact count of nodes that switched
+  // label each round — zero means the previous round already reached the
+  // fixed point. Same deterministic argmax trajectory as x99, replayed.
+  private val x162 = Q("x162_lpa_convergence", {
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT e.dst AS node, l.lab AS lab
+         |  FROM e JOIN $prev l ON l.node = e.src
+         |  GROUP BY e.dst, l.lab
+         |  QUALIFY row_number() OVER (PARTITION BY e.dst
+         |    ORDER BY count(*) DESC, l.lab) = 1)""".stripMargin
+    def diff(i: Int, cur: String, prev: String) =
+      s"""SELECT $i AS iter,
+         |  CAST(sum(CASE WHEN a.lab <> b.lab THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+         |FROM $cur a JOIN $prev b USING (node)""".stripMargin
+    Some(
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+         |  FROM lineitem),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |l0 AS (SELECT node, node AS lab
+         |       FROM (SELECT DISTINCT src AS node FROM e)),
+         |${iter("l0", "i1")},
+         |${iter("i1", "i2")},
+         |${iter("i2", "i3")}
+         |SELECT iter, n_changed FROM (
+         |  ${diff(1, "i1", "l0")}
+         |  UNION ALL ${diff(2, "i2", "i1")}
+         |  UNION ALL ${diff(3, "i3", "i2")})
+         |ORDER BY iter""".stripMargin)
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    Graph.labelPropagationConvergence(e, "src", "dst", iters = 3)
+      .orderBy("iter")
+  }
+
+  // Personalized-PageRank residuals — x161's contract on the seed-pinned
+  // walk (x154's graph + seeds), so `iters=2` becomes measurable.
+  private val x163 = Q("x163_ppr_residual", {
+    def iter(prev: String, name: String): String =
+      s"""$name AS (SELECT e.dst AS node,
+         |    floor(((CASE WHEN s.node IS NOT NULL
+         |        THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / max(ns.n)
+         |        ELSE CAST(0 AS DOUBLE) END)
+         |      + CAST(0.85 AS DOUBLE) * CAST(sum(CAST(r.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE)) * 1e10 + 0.5) / 1e10 AS pr
+         |  FROM e JOIN $prev r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  LEFT JOIN sd s ON s.node = e.dst, ns
+         |  GROUP BY e.dst, s.node)""".stripMargin
+    def diff(i: Int, cur: String, prev: String) =
+      s"""SELECT $i AS iter,
+         |  CAST(sum(CAST(floor(abs(a.pr - b.pr) * 1e10 + 0.5) AS BIGINT)) AS BIGINT) AS l1_e10
+         |FROM $cur a JOIN $prev b USING (node)""".stripMargin
+    Some(
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+         |              's' || l_suppkey::VARCHAR AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |sd AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS node
+         |       FROM lineitem WHERE l_partkey % 97 = 0),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd),
+         |r0 AS (SELECT d.src AS node,
+         |    floor((CASE WHEN s.node IS NOT NULL
+         |        THEN CAST(1 AS DOUBLE) / ns.n
+         |        ELSE CAST(0 AS DOUBLE) END) * 1e10 + 0.5) / 1e10 AS pr
+         |  FROM deg d LEFT JOIN sd s ON s.node = d.src, ns),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")}
+         |SELECT iter, l1_e10 FROM (
+         |  ${diff(1, "r1", "r0")}
+         |  UNION ALL ${diff(2, "r2", "r1")})
+         |ORDER BY iter""".stripMargin)
+  }) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val e = li.select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    val seeds = li.filter(col("l_partkey") % 97 === 0)
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("node"))
+      .distinct()
+    Graph.personalizedPageRankResiduals(e, "src", "dst", seeds, "node",
+        iters = 2)
+      .orderBy("iter")
+  }
+
+  // HITS residuals per role: hub rows start at iteration 1 (vs the
+  // uniform start), authority rows at 2 (no iteration-0 authority state).
+  // Replays x155's full alternating/normalizing chain plus the diffs.
+  private val x164 = Q("x164_hits_residual", {
+    val q = (x: String) => s"floor(($x) * 1e10 + 0.5) / 1e10"
+    def authStep(h: String, ar: String, a: String) =
+      s"""$ar AS (SELECT e0.dst, sum(CAST(h.h AS DECIMAL(28,14))) AS raw
+         |  FROM e0 JOIN $h h ON h.src = e0.src GROUP BY e0.dst),
+         |$a AS (SELECT dst, ${q(s"CAST(raw AS DOUBLE) / CAST((SELECT sum(raw) FROM $ar) AS DOUBLE)")} AS a
+         |  FROM $ar)""".stripMargin
+    def hubStep(a: String, hr: String, h: String) =
+      s"""$hr AS (SELECT e0.src, sum(CAST(a.a AS DECIMAL(28,14))) AS raw
+         |  FROM e0 JOIN $a a ON a.dst = e0.dst GROUP BY e0.src),
+         |$h AS (SELECT src, ${q(s"CAST(raw AS DOUBLE) / CAST((SELECT sum(raw) FROM $hr) AS DOUBLE)")} AS h
+         |  FROM $hr)""".stripMargin
+    def diff(role: String, i: Int, cur: String, prev: String, key: String,
+        sc: String) =
+      s"""SELECT '$role' AS role, $i AS iter,
+         |  CAST(sum(CAST(floor(abs(a.$sc - b.$sc) * 1e10 + 0.5) AS BIGINT)) AS BIGINT) AS l1_e10
+         |FROM $cur a JOIN $prev b USING ($key)""".stripMargin
+    Some(
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+         |              's' || l_suppkey::VARCHAR AS dst FROM lineitem),
+         |ns AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM e0),
+         |h0 AS (SELECT DISTINCT src, ${q("CAST(1 AS DOUBLE) / ns.n")} AS h
+         |       FROM e0, ns),
+         |${authStep("h0", "a1r", "a1")},
+         |${hubStep("a1", "h1r", "h1")},
+         |${authStep("h1", "a2r", "a2")},
+         |${hubStep("a2", "h2r", "h2")}
+         |SELECT role, iter, l1_e10 FROM (
+         |  ${diff("hub", 1, "h1", "h0", "src", "h")}
+         |  UNION ALL ${diff("hub", 2, "h2", "h1", "src", "h")}
+         |  UNION ALL ${diff("authority", 2, "a2", "a1", "dst", "a")})
+         |ORDER BY role, iter""".stripMargin)
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    Graph.hitsResiduals(e, "src", "dst", iters = 2)
+      .orderBy("role", "iter")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
-    x157)
+    x157, x161, x162, x163, x164)
 }

@@ -74,6 +74,79 @@ class SnapshotGraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("reliable checkpointDir: bit-identical results, truncated-leaf plan, files on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val local = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val reliable = Graph.pageRank(edges, "src", "dst", iters = 3,
+        checkpointDir = Some(dir))
+      .orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(local.sameElements(reliable))
+    // reliable state actually landed on storage
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "checkpoint() must write RDD state under the dir")
+    // both modes keep the flat truncated-lineage leaf (no growing plan tree)
+    val plan = Graph.pageRank(edges, "src", "dst", iters = 2,
+        checkpointDir = Some(dir))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), s"expected scan-leaf plan, got:\n$plan")
+    // the other iterative ops accept the same mode and agree with local
+    val ccL = Graph.connectedComponentsDoubling(edges, "src", "dst", 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ccR = Graph.connectedComponentsDoubling(edges, "src", "dst", 3,
+        checkpointDir = Some(dir))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ccL.sameElements(ccR))
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val ndL = graft.operators.Dedup.nearDupComponents(pairs, 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ndR = graft.operators.Dedup.nearDupComponents(pairs, 3,
+        checkpointDir = Some(dir))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ndL.sameElements(ndR))
+  }
+
+  test("convergence residuals: star graph reaches the PageRank fixed point; LPA change counts hit zero") {
+    // star: hub 0 — spokes 1..4; symmetric structure converges fast
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val res = Graph.pageRankResiduals(edges, "src", "dst", iters = 6)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(res.map(_._1).toSeq == (1 to 6))
+    // damped PR contracts by ~the damping factor per iteration (‖Δ_k‖ ≈
+    // d·‖Δ_{k−1}‖): residuals must decrease strictly, at roughly 0.85×
+    assert(res.map(_._2).sliding(2).forall(w => w(1) < w(0)),
+      s"expected strictly shrinking residuals, got ${res.toSeq}")
+    val ratio = res.last._2.toDouble / res(res.length - 2)._2.toDouble
+    assert(ratio > 0.7 && ratio < 0.95, s"contraction ~damping, got $ratio")
+    // the convergence report EXPOSES pathologies: synchronous LPA on a
+    // bipartite star oscillates (hub and spokes swap labels forever) —
+    // n_changed never drops, which is exactly what a user must see before
+    // trusting a fixed iteration count …
+    val lpaStar = Graph
+      .labelPropagationConvergence(edges, "src", "dst", iters = 4)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(lpaStar.map(_._1).toSeq == (1 to 4))
+    assert(lpaStar.forall(_._2 == 5L),
+      s"bipartite star oscillates under synchronous LPA: ${lpaStar.toSeq}")
+    // … while a non-bipartite triangle reaches its fixed point (zero)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val lpaTri = Graph.labelPropagationConvergence(tri, "src", "dst", iters = 4)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(lpaTri.last._2 == 0L, s"triangle should converge: ${lpaTri.toSeq}")
+    val hits = Graph.hitsResiduals(edges, "src", "dst", iters = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(hits.map(t => (t._1, t._2)).toSet ==
+      Set(("hub", 1), ("hub", 2), ("authority", 2)))
+    val seeds = Seq(Tuple1(0L)).toDF("node")
+    val ppr = Graph.personalizedPageRankResiduals(edges, "src", "dst",
+        seeds, "node", iters = 3)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(ppr.map(_._1).toSeq == (1 to 3) && ppr.forall(_._2 >= 0L))
+  }
+
   test("qualityReport aggregates gate counts and pass rate per stratum") {
     val good = "the quick brown fox jumps over a lazy dog and then " +
       "runs far away to the hills in the morning light again and again ok"
