@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * semantics differ across engines on boundary values, floor of the same
   * IEEE ops cannot. A fixed iteration count (default 3) rather than a
   * convergence test keeps the plan static and replayable.
+  *
+  * Cache lifetime (deliberate): the `persist()`ed edge/seed frames back
+  * every iteration of a lazy result, so the operators cannot unpersist
+  * them before the caller acts on the frame. They stay cached until
+  * Spark's LRU evicts them; a long-lived service should
+  * `spark.catalog.clearCache()` between unrelated jobs.
   */
 object Graph {
 
@@ -234,8 +240,18 @@ object Graph {
       .distinct()
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = und.join(deg, "src").persist()
+    // restart mass is split over |S|, so S must be the seeds PRESENT in
+    // the graph: a seed absent from the edge list gets no rank row and its
+    // (1-d)/|S| share would silently vanish (ranks no longer sum to 1).
+    // The semi-join also makes an all-absent seed set a clear error
+    // instead of 1/0 = Infinity ranks.
     val seedSet = seeds.select(col(seedCol).cast("string").as("node"))
-      .distinct().persist()
+      .distinct()
+      .join(deg.select("src").withColumnRenamed("src", "node"), Seq("node"),
+        "left_semi")
+      .persist()
+    require(!seedSet.isEmpty,
+      "personalizedPageRank: no seed node is present in the edge list")
     val nSeeds = seedSet.agg(count(lit(1)).cast("double").as("n_seeds"))
     val quant = (c: Column) => floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
     val seedMark = seedSet.select(col("node").as("__sn"), lit(1).as("__is"))
@@ -358,8 +374,11 @@ object Graph {
   def degreeAssortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(28,6)")
+    // null endpoints would survive into the edge count but never join a
+    // degree row — drop them up front so n matches the moment sums exactly
     val fwd = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"))
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))

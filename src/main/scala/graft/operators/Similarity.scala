@@ -563,7 +563,10 @@ object Similarity {
       .agg(sum(dec12(col("a.__x") * col("b.__x"))).as("__s"))
     val dimSums = x.groupBy(col("__i").as("k"))
       .agg(sum(dec12(col("__x"))).as("__sx"))
-    val tot = data.agg(count(lit(1)).as("__nl"))
+    // n counts vectors that actually posexploded (null/empty vectors emit
+    // no dims) — counting the raw frame would divide every covariance
+    // entry by a too-large n. Dim 1 exists for every contributing vector.
+    val tot = x.filter(col("__i") === 1).agg(count(lit(1)).as("__nl"))
       .select(col("__nl"), col("__nl").cast("double").as("__n"))
     val cv = (col("__s").cast("double") -
       col("__sxi").cast("double") * col("__sxj").cast("double") / col("__n")) /

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * operation order — so Spark and the DuckDB oracle produce the same bits.
   * Spark's own `corr`/`regr_slope` aggregate doubles in shuffle order and
   * cannot be hash-gated; these can.
+  *
+  * Cache lifetime (deliberate): the few `persist()`ed intermediates here
+  * (chi-square / KS / drift contingency cells) are tiny — O(|distinct
+  * categories|) rows, not corpus-sized — and stay cached until Spark's LRU
+  * evicts them, so repeated invocations on the same session reuse nothing
+  * stale but do hold a few KB each. The operators return LAZY frames, so
+  * they cannot unpersist on the caller's behalf; a long-lived service
+  * should call `spark.catalog.clearCache()` between unrelated jobs.
   */
 object Stats {
 
@@ -34,7 +42,10 @@ object Stats {
       cols.map(c => sum(dec(col(c) * col(c))).cast("double").as(s"q_$c")) ++
       pairs.map { case (a, b) =>
         sum(dec(col(a) * col(b))).cast("double").as(s"p_${a}_$b") }
-    val m = df.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+    // complete-case: one shared n must match every moment sum, so a row
+    // with a null in ANY correlated column is excluded from all of them
+    val m = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
     // ONE explode of per-pair structs off the single 1-row aggregate — a
     // union of per-pair selects would re-evaluate the aggregate (and
     // re-scan the source) once per pair
@@ -286,7 +297,10 @@ object Stats {
   def ridge2(df: DataFrame, x1Col: String, x2Col: String, yCol: String,
       lambda: Double): DataFrame = {
     val x1 = col(x1Col); val x2 = col(x2Col); val y = col(yCol)
-    val m = df.agg(
+    // n must count exactly the rows the moment sums see: a null in ANY
+    // input column silently drops that row from sum() but not from
+    // count(lit(1)), skewing every moment ratio — so drop such rows first
+    val m = df.filter(x1.isNotNull && x2.isNotNull && y.isNotNull).agg(
       count(lit(1)).cast("double").as("n"),
       sum(dec(x1)).cast("double").as("s1"),
       sum(dec(x2)).cast("double").as("s2"),
@@ -594,7 +608,8 @@ object Stats {
     val pairs = lagged
       .select(col("__y"), explode(array(lagStructs: _*)).as("__p"))
       .select(col("__p.lag").as("lag"), col("__y"), col("__p.ylag").as("__x"))
-      .filter(col("__x").isNotNull)
+      // both sides non-null: n must match what the moment sums include
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
     val m = pairs.groupBy("lag").agg(
       count(lit(1)).cast("double").as("n"),
       sum(dec(col("__x"))).cast("double").as("sx"),

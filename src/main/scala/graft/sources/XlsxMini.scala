@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
-import java.nio.file.Path
+import java.nio.file.{Files, Path}
 import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 import scala.collection.mutable
@@ -180,8 +180,22 @@ object XlsxMini {
     try readWorkbookIndex(path).map(_._1)
     catch { case _: Exception => Nil }
 
+  /** Hard bound on the COMPRESSED workbook size the driver-side parser
+    * accepts. XLSX is a config/template format here, not a data format: the
+    * reference's workbooks are hand-authored sheets of at most a few
+    * thousand rows, parsed on the driver (SURVEY §7.3 — a DataSource V2
+    * XlsxMini is the designed fallback if a fixture ever outgrows this).
+    * 64 MiB compressed is ~30× the largest reference fixture and still far
+    * below driver-heap risk; corpus-scale data flows parquet/csv/jsonl. */
+  val MaxWorkbookBytes: Long = 64L * 1024 * 1024
+
   /** Read every sheet (or one by name/index). */
-  def read(path: Path): Seq[Sheet] = {
+  def read(path: Path, maxBytes: Long = MaxWorkbookBytes): Seq[Sheet] = {
+    val size = Files.size(path)
+    require(size <= maxBytes,
+      s"$path is $size bytes — over the $maxBytes-byte driver-side " +
+        "XLSX bound. Workbooks parse on the driver by design (template " +
+        "scale); convert corpus-scale data to parquet/csv/jsonl instead.")
     val zf = new ZipFile(path.toFile)
     try {
       val shared = readSharedStrings(zf)

@@ -14,6 +14,35 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Hard driver-side bound for replay-harness inputs. The `*Replay`
+    * helpers exist to HASH-GATE the streaming state path: they collect a
+    * bounded events frame on the driver and feed it back through a
+    * MemoryStream in timestamp-ordered micro-batches. That is the right
+    * gate design (the state machine, not just the batch plan, is what is
+    * verified) but it means a misrouted corpus-scale frame would OOM the
+    * driver — so every replay helper refuses inputs past this cap with a
+    * clear error, the same discipline as `Exporter.writeXlsx(rowCap)` and
+    * [[incrementalAggReplay]]'s `maxKeys`. Production streams go through
+    * the pure-plan entry points (`sessionize`, `windowedCounts`,
+    * `attributionJoin`, `enrichStream`, …), which never touch the driver. */
+  val ReplayInputMaxRows: Int = 1000000
+
+  /** Collect a replay input with the [[ReplayInputMaxRows]] guard: the
+    * LIMIT rides into the collect job itself (no extra counting pass), and
+    * one row past the cap proves the overflow. */
+  private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+      helper: String, maxRows: Int): Array[T] = {
+    require(maxRows >= 1 && maxRows <= ReplayInputMaxRows,
+      s"$helper: maxRows=$maxRows out of [1, $ReplayInputMaxRows]")
+    val arr = ds.limit(maxRows + 1).collect()
+    require(arr.length <= maxRows,
+      s"$helper: replay input exceeds maxRows=$maxRows rows. Replay " +
+        "harnesses materialize their bounded input on the driver to feed " +
+        "micro-batches (verification use); route large streams through " +
+        "the production entry point (a pure streaming plan) instead.")
+    arr
+  }
+
   /** Tumbling-window counts + sums per event type. On a stream, the 10-minute
     * watermark bounds state; on a batch frame it is a no-op. Partial
     * aggregation keeps the shuffle one-pass at any scale. */
@@ -106,6 +135,43 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** THE resumable deploy shape: a file-source stream (parquet directory)
+    * through the watermarked [[sessionWindows]] aggregate into a parquet
+    * sink, driven by AvailableNow against a RELIABLE checkpoint. Each call
+    * processes whatever files have appeared since the last run and then
+    * terminates; state (open sessions, source offsets, sink commit log)
+    * lives entirely under `ckptDir`/`outDir`, so the next invocation — in
+    * the same JVM or after a crash/redeploy — resumes exactly where this
+    * one stopped. A session SPANNING two runs merges across the restart:
+    * that is the recovery property RestartRecoverySpec pins against the
+    * batch oracle.
+    *
+    * `rocksDb = true` swaps in the RocksDB state store provider with
+    * changelog checkpointing for the run (the production setting once
+    * state outgrows the executor heap); results are identical either way.
+    *
+    * Expected input schema: (ts TIMESTAMP, user_id LONG, value DOUBLE). */
+  def sessionWindowPipeline(spark: SparkSession, inDir: String,
+      outDir: String, ckptDir: String, gap: String = "30 minutes",
+      watermark: String = "30 minutes", rocksDb: Boolean = false): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def run(): Unit = withReplayShuffle(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = sessionWindows(stream, gap, watermark)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckptDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    if (rocksDb) withRocksDb(spark)(run()) else run()
+  }
+
   /** Native session-window aggregation — Spark's `session_window` groupBy
     * (the declarative sibling of [[sessionizeFull]]'s mapGroupsWithState):
     * events of one user merge while consecutive gaps stay UNDER `gap`; the
@@ -160,12 +226,14 @@ object EventStream {
     * input — the merging-session STATE PATH, not just its batch plan, is
     * hash-gated. */
   def sessionWindowsReplay(spark: SparkSession, events: DataFrame,
-      gap: String = "30 minutes", batches: Int = 4): DataFrame = {
+      gap: String = "30 minutes", batches: Int = 4,
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("user_id").cast("long"),
+    val rows = collectBounded(events.select(col("user_id").cast("long"),
         unix_micros(col("ts")), col("value").cast("double"))
-      .as[(Long, Long, Double)].collect().sortBy(r => (r._2, r._1))
+      .as[(Long, Long, Double)], "sessionWindowsReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
     val users = rows.map(_._1).distinct.toSeq
     val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
@@ -276,13 +344,15 @@ object EventStream {
     * event_ids so they can never collide with (and get deduped against)
     * real events; their sessions stay open and are never emitted. */
   def dedupSessionWindowsReplay(spark: SparkSession, events: DataFrame,
-      gap: String = "30 minutes", batches: Int = 4): DataFrame = {
+      gap: String = "30 minutes", batches: Int = 4,
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("event_id").cast("long"),
+    val rows = collectBounded(events.select(col("event_id").cast("long"),
         col("user_id").cast("long"), unix_micros(col("ts")),
         col("value").cast("double"))
-      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._3, r._1))
+      .as[(Long, Long, Long, Double)], "dedupSessionWindowsReplay", maxRows)
+      .sortBy(r => (r._3, r._1))
     val doubled = rows.flatMap(r => Seq(r, r)) // exact duplicate per event
     val users = rows.map(_._2).distinct.toSeq
     val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -391,11 +461,14 @@ object EventStream {
     * The result must equal the batch sessionization — the timeout path's
     * correctness gate. */
   def sessionizeTimeoutReplay(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+      gapSeconds: Long = 1800, batches: Int = 4,
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("user_id").cast("long"), unix_micros(col("ts")))
-      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val rows = collectBounded(
+      events.select(col("user_id").cast("long"), unix_micros(col("ts")))
+        .as[(Long, Long)], "sessionizeTimeoutReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
     val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._2).max
     val gapUs = gapSeconds * 1000000L
     val sentinelUs = maxUs + 2 * gapUs
@@ -572,18 +645,22 @@ object EventStream {
     * sentinel; fired TIMERS close every tail session), with the RocksDB
     * provider the operator requires swapped in for the query's lifetime. */
   def sessionizeTwsReplay(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long = 1800, batches: Int = 4): DataFrame =
-    runTwsReplay(spark, events, gapSeconds, batches)._1
+      gapSeconds: Long = 1800, batches: Int = 4,
+      maxRows: Int = ReplayInputMaxRows): DataFrame =
+    runTwsReplay(spark, events, gapSeconds, batches, maxRows)._1
 
   /** [[sessionizeTwsReplay]] body, also handing back the query's
     * checkpoint location so [[twsStateSnapshot]] can batch-read the
     * RocksDB state it left behind. */
   private def runTwsReplay(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long, batches: Int): (DataFrame, String) = {
+      gapSeconds: Long, batches: Int,
+      maxRows: Int = ReplayInputMaxRows): (DataFrame, String) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("user_id").cast("long"), unix_micros(col("ts")))
-      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val rows = collectBounded(
+      events.select(col("user_id").cast("long"), unix_micros(col("ts")))
+        .as[(Long, Long)], "sessionizeTwsReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
     val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._2).max
     val gapUs = gapSeconds * 1000000L
     val sentinelUs = maxUs + 2 * gapUs
@@ -700,11 +777,13 @@ object EventStream {
     * events by (ts, event_id). The oracle recomputes the same window from
     * the batch table. */
   def lastNStateSnapshot(spark: SparkSession, events: DataFrame,
-      n: Int = 3, batches: Int = 4): DataFrame = {
+      n: Int = 3, batches: Int = 4,
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
-    val rows = events.select(col("user_id").cast("long"),
+    val rows = collectBounded(events.select(col("user_id").cast("long"),
         col("event_id").cast("long"), unix_micros(col("ts")))
-      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+      .as[(Long, Long, Long)], "lastNStateSnapshot", maxRows)
+      .sortBy(r => (r._3, r._2))
     val ckpt = runSilentStateReplay[(Long, Long, Long)](spark, rows.toSeq,
       df => {
         import org.apache.spark.sql.streaming.TimeMode
@@ -726,11 +805,12 @@ object EventStream {
     * state data source: returns (user_id, event_type, n) ≡ the batch
     * group-by — the streaming store IS an incrementally-maintained cube. */
   def typeCountsStateSnapshot(spark: SparkSession, events: DataFrame,
-      batches: Int = 4): DataFrame = {
+      batches: Int = 4, maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
-    val rows = events.select(col("event_id").cast("long"), col("user_id").cast("long"),
-        col("event_type"))
-      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val rows = collectBounded(events.select(col("event_id").cast("long"),
+        col("user_id").cast("long"), col("event_type"))
+      .as[(Long, Long, String)], "typeCountsStateSnapshot", maxRows)
+      .sortBy(_._1)
       .map(r => (r._2, r._3))
     val ckpt = runSilentStateReplay[(Long, String)](spark, rows.toSeq,
       df => {
@@ -761,7 +841,8 @@ object EventStream {
     * migration path for a pipeline with years of batch history switching
     * to streaming: no replay of history, one initial-state join. */
   def sessionizeBootstrapReplay(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+      gapSeconds: Long = 1800, batches: Int = 4,
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.TimeMode
     import org.apache.spark.sql.Encoders
@@ -803,9 +884,10 @@ object EventStream {
         timestamp_micros(col("start_us")).as("session_start"))
 
     // streaming suffix: only events AFTER the cut, with the handoff state
-    val rows = events.filter(unix_micros(col("ts")) > cutUs)
+    val rows = collectBounded(events.filter(unix_micros(col("ts")) > cutUs)
       .select(col("user_id").cast("long"), unix_micros(col("ts")))
-      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+      .as[(Long, Long)], "sessionizeBootstrapReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
     val sentinelUs = maxUs + 2 * gapUs
 
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
@@ -910,11 +992,14 @@ object EventStream {
     * must equal the batch sessionization of the same input, giving the
     * streaming path a correctness gate instead of spec-only coverage. */
   def sessionizeReplay(spark: SparkSession, events: DataFrame,
-      gapSeconds: Long = 1800, batches: Int = 4): DataFrame = {
+      gapSeconds: Long = 1800, batches: Int = 4,
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("user_id").cast("long"), unix_micros(col("ts")))
-      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val rows = collectBounded(
+      events.select(col("user_id").cast("long"), unix_micros(col("ts")))
+        .as[(Long, Long)], "sessionizeReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
     val users = rows.map(_._1).distinct.toSeq
     val maxUs = if (rows.isEmpty) 0L else rows.iterator.map(_._2).max
     val sentinelUs = maxUs + 2 * gapSeconds * 1000000L
@@ -961,14 +1046,14 @@ object EventStream {
     * return exactly `df`. */
   def dedupeReplay(spark: SparkSession, events: DataFrame,
       keys: Seq[String], watermark: String = "10 minutes",
-      batches: Int = 4): DataFrame = {
+      batches: Int = 4, maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("event_id").cast("long"),
+    val rows = collectBounded(events.select(col("event_id").cast("long"),
         unix_micros(col("ts")), col("user_id").cast("long"),
         col("event_type").cast("string"), col("value").cast("double"))
-      .as[(Long, Long, Long, String, Double)]
-      .collect().sortBy(r => (r._2, r._1))
+      .as[(Long, Long, Long, String, Double)], "dedupeReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
 
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, Long, String, Double)]
@@ -1026,13 +1111,16 @@ object EventStream {
     * batch join — the correctness gate for the stream-stream path. */
   def attributionReplay(spark: SparkSession, events: DataFrame,
       withinSeconds: Long = 1800, batches: Int = 4,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def side(tpe: String) = events.filter(col("event_type") === tpe)
-      .select(col("event_id").cast("long"), unix_micros(col("ts")),
-        col("user_id").cast("long"))
-      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    def side(tpe: String) = collectBounded(
+      events.filter(col("event_type") === tpe)
+        .select(col("event_id").cast("long"), unix_micros(col("ts")),
+          col("user_id").cast("long"))
+        .as[(Long, Long, Long)], s"attributionReplay($tpe)", maxRows)
+      .sortBy(r => (r._2, r._1))
     val clicks = side("click")
     val purchases = side("purchase")
     val allTs = (clicks.map(_._2) ++ purchases.map(_._2)).sorted
@@ -1092,12 +1180,13 @@ object EventStream {
     * MemoryStream: the streamed enrichment must equal the batch join of the
     * same inputs — the correctness gate for the stream-static path. */
   def enrichReplay(spark: SparkSession, events: DataFrame, dim: DataFrame,
-      batches: Int = 2): DataFrame = {
+      batches: Int = 2, maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("event_id").cast("long"),
+    val rows = collectBounded(events.select(col("event_id").cast("long"),
         unix_micros(col("ts")), col("user_id").cast("long"))
-      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      .as[(Long, Long, Long)], "enrichReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
     val streamDf = mem.toDF().toDF("event_id", "ts_us", "user_id")
       .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
@@ -1137,13 +1226,15 @@ object EventStream {
     * State is re-materialized from driver-held rows each batch, so lineage
     * never chains across batches. */
   def incrementalAggReplay(spark: SparkSession, events: DataFrame,
-      batches: Int = 4, maxKeys: Int = 100000): DataFrame = {
+      batches: Int = 4, maxKeys: Int = 100000,
+      maxRows: Int = ReplayInputMaxRows): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events.select(col("event_id").cast("long"),
+    val rows = collectBounded(events.select(col("event_id").cast("long"),
         unix_micros(col("ts")), col("event_type").cast("string"),
         col("value").cast("double"))
-      .as[(Long, Long, String, Double)].collect().sortBy(r => (r._2, r._1))
+      .as[(Long, Long, String, Double)], "incrementalAggReplay", maxRows)
+      .sortBy(r => (r._2, r._1))
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, String, Double)]
     val streamDf = mem.toDF().toDF("event_id", "ts_us", "event_type", "value")

@@ -391,4 +391,49 @@ class EventStreamSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("maxKeys")), messages(e).mkString("; "))
   }
+
+  test("every replay helper refuses inputs past its maxRows driver bound") {
+    import spark.implicits._
+    val events = (1 to 10).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"),
+        i.toLong % 3, if (i % 2 == 0) "click" else "purchase", i * 0.5)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = Seq((1L, "SEG")).toDF("c_custkey", "c_mktsegment")
+    // the guard fires during input collection, before any stream starts
+    val attempts: Seq[(String, () => Any)] = Seq(
+      "sessionWindowsReplay" -> (() =>
+        EventStream.sessionWindowsReplay(spark, events, maxRows = 4)),
+      "dedupSessionWindowsReplay" -> (() =>
+        EventStream.dedupSessionWindowsReplay(spark, events, maxRows = 4)),
+      "sessionizeTimeoutReplay" -> (() =>
+        EventStream.sessionizeTimeoutReplay(spark, events, maxRows = 4)),
+      "sessionizeTwsReplay" -> (() =>
+        EventStream.sessionizeTwsReplay(spark, events, maxRows = 4)),
+      "lastNStateSnapshot" -> (() =>
+        EventStream.lastNStateSnapshot(spark, events, maxRows = 4)),
+      "typeCountsStateSnapshot" -> (() =>
+        EventStream.typeCountsStateSnapshot(spark, events, maxRows = 4)),
+      "sessionizeBootstrapReplay" -> (() =>
+        EventStream.sessionizeBootstrapReplay(spark, events, maxRows = 2)),
+      "sessionizeReplay" -> (() =>
+        EventStream.sessionizeReplay(spark, events, maxRows = 4)),
+      "dedupeReplay" -> (() =>
+        EventStream.dedupeReplay(spark, events, Seq("event_id"), maxRows = 4)),
+      "attributionReplay" -> (() =>
+        EventStream.attributionReplay(spark, events, maxRows = 2)),
+      "enrichReplay" -> (() =>
+        EventStream.enrichReplay(spark, events, dim, maxRows = 4)),
+      "incrementalAggReplay" -> (() =>
+        EventStream.incrementalAggReplay(spark, events, maxRows = 4)))
+    attempts.foreach { case (name, run) =>
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("maxRows"), s"$name: ${e.getMessage}")
+    }
+    // and a maxRows above the cap is itself rejected
+    val over = intercept[IllegalArgumentException] {
+      EventStream.sessionizeReplay(spark, events,
+        maxRows = EventStream.ReplayInputMaxRows + 1)
+    }
+    assert(over.getMessage.contains("out of"))
+  }
 }

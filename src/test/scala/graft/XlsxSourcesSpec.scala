@@ -32,6 +32,15 @@ class XlsxSourcesSpec extends SparkSpec {
     assert(back(1).merged == Seq((0, 0, 0, 0)))
   }
 
+  test("read refuses a workbook over the driver-side size bound") {
+    val p = tmp.resolve("big.xlsx")
+    XlsxMini.write(p, Seq(Sheet("S", grid(Seq("a"), Seq(1.0)))))
+    val e = intercept[IllegalArgumentException](XlsxMini.read(p, maxBytes = 16))
+    assert(e.getMessage.contains("driver-side"), e.getMessage)
+    // the default bound admits template-scale files
+    assert(XlsxMini.read(p).nonEmpty)
+  }
+
   test("date-styled serial cells round-trip as timestamps (Excel dates)") {
     val ts1 = java.sql.Timestamp.valueOf("2021-03-15 10:30:00")
     val ts2 = java.sql.Timestamp.valueOf("1999-12-31 23:59:59")
