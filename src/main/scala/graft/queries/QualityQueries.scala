@@ -365,8 +365,13 @@ object QualityQueries {
        |        ORDER BY cos DESC, nid) AS rk FROM scored)
        |WHERE rk <= 3 ORDER BY vec_id, rank""".stripMargin
   }) { (s, dir) =>
-    Similarity.hardNegatives(t(s, dir, "embeddings"),
-        "vec_id", "label", "embedding", k = 3, bits = 8, probeHamming = 1)
+    // bits sized from the corpus so candidates stay linear in n; the
+    // max(8, ...) floor means every oracle-gated SF (n <= 2048) still runs
+    // the exact 8-bit bucketing the SQL above replays, while the 10x bench
+    // (n = 20k) widens to 12 bits instead of quadrupling bucket occupancy.
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, "vec_id", "label", "embedding", k = 3,
+        bits = Similarity.sizedBits(emb.count()), probeHamming = 1)
       .orderBy("vec_id", "rank")
   }
 
@@ -891,7 +896,81 @@ object QualityQueries {
       .orderBy("role", "iter")
   }
 
+  // SemDeDup end-to-end: k-means cells (pmod seed + 1 Lloyd round) →
+  // within-cell cosine pairs → min-label semantic groups → keep-one-per-
+  // group. Near-dups are planted as ×2-scaled copies: scaling by a power
+  // of two is EXACT in fp (cosines and cell rankings are bit-identical to
+  // the original's), so planted pairs survive any ulp-level cross-engine
+  // centroid drift. The oracle replays seeding, the Lloyd round, the pair
+  // join, and both component rounds step-for-step; cluster ids are
+  // internal (engine-sensitive at boundaries) and not part of the output.
+  private val x165 = Q("x165_semantic_dedup", Some(
+    """WITH cp AS (
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(embedding, x -> x * 2) AS embedding
+      |  FROM embeddings WHERE vec_id < 50),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM cp),
+      |a0 AS (SELECT vec_id, (vec_id % 8)::INT AS cell FROM e),
+      |c1 AS (
+      |  SELECT a.cell, r.i, avg(e.v[r.i]) AS cv
+      |  FROM a0 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) r(i)
+      |  GROUP BY 1, 2),
+      |c1n AS (SELECT cell, sqrt(sum(cv * cv)) AS cn FROM c1 GROUP BY cell),
+      |a1s AS (
+      |  SELECT e.vec_id, c.cell, sum(c.cv * e.v[c.i]) AS dp,
+      |    any_value(sqrt(list_dot_product(e.v, e.v))) AS vn
+      |  FROM e CROSS JOIN c1 c GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT s.vec_id, s.cell FROM a1s s JOIN c1n cn ON s.cell = cn.cell
+      |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+      |    ORDER BY s.dp / (cn.cn * s.vn) DESC, s.cell) = 1),
+      |prs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e x ON a.vec_id = x.vec_id JOIN e y ON b.vec_id = y.vec_id
+      |  WHERE list_dot_product(x.v, y.v) /
+      |    (sqrt(list_dot_product(x.v, x.v)) *
+      |     sqrt(list_dot_product(y.v, y.v))) >= 0.99),
+      |und AS (SELECT id_a AS u, id_b AS w FROM prs
+      |        UNION ALL SELECT id_b, id_a FROM prs),
+      |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und),
+      |l1 AS (SELECT node, min(lab) AS lab FROM (
+      |         SELECT node, lab FROM l0
+      |         UNION ALL
+      |         SELECT g.u AS node, l.lab FROM und g JOIN l0 l ON g.w = l.node)
+      |       GROUP BY node),
+      |l2 AS (SELECT node, min(lab) AS lab FROM (
+      |         SELECT node, lab FROM l1
+      |         UNION ALL
+      |         SELECT g.u AS node, l.lab FROM und g JOIN l1 l ON g.w = l.node)
+      |       GROUP BY node),
+      |lab AS (
+      |  SELECT e.vec_id, coalesce(l2.lab, e.vec_id) AS component
+      |  FROM e LEFT JOIN l2 ON l2.node = e.vec_id)
+      |SELECT vec_id, CAST(component AS BIGINT) AS component,
+      |  component = vec_id AS kept,
+      |  count(*) OVER (PARTITION BY component) AS n_members
+      |FROM lab ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    // k=8 fits the gate corpus (~31/cell at sf0.01); production sizes
+    // k ~ n/targetCellSize — the operator's content-group pre-pass already
+    // keeps replicated corpora (the 10x bench) at distinct-content cost
+    Similarity.semanticDedup(emb.unionByName(copies), "vec_id", "embedding",
+        k = 8, threshold = 0.99)
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col("id").as("vec_id"), col("component"), col("kept"),
+        col("n_members"))
+      .orderBy("vec_id")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
-    x157, x161, x162, x163, x164)
+    x157, x161, x162, x163, x164, x165)
 }

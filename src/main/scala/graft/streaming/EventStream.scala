@@ -24,8 +24,13 @@ object EventStream {
     * clear error, the same discipline as `Exporter.writeXlsx(rowCap)` and
     * [[incrementalAggReplay]]'s `maxKeys`. Production streams go through
     * the pure-plan entry points (`sessionize`, `windowedCounts`,
-    * `attributionJoin`, `enrichStream`, …), which never touch the driver. */
-  val ReplayInputMaxRows: Int = 1000000
+    * `attributionJoin`, `enrichStream`, …), which never touch the driver.
+    *
+    * Sized for the largest legitimate gate input — the doubled sf1 events
+    * frame of the x20 dedup replay (2M rows; ≤ ~200 MB of collected
+    * tuples at the widest replay row, well inside the 8 GiB driver) —
+    * while a misrouted corpus-scale frame still fails fast. */
+  val ReplayInputMaxRows: Int = 4000000
 
   /** Collect a replay input with the [[ReplayInputMaxRows]] guard: the
     * LIMIT rides into the collect job itself (no extra counting pass), and

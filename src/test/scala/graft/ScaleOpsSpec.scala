@@ -335,6 +335,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(top1.head.getAs[Long]("neg_id") == 3L) // nearest cross-label vector
   }
 
+  test("sizedBits keeps oracle-SF bucketing fixed and bucket occupancy flat") {
+    // every oracle-gated corpus size (n <= 2048 at targetBucket=8) stays on
+    // the exact 8-bit bucketing the sf0.01 SQL replays
+    assert(Similarity.sizedBits(20) == 8)     // sf0.001 embeddings
+    assert(Similarity.sizedBits(200) == 8)    // sf0.01
+    assert(Similarity.sizedBits(2000) == 8)   // sf0.1
+    // past the floor, bits grow with log2(n): occupancy stays ~targetBucket
+    assert(Similarity.sizedBits(20000) == 12) // sf1: 4096 cells, ~5/bucket
+    assert(Similarity.sizedBits(200000) == 15)
+    assert(Similarity.sizedBits(Long.MaxValue) == 16) // clamped
+  }
+
+  test("semanticDedup keeps one representative per semantic group") {
+    // 9 is an exact ×2 copy of 1 (same pmod-4 seed cell, cosine exactly
+    // 1.0); 2 and 3 are orthogonal singletons
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (9L, Seq(2.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      k = 4, threshold = 0.99).collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(9L).getAs[Long]("component") == 1L) // grouped with its original
+    assert(!byId(9L).getAs[Boolean]("kept"))        // copy dropped
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(byId(id).getAs[Long]("component") == id)
+      assert(byId(id).getAs[Boolean]("kept"))
+    }
+  }
+
   test("duplicatedPassages localizes cross-doc spans and merges islands") {
     // docs 1 and 2 share the 5-word run "the quick brown fox jumps";
     // doc 3 is unrelated. k=3 → dup grams at positions 3,4,5 of doc 1
