@@ -54,6 +54,30 @@ object SourceSinkQueries {
       .orderBy(desc("source_sheet"), col("key"))
   }
 
+  // Distributed DSv2 XLSX scan (SURVEY §7.3's DataSource V2 fallback,
+  // beyond-reference): a DIRECTORY of workbooks scans with one partition
+  // per (file, sheet) and executor-side parsing — here two workbooks split
+  // by key parity, recombined by the scan with source_file lineage. The
+  // oracle replays the split/recombine straight from parquet.
+  private val s1c = Q("s1c_xlsx_dsv2_scan", Some(
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CASE WHEN c_custkey % 2 = 0 THEN 'cust_even.xlsx'
+      |       ELSE 'cust_odd.xlsx' END AS source_file
+      |FROM customer WHERE c_custkey <= 1000
+      |ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+    val dirp = Files.createTempDirectory("graft_s1c")
+    val cust = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    Exporter.writeXlsx(cust.filter(col("c_custkey") % 2 === 0),
+      dirp.resolve("cust_even.xlsx"), "Sheet1")
+    Exporter.writeXlsx(cust.filter(col("c_custkey") % 2 =!= 0),
+      dirp.resolve("cust_odd.xlsx"), "Sheet1")
+    s.read.format("graft-xlsx").load(dirp.toString)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"), col("source_file"))
+      .orderBy("c_custkey")
+  }
+
   // S2 template CSV scan (fast path: distributed spark.read.csv with header
   // + delimiter; header_row/skiprows replay covered by XlsxSourcesSpec)
   // (reference: src/templates.py:521-529).
@@ -326,6 +350,6 @@ object SourceSinkQueries {
       .orderBy("region_key")
   }
 
-  val qs: Seq[Q] = Seq(s1, s1b, s2, s3, s6, s9, k1, k2, k3, k4, k6, v1, k9,
+  val qs: Seq[Q] = Seq(s1, s1b, s1c, s2, s3, s6, s9, k1, k2, k3, k4, k6, v1, k9,
     k10, k11)
 }

@@ -228,9 +228,13 @@ class PlanRegressionSpec extends SparkSpec {
       "global index must be persisted (range boundaries re-sample otherwise)")
   }
 
-  test("x77 boilerplate membership is a hash anti join") {
+  test("x77 boilerplate shuffles only removal indices, never kept text") {
     val p = plan("x77_boilerplate_removal")
-    assert(p.contains("LeftAnti"), p.take(600))
+    // boilerplate occurrences select via a semi join …
+    assert(p.contains("LeftSemi"), p.take(600))
+    // … and the reassembly aggregate carries ONLY (id, seg_idx) int pairs:
+    // no kept-segment text may flow through a collect_list of seg strings
+    assert(!p.contains("collect_list(struct(seg_idx"), p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 

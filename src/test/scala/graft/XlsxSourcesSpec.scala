@@ -238,4 +238,67 @@ class XlsxSourcesSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("k", "v"))
     assert(df.count() == 2)
   }
+
+  test("DSv2 scan distributes a workbook directory, one partition per sheet") {
+    val dir = tmp
+    XlsxMini.write(dir.resolve("a.xlsx"), Seq(
+      Sheet("S1", grid(Seq("id", "name"), Seq(1.0, "alpha"), Seq(2.0, "beta"))),
+      Sheet("S2", grid(Seq("id", "name"), Seq(3.0, "gamma")))))
+    XlsxMini.write(dir.resolve("b.xlsx"), Seq(
+      Sheet("S1", grid(Seq("id", "name"), Seq(4.0, "delta")))))
+
+    val df = spark.read.format("graft-xlsx").load(dir.toString)
+    assert(df.schema.map(f => f.name -> f.dataType.typeName) == Seq(
+      "id" -> "double", "name" -> "string",
+      "source_file" -> "string", "source_sheet" -> "string"))
+    // one InputPartition per (file, sheet): a.xlsx has 2 sheets, b.xlsx 1
+    assert(df.rdd.getNumPartitions == 3)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(rows.map(r => (r.getString(2), r.getString(3))).toSeq == Seq(
+      ("a.xlsx", "S1"), ("a.xlsx", "S1"), ("a.xlsx", "S2"), ("b.xlsx", "S1")))
+  }
+
+  test("DSv2 scan prunes columns into the reader and filters sheets") {
+    val dir = tmp
+    XlsxMini.write(dir.resolve("w.xlsx"), Seq(
+      Sheet("Keep", grid(Seq("k", "v"), Seq(1.0, "x"), Seq(2.0, "y"))),
+      Sheet("Skip", grid(Seq("k", "v"), Seq(9.0, "z")))))
+    val df = spark.read.format("graft-xlsx")
+      .option("sheet", "Keep").load(dir.toString).select("v")
+    // pruned schema reaches the scan leaf (source_file/source_sheet and k
+    // are never converted)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.nodeName.contains("BatchScan"), scan.nodeName)
+    assert(scan.output.map(_.name) == Seq("v"), scan.output)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+  }
+
+  test("DSv2 scan maps columns by name across files; missing columns null") {
+    val dir = tmp
+    XlsxMini.write(dir.resolve("a_full.xlsx"), Seq(
+      Sheet("S", grid(Seq("id", "extra"), Seq(1.0, "e1")))))
+    // second file lacks 'extra' and permutes column order
+    XlsxMini.write(dir.resolve("b_partial.xlsx"), Seq(
+      Sheet("S", grid(Seq("id"), Seq(2.0)))))
+    val df = spark.read.format("graft-xlsx").load(dir.toString)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == "e1")
+    assert(rows(1).isNullAt(1)) // name absent from b_partial.xlsx → null
+  }
+
+  test("DSv2 scan accepts an explicit schema for heterogeneous directories") {
+    val dir = tmp
+    XlsxMini.write(dir.resolve("t.xlsx"), Seq(
+      Sheet("S", grid(Seq("id", "flag"), Seq(1.0, true), Seq(2.0, "oops")))))
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.BooleanType)))
+    val rows = spark.read.format("graft-xlsx").schema(sch)
+      .load(dir.toString).orderBy("id").collect()
+    assert(rows(0).getBoolean(1))
+    assert(rows(1).isNullAt(1)) // type-contradicting cell → null, not a crash
+  }
 }
