@@ -479,6 +479,62 @@ object Similarity {
         col("__nl").as("neg_label"), round(col("__cos"), 4).as("cosine"))
   }
 
+  /** Embedding-level train/test leakage detection — semantic
+    * decontamination, the cosine-space companion of the n-gram
+    * decontamination in [[graft.functions.Curation]]: exact-text dedup
+    * misses paraphrases and near-copies that cross a split boundary, but
+    * their embeddings still collide. For every vector in `querySplit`
+    * (e.g. "test"), reports the single most-cosine-similar vector from
+    * `targetSplit` ("train") among sign-bucket LSH candidates (home
+    * bucket + Hamming-1 probes), with a `leaked` flag at `threshold`.
+    *
+    * 100 TB shape: candidates are bucket-equi-join rows, never a
+    * test×train cross product; size `bits` with [[sizedBits]] so bucket
+    * occupancy — and with it candidate count — stays linear in the corpus.
+    * Recall caveat inherited from the bucketing: a leaked pair whose sign
+    * patterns differ in ≥2 of the first `bits` components is missed;
+    * raise `probeHamming` coverage by lowering `threshold` on a
+    * confirmation pass instead of widening probes quadratically. */
+  def splitLeakage(data: DataFrame, idCol: String, splitCol: String,
+      vecCol: String, querySplit: String = "test",
+      targetSplit: String = "train", threshold: Double = 0.95,
+      bits: Int = 8, probeHamming: Int = 1): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits=$bits out of [1,16]")
+    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
+    val base = data.select(col(idCol).as("id"), col(splitCol).as("sp"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__b", (0 until bits).map(j =>
+          when(element_at(col("__v"), j + 1) > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int"))
+    val q = base.filter(col("sp") === querySplit)
+    val tgt = base.filter(col("sp") === targetSplit)
+    val probeCols = col("__b") +: (if (probeHamming >= 1)
+      (0 until bits).map(j => expr(s"__b ^ ${1 << j}").cast("int"))
+      else Seq.empty)
+    // probe buckets are pairwise distinct and each target lives in exactly
+    // one bucket, so (qid, tid) candidate pairs are already unique
+    val cand = q.select(col("id").as("qid"),
+        explode(array(probeCols: _*)).as("__b"))
+      .join(tgt.select(col("id").as("tid"), col("__b")), Seq("__b"))
+      .select("qid", "tid")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("__cos"), col("tid"))
+    cand
+      .join(q.select(col("id").as("qid"), col("__v").as("__qv"),
+        col("__n").as("__qn")), "qid")
+      .join(tgt.select(col("id").as("tid"), col("__v").as("__tv"),
+        col("__n").as("__tn")), "tid")
+      .select(col("qid"), col("tid"),
+        (dot(col("__qv"), col("__tv")) / (col("__qn") * col("__tn")))
+          .as("__cos"))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") === 1)
+      .select(col("qid").as(idCol), col("tid").as("nearest_train_id"),
+        round(col("__cos"), 4).as("cosine"),
+        (col("__cos") >= threshold).as("leaked"))
+  }
+
   /** IVF search: probe the `nprobe` cells whose centroids are closest to the
     * query (by cosine), then brute-force only within those cells. */
   def ivfTopK(data: DataFrame, idCol: String, cellCol: String, vecCol: String,

@@ -212,6 +212,46 @@ object Stats {
         (col("min_class_size") >= k).as("is_k_anonymous"))
   }
 
+  /** ε-differentially-private count release (Laplace mechanism, Dwork et
+    * al. 2006, "Calibrating Noise to Sensitivity"): each group's count is
+    * released as count + Laplace(1/ε) noise — sensitivity 1 for a
+    * per-group counting query — so no individual row's presence shifts any
+    * released count's distribution by more than e^ε. The fourth privacy
+    * lens after [[kAnonymity]]/[[lDiversity]]/t-closeness: those AUDIT a
+    * table for release, this RELEASES aggregate statistics directly.
+    *
+    * Noise is seeded-deterministic (one release per seed — re-running with
+    * the same seed must NOT spend the privacy budget twice, which a fresh
+    * random draw silently would): u = md5(seed:group) mapped into
+    * (−0.5, 0.5), noise = −(1/ε)·sign(u)·ln(1 − 2|u|), the exact inverse
+    * Laplace CDF. The ln output quantizes to DECIMAL(24,12) before the
+    * scale multiply (the [[graft.functions.Curation]] DSIR discipline:
+    * downstream arithmetic is exact decimal, engine-portable). One grouped
+    * count + map-side expressions — |groups| rows, never the fact size. */
+  def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      seed: String): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    // (h + 0.5)/2^24 − 0.5 ∈ (−0.5, 0.5): the half-up offset keeps both
+    // endpoints open, so ln(1 − 2|u|) is always finite
+    val u = ((conv(substring(md5(concat(lit(seed + ":"),
+        col(groupCol).cast("string"))), 1, 6), 16, 10).cast("double") +
+      lit(0.5)) / lit(16777216.0)) - lit(0.5)
+    // decimal widths chosen so every op is EXACT (no precision-loss
+    // adjustment): mag = (20,14)×(10,4) → (31,18); count(14,0) ± mag →
+    // (33,18) — all under 38 in Spark and DuckDB alike
+    val nDec = col("__n").cast("decimal(14,0)")
+    val lnq = log(lit(1.0) - lit(2.0) * abs(col("__u")))
+      .cast("decimal(20,14)")
+    val mag = (-lnq) * lit(1.0 / epsilon).cast("decimal(10,4)")
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", u)
+      .select(col(groupCol),
+        round(when(col("__u") >= 0, nDec + mag).otherwise(nDec - mag)
+          .cast("double"), 4).as("n_released"),
+        lit(epsilon).as("epsilon"))
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s companion: k-anonymity bounds how
     * small an equivalence class can get, l-diversity bounds how HOMOGENEOUS
     * its sensitive attribute can be (a class of 50 rows that all share one

@@ -970,7 +970,93 @@ object QualityQueries {
       .orderBy("vec_id")
   }
 
+  // ε-DP count release over event types: Laplace(1/ε) noise from a SEEDED
+  // inverse-CDF draw (one release per seed = one privacy-budget spend; a
+  // fresh random draw per run would silently re-spend it). The oracle
+  // replays the md5→uniform map, the DECIMAL(20,14)-quantized ln, and the
+  // exact-decimal release arithmetic digit for digit.
+  private val x166 = Q("x166_dp_counts", Some(
+    """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |u AS (SELECT event_type, n,
+      |  ((('0x' || substring(md5('dp1:' || event_type), 1, 6))::BIGINT
+      |     + 0.5) / 16777216.0) - 0.5 AS uu FROM g),
+      |q AS (SELECT event_type, n, uu,
+      |  CAST(ln(1 - 2 * abs(uu)) AS DECIMAL(20,14)) AS lnq FROM u)
+      |SELECT event_type,
+      |  round(CAST(CASE WHEN uu >= 0
+      |    THEN CAST(n AS DECIMAL(14,0)) + (-lnq) * CAST(2.0 AS DECIMAL(10,4))
+      |    ELSE CAST(n AS DECIMAL(14,0)) - (-lnq) * CAST(2.0 AS DECIMAL(10,4))
+      |    END AS DOUBLE), 4) AS n_released,
+      |  CAST(0.5 AS DOUBLE) AS epsilon
+      |FROM q ORDER BY event_type""".stripMargin)) { (s, dir) =>
+    Stats.dpCounts(Tables.events(s, dir), "event_type",
+        epsilon = 0.5, seed = "dp1")
+      .orderBy("event_type")
+  }
+
+  // Embedding-level split-leakage report: near-copies planted across the
+  // train/test boundary (×2-scaled vectors — exact in fp, so cosine 1.0
+  // survives any engine) must surface as leaked; everything else gets its
+  // honest nearest-train cosine. The oracle replays the split assignment,
+  // the 8-bit sign bucketing with Hamming-1 probes, and the top-1 ranking
+  // — the same replay skeleton the x105 gate uses.
+  private val x167 = Q("x167_split_leakage", Some {
+    val flips = (0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 200000,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+       |  FROM embeddings WHERE vec_id < 30),
+       |e AS (
+       |  SELECT vec_id, v,
+       |    CASE WHEN vec_id >= 200000 THEN 'test'
+       |         WHEN vec_id < 30 THEN 'train'
+       |         WHEN ('0x' || substring(md5('spl:' || vec_id), 1, 6))::BIGINT
+       |              % 10 < 8 THEN 'train' ELSE 'test' END AS split
+       |  FROM e0),
+       |b AS (
+       |  SELECT vec_id, split, v,
+       |    list_sum([CASE WHEN v[i] > 0 THEN (1 << (i - 1)::INT) ELSE 0 END
+       |              FOR i IN range(1, 9)])::INT AS bucket
+       |  FROM e),
+       |p AS (
+       |  SELECT vec_id AS qid, u.pb::INT AS bucket
+       |  FROM b, unnest([bucket, $flips]) AS u(pb) WHERE b.split = 'test'),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id AS tid
+       |  FROM p JOIN b c USING (bucket) WHERE c.split = 'train'),
+       |scored AS (
+       |  SELECT cand.qid, cand.tid,
+       |    list_dot_product(x.v, y.v) /
+       |      (sqrt(list_dot_product(x.v, x.v)) *
+       |       sqrt(list_dot_product(y.v, y.v))) AS cos
+       |  FROM cand JOIN b x ON cand.qid = x.vec_id
+       |    JOIN b y ON cand.tid = y.vec_id)
+       |SELECT qid AS vec_id, tid AS nearest_train_id,
+       |  round(cos, 4) AS cosine, cos >= 0.99 AS leaked
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, tid) AS rk FROM scored)
+       |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val all = emb.unionByName(planted)
+      .withColumn("split",
+        when(col("vec_id") >= 200000, "test")
+          .when(col("vec_id") < 30, "train")
+          .when(conv(substring(md5(concat(lit("spl:"),
+              col("vec_id").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 10 < 8, "train")
+          .otherwise("test"))
+    Similarity.splitLeakage(all, "vec_id", "split", "embedding",
+        threshold = 0.99, bits = 8, probeHamming = 1)
+      .orderBy("vec_id")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
-    x157, x161, x162, x163, x164, x165)
+    x157, x161, x162, x163, x164, x165, x166, x167)
 }

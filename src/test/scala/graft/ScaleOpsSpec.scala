@@ -368,6 +368,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage surfaces planted cross-split near-copies, top-1 per query") {
+    // 11 is an exact x2 copy of train vector 1 (same sign bucket 3, cosine
+    // exactly 1.0); 12 sits in bucket 7, one bit-flip from the train
+    // bucket (Hamming-1 probe finds it) but far in cosine; 2 is train-only
+    // and must emit no row
+    val vecs = Seq(
+      (1L, "train", Seq(1.0f, 0.2f, 0.0f)),
+      (2L, "train", Seq(0.1f, 1.0f, 0.0f)),
+      (11L, "test", Seq(2.0f, 0.4f, 0.0f)),
+      (12L, "test", Seq(0.5f, 1.0f, 1.0f))
+    ).toDF("vec_id", "split", "embedding")
+    val out = Similarity.splitLeakage(vecs, "vec_id", "split", "embedding",
+      threshold = 0.99, bits = 3, probeHamming = 1).collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId.keySet == Set(11L, 12L)) // only test rows report
+    assert(byId(11L).getAs[Long]("nearest_train_id") == 1L)
+    assert(byId(11L).getAs[Double]("cosine") == 1.0)
+    assert(byId(11L).getAs[Boolean]("leaked"))
+    assert(!byId(12L).getAs[Boolean]("leaked"))
+  }
+
   test("duplicatedPassages localizes cross-doc spans and merges islands") {
     // docs 1 and 2 share the 5-word run "the quick brown fox jumps";
     // doc 3 is unrelated. k=3 → dup grams at positions 3,4,5 of doc 1

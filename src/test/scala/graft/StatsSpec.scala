@@ -391,4 +391,29 @@ class StatsSpec extends SparkSpec {
     assert(Stats.cohenKappa(perfect.toDF("ra", "rb"),
       col("ra"), col("rb")).head().getDouble(5) == 1.0)
   }
+
+  test("dpCounts: seeded Laplace release is deterministic, bounded, unbiased-ish") {
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++ Seq.fill(7)("c"))
+      .toDF("g")
+    val r1 = Stats.dpCounts(df, "g", epsilon = 0.5, seed = "s1")
+      .orderBy("g").collect()
+    val r2 = Stats.dpCounts(df, "g", epsilon = 0.5, seed = "s1")
+      .orderBy("g").collect()
+    // same seed → bit-identical release (one privacy-budget spend)
+    assert(r1.map(_.getDouble(1)).toSeq == r2.map(_.getDouble(1)).toSeq)
+    // a different seed draws different noise
+    val r3 = Stats.dpCounts(df, "g", epsilon = 0.5, seed = "s2")
+      .orderBy("g").collect()
+    assert(r1.map(_.getDouble(1)).toSeq != r3.map(_.getDouble(1)).toSeq)
+    // noise has Laplace(2) scale: |released − true| < 40 with prob 1−2e−20;
+    // anything bigger is an arithmetic bug, not bad luck
+    val truth = Map("a" -> 100.0, "b" -> 50.0, "c" -> 7.0)
+    r1.foreach { r =>
+      assert(math.abs(r.getDouble(1) - truth(r.getString(0))) < 40.0, r)
+    }
+    assert(r1.forall(_.getDouble(2) == 0.5)) // epsilon echoed
+    val e = intercept[IllegalArgumentException](
+      Stats.dpCounts(df, "g", epsilon = 0.0, seed = "s"))
+    assert(e.getMessage.contains("epsilon"))
+  }
 }
