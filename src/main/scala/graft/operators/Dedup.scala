@@ -749,4 +749,68 @@ object Dedup {
         (col("end_word") - col("start_word") + 1L).as("n_words"),
         col("n_dup_grams"))
   }
+
+  /** Exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — the ExactSubstr
+    * family): every verbatim token run of length ≥ `l` that occurs more
+    * than once in the corpus keeps its FIRST occurrence (global
+    * (id, position) order) and is stripped everywhere else — within AND
+    * across documents, the case [[duplicatedPassages]] only localizes and
+    * [[graft.functions.Curation.removeBoilerplate]]'s distinct-doc
+    * threshold misses (a passage repeated 50× inside ONE doc is
+    * boilerplate-invisible but substring-dup). Returns one row per input
+    * document: `clean_text` (survivors rejoined in order),
+    * `n_tokens_kept`, `n_tokens_removed`.
+    *
+    * Suffix-array-free Spark shape: every length-`l` token window md5s
+    * (one posexplode — n_tokens windows per doc, O(n·l) transient map-side
+    * chars, no shuffled window text, only 128-bit keys); duplicate
+    * detection is ONE map-side-combinable count per key; only occurrences
+    * of duplicated keys (low selectivity by construction) reach the
+    * per-key first-occurrence window and the ×`l` position explode; and
+    * reassembly is the removeBoilerplate shape — distinct (id, position)
+    * integer lists, never re-grouped text, with AQE broadcasting the
+    * per-doc removal lists into a map-only final join. A million-fold
+    * repeated passage costs its occurrence count (linear), never its
+    * square. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      l: Int = 50): DataFrame = {
+    require(l >= 2, "window length l must be >= 2")
+    val base = df.withColumn("__ws", words(col(textCol)))
+      .withColumn("__nt", size(col("__ws")))
+    // __ws is a bound column, so the slice lambda reads an attribute (one
+    // words() evaluation per row — the shingleList discipline); windows
+    // hash in place and only (id, pos, hash) leaves the projection
+    val occ = base.filter(col("__nt") >= l)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, __nt - ${l - 1}), " +
+        s"i -> md5(array_join(slice(__ws, i, $l), ' ')))"))
+        .as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"),
+        col("__h"))
+    val dupKeys = occ.groupBy("__h").agg(count(lit(1)).as("__nocc"))
+      .filter(col("__nocc") >= 2).select("__h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h").orderBy(col(idCol), col("__pos"))
+    val removedOcc = occ.join(dupKeys, "__h")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+    // covered token positions, distinct per doc: overlapping duplicated
+    // windows merge into one removal set
+    val rmPos = removedOcc
+      .select(col(idCol),
+        explode(expr(s"sequence(__pos, __pos + ${l - 1})")).as("__rp"))
+      .distinct()
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__rp"))).as("__rm"))
+    base.join(rmPos, Seq(idCol.toString), "left")
+      .withColumn("__rm",
+        coalesce(col("__rm"), expr("array()").cast("array<long>")))
+      .select(col(idCol),
+        array_join(expr(
+          "filter(__ws, (t, i) -> NOT array_contains(__rm, bigint(i + 1)))"),
+          " ").as("clean_text"),
+        (col("__nt") - size(col("__rm"))).cast("long").as("n_tokens_kept"),
+        size(col("__rm")).cast("long").as("n_tokens_removed"))
+  }
 }

@@ -32,6 +32,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Deterministic md5 cell seed: cell = md5("tag:id") % k. The earlier
+    * pmod(id, k) seeding silently COLLAPSES on non-numeric ids — a UUID
+    * string casts to null, every row lands in the single null cell, and a
+    * "within-cell" pair stage becomes all-pairs quadratic. md5 of the
+    * string form is defined for every id type, balanced, and replayable
+    * in any engine with md5 (the seeding discipline of
+    * [[graft.functions.Curation]]). */
+  private[graft] def md5Cell(tag: String, id: Column, k: Int): Column =
+    (conv(substring(md5(concat(lit(tag + ":"), id.cast("string"))), 1, 6),
+      16, 10).cast("long") % k).cast("int")
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cast a float-array column to double for stable math. */
@@ -381,7 +392,9 @@ object Similarity {
     * 100 TB design: `k` is the scale knob — size it ~ n/targetCellSize so
     * Σ|cell|² stays k·target² (SemDeDup runs k in the tens of thousands on
     * web-scale corpora). Clustering is [[refineCells]] (deterministic
-    * pmod(id, k) seed, each Lloyd round = one broadcast centroid agg + one
+    * [[md5Cell]] seed — safe for string/UUID ids, where a pmod(id, k) seed
+    * would collapse every row into one quadratic null cell; each Lloyd
+    * round = one broadcast centroid agg + one
     * top-1 window); the within-cell pair stage is [[embeddingNearDups]],
     * whose content-group pre-pass collapses identical vectors to one
     * representative BEFORE the quadratic step (m exact copies cost m, not
@@ -392,7 +405,7 @@ object Similarity {
       componentIters: Int = 2): DataFrame = {
     require(k >= 1, "k must be positive")
     val base = data.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
-      .withColumn("cell", pmod(col("id").cast("long"), lit(k.toLong)).cast("int"))
+      .withColumn("cell", md5Cell("cell", col("id"), k))
     val assigned = base.drop("cell")
       .join(refineCells(base, "id", "cell", "__v", lloydIters), "id")
     val pairs = embeddingNearDups(assigned, "id", "cell", "__v", threshold)
@@ -426,7 +439,19 @@ object Similarity {
     * Hamming-≤1 pair meets in exactly one probe, so no dedup pass); the
     * final top-k is a per-query window over candidate rows only. Ranking
     * uses the RAW cosine (ties → smallest neighbor id) and only the
-    * reported value is quantized. */
+    * reported value is quantized.
+    *
+    * MEASURED recall (x168_signbucket_recall, vs bruteForceTopK ground
+    * truth, bits=8/probeHamming=1, identical at the sizedBits setting):
+    * the candidate set contains the EXACT nearest cross-vector for only
+    * 13.4% of queries at sf0.01 (16/119) and 14.3% at sf0.1 (61/426) —
+    * precisely the Hamming-≤1 fraction (arbitrary nearest neighbors
+    * average Hamming ≈ 3.0 in the first 8 sign bits on this fixture).
+    * Read this as the contract: sign buckets reliably surface
+    * sign-pattern-PRESERVING near-copies (the hard-negative/dedup
+    * regime), not general nearest-neighbor rank quality — mine
+    * recall-critical negatives with [[bruteForceTopKBatch]] or
+    * [[ivfTopK]] instead. */
   /** Size the sign-bucket width so expected bucket occupancy stays near
     * `targetBucket` as the corpus grows: bits = ceil(log2(n/targetBucket)),
     * clamped to [minBits, maxBits]. With this rule the candidate count of
@@ -441,6 +466,122 @@ object Similarity {
     val cells = math.max(1.0, n.toDouble / targetBucket)
     val b = math.ceil(math.log(cells) / math.log(2.0)).toInt
     math.min(maxBits, math.max(minBits, b))
+  }
+
+  /** The [[sizedBits]] rule computed INSIDE the plan: one tiny count
+    * aggregate returning a 1-row `__bits` frame to broadcast, so callers
+    * pay no separate driver `count()` action at plan-construction time.
+    * ceil(log2(x)) is done as the BIT LENGTH of ceil(n/targetBucket)−1
+    * (`length(bin(c−1))`) — pure integer arithmetic, no float log2 whose
+    * last-ulp drift could flip the width at a power-of-two boundary. */
+  private def bitsFrame(data: DataFrame, targetBucket: Int, minBits: Int,
+      maxBits: Int): DataFrame = {
+    require(targetBucket >= 1 && minBits >= 1 && maxBits >= minBits &&
+      maxBits <= 16, s"bad sizing: target=$targetBucket [$minBits,$maxBits]")
+    val c = expr(s"(__nn + ${targetBucket - 1}) div $targetBucket")
+    data.agg(count(lit(1)).as("__nn"))
+      .select(least(lit(maxBits), greatest(lit(minBits),
+        when(c <= 1, lit(0))
+          .otherwise(length(bin(c - 1))).cast("int"))).as("__bits"))
+  }
+
+  /** Sign bucket of `v`'s first `__bits` components as a column expression
+    * (the dynamic-width twin of the unrolled literal-bits form): a left
+    * fold over sequence(0, __bits−1) adding 2^j per positive component —
+    * the same addition order as the unrolled form, so values are
+    * identical. */
+  private def signBucket(v: Column, bits: Column): Column =
+    aggregate(sequence(lit(0), bits - 1), lit(0),
+      (acc, j) => acc + when(element_at(v, j + 1) > 0,
+        pow(lit(2.0), j).cast("int")).otherwise(lit(0)))
+
+  /** Home bucket plus (when probing) the `__bits` Hamming-1 flips. */
+  private def probeBuckets(b: Column, bits: Column,
+      probeHamming: Int): Column =
+    if (probeHamming >= 1)
+      concat(array(b), transform(sequence(lit(0), bits - 1),
+        j => b.bitwiseXOR(pow(lit(2.0), j).cast("int"))))
+    else array(b)
+
+  /** [[hardNegatives]] with the bucket width derived IN-PLAN by the
+    * [[sizedBits]] rule — candidates stay linear in n at any corpus size,
+    * with no plan-construction-time `count()` action (the 1-row bits frame
+    * broadcasts into the bucketing expressions). Same output as
+    * `hardNegatives(…, bits = sizedBits(n))` at every n. */
+  def hardNegativesAuto(data: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int = 3, targetBucket: Int = 8, minBits: Int = 8,
+      maxBits: Int = 16, probeHamming: Int = 1): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
+    val bf = broadcast(bitsFrame(data, targetBucket, minBits, maxBits))
+    val base = data.select(col(idCol).as("id"), col(labelCol).as("lab"),
+        asDouble(col(vecCol)).as("__v"))
+      .crossJoin(bf)
+      .withColumn("__b", signBucket(col("__v"), col("__bits")))
+      .withColumn("__n", norm(col("__v")))
+    val probes = base.select(col("id").as("qid"),
+      explode(probeBuckets(col("__b"), col("__bits"), probeHamming)).as("__b"))
+    val cand = probes
+      .join(base.select(col("id").as("nid"), col("__b")), Seq("__b"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val qa = base.select(col("id").as("qid"), col("lab").as("__ql"),
+      col("__v").as("__qv"), col("__n").as("__qn"))
+    val nb = base.select(col("id").as("nid"), col("lab").as("__nl"),
+      col("__v").as("__nv"), col("__n").as("__nn"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("__cos"), col("nid"))
+    cand.join(qa, "qid").join(nb, "nid")
+      .filter(col("__ql") =!= col("__nl"))
+      .select(col("qid"), col("nid"), col("__nl"),
+        (dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))).as("__cos"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neg_id"),
+        col("__nl").as("neg_label"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /** [[splitLeakage]] with the bucket width derived IN-PLAN by the
+    * [[sizedBits]] rule (sized on the FULL frame, query + target, so the
+    * width matches `splitLeakage(…, bits = sizedBits(n))` on the same
+    * data). Candidate-less queries report a null nearest / `leaked=false`
+    * row exactly like the fixed-bits form. */
+  def splitLeakageAuto(data: DataFrame, idCol: String, splitCol: String,
+      vecCol: String, querySplit: String = "test",
+      targetSplit: String = "train", threshold: Double = 0.95,
+      targetBucket: Int = 8, minBits: Int = 8, maxBits: Int = 16,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
+    val bf = broadcast(bitsFrame(data, targetBucket, minBits, maxBits))
+    val base = data.select(col(idCol).as("id"), col(splitCol).as("sp"),
+        asDouble(col(vecCol)).as("__v"))
+      .crossJoin(bf)
+      .withColumn("__b", signBucket(col("__v"), col("__bits")))
+      .withColumn("__n", norm(col("__v")))
+    val q = base.filter(col("sp") === querySplit)
+    val tgt = base.filter(col("sp") === targetSplit)
+    val cand = q.select(col("id").as("qid"),
+        explode(probeBuckets(col("__b"), col("__bits"), probeHamming))
+          .as("__b"))
+      .join(tgt.select(col("id").as("tid"), col("__b")), Seq("__b"))
+      .select("qid", "tid")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("__cos"), col("tid"))
+    val top1 = cand
+      .join(q.select(col("id").as("qid"), col("__v").as("__qv"),
+        col("__n").as("__qn")), "qid")
+      .join(tgt.select(col("id").as("tid"), col("__v").as("__tv"),
+        col("__n").as("__tn")), "tid")
+      .select(col("qid"), col("tid"),
+        (dot(col("__qv"), col("__tv")) / (col("__qn") * col("__tn")))
+          .as("__cos"))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") === 1)
+    q.select(col("id").as("qid"))
+      .join(top1, Seq("qid"), "left")
+      .select(col("qid").as(idCol), col("tid").as("nearest_train_id"),
+        round(col("__cos"), 4).as("cosine"),
+        coalesce(col("__cos") >= threshold, lit(false)).as("leaked"))
   }
 
   def hardNegatives(data: DataFrame, idCol: String, labelCol: String,
@@ -487,6 +628,11 @@ object Similarity {
     * (e.g. "test"), reports the single most-cosine-similar vector from
     * `targetSplit` ("train") among sign-bucket LSH candidates (home
     * bucket + Hamming-1 probes), with a `leaked` flag at `threshold`.
+    * EVERY query vector emits a row: one with no LSH candidate (no train
+    * vector shares its home or Hamming-1 buckets) reports a null
+    * `nearest_train_id`/`cosine` and `leaked = false`, so a leakage audit
+    * can distinguish "checked, nothing near" from "not checked" instead of
+    * silently dropping the row.
     *
     * 100 TB shape: candidates are bucket-equi-join rows, never a
     * test×train cross product; size `bits` with [[sizedBits]] so bucket
@@ -494,7 +640,19 @@ object Similarity {
     * Recall caveat inherited from the bucketing: a leaked pair whose sign
     * patterns differ in ≥2 of the first `bits` components is missed;
     * raise `probeHamming` coverage by lowering `threshold` on a
-    * confirmation pass instead of widening probes quadratically. */
+    * confirmation pass instead of widening probes quadratically.
+    * MEASURED (x168_signbucket_recall, vs bruteForceTopK ground truth,
+    * bits=8/probeHamming=1 and identically at sizedBits): the probed
+    * buckets contain the exact nearest train vector for 13.4% of test
+    * queries at sf0.01 and 14.3% at sf0.1 — exactly the Hamming-≤1
+    * fraction (arbitrary nearest neighbors average Hamming ≈ 3.0 of 8
+    * sign bits here). For LEAKED pairs the picture inverts: a near-copy
+    * at cosine ≥ 0.95 concentrates mass on agreeing signs, and an exact
+    * or scaled copy agrees on ALL bits, so the gate's target population
+    * sits in the found fraction — but treat a clean report as "no
+    * sign-preserving leak", not "no leak", and confirm critical splits
+    * with an exact pass over candidate-less rows (they are reported,
+    * never dropped). */
   def splitLeakage(data: DataFrame, idCol: String, splitCol: String,
       vecCol: String, querySplit: String = "test",
       targetSplit: String = "train", threshold: Double = 0.95,
@@ -520,7 +678,7 @@ object Similarity {
       .select("qid", "tid")
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("__cos"), col("tid"))
-    cand
+    val top1 = cand
       .join(q.select(col("id").as("qid"), col("__v").as("__qv"),
         col("__n").as("__qn")), "qid")
       .join(tgt.select(col("id").as("tid"), col("__v").as("__tv"),
@@ -530,9 +688,13 @@ object Similarity {
           .as("__cos"))
       .withColumn("__rk", row_number().over(rankW))
       .filter(col("__rk") === 1)
+    // left join: candidate-less queries still report (null nearest, not
+    // leaked) — an audit must never silently drop a query vector
+    q.select(col("id").as("qid"))
+      .join(top1, Seq("qid"), "left")
       .select(col("qid").as(idCol), col("tid").as("nearest_train_id"),
         round(col("__cos"), 4).as("cosine"),
-        (col("__cos") >= threshold).as("leaked"))
+        coalesce(col("__cos") >= threshold, lit(false)).as("leaked"))
   }
 
   /** IVF search: probe the `nprobe` cells whose centroids are closest to the
@@ -574,8 +736,9 @@ object Similarity {
         posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
       .withColumn("sub", expr(s"pos div $subDim"))
       .persist()
-    // seed assignment id%k → subspace centroids (float-exact double sums)
-    val c1 = e.withColumn("cell", pmod(col("id"), lit(k)))
+    // md5-seeded assignment → subspace centroids (float-exact double sums);
+    // md5Cell, not pmod: a string id under pmod would null-collapse to one cell
+    val c1 = e.withColumn("cell", md5Cell("pqcell", col("id"), k))
       .groupBy("sub", "cell", "pos").agg(avg(col("v")).as("cv"))
     def assign(codebook: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window

@@ -334,22 +334,30 @@ object QualityQueries {
 
   // Hard-negative mining for contrastive training: per vector, the top-3
   // most-similar vectors with a DIFFERENT label, candidates bounded by
-  // sign-bucket LSH (first-8-components sign pattern → 256 cells; probes =
-  // home bucket + the 8 one-bit flips). The oracle replays bucketing,
-  // probing, cross-label candidates, and the raw-cosine top-k step for
-  // step, so both the candidate bound and the ranking are gated.
-  private val x105 = Q("x105_hard_negatives", Some {
-    val flips = (0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
-    s"""WITH e AS (
+  // sign-bucket LSH whose width is sized IN-PLAN from the corpus count
+  // (bits = clamp(8..16, ceil-log2(ceil(n/8))) — integer bit-length
+  // arithmetic, no float log2, no plan-construction-time count() action).
+  // The oracle replays the width rule, bucketing, probing, cross-label
+  // candidates, and the raw-cosine top-k step for step, so the gate stays
+  // valid at EVERY scale factor (n <= 2048 runs 8-bit; sf1's n = 20k runs
+  // 12-bit in both engines).
+  private val x105 = Q("x105_hard_negatives", Some(
+    """WITH e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bb AS (
+       |  SELECT CASE WHEN (count(*) + 7) // 8 <= 1 THEN 8
+       |    ELSE least(16, greatest(8,
+       |      length(bin((count(*) + 7) // 8 - 1))))::INT END AS bits FROM e),
        |b AS (
        |  SELECT vec_id, label, v,
        |    list_sum([CASE WHEN v[i] > 0 THEN (1 << (i - 1)::INT) ELSE 0 END
-       |              FOR i IN range(1, 9)])::INT AS bucket
-       |  FROM e),
+       |              FOR i IN range(1, bits + 1)])::INT AS bucket
+       |  FROM e, bb),
        |p AS (
        |  SELECT vec_id AS qid, u.pb::INT AS bucket
-       |  FROM b, unnest([bucket, $flips]) AS u(pb)),
+       |  FROM b, bb, unnest(list_prepend(bucket,
+       |    [xor(bucket, (1 << (j - 1))::INT) FOR j IN range(1, bits + 1)]))
+       |    AS u(pb)),
        |cand AS (
        |  SELECT p.qid, c.vec_id AS nid
        |  FROM p JOIN b c USING (bucket) WHERE p.qid <> c.vec_id),
@@ -363,15 +371,9 @@ object QualityQueries {
        |  neg_label, round(cos, 4) AS cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
        |        ORDER BY cos DESC, nid) AS rk FROM scored)
-       |WHERE rk <= 3 ORDER BY vec_id, rank""".stripMargin
-  }) { (s, dir) =>
-    // bits sized from the corpus so candidates stay linear in n; the
-    // max(8, ...) floor means every oracle-gated SF (n <= 2048) still runs
-    // the exact 8-bit bucketing the SQL above replays, while the 10x bench
-    // (n = 20k) widens to 12 bits instead of quadrupling bucket occupancy.
-    val emb = t(s, dir, "embeddings")
-    Similarity.hardNegatives(emb, "vec_id", "label", "embedding", k = 3,
-        bits = Similarity.sizedBits(emb.count()), probeHamming = 1)
+       |WHERE rk <= 3 ORDER BY vec_id, rank""".stripMargin)) { (s, dir) =>
+    Similarity.hardNegativesAuto(t(s, dir, "embeddings"), "vec_id", "label",
+        "embedding", k = 3, probeHamming = 1)
       .orderBy("vec_id", "rank")
   }
 
@@ -901,9 +903,11 @@ object QualityQueries {
   // group. Near-dups are planted as ×2-scaled copies: scaling by a power
   // of two is EXACT in fp (cosines and cell rankings are bit-identical to
   // the original's), so planted pairs survive any ulp-level cross-engine
-  // centroid drift. The oracle replays seeding, the Lloyd round, the pair
-  // join, and both component rounds step-for-step; cluster ids are
-  // internal (engine-sensitive at boundaries) and not part of the output.
+  // centroid drift. The oracle replays the md5 cell seeding (md5, not
+  // pmod(id,k) — string ids must not null-collapse into one quadratic
+  // cell), the Lloyd round, the pair join, and both component rounds
+  // step-for-step; cluster ids are internal (engine-sensitive at
+  // boundaries) and not part of the output.
   private val x165 = Q("x165_semantic_dedup", Some(
     """WITH cp AS (
       |  SELECT vec_id + 100000 AS vec_id,
@@ -913,7 +917,9 @@ object QualityQueries {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  UNION ALL
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM cp),
-      |a0 AS (SELECT vec_id, (vec_id % 8)::INT AS cell FROM e),
+      |a0 AS (SELECT vec_id,
+      |  ((('0x' || substring(md5('cell:' || vec_id), 1, 6))::BIGINT % 8))::INT
+      |    AS cell FROM e),
       |c1 AS (
       |  SELECT a.cell, r.i, avg(e.v[r.i]) AS cv
       |  FROM a0 a JOIN e USING (vec_id) CROSS JOIN range(1, 65) r(i)
@@ -997,9 +1003,11 @@ object QualityQueries {
   // Embedding-level split-leakage report: near-copies planted across the
   // train/test boundary (×2-scaled vectors — exact in fp, so cosine 1.0
   // survives any engine) must surface as leaked; everything else gets its
-  // honest nearest-train cosine. The oracle replays the split assignment,
-  // the 8-bit sign bucketing with Hamming-1 probes, and the top-1 ranking
-  // — the same replay skeleton the x105 gate uses.
+  // honest nearest-train cosine — and a test vector with NO train vector
+  // in its probed buckets still emits a (null nearest, leaked=false) row,
+  // so the audit never silently drops a query. The oracle replays the
+  // split assignment, the 8-bit sign bucketing with Hamming-1 probes, the
+  // top-1 ranking, and the query-side left join.
   private val x167 = Q("x167_split_leakage", Some {
     val flips = (0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
     s"""WITH e0 AS (
@@ -1032,12 +1040,17 @@ object QualityQueries {
        |      (sqrt(list_dot_product(x.v, x.v)) *
        |       sqrt(list_dot_product(y.v, y.v))) AS cos
        |  FROM cand JOIN b x ON cand.qid = x.vec_id
-       |    JOIN b y ON cand.tid = y.vec_id)
-       |SELECT qid AS vec_id, tid AS nearest_train_id,
-       |  round(cos, 4) AS cosine, cos >= 0.99 AS leaked
-       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |        ORDER BY cos DESC, tid) AS rk FROM scored)
-       |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+       |    JOIN b y ON cand.tid = y.vec_id),
+       |top1 AS (
+       |  SELECT qid, tid, cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, tid) AS rk FROM scored)
+       |  WHERE rk = 1)
+       |SELECT q.vec_id, t.tid AS nearest_train_id,
+       |  round(t.cos, 4) AS cosine, coalesce(t.cos >= 0.99, false) AS leaked
+       |FROM (SELECT vec_id FROM e WHERE split = 'test') q
+       |LEFT JOIN top1 t ON q.vec_id = t.qid
+       |ORDER BY q.vec_id""".stripMargin
   }) { (s, dir) =>
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val planted = emb.filter(col("vec_id") < 30)
@@ -1056,7 +1069,160 @@ object QualityQueries {
       .orderBy("vec_id")
   }
 
+  // Measured candidate recall of the sign-bucket LSH family
+  // (splitLeakage / hardNegatives geometry) against brute-force ground
+  // truth — the eval the IVF/PQ paths already have (x69/x75) pointed at
+  // the sign buckets, where a recall hole means silent decontamination
+  // misses. Per config (pinned 8-bit, in-plan sized): how many test
+  // queries found a train neighbor AS GOOD AS the exact nearest (rounded
+  // cosine equality — id-tie-proof), how many had NO candidate at all
+  // (the left-join row the audit must see), and recall in exact basis
+  // points. Ground truth is inherently all-pairs (that is what "exact"
+  // means) — an eval harness run on a split sample, not a production
+  // path. The oracle replays the split, the exact ranking, both bucket
+  // geometries (including the in-plan width rule), and the integer
+  // recall arithmetic.
+  private val x168 = Q("x168_signbucket_recall", Some {
+    // the range bound must stay a COLUMN reference (`bits + 1`): DuckDB
+    // 1.0 constant-folds a literal bound and then fails to bind the
+    // comprehension's lateral column refs, so the pinned config carries
+    // its own 1-row bits CTE instead of an inlined literal
+    def cfgBlock(tag: String, bitsSrc: String) =
+      s"""b_$tag AS (
+         |  SELECT vec_id, split, v,
+         |    list_sum([CASE WHEN v[i] > 0 THEN (1 << (i - 1)::INT) ELSE 0 END
+         |              FOR i IN range(1, bits + 1)])::INT AS bucket
+         |  FROM e, $bitsSrc),
+         |p_$tag AS (
+         |  SELECT vec_id AS qid, u.pb::INT AS bucket
+         |  FROM b_$tag, $bitsSrc, unnest(list_prepend(bucket,
+         |    [xor(bucket, (1 << (j - 1))::INT) FOR j IN range(1, bits + 1)]))
+         |    AS u(pb)
+         |  WHERE split = 'test'),
+         |sc_$tag AS (
+         |  SELECT c.qid, c.tid, cs.cos
+         |  FROM (SELECT p.qid, b.vec_id AS tid
+         |        FROM p_$tag p JOIN b_$tag b USING (bucket)
+         |        WHERE b.split = 'train') c
+         |  JOIN cs ON c.qid = cs.qid AND c.tid = cs.tid),
+         |t1_$tag AS (
+         |  SELECT qid, round(cos, 4) AS acos
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, tid) AS rk FROM sc_$tag)
+         |  WHERE rk = 1),
+         |r_$tag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |    CAST(sum(CASE WHEN t.qid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_candidateless,
+         |    CAST(sum(CASE WHEN t.acos = ex.ecos THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_top1_found,
+         |    CAST(sum(CASE WHEN t.acos = ex.ecos THEN 1 ELSE 0 END) * 10000
+         |      // count(*) AS BIGINT) AS recall_bps
+         |  FROM ex LEFT JOIN t1_$tag t USING (qid))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    CASE WHEN ('0x' || substring(md5('spl:' || vec_id), 1, 6))::BIGINT
+       |         % 10 < 8 THEN 'train' ELSE 'test' END AS split
+       |  FROM embeddings),
+       |bb AS (
+       |  SELECT CASE WHEN (count(*) + 7) // 8 <= 1 THEN 8
+       |    ELSE least(16, greatest(8,
+       |      length(bin((count(*) + 7) // 8 - 1))))::INT END AS bits FROM e),
+       |b8 AS (SELECT 8::INT AS bits),
+       |cs AS (
+       |  SELECT q.vec_id AS qid, t.vec_id AS tid,
+       |    list_dot_product(q.v, t.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) *
+       |       sqrt(list_dot_product(t.v, t.v))) AS cos
+       |  FROM e q JOIN e t ON q.split = 'test' AND t.split = 'train'),
+       |ex AS (
+       |  SELECT qid, round(cos, 4) AS ecos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, tid) AS rk FROM cs)
+       |  WHERE rk = 1),
+       |${cfgBlock("c8", "b8")},
+       |${cfgBlock("ca", "bb")}
+       |SELECT 'bits8_h1' AS config, * FROM r_c8
+       |UNION ALL
+       |SELECT 'sized_auto', * FROM r_ca
+       |ORDER BY config""".stripMargin
+  }) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit("spl:"),
+            col("vec_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 10 < 8, "train")
+          .otherwise("test"))
+    val train = emb.filter(col("split") === "train")
+    val test = emb.filter(col("split") === "test")
+    val exact1 = Similarity
+      .bruteForceTopKBatch(train, "vec_id", "embedding", test, "vec_id", k = 1)
+      .select(col("query_id").as("qid"), round(col("cosine"), 4).as("ecos"))
+    def recallOf(name: String, approx: org.apache.spark.sql.DataFrame) =
+      exact1.join(approx.select(col("vec_id").as("qid"),
+          col("nearest_train_id"), col("cosine").as("acos")), Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("nearest_train_id").isNull, 1L).otherwise(0L))
+            .as("n_candidateless"),
+          sum(when(col("acos") === col("ecos"), 1L).otherwise(0L))
+            .as("n_top1_found"))
+        .select(lit(name).as("config"), col("n_queries"),
+          col("n_candidateless"), col("n_top1_found"),
+          expr("n_top1_found * 10000 div n_queries").as("recall_bps"))
+    recallOf("bits8_h1", Similarity.splitLeakage(emb, "vec_id", "split",
+        "embedding", threshold = 0.95, bits = 8, probeHamming = 1))
+      .unionByName(recallOf("sized_auto", Similarity.splitLeakageAuto(emb,
+        "vec_id", "split", "embedding", threshold = 0.95, probeHamming = 1)))
+      .orderBy("config")
+  }
+
+  // Exact substring dedup (Lee et al. 2021 ExactSubstr): duplicated
+  // >= l-token runs keep their global-first occurrence and are stripped
+  // everywhere else — within and across documents. The oracle replays
+  // tokenization, the per-window md5 keys, the first-occurrence ranking,
+  // the overlapping-window position union, and the doc-side index-filter
+  // reassembly word for word, so both the removal decision AND the exact
+  // rebuilt text are gated. l=5 on the synthetic docs (10-99 tokens;
+  // production uses l≈50 — the parameter scales freely).
+  private val x169 = Q("x169_substring_dedup", Some {
+    val words =
+      """list_filter(string_split_regex(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, $words AS ws, len($words) AS nt
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, u.i AS pos,
+       |    md5(array_to_string(ws[u.i : u.i + 4], ' ')) AS h
+       |  FROM base, unnest(range(1, nt - 5 + 2)) AS u(i)
+       |  WHERE nt >= 5),
+       |dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+       |rmocc AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT o.doc_id, o.pos, o.h,
+       |      row_number() OVER (PARTITION BY o.h
+       |        ORDER BY o.doc_id, o.pos) AS rk
+       |    FROM occ o JOIN dup USING (h))
+       |  WHERE rk > 1),
+       |rmpos AS (
+       |  SELECT DISTINCT doc_id, pos + u.j AS rp
+       |  FROM rmocc, unnest(range(0, 5)) AS u(j)),
+       |rml AS (SELECT doc_id, list_sort(list(rp)) AS rm
+       |        FROM rmpos GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  coalesce(array_to_string([b.ws[i] FOR i IN range(1, b.nt + 1)
+       |    IF NOT list_contains(coalesce(r.rm, []), i)], ' '), '')
+       |    AS clean_text,
+       |  CAST(b.nt - coalesce(len(r.rm), 0) AS BIGINT) AS n_tokens_kept,
+       |  CAST(coalesce(len(r.rm), 0) AS BIGINT) AS n_tokens_removed
+       |FROM base b LEFT JOIN rml r USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }) { (s, dir) =>
+    Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", l = 5)
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
-    x157, x161, x162, x163, x164, x165, x166, x167)
+    x157, x161, x162, x163, x164, x165, x166, x167, x168, x169)
 }

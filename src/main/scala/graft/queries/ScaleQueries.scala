@@ -1532,7 +1532,9 @@ object ScaleQueries {
       |  SELECT vec_id AS id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v,
       |    (u.i - 1) // 8 AS sub
       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
-      |c1 AS (SELECT sub, id % 16 AS cell, pos, avg(v) AS cv FROM e GROUP BY 1, 2, 3),
+      |c1 AS (SELECT sub,
+      |  ('0x' || substring(md5('pqcell:' || id), 1, 6))::BIGINT % 16 AS cell,
+      |  pos, avg(v) AS cv FROM e GROUP BY 1, 2, 3),
       |d1 AS (SELECT e.id, e.sub, c.cell, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
       |       FROM e JOIN c1 c ON e.sub = c.sub AND e.pos = c.pos GROUP BY 1, 2, 3),
       |a1 AS (SELECT id, sub, cell AS code FROM d1

@@ -348,7 +348,8 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("semanticDedup keeps one representative per semantic group") {
-    // 9 is an exact ×2 copy of 1 (same pmod-4 seed cell, cosine exactly
+    // 9 is an exact ×2 copy of 1 (identical direction, so the Lloyd round
+    // ranks identical cells regardless of the md5 seed; cosine exactly
     // 1.0); 2 and 3 are orthogonal singletons
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
@@ -372,21 +373,101 @@ class ScaleOpsSpec extends SparkSpec {
     // 11 is an exact x2 copy of train vector 1 (same sign bucket 3, cosine
     // exactly 1.0); 12 sits in bucket 7, one bit-flip from the train
     // bucket (Hamming-1 probe finds it) but far in cosine; 2 is train-only
-    // and must emit no row
+    // and must emit no row; 13's bucket 0 is Hamming-2 from every train
+    // bucket, so it has NO candidate — it must still report, unleaked,
+    // with a null nearest (the audit never silently drops a query)
     val vecs = Seq(
       (1L, "train", Seq(1.0f, 0.2f, 0.0f)),
       (2L, "train", Seq(0.1f, 1.0f, 0.0f)),
       (11L, "test", Seq(2.0f, 0.4f, 0.0f)),
-      (12L, "test", Seq(0.5f, 1.0f, 1.0f))
+      (12L, "test", Seq(0.5f, 1.0f, 1.0f)),
+      (13L, "test", Seq(-1.0f, -1.0f, -1.0f))
     ).toDF("vec_id", "split", "embedding")
     val out = Similarity.splitLeakage(vecs, "vec_id", "split", "embedding",
       threshold = 0.99, bits = 3, probeHamming = 1).collect()
     val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
-    assert(byId.keySet == Set(11L, 12L)) // only test rows report
+    assert(byId.keySet == Set(11L, 12L, 13L)) // every test row reports
     assert(byId(11L).getAs[Long]("nearest_train_id") == 1L)
     assert(byId(11L).getAs[Double]("cosine") == 1.0)
     assert(byId(11L).getAs[Boolean]("leaked"))
     assert(!byId(12L).getAs[Boolean]("leaked"))
+    assert(byId(13L).isNullAt(byId(13L).fieldIndex("nearest_train_id")))
+    assert(byId(13L).isNullAt(byId(13L).fieldIndex("cosine")))
+    assert(!byId(13L).getAs[Boolean]("leaked"))
+  }
+
+  test("semanticDedup md5 cell seed keeps string/UUID ids balanced") {
+    // under the old pmod(id, k) seed every one of these ids casts to null
+    // → ONE cell → a silently quadratic pair stage; the md5 seed spreads
+    // them and the operator still returns every row
+    val vecs = (0 until 32).map { i =>
+      (f"doc-$i%04d-uuid", Seq.tabulate(4)(d =>
+        if (d == i % 4) 1.0f else 0.1f))
+    }.toDF("vec_id", "embedding")
+    val seeded = vecs.select(col("vec_id"))
+      .withColumn("cell", conv(substring(md5(concat(lit("cell:"),
+        col("vec_id"))), 1, 6), 16, 10).cast("long") % 8)
+    assert(seeded.select("cell").distinct().count() > 4) // spread, not collapsed
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      k = 8, threshold = 0.999)
+    assert(out.count() == 32)
+    assert(out.filter(col("kept")).count() >= 4) // one rep per direction at least
+  }
+
+  test("hardNegativesAuto matches hardNegatives at the sizedBits width") {
+    val vecs = (0 until 24).map { i =>
+      (i.toLong, s"lab${i % 3}", Seq.tabulate(8)(d =>
+        ((i * 7 + d * 13) % 11 - 5).toFloat / 5f))
+    }.toDF("vec_id", "label", "embedding")
+    val fixed = Similarity.hardNegatives(vecs, "vec_id", "label",
+      "embedding", k = 2, bits = Similarity.sizedBits(24), probeHamming = 1)
+      .orderBy("vec_id", "rank").collect()
+    val auto = Similarity.hardNegativesAuto(vecs, "vec_id", "label",
+      "embedding", k = 2, probeHamming = 1)
+      .orderBy("vec_id", "rank").collect()
+    assert(fixed.length == auto.length && fixed.nonEmpty)
+    fixed.zip(auto).foreach { case (f, a) => assert(f == a) }
+  }
+
+  test("substringDedup strips a planted 100-token passage everywhere but first") {
+    val passage = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma"),
+      (2L, s"unrelated opening words $passage trailing text"),
+      (3L, s"another prefix here $passage"),
+      (4L, "no shared content in this document at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", l = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 is the global first occurrence: passage kept intact
+    assert(out(1L).getAs[String]("clean_text") ==
+      s"alpha beta $passage gamma")
+    assert(out(1L).getAs[Long]("n_tokens_removed") == 0L)
+    // docs 2 and 3 lose exactly the 100 planted tokens, keep their own
+    assert(out(2L).getAs[String]("clean_text") ==
+      "unrelated opening words trailing text")
+    assert(out(2L).getAs[Long]("n_tokens_removed") == 100L)
+    assert(out(3L).getAs[String]("clean_text") == "another prefix here")
+    assert(out(3L).getAs[Long]("n_tokens_removed") == 100L)
+    // untouched doc passes through verbatim
+    assert(out(4L).getAs[Long]("n_tokens_removed") == 0L)
+    assert(out(4L).getAs[String]("clean_text") ==
+      "no shared content in this document at all")
+  }
+
+  test("substringDedup keeps first occurrence of an intra-doc repeat") {
+    // the same 4-token run repeated 3x INSIDE one doc: occurrences 2 and 3
+    // are stripped (distinct-doc boilerplate thresholds cannot see this)
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4 mid x1 x2 x3 x4 mid2 x1 x2 x3 x4 end"),
+      (2L, "completely different words over here friend")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", l = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") ==
+      "x1 x2 x3 x4 mid mid2 end")
+    assert(out(1L).getAs[Long]("n_tokens_removed") == 8L)
+    assert(out(2L).getAs[Long]("n_tokens_removed") == 0L)
   }
 
   test("duplicatedPassages localizes cross-doc spans and merges islands") {
