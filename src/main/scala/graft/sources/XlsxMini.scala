@@ -220,29 +220,41 @@ object XlsxMini {
   private def readWorkbookIndex(path: Path): Seq[(String, String)] = {
     val zf = new ZipFile(path.toFile)
     try {
-      val rels = mutable.Map[String, String]()
-      Option(zf.getEntry("xl/_rels/workbook.xml.rels")).foreach { e =>
-        val r = xmlReader(zf, e)
-        while (r.hasNext) {
-          if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
-            rels(attr(r, "Id")) = attr(r, "Target").stripPrefix("/xl/")
-        }
-        r.close()
-      }
-      val sheets = mutable.ArrayBuffer[(String, String)]()
-      Option(zf.getEntry("xl/workbook.xml")).foreach { e =>
-        val r = xmlReader(zf, e)
-        while (r.hasNext) {
-          if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
-            val name = attr(r, "name")
-            val rid = attr(r, "id")
-            sheets += name -> rels.getOrElse(rid, s"worksheets/sheet${sheets.length + 1}.xml")
-          }
-        }
-        r.close()
-      }
-      sheets.toSeq
+      def bytes(name: String): Option[Array[Byte]] =
+        Option(zf.getEntry(name)).map(e => zf.getInputStream(e).readAllBytes())
+      sheetIndexFromParts(bytes("xl/workbook.xml"),
+        bytes("xl/_rels/workbook.xml.rels"))
     } finally zf.close()
+  }
+
+  /** Sheet list parsed from already-extracted workbook XML parts — the
+    * entry point for the DSv2 source's central-directory read path, which
+    * fetches ONLY these two small parts over a seekable remote stream
+    * instead of copying the whole archive. */
+  def sheetIndexFromParts(workbookXml: Option[Array[Byte]],
+      relsXml: Option[Array[Byte]]): Seq[(String, String)] = {
+    val rels = mutable.Map[String, String]()
+    relsXml.foreach { b =>
+      val r = xmlReader(b)
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship")
+          rels(attr(r, "Id")) = attr(r, "Target").stripPrefix("/xl/")
+      }
+      r.close()
+    }
+    val sheets = mutable.ArrayBuffer[(String, String)]()
+    workbookXml.foreach { b =>
+      val r = xmlReader(b)
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          val name = attr(r, "name")
+          val rid = attr(r, "id")
+          sheets += name -> rels.getOrElse(rid, s"worksheets/sheet${sheets.length + 1}.xml")
+        }
+      }
+      r.close()
+    }
+    sheets.toSeq
   }
 
   private def readSharedStrings(zf: ZipFile): Vector[String] = {
@@ -404,6 +416,13 @@ object XlsxMini {
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.createXMLStreamReader(zf.getInputStream(e), "UTF-8")
+  }
+
+  private def xmlReader(bytes: Array[Byte]) = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes), "UTF-8")
   }
 
   private def attr(r: javax.xml.stream.XMLStreamReader, name: String): String = {

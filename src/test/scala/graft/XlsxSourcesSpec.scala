@@ -301,4 +301,93 @@ class XlsxSourcesSpec extends SparkSpec {
     assert(rows(0).getBoolean(1))
     assert(rows(1).isNullAt(1)) // type-contradicting cell → null, not a crash
   }
+
+  test("ZipCentral extracts workbook parts via ranged central-directory reads") {
+    val p = tmp.resolve("zc.xlsx")
+    XlsxMini.write(p, Seq(
+      Sheet("Alpha", grid(Seq("a"), Seq(1.0))),
+      Sheet("Beta", grid(Seq("b"), Seq(2.0)))))
+    val raf = new java.io.RandomAccessFile(p.toFile, "r")
+    try {
+      val parts = graft.sources.ZipCentral.readEntries(raf.length(),
+        (pos, buf) => { raf.seek(pos); raf.readFully(buf) },
+        Set("xl/workbook.xml", "xl/_rels/workbook.xml.rels"))
+      assert(parts.keySet ==
+        Set("xl/workbook.xml", "xl/_rels/workbook.xml.rels"))
+      val names = XlsxMini.sheetIndexFromParts(parts.get("xl/workbook.xml"),
+        parts.get("xl/_rels/workbook.xml.rels")).map(_._1)
+      assert(names == Seq("Alpha", "Beta")) // matches the full-zip listing
+      assert(names == XlsxMini.sheetNames(p))
+    } finally raf.close()
+  }
+
+  test("DSv2 lineage filters prune (file, sheet) partitions at planning") {
+    val dir = tmp
+    Seq("a", "b", "c").foreach { f =>
+      XlsxMini.write(dir.resolve(s"$f.xlsx"), Seq(
+        Sheet("S1", grid(Seq("id"), Seq(1.0))),
+        Sheet("S2", grid(Seq("id"), Seq(2.0)))))
+    }
+    val df = spark.read.format("graft-xlsx").load(dir.toString)
+    assert(df.rdd.getNumPartitions == 6) // 3 files x 2 sheets
+    import org.apache.spark.sql.functions.col
+    val bySheet = df.filter(col("source_sheet") === "S1")
+    assert(bySheet.rdd.getNumPartitions == 3) // one per file
+    assert(bySheet.count() == 3)
+    val byFile = df.filter(col("source_file") === "b.xlsx")
+    assert(byFile.rdd.getNumPartitions == 2) // one per sheet
+    val both = df.filter(col("source_file") === "b.xlsx" &&
+      col("source_sheet") === "S2")
+    assert(both.rdd.getNumPartitions == 1)
+    assert(both.collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+    // membership filters prune too
+    val inSet = df.filter(col("source_file").isin("a.xlsx", "c.xlsx"))
+    assert(inSet.rdd.getNumPartitions == 4)
+    assert(inSet.count() == 4)
+  }
+
+  test("DSv2 inferAll unions headers across files; conflicts widen to string") {
+    val dir = tmp
+    // first file LACKS 'extra' — default first-file inference would drop
+    // it everywhere; second file types 'id' as string → conflict
+    XlsxMini.write(dir.resolve("a1.xlsx"), Seq(
+      Sheet("S", grid(Seq("id"), Seq(1.0)))))
+    XlsxMini.write(dir.resolve("b2.xlsx"), Seq(
+      Sheet("S", grid(Seq("id", "extra"), Seq("two", 9.0)))))
+    val plain = spark.read.format("graft-xlsx").load(dir.toString)
+    assert(!plain.schema.fieldNames.contains("extra")) // documented foot-gun
+    val df = spark.read.format("graft-xlsx")
+      .option("inferAll", true).load(dir.toString)
+    assert(df.schema.map(f => f.name -> f.dataType.typeName) == Seq(
+      "id" -> "string", // double vs string conflict → string
+      "extra" -> "double",
+      "source_file" -> "string", "source_sheet" -> "string"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1", "two"))
+    assert(rows(0).isNullAt(1)) // a1.xlsx has no 'extra'
+    assert(rows(1).getDouble(1) == 9.0)
+  }
+
+  test("DSv2 failfast mode errors on a type-contradicting cell") {
+    val dir = tmp
+    XlsxMini.write(dir.resolve("poison.xlsx"), Seq(
+      Sheet("S", grid(Seq("id", "flag"), Seq(1.0, true), Seq(2.0, "oops")))))
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.BooleanType)))
+    val read = spark.read.format("graft-xlsx").schema(sch)
+      .option("mode", "failfast").load(dir.toString)
+    val e = intercept[Exception](read.collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("failfast"))), e.toString)
+    // permissive default on the same file still nulls
+    val ok = spark.read.format("graft-xlsx").schema(sch)
+      .load(dir.toString).orderBy("id").collect()
+    assert(ok(1).isNullAt(1))
+  }
 }
