@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   * Cache lifetime (deliberate): the `persist()`ed edge/seed frames back
   * every iteration of a lazy result, so the operators cannot unpersist
   * them before the caller acts on the frame. They stay cached until
-  * Spark's LRU evicts them; a long-lived service should
-  * `spark.catalog.clearCache()` between unrelated jobs.
+  * Spark's LRU evicts them; a long-lived service should scope jobs in
+  * [[Caches.withCaches]] (unpersists exactly the caches the job created)
+  * or `spark.catalog.clearCache()` between unrelated jobs.
   */
 object Graph {
 

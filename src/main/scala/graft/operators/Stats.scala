@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * evicts them, so repeated invocations on the same session reuse nothing
   * stale but do hold a few KB each. The operators return LAZY frames, so
   * they cannot unpersist on the caller's behalf; a long-lived service
-  * should call `spark.catalog.clearCache()` between unrelated jobs.
+  * should scope jobs in [[Caches.withCaches]] (unpersists exactly the
+  * caches the job created) or, bluntly, `spark.catalog.clearCache()`
+  * between unrelated jobs.
   */
 object Stats {
 
@@ -227,13 +229,34 @@ object Stats {
     * Laplace CDF. The ln output quantizes to DECIMAL(24,12) before the
     * scale multiply (the [[graft.functions.Curation]] DSIR discipline:
     * downstream arithmetic is exact decimal, engine-portable). One grouped
-    * count + map-side expressions — |groups| rows, never the fact size. */
+    * count + map-side expressions — |groups| rows, never the fact size.
+    *
+    * HARD preconditions for the e^ε guarantee (determinism trades them in):
+    *  - '''the seed is secret.''' Noise is a public function of
+    *    (seed, group); anyone who learns the seed denoises every released
+    *    count exactly.
+    *  - '''one seed ↔ one dataset version.''' Releasing two ADJACENT
+    *    datasets (one row added/removed) under the same seed draws
+    *    IDENTICAL noise per group, so the difference of the two releases
+    *    reveals the exact count delta — a textbook differencing attack.
+    *    Bind the seed to the snapshot it releases: pass the snapshot id
+    *    as `datasetVersion` (mixed into the noise input as
+    *    "seed:version"), or mint a fresh secret seed per version.
+    *  - '''track cumulative ε.''' Distinct seeds over the same data
+    *    compose: ε adds up. [[PrivacyLedger]] wraps this primitive with
+    *    budget accounting and refuses over-budget releases.
+    * (A keyed PRF — HMAC under a secret key — would carry the same
+    * structure; md5 here is the engine-portability compromise, which is
+    * exactly why the seed must be treated as the key.) */
   def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
-      seed: String): DataFrame = {
+      seed: String, datasetVersion: String = ""): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
+    // version-bound tag; the empty default keeps pre-versioned releases
+    // (and their oracles) byte-stable
+    val tag = if (datasetVersion.isEmpty) seed else s"$seed:$datasetVersion"
     // (h + 0.5)/2^24 − 0.5 ∈ (−0.5, 0.5): the half-up offset keeps both
     // endpoints open, so ln(1 − 2|u|) is always finite
-    val u = ((conv(substring(md5(concat(lit(seed + ":"),
+    val u = ((conv(substring(md5(concat(lit(tag + ":"),
         col(groupCol).cast("string"))), 1, 6), 16, 10).cast("double") +
       lit(0.5)) / lit(16777216.0)) - lit(0.5)
     // decimal widths chosen so every op is EXACT (no precision-loss

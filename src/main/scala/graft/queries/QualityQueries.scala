@@ -1222,7 +1222,34 @@ object QualityQueries {
       .orderBy("doc_id")
   }
 
+  // Budget-accounted DP release through the PrivacyLedger, version-bound:
+  // the noise input is "seed:datasetVersion:group", so two ADJACENT
+  // snapshots can never share a noise stream (the differencing-attack
+  // fix), and the ledger refuses over-budget spends before any frame is
+  // built (spec-gated; refusal is driver-side control flow). The oracle
+  // replays the tagged md5 stream and the exact decimal release
+  // arithmetic — the x166 replay with the bound tag.
+  private val x170 = Q("x170_dp_budgeted_release", Some(
+    """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |u AS (SELECT event_type, n,
+      |  ((('0x' || substring(md5('dp2:v1:' || event_type), 1, 6))::BIGINT
+      |     + 0.5) / 16777216.0) - 0.5 AS uu FROM g),
+      |q AS (SELECT event_type, n, uu,
+      |  CAST(ln(1 - 2 * abs(uu)) AS DECIMAL(20,14)) AS lnq FROM u)
+      |SELECT event_type,
+      |  round(CAST(CASE WHEN uu >= 0
+      |    THEN CAST(n AS DECIMAL(14,0)) + (-lnq) * CAST(2.0 AS DECIMAL(10,4))
+      |    ELSE CAST(n AS DECIMAL(14,0)) - (-lnq) * CAST(2.0 AS DECIMAL(10,4))
+      |    END AS DOUBLE), 4) AS n_released,
+      |  CAST(0.5 AS DOUBLE) AS epsilon
+      |FROM q ORDER BY event_type""".stripMargin)) { (s, dir) =>
+    new graft.operators.PrivacyLedger(budget = 1.0)
+      .release(Tables.events(s, dir), "event_type", epsilon = 0.5,
+        seed = "dp2", datasetVersion = "v1")
+      .orderBy("event_type")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
-    x157, x161, x162, x163, x164, x165, x166, x167, x168, x169)
+    x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170)
 }

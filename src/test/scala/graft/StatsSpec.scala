@@ -415,5 +415,58 @@ class StatsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Stats.dpCounts(df, "g", epsilon = 0.0, seed = "s"))
     assert(e.getMessage.contains("epsilon"))
+    // binding the seed to a dataset version changes the noise stream —
+    // adjacent snapshots under one seed no longer share noise
+    val v1 = Stats.dpCounts(df, "g", 0.5, "s1", datasetVersion = "v1")
+      .orderBy("g").collect()
+    assert(v1.map(_.getDouble(1)).toSeq != r1.map(_.getDouble(1)).toSeq)
+  }
+
+  test("PrivacyLedger spends per release, replays free, refuses over budget") {
+    val df = (Seq.fill(10)("a") ++ Seq.fill(5)("b")).toDF("g")
+    val ledger = new graft.operators.PrivacyLedger(budget = 1.0)
+    val first = ledger.release(df, "g", epsilon = 0.6, seed = "s1",
+      datasetVersion = "v1").orderBy("g").collect()
+    assert(ledger.spent("v1") == 0.6)
+    // replaying the SAME (version, seed, eps) is free and bit-identical
+    val replay = ledger.release(df, "g", 0.6, "s1", "v1")
+      .orderBy("g").collect()
+    assert(replay.map(_.getDouble(1)).toSeq ==
+      first.map(_.getDouble(1)).toSeq)
+    assert(ledger.spent("v1") == 0.6)
+    // a second seed against the same version would cross 1.0 → refused
+    // BEFORE any frame is built
+    val e = intercept[IllegalStateException](
+      ledger.release(df, "g", 0.6, "s2", "v1"))
+    assert(e.getMessage.contains("budget exhausted"), e.getMessage)
+    assert(ledger.spent("v1") == 0.6) // refusal spends nothing
+    // a smaller release still fits; other versions are independent
+    ledger.release(df, "g", 0.4, "s3", "v1")
+    assert(math.abs(ledger.remaining("v1")) < 1e-9)
+    ledger.release(df, "g", 0.9, "s1", "v2")
+    assert(ledger.spent("v2") == 0.9)
+  }
+
+  test("Caches.withCaches frees exactly the caches the block created") {
+    val sc = spark.sparkContext
+    // a pre-existing cache must survive the scope
+    val outer = Seq(1, 2, 3).toDF("x").persist()
+    outer.count()
+    val before = sc.getPersistentRDDs.size
+    graft.operators.Caches.withCaches(spark) {
+      // correlationTest/chi-square persist contingency cells internally;
+      // materialize through an action inside the scope
+      val inner = Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v")
+        .persist()
+      assert(inner.count() == 3)
+      assert(sc.getPersistentRDDs.size > before)
+    }
+    // scope exit released the inner cache (async unpersist — poll briefly)
+    val deadline = System.currentTimeMillis + 10000
+    while (sc.getPersistentRDDs.size > before &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(sc.getPersistentRDDs.size == before)
+    assert(sc.getPersistentRDDs.nonEmpty) // outer cache untouched
+    outer.unpersist()
   }
 }
