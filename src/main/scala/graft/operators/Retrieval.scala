@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over a document corpus: Okapi BM25 scoring, reciprocal-
+  * rank fusion of heterogeneous rankings (sparse + dense hybrid search),
+  * and nDCG ranking evaluation. Completes the search-side family next to
+  * the inverted index (TextAnalysis.invertedIndex) and the ANN operators
+  * (Similarity.bruteForceTopKBatch / ivfTopK): index → score → fuse →
+  * evaluate.
+  *
+  * Reference scope: the reference has no retrieval layer; this is part of
+  * the beyond-reference training-data toolkit (retrieval-based curation —
+  * e.g. mining in-domain docs by querying the corpus — needs exactly
+  * BM25 + dense fusion at corpus scale).
+  *
+  * 100 TB design, shared by all three: the corpus side only ever flows
+  * through hash aggregates and equi-joins on (doc, token) keys; the query
+  * side is broadcast (queries are human-scale); top-k uses a rank window
+  * that Spark plans as `WindowGroupLimit`, so each map task forwards at
+  * most k rows per query into the shuffle.
+  */
+object Retrieval {
+
+  /** ln 2 as the shortest-round-trip double literal, hard-coded (not
+    * `math.log(2.0)`) so the DuckDB oracle can spell the bit-identical
+    * constant. */
+  private val Ln2: Double = 0.6931471805599453
+
+  /** Okapi BM25 top-k: score every corpus document against every query and
+    * keep the k best per query.
+    *
+    * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with the standard Robertson–Spärck Jones idf
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — always positive, so a
+    * stop-word can never subtract relevance. Query-side term frequency is
+    * ignored (distinct query terms), the classic short-query form.
+    *
+    * Determinism discipline: each per-term score is quantized to
+    * DECIMAL(28,18) BEFORE the per-(query, doc) sum, so aggregation order
+    * cannot move the result (the unigramPerplexity pattern); ties on the
+    * final score break by document id.
+    *
+    * Plan shape (the 100 TB story): one corpus tokenize → one (doc, tok)
+    * hash aggregate with map-side combine; document length via a window
+    * sum over the SAME shuffle key (no second scan); document frequency is
+    * an aggregate of the tf frame (already distinct (doc, tok) pairs —
+    * never re-reads text). The query-term frame and the 1-row corpus
+    * stats frame broadcast. Matching is an equi-join on `token`, so the
+    * work is Σ |postings(t)| over query terms — the inverted-index access
+    * pattern — not |corpus| × |queries|.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(Dedup.words(col(textCol))).as("token"))
+    val tf = toks.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc")))
+    // df is an aggregate of the (already distinct) (doc, token) frame; the
+    // tf lineage is corpus-sized so it is recomputed for this branch rather
+    // than checkpointed — two linear corpus passes total, pinned, plus the
+    // scan-only stats aggregate below.
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // 1-row corpus stats (N, Σdl) straight off the docs scan: a pure
+    // aggregate, no shuffle. N counts every corpus doc (token-free docs
+    // included), the standard convention.
+    val stats = docs.select(size(Dedup.words(col(textCol))).cast("long")
+        .as("__dl"))
+      .agg(count(lit(1)).as("n_corpus"), sum(col("__dl")).as("total_dl"))
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val term =
+      (log(lit(1.0) +
+        (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+            (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
+        .cast("decimal(28,18)")
+    val scored = tf.join(qTerms, "token")
+      .join(broadcast(dfreq.join(qTerms.select("token").distinct(), "token")),
+        "token")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc")
+      .agg(sum(term).as("__s"), count(lit(1)).as("matched_terms"))
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge N rankings of the
+    * same item space into one, score(q, i) = Σ_lists 1/(kRrf + rank). The
+    * standard way to combine BM25 with dense ANN results — rank-based, so
+    * incomparable score scales (BM25 logs vs cosines) never matter.
+    *
+    * Each contribution is emitted as the exact integer
+    * ⌊10⁹/(kRrf + rank)⌋ and summed in integer space (`rrf_ppb`), so the
+    * fused ordering is bit-stable across engines and aggregation orders —
+    * no floating-point fusion drift. Ties break by item id.
+    *
+    * Plan: union of the rankings (already ≤ k·|queries| rows each — tiny
+    * relative to the corpus scans that produced them) → one hash aggregate
+    * on (query, item) → per-query rank window. Scales with the number of
+    * RANKED rows, never the corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, itemCol: String,
+      rankCol: String, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1 && topK >= 1, "kRrf and topK must be >= 1")
+    val norm = rankings.map(_.select(col(queryCol).as("query_id"),
+      col(itemCol).as("item_id"), col(rankCol).cast("long").as("__rank"))
+      .select(col("query_id"), col("item_id"),
+        expr(s"1000000000 div ($kRrf + __rank)").as("contrib")))
+    val fused = norm.reduce(_.unionByName(_))
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("contrib")).as("rrf_ppb"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf_ppb"), col("item_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** nDCG@k: quality of a ranking against graded relevance labels.
+    * DCG = Σ_{r≤k} rel(r)/log₂(r+1) over the ranking; IDCG re-ranks the
+    * query's full relevance set (best-first, id tie-break) and applies the
+    * same discount — so nDCG = 1 iff the top-k is a best-possible prefix.
+    * Items missing from `truth` count rel = 0 (standard convention).
+    *
+    * Per-position gains are quantized to DECIMAL(28,18) before both sums
+    * (order-free), the final ratio is one double division rounded to 4.
+    * The log₂ discount is spelled `rel / ln(r+1) · ln2` with ln2 as an
+    * explicit double literal: engines' `log2()` builtins may differ from
+    * `ln(x)/ln(2)` in the last ulp, while plain `ln` parity is load-bearing
+    * across this whole registry (x28/x113).
+    * Queries with an all-zero relevance set report ndcg = NULL (0/0) —
+    * surfaced, not dropped, so an evaluation can't silently shrink its
+    * query set.
+    *
+    * Plan: ranked ⟕ truth equi-join on (query, item); IDCG is a rank
+    * window over truth (WindowGroupLimit caps it at k rows per query
+    * pre-shuffle); one aggregate each side + a final equi-join on query.
+    * Everything is sized by |rankings| + |truth|, never the corpus. */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, itemCol: String,
+      rankCol: String, truth: DataFrame, truthQueryCol: String,
+      truthItemCol: String, relCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val gains = ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(itemCol).as("item_id"),
+        col(rankCol).cast("long").as("__r"))
+      .join(truth.select(col(truthQueryCol).as("query_id"),
+          col(truthItemCol).as("item_id"),
+          col(relCol).cast("double").as("__rel")),
+        Seq("query_id", "item_id"), "left")
+      .withColumn("__g", (coalesce(col("__rel"), lit(0.0)) /
+        log(col("__r").cast("double") + lit(1.0)) * lit(Ln2))
+        .cast("decimal(28,18)"))
+      .groupBy("query_id")
+      .agg(sum(col("__g")).as("__dcg"), count(lit(1)).as("n_ranked"))
+    val iw = Window.partitionBy("query_id")
+      .orderBy(desc("__rel"), col("item_id"))
+    val ideal = truth.select(col(truthQueryCol).as("query_id"),
+        col(truthItemCol).as("item_id"), col(relCol).cast("double").as("__rel"))
+      .filter(col("__rel") > 0)
+      .withColumn("__ir", row_number().over(iw))
+      .filter(col("__ir") <= k)
+      .withColumn("__g", (col("__rel") /
+        log(col("__ir").cast("double") + lit(1.0)) * lit(Ln2))
+        .cast("decimal(28,18)"))
+      .groupBy("query_id")
+      .agg(sum(col("__g")).as("__idcg"), count(lit(1)).as("n_relevant"))
+    gains.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ranked"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        round(col("__dcg").cast("double"), 4).as("dcg"),
+        round(coalesce(col("__idcg").cast("double"), lit(0.0)), 4).as("idcg"),
+        round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4)
+          .as("ndcg"))
+  }
+}

@@ -54,7 +54,7 @@ object Tables {
   * query can never ship without its oracle decision. */
 object Registry {
   lazy val all: Seq[Q] =
-    CoreQueries.qs ++ CombineQueries.qs ++ YoutubeQueries.qs ++ SourceSinkQueries.qs ++ ScaleQueries.qs ++ HeaderQueries.qs ++ ApiSourceQueries.qs ++ LifecycleQueries.qs ++ EventQueries.qs ++ AnalyticsQueries.qs ++ TrainingQueries.qs ++ WarehouseQueries.qs ++ TpchQueries.qs ++ StatsQueries.qs ++ LinkageQueries.qs ++ QualityQueries.qs ++ ModernSqlQueries.qs
+    CoreQueries.qs ++ CombineQueries.qs ++ YoutubeQueries.qs ++ SourceSinkQueries.qs ++ ScaleQueries.qs ++ HeaderQueries.qs ++ ApiSourceQueries.qs ++ LifecycleQueries.qs ++ EventQueries.qs ++ AnalyticsQueries.qs ++ TrainingQueries.qs ++ WarehouseQueries.qs ++ TpchQueries.qs ++ StatsQueries.qs ++ LinkageQueries.qs ++ QualityQueries.qs ++ ModernSqlQueries.qs ++ RetrievalQueries.qs
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
     require(names.distinct.length == names.length,

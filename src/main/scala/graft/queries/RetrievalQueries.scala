@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.operators.{Retrieval, Similarity}
+import org.apache.spark.sql.functions._
+
+import Tables.t
+
+/** Round-7 retrieval family: BM25 ranked search, reciprocal-rank fusion of
+  * sparse + dense rankings (hybrid search), and nDCG ranking evaluation.
+  * Every oracle replays the full scoring pipeline in DuckDB — identical
+  * tokenization, the same IEEE op sequence per term, DECIMAL(28,18)
+  * quantization before every order-sensitive sum, and id tie-breaks at
+  * every rank boundary. */
+object RetrievalQueries {
+
+  /** DuckDB twin of Dedup.words over a column named `text`. */
+  private val WORDS =
+    """list_filter(string_split_regex(regexp_replace(lower(text),
+      |  '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')""".stripMargin
+
+  /** The BM25 scoring CTE chain (k1 = 1.2, b = 0.75): corpus = documents
+    * with doc_id >= 5, queries = documents with doc_id < `nQueries`. Ends
+    * at `ranked(query_id, doc_id, score, matched_terms, rank)` with rank
+    * <= `k`. Mirrors Retrieval.bm25TopK term for term. */
+  private def bm25Cte(nQueries: Int, k: Int): String =
+    s"""ct AS (
+       |  SELECT doc_id AS doc, u.w AS token
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE doc_id >= 5),
+       |    unnest(ws) AS u(w)),
+       |tf AS (SELECT doc, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+       |tfdl AS (
+       |  SELECT doc, token, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |stats AS (
+       |  SELECT count(*) AS n_corpus,
+       |    CAST(sum(len($WORDS)) AS BIGINT) AS total_dl
+       |  FROM documents WHERE doc_id >= 5),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, u.w AS token
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
+       |        WHERE doc_id < $nQueries), unnest(ws) AS u(w)),
+       |terms AS (
+       |  SELECT qt.query_id, tfdl.doc,
+       |    CAST(ln(1.0::DOUBLE +
+       |        (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5::DOUBLE)
+       |        / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+       |      * (CAST(tf AS DOUBLE) * 2.2::DOUBLE)
+       |      / (CAST(tf AS DOUBLE) + 1.2::DOUBLE *
+       |          (0.25::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+       |            / (CAST(total_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+       |      AS DECIMAL(28,18)) AS term
+       |  FROM tfdl JOIN qt USING (token) JOIN dfq USING (token), stats),
+       |scored AS (
+       |  SELECT query_id, doc, sum(term) AS s,
+       |    CAST(count(*) AS BIGINT) AS matched_terms
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc AS doc_id, round(CAST(s AS DOUBLE), 4) AS score,
+       |    matched_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc) AS INT) AS rank
+       |  FROM scored QUALIFY rank <= $k)""".stripMargin
+
+  // BM25 top-5 per query: 5 query docs against the rest of the corpus.
+  // The oracle replays tokenize → tf → windowed dl → df → the exact
+  // Robertson idf × saturation term (same op order, DECIMAL-quantized
+  // before the per-(query, doc) sum) → the id-tiebroken rank boundary.
+  private val x171 = Q("x171_bm25_topk", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.bm25TopK(d.filter(col("doc_id") >= 5), "doc_id", "text",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // Hybrid search: BM25 top-20 over documents fused with dense cosine
+  // top-20 over embeddings by reciprocal-rank fusion (integer ⌊10⁹/(60+r)⌋
+  // contributions — bit-stable fusion, no float scales to reconcile).
+  // Item spaces overlap only partially (vec ids are a subset of doc ids)
+  // — exactly the real hybrid-search shape. The oracle replays BOTH
+  // rankings end to end and the integer fusion arithmetic.
+  private val x172 = Q("x172_hybrid_rrf", Some(
+    s"""WITH ${bm25Cte(nQueries = 3, k = 20)},
+       |dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id < 3),
+       |dr AS (
+       |  SELECT query_id, vec_id AS item_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+       |      list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+       |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |           CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv)))
+       |      DESC, vec_id) AS INT) AS rank
+       |  FROM embeddings, dq WHERE vec_id >= 5
+       |  QUALIFY rank <= 20),
+       |contribs AS (
+       |  SELECT query_id, doc_id AS item_id, 1000000000 // (60 + rank) AS c
+       |  FROM ranked
+       |  UNION ALL
+       |  SELECT query_id, item_id, 1000000000 // (60 + rank) FROM dr),
+       |fused AS (
+       |  SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_ppb,
+       |    CAST(count(*) AS BIGINT) AS n_lists
+       |  FROM contribs GROUP BY 1, 2)
+       |SELECT query_id, item_id, rrf_ppb, n_lists,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_ppb DESC, item_id) AS INT) AS rank
+       |FROM fused QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val sparse = Retrieval.bm25TopK(d.filter(col("doc_id") >= 5), "doc_id",
+          "text", d.filter(col("doc_id") < 3), "doc_id", "text", k = 20)
+        .select(col("query_id"), col("doc_id").as("item"), col("rank"))
+      val dense = Similarity.bruteForceTopKBatch(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", k = 20)
+        .select(col("query_id"), col("vec_id").as("item"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), "query_id", "item", "rank",
+          kRrf = 60, topK = 10)
+        .orderBy("query_id", "rank")
+  }
+
+  // Ranking evaluation: nDCG@10 of the exact dense ranking, with relevance
+  // = shared cluster label (the embeddings fixture's ground truth). The
+  // oracle replays the cosine ranking, the rel join, both DECIMAL-quantized
+  // discounted sums (ln-based log₂ with a shared ln2 literal), and the
+  // ideal re-rank.
+  private val x173 = Q("x173_ndcg_label", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+      |             label AS qlabel
+      |           FROM embeddings WHERE vec_id < 5),
+      |ranked AS (
+      |  SELECT query_id, qlabel, vec_id AS item_id, label,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+      |      list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+      |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |           CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv)))
+      |      DESC, vec_id) AS INT) AS r
+      |  FROM embeddings, q WHERE vec_id >= 5
+      |  QUALIFY r <= 10),
+      |dcg AS (
+      |  SELECT query_id,
+      |    sum(CAST(CASE WHEN label = qlabel THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+      |      / ln(CAST(r AS DOUBLE) + 1.0::DOUBLE) * 0.6931471805599453
+      |      AS DECIMAL(28,18))) AS dcg_d,
+      |    CAST(count(*) AS BIGINT) AS n_ranked
+      |  FROM ranked GROUP BY query_id),
+      |rel AS (
+      |  SELECT q.query_id, e.vec_id AS item_id,
+      |    CAST(row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY e.vec_id) AS INT) AS ir
+      |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id >= 5),
+      |idcg AS (
+      |  SELECT query_id,
+      |    sum(CAST(1.0::DOUBLE / ln(CAST(ir AS DOUBLE) + 1.0::DOUBLE)
+      |      * 0.6931471805599453 AS DECIMAL(28,18))) AS idcg_d,
+      |    CAST(count(*) AS BIGINT) AS n_relevant
+      |  FROM rel WHERE ir <= 10 GROUP BY query_id)
+      |SELECT d.query_id, d.n_ranked, i.n_relevant,
+      |  round(CAST(d.dcg_d AS DOUBLE), 4) AS dcg,
+      |  round(CAST(i.idcg_d AS DOUBLE), 4) AS idcg,
+      |  round(CAST(d.dcg_d AS DOUBLE) / CAST(i.idcg_d AS DOUBLE), 4) AS ndcg
+      |FROM dcg d JOIN idcg i USING (query_id)
+      |ORDER BY query_id""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ranked = Similarity.bruteForceTopKBatch(corpus, "vec_id", "embedding",
+      queries, "vec_id", k = 10)
+    val truth = queries.select(col("vec_id").as("qid"), col("label"))
+      .join(corpus.select(col("vec_id").as("item"), col("label")), "label")
+      .select(col("qid"), col("item"), lit(1.0).as("rel"))
+    Retrieval.ndcgAtK(ranked, "query_id", "vec_id", "rank",
+        truth, "qid", "item", "rel", k = 10)
+      .orderBy("query_id")
+  }
+
+  val qs: Seq[Q] = Seq(x171, x172, x173)
+}

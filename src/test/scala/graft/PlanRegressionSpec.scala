@@ -480,6 +480,25 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("x171 BM25 broadcasts the query side and caps top-k pre-shuffle") {
+    val p = plan("x171_bm25_topk")
+    // query-term frame and per-term df/stats frames ride broadcasts; the
+    // only non-broadcast joins key on (doc, token)-derived columns
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "query terms + df/stats must broadcast:\n" + p.take(900))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must cap rows before the rank shuffle:\n" + p.take(900))
+    assert(!p.contains("CartesianProduct"),
+      "corpus × queries must never cross-join:\n" + p.take(900))
+  }
+
+  test("x172 RRF fusion aggregates partially before the (query,item) shuffle") {
+    val p = plan("x172_hybrid_rrf")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "fusion sum must map-side combine:\n" + p.take(900))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")

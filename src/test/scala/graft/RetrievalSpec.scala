@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 / RRF-fusion / nDCG semantics on controlled fixtures (x171–x173
+  * gate the testdata-scale paths). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (10L, "apple banana cherry apple"),
+    (11L, "apple apple apple apple apple apple apple apple"),
+    (12L, "dog cat mouse"),
+    (13L, "banana cherry"),
+    (14L, "")).toDF("doc_id", "text")
+
+  test("bm25TopK ranks term-matching docs, skips non-matching, breaks ties by id") {
+    val queries = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", queries,
+      "doc_id", "text", k = 10).orderBy("rank").collect()
+    // doc 12 (no shared term) and doc 14 (empty) must be absent
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 11L, 13L))
+    // doc 10 matches both query terms; 11 and 13 match one each
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("matched_terms")).toMap
+    assert(byDoc == Map(10L -> 2L, 11L -> 1L, 13L -> 1L))
+    assert(out.head.getAs[Long]("doc_id") == 10L)
+    // ranks are 1..n and scores are non-increasing
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25TopK length normalization: term spam in a long doc saturates") {
+    // doc 11 has 8× the tf of doc 13's single 'banana' but is long; with
+    // the default b=0.75 a short doc with one hit still outranks pure
+    // repetition spam for a one-term query matched by both
+    val queries = Seq((1L, "apple")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", queries,
+      "doc_id", "text", k = 10).collect()
+    val scores = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("score")).toMap
+    // saturation: 8 occurrences score < 8× one occurrence
+    assert(scores(11L) < 8 * scores(10L))
+  }
+
+  test("rrfFuse merges overlapping rankings, integer-exact, id tie-breaks") {
+    val a = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("q", "item", "r")
+    val b = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("q", "item", "r")
+    val out = Retrieval.rrfFuse(Seq(a, b), "q", "item", "r", kRrf = 60,
+      topK = 10).orderBy("rank").collect()
+    val rows = out.map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("rrf_ppb"),
+      r.getAs[Long]("n_lists"), r.getAs[Int]("rank")))
+    // 101: 1e9/62 + 1e9/61 in both lists; 100: 1e9/61; 102: 1e9/62
+    val c61 = 1000000000L / 61
+    val c62 = 1000000000L / 62
+    assert(rows.toSeq == Seq(
+      (101L, c61 + c62, 2L, 1), (100L, c61, 1L, 2), (102L, c62, 1L, 3)))
+  }
+
+  test("ndcgAtK: perfect ranking scores 1, reversed ranking scores < 1") {
+    val truth = Seq((1L, 100L, 1.0), (1L, 101L, 1.0)).toDF("q", "item", "rel")
+    val perfect = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
+      .toDF("q", "item", "r")
+    val bad = Seq((1L, 102L, 1), (1L, 103L, 2), (1L, 100L, 3), (1L, 101L, 4))
+      .toDF("q", "item", "r")
+    val p = Retrieval.ndcgAtK(perfect, "q", "item", "r", truth, "q", "item",
+      "rel", k = 10).collect().head
+    assert(p.getAs[Double]("ndcg") == 1.0)
+    assert(p.getAs[Long]("n_relevant") == 2L)
+    val g = Retrieval.ndcgAtK(bad, "q", "item", "r", truth, "q", "item",
+      "rel", k = 10).collect().head
+    assert(g.getAs[Double]("ndcg") < 1.0 && g.getAs[Double]("ndcg") > 0.0)
+  }
+
+  test("ndcgAtK: query with an empty relevance set reports null ndcg, not a drop") {
+    val truth = Seq((2L, 100L, 1.0)).toDF("q", "item", "rel")
+    val ranked = Seq((1L, 100L, 1)).toDF("q", "item", "r")
+    val out = Retrieval.ndcgAtK(ranked, "q", "item", "r", truth, "q", "item",
+      "rel", k = 10).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_relevant") == 0L)
+    assert(out.head.isNullAt(out.head.fieldIndex("ndcg")))
+  }
+}
