@@ -42,6 +42,16 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
+      // Isolation between queries: several operators persist() frames with
+      // caller-managed lifetime (Stats/Graph/Similarity document this).
+      // Without cleanup the cached blocks of ~270 queries accumulate in one
+      // JVM and the memory pressure inflates every LATER query's time —
+      // at sf1 this showed as fake 10-50× "scaling" on alphabetically late
+      // queries. clearCache drops catalog-tracked cache entries; the
+      // periodic GC lets ContextCleaner reap localCheckpoint RDD blocks
+      // whose frames have gone unreachable.
+      spark.catalog.clearCache()
+      if (timings.size % 25 == 0) System.gc()
     }
     def jd(d: Double): String = f"$d%.3f"
     val qs = timings.map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")

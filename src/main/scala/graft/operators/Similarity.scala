@@ -441,10 +441,12 @@ object Similarity {
     * uses the RAW cosine (ties → smallest neighbor id) and only the
     * reported value is quantized.
     *
-    * MEASURED recall (x168_signbucket_recall, vs bruteForceTopK ground
-    * truth, bits=8/probeHamming=1, identical at the sizedBits setting):
-    * the candidate set contains the EXACT nearest cross-vector for only
-    * 13.4% of queries at sf0.01 (16/119) and 14.3% at sf0.1 (61/426) —
+    * MEASURED recall (x168_signbucket_recall — a bounded md5-ranked
+    * 256-query sample, so the brute-force ground truth stays linear in
+    * corpus size — vs bruteForceTopK, bits=8/probeHamming=1, identical at
+    * the sizedBits setting): the candidate set contains the EXACT nearest
+    * cross-vector for only
+    * 13.4% of queries at sf0.01 (16/119) and 15.2% at sf0.1 (39/256) —
     * precisely the Hamming-≤1 fraction (arbitrary nearest neighbors
     * average Hamming ≈ 3.0 in the first 8 sign bits on this fixture).
     * Read this as the contract: sign buckets reliably surface
@@ -641,10 +643,11 @@ object Similarity {
     * patterns differ in ≥2 of the first `bits` components is missed;
     * raise `probeHamming` coverage by lowering `threshold` on a
     * confirmation pass instead of widening probes quadratically.
-    * MEASURED (x168_signbucket_recall, vs bruteForceTopK ground truth,
+    * MEASURED (x168_signbucket_recall, a bounded 256-query sample vs
+    * bruteForceTopK ground truth,
     * bits=8/probeHamming=1 and identically at sizedBits): the probed
     * buckets contain the exact nearest train vector for 13.4% of test
-    * queries at sf0.01 and 14.3% at sf0.1 — exactly the Hamming-≤1
+    * queries at sf0.01 and 15.2% at sf0.1 — exactly the Hamming-≤1
     * fraction (arbitrary nearest neighbors average Hamming ≈ 3.0 of 8
     * sign bits here). For LEAKED pairs the picture inverts: a near-copy
     * at cosine ≥ 0.95 concentrates mass on agreeing signs, and an exact

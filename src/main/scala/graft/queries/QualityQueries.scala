@@ -1078,10 +1078,13 @@ object QualityQueries {
   // cosine equality — id-tie-proof), how many had NO candidate at all
   // (the left-join row the audit must see), and recall in exact basis
   // points. Ground truth is inherently all-pairs (that is what "exact"
-  // means) — an eval harness run on a split sample, not a production
-  // path. The oracle replays the split, the exact ranking, both bucket
-  // geometries (including the in-plan width rule), and the integer
-  // recall arithmetic.
+  // means), so the query side is a bounded deterministic sample — the
+  // md5-ranked top-256 test ids — keeping the harness linear in corpus
+  // size (256 × |train|) at any SF; an uncapped query side measured
+  // quadratic (112 s at 10× data). The oracle replays the split, the
+  // sample boundary, the exact ranking, both bucket geometries
+  // (including the in-plan width rule), and the integer recall
+  // arithmetic.
   private val x168 = Q("x168_signbucket_recall", Some {
     // the range bound must stay a COLUMN reference (`bits + 1`): DuckDB
     // 1.0 constant-folds a literal bound and then fails to bind the
@@ -1119,11 +1122,17 @@ object QualityQueries {
          |    CAST(sum(CASE WHEN t.acos = ex.ecos THEN 1 ELSE 0 END) * 10000
          |      // count(*) AS BIGINT) AS recall_bps
          |  FROM ex LEFT JOIN t1_$tag t USING (qid))""".stripMargin
-    s"""WITH e AS (
+    s"""WITH e0 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    CASE WHEN ('0x' || substring(md5('spl:' || vec_id), 1, 6))::BIGINT
        |         % 10 < 8 THEN 'train' ELSE 'test' END AS split
        |  FROM embeddings),
+       |qs AS (
+       |  SELECT vec_id FROM e0 WHERE split = 'test'
+       |  ORDER BY md5('qs:' || vec_id), vec_id LIMIT 256),
+       |e AS (
+       |  SELECT * FROM e0 WHERE split = 'train'
+       |    OR vec_id IN (SELECT vec_id FROM qs)),
        |bb AS (
        |  SELECT CASE WHEN (count(*) + 7) // 8 <= 1 THEN 8
        |    ELSE least(16, greatest(8,
@@ -1154,7 +1163,16 @@ object QualityQueries {
           .cast("long") % 10 < 8, "train")
           .otherwise("test"))
     val train = emb.filter(col("split") === "train")
+    // Bounded deterministic query sample (md5-ranked top-256 test ids):
+    // ground truth is brute force, so an uncapped query side makes the
+    // harness quadratic in corpus size — with the cap its cost is
+    // 256 × |train|, linear, while staying engine-replayable
+    // (TakeOrderedAndProject; md5 keys collide never, so the boundary is
+    // tie-proof).
     val test = emb.filter(col("split") === "test")
+      .withColumn("__qk", md5(concat(lit("qs:"), col("vec_id").cast("string"))))
+      .orderBy(col("__qk"), col("vec_id")).limit(256).drop("__qk")
+    val sub = train.unionByName(test)
     val exact1 = Similarity
       .bruteForceTopKBatch(train, "vec_id", "embedding", test, "vec_id", k = 1)
       .select(col("query_id").as("qid"), round(col("cosine"), 4).as("ecos"))
@@ -1169,9 +1187,9 @@ object QualityQueries {
         .select(lit(name).as("config"), col("n_queries"),
           col("n_candidateless"), col("n_top1_found"),
           expr("n_top1_found * 10000 div n_queries").as("recall_bps"))
-    recallOf("bits8_h1", Similarity.splitLeakage(emb, "vec_id", "split",
+    recallOf("bits8_h1", Similarity.splitLeakage(sub, "vec_id", "split",
         "embedding", threshold = 0.95, bits = 8, probeHamming = 1))
-      .unionByName(recallOf("sized_auto", Similarity.splitLeakageAuto(emb,
+      .unionByName(recallOf("sized_auto", Similarity.splitLeakageAuto(sub,
         "vec_id", "split", "embedding", threshold = 0.95, probeHamming = 1)))
       .orderBy("config")
   }
