@@ -96,6 +96,70 @@ object Retrieval {
         col("matched_terms"), col("rank"))
   }
 
+  /** Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001) —
+    * the other canonical sparse scorer next to BM25. Uses the standard
+    * postings-only decomposition
+    *
+    *   score(q, d) = Σ_{t ∈ q ∩ d} qtf·ln(1 + tf·|C| / (μ·cf))
+    *               + qlen·ln(μ / (dl + μ))
+    *
+    * (cf = collection frequency of t, |C| = total corpus tokens, qtf =
+    * query term frequency, qlen = Σ qtf), which equals the full
+    * Σ_{t∈q} qtf·ln P(t|θ_d) up to a per-query constant — rank-identical —
+    * while touching only MATCHING (doc, token) pairs. Convention: only
+    * documents matching ≥ 1 query term are ranked (candidates come from
+    * postings, as a search engine would); the length normalizer alone
+    * never promotes a zero-match doc into the ranking.
+    *
+    * Same determinism + plan shape as [[bm25TopK]]: per-term scores and
+    * the per-doc normalizer are DECIMAL(28,18)-quantized before summing,
+    * ties break by doc id; the corpus side flows through (doc, token)
+    * hash aggregates and token equi-joins, the query-term and
+    * query-relevant-cf frames broadcast, top-k is a WindowGroupLimit. */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, mu: Double = 2000.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(mu > 0, "mu must be positive")
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(Dedup.words(col(textCol))).as("token"))
+    val tf = toks.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc")))
+    // collection frequency per token (vocabulary-scale — NEVER broadcast
+    // whole); only the query-relevant slice broadcasts below
+    val cf = tf.groupBy("token").agg(sum(col("tf")).as("cf"))
+    val stats = docs.select(size(Dedup.words(col(textCol))).cast("long")
+        .as("__dl"))
+      .agg(sum(col("__dl")).as("total_c"))
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+        explode(Dedup.words(col(queryTextCol))).as("token"))
+      .groupBy("query_id", "token").agg(count(lit(1)).as("qtf"))
+      .withColumn("qlen",
+        sum(col("qtf")).over(Window.partitionBy("query_id"))))
+    val term =
+      (col("qtf").cast("double") *
+        log(lit(1.0) + col("tf").cast("double") * col("total_c").cast("double") /
+          (lit(mu) * col("cf").cast("double"))))
+        .cast("decimal(28,18)")
+    val scored = tf.join(qTerms, "token")
+      .join(broadcast(cf.join(qTerms.select("token").distinct(), "token")),
+        "token")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc")
+      .agg(sum(term).as("__sm"), count(lit(1)).as("matched_terms"),
+        max(col("dl")).as("__dl"), max(col("qlen")).as("__qlen"))
+      .withColumn("__s", col("__sm") +
+        (col("__qlen").cast("double") *
+          log(lit(mu) / (col("__dl").cast("double") + lit(mu))))
+          .cast("decimal(28,18)"))
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): merge N rankings of the
     * same item space into one, score(q, i) = Σ_lists 1/(kRrf + rank). The
     * standard way to combine BM25 with dense ANN results — rank-based, so
@@ -125,6 +189,45 @@ object Retrieval {
       .orderBy(desc("rrf_ppb"), col("item_id"))
     fused.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** MRR + recall@k: the binary-relevance ranking metrics next to
+    * [[ndcgAtK]]'s graded one. Per query: the rank of the FIRST relevant
+    * item (`first_rel_rank`, null when the top-k holds none), its
+    * reciprocal as the exact integer ⌊10⁹/rank⌋ (`rr_ppb`, 0 when none —
+    * integer-exact, so the corpus MRR is a drift-free mean), hits in the
+    * top-k, the query's full relevance-set size, and
+    * recall_bps = ⌊hits·10⁴/n_relevant⌋. Queries with an empty relevance
+    * set report n_relevant = 0 and null recall — surfaced, never dropped.
+    *
+    * Plan: top-k ⟖ truth equi-join on (query, item) + two grouped
+    * aggregates + broadcast-joined per-query truth counts — sized by
+    * |rankings| + |truth|, never the corpus. */
+  def evalRanking(ranked: DataFrame, queryCol: String, itemCol: String,
+      rankCol: String, truth: DataFrame, truthQueryCol: String,
+      truthItemCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val top = ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(itemCol).as("item_id"),
+        col(rankCol).cast("long").as("__r"))
+    val tr = truth.select(col(truthQueryCol).as("query_id"),
+      col(truthItemCol).as("item_id"))
+    val hits = top.join(tr, Seq("query_id", "item_id"))
+      .groupBy("query_id")
+      .agg(min(col("__r")).as("first_rel_rank"),
+        count(lit(1)).as("hits_at_k"))
+    val nrel = tr.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+    top.groupBy("query_id").agg(count(lit(1)).as("n_ranked"))
+      .join(hits, Seq("query_id"), "left")
+      .join(nrel, Seq("query_id"), "left")
+      .withColumn("hits_at_k", coalesce(col("hits_at_k"), lit(0L)))
+      .withColumn("n_relevant", coalesce(col("n_relevant"), lit(0L)))
+      .withColumn("rr_ppb",
+        coalesce(expr("1000000000 div first_rel_rank"), lit(0L)))
+      .withColumn("recall_bps",
+        expr("hits_at_k * 10000 div nullif(n_relevant, 0)"))
+      .select("query_id", "n_ranked", "first_rel_rank", "rr_ppb",
+        "hits_at_k", "n_relevant", "recall_bps")
   }
 
   /** nDCG@k: quality of a ranking against graded relevance labels.

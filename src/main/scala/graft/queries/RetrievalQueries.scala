@@ -177,5 +177,113 @@ object RetrievalQueries {
       .orderBy("query_id")
   }
 
-  val qs: Seq[Q] = Seq(x171, x172, x173)
+  // Dirichlet query likelihood (μ=300 against the ~54-token synthetic
+  // docs; production retunes freely): the other canonical sparse scorer,
+  // in its postings-only decomposition (matching-term sum + per-doc
+  // length normalizer — rank-identical to full QL, candidates from
+  // postings only). The oracle replays tf/dl/cf/|C|, the exact term
+  // arithmetic (same IEEE op order, DECIMAL-quantized sums), the
+  // normalizer, and the id-tiebroken rank boundary.
+  private val x174 = Q("x174_query_likelihood", Some(
+    s"""WITH ct AS (
+       |  SELECT doc_id AS doc, u.w AS token
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE doc_id >= 5),
+       |    unnest(ws) AS u(w)),
+       |tf AS (SELECT doc, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+       |tfdl AS (
+       |  SELECT doc, token, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
+       |cfq AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf
+       |        GROUP BY token),
+       |stats AS (
+       |  SELECT CAST(sum(len($WORDS)) AS BIGINT) AS total_c
+       |  FROM documents WHERE doc_id >= 5),
+       |qt AS (
+       |  SELECT doc_id AS query_id, u.w AS token, count(*) AS qtf
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE doc_id < 5),
+       |    unnest(ws) AS u(w)
+       |  GROUP BY 1, 2),
+       |qtl AS (
+       |  SELECT query_id, token, qtf,
+       |    sum(qtf) OVER (PARTITION BY query_id) AS qlen FROM qt),
+       |terms AS (
+       |  SELECT qtl.query_id, tfdl.doc, tfdl.dl, qtl.qlen,
+       |    CAST(CAST(qtf AS DOUBLE) *
+       |      ln(1.0::DOUBLE + CAST(tf AS DOUBLE) * CAST(total_c AS DOUBLE)
+       |        / (300.0::DOUBLE * CAST(cf AS DOUBLE)))
+       |      AS DECIMAL(28,18)) AS term
+       |  FROM tfdl JOIN qtl USING (token) JOIN cfq USING (token), stats),
+       |scored AS (
+       |  SELECT query_id, doc,
+       |    sum(term) + CAST(CAST(max(qlen) AS DOUBLE) *
+       |      ln(300.0::DOUBLE / (CAST(max(dl) AS DOUBLE) + 300.0::DOUBLE))
+       |      AS DECIMAL(28,18)) AS s,
+       |    CAST(count(*) AS BIGINT) AS matched_terms
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc AS doc_id, round(CAST(s AS DOUBLE), 4) AS score,
+       |    matched_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc) AS INT) AS rank
+       |  FROM scored QUALIFY rank <= 5)
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.queryLikelihoodTopK(d.filter(col("doc_id") >= 5), "doc_id",
+          "text", d.filter(col("doc_id") < 5), "doc_id", "text", k = 5,
+          mu = 300.0)
+        .orderBy("query_id", "rank")
+  }
+
+  // MRR + recall@10 of the exact dense ranking against cluster-label
+  // relevance — the binary-metric companion of x173, all integer-exact
+  // (⌊10⁹/rank⌋ reciprocal ranks, basis-point recall). The oracle replays
+  // the cosine ranking, the first-relevant boundary, and the integer
+  // metric arithmetic.
+  private val x175 = Q("x175_mrr_recall", Some(
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+      |             label AS qlabel
+      |           FROM embeddings WHERE vec_id < 5),
+      |ranked AS (
+      |  SELECT query_id, qlabel, vec_id AS item_id, label,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+      |      list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+      |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |           CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv)))
+      |      DESC, vec_id) AS INT) AS r
+      |  FROM embeddings, q WHERE vec_id >= 5
+      |  QUALIFY r <= 10),
+      |hits AS (
+      |  SELECT query_id, CAST(min(r) AS BIGINT) AS first_rel_rank,
+      |    CAST(count(*) AS BIGINT) AS hits_at_k
+      |  FROM ranked WHERE label = qlabel GROUP BY query_id),
+      |nrel AS (
+      |  SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_relevant
+      |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id >= 5
+      |  GROUP BY q.query_id),
+      |base AS (
+      |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked
+      |  FROM ranked GROUP BY query_id)
+      |SELECT b.query_id, b.n_ranked, h.first_rel_rank,
+      |  CAST(COALESCE(1000000000 // h.first_rel_rank, 0) AS BIGINT) AS rr_ppb,
+      |  CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+      |  CAST(COALESCE(n.n_relevant, 0) AS BIGINT) AS n_relevant,
+      |  CAST(COALESCE(h.hits_at_k, 0) * 10000 // nullif(n.n_relevant, 0)
+      |    AS BIGINT) AS recall_bps
+      |FROM base b LEFT JOIN hits h USING (query_id)
+      |  LEFT JOIN nrel n USING (query_id)
+      |ORDER BY b.query_id""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ranked = Similarity.bruteForceTopKBatch(corpus, "vec_id", "embedding",
+      queries, "vec_id", k = 10)
+    val truth = queries.select(col("vec_id").as("qid"), col("label"))
+      .join(corpus.select(col("vec_id").as("item"), col("label")), "label")
+      .select(col("qid"), col("item"))
+    Retrieval.evalRanking(ranked, "query_id", "vec_id", "rank",
+        truth, "qid", "item", k = 10)
+      .orderBy("query_id")
+  }
+
+  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175)
 }

@@ -492,6 +492,13 @@ class PlanRegressionSpec extends SparkSpec {
       "corpus × queries must never cross-join:\n" + p.take(900))
   }
 
+  test("x174 query likelihood shares the BM25 shape: broadcasts + top-k cap") {
+    val p = plan("x174_query_likelihood")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(900))
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("x172 RRF fusion aggregates partially before the (query,item) shuffle") {
     val p = plan("x172_hybrid_rrf")
     assert(p.contains("WindowGroupLimit"), p.take(600))

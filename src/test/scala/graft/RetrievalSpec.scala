@@ -45,6 +45,56 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(11L) < 8 * scores(10L))
   }
 
+  test("queryLikelihoodTopK ranks matching docs only; smoothing penalizes length") {
+    val queries = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val out = Retrieval.queryLikelihoodTopK(corpus, "doc_id", "text", queries,
+      "doc_id", "text", k = 10, mu = 10.0).orderBy("rank").collect()
+    // candidates from postings only: 12 (no shared term) and 14 (empty) absent
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 11L, 13L))
+    // length-normalized likelihood: the 8-token apple-spam doc 11 ranks
+    // LAST despite the highest raw tf (hand-checked: s₁₁ = ln(1+8·17/100)
+    // + 2·ln(10/18) ≈ −0.32 vs s₁₀ ≈ 0.23, s₁₃ ≈ 0.25)
+    assert(out.last.getAs[Long]("doc_id") == 11L)
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("matched_terms")).toMap
+    assert(byDoc == Map(10L -> 2L, 11L -> 1L, 13L -> 1L))
+  }
+
+  test("queryLikelihoodTopK query term frequency weights repeated terms") {
+    // 'banana banana' doubles the banana term weight vs 'banana': doc 13
+    // (banana-bearing) must gain rank relative to doc 11 (apple spam)
+    val q1 = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val q2 = Seq((1L, "apple banana banana banana")).toDF("doc_id", "text")
+    def rankOf(q: org.apache.spark.sql.DataFrame, doc: Long) =
+      Retrieval.queryLikelihoodTopK(corpus, "doc_id", "text", q, "doc_id",
+        "text", k = 10, mu = 10.0)
+        .filter(col("doc_id") === doc).collect().head.getAs[Int]("rank")
+    assert(rankOf(q2, 13L) <= rankOf(q1, 13L))
+    assert(rankOf(q2, 11L) >= rankOf(q1, 11L))
+  }
+
+  test("evalRanking: MRR/recall integer-exact; zero-truth query surfaced") {
+    val truth = Seq((1L, 101L), (1L, 103L), (2L, 200L)).toDF("q", "item")
+    val ranked = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3),
+      (3L, 300L, 1)).toDF("q", "item", "r")
+    val out = Retrieval.evalRanking(ranked, "q", "item", "r", truth, "q",
+      "item", k = 10).orderBy("query_id").collect()
+    // query 1: first relevant at rank 2, 1 of 2 relevant found
+    val q1 = out(0)
+    assert(q1.getAs[Long]("first_rel_rank") == 2L)
+    assert(q1.getAs[Long]("rr_ppb") == 500000000L)
+    assert(q1.getAs[Long]("hits_at_k") == 1L)
+    assert(q1.getAs[Long]("n_relevant") == 2L)
+    assert(q1.getAs[Long]("recall_bps") == 5000L)
+    // query 3 ranked items but has NO truth: surfaced with zero metrics
+    val q3 = out(1)
+    assert(q3.getAs[Long]("query_id") == 3L)
+    assert(q3.isNullAt(q3.fieldIndex("first_rel_rank")))
+    assert(q3.getAs[Long]("rr_ppb") == 0L)
+    assert(q3.getAs[Long]("n_relevant") == 0L)
+    assert(q3.isNullAt(q3.fieldIndex("recall_bps")))
+  }
+
   test("rrfFuse merges overlapping rankings, integer-exact, id tie-breaks") {
     val a = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("q", "item", "r")
     val b = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("q", "item", "r")
