@@ -813,7 +813,107 @@ object TrainingQueries {
       t(s, dir, "embeddings"), "vec_id", "embedding")
   }
 
+  /** Oracle twin of Curation.logisticTrain's iteration chain: hashed
+    * unigram PRESENCE features (+bias bucket `dim`), then `iters`
+    * unrolled class-balanced full-batch GD steps — ends at
+    * `w_<iters>(bucket, weight)`. Every
+    * order-sensitive sum (per-doc z, per-bucket gradient) is quantized to
+    * DECIMAL(28,18) exactly like the Spark side; σ/residual/update are
+    * the same fixed double op sequence. */
+  private def logisticCte(dim: Int, iters: Int, lr: Double): String = {
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""z_$t AS MATERIALIZED (
+         |  SELECT f.id, max(f.y) AS y,
+         |    sum(CAST(CAST(f.x AS DOUBLE) * w_$p.weight AS DECIMAL(28,18)))
+         |      AS z
+         |  FROM f JOIN w_$p USING (bucket) GROUP BY f.id),
+         |r_$t AS MATERIALIZED (
+         |  SELECT id, (1.0::DOUBLE / (1.0::DOUBLE + exp(-CAST(z AS DOUBLE)))
+         |    - CAST(y AS DOUBLE))
+         |    * (CASE WHEN y = 1 THEN cw.wpos ELSE cw.wneg END) AS resid
+         |  FROM z_$t, cw),
+         |g_$t AS MATERIALIZED (
+         |  SELECT f.bucket,
+         |    CAST(sum(CAST(r.resid * CAST(f.x AS DOUBLE) AS DECIMAL(28,18)))
+         |      AS DOUBLE) AS gs
+         |  FROM f JOIN r_$t r USING (id) GROUP BY f.bucket),
+         |w_$t AS MATERIALIZED (
+         |  SELECT w.bucket, w.weight - $lr::DOUBLE * (g.gs / n.n) AS weight
+         |  FROM w_$p w JOIN g_$t g USING (bucket), n)""".stripMargin
+    }.mkString(",\n")
+    s"""f0 AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y,
+       |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % $dim AS bucket
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents), unnest(ws) AS u(w)),
+       |fc AS MATERIALIZED (SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM f0),
+       |f AS MATERIALIZED (SELECT * FROM fc
+       |      UNION ALL
+       |      SELECT DISTINCT id, y, $dim::BIGINT AS bucket, 1::BIGINT AS x
+       |      FROM fc),
+       |n AS MATERIALIZED (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM f),
+       |cw AS MATERIALIZED (
+       |  SELECT n.n / (2.0::DOUBLE * greatest(CAST(sum(CASE WHEN y = 1
+       |      THEN 1 ELSE 0 END) AS DOUBLE), 1.0::DOUBLE)) AS wpos,
+       |    n.n / (2.0::DOUBLE * greatest(CAST(sum(CASE WHEN y = 0
+       |      THEN 1 ELSE 0 END) AS DOUBLE), 1.0::DOUBLE)) AS wneg
+       |  FROM (SELECT DISTINCT id, y FROM f), n GROUP BY n.n),
+       |w_0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0::DOUBLE AS weight FROM f),
+       |$steps""".stripMargin
+  }
+
+  // Model-based quality filtering, training side: logistic regression
+  // over hashed unigram presence features (+bias), 8 unrolled
+  // class-balanced full-batch GD steps, label = the planted 'dup'
+  // duplication marker (the one learnable signal in the synthetic vocab;
+  // hash collisions at dim=32 provide the realistic noise; the 5%
+  // positive rate is why the gradients are class-balanced — unweighted
+  // GD measurably stalls at all-negative). The oracle replays features,
+  // the class weights, every iteration's decimal-quantized z/gradient
+  // sums, and the weight updates. x177 confirms the model separates the
+  // corpus perfectly at this config.
+  private val x176 = Q("x176_classifier_train", Some(
+    s"""WITH ${logisticCte(dim = 32, iters = 8, lr = 0.5)}
+       |SELECT bucket, round(weight, 6) AS weight
+       |FROM w_8 ORDER BY bucket""".stripMargin)) { (s, dir) =>
+    Curation.logisticTrain(t(s, dir, "documents"), "doc_id", "text",
+        array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+        dim = 32, iters = 8, lr = 0.5)
+      .orderBy("bucket")
+  }
+
+  // Scoring side: apply the trained weights to the corpus; the decision
+  // is integer-exact (σ(z) ≥ 0.5 ⇔ z ≥ 0 on the exact DECIMAL z), so the
+  // confusion matrix and basis-point accuracy are drift-free integers.
+  private val x177 = Q("x177_classifier_score", Some(
+    s"""WITH ${logisticCte(dim = 32, iters = 8, lr = 0.5)},
+       |zf AS (
+       |  SELECT f.id, max(f.y) AS y,
+       |    sum(CAST(CAST(f.x AS DOUBLE) * w_8.weight AS DECIMAL(28,18)))
+       |      AS z
+       |  FROM f JOIN w_8 USING (bucket) GROUP BY f.id),
+       |pr AS (SELECT id, y, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred
+       |       FROM zf)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tp,
+       |  CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fp,
+       |  CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tn,
+       |  CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fn,
+       |  CAST((sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)) * 10000
+       |    // count(*) AS BIGINT) AS accuracy_bps
+       |FROM pr""".stripMargin)) { (s, dir) =>
+    Curation.logisticScore(t(s, dir, "documents"), "doc_id", "text",
+        array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+        dim = 32, iters = 8, lr = 0.5)
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137)
+    x118, x119, x120, x121, x137, x176, x177)
 }

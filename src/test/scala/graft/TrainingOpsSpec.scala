@@ -352,4 +352,34 @@ class TrainingOpsSpec extends SparkSpec {
       topK = 100).collect().map(_.getAs[Long]("id"))
     assert(!sel.contains(30L) && sel.length == 8)
   }
+
+  test("logisticTrain learns a one-word signal; score reports exact confusion") {
+    import org.apache.spark.sql.functions._
+    // 20 positives carry the marker word, 20 negatives don't; filler words
+    // differ per doc so buckets other than the marker's carry noise
+    val docs = ((0 until 20).map(i => (i.toLong, s"quality filler$i common words here")) ++
+      (20 until 40).map(i => (i.toLong, s"junk filler$i common words here")))
+      .toDF("id", "text")
+    val label = array_contains(graft.operators.Dedup.words(col("text")), "quality")
+    val w = Curation.logisticTrain(docs, "id", "text", label,
+      dim = 16, iters = 5, lr = 0.5).collect()
+    // weights exist for observed buckets + the bias bucket (16)
+    assert(w.map(_.getAs[Long]("bucket")).contains(16L))
+    val score = Curation.logisticScore(docs, "id", "text", label,
+      dim = 16, iters = 5, lr = 0.5).collect().head
+    assert(score.getAs[Long]("n_docs") == 40L)
+    val acc = score.getAs[Long]("accuracy_bps")
+    assert(acc >= 9000L, s"classifier failed to learn the marker: $acc bps")
+    assert(score.getAs[Long]("tp") + score.getAs[Long]("fn") == 20L)
+  }
+
+  test("logisticTrain excludes token-free docs; zero-feature corpus rejected sanely") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "aaa bbb"), (2L, ""), (3L, "aaa ccc")).toDF("id", "text")
+    val s = Curation.logisticScore(docs, "id", "text",
+      array_contains(graft.operators.Dedup.words(col("text")), "aaa"),
+      dim = 8, iters = 2, lr = 0.5).collect().head
+    // the empty doc has no features and is excluded from training/scoring
+    assert(s.getAs[Long]("n_docs") == 2L)
+  }
 }
