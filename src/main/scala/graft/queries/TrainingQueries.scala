@@ -913,7 +913,80 @@ object TrainingQueries {
         dim = 32, iters = 8, lr = 0.5)
   }
 
+  /** Oracle twin of Similarity.pcaTopComponent over the 64-dim embeddings
+    * table: `iters` unrolled power-iteration steps, each applying C·v
+    * straight to the data ((C·v)_i = (Σx·u − μ_i·Σu)/n, u = x·v − μ·v).
+    * Ends at `v_<iters>`, `v_<iters-1>` and `t_<iters>`. MATERIALIZED
+    * throughout — each v_k is referenced by two downstream CTEs, and
+    * DuckDB's default inlining doubles the plan per step. */
+  private def pcaCte(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""muv_$k AS MATERIALIZED (
+         |  SELECT CAST(sum(CAST(mu.mu * v.v AS DECIMAL(28,18))) AS DOUBLE)
+         |    AS muv FROM mu JOIN v_$p v USING (i)),
+         |s_$k AS MATERIALIZED (
+         |  SELECT ex.id,
+         |    CAST(sum(CAST(ex.x * v.v AS DECIMAL(28,18))) AS DOUBLE) - m.muv
+         |      AS u
+         |  FROM ex JOIN v_$p v USING (i), muv_$k m GROUP BY ex.id, m.muv),
+         |b_$k AS MATERIALIZED (
+         |  SELECT CAST(sum(CAST(u AS DECIMAL(28,18))) AS DOUBLE) AS b
+         |  FROM s_$k),
+         |t_$k AS MATERIALIZED (
+         |  SELECT ex.i,
+         |    (CAST(sum(CAST(ex.x * s.u AS DECIMAL(28,18))) AS DOUBLE)
+         |      - mu.mu * b.b) / n.n AS t
+         |  FROM ex JOIN s_$k s USING (id) JOIN mu ON ex.i = mu.i, b_$k b, n
+         |  GROUP BY ex.i, mu.mu, b.b, n.n),
+         |q_$k AS MATERIALIZED (
+         |  SELECT CAST(sum(CAST(t * t AS DECIMAL(28,18))) AS DOUBLE) AS q
+         |  FROM t_$k),
+         |v_$k AS MATERIALIZED (
+         |  SELECT i, t / sqrt(q.q) AS v FROM t_$k, q_$k q)""".stripMargin
+    }.mkString(",\n")
+    s"""ex AS MATERIALIZED (
+       |  SELECT vec_id AS id, r.i::BIGINT AS i, embedding[r.i]::DOUBLE AS x
+       |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)),
+       |n AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM ex WHERE i = 1),
+       |mom AS MATERIALIZED (
+       |  SELECT i, sum(CAST(x AS DECIMAL(28,18))) AS sx,
+       |    sum(CAST(x * x AS DECIMAL(28,18))) AS sxx
+       |  FROM ex GROUP BY i),
+       |mu AS MATERIALIZED (
+       |  SELECT i, CAST(sx AS DOUBLE) / n.n AS mu FROM mom, n),
+       |dd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM mu),
+       |v_0 AS MATERIALIZED (
+       |  SELECT i, 1.0::DOUBLE / sqrt(dd.d) AS v FROM mu, dd),
+       |$steps""".stripMargin
+  }
+
+  // Top principal component by 5 unrolled power-iteration steps — the
+  // covariance is never materialized (C·v applied straight to the data:
+  // two O(n·d) passes per step). The oracle replays v0 = 1/√d, every
+  // step's decimal-quantized dot/aggregate/norm sums, the Rayleigh
+  // eigenvalue, and the explained-variance share of the trace.
+  private val x178 = Q("x178_pca_power", Some(
+    s"""WITH ${pcaCte(iters = 5)},
+       |lam AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(v.v * t.t AS DECIMAL(28,18))) AS DOUBLE)
+       |    AS lam FROM v_4 v JOIN t_5 t USING (i)),
+       |tr AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(
+       |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+       |      / n.n) / n.n AS DECIMAL(28,18))) AS DOUBLE) AS tr
+       |  FROM mom, n)
+       |SELECT v.i AS dim, round(v.v, 6) AS loading,
+       |  round(lam.lam, 6) AS eigenvalue,
+       |  round(lam.lam / tr.tr, 4) AS explained
+       |FROM v_5 v, lam, tr ORDER BY dim""".stripMargin)) { (s, dir) =>
+    graft.operators.Similarity.pcaTopComponent(
+        t(s, dir, "embeddings"), "vec_id", "embedding", iters = 5)
+      .orderBy("dim")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137, x176, x177)
+    x118, x119, x120, x121, x137, x176, x177, x178)
 }

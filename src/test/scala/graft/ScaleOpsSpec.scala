@@ -502,4 +502,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spans(1).getAs[Long]("start_word") == 11L &&
       spans(1).getAs[Long]("end_word") == 14L)
   }
+
+  test("pcaTopComponent recovers a planted dominant direction") {
+    // dim 1 carries ~10000x the variance of dim 2: the top component must
+    // align with dim 1 and explain nearly all the trace
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array(((i % 10) * 2).toFloat, ((i % 3).toFloat) * 0.01f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pcaTopComponent(df, "vec_id", "embedding", iters = 5)
+      .orderBy("dim").collect()
+    assert(out.length == 2)
+    val l1 = math.abs(out(0).getAs[Double]("loading"))
+    val l2 = math.abs(out(1).getAs[Double]("loading"))
+    assert(l1 > 0.999, s"dim-1 loading $l1")
+    assert(l2 < 0.05, s"dim-2 loading $l2")
+    assert(out(0).getAs[Double]("explained") > 0.99)
+    // eigenvalue ≈ population variance of dim 1: values 0,2,..,18 uniform
+    // → var = 4 * (99/12) * (10/10)... just sanity-bound it
+    val eig = out(0).getAs[Double]("eigenvalue")
+    assert(eig > 30.0 && eig < 40.0, s"eigenvalue $eig")
+  }
 }
