@@ -57,7 +57,10 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // isolation field: measurement-protocol marker so cross-round bench
+    // diffs carry their own caveat (r6 numbers predate per-query cache
+    // clearing and are flattered for persist-heavy queries — see r7 verdict)
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","isolation":"clearCache-per-query","queries":$qs,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

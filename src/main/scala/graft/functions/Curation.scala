@@ -615,10 +615,16 @@ object Curation {
     * scale keeps constant-rate GD from oscillating the way raw counts
     * measurably do), plus one bias row (bucket = dim, x = 1) per
     * document. Token-free documents contribute no rows and are excluded
-    * from training/scoring (no features to learn from). Persisted: every
-    * GD iteration re-reads it twice. */
+    * from training/scoring (no features to learn from).
+    *
+    * `iterate = true` (the training path) repartitions by id and
+    * persists: every GD iteration re-reads the frame twice, and the
+    * per-doc z aggregate + gradient join both key on id, so they reuse
+    * the partitioning with zero further exchanges. A single-pass scorer
+    * sets `iterate = false` — there a pre-shuffle and a cache write are
+    * pure overhead (the one z aggregate shuffles on id anyway). */
   private def logisticFeatures(df: DataFrame, idCol: String, textCol: String,
-      label: Column, dim: Int): DataFrame = {
+      label: Column, dim: Int, iterate: Boolean = true): DataFrame = {
     val counts = df
       .select(col(idCol).as("id"), label.cast("int").as("y"),
         explode(Dedup.words(col(textCol))).as("__w"))
@@ -626,16 +632,42 @@ object Curation {
         conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % dim)
       .select("id", "y", "bucket").distinct()
       .withColumn("x", lit(1L))
-    // hash-partitioned by id ONCE: every iteration's per-doc z aggregate
-    // and gradient join key on id, so they reuse this partitioning with
-    // zero further exchanges — the only per-iteration shuffle left is the
-    // (dim+1)-row gradient aggregate
-    counts.unionByName(counts.select(col("id"), col("y")).distinct()
-        .select(col("id"), col("y"), lit(dim.toLong).as("bucket"),
-          lit(1L).as("x")))
-      .repartition(col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = counts.unionByName(counts.select(col("id"), col("y")).distinct()
+      .select(col("id"), col("y"), lit(dim.toLong).as("bucket"),
+        lit(1L).as("x")))
+    if (iterate)
+      all.repartition(col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else all
   }
+
+  /** Per-doc exact-decimal logit: one pass over the feature frame with
+    * the broadcast (≤ dim+1)-row weight frame. A corpus bucket with no
+    * trained weight contributes 0 by the inner join (the hashing-trick
+    * unseen-feature convention); the bias bucket keeps every featured
+    * doc present. */
+  private def zOf(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(broadcast(w.select(col("bucket"),
+        col("weight").cast("double").as("weight"))), "bucket")
+      .groupBy("id")
+      .agg(sum((col("x").cast("double") * col("weight"))
+          .cast("decimal(28,18)")).as("__z"),
+        max(col("y")).as("y"))
+
+  /** Confusion matrix + basis-point accuracy of the integer-exact
+    * decision σ(z) ≥ 0.5 ⇔ z ≥ 0 on the exact DECIMAL z. */
+  private def confusionOf(z: DataFrame): DataFrame =
+    z.withColumn("__pred", (col("__z") >= lit(0)).cast("int"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1 && col("__pred") === 1, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("y") === 0 && col("__pred") === 1, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") === 0 && col("__pred") === 0, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("y") === 1 && col("__pred") === 0, 1L).otherwise(0L))
+          .as("fn"))
+      .withColumn("accuracy_bps", expr("(tp + tn) * 10000 div n_docs"))
 
   /** Per-bucket weights after `iters` full-batch GD steps (unrounded
     * DOUBLE weights plus the exact-decimal machinery the gates need). */
@@ -726,32 +758,56 @@ object Curation {
       .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
   }
 
-  /** Scoring side of [[logisticTrain]]: apply the trained weights to the
-    * same corpus and report the confusion matrix + accuracy. The decision
-    * is INTEGER-EXACT: σ(z) ≥ 0.5 ⇔ z ≥ 0, evaluated on the exact
-    * DECIMAL z — no float threshold to drift at the boundary. One extra
-    * pass over the persisted feature frame with the broadcast weights. */
+  /** Train-and-score in one call: trains on `df` with [[logisticTrain]]'s
+    * GD loop (UNROUNDED weights, bit-compatible with the pre-split form
+    * of this operator) and reports the confusion matrix + accuracy over
+    * the same corpus. Kept for self-evaluation (x177); a production
+    * pipeline trains ONCE on its labeled sample and scores corpora with
+    * [[logisticScoreWith]] / [[logisticPredictWith]] — scoring must
+    * never pay the 8-iteration training cost per call. */
   def logisticScore(df: DataFrame, idCol: String, textCol: String,
       label: Column, dim: Int = 32, iters: Int = 8, lr: Double = 0.5)
       : DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
     val feats = logisticFeatures(df, idCol, textCol, label, dim)
-    val w = logisticWeights(feats, iters, lr)
-    val z = feats.join(broadcast(w), "bucket")
-      .groupBy("id")
-      .agg(sum((col("x").cast("double") * col("weight"))
-          .cast("decimal(28,18)")).as("__z"),
-        max(col("y")).as("y"))
-      .withColumn("__pred", (col("__z") >= lit(0)).cast("int"))
-    z.agg(count(lit(1)).as("n_docs"),
-        sum(when(col("y") === 1 && col("__pred") === 1, 1L).otherwise(0L))
-          .as("tp"),
-        sum(when(col("y") === 0 && col("__pred") === 1, 1L).otherwise(0L))
-          .as("fp"),
-        sum(when(col("y") === 0 && col("__pred") === 0, 1L).otherwise(0L))
-          .as("tn"),
-        sum(when(col("y") === 1 && col("__pred") === 0, 1L).otherwise(0L))
-          .as("fn"))
-      .withColumn("accuracy_bps", expr("(tp + tn) * 10000 div n_docs"))
+    confusionOf(zOf(feats, logisticWeights(feats, iters, lr)))
+  }
+
+  /** Scoring decoupled from training: apply a PRE-TRAINED (bucket,
+    * weight) frame — e.g. the gated output of [[logisticTrain]] on a
+    * labeled sample — to any corpus, and report the confusion matrix +
+    * basis-point accuracy against `label`. The decision is INTEGER-EXACT
+    * (σ(z) ≥ 0.5 ⇔ z ≥ 0 on the exact DECIMAL z).
+    *
+    * This is the 100 TB entry point the training loop exists for: train
+    * once on the human-labeled sample, then every scoring run is ONE
+    * corpus pass — tokenize → distinct presence features → broadcast
+    * join with the ≤ (dim+1)-row weight frame → per-doc z aggregate →
+    * confusion aggregate. Zero GD iterations, zero persisted frames,
+    * zero repartition (the single z aggregate provides its own shuffle);
+    * `dim` must match the dimension the weights were trained with. */
+  def logisticScoreWith(df: DataFrame, idCol: String, textCol: String,
+      label: Column, weights: DataFrame, dim: Int = 32): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
+    confusionOf(zOf(
+      logisticFeatures(df, idCol, textCol, label, dim, iterate = false),
+      weights))
+  }
+
+  /** Label-free corpus scoring with pre-trained weights — the actual
+    * curation filter: one row per featured document with its quality
+    * probability σ(z) (rounded) and the integer-exact keep decision
+    * z ≥ 0. Same one-pass broadcast-join plan as [[logisticScoreWith]];
+    * token-free documents carry no features and emit no row (they have
+    * no evidence to score — filter them by length rules instead). */
+  def logisticPredictWith(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int = 32, roundTo: Int = 6): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
+    zOf(logisticFeatures(df, idCol, textCol, lit(0), dim, iterate = false),
+        weights)
+      .select(col("id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__z").cast("double"))), roundTo)
+          .as("prob"),
+        (col("__z") >= lit(0)).cast("int").as("pred"))
   }
 }

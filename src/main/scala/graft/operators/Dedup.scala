@@ -803,13 +803,22 @@ object Dedup {
       .distinct()
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("__rp"))).as("__rm"))
+    // Reassembly is LINEAR per document: kept positions come from ONE
+    // hash-set pass (array_except of the 1..nt sequence against the
+    // sorted removal list — order-preserving, O(nt + |rm|)), then each
+    // kept token is an O(1) element_at. The earlier per-token
+    // `array_contains(__rm, i)` lambda was O(nt·|rm|) — quadratic in doc
+    // length exactly when a doc is mostly duplicated text, this
+    // operator's target case (r7 verdict nit; worst-case spec pins it).
     base.join(rmPos, Seq(idCol.toString), "left")
       .withColumn("__rm",
         coalesce(col("__rm"), expr("array()").cast("array<long>")))
       .select(col(idCol),
-        array_join(expr(
-          "filter(__ws, (t, i) -> NOT array_contains(__rm, bigint(i + 1)))"),
-          " ").as("clean_text"),
+        when(col("__nt") < 1, lit(""))
+          .otherwise(array_join(expr(
+            "transform(array_except(sequence(bigint(1), bigint(__nt)), __rm)," +
+              " p -> element_at(__ws, int(p)))"),
+            " ")).as("clean_text"),
         (col("__nt") - size(col("__rm"))).cast("long").as("n_tokens_kept"),
         size(col("__rm")).cast("long").as("n_tokens_removed"))
   }

@@ -199,10 +199,15 @@ object Retrieval {
     * top-k, the query's full relevance-set size, and
     * recall_bps = ⌊hits·10⁴/n_relevant⌋. Queries with an empty relevance
     * set report n_relevant = 0 and null recall — surfaced, never dropped.
+    * Symmetrically, a query that HAS relevance judgments but produced
+    * zero ranked rows (retrieval came up empty) still emits a row with
+    * n_ranked = 0, rr_ppb = 0 and recall_bps = 0 — a mean MRR/recall
+    * computed downstream must see the misses, not a shrunken query set.
     *
     * Plan: top-k ⟖ truth equi-join on (query, item) + two grouped
-    * aggregates + broadcast-joined per-query truth counts — sized by
-    * |rankings| + |truth|, never the corpus. */
+    * aggregates + broadcast-joined per-query truth counts, over the union
+    * of ranked ∪ truth query ids — sized by |rankings| + |truth|, never
+    * the corpus. */
   def evalRanking(ranked: DataFrame, queryCol: String, itemCol: String,
       rankCol: String, truth: DataFrame, truthQueryCol: String,
       truthItemCol: String, k: Int = 10): DataFrame = {
@@ -217,7 +222,12 @@ object Retrieval {
       .agg(min(col("__r")).as("first_rel_rank"),
         count(lit(1)).as("hits_at_k"))
     val nrel = tr.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
-    top.groupBy("query_id").agg(count(lit(1)).as("n_ranked"))
+    // query universe = ranked ∪ truth ids, so zero-result queries with
+    // judgments report (0, 0, 0) instead of vanishing from the mean
+    top.select("query_id").union(tr.select("query_id")).distinct()
+      .join(top.groupBy("query_id").agg(count(lit(1)).as("n_ranked")),
+        Seq("query_id"), "left")
+      .withColumn("n_ranked", coalesce(col("n_ranked"), lit(0L)))
       .join(hits, Seq("query_id"), "left")
       .join(nrel, Seq("query_id"), "left")
       .withColumn("hits_at_k", coalesce(col("hits_at_k"), lit(0L)))
@@ -244,12 +254,15 @@ object Retrieval {
     * across this whole registry (x28/x113).
     * Queries with an all-zero relevance set report ndcg = NULL (0/0) —
     * surfaced, not dropped, so an evaluation can't silently shrink its
-    * query set.
+    * query set. `n_relevant` is the UNCAPPED positive-relevance set size
+    * (the same semantics as [[evalRanking]]'s identically-named column);
+    * the IDCG sum itself still discounts only the best-k prefix.
     *
     * Plan: ranked ⟕ truth equi-join on (query, item); IDCG is a rank
-    * window over truth (WindowGroupLimit caps it at k rows per query
-    * pre-shuffle); one aggregate each side + a final equi-join on query.
-    * Everything is sized by |rankings| + |truth|, never the corpus. */
+    * window over the positive-relevance truth rows with the gain gated at
+    * rank ≤ k inside the aggregate (truth is |judgments|-sized — human
+    * labels, never the corpus); one aggregate each side + a final
+    * equi-join on query. Everything is sized by |rankings| + |truth|. */
   def ndcgAtK(ranked: DataFrame, queryCol: String, itemCol: String,
       rankCol: String, truth: DataFrame, truthQueryCol: String,
       truthItemCol: String, relCol: String, k: Int = 10): DataFrame = {
@@ -272,10 +285,11 @@ object Retrieval {
         col(truthItemCol).as("item_id"), col(relCol).cast("double").as("__rel"))
       .filter(col("__rel") > 0)
       .withColumn("__ir", row_number().over(iw))
-      .filter(col("__ir") <= k)
-      .withColumn("__g", (col("__rel") /
+      // n_relevant counts the FULL positive set (pre-cut); only the gain
+      // is gated at rank <= k — sum() skips the nulls beyond the prefix
+      .withColumn("__g", when(col("__ir") <= k, (col("__rel") /
         log(col("__ir").cast("double") + lit(1.0)) * lit(Ln2))
-        .cast("decimal(28,18)"))
+        .cast("decimal(28,18)")))
       .groupBy("query_id")
       .agg(sum(col("__g")).as("__idcg"), count(lit(1)).as("n_relevant"))
     gains.join(ideal, Seq("query_id"), "left")

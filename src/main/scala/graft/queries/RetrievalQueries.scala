@@ -154,15 +154,17 @@ object RetrievalQueries {
       |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id >= 5),
       |idcg AS (
       |  SELECT query_id,
-      |    sum(CAST(1.0::DOUBLE / ln(CAST(ir AS DOUBLE) + 1.0::DOUBLE)
-      |      * 0.6931471805599453 AS DECIMAL(28,18))) AS idcg_d,
+      |    sum(CASE WHEN ir <= 10 THEN
+      |      CAST(1.0::DOUBLE / ln(CAST(ir AS DOUBLE) + 1.0::DOUBLE)
+      |        * 0.6931471805599453 AS DECIMAL(28,18)) END) AS idcg_d,
       |    CAST(count(*) AS BIGINT) AS n_relevant
-      |  FROM rel WHERE ir <= 10 GROUP BY query_id)
-      |SELECT d.query_id, d.n_ranked, i.n_relevant,
+      |  FROM rel GROUP BY query_id)
+      |SELECT d.query_id, d.n_ranked,
+      |  CAST(COALESCE(i.n_relevant, 0) AS BIGINT) AS n_relevant,
       |  round(CAST(d.dcg_d AS DOUBLE), 4) AS dcg,
-      |  round(CAST(i.idcg_d AS DOUBLE), 4) AS idcg,
+      |  round(CAST(COALESCE(i.idcg_d, 0.0) AS DOUBLE), 4) AS idcg,
       |  round(CAST(d.dcg_d AS DOUBLE) / CAST(i.idcg_d AS DOUBLE), 4) AS ndcg
-      |FROM dcg d JOIN idcg i USING (query_id)
+      |FROM dcg d LEFT JOIN idcg i USING (query_id)
       |ORDER BY query_id""".stripMargin)) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val corpus = emb.filter(col("vec_id") >= 5)
@@ -260,9 +262,13 @@ object RetrievalQueries {
       |  SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_relevant
       |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id >= 5
       |  GROUP BY q.query_id),
-      |base AS (
+      |cnt AS (
       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked
-      |  FROM ranked GROUP BY query_id)
+      |  FROM ranked GROUP BY query_id),
+      |base AS (
+      |  SELECT query_id, CAST(COALESCE(n_ranked, 0) AS BIGINT) AS n_ranked
+      |  FROM (SELECT query_id FROM ranked UNION
+      |        SELECT query_id FROM nrel) u LEFT JOIN cnt USING (query_id))
       |SELECT b.query_id, b.n_ranked, h.first_rel_rank,
       |  CAST(COALESCE(1000000000 // h.first_rel_rank, 0) AS BIGINT) AS rr_ppb,
       |  CAST(COALESCE(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,

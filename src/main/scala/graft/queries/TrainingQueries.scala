@@ -820,7 +820,8 @@ object TrainingQueries {
     * order-sensitive sum (per-doc z, per-bucket gradient) is quantized to
     * DECIMAL(28,18) exactly like the Spark side; σ/residual/update are
     * the same fixed double op sequence. */
-  private def logisticCte(dim: Int, iters: Int, lr: Double): String = {
+  private def logisticCte(dim: Int, iters: Int, lr: Double,
+      where: String = ""): String = {
     val steps = (1 to iters).map { t =>
       val p = t - 1
       s"""z_$t AS MATERIALIZED (
@@ -846,7 +847,8 @@ object TrainingQueries {
        |  SELECT doc_id AS id,
        |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y,
        |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % $dim AS bucket
-       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents), unnest(ws) AS u(w)),
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents$where),
+       |    unnest(ws) AS u(w)),
        |fc AS MATERIALIZED (SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM f0),
        |f AS MATERIALIZED (SELECT * FROM fc
        |      UNION ALL
@@ -913,8 +915,61 @@ object TrainingQueries {
         dim = 32, iters = 8, lr = 0.5)
   }
 
-  /** Oracle twin of Similarity.pcaTopComponent over the 64-dim embeddings
-    * table: `iters` unrolled power-iteration steps, each applying C·v
+  // Scoring DECOUPLED from training — the production curation shape:
+  // train once on a labeled 75% sample (doc_id % 4 != 0), then score the
+  // FULL corpus with the trained-and-rounded weight frame in ONE pass
+  // (broadcast weights, zero GD iterations — plan-asserted in
+  // TrainingOpsSpec). The oracle replays the sample-side training chain,
+  // the round-6 weight publication, and the full-corpus feature join +
+  // integer-exact confusion matrix.
+  private val x179 = Q("x179_classifier_apply", Some(
+    s"""WITH ${logisticCte(dim = 32, iters = 8, lr = 0.5,
+          where = " WHERE doc_id % 4 != 0")},
+       |wr AS MATERIALIZED (SELECT bucket, round(weight, 6) AS weight
+       |                    FROM w_8),
+       |sf0 AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y,
+       |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % 32 AS bucket
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents),
+       |    unnest(ws) AS u(w)),
+       |sfc AS MATERIALIZED (
+       |  SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM sf0),
+       |sf AS MATERIALIZED (SELECT * FROM sfc
+       |      UNION ALL
+       |      SELECT DISTINCT id, y, 32::BIGINT AS bucket, 1::BIGINT AS x
+       |      FROM sfc),
+       |zf AS (
+       |  SELECT f.id, max(f.y) AS y,
+       |    sum(CAST(CAST(f.x AS DOUBLE) * wr.weight AS DECIMAL(28,18)))
+       |      AS z
+       |  FROM sf f JOIN wr USING (bucket) GROUP BY f.id),
+       |pr AS (SELECT id, y, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred
+       |       FROM zf)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tp,
+       |  CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fp,
+       |  CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tn,
+       |  CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fn,
+       |  CAST((sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)) * 10000
+       |    // count(*) AS BIGINT) AS accuracy_bps
+       |FROM pr""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val label = array_contains(graft.operators.Dedup.words(col("text")), "dup")
+    val w = Curation.logisticTrain(docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", label, dim = 32, iters = 8, lr = 0.5)
+    Curation.logisticScoreWith(docs, "doc_id", "text", label, w, dim = 32)
+  }
+
+  /** Oracle twin of Similarity.pcaTopComponent over the embeddings table
+    * (dimension derived from `len(embedding)` in the `dims` CTE, so a
+    * fixture-width change errors loudly instead of silently NULL-padding):
+    * `iters` unrolled power-iteration steps, each applying C·v
     * straight to the data ((C·v)_i = (Σx·u − μ_i·Σu)/n, u = x·v − μ·v).
     * Ends at `v_<iters>`, `v_<iters-1>` and `t_<iters>`. MATERIALIZED
     * throughout — each v_k is referenced by two downstream CTEs, and
@@ -945,9 +1000,12 @@ object TrainingQueries {
          |v_$k AS MATERIALIZED (
          |  SELECT i, t / sqrt(q.q) AS v FROM t_$k, q_$k q)""".stripMargin
     }.mkString(",\n")
-    s"""ex AS MATERIALIZED (
+    s"""dims AS MATERIALIZED (
+       |  SELECT max(len(embedding)) AS d FROM embeddings),
+       |ex AS MATERIALIZED (
        |  SELECT vec_id AS id, r.i::BIGINT AS i, embedding[r.i]::DOUBLE AS x
-       |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)),
+       |  FROM embeddings CROSS JOIN dims
+       |    CROSS JOIN unnest(range(1, d + 1)) AS r(i)),
        |n AS MATERIALIZED (
        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM ex WHERE i = 1),
        |mom AS MATERIALIZED (
@@ -988,5 +1046,5 @@ object TrainingQueries {
 
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137, x176, x177, x178)
+    x118, x119, x120, x121, x137, x176, x177, x178, x179)
 }

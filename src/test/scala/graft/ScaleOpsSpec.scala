@@ -455,6 +455,35 @@ class ScaleOpsSpec extends SparkSpec {
       "no shared content in this document at all")
   }
 
+  test("substringDedup worst case: doc that is mostly duplicated text, plus empty doc") {
+    // ~10k-token doc where >95% of positions are removals — the shape the
+    // linear array_except reassembly exists for (a per-token
+    // array_contains scan would be O(nt·|rm|) ≈ 10^8 steps per doc here);
+    // an all-duplicate doc and a token-free doc pin the boundary cases
+    val block = (1 to 50).map(i => s"b$i").mkString(" ")
+    val repeated = (1 to 200).map(_ => block).mkString(" ")  // 10_000 tokens
+    val docs = Seq(
+      (1L, s"$block unique1 unique2"),          // first occurrence + own tail
+      (2L, repeated),                           // 200x the same 50-token block
+      (3L, s"$block"),                          // all-duplicate: empty result
+      (4L, "")                                  // token-free doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", l = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens_removed") == 0L)
+    // doc 2: every window is duplicated; only a prefix can survive
+    val kept2 = out(2L).getAs[Long]("n_tokens_kept")
+    assert(kept2 < 100L, s"doc 2 should lose >99% of 10k tokens, kept $kept2")
+    assert(out(2L).getAs[Long]("n_tokens_kept") +
+      out(2L).getAs[Long]("n_tokens_removed") == 10000L)
+    assert(out(2L).getAs[String]("clean_text").split(" ").count(_.nonEmpty)
+      == kept2)
+    assert(out(3L).getAs[Long]("n_tokens_kept") == 0L)
+    assert(out(3L).getAs[String]("clean_text") == "")
+    assert(out(4L).getAs[String]("clean_text") == "")
+    assert(out(4L).getAs[Long]("n_tokens_removed") == 0L)
+  }
+
   test("substringDedup keeps first occurrence of an intra-doc repeat") {
     // the same 4-token run repeated 3x INSIDE one doc: occurrences 2 and 3
     // are stripped (distinct-doc boilerplate thresholds cannot see this)

@@ -373,6 +373,61 @@ class TrainingOpsSpec extends SparkSpec {
     assert(score.getAs[Long]("tp") + score.getAs[Long]("fn") == 20L)
   }
 
+  test("logisticScoreWith applies pre-trained weights with zero GD iterations in-plan") {
+    import org.apache.spark.sql.functions._
+    val docs = ((0 until 20).map(i => (i.toLong, s"quality filler$i common words here")) ++
+      (20 until 40).map(i => (i.toLong, s"junk filler$i common words here")))
+      .toDF("id", "text")
+    val label = array_contains(graft.operators.Dedup.words(col("text")), "quality")
+    val w = Curation.logisticTrain(docs, "id", "text", label,
+      dim = 16, iters = 5, lr = 0.5)
+    // scoring with a PRE-MATERIALIZED weight frame (the production shape:
+    // weights come from a table, not a live training lineage)
+    val wLocal = {
+      val rows = w.collect().map(r =>
+        (r.getAs[Long]("bucket"), r.getAs[Double]("weight")))
+      rows.toSeq.toDF("bucket", "weight")
+    }
+    val scored = Curation.logisticScoreWith(docs, "id", "text", label,
+      wLocal, dim = 16)
+    // plan audit: one pass, no training machinery — no persisted feature
+    // frame (InMemoryTableScan), no per-iteration lineage cuts, and the
+    // only shuffles are the z aggregate + the final 1-row confusion agg
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      "scoring must not touch the persisted training feature frame:\n" +
+        plan.take(800))
+    assert(!plan.contains("Scan ExistingRDD"),
+      "scoring must not traverse checkpointed GD weight frames:\n" +
+        plan.take(800))
+    // exactly 3 hash shuffles: the feature distinct on (id,y,bucket), the
+    // bias-branch distinct on (id,y), and the per-doc z aggregate — a GD
+    // iteration would add ≥2 more per step (gradient join + aggregate)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3,
+      s"one-pass scoring should shuffle at most 3 times (feature distinct + " +
+        s"bias distinct + z agg), found $shuffles:\n" + plan.take(1200))
+    val row = scored.collect().head
+    assert(row.getAs[Long]("n_docs") == 40L)
+    assert(row.getAs[Long]("accuracy_bps") >= 9000L)
+    // per-doc prediction path: every featured doc emits (prob, pred),
+    // pred integer-consistent with prob at the 0.5 boundary
+    val preds = Curation.logisticPredictWith(docs, "id", "text", wLocal,
+      dim = 16).collect()
+    assert(preds.length == 40)
+    assert(preds.forall(r => (r.getAs[Double]("prob") >= 0.5) ==
+      (r.getAs[Int]("pred") == 1)))
+    // decision equivalence: scoreWith(round-6 trained w) reaches the same
+    // confusion as the fused train+score (round-6 wobble ~1e-6 never
+    // crosses a decision boundary with this margin)
+    val direct = Curation.logisticScore(docs, "id", "text", label,
+      dim = 16, iters = 5, lr = 0.5).collect().head
+    val viaW = Curation.logisticScoreWith(docs, "id", "text", label, w,
+      dim = 16).collect().head
+    assert(viaW.getAs[Long]("tp") == direct.getAs[Long]("tp") &&
+      viaW.getAs[Long]("tn") == direct.getAs[Long]("tn"))
+  }
+
   test("logisticTrain excludes token-free docs; zero-feature corpus rejected sanely") {
     import org.apache.spark.sql.functions._
     val docs = Seq((1L, "aaa bbb"), (2L, ""), (3L, "aaa ccc")).toDF("id", "text")
