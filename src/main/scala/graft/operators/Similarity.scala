@@ -497,13 +497,31 @@ object Similarity {
       (acc, j) => acc + when(element_at(v, j + 1) > 0,
         pow(lit(2.0), j).cast("int")).otherwise(lit(0)))
 
-  /** Home bucket plus (when probing) the `__bits` Hamming-1 flips. */
+  /** Home bucket plus (when probing) the `__bits` Hamming-1 flips, plus
+    * (at `probeHamming = 2`) the C(bits, 2) two-bit flips — the
+    * high-recall audit widening. Every Hamming-≤h pair still meets in
+    * exactly ONE probe (the mask equal to the buckets' XOR), so candidate
+    * pairs never need a dedup pass at any h. */
   private def probeBuckets(b: Column, bits: Column,
-      probeHamming: Int): Column =
-    if (probeHamming >= 1)
-      concat(array(b), transform(sequence(lit(0), bits - 1),
-        j => b.bitwiseXOR(pow(lit(2.0), j).cast("int"))))
-    else array(b)
+      probeHamming: Int): Column = {
+    val h1 = transform(sequence(lit(0), bits - 1),
+      j => b.bitwiseXOR(pow(lit(2.0), j).cast("int")))
+    probeHamming match {
+      case 0 => array(b)
+      case 1 => concat(array(b), h1)
+      case _ =>
+        // two-flip masks 2^i + 2^j, i < j; the `when` guards bits = 1
+        // (sequence(0, -1) would run descending) — CaseWhen evaluates
+        // only the taken branch
+        val h2 = when(bits >= 2,
+          flatten(transform(sequence(lit(0), bits - 2), i =>
+            transform(sequence(i + 1, bits - 1), j =>
+              b.bitwiseXOR((pow(lit(2.0), i) + pow(lit(2.0), j))
+                .cast("int"))))))
+          .otherwise(array().cast("array<int>"))
+        concat(array(b), h1, h2)
+    }
+  }
 
   /** [[hardNegatives]] with the bucket width derived IN-PLAN by the
     * [[sizedBits]] rule — candidates stay linear in n at any corpus size,
@@ -553,7 +571,7 @@ object Similarity {
       targetSplit: String = "train", threshold: Double = 0.95,
       targetBucket: Int = 8, minBits: Int = 8, maxBits: Int = 16,
       probeHamming: Int = 1): DataFrame = {
-    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in {0,1,2}")
     val bf = broadcast(bitsFrame(data, targetBucket, minBits, maxBits))
     val base = data.select(col(idCol).as("id"), col(splitCol).as("sp"),
         asDouble(col(vecCol)).as("__v"))
@@ -639,17 +657,23 @@ object Similarity {
     * 100 TB shape: candidates are bucket-equi-join rows, never a
     * test×train cross product; size `bits` with [[sizedBits]] so bucket
     * occupancy — and with it candidate count — stays linear in the corpus.
-    * Recall caveat inherited from the bucketing: a leaked pair whose sign
-    * patterns differ in ≥2 of the first `bits` components is missed;
-    * raise `probeHamming` coverage by lowering `threshold` on a
-    * confirmation pass instead of widening probes quadratically.
-    * MEASURED (x168_signbucket_recall, a bounded 256-query sample vs
-    * bruteForceTopK ground truth,
-    * bits=8/probeHamming=1 and identically at sizedBits): the probed
-    * buckets contain the exact nearest train vector for 13.4% of test
-    * queries at sf0.01 and 15.2% at sf0.1 — exactly the Hamming-≤1
-    * fraction (arbitrary nearest neighbors average Hamming ≈ 3.0 of 8
-    * sign bits here). For LEAKED pairs the picture inverts: a near-copy
+    * Recall caveat inherited from the bucketing: at the default
+    * `probeHamming = 1` a leaked pair whose sign patterns differ in ≥2 of
+    * the first `bits` components is missed. `probeHamming = 2` is the
+    * HIGH-RECALL AUDIT MODE: probes widen from bits+1 to
+    * (bits²+bits+2)/2 per query (37 vs 9 at bits=8 — candidate volume
+    * ×~4, still linear in the corpus at fixed bits).
+    * MEASURED at both operating points (x168_signbucket_recall, a
+    * bounded 256-query sample vs bruteForceTopK ground truth, bits=8;
+    * sizedBits is identical at these corpus sizes): the probed buckets
+    * contain the exact nearest train vector for
+    *   - probeHamming=1: 13.4% of test queries at sf0.01, 15.2% at sf0.1
+    *     (exactly the Hamming-≤1 fraction — arbitrary nearest neighbors
+    *     average Hamming ≈ 3.0 of 8 sign bits here);
+    *   - probeHamming=2: 37.0% at sf0.01, 38.7% at sf0.1 — ~2.5× the
+    *     recall for ~4× the candidates.
+    * Beyond that, lower `threshold` on a confirmation pass or route
+    * through [[ivfTopK]] instead of widening probes combinatorially. For LEAKED pairs the picture inverts: a near-copy
     * at cosine ≥ 0.95 concentrates mass on agreeing signs, and an exact
     * or scaled copy agrees on ALL bits, so the gate's target population
     * sits in the found fraction — but treat a clean report as "no
@@ -661,7 +685,7 @@ object Similarity {
       targetSplit: String = "train", threshold: Double = 0.95,
       bits: Int = 8, probeHamming: Int = 1): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits=$bits out of [1,16]")
-    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming in {0,1}")
+    require(probeHamming >= 0 && probeHamming <= 2, "probeHamming in {0,1,2}")
     val base = data.select(col(idCol).as("id"), col(splitCol).as("sp"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
@@ -670,9 +694,17 @@ object Similarity {
         .reduce(_ + _).cast("int"))
     val q = base.filter(col("sp") === querySplit)
     val tgt = base.filter(col("sp") === targetSplit)
-    val probeCols = col("__b") +: (if (probeHamming >= 1)
+    val oneFlips = if (probeHamming >= 1)
       (0 until bits).map(j => expr(s"__b ^ ${1 << j}").cast("int"))
-      else Seq.empty)
+      else Seq.empty
+    // high-recall audit mode: the C(bits,2) two-bit flips as well —
+    // candidate volume grows from (bits+1) to (bits²+bits+2)/2 probes per
+    // query (37 at bits=8), recall measured by x168
+    val twoFlips = if (probeHamming >= 2)
+      (for { i <- 0 until bits; j <- i + 1 until bits }
+        yield expr(s"__b ^ ${(1 << i) | (1 << j)}").cast("int"))
+      else Seq.empty
+    val probeCols = (col("__b") +: oneFlips) ++ twoFlips
     // probe buckets are pairwise distinct and each target lives in exactly
     // one bucket, so (qid, tid) candidate pairs are already unique
     val cand = q.select(col("id").as("qid"),

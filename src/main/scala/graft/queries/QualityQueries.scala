@@ -1090,7 +1090,7 @@ object QualityQueries {
     // 1.0 constant-folds a literal bound and then fails to bind the
     // comprehension's lateral column refs, so the pinned config carries
     // its own 1-row bits CTE instead of an inlined literal
-    def cfgBlock(tag: String, bitsSrc: String) =
+    def cfgBlock(tag: String, bitsSrc: String, hamming: Int = 1) =
       s"""b_$tag AS (
          |  SELECT vec_id, split, v,
          |    list_sum([CASE WHEN v[i] > 0 THEN (1 << (i - 1)::INT) ELSE 0 END
@@ -1099,7 +1099,16 @@ object QualityQueries {
          |p_$tag AS (
          |  SELECT vec_id AS qid, u.pb::INT AS bucket
          |  FROM b_$tag, $bitsSrc, unnest(list_prepend(bucket,
-         |    [xor(bucket, (1 << (j - 1))::INT) FOR j IN range(1, bits + 1)]))
+         |    [xor(bucket, (1 << (j - 1))::INT) FOR j IN range(1, bits + 1)]${
+           // two-flip probes for the high-recall (Hamming-2) audit mode;
+           // raw (un-stripMargined) insert whose `|` margins are consumed
+           // by the OUTER stripMargin — a line may never START with `||`
+           if (hamming >= 2)
+             """) || flatten(
+               |      [[xor(bucket, ((1 << (i - 1)) + (1 << (j - 1)))::INT)
+               |        FOR j IN range(i + 1, bits + 1)]
+               |        FOR i IN range(1, bits + 1)]"""
+           else ""}))
          |    AS u(pb)
          |  WHERE split = 'test'),
          |sc_$tag AS (
@@ -1150,8 +1159,11 @@ object QualityQueries {
        |          ORDER BY cos DESC, tid) AS rk FROM cs)
        |  WHERE rk = 1),
        |${cfgBlock("c8", "b8")},
-       |${cfgBlock("ca", "bb")}
+       |${cfgBlock("ca", "bb")},
+       |${cfgBlock("h2", "b8", hamming = 2)}
        |SELECT 'bits8_h1' AS config, * FROM r_c8
+       |UNION ALL
+       |SELECT 'bits8_h2', * FROM r_h2
        |UNION ALL
        |SELECT 'sized_auto', * FROM r_ca
        |ORDER BY config""".stripMargin
@@ -1189,6 +1201,9 @@ object QualityQueries {
           expr("n_top1_found * 10000 div n_queries").as("recall_bps"))
     recallOf("bits8_h1", Similarity.splitLeakage(sub, "vec_id", "split",
         "embedding", threshold = 0.95, bits = 8, probeHamming = 1))
+      .unionByName(recallOf("bits8_h2", Similarity.splitLeakage(sub,
+        "vec_id", "split", "embedding", threshold = 0.95, bits = 8,
+        probeHamming = 2)))
       .unionByName(recallOf("sized_auto", Similarity.splitLeakageAuto(sub,
         "vec_id", "split", "embedding", threshold = 0.95, probeHamming = 1)))
       .orderBy("config")

@@ -394,6 +394,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(byId(13L).isNullAt(byId(13L).fieldIndex("nearest_train_id")))
     assert(byId(13L).isNullAt(byId(13L).fieldIndex("cosine")))
     assert(!byId(13L).getAs[Boolean]("leaked"))
+    // high-recall audit mode: the SAME data at probeHamming = 2 reaches
+    // vec 13's Hamming-2 bucket — the pair h1 structurally misses now
+    // gets an exact cosine check (still unleaked: the vectors point away)
+    val h2 = Similarity.splitLeakage(vecs, "vec_id", "split", "embedding",
+        threshold = 0.99, bits = 3, probeHamming = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(h2(13L).getAs[Long]("nearest_train_id") == 2L)
+    assert(!h2(13L).isNullAt(h2(13L).fieldIndex("cosine")))
+    assert(!h2(13L).getAs[Boolean]("leaked"))
+    // h1-found answers are unchanged by the widening
+    assert(h2(11L).getAs[Long]("nearest_train_id") == 1L)
+    assert(h2(11L).getAs[Boolean]("leaked"))
   }
 
   test("semanticDedup md5 cell seed keeps string/UUID ids balanced") {
