@@ -1000,24 +1000,131 @@ object TrainingQueries {
          |v_$k AS MATERIALIZED (
          |  SELECT i, t / sqrt(q.q) AS v FROM t_$k, q_$k q)""".stripMargin
     }.mkString(",\n")
-    s"""dims AS MATERIALIZED (
-       |  SELECT max(len(embedding)) AS d FROM embeddings),
-       |ex AS MATERIALIZED (
-       |  SELECT vec_id AS id, r.i::BIGINT AS i, embedding[r.i]::DOUBLE AS x
-       |  FROM embeddings CROSS JOIN dims
-       |    CROSS JOIN unnest(range(1, d + 1)) AS r(i)),
-       |n AS MATERIALIZED (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM ex WHERE i = 1),
-       |mom AS MATERIALIZED (
-       |  SELECT i, sum(CAST(x AS DECIMAL(28,18))) AS sx,
-       |    sum(CAST(x * x AS DECIMAL(28,18))) AS sxx
-       |  FROM ex GROUP BY i),
-       |mu AS MATERIALIZED (
-       |  SELECT i, CAST(sx AS DOUBLE) / n.n AS mu FROM mom, n),
-       |dd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM mu),
-       |v_0 AS MATERIALIZED (
-       |  SELECT i, 1.0::DOUBLE / sqrt(dd.d) AS v FROM mu, dd),
+    s"""$pcaBaseCte,
        |$steps""".stripMargin
+  }
+
+  /** Shared base of the PCA oracles: exploded (id, i, x), corpus count,
+    * per-dim moments/means, and the deterministic v₀ = 1/√d start. */
+  private val pcaBaseCte: String =
+    """dims AS MATERIALIZED (
+      |  SELECT max(len(embedding)) AS d FROM embeddings),
+      |ex AS MATERIALIZED (
+      |  SELECT vec_id AS id, r.i::BIGINT AS i, embedding[r.i]::DOUBLE AS x
+      |  FROM embeddings CROSS JOIN dims
+      |    CROSS JOIN unnest(range(1, d + 1)) AS r(i)),
+      |n AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n FROM ex WHERE i = 1),
+      |mom AS MATERIALIZED (
+      |  SELECT i, sum(CAST(x AS DECIMAL(28,18))) AS sx,
+      |    sum(CAST(x * x AS DECIMAL(28,18))) AS sxx
+      |  FROM ex GROUP BY i),
+      |mu AS MATERIALIZED (
+      |  SELECT i, CAST(sx AS DOUBLE) / n.n AS mu FROM mom, n),
+      |dd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM mu),
+      |v_0 AS MATERIALIZED (
+      |  SELECT i, 1.0::DOUBLE / sqrt(dd.d) AS v FROM mu, dd)""".stripMargin
+
+  /** Oracle twin of Similarity.pcaTopComponents: `m` components, each an
+    * `iters`-step power loop with projection (Gram–Schmidt) deflation —
+    * every iteration's image t = C·v is re-orthogonalized against the
+    * found components before normalizing. The deflation replays exactly
+    * as the engine computes it: per prior component j, a
+    * DECIMAL-quantized dot pj = v_j·t, then the fixed left-associated
+    * chain ((t − p₁·v₁) − p₂·v₂)… in one expression. Ends at vf_c
+    * (final vector) and lam_c (projected-operator Rayleigh eigenvalue)
+    * per component. */
+  private def pcaDeflCte(m: Int, iters: Int): String = {
+    def vname(c: Int, k: Int) = if (k == 0) "v_0" else s"v_${c}_$k"
+    val comps = (1 to m).map { c =>
+      val steps = (1 to iters).map { k =>
+        val vp = vname(c, k - 1)
+        val priors = 1 until c
+        val pjCtes = priors.map { j =>
+          s"""pj_${c}_${k}_$j AS MATERIALIZED (
+             |  SELECT CAST(sum(CAST(w.v * t.t AS DECIMAL(28,18))) AS DOUBLE)
+             |    AS pj
+             |  FROM vf_$j w JOIN traw_${c}_$k t USING (i)),""".stripMargin
+        }.mkString("\n")
+        val tExpr = priors.foldLeft("tr0.t") { (acc, j) =>
+          s"($acc - p$j.pj * w$j.v)"
+        }
+        val tJoins =
+          if (priors.isEmpty) ""
+          else " " + priors.map(j => s"JOIN vf_$j w$j USING (i)")
+            .mkString(" ") + ", " +
+            priors.map(j => s"pj_${c}_${k}_$j p$j").mkString(", ")
+        s"""muv_${c}_$k AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(mu.mu * v.v AS DECIMAL(28,18))) AS DOUBLE)
+           |    AS muv FROM mu JOIN $vp v USING (i)),
+           |s_${c}_$k AS MATERIALIZED (
+           |  SELECT ex.id,
+           |    CAST(sum(CAST(ex.x * v.v AS DECIMAL(28,18))) AS DOUBLE) - m.muv
+           |      AS u
+           |  FROM ex JOIN $vp v USING (i), muv_${c}_$k m
+           |  GROUP BY ex.id, m.muv),
+           |b_${c}_$k AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(u AS DECIMAL(28,18))) AS DOUBLE) AS b
+           |  FROM s_${c}_$k),
+           |traw_${c}_$k AS MATERIALIZED (
+           |  SELECT ex.i,
+           |    (CAST(sum(CAST(ex.x * s.u AS DECIMAL(28,18))) AS DOUBLE)
+           |      - mu.mu * b.b) / n.n AS t
+           |  FROM ex JOIN s_${c}_$k s USING (id) JOIN mu ON ex.i = mu.i,
+           |    b_${c}_$k b, n
+           |  GROUP BY ex.i, mu.mu, b.b, n.n),
+           |$pjCtes
+           |t_${c}_$k AS MATERIALIZED (
+           |  SELECT tr0.i, $tExpr AS t
+           |  FROM traw_${c}_$k tr0$tJoins),
+           |q_${c}_$k AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(t * t AS DECIMAL(28,18))) AS DOUBLE) AS q
+           |  FROM t_${c}_$k),
+           |v_${c}_$k AS MATERIALIZED (
+           |  SELECT i, t / sqrt(q.q) AS v FROM t_${c}_$k, q_${c}_$k q)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$steps,
+         |vf_$c AS MATERIALIZED (SELECT * FROM ${vname(c, iters)}),
+         |lam_$c AS MATERIALIZED (
+         |  SELECT CAST(sum(CAST(v.v * t.t AS DECIMAL(28,18))) AS DOUBLE)
+         |    AS lam
+         |  FROM ${vname(c, iters - 1)} v JOIN t_${c}_$iters t USING (i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$pcaBaseCte,
+       |$comps""".stripMargin
+  }
+
+  // Top-2 principal components by power iteration + projection deflation —
+  // the decorrelation completion of x178: component 2 runs the identical
+  // power loop with each image re-orthogonalized against v₁ as d-row
+  // broadcast arithmetic ((v₁·t)·v₁), never touching the data passes, so
+  // v₂ ⊥ v₁ by construction (spec-asserted). The oracle replays both
+  // components end to end, including every deflation dot and the
+  // fixed-order correction chain; component 1 is bit-identical to x178
+  // by construction (same CTE arithmetic).
+  private val x180 = Q("x180_pca_deflation", Some(
+    s"""WITH ${pcaDeflCte(m = 2, iters = 5)},
+       |tr AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(
+       |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+       |      / n.n) / n.n AS DECIMAL(28,18))) AS DOUBLE) AS tr
+       |  FROM mom, n)
+       |SELECT 1 AS component, v.i AS dim, round(v.v, 6) AS loading,
+       |  round(l1.lam, 6) AS eigenvalue,
+       |  round(l1.lam / tr.tr, 4) AS explained,
+       |  round(l1.lam / tr.tr, 4) AS cum_explained
+       |FROM vf_1 v, lam_1 l1, tr
+       |UNION ALL
+       |SELECT 2, v.i, round(v.v, 6), round(l2.lam, 6),
+       |  round(l2.lam / tr.tr, 4),
+       |  round((l1.lam + l2.lam) / tr.tr, 4)
+       |FROM vf_2 v, lam_1 l1, lam_2 l2, tr
+       |ORDER BY component, dim""".stripMargin)) { (s, dir) =>
+    graft.operators.Similarity.pcaTopComponents(
+        t(s, dir, "embeddings"), "vec_id", "embedding", m = 2, iters = 5)
+      .orderBy("component", "dim")
   }
 
   // Top principal component by 5 unrolled power-iteration steps — the
@@ -1046,5 +1153,5 @@ object TrainingQueries {
 
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137, x176, x177, x178, x179)
+    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180)
 }

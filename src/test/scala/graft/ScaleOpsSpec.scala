@@ -563,4 +563,47 @@ class ScaleOpsSpec extends SparkSpec {
     val eig = out(0).getAs[Double]("eigenvalue")
     assert(eig > 30.0 && eig < 40.0, s"eigenvalue $eig")
   }
+
+  test("pcaTopComponents: planted 3-axis spectrum, orthogonal loadings, ordered eigenvalues") {
+    // variance planted on three axes with distinct scales (≈33 : 2 : 0.08):
+    // the top-3 components must recover the axes in order, mutually
+    // orthogonal BY CONSTRUCTION (projection deflation), with decreasing
+    // eigenvalues and a monotone cumulative explained share
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array(((i % 10) * 2).toFloat, ((i % 5) * 1.0f),
+        ((i % 3) * 0.2f), 0.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pcaTopComponents(df, "vec_id", "embedding",
+      m = 3, iters = 8).orderBy("component", "dim").collect()
+    assert(out.length == 12) // 3 components x 4 dims
+    def comp(c: Int): Array[Double] = out
+      .filter(_.getAs[Int]("component") == c)
+      .sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("loading"))
+    val (c1, c2, c3) = (comp(1), comp(2), comp(3))
+    // axis recovery in variance order
+    assert(math.abs(c1(0)) > 0.99, s"comp1 should align with dim 1: ${c1.toSeq}")
+    assert(math.abs(c2(1)) > 0.99, s"comp2 should align with dim 2: ${c2.toSeq}")
+    assert(math.abs(c3(2)) > 0.99, s"comp3 should align with dim 3: ${c3.toSeq}")
+    // orthogonality by construction (the decorrelation contract)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(c1, c2)) < 1e-4, s"v1·v2 = ${dot(c1, c2)}")
+    assert(math.abs(dot(c1, c3)) < 1e-4, s"v1·v3 = ${dot(c1, c3)}")
+    assert(math.abs(dot(c2, c3)) < 1e-4, s"v2·v3 = ${dot(c2, c3)}")
+    // eigenvalues strictly decreasing; cumulative explained monotone and
+    // consistent with the per-component shares
+    val eigs = (1 to 3).map(c => out.filter(_.getAs[Int]("component") == c)
+      .head.getAs[Double]("eigenvalue"))
+    assert(eigs(0) > eigs(1) && eigs(1) > eigs(2), s"eigenvalues $eigs")
+    val byComp = (1 to 3).map { c =>
+      val r = out.filter(_.getAs[Int]("component") == c).head
+      (r.getAs[Double]("explained"), r.getAs[Double]("cum_explained"))
+    }
+    assert(byComp(0)._2 == byComp(0)._1)
+    assert(byComp(1)._2 > byComp(0)._2 && byComp(2)._2 > byComp(1)._2)
+    assert(math.abs(byComp.map(_._1).sum - byComp(2)._2) < 0.001)
+    // three planted axes carry essentially the whole trace
+    assert(byComp(2)._2 > 0.999, s"cum explained ${byComp(2)._2}")
+  }
 }
