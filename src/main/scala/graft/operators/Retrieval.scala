@@ -300,4 +300,122 @@ object Retrieval {
         round(col("__dcg").cast("double") / col("__idcg").cast("double"), 4)
           .as("ndcg"))
   }
+
+  /** Materialize the retrieval index once: a postings table
+    * `(token, doc, tf, dl, df, cf)` written BUCKETED on `token`
+    * (`Bucketing.writeBucketed` — catalog table, so repeated same-key
+    * joins read co-located buckets), plus a 1-row `<table>_stats`
+    * companion `(n_corpus, total_dl)`.
+    *
+    * Why: [[bm25TopK]]/[[queryLikelihoodTopK]] re-tokenize and
+    * re-aggregate the corpus on EVERY call — two corpus passes per query
+    * batch. Search-side curation runs many query batches against one
+    * corpus; with the index built once, every batch is postings-scan →
+    * broadcast query join → per-(query, doc) aggregate, zero corpus-side
+    * shuffles and zero re-tokenization (PlanRegressionSpec-asserted).
+    * df (document frequency) and cf (collection frequency) are
+    * DENORMALIZED onto the postings rows at build time — one extra
+    * token-keyed shuffle paid once, so the scoring side needs no
+    * vocabulary aggregate at all. */
+  def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 8): Unit = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(Dedup.words(col(textCol))).as("token"))
+    val tf = toks.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc")))
+    val tok = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    Bucketing.writeBucketed(tf.join(tok, "token"), table, buckets,
+      Seq("token"), Seq("token"))
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
+    // idempotent across sessions, like Bucketing.writeBucketed: a fresh
+    // in-memory catalog doesn't know about directories a previous
+    // session's saveAsTable left in the warehouse
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, s"${table.toLowerCase}_stats")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // N counts every corpus doc (token-free included) and total_dl the
+    // corpus token count — same conventions as the direct scorers
+    docs.select(size(Dedup.words(col(textCol))).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("n_corpus"), sum(col("__dl")).as("total_dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_stats")
+  }
+
+  /** [[bm25TopK]] over a [[buildPostingsIndex]] table: identical output
+    * (same per-term arithmetic, DECIMAL quantization, id tie-breaks —
+    * x181 gates equality against the x171 oracle), but the corpus flows
+    * only through the materialized postings scan. Per batch: broadcast
+    * query-term join on `token` → per-(query, doc) aggregate → rank
+    * window; work = Σ postings(q-terms). */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val postings = spark.table(table)
+    val stats = broadcast(spark.table(s"${table}_stats"))
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val term =
+      (log(lit(1.0) +
+        (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+            (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
+        .cast("decimal(28,18)")
+    val scored = postings.join(qTerms, "token")
+      .crossJoin(stats)
+      .groupBy("query_id", "doc")
+      .agg(sum(term).as("__s"), count(lit(1)).as("matched_terms"))
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
+  }
+
+  /** [[queryLikelihoodTopK]] over a [[buildPostingsIndex]] table — same
+    * output (per-term arithmetic and normalizer replayed on the
+    * materialized tf/dl/cf columns), corpus touched only through the
+    * postings scan. */
+  def queryLikelihoodTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = 10, mu: Double = 2000.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(mu > 0, "mu must be positive")
+    val postings = spark.table(table)
+    val stats = broadcast(spark.table(s"${table}_stats")
+      .select(col("total_dl").as("total_c")))
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+        explode(Dedup.words(col(queryTextCol))).as("token"))
+      .groupBy("query_id", "token").agg(count(lit(1)).as("qtf"))
+      .withColumn("qlen",
+        sum(col("qtf")).over(Window.partitionBy("query_id"))))
+    val term =
+      (col("qtf").cast("double") *
+        log(lit(1.0) + col("tf").cast("double") * col("total_c").cast("double") /
+          (lit(mu) * col("cf").cast("double"))))
+        .cast("decimal(28,18)")
+    val scored = postings.join(qTerms, "token")
+      .crossJoin(stats)
+      .groupBy("query_id", "doc")
+      .agg(sum(term).as("__sm"), count(lit(1)).as("matched_terms"),
+        max(col("dl")).as("__dl"), max(col("qlen")).as("__qlen"))
+      .withColumn("__s", col("__sm") +
+        (col("__qlen").cast("double") *
+          log(lit(mu) / (col("__dl").cast("double") + lit(mu))))
+          .cast("decimal(28,18)"))
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
+  }
 }

@@ -291,5 +291,23 @@ object RetrievalQueries {
       .orderBy("query_id")
   }
 
-  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175)
+  // Materialized-index BM25: build the bucketed postings table once
+  // (token, doc, tf, dl, df, cf + 1-row stats), then score the same 5
+  // queries from the index — zero corpus-side shuffles, zero
+  // re-tokenization in the scoring plan (PlanRegressionSpec). The oracle
+  // is x171's, verbatim: the index path must be output-IDENTICAL to the
+  // from-scratch scorer.
+  private val x181 = Q("x181_bm25_indexed", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x181_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x181_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181)
 }

@@ -506,6 +506,32 @@ class PlanRegressionSpec extends SparkSpec {
       "fusion sum must map-side combine:\n" + p.take(900))
   }
 
+  test("x181 indexed BM25: scoring batches touch the corpus only via the postings scan") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+      "text", "graft_plan_postings", buckets = 4)
+    // a SECOND query batch against the materialized index
+    val p = Retrieval.bm25TopKIndexed(spark, "graft_plan_postings",
+        d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // zero corpus-side Exchange: no shuffle keyed on token or doc before
+    // the match aggregate — the only hash exchange is on the matched
+    // (query_id, doc) rows, sized by Σ postings(q-terms)
+    assert(!p.contains("Exchange hashpartitioning(token"),
+      "corpus must not re-shuffle on token:\n" + p.take(900))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"indexed scoring should shuffle only matched rows (agg + window), " +
+        s"found $exchanges exchanges:\n" + p.take(1200))
+    // no re-tokenization of the corpus: the only explode is the broadcast
+    // query side
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1,
+      "corpus text must not re-tokenize on the scoring path:\n" + p.take(900))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")

@@ -133,4 +133,41 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_relevant") == 0L)
     assert(out.head.isNullAt(out.head.fieldIndex("ndcg")))
   }
+
+  test("evalRanking: query with judgments but zero ranked rows reports misses") {
+    // query 2 has truth but produced no ranking at all: it must appear
+    // with n_ranked = 0, rr_ppb = 0, recall_bps = 0 — not vanish and
+    // silently inflate the mean MRR (round-7 advice fix)
+    val ranked = Seq((1L, 100L, 1)).toDF("q", "item", "r")
+    val truth = Seq((1L, 100L), (2L, 200L)).toDF("q", "item")
+    val out = Retrieval.evalRanking(ranked, "q", "item", "r", truth, "q",
+        "item", k = 10).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L).getAs[Long]("n_ranked") == 0L)
+    assert(out(2L).getAs[Long]("rr_ppb") == 0L)
+    assert(out(2L).getAs[Long]("n_relevant") == 1L)
+    assert(out(2L).getAs[Long]("recall_bps") == 0L)
+    assert(out(1L).getAs[Long]("rr_ppb") == 1000000000L)
+  }
+
+  test("indexed BM25/QL equal the from-scratch scorers exactly") {
+    val queries = Seq((1L, "apple cherry"), (2L, "dog")).toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_test_postings", buckets = 4)
+    val directB = Retrieval.bm25TopK(corpus, "doc_id", "text", queries,
+      "doc_id", "text", k = 3).orderBy("query_id", "rank").collect()
+    val indexedB = Retrieval.bm25TopKIndexed(spark, "graft_test_postings",
+      queries, "doc_id", "text", k = 3).orderBy("query_id", "rank").collect()
+    assert(directB.length == indexedB.length && directB.nonEmpty)
+    directB.zip(indexedB).foreach { case (d, i) => assert(d == i) }
+    val directQ = Retrieval.queryLikelihoodTopK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 3, mu = 100.0)
+      .orderBy("query_id", "rank").collect()
+    val indexedQ = Retrieval.queryLikelihoodTopKIndexed(spark,
+      "graft_test_postings", queries, "doc_id", "text", k = 3, mu = 100.0)
+      .orderBy("query_id", "rank").collect()
+    assert(directQ.length == indexedQ.length && directQ.nonEmpty)
+    directQ.zip(indexedQ).foreach { case (d, i) => assert(d == i) }
+  }
 }
