@@ -86,8 +86,16 @@ class RetrievalSpec extends SparkSpec {
     assert(q1.getAs[Long]("hits_at_k") == 1L)
     assert(q1.getAs[Long]("n_relevant") == 2L)
     assert(q1.getAs[Long]("recall_bps") == 5000L)
+    // query 2 has truth but produced no ranking: surfaced with misses
+    // (round-8 contract — it must not vanish from a downstream mean)
+    val q2 = out(1)
+    assert(q2.getAs[Long]("query_id") == 2L)
+    assert(q2.getAs[Long]("n_ranked") == 0L)
+    assert(q2.getAs[Long]("rr_ppb") == 0L)
+    assert(q2.getAs[Long]("n_relevant") == 1L)
+    assert(q2.getAs[Long]("recall_bps") == 0L)
     // query 3 ranked items but has NO truth: surfaced with zero metrics
-    val q3 = out(1)
+    val q3 = out(2)
     assert(q3.getAs[Long]("query_id") == 3L)
     assert(q3.isNullAt(q3.fieldIndex("first_rel_rank")))
     assert(q3.getAs[Long]("rr_ppb") == 0L)
