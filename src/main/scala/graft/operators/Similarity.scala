@@ -964,11 +964,19 @@ object Similarity {
     * Returns one row per (component, dim): per-component `eigenvalue`,
     * `explained` = λ_c/trace(C), and the running `cum_explained`
     * Σ_{j≤c} λ_j / trace(C). */
-  def pcaTopComponents(data: DataFrame, idCol: String, vecCol: String,
-      m: Int = 2, iters: Int = 5): DataFrame = {
+  private def dec18(c: Column): Column = c.cast("decimal(28,18)")
+
+  /** Shared power-iteration machinery of [[pcaTopComponents]] /
+    * [[pcaProject]]: the persisted exploded (id, i, x) frame, the n /
+    * moment / mean frames, and per component its final d-row vector
+    * frame plus 1-row Rayleigh-λ frame. */
+  private case class PcaParts(ex: DataFrame, nF: DataFrame, mom: DataFrame,
+      mu: DataFrame, comps: Seq[(DataFrame, DataFrame)])
+
+  private def pcaParts(data: DataFrame, idCol: String, vecCol: String,
+      m: Int, iters: Int): PcaParts = {
     require(m >= 1 && m <= 4, s"m=$m out of [1,4]")
     require(iters >= 1 && iters <= 16, "iters out of [1,16]")
-    val dec18 = (c: Column) => c.cast("decimal(28,18)")
     val ex = data.select(col(idCol).as("id"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("__d0", "x")))
       .select(col("id"), (col("__d0") + 1).cast("long").as("i"), col("x"))
@@ -1030,6 +1038,13 @@ object Similarity {
         .localCheckpoint(eager = false))
       comps += ((vFinal, lamF))
     }
+    PcaParts(ex, nF, mom, mu, comps.toSeq)
+  }
+
+  def pcaTopComponents(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 2, iters: Int = 5): DataFrame = {
+    val p = pcaParts(data, idCol, vecCol, m, iters)
+    import p.{comps, mom, nF}
     val trF = broadcast(mom.crossJoin(nF)
       .select(((col("sxx").cast("double") -
         col("sx").cast("double") * col("sx").cast("double") / col("n")) /
@@ -1048,6 +1063,45 @@ object Similarity {
           round(col(s"__l$c"), 6).as("eigenvalue"),
           round(col(s"__l$c") / col("tr"), 4).as("explained"),
           round(cum / col("tr"), 4).as("cum_explained"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Project every vector onto the top-`m` principal components — the
+    * actual decorrelation/compression step the component extraction
+    * exists for: y_c = (x − μ)·v_c per row, computed WITHOUT
+    * materializing centered vectors ((x − μ)·v = x·v − μ·v, so one
+    * per-row dot against the broadcast v_c plus a broadcast 1-row μ·v_c
+    * constant). With `whiten = true` each coordinate divides by √λ_c,
+    * giving unit-variance decorrelated features — the standard
+    * preconditioning before [[scalarQuantize]]/[[pqTopK]] (quantizers
+    * spend their budget evenly instead of on the dominant direction).
+    *
+    * One O(n·d) pass per component over the persisted exploded frame
+    * with d-row broadcast vectors — the data is never shuffled wider
+    * than its (id, i, x) explosion, and the per-id dot aggregate is the
+    * only corpus-sized shuffle. Determinism: the per-row dot is a
+    * DECIMAL(28,18)-quantized sum; (dot − μ·v)/√λ is one fixed double
+    * op sequence (x182 replays training AND projection).
+    *
+    * Returns (id, component, coord), one row per vector per component. */
+  def pcaProject(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 2, iters: Int = 5, whiten: Boolean = false,
+      roundTo: Int = 6): DataFrame = {
+    val p = pcaParts(data, idCol, vecCol, m, iters)
+    p.comps.zipWithIndex.map { case ((vF, lamF), cIdx) =>
+      val c = cIdx + 1
+      val muv = broadcast(p.mu.join(vF, "i")
+        .agg(sum(dec18(col("mu") * col("v"))).cast("double").as("muv")))
+      val dots = p.ex.join(broadcast(vF), "i")
+        .groupBy("id")
+        .agg(sum(dec18(col("x") * col("v"))).cast("double").as("__s"))
+        .crossJoin(muv)
+      val (base, coord) =
+        if (whiten) (dots.crossJoin(lamF),
+          (col("__s") - col("muv")) / sqrt(col("lam")))
+        else (dots, col("__s") - col("muv"))
+      base.select(col("id"), lit(c).as("component"),
+        round(coord, roundTo).as("coord"))
     }.reduce(_.unionByName(_))
   }
 }

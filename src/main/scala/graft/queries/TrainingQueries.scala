@@ -1151,7 +1151,43 @@ object TrainingQueries {
       .orderBy("dim")
   }
 
+  // PCA whitening projection — the decorrelation step the component
+  // extraction exists for: every vector's top-2 coordinates
+  // y_c = ((x − μ)·v_c)/√λ_c, computed as x·v − μ·v against broadcast
+  // component frames (centered vectors never materialized). The oracle
+  // replays the full two-component training AND the per-vector
+  // projection arithmetic, so coordinates are gated per vector.
+  private val x182 = Q("x182_pca_whiten", Some(
+    s"""WITH ${pcaDeflCte(m = 2, iters = 5)},
+       |muvp_1 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(mu.mu * v.v AS DECIMAL(28,18))) AS DOUBLE)
+       |    AS muv FROM mu JOIN vf_1 v USING (i)),
+       |muvp_2 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(mu.mu * v.v AS DECIMAL(28,18))) AS DOUBLE)
+       |    AS muv FROM mu JOIN vf_2 v USING (i)),
+       |y_1 AS (
+       |  SELECT ex.id,
+       |    (CAST(sum(CAST(ex.x * v.v AS DECIMAL(28,18))) AS DOUBLE) - m.muv)
+       |      / sqrt(l.lam) AS coord
+       |  FROM ex JOIN vf_1 v USING (i), muvp_1 m, lam_1 l
+       |  GROUP BY ex.id, m.muv, l.lam),
+       |y_2 AS (
+       |  SELECT ex.id,
+       |    (CAST(sum(CAST(ex.x * v.v AS DECIMAL(28,18))) AS DOUBLE) - m.muv)
+       |      / sqrt(l.lam) AS coord
+       |  FROM ex JOIN vf_2 v USING (i), muvp_2 m, lam_2 l
+       |  GROUP BY ex.id, m.muv, l.lam)
+       |SELECT id, 1 AS component, round(coord, 6) AS coord FROM y_1
+       |UNION ALL
+       |SELECT id, 2, round(coord, 6) FROM y_2
+       |ORDER BY id, component""".stripMargin)) { (s, dir) =>
+    graft.operators.Similarity.pcaProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", m = 2, iters = 5,
+        whiten = true)
+      .orderBy("id", "component")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180)
+    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182)
 }

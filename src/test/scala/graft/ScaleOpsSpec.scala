@@ -606,4 +606,33 @@ class ScaleOpsSpec extends SparkSpec {
     // three planted axes carry essentially the whole trace
     assert(byComp(2)._2 > 0.999, s"cum explained ${byComp(2)._2}")
   }
+
+  test("pcaProject whitening yields unit-variance, decorrelated coordinates") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array(((i % 10) * 2).toFloat, ((i % 5) * 1.0f),
+        ((i % 3) * 0.2f), 0.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pcaProject(df, "vec_id", "embedding",
+      m = 2, iters = 8, whiten = true).collect()
+    assert(out.length == 120) // 60 vectors x 2 components
+    def coords(c: Int): Array[Double] = out
+      .filter(_.getAs[Int]("component") == c)
+      .sortBy(_.getAs[Long]("id")).map(_.getAs[Double]("coord"))
+    val (y1, y2) = (coords(1), coords(2))
+    def meanOf(a: Array[Double]) = a.sum / a.length
+    def varOf(a: Array[Double]) = {
+      val m0 = meanOf(a); a.map(v => (v - m0) * (v - m0)).sum / a.length
+    }
+    // whitened: population variance ≈ 1 per component (the λ divisor)
+    assert(math.abs(varOf(y1) - 1.0) < 0.01, s"var1 = ${varOf(y1)}")
+    assert(math.abs(varOf(y2) - 1.0) < 0.01, s"var2 = ${varOf(y2)}")
+    // decorrelated: cross-covariance ≈ 0 (orthogonal loadings)
+    val m1 = meanOf(y1); val m2 = meanOf(y2)
+    val cov = y1.zip(y2).map { case (a, b) => (a - m1) * (b - m2) }.sum /
+      y1.length
+    assert(math.abs(cov) < 0.01, s"cross-covariance $cov")
+    // projection is mean-centered by construction
+    assert(math.abs(m1) < 1e-4 && math.abs(m2) < 1e-4, s"means $m1 $m2")
+  }
 }
