@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Emit the sf0.1 -> sf1 scaling table from two Bench JSON lines.
 
-Usage: python3 tools/scaling.py BENCH_sf0.1.json BENCH_sf1.json > docs/SCALING.md
+Usage: python3 tools/scaling.py BENCH_sf0.1.json BENCH_sf1.json [notes.md] > docs/SCALING.md
+
+The optional third argument is a markdown file appended verbatim as a
+"Notes" section — the place to pin watchlist analysis (isolated
+re-timings, known adversarial-shape ratios) next to the numbers.
 
 Each side accepts a comma-separated list of runs; per-query times are
 min-merged across them (min is the standard low-noise estimator for
@@ -54,6 +58,10 @@ def main():
 
     print("# Scaling: sf0.1 -> sf1 (10x data), full registry, same HEAD")
     print()
+    iso = a.get("isolation") or b.get("isolation")
+    if iso:
+        print(f"- bench protocol: isolation = {iso} (r6-era numbers predate "
+              "this and are not comparable for persist-heavy queries)")
     print(f"- sf0.1: {a['n_queries']} queries, {a['n_errors']} errors, "
           f"{a['value']:.1f} s total (per-query min of {a.get('n_runs', 1)} runs)")
     print(f"- sf1:   {b['n_queries']} queries, {b['n_errors']} errors, "
@@ -69,6 +77,10 @@ def main():
     for q, ta, tb, ratio in rows:
         r = f"{ratio:.1f}x" if ratio is not None else "— (sf0.1 < 0.1 s)"
         print(f"| {q} | {ta:.2f} | {tb:.2f} | {r} |")
+    if len(sys.argv) > 3:
+        print()
+        with open(sys.argv[3]) as f:
+            print(f.read().rstrip())
 
 
 if __name__ == "__main__":
