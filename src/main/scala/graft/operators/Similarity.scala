@@ -750,6 +750,57 @@ object Similarity {
     bruteForceTopK(candidates, idCol, vecCol, queryDf, k)
   }
 
+  /** Materialize the IVF index once: the vectors written as a catalog
+    * table PARTITIONED by cell (probe-time cell predicates prune at the
+    * FILE level — a 3-of-k probe reads 3/k of the corpus bytes, visible
+    * as `PartitionFilters` in the scan), plus a `<table>_centroids`
+    * companion (numCells×d — broadcast-sized).
+    *
+    * The dense-side twin of [[graft.operators.Retrieval.buildPostingsIndex]]:
+    * hybrid search (x172's BM25 + cosine fusion) runs many query batches
+    * against one corpus, and without the index every [[ivfTopK]] call
+    * pays the full centroid aggregate plus an unpruned corpus scan. */
+  def buildIvfIndex(data: DataFrame, idCol: String, cellCol: String,
+      vecCol: String, table: String): Unit = {
+    val spark = data.sparkSession
+    def dropWithDir(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    dropWithDir(table)
+    data.select(col(idCol), col(cellCol), col(vecCol))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy(cellCol).saveAsTable(table)
+    dropWithDir(s"${table}_centroids")
+    centroids(data, cellCol, vecCol)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+  }
+
+  /** [[ivfTopK]] over a [[buildIvfIndex]] table: identical output (same
+    * centroid ranking, probe set, and exact in-cell cosines — x183 gates
+    * equality against the x6 oracle), but the centroid pass reads the
+    * tiny materialized table and the candidate scan prunes to the probed
+    * cell partitions. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, cellCol: String, vecCol: String, queryDf: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.table(s"${table}_centroids")
+    val q = broadcast(queryDf.select(asDouble(col(vecCol)).as("__qv")))
+    val probed = cents.crossJoin(q)
+      .select(col("cell"), cosine(col("centroid"), col("__qv")).as("cs"))
+      .orderBy(desc("cs"), col("cell"))
+      .limit(nprobe)
+    val data = spark.table(table)
+    val candidates = data.join(
+      broadcast(probed.select(col("cell").as("__probe_cell"))),
+      data(cellCol) === col("__probe_cell"))
+    bruteForceTopK(candidates, idCol, vecCol, queryDf, k)
+  }
+
   /** Product quantization, end to end: train per-subspace codebooks (`m`
     * subspaces of `dim/m` dims, `k` L2 centroids each — one Lloyd
     * refinement from the deterministic id%k seed), encode every vector as

@@ -136,7 +136,10 @@ object ScaleQueries {
   }
 
   // IVF: label-partitioned cells, probe top-3 centroids, search within.
-  private val x6 = Q("x6_ann_ivf", Some(
+  /** Shared by x6 (from-scratch IVF) and x183 (materialized IVF index):
+    * the indexed path must be output-IDENTICAL, so both gate against the
+    * same SQL. */
+  private val ivfOracle =
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
       |cent AS (
       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
@@ -155,10 +158,25 @@ object ScaleQueries {
       |ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
       |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
       |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
-      |LIMIT 10""".stripMargin)) { (s, dir) =>
+      |LIMIT 10""".stripMargin
+
+  private val x6 = Q("x6_ann_ivf", Some(ivfOracle)) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, "vec_id", "label", "embedding",
         emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // IVF from the MATERIALIZED index: vectors partitioned by cell (probe
+  // predicates prune at the file level via dynamic partition pruning) +
+  // the broadcast-sized centroids table — the dense-side twin of the
+  // x181 postings index, same oracle as x6 (equality, not similarity).
+  private val x183 = Q("x183_ann_ivf_indexed", Some(ivfOracle)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_x183_ivf")
+    Similarity.ivfTopKIndexed(s, "graft_x183_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -1763,5 +1781,6 @@ object ScaleQueries {
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
-      x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160)
+      x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
+      x183)
 }

@@ -532,6 +532,29 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("x183 indexed IVF: probe scan prunes cell partitions, centroids come from the tiny table") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_plan_ivf")
+    val p = Similarity.ivfTopKIndexed(spark, "graft_plan_ivf", "vec_id",
+        "label", "embedding", emb.filter(col("vec_id") === 0), k = 10,
+        nprobe = 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the candidate scan must carry a partition filter on the cell
+    // column — either dynamic partition pruning from the broadcast probe
+    // set or a pushed-in subquery filter; a full-corpus scan means the
+    // index layout is being ignored
+    assert(p.contains("dynamicpruning") ||
+      p.contains("PartitionFilters: [label"),
+      "probed-cell scan must prune partitions:\n" + p.take(1200))
+    // centroid ranking reads the materialized table, never re-aggregates
+    // the corpus (no vectorMean UDAF in the plan)
+    assert(!p.contains("vectorMean") && !p.contains("VectorMean"),
+      "centroids must come from the index table:\n" + p.take(900))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
