@@ -355,10 +355,19 @@ object Retrieval {
       queryTextCol: String, k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val postings = spark.table(table)
-    val stats = broadcast(spark.table(s"${table}_stats"))
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    bm25ScoreFromIndex(spark, table, qTerms, k, k1, b)
+  }
+
+  /** BM25 scoring core over a postings-index table and a broadcastable
+    * (query_id, token) term frame — shared by [[bm25TopKIndexed]] and
+    * both passes of [[bm25ExpandedTopKIndexed]]. */
+  private def bm25ScoreFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, qTerms: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    val postings = spark.table(table)
+    val stats = broadcast(spark.table(s"${table}_stats"))
     val term =
       (log(lit(1.0) +
         (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -368,7 +377,7 @@ object Retrieval {
           (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
             (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
         .cast("decimal(28,18)")
-    val scored = postings.join(qTerms, "token")
+    val scored = postings.join(broadcast(qTerms), "token")
       .crossJoin(stats)
       .groupBy("query_id", "doc")
       .agg(sum(term).as("__s"), count(lit(1)).as("matched_terms"))
@@ -378,6 +387,49 @@ object Retrieval {
       .select(col("query_id"), col("doc").as("doc_id"),
         round(col("__s").cast("double"), 4).as("score"),
         col("matched_terms"), col("rank"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion over the postings index —
+    * the Rocchio/RM-family two-pass retrieval loop of search-side
+    * curation: first-pass BM25 picks each query's top `fbDocs` documents,
+    * the `fbTerms` most frequent feedback terms NOT already in the query
+    * join the term set (frequency = integer Σtf over the feedback docs —
+    * drift-free ranking, ties break on the token), and the expanded term
+    * set rescores the corpus. Recovers vocabulary-mismatch docs that
+    * share no literal term with the query.
+    *
+    * Plan: BOTH passes are postings-scan → broadcast term join →
+    * matched-rows aggregate (the x181 shape — zero corpus re-tokenization
+    * or corpus-side shuffle); the feedback-term extraction joins the
+    * (≤ queries×fbDocs)-row pass-1 result back to the postings on `doc`
+    * and window-caps to fbTerms per query pre-shuffle. A query whose
+    * first pass returns nothing keeps its original terms. Returns the
+    * pass-2 ranking in [[bm25TopK]]'s shape. */
+  def bm25ExpandedTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = 10, fbDocs: Int = 3, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && fbDocs >= 1 && fbTerms >= 0, "bad k/fbDocs/fbTerms")
+    val postings = spark.table(table)
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val pass1 = bm25ScoreFromIndex(spark, table, qTerms, fbDocs, k1, b)
+    // feedback term frequencies: integer Σtf over each query's feedback
+    // docs, original query terms excluded (they are already in the set)
+    val fbTf = postings.join(
+        broadcast(pass1.select(col("query_id"), col("doc_id").as("doc"))),
+        "doc")
+      .groupBy("query_id", "token")
+      .agg(sum(col("tf")).as("__ftf"))
+      .join(qTerms, Seq("query_id", "token"), "left_anti")
+    val ew = Window.partitionBy("query_id")
+      .orderBy(desc("__ftf"), col("token"))
+    val expTerms = fbTf.withColumn("__er", row_number().over(ew))
+      .filter(col("__er") <= fbTerms)
+      .select("query_id", "token")
+    val expanded = broadcast(
+      qTerms.select("query_id", "token").unionByName(expTerms))
+    bm25ScoreFromIndex(spark, table, expanded, k, k1, b)
   }
 
   /** [[queryLikelihoodTopK]] over a [[buildPostingsIndex]] table — same

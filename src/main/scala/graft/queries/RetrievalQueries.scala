@@ -309,5 +309,62 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
-  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181)
+  // Pseudo-relevance-feedback expansion over the postings index: pass 1
+  // BM25 top-3 picks feedback docs, the 5 most frequent feedback terms
+  // not already in the query (integer Σtf ranking, token tie-break) join
+  // the term set, pass 2 rescores with the expanded set. The oracle
+  // replays both passes, the feedback term counts, the anti-join against
+  // original terms, and the expansion window — every rank boundary
+  // id-tiebroken.
+  private val x184 = Q("x184_bm25_prf_expansion", Some(
+    s"""WITH ${bm25Cte(nQueries = 3, k = 3)},
+       |fbt AS (
+       |  SELECT r.query_id, tfdl.token, CAST(sum(tfdl.tf) AS BIGINT) AS ftf
+       |  FROM ranked r JOIN tfdl ON tfdl.doc = r.doc_id
+       |  GROUP BY r.query_id, tfdl.token),
+       |fbx AS (
+       |  SELECT f.query_id, f.token, f.ftf FROM fbt f
+       |  LEFT JOIN qt ON qt.query_id = f.query_id AND qt.token = f.token
+       |  WHERE qt.token IS NULL),
+       |expt AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT query_id, token,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ftf DESC, token) AS er
+       |    FROM fbx) WHERE er <= 5),
+       |qt2 AS (SELECT query_id, token FROM qt
+       |        UNION ALL SELECT query_id, token FROM expt),
+       |terms2 AS (
+       |  SELECT qt2.query_id, tfdl.doc,
+       |    CAST(ln(1.0::DOUBLE +
+       |        (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5::DOUBLE)
+       |        / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+       |      * (CAST(tf AS DOUBLE) * 2.2::DOUBLE)
+       |      / (CAST(tf AS DOUBLE) + 1.2::DOUBLE *
+       |          (0.25::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+       |            / (CAST(total_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+       |      AS DECIMAL(28,18)) AS term
+       |  FROM tfdl JOIN qt2 USING (token) JOIN dfq USING (token), stats),
+       |scored2 AS (
+       |  SELECT query_id, doc, sum(term) AS s,
+       |    CAST(count(*) AS BIGINT) AS matched_terms
+       |  FROM terms2 GROUP BY 1, 2),
+       |ranked2 AS (
+       |  SELECT query_id, doc AS doc_id, round(CAST(s AS DOUBLE), 4) AS score,
+       |    matched_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc) AS INT) AS rank
+       |  FROM scored2 QUALIFY rank <= 5)
+       |SELECT * FROM ranked2 ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x184_postings")
+      Retrieval.bm25ExpandedTopKIndexed(s, "graft_x184_postings",
+          d.filter(col("doc_id") < 3), "doc_id", "text", k = 5, fbDocs = 3,
+          fbTerms = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184)
 }

@@ -159,6 +159,36 @@ class RetrievalSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("rr_ppb") == 1000000000L)
   }
 
+  test("PRF expansion recovers a vocabulary-mismatch doc; terms ranked by feedback tf") {
+    // query says "apple"; docs 20/21 pair apple with banana; doc 22 says
+    // only "banana" — unreachable for plain BM25, reachable after the
+    // feedback terms join the query
+    val prfCorpus = Seq(
+      (20L, "apple banana apple banana"),
+      (21L, "apple banana pie"),
+      (22L, "banana banana smoothie"),
+      (23L, "completely unrelated words here")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple")).toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(prfCorpus, "doc_id", "text",
+      "graft_prf_postings", buckets = 2)
+    val plain = Retrieval.bm25TopKIndexed(spark, "graft_prf_postings",
+      queries, "doc_id", "text", k = 4).collect()
+    assert(!plain.map(_.getAs[Long]("doc_id")).contains(22L))
+    val expanded = Retrieval.bm25ExpandedTopKIndexed(spark,
+      "graft_prf_postings", queries, "doc_id", "text", k = 4, fbDocs = 2,
+      fbTerms = 2).collect()
+    val ids = expanded.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.contains(22L), s"expansion should reach doc 22, got $ids")
+    assert(!ids.contains(23L), "unrelated doc must stay unreachable")
+    // zero feedback terms degrades to the plain ranking
+    val noExp = Retrieval.bm25ExpandedTopKIndexed(spark,
+      "graft_prf_postings", queries, "doc_id", "text", k = 4, fbDocs = 2,
+      fbTerms = 0).collect()
+    assert(noExp.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+      .sameElements(plain.map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))))
+  }
+
   test("indexed BM25/QL equal the from-scratch scorers exactly") {
     val queries = Seq((1L, "apple cherry"), (2L, "dog")).toDF("doc_id", "text")
     Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
