@@ -622,12 +622,27 @@ object Curation {
     * per-doc z aggregate + gradient join both key on id, so they reuse
     * the partitioning with zero further exchanges. A single-pass scorer
     * sets `iterate = false` — there a pre-shuffle and a cache write are
-    * pure overhead (the one z aggregate shuffles on id anyway). */
+    * pure overhead (the one z aggregate shuffles on id anyway).
+    *
+    * `bigrams = true` adds hashed word-BIGRAM presence features into the
+    * same bucket space (the fastText signature: word order enters the
+    * linear model through bigram features; collisions with unigram
+    * buckets are the accepted hashing-trick noise — size `dim` up). */
   private def logisticFeatures(df: DataFrame, idCol: String, textCol: String,
-      label: Column, dim: Int, iterate: Boolean = true): DataFrame = {
-    val counts = df
-      .select(col(idCol).as("id"), label.cast("int").as("y"),
-        explode(Dedup.words(col(textCol))).as("__w"))
+      label: Column, dim: Int, iterate: Boolean = true,
+      bigrams: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("id"), label.cast("int").as("y"),
+      Dedup.words(col(textCol)).as("__ws"))
+    val featCol =
+      if (!bigrams) explode(col("__ws"))
+      else explode(concat(col("__ws"),
+        // guard: sequence(1, 0) runs DESCENDING, so token counts < 2
+        // must emit an empty bigram list, not a broken one
+        when(size(col("__ws")) >= 2,
+          expr("transform(sequence(1, size(__ws) - 1), " +
+            "i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"))
+          .otherwise(expr("array()").cast("array<string>"))))
+    val counts = base.select(col("id"), col("y"), featCol.as("__w"))
       .withColumn("bucket",
         conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % dim)
       .select("id", "y", "bucket").distinct()
@@ -750,10 +765,11 @@ object Curation {
     * Returns (bucket, weight) with `bucket = dim` the bias. */
   def logisticTrain(df: DataFrame, idCol: String, textCol: String,
       label: Column, dim: Int = 32, iters: Int = 8, lr: Double = 0.5,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6, bigrams: Boolean = false): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
     require(iters >= 1 && iters <= 16, "iters out of [1,16]")
-    val feats = logisticFeatures(df, idCol, textCol, label, dim)
+    val feats = logisticFeatures(df, idCol, textCol, label, dim,
+      bigrams = bigrams)
     logisticWeights(feats, iters, lr)
       .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
   }
@@ -766,10 +782,11 @@ object Curation {
     * [[logisticScoreWith]] / [[logisticPredictWith]] — scoring must
     * never pay the 8-iteration training cost per call. */
   def logisticScore(df: DataFrame, idCol: String, textCol: String,
-      label: Column, dim: Int = 32, iters: Int = 8, lr: Double = 0.5)
-      : DataFrame = {
+      label: Column, dim: Int = 32, iters: Int = 8, lr: Double = 0.5,
+      bigrams: Boolean = false): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
-    val feats = logisticFeatures(df, idCol, textCol, label, dim)
+    val feats = logisticFeatures(df, idCol, textCol, label, dim,
+      bigrams = bigrams)
     confusionOf(zOf(feats, logisticWeights(feats, iters, lr)))
   }
 
@@ -787,10 +804,12 @@ object Curation {
     * zero repartition (the single z aggregate provides its own shuffle);
     * `dim` must match the dimension the weights were trained with. */
   def logisticScoreWith(df: DataFrame, idCol: String, textCol: String,
-      label: Column, weights: DataFrame, dim: Int = 32): DataFrame = {
+      label: Column, weights: DataFrame, dim: Int = 32,
+      bigrams: Boolean = false): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
     confusionOf(zOf(
-      logisticFeatures(df, idCol, textCol, label, dim, iterate = false),
+      logisticFeatures(df, idCol, textCol, label, dim, iterate = false,
+        bigrams = bigrams),
       weights))
   }
 
@@ -801,9 +820,11 @@ object Curation {
     * token-free documents carry no features and emit no row (they have
     * no evidence to score — filter them by length rules instead). */
   def logisticPredictWith(df: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, dim: Int = 32, roundTo: Int = 6): DataFrame = {
+      weights: DataFrame, dim: Int = 32, roundTo: Int = 6,
+      bigrams: Boolean = false): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
-    zOf(logisticFeatures(df, idCol, textCol, lit(0), dim, iterate = false),
+    zOf(logisticFeatures(df, idCol, textCol, lit(0), dim, iterate = false,
+        bigrams = bigrams),
         weights)
       .select(col("id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__z").cast("double"))), roundTo)

@@ -821,7 +821,15 @@ object TrainingQueries {
     * DECIMAL(28,18) exactly like the Spark side; σ/residual/update are
     * the same fixed double op sequence. */
   private def logisticCte(dim: Int, iters: Int, lr: Double,
-      where: String = ""): String = {
+      where: String = "", bigrams: Boolean = false,
+      labelSql: String = "list_contains(ws, 'dup')"): String = {
+    // with bigrams, hashed word-pair features join the unigram bucket
+    // space (the fastText shape); the label stays unigram-derived
+    val featList =
+      if (!bigrams) "ws"
+      else "ws || CASE WHEN len(ws) >= 2 THEN list_transform(" +
+        "range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) " +
+        "ELSE []::VARCHAR[] END"
     val steps = (1 to iters).map { t =>
       val p = t - 1
       s"""z_$t AS MATERIALIZED (
@@ -845,10 +853,10 @@ object TrainingQueries {
     }.mkString(",\n")
     s"""f0 AS MATERIALIZED (
        |  SELECT doc_id AS id,
-       |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN $labelSql THEN 1 ELSE 0 END AS y,
        |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % $dim AS bucket
-       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents$where),
-       |    unnest(ws) AS u(w)),
+       |  FROM (SELECT doc_id, text, $WORDS AS ws FROM documents$where),
+       |    unnest($featList) AS u(w)),
        |fc AS MATERIALIZED (SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM f0),
        |f AS MATERIALIZED (SELECT * FROM fc
        |      UNION ALL
@@ -964,6 +972,47 @@ object TrainingQueries {
     val w = Curation.logisticTrain(docs.filter(col("doc_id") % 4 =!= 0),
       "doc_id", "text", label, dim = 32, iters = 8, lr = 0.5)
     Curation.logisticScoreWith(docs, "doc_id", "text", label, w, dim = 32)
+  }
+
+  // fastText-shaped training with hashed word-BIGRAM features joining the
+  // unigram bucket space — gated on a label only WORD ORDER can separate:
+  // y = "the adjacent pair 'table hash' occurs" (~9% of docs; the
+  // unigrams 'table' and 'hash' each appear in nearly every doc, so a
+  // unigram model is blind to it — spec-contrasted in TrainingOpsSpec).
+  // dim=4096 keeps the ~900-bigram vocabulary collision-sparse (at 1024,
+  // colliding bigrams put the signal bucket in 26 negatives and at 8
+  // iterations the bias was uncalibrated — measured all-negative; 16
+  // steps at 4096 separate the corpus perfectly). The oracle replays the
+  // bigram construction, the regex label, the shared bucket hashing, and
+  // all 16 class-balanced GD steps.
+  private val x185 = Q("x185_classifier_bigrams", Some(
+    s"""WITH ${logisticCte(dim = 4096, iters = 16, lr = 0.5, bigrams = true,
+          labelSql = "regexp_matches(lower(text), " +
+            "'(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')")},
+       |zf AS (
+       |  SELECT f.id, max(f.y) AS y,
+       |    sum(CAST(CAST(f.x AS DOUBLE) * w_16.weight AS DECIMAL(28,18)))
+       |      AS z
+       |  FROM f JOIN w_16 USING (bucket) GROUP BY f.id),
+       |pr AS (SELECT id, y, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred
+       |       FROM zf)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tp,
+       |  CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fp,
+       |  CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS tn,
+       |  CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fn,
+       |  CAST((sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)) * 10000
+       |    // count(*) AS BIGINT) AS accuracy_bps
+       |FROM pr""".stripMargin)) { (s, dir) =>
+    Curation.logisticScore(t(s, dir, "documents"), "doc_id", "text",
+        lower(col("text"))
+          .rlike("(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$)"),
+        dim = 4096, iters = 16, lr = 0.5, bigrams = true)
   }
 
   /** Oracle twin of Similarity.pcaTopComponent over the embeddings table
@@ -1189,5 +1238,5 @@ object TrainingQueries {
 
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182)
+    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185)
 }

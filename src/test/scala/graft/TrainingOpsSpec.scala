@@ -428,6 +428,30 @@ class TrainingOpsSpec extends SparkSpec {
       viaW.getAs[Long]("tn") == direct.getAs[Long]("tn"))
   }
 
+  test("bigram features separate a word-order label that unigrams cannot see") {
+    import org.apache.spark.sql.functions._
+    // each pos/neg pair shares the IDENTICAL unigram multiset
+    // {a,b,c,fillerN} — filler N appears in exactly one positive AND one
+    // negative, so no unigram carries label signal; only the order
+    // differs ("a b" adjacent vs "a c b") — a unigram model is
+    // structurally blind, the bigram model separates
+    val docs = ((0 until 20).map(i => (i.toLong, s"a b c filler$i")) ++
+      (20 until 40).map(i => (i.toLong, s"a c b filler${i - 20}")))
+      .toDF("id", "text")
+    val label = col("id") < 20 // == "a b" adjacent by construction
+    val uni = Curation.logisticScore(docs, "id", "text", label,
+      dim = 256, iters = 8, lr = 0.5, bigrams = false).collect().head
+    // identical unigram features per pair: the model cannot beat chance
+    // on one of the classes (tp+tn can't exceed one class + ties)
+    assert(uni.getAs[Long]("accuracy_bps") <= 5000L,
+      s"unigram model should be blind to order, got ${uni}")
+    val bi = Curation.logisticScore(docs, "id", "text", label,
+      dim = 256, iters = 8, lr = 0.5, bigrams = true).collect().head
+    assert(bi.getAs[Long]("accuracy_bps") >= 9500L,
+      s"bigram model should separate order, got ${bi}")
+    assert(bi.getAs[Long]("tp") == 20L && bi.getAs[Long]("tn") == 20L)
+  }
+
   test("logisticTrain excludes token-free docs; zero-feature corpus rejected sanely") {
     import org.apache.spark.sql.functions._
     val docs = Seq((1L, "aaa bbb"), (2L, ""), (3L, "aaa ccc")).toDF("id", "text")
