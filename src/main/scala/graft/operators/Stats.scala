@@ -722,4 +722,115 @@ object Stats {
             (col("__n") * col("__n") - col("__pe_num")).cast("double"), 6))
           .as("kappa"))
   }
+
+  /** Threshold-free ranking quality of a binary scorer — the evaluation
+    * side of the quality-classifier story ([[graft.functions.Curation]]
+    * trains and scores; this grades the scores): ROC-AUC, Gini, and the
+    * Kolmogorov–Smirnov separation statistic from ONE pass.
+    *
+    * Everything reduces to the tie-corrected rank-sum ([[mannWhitney]]'s
+    * machinery pointed at a score column): AUC = U₁/(n₁n₀) with tied
+    * scores contributing their average rank, so the statistic is
+    * EXACTLY the probability a random positive outranks a random negative
+    * (ties count ½) — no threshold sweep, no trapezoid approximation.
+    * KS is evaluated only at score-group boundaries (where the empirical
+    * CDFs actually step), as max |TPR − FPR| — integer-exact via
+    * |cumPos·n₀ − cumNeg·n₁|.
+    *
+    * Scale shape: one hash groupBy collapses the corpus to its DISTINCT
+    * score values (scores are bounded-cardinality by construction —
+    * quantized model outputs, rule counts, length buckets); the rank
+    * window runs over that collapsed frame, not the corpus. All rank
+    * arithmetic in DECIMAL(38,0) — exact at any corpus size — with ONE
+    * final double division per statistic. Degenerate corpora (a single
+    * class) emit null metrics rather than 0/0. */
+  def binaryAuc(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pv = df
+      .groupBy(col(scoreCol).as("__v"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__c"))
+    val wPrev = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // collapsed to distinct scores; running pos/neg CDF counts + totals
+    val cum = pv.select(col("__cp"), col("__c"),
+      coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__s"),
+      sum(col("__cp")).over(wIncl).as("__p"),
+      (sum(col("__c")).over(wIncl) - sum(col("__cp")).over(wIncl)).as("__g"),
+      sum(col("__cp")).over(wAll).as("__n1t"),
+      (sum(col("__c")).over(wAll) - sum(col("__cp")).over(wAll)).as("__n0t"))
+    cum.agg(
+        sum(dec(col("__cp")) *
+          (dec(lit(2L)) * dec(col("__s")) + dec(col("__c")) + dec(lit(1L))))
+          .as("__r2"),
+        sum(dec(col("__cp"))).as("__n1"),
+        sum(dec(col("__c")) - dec(col("__cp"))).as("__n0"),
+        max(abs(dec(col("__p")) * dec(col("__n0t")) -
+          dec(col("__g")) * dec(col("__n1t")))).as("__ksnum"))
+      .select(col("__n1").cast("long").as("n_pos"),
+        col("__n0").cast("long").as("n_neg"),
+        (col("__r2") - col("__n1") * (col("__n1") + dec(lit(1L))))
+          .cast("long").as("u2"),
+        when(col("__n1") === 0 || col("__n0") === 0, lit(null))
+          .otherwise(round(
+            (col("__r2") - col("__n1") * (col("__n1") + dec(lit(1L))))
+              .cast("double") /
+              (lit(2.0) * col("__n1").cast("double") *
+                col("__n0").cast("double")), 6)).as("auc"),
+        when(col("__n1") === 0 || col("__n0") === 0, lit(null))
+          .otherwise(round(
+            (col("__r2") - col("__n1") * (col("__n1") + dec(lit(1L))))
+              .cast("double") /
+              (col("__n1").cast("double") * col("__n0").cast("double")) -
+              lit(1.0), 6)).as("gini"),
+        when(col("__n1") === 0 || col("__n0") === 0, lit(null))
+          .otherwise(round(col("__ksnum").cast("double") /
+            (col("__n1").cast("double") * col("__n0").cast("double")), 6))
+          .as("ks"))
+  }
+
+  /** Reliability diagram + expected calibration error for a probabilistic
+    * scorer: equal-width probability bins, per-bin mean predicted
+    * probability (confidence) vs empirical positive rate (accuracy), and
+    * the corpus ECE = Σ_b (n_b/N)·|conf_b − acc_b| — which collapses to
+    * Σ_b |Σp_b − pos_b| / N, so the whole statistic is assembled from the
+    * SAME per-bin sums the diagram needs (no second pass).
+    *
+    * One hash groupBy on the bin key (map-side combine; ≤ `bins` result
+    * rows), per-element probabilities DECIMAL-quantized before summation
+    * so the bin means are order-independent, ECE attached via an
+    * unbounded window over the ≤`bins`-row frame (driver-free). p = 1.0
+    * lands in the top bin (`least`), mirroring the usual [0,1] closed
+    * interval. */
+  def calibration(df: DataFrame, prob: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val f = df.select(prob.cast("double").as("__p"),
+      when(label, 1L).otherwise(0L).as("__y"))
+    val binned = f.withColumn("bin",
+      least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
+    val perBin = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum(col("__y")).as("n_pos"),
+      sum(col("__p").cast("decimal(28,18)")).as("__sp"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perBin.select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sp").cast("double") / col("n").cast("double"), 6)
+          .as("conf"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("acc"),
+        round(abs(col("__sp").cast("double") / col("n").cast("double") -
+          col("n_pos").cast("double") / col("n").cast("double")), 6)
+          .as("gap"),
+        round(sum(abs(col("__sp") - col("n_pos").cast("decimal(28,18)")))
+            .over(wAll).cast("double") /
+          sum(col("n")).over(wAll).cast("double"), 6)
+          .as("ece"))
+      .orderBy("bin")
+  }
 }

@@ -737,7 +737,83 @@ object StatsQueries {
       Tables.events(s, dir).select("user_id"), "user_id")
   }
 
+  /** DuckDB twin of Dedup.words (lowercased alphanumeric tokens). */
+  private val WORDS =
+    """list_filter(string_split_regex(regexp_replace(lower(text),
+      |  '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')""".stripMargin
+
+  // Threshold-free grade of a document scorer: AUC/Gini/KS of "n_chars
+  // ranks docs that contain the token 'dup'" (longer docs draw more
+  // tokens, so length genuinely ranks the label — a nontrivial mid-range
+  // AUC). Tie-corrected rank sums over the DISTINCT-score frame; every
+  // rank product stays integer until one final double division per
+  // statistic, so the gate is exact.
+  private val x186 = Q("x186_classifier_auc", Some(
+    s"""WITH f AS (
+       |  SELECT n_chars AS v,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |pv AS (SELECT v, sum(y) AS cp, count(*) AS c FROM f GROUP BY v),
+       |cum AS (SELECT cp, c,
+       |    coalesce(sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+       |    sum(cp) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+       |    sum(c - cp) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g,
+       |    sum(cp) OVER () AS n1t,
+       |    sum(c - cp) OVER () AS n0t
+       |  FROM pv),
+       |m AS (SELECT sum(cp * (2 * s + c + 1)) AS r2, sum(cp) AS n1,
+       |        sum(c - cp) AS n0,
+       |        max(abs(p * n0t - g * n1t)) AS ksnum
+       |      FROM cum)
+       |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       |  CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
+       |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini,
+       |  round(CAST(ksnum AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS ks
+       |FROM m""".stripMargin)) { (s, dir) =>
+    Stats.binaryAuc(t(s, dir, "documents"), "n_chars",
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"))
+  }
+
+  // Reliability diagram + ECE for a probabilistic scorer. The probability
+  // squash is RATIONAL (p = n/(n+150)) rather than a sigmoid: IEEE
+  // division is identically rounded in both engines, so bin assignment
+  // (floor(p·10)) can never flip on a libm ULP the way exp() could.
+  private val x187 = Q("x187_calibration_ece", Some(
+    s"""WITH f AS (
+       |  SELECT CAST(n_chars AS DOUBLE)
+       |      / (CAST(n_chars AS DOUBLE) + 150.0) AS p,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y
+       |      FROM f),
+       |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(y) AS BIGINT) AS n_pos,
+       |        sum(CAST(p AS DECIMAL(28,18))) AS sp
+       |       FROM b GROUP BY bin),
+       |tot AS (SELECT sum(abs(sp - n_pos)) AS es, sum(n) AS nn FROM pb)
+       |SELECT bin, n, n_pos,
+       |  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+       |  round(abs(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap,
+       |  round(CAST(t.es AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS ece
+       |FROM pb, tot t ORDER BY bin""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Stats.calibration(docs,
+      col("n_chars").cast("double") /
+        (col("n_chars").cast("double") + lit(150.0)),
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+      bins = 10)
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142, x143, x146)
+    x142, x143, x146, x186, x187)
 }

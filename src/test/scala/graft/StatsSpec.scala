@@ -469,4 +469,62 @@ class StatsSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.nonEmpty) // outer cache untouched
     outer.unpersist()
   }
+
+  test("binaryAuc: perfect separation 1.0, reversed 0.0, all-tied 0.5") {
+    val perfect = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1))
+      .toDF("score", "y")
+    val p = Stats.binaryAuc(perfect, "score", $"y" === 1).head()
+    assert(p.getAs[Long]("n_pos") == 2 && p.getAs[Long]("n_neg") == 2)
+    assert(p.getAs[Double]("auc") == 1.0)
+    assert(p.getAs[Double]("gini") == 1.0)
+    assert(p.getAs[Double]("ks") == 1.0)
+
+    val reversed = Stats.binaryAuc(perfect, "score", $"y" === 0).head()
+    assert(reversed.getAs[Double]("auc") == 0.0)
+
+    val tied = Seq((5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)).toDF("score", "y")
+    val tr = Stats.binaryAuc(tied, "score", $"y" === 1).head()
+    assert(tr.getAs[Double]("auc") == 0.5) // ties count half
+    assert(tr.getAs[Double]("ks") == 0.0)
+  }
+
+  test("binaryAuc: hand case with a tie matches the rank formula; " +
+    "single-class emits null") {
+    // scores: pos {3, 2}, neg {2, 1} — U1 = 2·(1) + ... average-rank math:
+    // ranks of 1,2,2,3 = 1, 2.5, 2.5, 4; R1(pos) = 2.5 + 4 = 6.5;
+    // U1 = 6.5 - 2·3/2 = 3.5; AUC = 3.5/4 = 0.875
+    val df = Seq((3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)).toDF("score", "y")
+    val r = Stats.binaryAuc(df, "score", $"y" === 1).head()
+    assert(r.getAs[Long]("u2") == 7L) // 2·U1
+    assert(r.getAs[Double]("auc") == 0.875)
+
+    val onlyPos = Stats.binaryAuc(df.filter($"y" === 1), "score",
+      $"y" === 1).head()
+    assert(onlyPos.isNullAt(onlyPos.fieldIndex("auc")))
+    assert(onlyPos.isNullAt(onlyPos.fieldIndex("ks")))
+  }
+
+  test("calibration: perfectly calibrated bins have gap 0 and ece 0; " +
+    "p=1.0 lands in the top bin") {
+    // bin 2 (p=0.25): 1 of 4 positive; bin 7 (p=0.75): 3 of 4 positive
+    val rows = Seq.fill(3)((0.25, 0)) ++ Seq((0.25, 1)) ++
+      Seq.fill(3)((0.75, 1)) ++ Seq((0.75, 0)) :+ ((1.0, 1))
+    val df = rows.toDF("p", "y")
+    val c = Stats.calibration(df, $"p", $"y" === 1, bins = 10)
+      .collect()
+    assert(c.map(_.getAs[Long]("bin")).toSeq == Seq(2L, 7L, 9L))
+    val byBin = c.map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(byBin(2L).getAs[Double]("conf") == 0.25)
+    assert(byBin(2L).getAs[Double]("acc") == 0.25)
+    assert(byBin(2L).getAs[Double]("gap") == 0.0)
+    assert(byBin(9L).getAs[Long]("n") == 1L) // p = 1.0 → bin 9, not 10
+    // ece = (|1.0-1| + |3.0-3| + |1.0-1|)/9 = 0 here
+    assert(c.forall(_.getAs[Double]("ece") == 0.0))
+
+    // a miscalibrated frame: all p=0.9, none positive → gap = 0.9 = ece
+    val bad = Seq.fill(5)((0.9, 0)).toDF("p", "y")
+    val b = Stats.calibration(bad, $"p", $"y" === 1).head()
+    assert(b.getAs[Double]("gap") == 0.9)
+    assert(b.getAs[Double]("ece") == 0.9)
+  }
 }
