@@ -439,4 +439,126 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("vocab"),
         round(sum(col("__term")).cast("double"), 4).as("kl_nats"))
   }
+
+  /** Frequent token-pair association rules (Apriori depth 2): which word
+    * pairs co-occur in more documents than their marginals predict —
+    * topic/template structure discovery, boilerplate clustering, feature
+    * co-occurrence audits. For every pair passing `minSupport` document
+    * co-occurrence: support counts, both conditional confidences
+    * P(b|a), P(a|b), and lift = P(ab)·N / (P(a)P(b)).
+    *
+    * Scale shape — the Apriori invariant does the heavy lifting: no pair
+    * can be frequent unless BOTH items are, so the corpus first collapses
+    * to DISTINCT (doc, item) and infrequent items are pruned by a
+    * semi-join BEFORE the pair self-join. The pair generation is one
+    * id-keyed equi-join of that pruned frame with itself (item_a < item_b
+    * halves the grid); per-doc cost is (frequent items per doc)², bounded
+    * by the pruning threshold, never vocabulary². Marginals attach by
+    * broadcast (the frequent-item table is small BY CONSTRUCTION — it
+    * passed a count threshold). All rule metrics are INTEGER (bps / ppm
+    * via exact decimal div), so the gate replays bit-exactly; top-k by
+    * (pair support, pair) keeps the output bounded and deterministic. */
+  def associationRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minSupport: Long = 50,
+      topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val w = df.select(col(idCol).as("__id"),
+        explode(Dedup.words(col(textCol))).as("__w"))
+      .distinct()
+    val supp = w.groupBy("__w").agg(count(lit(1)).as("__supp"))
+    val freq = supp.filter(col("__supp") >= minSupport)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val wf = w.join(broadcast(freq.select("__w")), "__w")
+    val pairs = wf.select(col("__id"), col("__w").as("item_a"))
+      .join(wf.select(col("__id"), col("__w").as("item_b")), "__id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_support"))
+      .filter(col("pair_support") >= minSupport)
+    pairs
+      .join(broadcast(freq.select(col("__w").as("item_a"),
+        col("__supp").as("supp_a"))), "item_a")
+      .join(broadcast(freq.select(col("__w").as("item_b"),
+        col("__supp").as("supp_b"))), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("pair_support"),
+        col("supp_a"), col("supp_b"), col("__n").as("n_docs"),
+        expr("CAST((CAST(pair_support AS DECIMAL(38,0)) * 10000) DIV " +
+          "CAST(supp_a AS DECIMAL(38,0)) AS BIGINT)").as("conf_ab_bps"),
+        expr("CAST((CAST(pair_support AS DECIMAL(38,0)) * 10000) DIV " +
+          "CAST(supp_b AS DECIMAL(38,0)) AS BIGINT)").as("conf_ba_bps"),
+        expr("CAST((CAST(pair_support AS DECIMAL(38,0)) * __n * 1000000) " +
+          "DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(desc("pair_support"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** Jelinek–Mercer interpolated trigram perplexity — the LM-quality
+    * family completed: [[unigramPerplexity]] (order 1) and
+    * [[bigramModelScore]] (coverage) get the standard smoothed-LM scorer
+    * used for CCNet-style corpus filtering:
+    * p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂) + λ₁·c(w₃)/N,
+    * trained on the corpus itself (the self-scoring convention of
+    * unigramPerplexity — every trigram being scored has count ≥ 1, so no
+    * zero-prob guard is needed; contexts use PLAIN n-gram counts, the
+    * common simplification that sidesteps doc-boundary bookkeeping).
+    * High-perplexity docs are the unusual ones (garbled, off-domain);
+    * low-perplexity docs are templated/repetitive — both tails are
+    * filter targets.
+    *
+    * Scale shape: three count tables (unigram, bigram, trigram) built by
+    * hash aggregates over exploded n-gram streams (map-side combine), then
+    * ONE pass over the trigram stream with five token-keyed equi-joins
+    * attaches every count; the corpus total broadcasts. Each −ln p term is
+    * DECIMAL-quantized before the per-doc sum, so summation order can't
+    * flip the gate. λ spelled as exact decimal literals in both engines. */
+  def jmTrigramPerplexity(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), Dedup.words(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+    val uni = base.select(explode(col("__ws")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val tot = base.agg(sum(col("__n")).cast("double").as("__tot"))
+    val bi = base.filter(col("__n") >= 2)
+      .select(explode(expr(
+        "zip_with(slice(__ws, 1, __n - 1), slice(__ws, 2, __n - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val tris = base.filter(col("__n") >= 3)
+      .select(col(idCol), explode(expr(
+        "zip_with(zip_with(slice(__ws, 1, __n - 2), " +
+          "slice(__ws, 2, __n - 2), (a, b) -> concat(a, ' ', b)), " +
+          "slice(__ws, 3, __n - 2), (p, c) -> struct(p, c))")).as("__t"))
+      .select(col(idCol),
+        concat(col("__t.p"), lit(" "), col("__t.c")).as("__tg"),
+        col("__t.p").as("__ctx12"),
+        concat(element_at(split(col("__t.p"), " "), 2), lit(" "),
+          col("__t.c")).as("__bg23"),
+        element_at(split(col("__t.p"), " "), 2).as("__w2"),
+        col("__t.c").as("__w3"))
+    val tri = tris.groupBy("__tg").agg(count(lit(1)).as("__ct"))
+    tris
+      .join(tri, "__tg")
+      .join(bi.select(col("__bg").as("__ctx12"), col("__cb").as("__c12")),
+        "__ctx12")
+      .join(bi.select(col("__bg").as("__bg23"), col("__cb").as("__c23")),
+        "__bg23")
+      .join(uni.select(col("__w").as("__w2"), col("__cu").as("__c2")),
+        "__w2")
+      .join(uni.select(col("__w").as("__w3"), col("__cu").as("__c3")),
+        "__w3")
+      .crossJoin(broadcast(tot))
+      .withColumn("__p",
+        lit(0.6) * (col("__ct").cast("double") / col("__c12").cast("double")) +
+          lit(0.3) * (col("__c23").cast("double") / col("__c2").cast("double")) +
+          lit(0.1) * (col("__c3").cast("double") / col("__tot")))
+      .withColumn("__term", (-log(col("__p"))).cast("decimal(28,18)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__term")).as("__nll"))
+      .select(col(idCol), col("n_trigrams"),
+        round(col("__nll").cast("double"), 4).as("nll"),
+        round(exp(col("__nll").cast("double") /
+          col("n_trigrams").cast("double")), 4).as("perplexity"))
+  }
 }

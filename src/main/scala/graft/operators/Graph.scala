@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation — PageRank over an edge list. Complements
@@ -521,5 +522,74 @@ object Graph {
       .unionAll(tri.select(col("c").as("node")))
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Newman modularity of a community assignment over an undirected graph —
+    * the QUALITY gauge for [[labelPropagation]] output (and any other
+    * membership: connected components, an external clustering):
+    * Q = Σ_c [ l_c/m − (d_c/2m)² ], l_c = intra-community edges, d_c = the
+    * community's degree sum, m = |undirected edges|. Q ≈ 0 means the
+    * partition is no better than random wiring; well-separated communities
+    * push toward 1. Emits one row per community (size, intra-edge count,
+    * degree mass, its additive contribution) plus the corpus Q on every
+    * row, so the operator doubles as a per-community diagnostic — a
+    * community with NEGATIVE contribution is worse-than-random and a
+    * natural split candidate.
+    *
+    * Scale shape: edges canonicalize (least, greatest) + distinct ONCE
+    * (self-loops dropped); membership attaches via TWO node-keyed
+    * equi-joins (never an all-pairs); every aggregate is a hash groupBy on
+    * community keys. The modularity arithmetic stays INTEGER to the end —
+    * contribution numerator 4m·l_c − d_c², denominator 4m² — in
+    * DECIMAL(38,0) (exact past 10¹⁸ edges), with one final double division
+    * per output column, so the gate replays bit-exactly in any engine.
+    * The corpus Q rides an unbounded window over the per-community frame
+    * (≤ |communities| rows), not a second pass over the edges. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      membership: DataFrame, nodeCol: String = "node",
+      communityCol: String = "community"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val mem = membership.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).cast("long").as("__comm"))
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val intra = e0
+      .join(mem.select(col("node").as("a"), col("__comm").as("__ca")), "a")
+      .join(mem.select(col("node").as("b"), col("__comm").as("__cb")), "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__comm"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val nodes = mem.join(deg, Seq("node"), "left")
+      .groupBy("__comm")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__deg"), lit(0L))).as("degree_sum"))
+    val m = e0.agg(count(lit(1)).as("__m"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    nodes.join(intra, Seq("__comm"), "left")
+      .select(col("__comm"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("__num",
+        dec(lit(4L)) * dec(col("__m")) * dec(col("intra_edges")) -
+          dec(col("degree_sum")) * dec(col("degree_sum")))
+      .select(col("__comm").as("community"), col("n_nodes"),
+        col("intra_edges"), col("degree_sum"),
+        when(col("__m") === 0L, lit(null)).otherwise(
+          round(col("__num").cast("double") /
+            (lit(4.0) * col("__m").cast("double") *
+              col("__m").cast("double")), 6)).as("contribution"),
+        when(col("__m") === 0L, lit(null)).otherwise(
+          round(sum(col("__num")).over(wAll).cast("double") /
+            (lit(4.0) * col("__m").cast("double") *
+              col("__m").cast("double")), 6)).as("modularity"))
+      .orderBy("community")
   }
 }

@@ -1155,4 +1155,54 @@ object Similarity {
         round(coord, roundTo).as("coord"))
     }.reduce(_.unionByName(_))
   }
+
+  /** k-NN label classification accuracy over the embedding corpus — the
+    * standard "are these embeddings any good" probe (labels exist, so
+    * measure whether cosine neighborhoods are label-pure): for a bounded
+    * deterministic query sample, predict each query's label by majority
+    * vote over its k nearest OTHER vectors and report per-class accuracy.
+    * Doubles as the evaluation harness for any ANN index (swap the exact
+    * scorer for an index probe and diff the accuracy).
+    *
+    * Scale shape — the x168 harness discipline: the QUERY side is a
+    * bounded md5-ranked sample (TakeOrderedAndProject, engine-replayable),
+    * never the whole corpus, so cost is nQueries × corpus (one data scan,
+    * queries broadcast) instead of corpus². Ranking is a per-query window
+    * (WindowGroupLimit forwards ≤ k rows per query per partition); the
+    * majority vote is max(struct(cnt, −label)) — a hash aggregate, no
+    * second window. Accuracy is integer bps via exact decimal division. */
+  def knnClassify(data: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nQueries: Int = 256, k: Int = 10): DataFrame = {
+    require(nQueries >= 1 && k >= 1, "nQueries and k must be positive")
+    val q = broadcast(data
+      .select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__qv"),
+        col(labelCol).cast("long").as("__qlab"))
+      .orderBy(md5(col("__qid").cast("string")), col("__qid"))
+      .limit(nQueries))
+    val scored = data
+      .select(col(idCol).as("__nid"), asDouble(col(vecCol)).as("__v"),
+        col(labelCol).cast("long").as("__nlab"))
+      .crossJoin(q)
+      .filter(col("__nid") =!= col("__qid"))
+      .select(col("__qid"), col("__qlab"), col("__nid"), col("__nlab"),
+        cosine(col("__v"), col("__qv")).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(desc("__cos"), col("__nid"))
+    val voted = scored
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .groupBy(col("__qid"), col("__qlab"), col("__nlab"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("__qid"), col("__qlab"))
+      .agg(max(struct(col("__cnt"), (-col("__nlab")).as("nl"))).as("__best"))
+      .select(col("__qid"), col("__qlab"),
+        (-col("__best.nl")).as("__pred"))
+    voted.groupBy(col("__qlab").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__pred") === col("__qlab"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        expr("CAST((CAST(n_correct AS DECIMAL(38,0)) * 10000) DIV " +
+          "CAST(n_queries AS DECIMAL(38,0)) AS BIGINT)").as("acc_bps"))
+      .orderBy("label")
+  }
 }

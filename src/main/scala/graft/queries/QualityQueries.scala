@@ -1282,7 +1282,116 @@ object QualityQueries {
       .orderBy("event_type")
   }
 
+  // Newman modularity of the x99 LPA partition over the part–supplier
+  // graph — the quality gauge closing the community-detection loop
+  // (x99 finds communities, x162 tracks convergence, x188 grades the
+  // result). The oracle replays the full 3-iteration LPA chain AND the
+  // modularity assembly; all numerators integer (4m·l_c − d_c²), one
+  // double division per column, so per-community contributions and the
+  // corpus Q gate exactly.
+  private val x188 = Q("x188_modularity", Some {
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT e.dst AS node, l.lab AS lab
+         |  FROM e JOIN $prev l ON l.node = e.src
+         |  GROUP BY e.dst, l.lab
+         |  QUALIFY row_number() OVER (PARTITION BY e.dst
+         |    ORDER BY count(*) DESC, l.lab) = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (SELECT node, node AS lab
+       |       FROM (SELECT DISTINCT src AS node FROM e)),
+       |${iter("l0", "i1")},
+       |${iter("i1", "i2")},
+       |${iter("i2", "i3")},
+       |mem AS (SELECT node, lab AS comm FROM i3),
+       |ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e0 WHERE src <> dst),
+       |mm AS (SELECT count(*) AS m FROM ec),
+       |deg AS (SELECT node, count(*) AS deg
+       |        FROM (SELECT a AS node FROM ec
+       |              UNION ALL SELECT b AS node FROM ec)
+       |        GROUP BY node),
+       |nodes AS (
+       |  SELECT comm, count(*) AS n_nodes,
+       |    sum(coalesce(deg, 0)) AS degree_sum
+       |  FROM mem LEFT JOIN deg USING (node) GROUP BY comm),
+       |intra AS (
+       |  SELECT ma.comm AS comm, count(*) AS intra_edges
+       |  FROM ec JOIN mem ma ON ec.a = ma.node
+       |    JOIN mem mb ON ec.b = mb.node
+       |  WHERE ma.comm = mb.comm GROUP BY ma.comm),
+       |per AS (
+       |  SELECT n.comm, n.n_nodes,
+       |    coalesce(i.intra_edges, 0) AS intra_edges, n.degree_sum,
+       |    4 * m.m * coalesce(i.intra_edges, 0)
+       |      - n.degree_sum * n.degree_sum AS num,
+       |    m.m AS m
+       |  FROM nodes n LEFT JOIN intra i USING (comm), mm m)
+       |SELECT comm AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(intra_edges AS BIGINT) AS intra_edges,
+       |  CAST(degree_sum AS BIGINT) AS degree_sum,
+       |  round(CAST(num AS DOUBLE)
+       |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+       |    AS contribution,
+       |  round(CAST((SELECT sum(num) FROM per) AS DOUBLE)
+       |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+       |    AS modularity
+       |FROM per ORDER BY community""".stripMargin
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    Graph.modularity(e, "src", "dst",
+      Graph.labelPropagation(e, "src", "dst", iters = 3))
+  }
+
+  // k-NN label classification accuracy over the embeddings corpus: for a
+  // bounded md5-ranked 256-query sample (the x168 harness discipline —
+  // never corpus², engine-replayable), majority-vote the label of the 10
+  // nearest other vectors and report per-class accuracy in integer bps.
+  // This is the "are the embeddings label-pure" probe AND the evaluation
+  // harness any ANN index variant can be diffed against.
+  private val x191 = Q("x191_knn_classify", Some(
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |    label AS qlab
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+      |sc AS (
+      |  SELECT q.qid, q.qlab, e.vec_id AS nid, e.label AS nlab,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |         CAST(e.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      |top AS (
+      |  SELECT qid, qlab, nlab
+      |  FROM sc QUALIFY row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, nid) <= 10),
+      |cnts AS (
+      |  SELECT qid, qlab, nlab, count(*) AS cnt
+      |  FROM top GROUP BY qid, qlab, nlab),
+      |vote AS (
+      |  SELECT qid, qlab, nlab AS pred
+      |  FROM cnts QUALIFY row_number() OVER (PARTITION BY qid
+      |    ORDER BY cnt DESC, nlab) = 1)
+      |SELECT CAST(qlab AS BIGINT) AS label,
+      |  CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(sum(CASE WHEN pred = qlab THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST((CAST(sum(CASE WHEN pred = qlab THEN 1 ELSE 0 END)
+      |    AS HUGEINT) * 10000) // count(*) AS BIGINT) AS acc_bps
+      |FROM vote GROUP BY qlab ORDER BY label""".stripMargin)) { (s, dir) =>
+    Similarity.knnClassify(t(s, dir, "embeddings"), "vec_id", "embedding",
+      "label", nQueries = 256, k = 10)
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
-    x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170)
+    x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170,
+    x188, x191)
 }

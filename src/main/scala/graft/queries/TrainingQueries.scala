@@ -1236,7 +1236,96 @@ object TrainingQueries {
       .orderBy("id", "component")
   }
 
+  // Apriori-depth-2 association rules over document tokens: distinct
+  // (doc, item), infrequent items pruned BEFORE the pair self-join
+  // (the Apriori invariant), then integer-exact confidence/lift. Every
+  // metric is bps/ppm via exact decimal integer division, so the top-100
+  // rule table gates bit-exactly.
+  private val x189 = Q("x189_association_rules", Some(
+    s"""WITH w AS (
+       |  SELECT DISTINCT doc_id AS id, u.w AS item
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents),
+       |    unnest(ws) AS u(w)),
+       |supp AS (SELECT item, count(*) AS s FROM w GROUP BY item),
+       |freq AS (SELECT item, s FROM supp WHERE s >= 50),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |wf AS (SELECT w.id, w.item FROM w SEMI JOIN freq USING (item)),
+       |pairs AS (
+       |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS ps
+       |  FROM wf a JOIN wf b ON a.id = b.id AND a.item < b.item
+       |  GROUP BY a.item, b.item
+       |  HAVING count(*) >= 50)
+       |SELECT item_a, item_b, CAST(ps AS BIGINT) AS pair_support,
+       |  CAST(fa.s AS BIGINT) AS supp_a, CAST(fb.s AS BIGINT) AS supp_b,
+       |  CAST(n.n AS BIGINT) AS n_docs,
+       |  CAST((CAST(ps AS HUGEINT) * 10000) // fa.s AS BIGINT)
+       |    AS conf_ab_bps,
+       |  CAST((CAST(ps AS HUGEINT) * 10000) // fb.s AS BIGINT)
+       |    AS conf_ba_bps,
+       |  CAST((CAST(ps AS HUGEINT) * n.n * 1000000)
+       |    // (CAST(fa.s AS HUGEINT) * fb.s) AS BIGINT) AS lift_ppm
+       |FROM pairs
+       |  JOIN freq fa ON pairs.item_a = fa.item
+       |  JOIN freq fb ON pairs.item_b = fb.item, n
+       |ORDER BY pair_support DESC, item_a, item_b
+       |LIMIT 100""".stripMargin)) { (s, dir) =>
+    graft.functions.TextAnalysis.associationRules(
+      t(s, dir, "documents"), "doc_id", "text", minSupport = 50, topK = 100)
+  }
+
+  // Jelinek–Mercer interpolated trigram perplexity (λ = 0.6/0.3/0.1),
+  // self-trained — the CCNet-style LM filter completing x113 (unigram)
+  // and x54 (bigram coverage). The oracle rebuilds all three count
+  // tables, replays the five joins and the λ-interpolation in the same
+  // operation order, and quantizes each −ln p to DECIMAL(28,18) before
+  // the per-doc sum.
+  private val x190 = Q("x190_trigram_perplexity", Some(
+    s"""WITH base AS (
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n
+       |  FROM documents),
+       |uni AS (
+       |  SELECT u.w AS w, count(*) AS cu
+       |  FROM base, unnest(ws) AS u(w) GROUP BY u.w),
+       |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM base),
+       |bi AS (
+       |  SELECT ws[i] || ' ' || ws[i + 1] AS bg, count(*) AS cb
+       |  FROM base, unnest(range(1, n)) AS r(i)
+       |  WHERE n >= 2 GROUP BY 1),
+       |tris AS (
+       |  SELECT doc_id,
+       |    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tg,
+       |    ws[i] || ' ' || ws[i + 1] AS ctx12,
+       |    ws[i + 1] || ' ' || ws[i + 2] AS bg23,
+       |    ws[i + 1] AS w2, ws[i + 2] AS w3
+       |  FROM base, unnest(range(1, n - 1)) AS r(i)
+       |  WHERE n >= 3),
+       |tri AS (SELECT tg, count(*) AS ct FROM tris GROUP BY tg)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |  round(CAST(sum(CAST(-ln(
+       |      0.6 * (CAST(tri.ct AS DOUBLE) / CAST(b12.cb AS DOUBLE))
+       |      + 0.3 * (CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+       |      + 0.1 * (CAST(u3.cu AS DOUBLE) / tot.tot))
+       |    AS DECIMAL(28,18))) AS DOUBLE), 4) AS nll,
+       |  round(exp(CAST(sum(CAST(-ln(
+       |      0.6 * (CAST(tri.ct AS DOUBLE) / CAST(b12.cb AS DOUBLE))
+       |      + 0.3 * (CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+       |      + 0.1 * (CAST(u3.cu AS DOUBLE) / tot.tot))
+       |    AS DECIMAL(28,18))) AS DOUBLE) / count(*)), 4) AS perplexity
+       |FROM tris t
+       |  JOIN tri ON t.tg = tri.tg
+       |  JOIN bi b12 ON t.ctx12 = b12.bg
+       |  JOIN bi b23 ON t.bg23 = b23.bg
+       |  JOIN uni u2 ON t.w2 = u2.w
+       |  JOIN uni u3 ON t.w3 = u3.w, tot
+       |GROUP BY t.doc_id, tot.tot
+       |ORDER BY t.doc_id""".stripMargin)) { (s, dir) =>
+    graft.functions.TextAnalysis.jmTrigramPerplexity(
+        t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185)
+    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185,
+    x189, x190)
 }

@@ -454,4 +454,32 @@ class SnapshotGraphSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(onePeel.contains(4L))
   }
+
+  test("modularity: two disjoint triangles score 0.5; one community scores 0") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6}: m=6, each community l_c=3, d_c=6
+    // Q = 2 · (3/6 − (6/12)²) = 0.5
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("src", "dst")
+    val mem = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    val r = Graph.modularity(e, "src", "dst", mem).collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Long]("n_nodes") == 3L))
+    assert(r.forall(_.getAs[Long]("intra_edges") == 3L))
+    assert(r.forall(_.getAs[Long]("degree_sum") == 6L))
+    assert(r.forall(_.getAs[Double]("contribution") == 0.25))
+    assert(r.forall(_.getAs[Double]("modularity") == 0.5))
+
+    // everything in ONE community: Q = m/m − (2m/2m)² = 0 exactly
+    val one = mem.withColumn("community", lit(7L))
+    val r1 = Graph.modularity(e, "src", "dst", one).collect()
+    assert(r1.length == 1 && r1.head.getAs[Double]("modularity") == 0.0)
+
+    // duplicate/reversed/self-loop edges canonicalize away
+    val dirty = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      .unionAll(Seq((1L, 1L)).toDF("src", "dst"))
+    val r2 = Graph.modularity(dirty, "src", "dst", mem).collect()
+    assert(r2.forall(_.getAs[Double]("modularity") == 0.5))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{Curation, TextAnalysis}
+import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 /** Decontamination / quality-rule / sequence-packing semantics on controlled
@@ -460,5 +461,73 @@ class TrainingOpsSpec extends SparkSpec {
       dim = 8, iters = 2, lr = 0.5).collect().head
     // the empty doc has no features and is excluded from training/scoring
     assert(s.getAs[Long]("n_docs") == 2L)
+  }
+
+  test("associationRules: hand-checked confidences and lift; " +
+    "Apriori prunes infrequent items") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.associationRules(docs, "doc_id", "text",
+      minSupport = 2, topK = 10).collect()
+    // only (a,b) survives: supp(a)=3, supp(b)=2, pair=2; c never frequent
+    assert(r.length == 1)
+    val ab = r.head
+    assert(ab.getAs[String]("item_a") == "a")
+    assert(ab.getAs[String]("item_b") == "b")
+    assert(ab.getAs[Long]("pair_support") == 2L)
+    assert(ab.getAs[Long]("conf_ab_bps") == 6666L) // 2/3 floor
+    assert(ab.getAs[Long]("conf_ba_bps") == 10000L) // 2/2
+    assert(ab.getAs[Long]("lift_ppm") == 1000000L) // 2·3/(3·2)
+    // duplicate tokens in one doc count once (distinct doc-item pairs)
+    val dup = Seq((1L, "a a b b"), (2L, "a b")).toDF("doc_id", "text")
+    val rd = TextAnalysis.associationRules(dup, "doc_id", "text",
+      minSupport = 2, topK = 10).collect()
+    assert(rd.length == 1 && rd.head.getAs[Long]("pair_support") == 2L)
+  }
+
+  test("jmTrigramPerplexity: closed-form single-doc case; short docs drop") {
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.jmTrigramPerplexity(docs, "doc_id", "text")
+      .collect()
+    // only doc 1 has a trigram; its probability is
+    // 0.6·(1/2) + 0.3·(2/4) + 0.1·(4/5) = 0.53
+    // (c("x x x")=1, c("x x")=2, c2("x")=4, c3("x")=4, N=5)
+    assert(r.length == 1)
+    val d = r.head
+    assert(d.getAs[Long]("n_trigrams") == 1L)
+    assert(d.getAs[Double]("nll") ==
+      BigDecimal(-math.log(0.53)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // nll == per-trigram nll here, so ppl = 1/p
+    assert(math.abs(d.getAs[Double]("perplexity") - 1.0 / 0.53) < 1e-3)
+  }
+
+  test("knnClassify: clean clusters classify perfectly; " +
+    "a planted mislabel costs exactly its own query") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes, 4 vectors each
+    def v(axis: Int, eps: Double) = {
+      val a = Array.fill(4)(eps); a(axis) = 1.0; a.toSeq
+    }
+    val rows = (0 until 4).map(i => (i.toLong, v(0, 0.01 * (i + 1)), 0)) ++
+      (4 until 8).map(i => (i.toLong, v(1, 0.01 * (i - 3)), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      nQueries = 8, k = 3).collect()
+    assert(r.length == 2)
+    assert(r.forall(row => row.getAs[Long]("acc_bps") == 10000L))
+    assert(r.map(_.getAs[Long]("n_queries")).sum == 8L)
+
+    // flip one label: that vector's own query misclassifies (its
+    // neighbors kept their labels), and it pollutes no majority at k=3
+    val flipped = emb.withColumn("label",
+      when($"vec_id" === 0L, 1).otherwise($"label"))
+    val rf = Similarity.knnClassify(flipped, "vec_id", "embedding",
+      "label", nQueries = 8, k = 3).collect()
+    val byLabel = rf.map(row =>
+      row.getAs[Long]("label") -> row.getAs[Long]("n_correct")).toMap
+    // label 1 now has 5 queries; the flipped one votes with cluster-0
+    // neighbors (labeled 0) and misses
+    assert(byLabel(0L) == 3L && byLabel(1L) == 4L)
   }
 }
