@@ -592,4 +592,58 @@ object Graph {
               col("__m").cast("double")), 6)).as("modularity"))
       .orderBy("community")
   }
+
+  /** Per-community conductance — [[modularity]]'s local counterpart:
+    * φ(c) = cut(c) / min(vol(c), vol(V∖c)), cut = edges leaving the
+    * community, vol = its degree mass. Modularity grades the PARTITION;
+    * conductance grades each community alone — a community with high φ is
+    * a bad cluster no matter how good the global Q looks (the standard
+    * Leskovec-style network-community-profile measure). φ ∈ [0,1]; 0 is
+    * a perfectly isolated community; null when a side has zero volume
+    * (an isolated-node community — cut and vol both 0).
+    *
+    * Same plan skeleton as modularity (shared canonical-edge + two
+    * node-keyed membership joins + hash aggregates); the cut count
+    * aggregates each boundary edge once per SIDE (unionAll of the two
+    * endpoints' communities on differing-community edges). Ratios are
+    * exact integers to the final rounded double division. */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+      membership: DataFrame, nodeCol: String = "node",
+      communityCol: String = "community"): DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val mem = membership.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).cast("long").as("__comm"))
+    val deg = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val labeled = e0
+      .join(mem.select(col("node").as("a"), col("__comm").as("__ca")), "a")
+      .join(mem.select(col("node").as("b"), col("__comm").as("__cb")), "b")
+    val cut = labeled.filter(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("__comm"))
+      .unionAll(labeled.filter(col("__ca") =!= col("__cb"))
+        .select(col("__cb").as("__comm")))
+      .groupBy("__comm").agg(count(lit(1)).as("cut_edges"))
+    val vol = mem.join(deg, Seq("node"), "left")
+      .groupBy("__comm")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__deg"), lit(0L))).as("volume"))
+    val m2 = e0.agg((count(lit(1)) * 2).as("__vt"))
+    vol.join(cut, Seq("__comm"), "left")
+      .select(col("__comm"), col("n_nodes"), col("volume"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .crossJoin(broadcast(m2))
+      .select(col("__comm").as("community"), col("n_nodes"),
+        col("cut_edges"), col("volume"),
+        when(least(col("volume"), col("__vt") - col("volume")) === 0L,
+          lit(null))
+          .otherwise(round(col("cut_edges").cast("double") /
+            least(col("volume"), col("__vt") - col("volume"))
+              .cast("double"), 6)).as("conductance"))
+      .orderBy("community")
+  }
 }

@@ -470,4 +470,48 @@ object Retrieval {
         round(col("__s").cast("double"), 4).as("score"),
         col("matched_terms"), col("rank"))
   }
+
+  /** Exact PHRASE search — the precision complement to the bag-of-words
+    * scorers ([[bm25TopK]] ranks by term overlap; this demands the words
+    * ADJACENT and IN ORDER): per phrase, the top-k documents by exact
+    * occurrence count. Phrases pass through the same normalization as
+    * document tokens, so "Table-Hash!" and "table hash" are the same
+    * query.
+    *
+    * Scale shape — no positional-postings materialization and no joins at
+    * all on the corpus side: an n-word phrase is exactly an n-shingle, so
+    * matching is `explode(positional n-shingles) → filter(shingle ∈
+    * phrases)` with the literal IN-set pushed into the scan projection
+    * (codegen'd string equality, no shuffle until the per-(phrase,doc)
+    * count — whose cardinality is matches, not tokens). One pass per
+    * DISTINCT phrase LENGTH (phrase lengths are tiny and bounded), then
+    * one WindowGroupLimit top-k per phrase. Occurrence counts are exact
+    * integers; ordering (count desc, doc asc) is total. */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], k: Int = 10): DataFrame = {
+    val normed = phrases.map { p =>
+      val toks = p.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" +").filter(_.nonEmpty)
+      require(toks.nonEmpty, s"phrase '$p' has no tokens")
+      toks.mkString(" ") -> toks.length
+    }.distinct
+    val byLen = normed.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val base = docs.select(col(idCol),
+      graft.operators.Dedup.words(col(textCol)).as("__ws"))
+    val matched = byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
+      base
+        .select(col(idCol),
+          explode(graft.operators.Dedup.shingleList(col("__ws"), len))
+            .as("__sh"))
+        .filter(col("__sh").isin(ps: _*))
+    }.reduce(_.unionAll(_))
+    val counts = matched
+      .groupBy(col("__sh").as("phrase"), col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("phrase")
+      .orderBy(desc("n_occurrences"), col(idCol))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("phrase", "rank")
+  }
 }

@@ -793,6 +793,112 @@ object Stats {
           .as("ks"))
   }
 
+  /** Step-wise average precision (PR-AUC) — [[binaryAuc]]'s companion for
+    * the rare-positive regime where ROC flatters: AP = Σ_t ΔR_t·P_t with
+    * thresholds at DISTINCT score values (descending), the tie-robust
+    * definition — tied scores move together as one threshold step, so no
+    * arbitrary within-tie order can change the result. Also reports the
+    * positive base rate (the random-classifier AP) so the number carries
+    * its own baseline.
+    *
+    * Same scale shape as binaryAuc: corpus → one hash groupBy onto the
+    * distinct-score frame, cumulative TP/total via a window over that
+    * (bounded) frame. Each ΔR·P term's products stay ≤ (corpus size)² —
+    * exact in double — then DECIMAL-quantized before the final sum. */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      label: Column): DataFrame = {
+    val pv = df
+      .groupBy(col(scoreCol).as("__v"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__c"))
+    val wIncl = Window.orderBy(desc("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = pv.select(col("__cp"), col("__c"),
+      sum(col("__cp")).over(wIncl).as("__tp"),
+      sum(col("__c")).over(wIncl).as("__n"),
+      sum(col("__cp")).over(wAll).as("__n1"),
+      (sum(col("__c")).over(wAll) - sum(col("__cp")).over(wAll)).as("__n0"))
+    cum
+      .withColumn("__term",
+        // n1 = 0 (no positives) must not 0-div under ANSI; the final
+        // select nulls the metrics in that case anyway
+        when(col("__n1") === 0L, lit(null)).otherwise(
+          (dec(col("__cp")) * dec(col("__tp"))).cast("double") /
+            (dec(col("__n1")) * dec(col("__n"))).cast("double"))
+          .cast("decimal(28,18)"))
+      .agg(max(col("__n1")).as("__n1"), max(col("__n0")).as("__n0"),
+        sum(col("__term")).as("__ap"))
+      .select(col("__n1").cast("long").as("n_pos"),
+        col("__n0").cast("long").as("n_neg"),
+        when(col("__n1") === 0 || col("__n0") === 0, lit(null))
+          .otherwise(round(col("__ap").cast("double"), 6)).as("ap"),
+        when(col("__n1") === 0 || col("__n0") === 0, lit(null))
+          .otherwise(round(col("__n1").cast("double") /
+            (col("__n1") + col("__n0")).cast("double"), 6))
+          .as("base_rate"))
+  }
+
+  /** Decile gains/lift table — the campaign-targeting view of a scorer:
+    * rank the corpus by score descending, cut into `buckets` rank bands,
+    * and report each band's positive rate, cumulative capture (share of
+    * all positives found so far), and lift vs the base rate. "The top 10%
+    * of docs by model score hold 34% of the known-good labels" is this
+    * operator's one-row summary.
+    *
+    * Buckets are GROUP-ATOMIC: assignment happens on the distinct-score
+    * frame (bucket of a score group = floor(rowsBefore·B/N)), so tied
+    * scores land in one bucket and the table is deterministic without an
+    * arbitrary within-tie order — and the corpus never flows through a
+    * single-partition window, only the bounded distinct-score frame
+    * does. Ratios are exact-integer-product doubles rounded once. */
+  def gainsTable(df: DataFrame, scoreCol: String, label: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pv = df
+      .groupBy(col(scoreCol).as("__v"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__c"))
+    val wPrev = Window.orderBy(desc("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = pv.select(col("__cp"), col("__c"),
+      coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__s"),
+      sum(col("__c")).over(wAll).as("__nt"),
+      sum(col("__cp")).over(wAll).as("__n1"))
+    val bucketed = cum
+      .withColumn("bucket",
+        expr(s"CAST((CAST(__s AS DECIMAL(38,0)) * $buckets) DIV __nt " +
+          "AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(sum(col("__c")).as("n"), sum(col("__cp")).as("n_pos"),
+        max(col("__nt")).as("__nt"), max(col("__n1")).as("__n1"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .select(col("bucket"), col("n"), col("n_pos"),
+        sum(col("n")).over(wCum).as("cum_n"),
+        sum(col("n_pos")).over(wCum).as("cum_pos"),
+        col("__nt"), col("__n1"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        when(col("__n1") === 0, lit(null))
+          .otherwise(round((dec(col("cum_pos")) * dec(col("__nt")))
+            .cast("double") /
+            (dec(col("cum_n")) * dec(col("__n1"))).cast("double"), 6))
+          .as("cum_lift"),
+        when(col("__n1") === 0, lit(null))
+          .otherwise(round(col("cum_pos").cast("double") /
+            col("__n1").cast("double"), 6)).as("capture"))
+      .orderBy("bucket")
+  }
+
   /** Reliability diagram + expected calibration error for a probabilistic
     * scorer: equal-width probability bins, per-bin mean predicted
     * probability (confidence) vs empirical positive rate (accuracy), and

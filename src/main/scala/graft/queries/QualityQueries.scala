@@ -1390,8 +1390,69 @@ object QualityQueries {
       "label", nQueries = 256, k = 10)
   }
 
+  // Per-community conductance of the same LPA partition x188 grades
+  // globally: φ(c) = cut/min(vol, volᵀ−vol), the local cluster-quality
+  // measure (a high-φ community is a bad cluster even when corpus Q looks
+  // fine). Oracle replays the LPA chain + the cut/volume assembly;
+  // integer ratios, one rounded double division.
+  private val x194 = Q("x194_conductance", Some {
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT e.dst AS node, l.lab AS lab
+         |  FROM e JOIN $prev l ON l.node = e.src
+         |  GROUP BY e.dst, l.lab
+         |  QUALIFY row_number() OVER (PARTITION BY e.dst
+         |    ORDER BY count(*) DESC, l.lab) = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (SELECT node, node AS lab
+       |       FROM (SELECT DISTINCT src AS node FROM e)),
+       |${iter("l0", "i1")},
+       |${iter("i1", "i2")},
+       |${iter("i2", "i3")},
+       |mem AS (SELECT node, lab AS comm FROM i3),
+       |ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM e0 WHERE src <> dst),
+       |vt AS (SELECT 2 * count(*) AS vt FROM ec),
+       |deg AS (SELECT node, count(*) AS deg
+       |        FROM (SELECT a AS node FROM ec
+       |              UNION ALL SELECT b AS node FROM ec)
+       |        GROUP BY node),
+       |vol AS (
+       |  SELECT comm, count(*) AS n_nodes,
+       |    sum(coalesce(deg, 0)) AS volume
+       |  FROM mem LEFT JOIN deg USING (node) GROUP BY comm),
+       |lab AS (
+       |  SELECT ma.comm AS ca, mb.comm AS cb
+       |  FROM ec JOIN mem ma ON ec.a = ma.node
+       |    JOIN mem mb ON ec.b = mb.node),
+       |cut AS (
+       |  SELECT comm, count(*) AS cut_edges
+       |  FROM (SELECT ca AS comm FROM lab WHERE ca <> cb
+       |        UNION ALL SELECT cb AS comm FROM lab WHERE ca <> cb)
+       |  GROUP BY comm)
+       |SELECT v.comm AS community, CAST(v.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       |  CAST(v.volume AS BIGINT) AS volume,
+       |  CASE WHEN least(v.volume, vt.vt - v.volume) = 0 THEN NULL
+       |    ELSE round(CAST(coalesce(c.cut_edges, 0) AS DOUBLE)
+       |      / CAST(least(v.volume, vt.vt - v.volume) AS DOUBLE), 6)
+       |  END AS conductance
+       |FROM vol v LEFT JOIN cut c ON v.comm = c.comm, vt
+       |ORDER BY community""".stripMargin
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    Graph.conductance(e, "src", "dst",
+      Graph.labelPropagation(e, "src", "dst", iters = 3))
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
     x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170,
-    x188, x191)
+    x188, x191, x194)
 }

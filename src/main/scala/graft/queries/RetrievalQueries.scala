@@ -366,5 +366,36 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
-  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184)
+  // Exact phrase search: an n-word phrase is exactly a positional
+  // n-shingle, so matching is explode+filter with the literal IN-set in
+  // the scan projection — no positional postings table, no corpus-side
+  // join. "table hash" is the x185 bigram label (~9% of docs); the
+  // 3-word phrase exercises the second shingle length in the same call.
+  private val x195 = Q("x195_phrase_search", Some(
+    s"""WITH base AS (
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents),
+       |sh2 AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS sh
+       |  FROM base, unnest(range(1, n)) AS r(i) WHERE n >= 2),
+       |sh3 AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS sh
+       |  FROM base, unnest(range(1, n - 1)) AS r(i) WHERE n >= 3),
+       |m AS (SELECT doc_id, sh FROM sh2 WHERE sh = 'table hash'
+       |      UNION ALL
+       |      SELECT doc_id, sh FROM sh3 WHERE sh = 'key agg row'),
+       |c AS (SELECT sh AS phrase, doc_id, count(*) AS n_occurrences
+       |      FROM m GROUP BY sh, doc_id)
+       |SELECT phrase, doc_id,
+       |  CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       |  CAST(row_number() OVER (PARTITION BY phrase
+       |    ORDER BY n_occurrences DESC, doc_id) AS INT) AS rank
+       |FROM c
+       |QUALIFY row_number() OVER (PARTITION BY phrase
+       |  ORDER BY n_occurrences DESC, doc_id) <= 10
+       |ORDER BY phrase, rank""".stripMargin)) { (s, dir) =>
+    graft.operators.Retrieval.phraseTopK(t(s, dir, "documents"), "doc_id",
+      "text", Seq("Table-Hash!", "key agg row"), k = 10)
+  }
+
+  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195)
 }

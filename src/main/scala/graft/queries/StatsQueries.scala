@@ -813,7 +813,77 @@ object StatsQueries {
       bins = 10)
   }
 
+  // Step-wise average precision at distinct-score thresholds (descending)
+  // — x186's PR-side companion; ΔR·P terms from exact integer products,
+  // DECIMAL-quantized before the sum. base_rate rides along as the
+  // random-classifier AP.
+  private val x192 = Q("x192_avg_precision", Some(
+    s"""WITH f AS (
+       |  SELECT n_chars AS v,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |pv AS (SELECT v, sum(y) AS cp, count(*) AS c FROM f GROUP BY v),
+       |cum AS (SELECT cp, c,
+       |    sum(cp) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    sum(c) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+       |    sum(cp) OVER () AS n1, sum(c - cp) OVER () AS n0
+       |  FROM pv),
+       |m AS (SELECT max(n1) AS n1, max(n0) AS n0,
+       |        sum(CAST(CAST(cp * tp AS DOUBLE)
+       |          / CAST(n1 * nn AS DOUBLE) AS DECIMAL(28,18))) AS ap
+       |      FROM cum)
+       |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       |  round(CAST(ap AS DOUBLE), 6) AS ap,
+       |  round(CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE), 6)
+       |    AS base_rate
+       |FROM m""".stripMargin)) { (s, dir) =>
+    Stats.averagePrecision(t(s, dir, "documents"), "n_chars",
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"))
+  }
+
+  // Decile gains/lift table with GROUP-ATOMIC buckets (tied scores never
+  // split, assignment on the distinct-score frame — scale-safe AND
+  // deterministic without a within-tie order). Cumulative lift/capture
+  // from exact integer products.
+  private val x193 = Q("x193_gains_table", Some(
+    s"""WITH f AS (
+       |  SELECT n_chars AS v,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |pv AS (SELECT v, sum(y) AS cp, count(*) AS c FROM f GROUP BY v),
+       |cum AS (SELECT cp, c,
+       |    coalesce(sum(c) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+       |    sum(c) OVER () AS nt, sum(cp) OVER () AS n1
+       |  FROM pv),
+       |bk AS (SELECT CAST((CAST(s AS HUGEINT) * 10) // nt AS BIGINT)
+       |         AS bucket, cp, c, nt, n1
+       |       FROM cum),
+       |pb AS (SELECT bucket, sum(c) AS n, sum(cp) AS n_pos,
+       |         max(nt) AS nt, max(n1) AS n1
+       |       FROM bk GROUP BY bucket),
+       |wc AS (SELECT bucket, n, n_pos,
+       |    sum(n) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+       |    sum(n_pos) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+       |    nt, n1 FROM pb)
+       |SELECT bucket, CAST(n AS BIGINT) AS n,
+       |  CAST(n_pos AS BIGINT) AS n_pos, CAST(cum_n AS BIGINT) AS cum_n,
+       |  CAST(cum_pos AS BIGINT) AS cum_pos,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       |  round(CAST(cum_pos * nt AS DOUBLE)
+       |    / CAST(cum_n * n1 AS DOUBLE), 6) AS cum_lift,
+       |  round(CAST(cum_pos AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS capture
+       |FROM wc ORDER BY bucket""".stripMargin)) { (s, dir) =>
+    Stats.gainsTable(t(s, dir, "documents"), "n_chars",
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+      buckets = 10)
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142, x143, x146, x186, x187)
+    x142, x143, x146, x186, x187, x192, x193)
 }

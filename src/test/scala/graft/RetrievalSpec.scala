@@ -208,4 +208,28 @@ class RetrievalSpec extends SparkSpec {
     assert(directQ.length == indexedQ.length && directQ.nonEmpty)
     directQ.zip(indexedQ).foreach { case (d, i) => assert(d == i) }
   }
+
+  test("phraseTopK: adjacency and order required; occurrences counted; " +
+    "phrases normalize like document tokens") {
+    val docs = Seq(
+      (1L, "a b c a b"), // "a b" twice, "b c" once
+      (2L, "b c"), //        "b c" once, no "a b"
+      (3L, "b a c b")) //    has a,b adjacent only REVERSED — no match
+      .toDF("doc_id", "text")
+    val r = Retrieval.phraseTopK(docs, "doc_id", "text",
+      Seq("A-B!", "b c"), k = 10).collect()
+    val byPhrase = r.groupBy(_.getAs[String]("phrase"))
+    // normalization folded "A-B!" to "a b"
+    assert(byPhrase.keySet == Set("a b", "b c"))
+    val ab = byPhrase("a b").map(row =>
+      row.getAs[Long]("doc_id") -> row.getAs[Long]("n_occurrences")).toMap
+    assert(ab == Map(1L -> 2L)) // doc 3's reversed pair doesn't count
+    val bc = byPhrase("b c").map(_.getAs[Long]("doc_id")).toSeq
+    assert(bc == Seq(1L, 2L)) // count ties broken by doc id
+
+    // k caps per phrase; a 3-word phrase exercises the second length
+    val r3 = Retrieval.phraseTopK(docs, "doc_id", "text",
+      Seq("b c a"), k = 1).collect()
+    assert(r3.length == 1 && r3.head.getAs[Long]("doc_id") == 1L)
+  }
 }

@@ -482,4 +482,29 @@ class SnapshotGraphSpec extends SparkSpec {
     val r2 = Graph.modularity(dirty, "src", "dst", mem).collect()
     assert(r2.forall(_.getAs[Double]("modularity") == 0.5))
   }
+
+  test("conductance: bridged triangles have phi = 1/7; isolated community 0") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge 1–4: vol(c)=7, cut=1, m=7
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (1L, 4L)).toDF("src", "dst")
+    val mem = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    val r = Graph.conductance(e, "src", "dst", mem).collect()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Long]("volume") == 7L))
+    assert(r.forall(_.getAs[Long]("cut_edges") == 1L))
+    assert(r.forall(_.getAs[Double]("conductance") == 0.142857))
+
+    // drop the bridge: both communities perfectly isolated → phi = 0
+    val clean = e.filter(!($"src" === 1L && $"dst" === 4L))
+    val rc = Graph.conductance(clean, "src", "dst", mem).collect()
+    assert(rc.forall(_.getAs[Double]("conductance") == 0.0))
+
+    // an isolated-node community has zero volume → null, not 0/0
+    val mem2 = mem.unionAll(Seq((9L, 9L)).toDF("node", "community"))
+    val r9 = Graph.conductance(clean, "src", "dst", mem2)
+      .filter($"community" === 9L).head()
+    assert(r9.isNullAt(r9.fieldIndex("conductance")))
+  }
 }

@@ -504,6 +504,49 @@ class StatsSpec extends SparkSpec {
     assert(onlyPos.isNullAt(onlyPos.fieldIndex("ks")))
   }
 
+  test("averagePrecision: step-wise AP with tie groups; perfect ranking = 1") {
+    // groups desc: v=3 (1 pos) term 1·1/(2·1); v=2 (1 pos, 1 neg tied)
+    // term 1·2/(2·3); v=1 contributes 0 → AP = 1/2 + 1/3 = 0.833333
+    val df = Seq((3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)).toDF("score", "y")
+    val r = Stats.averagePrecision(df, "score", $"y" === 1).head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("ap") == 0.833333)
+    assert(r.getAs[Double]("base_rate") == 0.5)
+
+    val perfect = Seq((4.0, 1), (3.0, 1), (2.0, 0), (1.0, 0))
+      .toDF("score", "y")
+    assert(Stats.averagePrecision(perfect, "score", $"y" === 1)
+      .head().getAs[Double]("ap") == 1.0)
+
+    val onlyNeg = Stats.averagePrecision(df.filter($"y" === 0), "score",
+      $"y" === 1).head()
+    assert(onlyNeg.isNullAt(onlyNeg.fieldIndex("ap")))
+  }
+
+  test("gainsTable: distinct scores split into singleton deciles; " +
+    "tied scores stay group-atomic") {
+    // 10 rows, scores 10..1, top-3 positive
+    val df = (1 to 10).map(i => (i.toDouble, if (i >= 8) 1 else 0))
+      .toDF("score", "y")
+    val g = Stats.gainsTable(df, "score", $"y" === 1, buckets = 10)
+      .collect()
+    assert(g.length == 10)
+    val b0 = g.head
+    assert(b0.getAs[Long]("bucket") == 0L && b0.getAs[Long]("n") == 1L)
+    assert(b0.getAs[Double]("rate") == 1.0)
+    assert(b0.getAs[Double]("cum_lift") == 3.333333) // (1·10)/(1·3)
+    assert(b0.getAs[Double]("capture") == 0.333333)
+    val b9 = g.last
+    assert(b9.getAs[Double]("cum_lift") == 1.0)
+    assert(b9.getAs[Double]("capture") == 1.0)
+
+    // every row tied: ONE group → one bucket holding everything
+    val tied = (1 to 10).map(i => (5.0, i % 2)).toDF("score", "y")
+    val gt = Stats.gainsTable(tied, "score", $"y" === 1).collect()
+    assert(gt.length == 1 && gt.head.getAs[Long]("n") == 10L)
+    assert(gt.head.getAs[Double]("cum_lift") == 1.0)
+  }
+
   test("calibration: perfectly calibrated bins have gap 0 and ece 0; " +
     "p=1.0 lands in the top bin") {
     // bin 2 (p=0.25): 1 of 4 positive; bin 7 (p=0.75): 3 of 4 positive
