@@ -555,6 +555,54 @@ class PlanRegressionSpec extends SparkSpec {
       "centroids must come from the index table:\n" + p.take(900))
   }
 
+  test("x186/x192/x193 scorer evals scan the corpus once, aggregate before " +
+    "any window") {
+    for (q <- Seq("x186_classifier_auc", "x192_avg_precision",
+        "x193_gains_table")) {
+      val p = plan(q)
+      // ONE corpus scan; the single-partition window runs on the
+      // bounded distinct-score frame AFTER the hash aggregate, never on
+      // raw rows (formatted mode prints each op in tree AND details, so
+      // count the numbered detail headers)
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+        s"$q scans")
+      assert(p.contains("HashAggregate"), s"$q must pre-aggregate")
+      // detail headers number operators input-first: the first
+      // HashAggregate must sit BELOW the first Window in the plan
+      val firstAgg = """\((\d+)\) HashAggregate""".r
+        .findAllMatchIn(p).map(_.group(1).toInt).min
+      val firstWin = """\((\d+)\) Window""".r
+        .findAllMatchIn(p).map(_.group(1).toInt).min
+      assert(firstAgg < firstWin,
+        s"$q window must ride the aggregated frame:\n" + p.take(800))
+    }
+  }
+
+  test("x191 kNN broadcasts the bounded query sample; top-k caps pre-shuffle") {
+    val p = plan("x191_knn_classify")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query sample must broadcast:\n" + p.take(800))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must cap before the shuffle")
+    // bounded sample: TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x195 phrase search is join-free; scan reads only id and text") {
+    val p = plan("x195_phrase_search")
+    assert(!p.contains("Join"), "phrase search must not join:\n" + p.take(600))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(600))
+  }
+
+  test("x189 association rules broadcast the frequent-item prune and marginals") {
+    val p = plan("x189_association_rules")
+    // Apriori prune + supp_a + supp_b + n_docs all broadcast; the only
+    // shuffle joins allowed are the id-keyed pair self-join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "frequent-item side must broadcast:\n" + p.take(900))
+  }
+
   test("partitioned write prunes partitions on read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("prune")
