@@ -1171,6 +1171,62 @@ object Similarity {
     * (WindowGroupLimit forwards ≤ k rows per query per partition); the
     * majority vote is max(struct(cnt, −label)) — a hash aggregate, no
     * second window. Accuracy is integer bps via exact decimal division. */
+  /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998): from each query's top-`m` relevance candidates,
+    * greedily pick `k` results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the standard
+    * search-results / few-shot-example diversifier (near-duplicate hits
+    * crowd each other out instead of filling the page).
+    *
+    * Scale shape: relevance candidates come from [[bruteForceTopKBatch]]
+    * (one corpus scan, queries broadcast, WindowGroupLimit), so the
+    * iterative part runs on a queries×m frame — BOUNDED BY CONSTRUCTION,
+    * never corpus-sized. Each of the k greedy steps is one per-query
+    * argmax window + one query-keyed join against the (1-row-per-query)
+    * pick — k is small and fixed, the plan static and replayable. (1−λ)
+    * is derived via BigDecimal so both engines see the same literal
+    * (1−0.7 in IEEE would be 0.30000000000000004, silently diverging
+    * from an oracle that spells 0.3). */
+  def mmrRerank(data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, m: Int = 10, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && m >= k, "need k >= 1 and m >= k")
+    val lam = lit(lambda)
+    val oneMinus = lit((BigDecimal(1) - BigDecimal(lambda)).toDouble)
+    val vecs = data.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val cands = bruteForceTopKBatch(data, idCol, vecCol, queries,
+        queryIdCol, m)
+      .select(col("query_id"), col(idCol).as("__id"),
+        col("cosine").as("__score"))
+      .join(vecs, "__id")
+    var remaining = cands.withColumn("__msim", lit(0.0))
+    val picks = Seq.newBuilder[DataFrame]
+    for (t <- 1 to k) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(desc("__mmr"), col("__id"))
+      val pick = remaining
+        .withColumn("__mmr", lam * col("__score") - oneMinus * col("__msim"))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("query_id"), col("__id"), col("__v").as("__sv"),
+          col("__score"), col("__mmr"))
+      picks += pick.select(col("query_id"), col("__id").as(idCol),
+        lit(t).as("rank"), round(col("__score"), 4).as("score"),
+        round(col("__mmr"), 4).as("mmr"))
+      remaining = remaining
+        .join(pick.select(col("query_id"), col("__id").as("__pid"),
+          col("__sv")), "query_id")
+        .filter(col("__id") =!= col("__pid"))
+        .withColumn("__msim",
+          greatest(col("__msim"), cosine(col("__v"), col("__sv"))))
+        .select(col("query_id"), col("__id"), col("__score"), col("__v"),
+          col("__msim"))
+    }
+    picks.result().reduce(_.unionByName(_)).orderBy("query_id", "rank")
+  }
+
   def knnClassify(data: DataFrame, idCol: String, vecCol: String,
       labelCol: String, nQueries: Int = 256, k: Int = 10): DataFrame = {
     require(nQueries >= 1 && k >= 1, "nQueries and k must be positive")

@@ -744,26 +744,38 @@ object Stats {
     * arithmetic in DECIMAL(38,0) — exact at any corpus size — with ONE
     * final double division per statistic. Degenerate corpora (a single
     * class) emit null metrics rather than 0/0. */
-  def binaryAuc(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+  def binaryAuc(df: DataFrame, scoreCol: String, label: Column): DataFrame =
+    binaryAucBy(df.withColumn("__slice", lit(0L)), "__slice", scoreCol,
+      label).drop("__slice")
+
+  /** Per-slice [[binaryAuc]] — the scorer-drift view: one AUC/Gini/KS row
+    * per group (source, language, ingest day), so a scorer that holds up
+    * globally but collapses on one slice is visible. At scale this is the
+    * SAFER shape: every window is hash-partitioned by the slice key, so
+    * nothing ever moves to a single partition (the ungrouped variant
+    * delegates here with a constant slice). */
+  def binaryAucBy(df: DataFrame, groupCol: String, scoreCol: String,
+      label: Column): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val pv = df
-      .groupBy(col(scoreCol).as("__v"))
+      .groupBy(col(groupCol), col(scoreCol).as("__v"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
         count(lit(1)).as("__c"))
-    val wPrev = Window.orderBy("__v")
+    val wPrev = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wIncl = Window.orderBy("__v")
+    val wIncl = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy().rowsBetween(
+    val wAll = Window.partitionBy(groupCol).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     // collapsed to distinct scores; running pos/neg CDF counts + totals
-    val cum = pv.select(col("__cp"), col("__c"),
+    val cum = pv.select(col(groupCol), col("__cp"), col("__c"),
       coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__s"),
       sum(col("__cp")).over(wIncl).as("__p"),
       (sum(col("__c")).over(wIncl) - sum(col("__cp")).over(wIncl)).as("__g"),
       sum(col("__cp")).over(wAll).as("__n1t"),
       (sum(col("__c")).over(wAll) - sum(col("__cp")).over(wAll)).as("__n0t"))
-    cum.agg(
+    cum.groupBy(col(groupCol))
+      .agg(
         sum(dec(col("__cp")) *
           (dec(lit(2L)) * dec(col("__s")) + dec(col("__c")) + dec(lit(1L))))
           .as("__r2"),
@@ -771,7 +783,7 @@ object Stats {
         sum(dec(col("__c")) - dec(col("__cp"))).as("__n0"),
         max(abs(dec(col("__p")) * dec(col("__n0t")) -
           dec(col("__g")) * dec(col("__n1t")))).as("__ksnum"))
-      .select(col("__n1").cast("long").as("n_pos"),
+      .select(col(groupCol), col("__n1").cast("long").as("n_pos"),
         col("__n0").cast("long").as("n_neg"),
         (col("__r2") - col("__n1") * (col("__n1") + dec(lit(1L))))
           .cast("long").as("u2"),
@@ -791,6 +803,7 @@ object Stats {
           .otherwise(round(col("__ksnum").cast("double") /
             (col("__n1").cast("double") * col("__n0").cast("double")), 6))
           .as("ks"))
+      .orderBy(groupCol)
   }
 
   /** Step-wise average precision (PR-AUC) — [[binaryAuc]]'s companion for

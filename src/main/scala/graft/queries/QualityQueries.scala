@@ -1451,8 +1451,58 @@ object QualityQueries {
       Graph.labelPropagation(e, "src", "dst", iters = 3))
   }
 
+  // MMR diversified re-rank (λ=0.7, top-10 candidates → 5 picks) for two
+  // query vectors. The oracle replays the brute-force candidate stage and
+  // all 5 greedy steps; every pick/remainder CTE is MATERIALIZED (each is
+  // referenced twice — DuckDB's default inlining doubles the plan per
+  // step, the x176 2^N lesson).
+  private val x197 = Q("x197_mmr_rerank", Some {
+    def cos(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+         |      (sqrt(list_dot_product($a, $a))
+         |       * sqrt(list_dot_product($b, $b)))""".stripMargin
+    val steps = (1 to 5).map { t =>
+      val p = t - 1
+      s"""p$t AS MATERIALIZED (
+         |  SELECT qid, id, score, v, 0.7 * score - 0.3 * msim AS mmr
+         |  FROM r$p
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY 0.7 * score - 0.3 * msim DESC, id) = 1),
+         |r$t AS MATERIALIZED (
+         |  SELECT r.qid, r.id, r.score, r.v,
+         |    greatest(r.msim, ${cos("r.v", "p.v")}) AS msim
+         |  FROM r$p r JOIN p$t p USING (qid) WHERE r.id <> p.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map { t =>
+      s"""SELECT qid AS query_id, id AS vec_id, CAST($t AS INT) AS rank,
+         |  round(score, 4) AS score, round(mmr, 4) AS mmr FROM p$t"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id IN (0, 1)),
+       |sc AS (
+       |  SELECT q.qid, e.vec_id AS id,
+       |    ${cos("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS score,
+       |    CAST(e.embedding AS DOUBLE[]) AS v
+       |  FROM embeddings e, q),
+       |r0 AS MATERIALIZED (
+       |  SELECT qid, id, score, v, CAST(0.0 AS DOUBLE) AS msim
+       |  FROM sc QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, id) <= 10),
+       |$steps
+       |$out
+       |ORDER BY query_id, rank""".stripMargin
+  }) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.mmrRerank(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id").isin(0L, 1L)), "vec_id",
+      m = 10, k = 5, lambda = 0.7)
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
     x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170,
-    x188, x191, x194)
+    x188, x191, x194, x197)
 }

@@ -883,7 +883,45 @@ object StatsQueries {
       buckets = 10)
   }
 
+  // Per-slice AUC/Gini/KS (x186 partitioned by source) — the scorer-drift
+  // view; every window is hash-partitioned by the slice key, so this is
+  // the shape that scales (nothing moves to one partition).
+  private val x196 = Q("x196_auc_by_source", Some(
+    s"""WITH f AS (
+       |  SELECT source, n_chars AS v,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |pv AS (SELECT source, v, sum(y) AS cp, count(*) AS c
+       |       FROM f GROUP BY source, v),
+       |cum AS (SELECT source, cp, c,
+       |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+       |    sum(cp) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+       |    sum(c - cp) OVER (PARTITION BY source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gg,
+       |    sum(cp) OVER (PARTITION BY source) AS n1t,
+       |    sum(c - cp) OVER (PARTITION BY source) AS n0t
+       |  FROM pv),
+       |m AS (SELECT source, sum(cp * (2 * s + c + 1)) AS r2, sum(cp) AS n1,
+       |        sum(c - cp) AS n0,
+       |        max(abs(p * n0t - gg * n1t)) AS ksnum
+       |      FROM cum GROUP BY source)
+       |SELECT source, CAST(n1 AS BIGINT) AS n_pos,
+       |  CAST(n0 AS BIGINT) AS n_neg,
+       |  CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
+       |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini,
+       |  round(CAST(ksnum AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS ks
+       |FROM m ORDER BY source""".stripMargin)) { (s, dir) =>
+    Stats.binaryAucBy(t(s, dir, "documents"), "source", "n_chars",
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"))
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142, x143, x146, x186, x187, x192, x193)
+    x142, x143, x146, x186, x187, x192, x193, x196)
 }

@@ -504,6 +504,18 @@ class StatsSpec extends SparkSpec {
     assert(onlyPos.isNullAt(onlyPos.fieldIndex("ks")))
   }
 
+  test("binaryAucBy: slices evaluate independently") {
+    val df = Seq(
+      ("a", 1.0, 0), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 4.0, 1), // perfect
+      ("b", 1.0, 1), ("b", 2.0, 1), ("b", 3.0, 0), ("b", 4.0, 0)) // reversed
+      .toDF("src", "score", "y")
+    val r = Stats.binaryAucBy(df, "src", "score", $"y" === 1).collect()
+    assert(r.map(_.getAs[String]("src")).toSeq == Seq("a", "b"))
+    assert(r(0).getAs[Double]("auc") == 1.0)
+    assert(r(1).getAs[Double]("auc") == 0.0)
+    assert(r.forall(_.getAs[Long]("n_pos") == 2L))
+  }
+
   test("averagePrecision: step-wise AP with tie groups; perfect ranking = 1") {
     // groups desc: v=3 (1 pos) term 1·1/(2·1); v=2 (1 pos, 1 neg tied)
     // term 1·2/(2·3); v=1 contributes 0 → AP = 1/2 + 1/3 = 0.833333

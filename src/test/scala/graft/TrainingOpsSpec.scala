@@ -502,6 +502,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(d.getAs[Double]("perplexity") - 1.0 / 0.53) < 1e-3)
   }
 
+  test("mmrRerank: a near-duplicate of the top hit is demoted below a " +
+    "diverse result; pure relevance would keep it second") {
+    import spark.implicits._
+    // query [1,1]; a1/a2 nearly identical high-relevance pair, b diverse
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.2)), //  rel .8321  (top hit)
+      (2L, Seq(1.0, 0.19)), // rel .8287, cos(·,a1) ≈ .99995 (near-dup)
+      (3L, Seq(0.1, 1.0))) // rel .7741, cos(·,a1) ≈ .2928  (diverse)
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(corpus, "vec_id", "embedding", q,
+      "vec_id", m = 3, k = 3, lambda = 0.7).collect()
+    assert(mmr.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    // relevance-only order for contrast: 1, 2, 3
+    val rel = Similarity.bruteForceTopKBatch(corpus, "vec_id", "embedding",
+      q, "vec_id", 3).orderBy("rank").collect()
+    assert(rel.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    // rank-1 pick has msim 0, so its mmr is λ·score exactly
+    val first = mmr.head
+    assert(math.abs(first.getAs[Double]("mmr") -
+      0.7 * first.getAs[Double]("score")) < 2e-4)
+  }
+
   test("knnClassify: clean clusters classify perfectly; " +
     "a planted mislabel costs exactly its own query") {
     import spark.implicits._
