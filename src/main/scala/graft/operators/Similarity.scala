@@ -1171,6 +1171,38 @@ object Similarity {
     * (WindowGroupLimit forwards ≤ k rows per query per partition); the
     * majority vote is max(struct(cnt, −label)) — a hash aggregate, no
     * second window. Accuracy is integer bps via exact decimal division. */
+  /** Batched [[ivfTopKIndexed]]: per-QUERY probe routing against the
+    * materialized IVF index — each query ranks the (broadcast-sized)
+    * centroid table, keeps its own `nprobe` cells, and scans only
+    * candidates in those cells. The candidate scan is ONE pass over the
+    * UNION of probed cells (a broadcast equi-join on the partition
+    * column — partition-prunable), so a 1000-query batch costs one
+    * pruned scan, not 1000 probes. Exact within probed cells; recall is
+    * bounded by cell routing exactly as in the single-query variant. */
+  def ivfTopKBatch(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, cellCol: String, vecCol: String, queries: DataFrame,
+      queryIdCol: String, k: Int, nprobe: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv")))
+    val cents = spark.table(s"${table}_centroids")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pq").orderBy(desc("__cs"), col("__probe_cell"))
+    val cells = cents.crossJoin(q)
+      .select(col("query_id").as("__pq"), col("cell").as("__probe_cell"),
+        cosine(col("centroid"), col("__qv")).as("__cs"))
+      .withColumn("__r", row_number().over(wp)).filter(col("__r") <= nprobe)
+      .select(col("__pq"), col("__probe_cell"))
+    val data = spark.table(table)
+    val scored = data
+      .join(broadcast(cells), data(cellCol) === col("__probe_cell"))
+      .join(q, col("__pq") === q("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(asDouble(col(vecCol)), col("__qv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
     * Goldstein 1998): from each query's top-`m` relevance candidates,
     * greedily pick `k` results maximizing
@@ -1227,8 +1259,11 @@ object Similarity {
     picks.result().reduce(_.unionByName(_)).orderBy("query_id", "rank")
   }
 
-  def knnClassify(data: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, nQueries: Int = 256, k: Int = 10): DataFrame = {
+  /** Shared kNN stage: md5-ranked query sample → exact top-k OTHER
+    * neighbors with labels, (query id, query label, neighbor id,
+    * neighbor label) rows. */
+  private def knnNeighbors(data: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nQueries: Int, k: Int): DataFrame = {
     require(nQueries >= 1 && k >= 1, "nQueries and k must be positive")
     val q = broadcast(data
       .select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__qv"),
@@ -1244,8 +1279,12 @@ object Similarity {
         cosine(col("__v"), col("__qv")).as("__cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qid").orderBy(desc("__cos"), col("__nid"))
-    val voted = scored
-      .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+  }
+
+  def knnClassify(data: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nQueries: Int = 256, k: Int = 10): DataFrame = {
+    val voted = knnNeighbors(data, idCol, vecCol, labelCol, nQueries, k)
       .groupBy(col("__qid"), col("__qlab"), col("__nlab"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col("__qid"), col("__qlab"))
@@ -1260,5 +1299,30 @@ object Similarity {
         expr("CAST((CAST(n_correct AS DECIMAL(38,0)) * 10000) DIV " +
           "CAST(n_queries AS DECIMAL(38,0)) AS BIGINT)").as("acc_bps"))
       .orderBy("label")
+  }
+
+  /** Label-noise audit by neighborhood disagreement — confident-learning
+    * lite: for each sampled example, the share of its k nearest OTHER
+    * vectors carrying a DIFFERENT label. An example whose entire
+    * neighborhood disagrees is the classic mislabel signature (or sits on
+    * a genuine class boundary — either way, a human-review candidate).
+    * Returns the top-`topN` suspects; disagreement in integer bps so the
+    * suspect ranking is exact. Same bounded-sample + one-scan +
+    * WindowGroupLimit shape as [[knnClassify]]. */
+  def labelNoiseAudit(data: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nQueries: Int = 256, k: Int = 10,
+      topN: Int = 20): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    knnNeighbors(data, idCol, vecCol, labelCol, nQueries, k)
+      .groupBy(col("__qid"), col("__qlab"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nlab") =!= col("__qlab"), 1L).otherwise(0L))
+          .as("n_diff"))
+      .select(col("__qid").as(idCol), col("__qlab").as(labelCol),
+        col("n_neighbors"), col("n_diff"),
+        expr("CAST((CAST(n_diff AS DECIMAL(38,0)) * 10000) DIV " +
+          "CAST(n_neighbors AS DECIMAL(38,0)) AS BIGINT)").as("diff_bps"))
+      .orderBy(desc("diff_bps"), col(idCol))
+      .limit(topN)
   }
 }

@@ -1501,8 +1501,44 @@ object QualityQueries {
       m = 10, k = 5, lambda = 0.7)
   }
 
+  // Label-noise audit: the x191 neighborhood machinery pointed at the
+  // examples themselves — top-20 suspects by share of k-NN neighbors
+  // with a DIFFERENT label (confident-learning lite). Integer bps keeps
+  // the suspect ranking exact.
+  private val x199 = Q("x199_label_noise_audit", Some(
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |    label AS qlab
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+      |sc AS (
+      |  SELECT q.qid, q.qlab, e.vec_id AS nid, e.label AS nlab,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |         CAST(e.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      |top AS (
+      |  SELECT qid, qlab, nlab
+      |  FROM sc QUALIFY row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, nid) <= 10),
+      |agg AS (
+      |  SELECT qid, qlab, count(*) AS n_neighbors,
+      |    sum(CASE WHEN nlab <> qlab THEN 1 ELSE 0 END) AS n_diff
+      |  FROM top GROUP BY qid, qlab)
+      |SELECT qid AS vec_id, CAST(qlab AS BIGINT) AS label,
+      |  CAST(n_neighbors AS BIGINT) AS n_neighbors,
+      |  CAST(n_diff AS BIGINT) AS n_diff,
+      |  CAST((CAST(n_diff AS HUGEINT) * 10000) // n_neighbors AS BIGINT)
+      |    AS diff_bps
+      |FROM agg
+      |ORDER BY diff_bps DESC, vec_id LIMIT 20""".stripMargin)) { (s, dir) =>
+    Similarity.labelNoiseAudit(t(s, dir, "embeddings"), "vec_id",
+      "embedding", "label", nQueries = 256, k = 10, topN = 20)
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
     x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170,
-    x188, x191, x194, x197)
+    x188, x191, x194, x197, x199)
 }

@@ -1777,10 +1777,58 @@ object ScaleQueries {
       .orderBy("doc_id", "start_word")
   }
 
+  // Batched IVF from the materialized index: 8 queries, each routed to
+  // its own top-3 centroid cells, candidates fetched in ONE pruned scan
+  // of the union of probed partitions (not 8 probes). Per-query results
+  // gate against the oracle's full replay (centroids → per-query probe →
+  // within-cell exact top-10).
+  private val x198 = Q("x198_ann_ivf_batch", Some(
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS qn
+      |  FROM embeddings WHERE vec_id < 8),
+      |cent AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |cscore AS (
+      |  SELECT q.qid, c.label,
+      |    sum(c.cv * q.qv[c.i]) / (sqrt(sum(c.cv * c.cv)) * q.qn) AS cs
+      |  FROM cent c, q GROUP BY q.qid, c.label, q.qn),
+      |probe AS (
+      |  SELECT qid, label FROM cscore
+      |  QUALIFY row_number() OVER (PARTITION BY qid
+      |    ORDER BY cs DESC, label) <= 3),
+      |sc AS (
+      |  SELECT p.qid AS query_id, e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(e.embedding AS DOUBLE[]))) * q.qn) AS cos
+      |  FROM embeddings e JOIN probe p ON e.label = p.label
+      |    JOIN q ON q.qid = p.qid)
+      |SELECT query_id, vec_id, round(cos, 4) AS cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos DESC, vec_id) <= 10
+      |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_x198_ivf")
+    Similarity.ivfTopKBatch(s, "graft_x198_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") < 8), "vec_id",
+        k = 10, nprobe = 3)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183)
+      x183, x198)
 }

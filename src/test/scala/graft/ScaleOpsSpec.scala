@@ -635,4 +635,46 @@ class ScaleOpsSpec extends SparkSpec {
     // projection is mean-centered by construction
     assert(math.abs(m1) < 1e-4 && math.abs(m2) < 1e-4, s"means $m1 $m2")
   }
+
+  test("ivfTopKBatch: each query's results equal the single-query indexed " +
+    "probe") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_test_ivf_batch")
+    val batch = Similarity.ivfTopKBatch(spark, "graft_test_ivf_batch",
+      "vec_id", "label", "embedding", emb.filter($"vec_id" < 3), "vec_id",
+      k = 5, nprobe = 2).collect()
+    for (qid <- 0L until 3L) {
+      val single = Similarity.ivfTopKIndexed(spark, "graft_test_ivf_batch",
+        "vec_id", "label", "embedding", emb.filter($"vec_id" === qid),
+        k = 5, nprobe = 2)
+        .orderBy(desc("cosine"), $"vec_id")
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cosine")))
+      val mine = batch.filter(_.getAs[Long]("query_id") == qid)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+      assert(mine.toSeq == single.toSeq, s"query $qid diverged")
+    }
+  }
+
+  test("labelNoiseAudit: a planted mislabel in a tight cluster is the top " +
+    "suspect with full disagreement") {
+    // 12 vectors in two tight clusters; vector 0 carries the WRONG label
+    def v(axis: Int, eps: Double) = {
+      val a = Array.fill(4)(eps); a(axis) = 1.0; a.toSeq
+    }
+    val rows = (0 until 6).map(i =>
+      (i.toLong, v(0, 0.01 * (i + 1)), if (i == 0) 1 else 0)) ++
+      (6 until 12).map(i => (i.toLong, v(1, 0.01 * (i - 5)), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val audit = Similarity.labelNoiseAudit(emb, "vec_id", "embedding",
+      "label", nQueries = 12, k = 3, topN = 3).collect()
+    val top = audit.head
+    assert(top.getAs[Long]("vec_id") == 0L)
+    assert(top.getAs[Long]("diff_bps") == 10000L) // all 3 neighbors disagree
+    // clean interior examples never reach full disagreement
+    assert(audit.drop(1).forall(_.getAs[Long]("diff_bps") < 10000L))
+  }
 }
