@@ -145,6 +145,38 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cross-group quantile alignment table — the batch-effect view of a
+    * score column (microarray-style quantile normalization, applied to
+    * curation: heuristic quality scores are NOT comparable across
+    * sources/ingest batches; mixing on raw thresholds over- or
+    * under-selects whole sources). Per group: its own quantiles (via
+    * [[exactQuantiles]] — bounded-memory interpolation) next to the
+    * REFERENCE quantiles (unweighted mean of the group quantiles, the
+    * classic normalization target) and the median shift. A downstream
+    * mapper can pin each group's scores onto the reference curve;
+    * monitoring reads `delta_p50` as per-source score drift.
+    *
+    * Scale shape: everything after exactQuantiles runs on the |groups|-row
+    * frame; the reference rides an unbounded window THERE, never over
+    * data. Group sums are DECIMAL-quantized; one rounded double division
+    * per reference column. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(qs.contains(0.5), "qs must include the median (0.5)")
+    val gq = exactQuantiles(df, Seq(groupCol), valueCol, qs)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val names = qs.map(q => s"p${math.round(q * 100)}")
+    val withRef = names.foldLeft(gq) { (acc, p) =>
+      acc.withColumn(s"ref_$p",
+        round(sum(col(p).cast("decimal(28,14)")).over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double"), 4))
+    }
+    withRef
+      .withColumn("delta_p50", round(col("p50") - col("ref_p50"), 4))
+      .orderBy(groupCol)
+  }
+
   /** Robust outlier flags via the MAD modified z-score (Iglewicz-Hoaglin:
     * `0.6745·(x − median) / MAD`, |z| > threshold) — the mean/stddev
     * z-score's breakdown point is 0 (one extreme day drags the mean toward

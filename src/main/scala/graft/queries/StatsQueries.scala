@@ -921,7 +921,34 @@ object StatsQueries {
       array_contains(graft.operators.Dedup.words(col("text")), "dup"))
   }
 
+  // Cross-source quantile alignment (batch-effect correction table):
+  // per-source p25/p50/p75 of doc length next to the pooled reference
+  // curve (mean of group quantiles) and the per-source median drift.
+  // Quantiles replay via quantile_cont (the x110 parity); the reference
+  // is a decimal-quantized mean over the ≤|groups|-row frame.
+  private val x200 = Q("x200_quantile_normalize", Some(
+    """WITH g AS (
+      |  SELECT source, round(quantile_cont(n_chars, 0.25), 4) AS p25,
+      |    round(quantile_cont(n_chars, 0.50), 4) AS p50,
+      |    round(quantile_cont(n_chars, 0.75), 4) AS p75,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source)
+      |SELECT source, p25, p50, p75, n,
+      |  round(CAST(sum(CAST(p25 AS DECIMAL(28,14))) OVER () AS DOUBLE)
+      |    / CAST(count(*) OVER () AS DOUBLE), 4) AS ref_p25,
+      |  round(CAST(sum(CAST(p50 AS DECIMAL(28,14))) OVER () AS DOUBLE)
+      |    / CAST(count(*) OVER () AS DOUBLE), 4) AS ref_p50,
+      |  round(CAST(sum(CAST(p75 AS DECIMAL(28,14))) OVER () AS DOUBLE)
+      |    / CAST(count(*) OVER () AS DOUBLE), 4) AS ref_p75,
+      |  round(p50 - round(CAST(sum(CAST(p50 AS DECIMAL(28,14))) OVER ()
+      |      AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE), 4), 4)
+      |    AS delta_p50
+      |FROM g ORDER BY source""".stripMargin)) { (s, dir) =>
+    Stats.quantileNormalize(t(s, dir, "documents"), "source", "n_chars",
+      Seq(0.25, 0.5, 0.75))
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142, x143, x146, x186, x187, x192, x193, x196)
+    x142, x143, x146, x186, x187, x192, x193, x196, x200)
 }

@@ -504,6 +504,23 @@ class StatsSpec extends SparkSpec {
     assert(onlyPos.isNullAt(onlyPos.fieldIndex("ks")))
   }
 
+  test("quantileNormalize: reference is the mean of group quantiles; " +
+    "median drift is signed") {
+    // group a: 1..5 (p50=3); group b: 11..15 (p50=13) → ref_p50 = 8
+    val df = ((1 to 5).map(v => ("a", v)) ++ (11 to 15).map(v => ("b", v)))
+      .toDF("src", "v")
+    val r = Stats.quantileNormalize(df, "src", "v").collect()
+    assert(r.map(_.getAs[String]("src")).toSeq == Seq("a", "b"))
+    val a = r(0); val b = r(1)
+    assert(a.getAs[Double]("p50") == 3.0 && b.getAs[Double]("p50") == 13.0)
+    assert(a.getAs[Double]("ref_p50") == 8.0)
+    assert(b.getAs[Double]("ref_p50") == 8.0)
+    assert(a.getAs[Double]("delta_p50") == -5.0)
+    assert(b.getAs[Double]("delta_p50") == 5.0)
+    // interpolated quartiles: p25 of 1..5 = 2.0 (pos = 4·0.25 = 1)
+    assert(a.getAs[Double]("p25") == 2.0 && a.getAs[Double]("p75") == 4.0)
+  }
+
   test("binaryAucBy: slices evaluate independently") {
     val df = Seq(
       ("a", 1.0, 0), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 4.0, 1), // perfect
