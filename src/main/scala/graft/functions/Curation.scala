@@ -831,4 +831,146 @@ object Curation {
           .as("prob"),
         (col("__z") >= lit(0)).cast("int").as("pred"))
   }
+
+  /** k-fold cross-validation for the quality classifier — the estimate a
+    * curation team actually reports before spending the corpus-scale
+    * scoring run: for each md5-assigned fold i, train on the other k−1
+    * folds ([[logisticTrain]], published ROUNDED weights — the same
+    * train-once-publish-apply contract as [[logisticScoreWith]]) and
+    * grade the held-out fold THRESHOLD-FREE with the tie-robust rank AUC
+    * ([[graft.operators.Stats.binaryAuc]] pointed at the exact-DECIMAL
+    * logit z — AUC is invariant under the monotone σ, so no exp() enters
+    * the gate). One row per fold: held-out class counts, the
+    * Mann–Whitney U₂ rank sum (integer-exact), AUC/Gini/KS. A single-class
+    * held-out fold reports null metrics (binaryAuc's convention); a fold
+    * whose held-out slice has NO featured documents emits no row at all
+    * (k is small — a vanished fold is loud, unlike a vanished query in a
+    * mean).
+    *
+    * Fold assignment hashes the ID (md5 first-8-hex % k — the registry's
+    * deterministic-seeding convention), NOT row position, so folds are
+    * stable under repartitioning and reproducible cross-engine. Note this
+    * is row-level assignment: if near-duplicates should never straddle a
+    * train/test boundary, dedup first (or key the hash by a cluster id) —
+    * [[graft.operators.Similarity.splitLeakage]] audits exactly that.
+    *
+    * 100 TB shape: k sequential trainings, each the Lloyd-iteration plan
+    * of [[logisticTrain]] (persisted (k−1)/k feature frame + broadcast
+    * (dim+1)-row weights per iteration), plus one single-pass scoring of
+    * the held-out 1/k. Nothing here is more expensive than k× the
+    * training run itself; the per-fold AUC reduces the held-out corpus to
+    * its distinct-z frame before any window runs. */
+  def logisticCrossVal(df: DataFrame, idCol: String, textCol: String,
+      label: Column, k: Int = 3, dim: Int = 32, iters: Int = 8,
+      lr: Double = 0.5, roundTo: Int = 6, bigrams: Boolean = false)
+      : DataFrame = {
+    require(k >= 2 && k <= 8, s"k=$k out of [2,8]")
+    val fold = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % k
+    val perFold = (0 until k).map { i =>
+      val w = logisticTrain(df.filter(fold =!= i), idCol, textCol, label,
+        dim, iters, lr, roundTo, bigrams)
+      val z = zOf(logisticFeatures(df.filter(fold === i), idCol, textCol,
+        label, dim, iterate = false, bigrams = bigrams), w)
+      graft.operators.Stats.binaryAuc(z, "__z", col("y") === 1)
+        .select(lit(i).cast("long").as("fold"), col("n_pos"), col("n_neg"),
+          col("u2"), col("auc"), col("gini"), col("ks"))
+    }
+    perFold.reduce(_.unionByName(_)).orderBy("fold")
+  }
+
+  /** Learning curve for the quality classifier — "is more labeled data
+    * still buying accuracy?", the question that decides whether the next
+    * labeling budget is worth spending: hold out a fixed md5 eval slice
+    * (20%, seeded `lc-eval`), then for each requested percentage train on
+    * that fraction of the REMAINING pool (seeded `lc-frac` — fractions
+    * are NESTED, 25% ⊂ 50% ⊂ 100%, so the curve varies only the data
+    * quantity, never the sample identity) and score the SAME eval slice
+    * with the published rounded weights ([[logisticScoreWith]]'s
+    * one-pass broadcast plan). One row per fraction: the integer-exact
+    * confusion matrix + basis-point accuracy on the common eval set.
+    *
+    * Scale shape: |fractions| sequential trainings (each the
+    * Lloyd-iteration plan of [[logisticTrain]] over its subset) + one
+    * single-pass scoring each; the eval slice is scored with broadcast
+    * weights, never re-trained. Token-free eval docs carry no features
+    * and drop from every row identically (the n_docs column is constant
+    * down the curve — a non-constant n_docs means the fixture changed,
+    * not the operator). */
+  def learningCurve(df: DataFrame, idCol: String, textCol: String,
+      label: Column, fractionsPct: Seq[Int] = Seq(25, 50, 100),
+      dim: Int = 32, iters: Int = 8, lr: Double = 0.5, roundTo: Int = 6,
+      bigrams: Boolean = false): DataFrame = {
+    require(fractionsPct.nonEmpty && fractionsPct.forall(p => p >= 1 && p <= 100),
+      "fractionsPct must be within [1,100]")
+    val h = (tag: String) =>
+      conv(substring(md5(concat(lit(tag + ":"), col(idCol).cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val isEval = h("lc-eval") % 5 === 0
+    val frac = h("lc-frac") % 100
+    val evalDf = df.filter(isEval)
+    fractionsPct.map { p =>
+      val w = logisticTrain(df.filter(!isEval && frac < p), idCol, textCol,
+        label, dim, iters, lr, roundTo, bigrams)
+      logisticScoreWith(evalDf, idCol, textCol, label, w, dim, bigrams)
+        .select(lit(p).cast("long").as("train_pct"), col("n_docs"),
+          col("tp"), col("fp"), col("tn"), col("fn"), col("accuracy_bps"))
+    }.reduce(_.unionByName(_)).orderBy("train_pct")
+  }
+
+  /** χ² token–label feature selection — which vocabulary items carry the
+    * label signal: per token the 2×2 document-presence contingency
+    * (contains/absent × positive/negative) and its chi-square statistic,
+    * top `topK` tokens. The interpretable companion to the hashed
+    * classifier ([[logisticTrain]] buckets collide by design; this names
+    * the actual separating tokens — vocabulary pruning, leakage hunting
+    * "why does 'january' predict quality?", dataset-card reporting).
+    *
+    * Exactness: all four cells are exact BIGINT document counts (presence
+    * via one distinct, not term frequency); χ² = N(ad−bc)²/((a+b)(c+d)
+    * ·P·N₋) is evaluated as ONE fixed IEEE op sequence on those exact
+    * counts — pure ×/− /÷ arithmetic (no libm), so the double is
+    * bit-reproducible cross-engine at ANY corpus size, with no DECIMAL
+    * headroom cliff (N⁵ would overflow DECIMAL(38) past ~3.6M docs).
+    * Degenerate margins (single-class corpus, token in every/no doc)
+    * score 0 rather than 0/0. Ranking orders by the UNROUNDED statistic
+    * (bit-identical), tie-broken by token.
+    *
+    * Scale shape: explode → one (doc, token) distinct → one token
+    * aggregate → broadcast 1-row totals → TakeOrderedAndProject top-k.
+    * Two shuffles, both token/doc-keyed; nothing corpus² anywhere.
+    * `minDf` prunes the hapax tail before the top-k heap. */
+  def chi2TokenSelect(df: DataFrame, idCol: String, textCol: String,
+      label: Column, topK: Int = 50, minDf: Int = 5): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    require(minDf >= 1, "minDf must be positive")
+    val d = (c: Column) => c.cast("double")
+    val base = df.select(col(idCol).as("__id"), label.cast("int").as("__y"),
+      Dedup.words(col(textCol)).as("__ws"))
+    val totals = broadcast(base.agg(
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__p"),
+      sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__ng")))
+    val pres = base
+      .select(col("__id"), col("__y"), explode(col("__ws")).as("token"))
+      .distinct()
+    pres.groupBy("token")
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__b"))
+      .filter(col("__a") + col("__b") >= minDf)
+      .crossJoin(totals)
+      .withColumn("__c", col("__p") - col("__a"))
+      .withColumn("__d", col("__ng") - col("__b"))
+      .withColumn("__det",
+        d(col("__a")) * d(col("__d")) - d(col("__b")) * d(col("__c")))
+      .withColumn("__den",
+        d(col("__a") + col("__b")) * d(col("__c") + col("__d")) *
+          d(col("__p")) * d(col("__ng")))
+      .withColumn("__chi2", when(col("__den") === 0.0, lit(0.0))
+        .otherwise(d(col("__p") + col("__ng")) *
+          (col("__det") * col("__det")) / col("__den")))
+      .orderBy(desc("__chi2"), col("token"))
+      .limit(topK)
+      .select(col("token"), (col("__a") + col("__b")).as("df_docs"),
+        col("__a").as("pos_docs"), round(col("__chi2"), 6).as("chi2"))
+  }
 }

@@ -514,4 +514,77 @@ object Retrieval {
       .filter(col("rank") <= k)
       .orderBy("phrase", "rank")
   }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two rankings of the
+    * same query set, truncated at depth `k` — the top-weighted agreement
+    * grade recall@k can't give: recall asks "did the same items show up",
+    * RBO asks "did they show up in the same ORDER, weighted toward the
+    * top". The operational use here is index-vs-exact and
+    * scorer-vs-scorer diffs (e.g. IVF against brute force beyond recall;
+    * BM25 against the dense ranker to size how much fusion can add).
+    *
+    * RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d,
+    * with persistence p = `pNum`/`pDen` (default 9/10). This is the
+    * PREFIX (lower-bound) form — no residual extrapolation; two disjoint
+    * top-k lists score 0, identical ones score 1 − p^k (the truncated
+    * maximum, quoted as `rbo_max` so the number carries its own ceiling).
+    *
+    * Determinism: p powers are EXACT Long integers computed arithmetically
+    * at plan build (never libm pow — `pow(9.0, 19.0)` is not guaranteed
+    * exactly 9¹⁹ across engines); each depth term is
+    * (p9/p10)·X_d/d on integer-derived doubles in one fixed op sequence,
+    * DECIMAL-quantized before the per-query sum. An item's entry depth is
+    * max(rank_A, rank_B), so X_d needs only the (query, item) join — no
+    * per-depth set intersection.
+    *
+    * Scale shape: one equi-join of the two (≤ k per query) ranking
+    * frames on (query, item), a broadcast k-row depth table, one
+    * per-query aggregate. Queries whose top-k lists share NOTHING are
+    * surfaced with rbo = 0, not dropped.
+    *
+    * Returns (query_id, overlap_at_k, rbo, rbo_max) per query. */
+  def rboOverlap(rankA: DataFrame, rankB: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int = 10, pNum: Int = 9,
+      pDen: Int = 10, roundTo: Int = 6): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(pNum >= 1 && pNum < pDen, "need 0 < p < 1")
+    require(BigInt(pDen).pow(k - 1) <= BigInt(Long.MaxValue),
+      s"pDen^(k-1) must fit a Long (k=$k, pDen=$pDen)")
+    val spark = rankA.sparkSession
+    import spark.implicits._
+    val powers = (1 to k).map { d =>
+      (d, BigInt(pNum).pow(d - 1).toLong, BigInt(pDen).pow(d - 1).toLong)
+    }
+    val depths = broadcast(powers.toDF("__d", "__p9", "__p10"))
+    // 1 − p and the truncated ceiling 1 − p^k, exact-integer-derived
+    val oneMinusP = lit((pDen - pNum).toDouble) / lit(pDen.toDouble)
+    val pK = lit(BigInt(pNum).pow(k).toDouble) /
+      lit(BigInt(pDen).pow(k).toDouble)
+    def side(r: DataFrame, rn: String) =
+      r.select(col(queryCol).as("query_id"), col(itemCol).as("__item"),
+        col(rankCol).cast("int").as(rn)).filter(col(rn) <= k)
+    val a = side(rankA, "__ra")
+    val b = side(rankB, "__rb")
+    val joint = a.join(b, Seq("query_id", "__item"))
+      .select(col("query_id"), greatest(col("__ra"), col("__rb")).as("__m"))
+    val perQuery = joint.join(depths, col("__m") <= col("__d"))
+      .groupBy(col("query_id"), col("__d"), col("__p9"), col("__p10"))
+      .agg(count(lit(1)).as("__x"))
+      .select(col("query_id"),
+        ((col("__p9").cast("double") / col("__p10").cast("double")) *
+          col("__x").cast("double") / col("__d").cast("double"))
+          .cast("decimal(28,18)").as("__t"),
+        when(col("__d") === k, col("__x")).otherwise(lit(0L)).as("__xk"))
+      .groupBy("query_id")
+      .agg(sum(col("__xk")).as("overlap_at_k"),
+        (oneMinusP * sum(col("__t")).cast("double")).as("__rbo"))
+    val allQueries = a.select("query_id").union(b.select("query_id"))
+      .distinct()
+    allQueries.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
+        round(coalesce(col("__rbo"), lit(0.0)), roundTo).as("rbo"),
+        round(lit(1.0) - pK, roundTo).as("rbo_max"))
+      .orderBy("query_id")
+  }
 }

@@ -1325,4 +1325,67 @@ object Similarity {
       .orderBy(desc("diff_bps"), col(idCol))
       .limit(topN)
   }
+
+  /** Nearest-centroid (Rocchio) classification over the embedding corpus
+    * — the cheapest "are the classes linearly separated in embedding
+    * space" probe and the SCALABLE companion to [[knnClassify]]: where
+    * kNN pays one corpus scan per query batch, this trains k class
+    * centroids in ONE aggregate over the md5-assigned train folds and
+    * scores every held-out vector against the broadcast (k × d) centroid
+    * frame — O(n·d) end to end, no per-query work, no sample cap.
+    *
+    * Split: md5(id) % folds == testFold holds out (the registry's
+    * deterministic-seeding convention — row-level; near-duplicate pairs
+    * that must not straddle the split need cluster-keyed hashing, see
+    * [[splitLeakage]]). Centroid c_ℓ = mean of class ℓ's train vectors,
+    * assembled per (class, dim) with DECIMAL(28,18)-quantized sums, then
+    * packed into an i-ordered array so the scoring dot ([[dot]], native
+    * in-order fold) is bit-reproducible cross-engine. Prediction =
+    * argmax_ℓ cosine(x, c_ℓ), ties broken by smaller class id. A class
+    * with no train vectors contributes no centroid (its held-out rows
+    * are graded against the others and score 0 correct); a class with no
+    * held-out vectors emits no row.
+    *
+    * Returns one row per true class: (label, n_vectors, n_correct,
+    * acc_bps) with integer-exact basis-point accuracy. */
+  def nearestCentroidClassify(data: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, folds: Int = 4,
+      testFold: Int = 0): DataFrame = {
+    require(folds >= 2 && folds <= 16, s"folds=$folds out of [2,16]")
+    require(testFold >= 0 && testFold < folds, "testFold out of [0,folds)")
+    val fold = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % folds
+    val ex = data.filter(fold =!= testFold)
+      .select(col(labelCol).cast("long").as("__lab"),
+        posexplode(asDouble(col(vecCol))).as(Seq("__d0", "__x")))
+      .select(col("__lab"), (col("__d0") + 1).cast("long").as("__i"),
+        col("__x"))
+    // per-(class, dim) quantized mean, then an i-ordered centroid array;
+    // count(*) per (class, dim) IS the class size (one row per vector)
+    val cent = ex.groupBy("__lab", "__i")
+      .agg(sum(dec18(col("__x"))).as("__s"), count(lit(1)).as("__nc"))
+      .select(col("__lab"), col("__i"),
+        (col("__s").cast("double") / col("__nc").cast("double")).as("__c"))
+      .groupBy("__lab")
+      .agg(expr("transform(array_sort(collect_list(struct(__i, __c))), " +
+        "s -> s.__c)").as("__cv"))
+    val scored = data.filter(fold === testFold)
+      .select(col(idCol).as("__id"), col(labelCol).cast("long").as("__true"),
+        asDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(cent))
+      .select(col("__id"), col("__true"), col("__lab"),
+        cosine(col("__v"), col("__cv")).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(desc("__cos"), col("__lab"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .groupBy(col("__true").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__lab") === col("__true"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vectors"), col("n_correct"),
+        expr("CAST((CAST(n_correct AS DECIMAL(38,0)) * 10000) DIV " +
+          "CAST(n_vectors AS DECIMAL(38,0)) AS BIGINT)").as("acc_bps"))
+      .orderBy("label")
+  }
 }

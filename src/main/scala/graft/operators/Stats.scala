@@ -230,6 +230,106 @@ object Stats {
           countDistinct(col("__id")), 6).as("avg_inertia"))
   }
 
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * cluster-coherence grade [[clusterInertia]] can't give: inertia says
+    * how TIGHT a cell is, silhouette says whether its points would rather
+    * live in ANOTHER cell. Classic silhouette is O(n²) pairwise; the
+    * simplified form (Hruschka et al.) replaces mean intra/inter-point
+    * distances with distances to CENTROIDS — s = (b − a)/max(a, b) with
+    * a = ‖x − c_own‖, b = min over other cells ‖x − c_other‖ — and is the
+    * standard corpus-scale variant: O(n·d·k), no pairwise pass.
+    *
+    * Determinism: centroids from DECIMAL-quantized per-dim sums; each
+    * squared-distance term DECIMAL-quantized before its per-(point, cell)
+    * sum; `min` and the a/b comparison run on those exact DECIMALs; the
+    * final s is one fixed double op sequence (sqrt is correctly rounded —
+    * no libm drift). Mean-s terms are re-quantized before the cell sum.
+    *
+    * Returns one row per cluster: size, mean simplified silhouette,
+    * and n_misassigned (points strictly closer to a foreign centroid —
+    * the rows to re-cluster or audit first). A single-cluster input has
+    * no foreign centroid: silhouette is undefined → null mean, 0
+    * misassigned. Coincident own/other centroids (a = b = 0) score 0. */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, cellCol: String,
+      vecCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(28,18)")
+    val e = df.select(col(idCol).as("__id"), col(cellCol).cast("long").as("__cell"),
+      posexplode(expr(s"transform($vecCol, x -> cast(x as double))"))
+        .as(Seq("__pos", "__v")))
+    val cents = e.groupBy(col("__cell").as("__c2"), col("__pos"))
+      .agg((sum(dec(col("__v"))).cast("double") /
+        count(lit(1)).cast("double")).as("__cv"))
+    // distance of every point to EVERY centroid: d-keyed broadcast join,
+    // one (point, cell) aggregate — O(n·d·k), never pairwise
+    val d2 = e.join(broadcast(cents), Seq("__pos"))
+      .groupBy(col("__id"), col("__cell"), col("__c2"))
+      .agg(sum(dec((col("__v") - col("__cv")) * (col("__v") - col("__cv"))))
+        .as("__d2"))
+    val ab = d2.groupBy(col("__id"), col("__cell"))
+      .agg(min(when(col("__c2") === col("__cell"), col("__d2"))).as("__a2"),
+        min(when(col("__c2") =!= col("__cell"), col("__d2"))).as("__b2"))
+    val s = ab.select(col("__id"), col("__cell"),
+      col("__b2") < col("__a2") as "__mis",
+      when(col("__b2").isNull, lit(null).cast("double"))
+        .otherwise {
+          val sa = sqrt(col("__a2").cast("double"))
+          val sb = sqrt(col("__b2").cast("double"))
+          when(greatest(sa, sb) === 0.0, lit(0.0))
+            .otherwise((sb - sa) / greatest(sa, sb))
+        }.as("__s"))
+    s.groupBy(col("__cell").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(dec(col("__s"))).cast("double") /
+          count(col("__s")).cast("double"), 6).as("mean_silhouette"),
+        sum(when(col("__mis"), 1L).otherwise(0L)).as("n_misassigned"))
+      .orderBy("cell")
+  }
+
+  /** Adjusted Rand Index between two cluster assignments of the same
+    * items — the drift/stability grade for any partition-producing
+    * operator (did one more LPA iteration actually change the
+    * communities? does the cheap hash seeding recover the k-means cells?
+    * did re-clustering after ingest move documents?): chance-corrected
+    * pair agreement, 1 = identical partitions, ~0 = random relation.
+    *
+    * Exactness: ARI is pure pair counting — one (a, b) contingency
+    * aggregate (the ONLY corpus-sized pass), then Σ C(n_ij,2) and the
+    * margin sums over that small frame, every term an exact integer
+    * (DECIMAL(38,0) sums — the C(n,2) terms stay integral because
+    * n(n−1) is always even), and ONE final fixed double op sequence for
+    * the index itself. Degenerate partitions (both all-singleton or both
+    * one-cluster: expected = maximum agreement) have a 0 denominator and
+    * report null.
+    *
+    * Returns one row: (n_items, pairs_both, ari). `pairs_both` (pairs
+    * co-clustered in BOTH partitions) is reported as BIGINT — exact to
+    * ~4.3B co-clustered-pair counts; the internal sums are DECIMAL(38,0)
+    * far beyond that. */
+  def adjustedRandIndex(df: DataFrame, idCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val ct = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nF = ct.agg(sum(d38(col("__n"))).as("__nt"),
+      sum(d38(expr("__n * (__n - 1) div 2"))).as("__sij"))
+    val saF = ct.groupBy("__a").agg(sum("__n").as("__na"))
+      .agg(sum(d38(expr("__na * (__na - 1) div 2"))).as("__sa"))
+    val sbF = ct.groupBy("__b").agg(sum("__n").as("__nb"))
+      .agg(sum(d38(expr("__nb * (__nb - 1) div 2"))).as("__sb"))
+    val d = (c: Column) => c.cast("double")
+    nF.crossJoin(saF).crossJoin(sbF)
+      .withColumn("__cn2", d38(expr("__nt * (__nt - 1) / 2")))
+      .withColumn("__e", d(col("__sa")) * d(col("__sb")) / d(col("__cn2")))
+      .withColumn("__den",
+        (d(col("__sa")) + d(col("__sb"))) / lit(2.0) - col("__e"))
+      .select(col("__nt").cast("long").as("n_items"),
+        col("__sij").cast("long").as("pairs_both"),
+        when(col("__den") === 0.0, lit(null).cast("double"))
+          .otherwise(round((d(col("__sij")) - col("__e")) / col("__den"), 6))
+          .as("ari"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns: one grouped count of
     * equivalence classes, then a 1-row report — min class size (the
     * dataset's k), violating classes, and rows at re-identification risk.

@@ -1537,8 +1537,110 @@ object QualityQueries {
       "embedding", "label", nQueries = 256, k = 10, topN = 20)
   }
 
+  // Nearest-centroid (Rocchio) classification — the O(n·d) linear-probe
+  // companion to x191's kNN: train 10 class centroids on the md5 75%
+  // train folds (per-dim DECIMAL-quantized means packed into i-ordered
+  // arrays), score every held-out vector against the broadcast centroid
+  // frame by cosine (in-order dot ≡ list_dot_product), argmax with
+  // smaller-class tie-break. Per-class integer-bps accuracy. The oracle
+  // replays split, centroids, scoring, and the argmax window.
+  private val x202 = Q("x202_nearest_centroid", Some(
+    """WITH f AS (
+      |  SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 4
+      |      AS fold
+      |  FROM embeddings),
+      |dims AS (SELECT max(len(v)) AS d FROM f),
+      |ex AS MATERIALIZED (
+      |  SELECT label, r.i::BIGINT AS i, v[r.i] AS x
+      |  FROM f CROSS JOIN dims CROSS JOIN unnest(range(1, d + 1)) AS r(i)
+      |  WHERE fold != 0),
+      |cm AS (
+      |  SELECT label, i,
+      |    CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS c
+      |  FROM ex GROUP BY label, i),
+      |cent AS MATERIALIZED (
+      |  SELECT label AS clab, list(c ORDER BY i) AS cv FROM cm GROUP BY label),
+      |sc AS (
+      |  SELECT f.id, f.label AS tlab, cent.clab,
+      |    list_dot_product(f.v, cent.cv)
+      |      / (sqrt(list_dot_product(f.v, f.v))
+      |         * sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+      |  FROM f, cent WHERE f.fold = 0),
+      |pr AS (SELECT id, tlab, clab AS pred FROM sc
+      |       QUALIFY row_number() OVER (PARTITION BY id
+      |         ORDER BY cos DESC, clab) = 1)
+      |SELECT CAST(tlab AS BIGINT) AS label,
+      |  CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(sum(CASE WHEN pred = tlab THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST((CAST(sum(CASE WHEN pred = tlab THEN 1 ELSE 0 END) AS HUGEINT)
+      |    * 10000) // count(*) AS BIGINT) AS acc_bps
+      |FROM pr GROUP BY tlab ORDER BY label""".stripMargin)) { (s, dir) =>
+    Similarity.nearestCentroidClassify(t(s, dir, "embeddings"), "vec_id",
+      "embedding", "label", folds = 4, testFold = 0)
+  }
+
+  // Adjusted Rand Index between the LPA partition after 2 vs after 3
+  // iterations — the community-STABILITY grade (x162 counts label flips;
+  // ARI grades whether the flips actually moved pair structure,
+  // chance-corrected). Pure pair counting: one contingency aggregate,
+  // exact C(n,2) sums, one fixed double op sequence. The oracle replays
+  // both LPA chains, the membership join, and the pair arithmetic.
+  private val x206 = Q("x206_ari_stability", Some {
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT e.dst AS node, l.lab AS lab
+         |  FROM e JOIN $prev l ON l.node = e.src
+         |  GROUP BY e.dst, l.lab
+         |  QUALIFY row_number() OVER (PARTITION BY e.dst
+         |    ORDER BY count(*) DESC, l.lab) = 1)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (SELECT node, node AS lab
+       |       FROM (SELECT DISTINCT src AS node FROM e)),
+       |${iter("l0", "i1")},
+       |${iter("i1", "i2")},
+       |${iter("i2", "i3")},
+       |ct AS (SELECT a.lab AS ca, b.lab AS cb, count(*) AS n
+       |       FROM i2 a JOIN i3 b USING (node) GROUP BY 1, 2),
+       |nf AS (SELECT sum(n) AS nt, sum(n * (n - 1) // 2) AS sij FROM ct),
+       |saf AS (SELECT sum(na * (na - 1) // 2) AS sa
+       |        FROM (SELECT sum(n) AS na FROM ct GROUP BY ca)),
+       |sbf AS (SELECT sum(nb * (nb - 1) // 2) AS sb
+       |        FROM (SELECT sum(n) AS nb FROM ct GROUP BY cb)),
+       |m AS (SELECT nt, sij, sa, sb, nt * (nt - 1) // 2 AS cn2
+       |      FROM nf, saf, sbf),
+       |fin AS (SELECT nt, sij,
+       |    CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn2 AS DOUBLE)
+       |      AS e,
+       |    (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+       |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(cn2 AS DOUBLE)
+       |      AS den
+       |  FROM m)
+       |SELECT CAST(nt AS BIGINT) AS n_items, CAST(sij AS BIGINT)
+       |    AS pairs_both,
+       |  CASE WHEN den = 0.0 THEN NULL
+       |       ELSE round((CAST(sij AS DOUBLE) - e) / den, 6) END AS ari
+       |FROM fin""".stripMargin
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).cast("long").as("src"),
+      (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+    val a = Graph.labelPropagation(e, "src", "dst", iters = 2)
+      .select(col("node"), col("community").as("comm_a"))
+    val b = Graph.labelPropagation(e, "src", "dst", iters = 3)
+      .select(col("node"), col("community").as("comm_b"))
+    graft.operators.Stats.adjustedRandIndex(a.join(b, "node"), "node",
+      "comm_a", "comm_b")
+  }
+
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
     x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170,
-    x188, x191, x194, x197, x199)
+    x188, x191, x194, x197, x199, x202, x206)
 }

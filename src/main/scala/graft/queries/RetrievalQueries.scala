@@ -397,5 +397,66 @@ object RetrievalQueries {
       "text", Seq("Table-Hash!", "key agg row"), k = 10)
   }
 
-  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195)
+  // Rank-biased overlap between the sparse (BM25) and dense (cosine)
+  // top-10 rankings of the same 3 queries — the top-weighted
+  // scorer-agreement grade that sizes what RRF fusion (x172) can add
+  // (low RBO = complementary rankers). p = 9/10 with EXACT integer
+  // p-powers embedded as a VALUES table on both sides (never libm pow);
+  // each depth term DECIMAL-quantized pre-sum; zero-overlap queries
+  // surfaced with rbo = 0. The oracle replays both rankings end to end,
+  // the max-rank entry depths, and the depth-weighted sum.
+  private val x207 = Q("x207_rbo_agreement", Some {
+    val dep = (1 to 10).map(d =>
+      s"($d, ${BigInt(9).pow(d - 1)}, ${BigInt(10).pow(d - 1)})")
+      .mkString(", ")
+    s"""WITH ${bm25Cte(nQueries = 3, k = 10)},
+       |dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id < 3),
+       |dr AS (
+       |  SELECT query_id, vec_id AS item_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+       |      list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+       |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |           CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv)))
+       |      DESC, vec_id) AS INT) AS rank
+       |  FROM embeddings, dq WHERE vec_id >= 5
+       |  QUALIFY rank <= 10),
+       |dep(d, p9, p10) AS (VALUES $dep),
+       |ja AS (SELECT query_id, doc_id AS item, rank FROM ranked),
+       |jb AS (SELECT query_id, item_id AS item, rank FROM dr),
+       |jt AS (SELECT a.query_id, greatest(a.rank, b.rank) AS m
+       |       FROM ja a JOIN jb b USING (query_id, item)),
+       |xd AS (SELECT query_id, d, p9, p10, count(*) AS x
+       |       FROM jt JOIN dep ON m <= d GROUP BY 1, 2, 3, 4),
+       |pq AS (SELECT query_id,
+       |    sum(CASE WHEN d = 10 THEN x ELSE 0 END) AS overlap_at_k,
+       |    (1.0::DOUBLE / 10.0::DOUBLE) * CAST(sum(CAST(
+       |        (CAST(p9 AS DOUBLE) / CAST(p10 AS DOUBLE))
+       |        * CAST(x AS DOUBLE) / CAST(d AS DOUBLE)
+       |      AS DECIMAL(28,18))) AS DOUBLE) AS rbo
+       |  FROM xd GROUP BY query_id),
+       |qs0 AS (SELECT DISTINCT query_id FROM
+       |        (SELECT query_id FROM ja UNION ALL SELECT query_id FROM jb))
+       |SELECT q.query_id,
+       |  CAST(coalesce(pq.overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
+       |  round(coalesce(pq.rbo, 0.0), 6) AS rbo,
+       |  round(1.0::DOUBLE - 3486784401.0::DOUBLE / 10000000000.0::DOUBLE, 6)
+       |    AS rbo_max
+       |FROM qs0 q LEFT JOIN pq USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val sparse = Retrieval.bm25TopK(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", d.filter(col("doc_id") < 3), "doc_id", "text", k = 10)
+      .select(col("query_id"), col("doc_id").as("item"), col("rank"))
+    val dense = Similarity.bruteForceTopKBatch(
+        emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", k = 10)
+      .select(col("query_id"), col("vec_id").as("item"), col("rank"))
+    Retrieval.rboOverlap(sparse, dense, "query_id", "item", "rank",
+      k = 10, pNum = 9, pDen = 10)
+  }
+
+  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195, x207)
 }

@@ -948,7 +948,51 @@ object StatsQueries {
       Seq(0.25, 0.5, 0.75))
   }
 
+  // Simplified (centroid-based) silhouette of the label partition over the
+  // embedding corpus — "are the classes geometrically coherent": per class
+  // the mean s = (b−a)/max(a,b) against centroid distances, plus the
+  // count of points strictly closer to a foreign centroid. O(n·d·k), no
+  // pairwise pass. The oracle replays explode → quantized centroids → the
+  // all-centroid distance join → exact-DECIMAL a/b min → the fixed double
+  // op sequence.
+  private val x205 = Q("x205_silhouette", Some(
+    """WITH f AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS cell,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dims AS (SELECT max(len(v)) AS d FROM f),
+      |ex AS MATERIALIZED (
+      |  SELECT id, cell, r.i::BIGINT AS i, v[r.i] AS x
+      |  FROM f CROSS JOIN dims CROSS JOIN unnest(range(1, d + 1)) AS r(i)),
+      |cents AS MATERIALIZED (
+      |  SELECT cell AS c2, i, CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS cv
+      |  FROM ex GROUP BY cell, i),
+      |d2 AS MATERIALIZED (
+      |  SELECT ex.id, ex.cell, c.c2,
+      |    sum(CAST((ex.x - c.cv) * (ex.x - c.cv) AS DECIMAL(28,18))) AS d2
+      |  FROM ex JOIN cents c USING (i) GROUP BY ex.id, ex.cell, c.c2),
+      |ab AS (SELECT id, cell,
+      |    min(CASE WHEN c2 = cell THEN d2 END) AS a2,
+      |    min(CASE WHEN c2 <> cell THEN d2 END) AS b2
+      |  FROM d2 GROUP BY id, cell),
+      |sv AS (SELECT id, cell, b2 < a2 AS mis,
+      |    CASE WHEN b2 IS NULL THEN NULL
+      |         WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+      |           sqrt(CAST(b2 AS DOUBLE))) = 0.0 THEN 0.0
+      |         ELSE (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+      |           / greatest(sqrt(CAST(a2 AS DOUBLE)),
+      |               sqrt(CAST(b2 AS DOUBLE))) END AS s
+      |  FROM ab)
+      |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+      |  round(CAST(sum(CAST(s AS DECIMAL(28,18))) AS DOUBLE)
+      |    / CAST(count(s) AS DOUBLE), 6) AS mean_silhouette,
+      |  CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_misassigned
+      |FROM sv GROUP BY cell ORDER BY cell""".stripMargin)) { (s, dir) =>
+    Stats.simplifiedSilhouette(t(s, dir, "embeddings"), "vec_id", "label",
+      "embedding")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142, x143, x146, x186, x187, x192, x193, x196, x200)
+    x142, x143, x146, x186, x187, x192, x193, x196, x200, x205)
 }

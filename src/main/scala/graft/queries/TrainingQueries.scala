@@ -822,7 +822,9 @@ object TrainingQueries {
     * the same fixed double op sequence. */
   private def logisticCte(dim: Int, iters: Int, lr: Double,
       where: String = "", bigrams: Boolean = false,
-      labelSql: String = "list_contains(ws, 'dup')"): String = {
+      labelSql: String = "list_contains(ws, 'dup')",
+      prefix: String = ""): String = {
+    val P = prefix
     // with bigrams, hashed word-pair features join the unigram bucket
     // space (the fastText shape); the label stays unigram-derived
     val featList =
@@ -832,44 +834,44 @@ object TrainingQueries {
         "ELSE []::VARCHAR[] END"
     val steps = (1 to iters).map { t =>
       val p = t - 1
-      s"""z_$t AS MATERIALIZED (
+      s"""${P}z_$t AS MATERIALIZED (
          |  SELECT f.id, max(f.y) AS y,
-         |    sum(CAST(CAST(f.x AS DOUBLE) * w_$p.weight AS DECIMAL(28,18)))
+         |    sum(CAST(CAST(f.x AS DOUBLE) * ${P}w_$p.weight AS DECIMAL(28,18)))
          |      AS z
-         |  FROM f JOIN w_$p USING (bucket) GROUP BY f.id),
-         |r_$t AS MATERIALIZED (
+         |  FROM ${P}f f JOIN ${P}w_$p USING (bucket) GROUP BY f.id),
+         |${P}r_$t AS MATERIALIZED (
          |  SELECT id, (1.0::DOUBLE / (1.0::DOUBLE + exp(-CAST(z AS DOUBLE)))
          |    - CAST(y AS DOUBLE))
          |    * (CASE WHEN y = 1 THEN cw.wpos ELSE cw.wneg END) AS resid
-         |  FROM z_$t, cw),
-         |g_$t AS MATERIALIZED (
+         |  FROM ${P}z_$t, ${P}cw cw),
+         |${P}g_$t AS MATERIALIZED (
          |  SELECT f.bucket,
          |    CAST(sum(CAST(r.resid * CAST(f.x AS DOUBLE) AS DECIMAL(28,18)))
          |      AS DOUBLE) AS gs
-         |  FROM f JOIN r_$t r USING (id) GROUP BY f.bucket),
-         |w_$t AS MATERIALIZED (
+         |  FROM ${P}f f JOIN ${P}r_$t r USING (id) GROUP BY f.bucket),
+         |${P}w_$t AS MATERIALIZED (
          |  SELECT w.bucket, w.weight - $lr::DOUBLE * (g.gs / n.n) AS weight
-         |  FROM w_$p w JOIN g_$t g USING (bucket), n)""".stripMargin
+         |  FROM ${P}w_$p w JOIN ${P}g_$t g USING (bucket), ${P}n n)""".stripMargin
     }.mkString(",\n")
-    s"""f0 AS MATERIALIZED (
+    s"""${P}f0 AS MATERIALIZED (
        |  SELECT doc_id AS id,
        |    CASE WHEN $labelSql THEN 1 ELSE 0 END AS y,
        |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % $dim AS bucket
        |  FROM (SELECT doc_id, text, $WORDS AS ws FROM documents$where),
        |    unnest($featList) AS u(w)),
-       |fc AS MATERIALIZED (SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM f0),
-       |f AS MATERIALIZED (SELECT * FROM fc
+       |${P}fc AS MATERIALIZED (SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM ${P}f0),
+       |${P}f AS MATERIALIZED (SELECT * FROM ${P}fc
        |      UNION ALL
        |      SELECT DISTINCT id, y, $dim::BIGINT AS bucket, 1::BIGINT AS x
-       |      FROM fc),
-       |n AS MATERIALIZED (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM f),
-       |cw AS MATERIALIZED (
+       |      FROM ${P}fc),
+       |${P}n AS MATERIALIZED (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM ${P}f),
+       |${P}cw AS MATERIALIZED (
        |  SELECT n.n / (2.0::DOUBLE * greatest(CAST(sum(CASE WHEN y = 1
        |      THEN 1 ELSE 0 END) AS DOUBLE), 1.0::DOUBLE)) AS wpos,
        |    n.n / (2.0::DOUBLE * greatest(CAST(sum(CASE WHEN y = 0
        |      THEN 1 ELSE 0 END) AS DOUBLE), 1.0::DOUBLE)) AS wneg
-       |  FROM (SELECT DISTINCT id, y FROM f), n GROUP BY n.n),
-       |w_0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0::DOUBLE AS weight FROM f),
+       |  FROM (SELECT DISTINCT id, y FROM ${P}f), ${P}n n GROUP BY n.n),
+       |${P}w_0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0::DOUBLE AS weight FROM ${P}f),
        |$steps""".stripMargin
   }
 
@@ -1013,6 +1015,186 @@ object TrainingQueries {
         lower(col("text"))
           .rlike("(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$)"),
         dim = 4096, iters = 16, lr = 0.5, bigrams = true)
+  }
+
+  // k-fold cross-validated AUC of the quality classifier — the estimate a
+  // curation team reports BEFORE spending the corpus-scale scoring run:
+  // md5-fold the corpus (k=3, the registry's deterministic-seeding
+  // convention, stable under repartitioning), train on the other two
+  // folds (4 GD steps at dim=32 — AUC is rank-based, so it is meaningful
+  // well before full convergence), publish ROUNDED weights (the x179
+  // train-once contract), and grade each held-out fold threshold-free
+  // with the tie-robust rank AUC on the exact-DECIMAL logit z (AUC is
+  // invariant under the monotone σ, so exp() never enters the gate). The
+  // oracle replays all three prefixed training chains, the held-out
+  // feature joins, and x186's integer rank-sum machinery per fold.
+  private val x201 = Q("x201_classifier_crossval", Some {
+    val k = 3
+    def foldSql(i: Int): String = {
+      val P = s"cv${i}_"
+      val foldOf = "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), " +
+        s"1, 8))::BIGINT % $k"
+      s"""${logisticCte(dim = 32, iters = 4, lr = 0.5,
+            where = s" WHERE $foldOf != $i", prefix = P)},
+         |${P}wr AS MATERIALIZED (
+         |  SELECT bucket, round(weight, 6) AS weight FROM ${P}w_4),
+         |${P}h0 AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y,
+         |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % 32 AS bucket
+         |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
+         |        WHERE $foldOf = $i),
+         |    unnest(ws) AS u(w)),
+         |${P}hc AS MATERIALIZED (
+         |  SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM ${P}h0),
+         |${P}h AS MATERIALIZED (SELECT * FROM ${P}hc
+         |      UNION ALL
+         |      SELECT DISTINCT id, y, 32::BIGINT AS bucket, 1::BIGINT AS x
+         |      FROM ${P}hc),
+         |${P}z AS MATERIALIZED (
+         |  SELECT f.id, max(f.y) AS y,
+         |    sum(CAST(CAST(f.x AS DOUBLE) * w.weight AS DECIMAL(28,18))) AS v
+         |  FROM ${P}h f JOIN ${P}wr w USING (bucket) GROUP BY f.id),
+         |${P}pv AS (SELECT v, sum(y) AS cp, count(*) AS c
+         |           FROM ${P}z GROUP BY v),
+         |${P}cum AS (SELECT cp, c,
+         |    coalesce(sum(c) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+         |    sum(cp) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |    sum(c - cp) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g,
+         |    sum(cp) OVER () AS n1t, sum(c - cp) OVER () AS n0t
+         |  FROM ${P}pv),
+         |${P}m AS (SELECT sum(cp * (2 * s + c + 1)) AS r2, sum(cp) AS n1,
+         |        sum(c - cp) AS n0, max(abs(p * n0t - g * n1t)) AS ksnum
+         |      FROM ${P}cum)""".stripMargin
+    }
+    def foldRow(i: Int): String =
+      s"""SELECT $i::BIGINT AS fold, CAST(n1 AS BIGINT) AS n_pos,
+         |  CAST(n0 AS BIGINT) AS n_neg,
+         |  CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+         |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+         |    round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+         |      / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) END
+         |    AS auc,
+         |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+         |    round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+         |      / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) END
+         |    AS gini,
+         |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+         |    round(CAST(ksnum AS DOUBLE)
+         |      / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) END AS ks
+         |FROM cv${i}_m""".stripMargin
+    s"""WITH ${(0 until k).map(foldSql).mkString(",\n")}
+       |SELECT * FROM (
+       |${(0 until k).map(foldRow).mkString("\nUNION ALL\n")}
+       |) u ORDER BY fold""".stripMargin
+  }) { (s, dir) =>
+    Curation.logisticCrossVal(t(s, dir, "documents"), "doc_id", "text",
+      array_contains(Dedup.words(col("text")), "dup"),
+      k = 3, dim = 32, iters = 4, lr = 0.5)
+  }
+
+  // Learning curve: hold out a fixed md5 20% eval slice, train on NESTED
+  // md5 fractions (25% ⊂ 50% ⊂ 100%) of the remaining pool (4 GD steps,
+  // dim=32, published rounded weights), score the SAME eval slice each
+  // time — integer-exact confusion per fraction. The oracle replays all
+  // three prefixed training chains and the shared eval-side scoring.
+  private val x204 = Q("x204_learning_curve", Some {
+    val evalSql = "('0x' || substring(md5('lc-eval:' || " +
+      "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0"
+    val fracSql = "('0x' || substring(md5('lc-frac:' || " +
+      "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    def chain(p: Int): String = {
+      val P = s"lc${p}_"
+      s"""${logisticCte(dim = 32, iters = 4, lr = 0.5,
+            where = s" WHERE NOT ($evalSql) AND $fracSql < $p",
+            prefix = P)},
+         |${P}wr AS MATERIALIZED (
+         |  SELECT bucket, round(weight, 6) AS weight FROM ${P}w_4),
+         |${P}z AS MATERIALIZED (
+         |  SELECT f.id, max(f.y) AS y,
+         |    sum(CAST(CAST(f.x AS DOUBLE) * w.weight AS DECIMAL(28,18))) AS z
+         |  FROM ev f JOIN ${P}wr w USING (bucket) GROUP BY f.id),
+         |${P}pr AS (SELECT id, y, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred
+         |           FROM ${P}z)""".stripMargin
+    }
+    def row(p: Int): String =
+      s"""SELECT $p::BIGINT AS train_pct, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tp,
+         |  CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fp,
+         |  CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tn,
+         |  CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fn,
+         |  CAST((sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+         |      + sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)) * 10000
+         |    // count(*) AS BIGINT) AS accuracy_bps
+         |FROM lc${p}_pr""".stripMargin
+    val evCte =
+      s"""ev0 AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y,
+         |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % 32 AS bucket
+         |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
+         |        WHERE $evalSql),
+         |    unnest(ws) AS u(w)),
+         |evc AS MATERIALIZED (
+         |  SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM ev0),
+         |ev AS MATERIALIZED (SELECT * FROM evc
+         |      UNION ALL
+         |      SELECT DISTINCT id, y, 32::BIGINT AS bucket, 1::BIGINT AS x
+         |      FROM evc)""".stripMargin
+    s"""WITH $evCte,
+       |${Seq(25, 50, 100).map(chain).mkString(",\n")}
+       |SELECT * FROM (
+       |${Seq(25, 50, 100).map(row).mkString("\nUNION ALL\n")}
+       |) u ORDER BY train_pct""".stripMargin
+  }) { (s, dir) =>
+    Curation.learningCurve(t(s, dir, "documents"), "doc_id", "text",
+      array_contains(Dedup.words(col("text")), "dup"),
+      fractionsPct = Seq(25, 50, 100), dim = 32, iters = 4, lr = 0.5)
+  }
+
+  // χ² token–label feature selection — the interpretable companion to the
+  // hashed classifier: per-token 2×2 document-presence contingency vs the
+  // 'dup' label, χ² from exact integer counts via ONE fixed IEEE op
+  // sequence (pure arithmetic, no libm — bit-reproducible at any corpus
+  // size), ranked by the UNROUNDED statistic. The top token must be the
+  // label's own marker; the rest is the collision noise a dim=32 hash
+  // space folds together. Oracle replays tokenize → presence-distinct →
+  // contingency → the same double op sequence → top-50.
+  private val x203 = Q("x203_chi2_token_select", Some(
+    s"""WITH bse AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y, ws
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents)),
+       |tot AS (SELECT sum(y) AS p, sum(1 - y) AS ng FROM bse),
+       |pres AS (SELECT DISTINCT id, y, u.w AS token
+       |         FROM bse, unnest(ws) AS u(w)),
+       |pt AS (SELECT token, sum(y) AS a, sum(1 - y) AS b
+       |       FROM pres GROUP BY token),
+       |sc AS (
+       |  SELECT token, a, b,
+       |    CAST(a AS DOUBLE) * CAST(tot.ng - b AS DOUBLE)
+       |      - CAST(b AS DOUBLE) * CAST(tot.p - a AS DOUBLE) AS det,
+       |    CAST(a + b AS DOUBLE) * CAST((tot.p - a) + (tot.ng - b) AS DOUBLE)
+       |      * CAST(tot.p AS DOUBLE) * CAST(tot.ng AS DOUBLE) AS den,
+       |    tot.p + tot.ng AS n
+       |  FROM pt, tot WHERE a + b >= 5),
+       |ch AS (SELECT token, a + b AS df_docs, a AS pos_docs,
+       |    CASE WHEN den = 0.0 THEN 0.0
+       |         ELSE CAST(n AS DOUBLE) * (det * det) / den END AS chi2u
+       |  FROM sc)
+       |SELECT token, CAST(df_docs AS BIGINT) AS df_docs,
+       |  CAST(pos_docs AS BIGINT) AS pos_docs, round(chi2u, 6) AS chi2
+       |FROM ch ORDER BY chi2u DESC, token LIMIT 50""".stripMargin)) {
+    (s, dir) =>
+    Curation.chi2TokenSelect(t(s, dir, "documents"), "doc_id", "text",
+      array_contains(Dedup.words(col("text")), "dup"), topK = 50, minDf = 5)
   }
 
   /** Oracle twin of Similarity.pcaTopComponent over the embeddings table
@@ -1327,5 +1509,5 @@ object TrainingQueries {
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
     x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185,
-    x189, x190)
+    x189, x190, x201, x203, x204)
 }

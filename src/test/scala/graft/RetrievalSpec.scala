@@ -232,4 +232,33 @@ class RetrievalSpec extends SparkSpec {
       Seq("b c a"), k = 1).collect()
     assert(r3.length == 1 && r3.head.getAs[Long]("doc_id") == 1L)
   }
+
+  test("rboOverlap: identical lists hit the truncated ceiling, disjoint " +
+      "lists surface at 0, partial overlap is hand-exact") {
+    def rk(rows: (Long, String, Int)*) = rows.toDF("q", "item", "r")
+    // p = 1/2, k = 2: weights are 1 and 1/2, (1-p) = 1/2, ceiling = 3/4
+    val a = rk((1L, "x", 1), (1L, "y", 2), (2L, "u", 1), (2L, "v", 2),
+      (3L, "m", 1), (3L, "n", 2))
+    val b = rk((1L, "x", 1), (1L, "z", 2), // shares only x, same rank
+      (2L, "u", 1), (2L, "v", 2), //          identical list
+      (3L, "p", 1), (3L, "q", 2)) //          disjoint list
+    val r = Retrieval.rboOverlap(a, b, "q", "item", "r", k = 2,
+      pNum = 1, pDen = 2).collect()
+    val byQ = r.map(x => x.getAs[Long]("query_id") ->
+      (x.getAs[Long]("overlap_at_k"), x.getAs[Double]("rbo"),
+        x.getAs[Double]("rbo_max"))).toMap
+    // q1: X_1 = 1, X_2 = 1 -> 0.5*(1 + 0.5*0.5) = 0.625
+    assert(byQ(1L) == ((1L, 0.625, 0.75)))
+    // q2 identical: X_1 = 1, X_2 = 2 -> the truncated ceiling 0.75
+    assert(byQ(2L) == ((2L, 0.75, 0.75)))
+    // q3 disjoint: surfaced, not dropped
+    assert(byQ(3L) == ((0L, 0.0, 0.75)))
+    // a rank-ordering difference alone lowers RBO: same SETS, swapped order
+    val c = rk((9L, "x", 1), (9L, "y", 2))
+    val d = rk((9L, "y", 1), (9L, "x", 2))
+    val swapped = Retrieval.rboOverlap(c, d, "q", "item", "r", k = 2,
+      pNum = 1, pDen = 2).collect().head
+    // both items enter at depth 2: X_1 = 0, X_2 = 2 -> 0.5*(0.5*1) = 0.25
+    assert(swapped.getAs[Double]("rbo") == 0.25)
+  }
 }

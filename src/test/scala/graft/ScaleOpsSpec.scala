@@ -677,4 +677,39 @@ class ScaleOpsSpec extends SparkSpec {
     // clean interior examples never reach full disagreement
     assert(audit.drop(1).forall(_.getAs[Long]("diff_bps") < 10000L))
   }
+
+  test("nearestCentroidClassify: separated clusters classify perfectly; " +
+    "centroid side broadcasts; train-absent class scores zero") {
+    // two tight axis-aligned clusters, 16 vectors each — every md5 fold
+    // gets members of both classes with near-certainty at this size
+    def v(axis: Int, eps: Double) = {
+      val a = Array.fill(4)(eps); a(axis) = 1.0; a.toSeq
+    }
+    val rows = (0 until 16).map(i => (i.toLong, v(0, 0.01 * (i + 1)), 0)) ++
+      (16 until 32).map(i => (i.toLong, v(1, 0.01 * (i - 15)), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroidClassify(emb, "vec_id", "embedding",
+      "label", folds = 4, testFold = 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      "centroid frame must broadcast, not shuffle-join:\n" + plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized sort-merge join expected:\n" + plan.take(800))
+    val got = out.collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Long]("acc_bps") == 10000L),
+      s"separated clusters must classify perfectly: ${got.mkString(",")}")
+    // a class absent from training has no centroid: its held-out rows are
+    // graded against the remaining centroids and score 0 correct
+    val labelled = emb.withColumn("label",
+      when($"vec_id" === 6L, 7).otherwise($"label")) // vec 6 is in fold 0
+    val fold = org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5($"vec_id".cast("string")), 1, 8),
+      16, 10).cast("long") % 4
+    assume(labelled.filter(fold === 0 && $"label" === 7).count() == 1)
+    val got2 = Similarity.nearestCentroidClassify(labelled, "vec_id",
+      "embedding", "label", folds = 4, testFold = 0).collect()
+    val row7 = got2.find(_.getAs[Long]("label") == 7L)
+    assert(row7.isDefined && row7.get.getAs[Long]("n_correct") == 0L)
+  }
 }

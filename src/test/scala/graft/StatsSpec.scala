@@ -117,6 +117,54 @@ class StatsSpec extends SparkSpec {
     assert(r(1).getLong(1) == 1 && r(1).getDouble(2) == 0.0)
   }
 
+  test("simplifiedSilhouette: hand-computed a/b distances; misassigned " +
+      "point counted; single-cluster silhouette is null") {
+    // cell 0 at x≈0, cell 1 at x≈10; point 4 labeled 0 but sits at x=9
+    val df = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(2.0f, 0.0f)),
+      (3L, 1, Seq(10.0f, 0.0f)), (5L, 1, Seq(12.0f, 0.0f)),
+      (4L, 0, Seq(9.0f, 0.0f))).toDF("id", "cell", "vec")
+    val r = graft.operators.Stats.simplifiedSilhouette(df, "id", "cell", "vec")
+      .collect()
+    // centroids: cell0 = (11/3, 0), cell1 = (11, 0)
+    // point 4: a = |9 - 11/3| = 16/3, b = |9-11| = 2 -> b < a, misassigned
+    val c0 = r.find(_.getAs[Long]("cell") == 0L).get
+    assert(c0.getAs[Long]("n_vectors") == 3L)
+    assert(c0.getAs[Long]("n_misassigned") == 1L)
+    val c1 = r.find(_.getAs[Long]("cell") == 1L).get
+    assert(c1.getAs[Long]("n_misassigned") == 0L)
+    // tight well-separated cells: mean silhouette strongly positive
+    assert(c1.getAs[Double]("mean_silhouette") > 0.5)
+    // single cluster: no foreign centroid -> null mean, 0 misassigned
+    val one = graft.operators.Stats.simplifiedSilhouette(
+      df.withColumn("cell", lit(0)), "id", "cell", "vec").collect()
+    assert(one.length == 1 && one.head.isNullAt(2) &&
+      one.head.getAs[Long]("n_misassigned") == 0L)
+  }
+
+  test("adjustedRandIndex: identical partitions = 1, maximally crossed " +
+      "2x2 = -0.5, degenerate = null") {
+    val same = Seq((1L, 0, 0), (2L, 0, 0), (3L, 1, 1), (4L, 1, 1))
+      .toDF("id", "a", "b")
+    val r1 = graft.operators.Stats.adjustedRandIndex(same, "id", "a", "b")
+      .collect().head
+    assert(r1.getAs[Long]("n_items") == 4L)
+    assert(r1.getAs[Long]("pairs_both") == 2L)
+    assert(r1.getAs[Double]("ari") == 1.0)
+    // every (a,b) cell is a singleton: 0 co-pairs, E = 2/3, den = 4/3
+    val crossed = Seq((1L, 0, 0), (2L, 0, 1), (3L, 1, 0), (4L, 1, 1))
+      .toDF("id", "a", "b")
+    val r2 = graft.operators.Stats.adjustedRandIndex(crossed, "id", "a", "b")
+      .collect().head
+    assert(r2.getAs[Long]("pairs_both") == 0L)
+    assert(r2.getAs[Double]("ari") == -0.5)
+    // all-singleton partitions on both sides: denominator 0 -> null
+    val single = Seq((1L, 1, 1), (2L, 2, 2), (3L, 3, 3)).toDF("id", "a", "b")
+    val r3 = graft.operators.Stats.adjustedRandIndex(single, "id", "a", "b")
+      .collect().head
+    assert(r3.isNullAt(2))
+  }
+
   test("prefixFilterJoin finds EXACTLY the exhaustive ≥0.8-Jaccard pairs (no false negatives)") {
     val texts = Seq(
       1L -> "the quick brown fox jumps over the lazy dog again today",

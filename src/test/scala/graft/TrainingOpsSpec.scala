@@ -429,6 +429,93 @@ class TrainingOpsSpec extends SparkSpec {
       viaW.getAs[Long]("tn") == direct.getAs[Long]("tn"))
   }
 
+  test("logisticCrossVal: folds partition the corpus; separable signal is " +
+      "graded near-perfect on every held-out fold; deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = ((0 until 30).map(i => (i.toLong, s"quality filler$i common words here")) ++
+      (30 until 60).map(i => (i.toLong, s"junk filler$i common words here")))
+      .toDF("id", "text")
+    val label = array_contains(graft.operators.Dedup.words(col("text")), "quality")
+    val cv = Curation.logisticCrossVal(docs, "id", "text", label,
+      k = 3, dim = 16, iters = 5, lr = 0.5)
+    val rows = cv.collect()
+    assert(rows.map(_.getAs[Long]("fold")).toSeq == Seq(0L, 1L, 2L))
+    // held-out folds partition the corpus: every doc is graded exactly once
+    assert(rows.map(r => r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg")).sum == 60L)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum == 30L)
+    // the marker word separates train and held-out alike: rank AUC ≈ 1 on
+    // every fold (margin is wide enough that 5 GD steps suffice)
+    rows.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.9, s"fold ${r.getAs[Long]("fold")} auc=$auc")
+    }
+    // md5 fold assignment is deterministic: a second run is bit-identical
+    assert(cv.collect().toSeq == rows.toSeq)
+  }
+
+  test("learningCurve: fixed eval slice down the whole curve; full-pool " +
+      "training learns the separable signal") {
+    import org.apache.spark.sql.functions._
+    val docs = ((0 until 40).map(i => (i.toLong, s"quality filler$i common words here")) ++
+      (40 until 80).map(i => (i.toLong, s"junk filler$i common words here")))
+      .toDF("id", "text")
+    val label = array_contains(graft.operators.Dedup.words(col("text")), "quality")
+    val rows = Curation.learningCurve(docs, "id", "text", label,
+      fractionsPct = Seq(25, 100), dim = 16, iters = 5, lr = 0.5).collect()
+    assert(rows.map(_.getAs[Long]("train_pct")).toSeq == Seq(25L, 100L))
+    // the eval slice is FIXED: every curve point scores the same docs
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+    // the full-pool point separates the marker
+    assert(rows.last.getAs[Long]("accuracy_bps") >= 9000L)
+    // confusion cells always total n_docs
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") + r.getAs[Long]("tn")
+        + r.getAs[Long]("fn") == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("chi2TokenSelect: hand-computed 2x2 chi-square; degenerate margins " +
+      "score 0; minDf prunes; topK caps") {
+    import org.apache.spark.sql.functions._
+    // 4 positives all carry "sig"; 6 negatives none; "common" in all docs
+    val docs = ((0 until 4).map(i => (i.toLong, s"sig common w$i")) ++
+      (4 until 10).map(i => (i.toLong, s"common w$i other"))).toDF("id", "text")
+    val label = array_contains(graft.operators.Dedup.words(col("text")), "sig")
+    val out = Curation.chi2TokenSelect(docs, "id", "text", label,
+      topK = 100, minDf = 1).collect()
+    val sig = out.find(_.getAs[String]("token") == "sig").get
+    // a=4 b=0 c=0 d=6: chi2 = 10*(4*6)^2/(4*6*4*6) = 10, perfect association
+    assert(sig.getAs[Double]("chi2") == 10.0)
+    assert(sig.getAs[Long]("df_docs") == 4L && sig.getAs[Long]("pos_docs") == 4L)
+    // chi-square is symmetric: "other" (all-negative marker, a=0 b=6) ties
+    // at 10.0 and wins the alphabetical tie-break
+    assert(out.take(2).map(_.getAs[String]("token")).toSeq ==
+      Seq("other", "sig"))
+    assert(out(1).getAs[Double]("chi2") == 10.0)
+    // "common" appears in every doc: c+d margin is 0 -> chi2 defined as 0
+    val common = out.find(_.getAs[String]("token") == "common").get
+    assert(common.getAs[Double]("chi2") == 0.0)
+    // minDf prunes the per-doc filler tokens (each df=1)
+    val pruned = Curation.chi2TokenSelect(docs, "id", "text", label,
+      topK = 100, minDf = 2).collect()
+    assert(pruned.map(_.getAs[String]("token")).toSet ==
+      Set("sig", "common", "other"))
+    // topK caps the output
+    assert(Curation.chi2TokenSelect(docs, "id", "text", label,
+      topK = 3, minDf = 1).collect().length == 3)
+  }
+
+  test("logisticCrossVal rejects k outside [2,8]") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.logisticCrossVal(docs, "id", "text", lit(true), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.logisticCrossVal(docs, "id", "text", lit(true), k = 9)
+    }
+  }
+
   test("bigram features separate a word-order label that unigrams cannot see") {
     import org.apache.spark.sql.functions._
     // each pos/neg pair shares the IDENTICAL unigram multiset
