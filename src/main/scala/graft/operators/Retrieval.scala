@@ -525,9 +525,16 @@ object Retrieval {
     *
     * RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d,
     * with persistence p = `pNum`/`pDen` (default 9/10). This is the
-    * PREFIX (lower-bound) form — no residual extrapolation; two disjoint
-    * top-k lists score 0, identical ones score 1 − p^k (the truncated
-    * maximum, quoted as `rbo_max` so the number carries its own ceiling).
+    * PREFIX (lower-bound) form — two disjoint top-k lists score 0,
+    * identical ones score 1 − p^k (the truncated maximum, quoted as
+    * `rbo_max` so the number carries its own ceiling). `rbo_ext` is the
+    * EXTRAPOLATED point estimate (Webber eq. 32, both lists evaluated to
+    * the same depth k): assume the agreement ratio holds at A_k = X_k/k
+    * beyond the evaluated prefix, whose tail mass closes to
+    * (1−p)·Σ_{d>k} p^{d−1}·A_k = A_k·p^k — so
+    * rbo_ext = rbo + (X_k/k)·p^k, a closed-form addition over the same
+    * joined frame (identical lists extrapolate to exactly 1.0; the
+    * residual head-room rbo_ext − rbo never exceeds p^k).
     *
     * Determinism: p powers are EXACT Long integers computed arithmetically
     * at plan build (never libm pow — `pow(9.0, 19.0)` is not guaranteed
@@ -542,7 +549,8 @@ object Retrieval {
     * per-query aggregate. Queries whose top-k lists share NOTHING are
     * surfaced with rbo = 0, not dropped.
     *
-    * Returns (query_id, overlap_at_k, rbo, rbo_max) per query. */
+    * Returns (query_id, overlap_at_k, rbo, rbo_ext, rbo_max) per
+    * query. */
   def rboOverlap(rankA: DataFrame, rankB: DataFrame, queryCol: String,
       itemCol: String, rankCol: String, k: Int = 10, pNum: Int = 9,
       pDen: Int = 10, roundTo: Int = 6): DataFrame = {
@@ -584,6 +592,9 @@ object Retrieval {
       .select(col("query_id"),
         coalesce(col("overlap_at_k"), lit(0L)).as("overlap_at_k"),
         round(coalesce(col("__rbo"), lit(0.0)), roundTo).as("rbo"),
+        round(coalesce(col("__rbo"), lit(0.0)) +
+          coalesce(col("overlap_at_k"), lit(0L)).cast("double") /
+            lit(k.toDouble) * pK, roundTo).as("rbo_ext"),
         round(lit(1.0) - pK, roundTo).as("rbo_max"))
       .orderBy("query_id")
   }

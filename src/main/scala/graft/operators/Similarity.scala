@@ -983,38 +983,6 @@ object Similarity {
     pcaTopComponents(data, idCol, vecCol, m = 1, iters = iters)
       .select("dim", "loading", "eigenvalue", "explained")
 
-  /** Top-`m` principal components by power iteration with PROJECTION
-    * (Gram–Schmidt) deflation — the multi-component completion of
-    * [[pcaTopComponent]] (whitening/decorrelation before
-    * [[scalarQuantize]]/[[pqTopK]] needs the top-m subspace, not one
-    * direction). Component c runs the same power loop, but every
-    * iteration's image t = C·v is re-orthogonalized against the found
-    * components before normalizing: t ← t − Σ_{j<c} (v_j·t)·v_j. Each
-    * correction is a d-row broadcast join (v_j) times a 1-row dot frame
-    * — O(d) per prior component per iteration, on top of the same two
-    * O(n·d) data passes as the single-component loop; the data is never
-    * touched by the deflation.
-    *
-    * Projection deflation is chosen over Hotelling (C − λvvᵀ)
-    * deliberately: it makes v_c orthogonal to every v_j BY CONSTRUCTION
-    * (the decorrelation contract), independent of how far the earlier
-    * components have converged — measured on the embeddings fixture
-    * (tight spectrum, λ₂/λ₁ ≈ 0.91, 5 iters) Hotelling left
-    * |v₁·v₂| ≈ 0.15 while projection holds it at float-rounding scale.
-    * ScaleOpsSpec asserts the orthogonality.
-    *
-    * Same gate-grade determinism as [[pcaTopComponent]]: DECIMAL(28,18)
-    * quantization before every order-sensitive sum (including the
-    * deflation dots), fixed `pj * vj` correction op order and
-    * left-associated subtraction chain, fixed left-to-right
-    * cumulative-λ addition, unrollable iteration/component counts — the
-    * whole run replays in SQL (x180). λ_c is the Rayleigh quotient of
-    * the PROJECTED operator (v_{k−1}·t_final), which converges to the
-    * c-th eigenvalue of C as the components converge.
-    *
-    * Returns one row per (component, dim): per-component `eigenvalue`,
-    * `explained` = λ_c/trace(C), and the running `cum_explained`
-    * Σ_{j≤c} λ_j / trace(C). */
   private def dec18(c: Column): Column = c.cast("decimal(28,18)")
 
   /** Shared power-iteration machinery of [[pcaTopComponents]] /
@@ -1092,6 +1060,38 @@ object Similarity {
     PcaParts(ex, nF, mom, mu, comps.toSeq)
   }
 
+  /** Top-`m` principal components by power iteration with PROJECTION
+    * (Gram–Schmidt) deflation — the multi-component completion of
+    * [[pcaTopComponent]] (whitening/decorrelation before
+    * [[scalarQuantize]]/[[pqTopK]] needs the top-m subspace, not one
+    * direction). Component c runs the same power loop, but every
+    * iteration's image t = C·v is re-orthogonalized against the found
+    * components before normalizing: t ← t − Σ_{j<c} (v_j·t)·v_j. Each
+    * correction is a d-row broadcast join (v_j) times a 1-row dot frame
+    * — O(d) per prior component per iteration, on top of the same two
+    * O(n·d) data passes as the single-component loop; the data is never
+    * touched by the deflation.
+    *
+    * Projection deflation is chosen over Hotelling (C − λvvᵀ)
+    * deliberately: it makes v_c orthogonal to every v_j BY CONSTRUCTION
+    * (the decorrelation contract), independent of how far the earlier
+    * components have converged — measured on the embeddings fixture
+    * (tight spectrum, λ₂/λ₁ ≈ 0.91, 5 iters) Hotelling left
+    * |v₁·v₂| ≈ 0.15 while projection holds it at float-rounding scale.
+    * ScaleOpsSpec asserts the orthogonality.
+    *
+    * Same gate-grade determinism as [[pcaTopComponent]]: DECIMAL(28,18)
+    * quantization before every order-sensitive sum (including the
+    * deflation dots), fixed `pj * vj` correction op order and
+    * left-associated subtraction chain, fixed left-to-right
+    * cumulative-λ addition, unrollable iteration/component counts — the
+    * whole run replays in SQL (x180). λ_c is the Rayleigh quotient of
+    * the PROJECTED operator (v_{k−1}·t_final), which converges to the
+    * c-th eigenvalue of C as the components converge.
+    *
+    * Returns one row per (component, dim): per-component `eigenvalue`,
+    * `explained` = λ_c/trace(C), and the running `cum_explained`
+    * Σ_{j≤c} λ_j / trace(C). */
   def pcaTopComponents(data: DataFrame, idCol: String, vecCol: String,
       m: Int = 2, iters: Int = 5): DataFrame = {
     val p = pcaParts(data, idCol, vecCol, m, iters)
@@ -1156,21 +1156,6 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
-  /** k-NN label classification accuracy over the embedding corpus — the
-    * standard "are these embeddings any good" probe (labels exist, so
-    * measure whether cosine neighborhoods are label-pure): for a bounded
-    * deterministic query sample, predict each query's label by majority
-    * vote over its k nearest OTHER vectors and report per-class accuracy.
-    * Doubles as the evaluation harness for any ANN index (swap the exact
-    * scorer for an index probe and diff the accuracy).
-    *
-    * Scale shape — the x168 harness discipline: the QUERY side is a
-    * bounded md5-ranked sample (TakeOrderedAndProject, engine-replayable),
-    * never the whole corpus, so cost is nQueries × corpus (one data scan,
-    * queries broadcast) instead of corpus². Ranking is a per-query window
-    * (WindowGroupLimit forwards ≤ k rows per query per partition); the
-    * majority vote is max(struct(cnt, −label)) — a hash aggregate, no
-    * second window. Accuracy is integer bps via exact decimal division. */
   /** Batched [[ivfTopKIndexed]]: per-QUERY probe routing against the
     * materialized IVF index — each query ranks the (broadcast-sized)
     * centroid table, keeps its own `nprobe` cells, and scans only
@@ -1223,6 +1208,8 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, m: Int = 10, k: Int = 5,
       lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && m >= k, "need k >= 1 and m >= k")
+    require(k <= 16, s"k=$k out of [1,16] — each greedy step adds a " +
+      "window+join layer to the plan; beyond ~16 re-rank in pages")
     val lam = lit(lambda)
     val oneMinus = lit((BigDecimal(1) - BigDecimal(lambda)).toDouble)
     val vecs = data.select(col(idCol).as("__id"),
@@ -1247,6 +1234,13 @@ object Similarity {
       picks += pick.select(col("query_id"), col("__id").as(idCol),
         lit(t).as("rank"), round(col("__score"), 4).as("score"),
         round(col("__mmr"), 4).as("mmr"))
+      // `remaining` references `pick` which references the PRIOR
+      // `remaining` twice (argmax + anti-filter) — without a lineage cut
+      // the logical plan doubles per step (~2^k copies of the
+      // bruteForceTopKBatch subplan), the exact 2^N blow-up the DuckDB
+      // oracle avoids with AS MATERIALIZED. The lazy localCheckpoint
+      // materializes each step's queries×m frame (bounded by
+      // construction) the first time it is computed.
       remaining = remaining
         .join(pick.select(col("query_id"), col("__id").as("__pid"),
           col("__sv")), "query_id")
@@ -1255,6 +1249,7 @@ object Similarity {
           greatest(col("__msim"), cosine(col("__v"), col("__sv"))))
         .select(col("query_id"), col("__id"), col("__score"), col("__v"),
           col("__msim"))
+        .localCheckpoint(eager = false)
     }
     picks.result().reduce(_.unionByName(_)).orderBy("query_id", "rank")
   }
@@ -1282,6 +1277,21 @@ object Similarity {
     scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
   }
 
+  /** k-NN label classification accuracy over the embedding corpus — the
+    * standard "are these embeddings any good" probe (labels exist, so
+    * measure whether cosine neighborhoods are label-pure): for a bounded
+    * deterministic query sample, predict each query's label by majority
+    * vote over its k nearest OTHER vectors and report per-class accuracy.
+    * Doubles as the evaluation harness for any ANN index (swap the exact
+    * scorer for an index probe and diff the accuracy).
+    *
+    * Scale shape — the x168 harness discipline: the QUERY side is a
+    * bounded md5-ranked sample (TakeOrderedAndProject, engine-replayable),
+    * never the whole corpus, so cost is nQueries × corpus (one data scan,
+    * queries broadcast) instead of corpus². Ranking is a per-query window
+    * (WindowGroupLimit forwards ≤ k rows per query per partition); the
+    * majority vote is max(struct(cnt, −label)) — a hash aggregate, no
+    * second window. Accuracy is integer bps via exact decimal division. */
   def knnClassify(data: DataFrame, idCol: String, vecCol: String,
       labelCol: String, nQueries: Int = 256, k: Int = 10): DataFrame = {
     val voted = knnNeighbors(data, idCol, vecCol, labelCol, nQueries, k)

@@ -318,7 +318,17 @@ object Stats {
     val sbF = ct.groupBy("__b").agg(sum("__n").as("__nb"))
       .agg(sum(d38(expr("__nb * (__nb - 1) div 2"))).as("__sb"))
     val d = (c: Column) => c.cast("double")
-    nF.crossJoin(saF).crossJoin(sbF)
+    // The three aggregates are the only readers of the persisted `ct`;
+    // materialize their 1-row cross product eagerly so ct can be
+    // unpersisted HERE (no leaked cache entry per call — LEAKCHECK
+    // discipline) instead of living until some caller-side action.
+    // Rebuilding from the collected row keeps the downstream decimal /
+    // double op sequence byte-identical to the lazy form.
+    val combined = nF.crossJoin(saF).crossJoin(sbF)
+    val row = combined.collect()(0)
+    ct.unpersist()
+    df.sparkSession
+      .createDataFrame(java.util.Arrays.asList(row), combined.schema)
       .withColumn("__cn2", d38(expr("__nt * (__nt - 1) / 2")))
       .withColumn("__e", d(col("__sa")) * d(col("__sb")) / d(col("__cn2")))
       .withColumn("__den",

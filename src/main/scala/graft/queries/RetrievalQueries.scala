@@ -440,6 +440,10 @@ object RetrievalQueries {
        |SELECT q.query_id,
        |  CAST(coalesce(pq.overlap_at_k, 0) AS BIGINT) AS overlap_at_k,
        |  round(coalesce(pq.rbo, 0.0), 6) AS rbo,
+       |  round(coalesce(pq.rbo, 0.0) +
+       |    CAST(coalesce(pq.overlap_at_k, 0) AS DOUBLE) / 10.0::DOUBLE
+       |      * (3486784401.0::DOUBLE / 10000000000.0::DOUBLE), 6)
+       |    AS rbo_ext,
        |  round(1.0::DOUBLE - 3486784401.0::DOUBLE / 10000000000.0::DOUBLE, 6)
        |    AS rbo_max
        |FROM qs0 q LEFT JOIN pq USING (query_id)
