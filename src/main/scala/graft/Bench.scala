@@ -60,7 +60,18 @@ object Bench {
     // isolation field: measurement-protocol marker so cross-round bench
     // diffs carry their own caveat (r6 numbers predate per-query cache
     // clearing and are flattered for persist-heavy queries — see r7 verdict)
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","isolation":"clearCache-per-query","queries":$qs,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${jd(total)},"unit":"sec","isolation":"clearCache-per-query","queries":$qs,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the FULL per-query map: the driver's bench artifact
+    // keeps only a tail of stdout, which truncates ~75% of the registry;
+    // round-over-round diffs need every query (r8 verdict #5). Commit the
+    // copy under docs/ after each round's run.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_full.json")
+    val p = java.nio.file.Paths.get(out)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -813,6 +813,24 @@ object Curation {
       weights))
   }
 
+  /** Per-document exact-DECIMAL logit under published weights — the
+    * CONTINUOUS-score handoff to the threshold-free evaluators
+    * ([[graft.operators.Stats.binaryAuc]] / averagePrecision /
+    * gainsTable): AUC is invariant under the monotone σ, so grading the
+    * exact z avoids exp() entirely (libm ULPs are not identical
+    * cross-engine; the DECIMAL(28,18) feature-dot is). The z column is
+    * essentially distinct per document — the all-distinct regime the
+    * evaluators' range-partitioned prefix-sum path exists for. One
+    * broadcast-join pass, zero GD iterations; returns (id, y, z). */
+  def logisticLogitsWith(df: DataFrame, idCol: String, textCol: String,
+      label: Column, weights: DataFrame, dim: Int = 32,
+      bigrams: Boolean = false): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
+    zOf(logisticFeatures(df, idCol, textCol, label, dim, iterate = false,
+        bigrams = bigrams), weights)
+      .select(col("id"), col("y"), col("__z").as("z"))
+  }
+
   /** Label-free corpus scoring with pre-trained weights — the actual
     * curation filter: one row per featured document with its quality
     * probability σ(z) (rounded) and the integer-exact keep decision
@@ -916,6 +934,94 @@ object Curation {
         .select(lit(p).cast("long").as("train_pct"), col("n_docs"),
           col("tp"), col("fp"), col("tn"), col("fn"), col("accuracy_bps"))
     }.reduce(_.unionByName(_)).orderBy("train_pct")
+  }
+
+  /** Training-loss trajectory of the quality classifier — the diagnostics
+    * frame that says WHY an accuracy curve plateaus ([[learningCurve]]
+    * reports the plateau; this decomposes it into optimization vs data):
+    * one row per GD iteration with the class-weighted logistic loss
+    * (evaluated at the step's INCOMING weights — the same z_t the update
+    * consumes) and the gradient L2 norm. Falling loss + falling norm =
+    * converging; flat loss + large norm = lr trouble; flat loss + ~0
+    * norm = model capacity, more data won't help.
+    *
+    * The weight chain is BIT-compatible with [[logisticTrain]] (same
+    * feature frame, z/residual/gradient arithmetic, DECIMAL(28,18)
+    * quantization points and update sequence), so the oracle replays it
+    * with the exact same unrolled CTE chain x176 gates and reads the
+    * losses off each step — the x176 replay pattern pointed at the loss
+    * instead of the weights. The loss terms go through libm (ln/exp) on
+    * both engines, per-row-quantized before the sum like the BM25 idf.
+    *
+    * Scale: identical to [[logisticTrain]] (two passes per iteration
+    * over the persisted feature frame, broadcast weights) plus one
+    * (dim+1)-row norm aggregate per step — the diagnostics add nothing
+    * corpus-sized. */
+  def logisticTrainCurve(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 8, lr: Double = 0.5,
+      roundTo: Int = 6, bigrams: Boolean = false): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
+    require(iters >= 1 && iters <= 16, "iters out of [1,16]")
+    val feats = logisticFeatures(df, idCol, textCol, label, dim,
+      bigrams = bigrams)
+    val nF = broadcast(feats.select("id").distinct()
+      .agg(count(lit(1)).cast("double").as("__n")))
+    val cwF = broadcast(feats.select("id", "y").distinct()
+      .agg(count(lit(1)).cast("double").as("__na"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double").as("__np"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).cast("double").as("__nn"))
+      .select(
+        (col("__na") / (lit(2.0) * greatest(col("__np"), lit(1.0))))
+          .as("__wpos"),
+        (col("__na") / (lit(2.0) * greatest(col("__nn"), lit(1.0))))
+          .as("__wneg")))
+    var w = feats.select("bucket").distinct().withColumn("weight", lit(0.0))
+    val rows = Seq.newBuilder[DataFrame]
+    for (t <- 1 to iters) {
+      val z = feats.join(broadcast(w), "bucket")
+        .groupBy("id")
+        .agg(sum((col("x").cast("double") * col("weight"))
+            .cast("decimal(28,18)")).as("__z"),
+          max(col("y")).as("y"))
+      // class-weighted logistic loss at the incoming weights: per-row
+      // cw·ln(1+exp(∓z)) quantized pre-sum, one final division by n
+      val lossF = z.crossJoin(cwF).crossJoin(nF)
+        .select(col("__n"),
+          (when(col("y") === 1,
+            col("__wpos") * log(lit(1.0) + exp(-col("__z").cast("double"))))
+            .otherwise(
+              col("__wneg") * log(lit(1.0) + exp(col("__z").cast("double")))))
+            .cast("decimal(28,18)").as("__l"))
+        .groupBy("__n").agg(sum(col("__l")).as("__ls"))
+        .select((col("__ls").cast("double") / col("__n")).as("__loss"))
+      val resid = z.crossJoin(cwF).withColumn("__resid",
+        (lit(1.0) / (lit(1.0) + exp(-col("__z").cast("double")))
+          - col("y").cast("double")) *
+          when(col("y") === 1, col("__wpos")).otherwise(col("__wneg")))
+      // (dim+1)-row gradient, consumed twice (norm + update): lazy
+      // checkpoint so the chain stays flat across iterations
+      val grad = feats.join(resid.select("id", "__resid"), "id")
+        .groupBy("bucket")
+        .agg(sum((col("__resid") * col("x").cast("double"))
+          .cast("decimal(28,18)")).as("__gs"))
+        .crossJoin(nF)
+        .select(col("bucket"),
+          (col("__gs").cast("double") / col("__n")).as("__grad"))
+        .localCheckpoint(eager = false)
+      val normF = grad
+        .agg(sum((col("__grad") * col("__grad")).cast("decimal(28,18)"))
+          .as("__g2"))
+        .select(sqrt(col("__g2").cast("double")).as("__gn"))
+      rows += lossF.crossJoin(normF).select(lit(t).cast("long").as("iter"),
+        round(col("__loss"), roundTo).as("loss"),
+        round(col("__gn"), roundTo).as("grad_norm"))
+      w = w.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("weight") - lit(lr) * coalesce(col("__grad"), lit(0.0)))
+            .as("weight"))
+        .localCheckpoint(eager = false)
+    }
+    rows.result().reduce(_.unionByName(_)).orderBy("iter")
   }
 
   /** χ² token–label feature selection — which vocabulary items carry the

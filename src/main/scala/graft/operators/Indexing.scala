@@ -77,4 +77,55 @@ object Indexing {
       .withColumn("global_idx", col("__off") + col("__rn"))
       .drop("__pid", "__rn", "__off")
   }
+
+  /** Distributed EXCLUSIVE running sums without a single-partition window
+    * — the prefix-sum sibling of [[globalIndexBy]], built for the
+    * scorer-eval family's running CDFs (`SUM(x) OVER (ORDER BY score ROWS
+    * UNBOUNDED PRECEDING)` with an empty PARTITION BY funnels the whole
+    * frame through one task; on a CONTINUOUS score column the
+    * distinct-score frame is corpus-sized, so that is a single-task sort
+    * of ~n rows at 100 TB).
+    *
+    * Shape: range-repartition on (groupCols, orderExprs) → per-partition
+    * local exclusive prefix sums (parallel; the window is partitioned by
+    * the physical partition id) → per-(partition, group) totals (tiny) →
+    * per-group cumulative offsets over partition ids (a ≤|partitions|-row
+    * window per group) → broadcast the offsets back. Like globalIndexBy,
+    * the materialization pin (persist) is REQUIRED: repartitionByRange
+    * samples its boundaries, and two independent executions can pick
+    * different ranges, desyncing `__pid` between the offsets and the
+    * local sums. Exact for integral value columns (Long sums).
+    *
+    * Appends one `<v>_excl` Long column per entry of `valueCols` — the
+    * sum of that column over all STRICTLY EARLIER rows in
+    * (groupCols, orderExprs) order within the row's group. The ordering
+    * tuple must be unique per group (callers pass distinct-score frames);
+    * inclusive sums are `<v>_excl + <v>`. */
+  def globalPrefixSums(df: DataFrame, groupCols: Seq[String],
+      orderExprs: Seq[org.apache.spark.sql.Column], valueCols: Seq[String],
+      partitions: Int = 32): DataFrame = {
+    require(orderExprs.nonEmpty, "need at least one order expression")
+    require(valueCols.nonEmpty, "need at least one value column")
+    val rangeKeys = groupCols.map(col) ++ orderExprs
+    val parts = df.repartitionByRange(partitions, rangeKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy(("__pid" +: groupCols).map(col): _*)
+      .orderBy(orderExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.select(col("*") +: valueCols.map(v =>
+      coalesce(sum(col(v)).over(wLocal), lit(0L)).as(s"__l_$v")): _*)
+      .persist()
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(("__pid" +: groupCols).map(col): _*)
+      .agg(sum(col(valueCols.head)).as(s"__t_${valueCols.head}"),
+        valueCols.tail.map(v => sum(col(v)).as(s"__t_$v")): _*)
+      .select(("__pid" +: groupCols).map(col) ++ valueCols.map(v =>
+        coalesce(sum(col(s"__t_$v")).over(wOff), lit(0L)).as(s"__o_$v")): _*)
+    local.join(broadcast(offsets), "__pid" +: groupCols)
+      .select(df.columns.map(col) ++ valueCols.map(v =>
+        (col(s"__o_$v") + col(s"__l_$v")).as(s"${v}_excl")): _*)
+  }
 }

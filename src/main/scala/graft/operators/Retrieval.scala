@@ -302,10 +302,11 @@ object Retrieval {
   }
 
   /** Materialize the retrieval index once: a postings table
-    * `(token, doc, tf, dl, df, cf)` written BUCKETED on `token`
+    * `(token, doc, tf, dl)` written BUCKETED on `token`
     * (`Bucketing.writeBucketed` — catalog table, so repeated same-key
-    * joins read co-located buckets), plus a 1-row `<table>_stats`
-    * companion `(n_corpus, total_dl)`.
+    * joins read co-located buckets), a vocabulary-sized `<table>_tok`
+    * companion `(token, df, cf)`, and a 1-row `<table>_stats` companion
+    * `(n_corpus, total_dl)`.
     *
     * Why: [[bm25TopK]]/[[queryLikelihoodTopK]] re-tokenize and
     * re-aggregate the corpus on EVERY call — two corpus passes per query
@@ -313,35 +314,95 @@ object Retrieval {
     * corpus; with the index built once, every batch is postings-scan →
     * broadcast query join → per-(query, doc) aggregate, zero corpus-side
     * shuffles and zero re-tokenization (PlanRegressionSpec-asserted).
-    * df (document frequency) and cf (collection frequency) are
-    * DENORMALIZED onto the postings rows at build time — one extra
-    * token-keyed shuffle paid once, so the scoring side needs no
-    * vocabulary aggregate at all. */
+    * df/cf live in the SEPARATE `_tok` table rather than denormalized
+    * onto the postings rows: appending a document batch changes df/cf
+    * for every token the batch mentions, and with denormalized stats
+    * that means rewriting existing postings — with the side table,
+    * [[appendToPostingsIndex]] touches only the batch itself plus the
+    * vocabulary-sized stats. Scoring pays one extra broadcast join (the
+    * `_tok` rows matching the query terms — ≤|query terms| rows). */
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 8): Unit = {
-    val toks = docs.select(col(idCol).as("doc"),
-      explode(Dedup.words(col(textCol))).as("token"))
-    val tf = toks.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val tf = postingsOf(docs, idCol, textCol)
+    Bucketing.writeBucketed(tf.select("token", "doc", "tf", "dl"), table,
+      buckets, Seq("token"), Seq("token"))
+    replaceSmallTable(tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
+      s"${table}_tok")
+    replaceSmallTable(corpusStatsOf(docs, idCol, textCol),
+      s"${table}_stats")
+  }
+
+  /** Batch postings `(token, doc, tf, dl)` — one pass over `docs`. */
+  private def postingsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(Dedup.words(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc")))
-    val tok = tf.groupBy("token")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    Bucketing.writeBucketed(tf.join(tok, "token"), table, buckets,
-      Seq("token"), Seq("token"))
-    val spark = docs.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `${table}_stats`")
-    // idempotent across sessions, like Bucketing.writeBucketed: a fresh
-    // in-memory catalog doesn't know about directories a previous
-    // session's saveAsTable left in the warehouse
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, s"${table.toLowerCase}_stats")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    // N counts every corpus doc (token-free included) and total_dl the
-    // corpus token count — same conventions as the direct scorers
+
+  /** 1-row `(n_corpus, total_dl)`: N counts every doc (token-free
+    * included), total_dl the token count — same conventions as the
+    * direct scorers. */
+  private def corpusStatsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     docs.select(size(Dedup.words(col(textCol))).cast("long").as("__dl"))
       .agg(count(lit(1)).as("n_corpus"), sum(col("__dl")).as("total_dl"))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_stats")
+
+  /** Drop-and-overwrite a small companion table. Idempotent across
+    * sessions, like Bucketing.writeBucketed: a fresh in-memory catalog
+    * doesn't know about directories a previous session's saveAsTable
+    * left in the warehouse. */
+  private def replaceSmallTable(df: DataFrame, name: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+  }
+
+  /** Incremental maintenance of a [[buildPostingsIndex]] index: ingest a
+    * document batch WITHOUT rebuilding — real pipelines append, and a
+    * 100 TB index cannot be re-tokenized per ingest. Requires batch doc
+    * ids disjoint from the indexed corpus (an upsert would need the
+    * delete path; curation ingests are append-only by id).
+    *
+    * What moves, and why it is enough for exact equality with a full
+    * rebuild (the x60 IVM pattern — gated by x209):
+    *  - postings: the batch's `(token, doc, tf, dl)` rows are computed
+    *    from the batch alone (tf and dl are per-doc — no cross-doc
+    *    state) and APPENDED into the bucketed table under the same
+    *    bucket spec; existing rows are untouched.
+    *  - `_tok` df/cf: additive per token, so the batch's token aggregate
+    *    merges into the vocabulary table by summation
+    *    ([[Incremental.mergeStates]] — associative, exact integers).
+    *  - `_stats`: two Long sums, merged the same way.
+    * Cost: one batch scan + one batch-sized bucketed write + a
+    * vocabulary-sized merge. The corpus-sized postings table is read by
+    * NOTHING in this path. */
+  def appendToPostingsIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, table: String, buckets: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    val tf = postingsOf(newDocs, idCol, textCol)
+    tf.select("token", "doc", "tf", "dl")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "token").sortBy("token").saveAsTable(table)
+    // vocabulary + corpus stats merge; eager localCheckpoint pins the
+    // merged values BEFORE the overwrite drops the table being read
+    val tokDelta = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val mergedTok = Incremental.mergeStates(
+        Seq(spark.table(s"${table}_tok"), tokDelta), Seq("token"))
+      .localCheckpoint(eager = true)
+    replaceSmallTable(mergedTok, s"${table}_tok")
+    val mergedStats = spark.table(s"${table}_stats")
+      .unionByName(corpusStatsOf(newDocs, idCol, textCol))
+      .agg(sum(col("n_corpus")).as("n_corpus"),
+        sum(col("total_dl")).as("total_dl"))
+      .localCheckpoint(eager = true)
+    replaceSmallTable(mergedStats, s"${table}_stats")
   }
 
   /** [[bm25TopK]] over a [[buildPostingsIndex]] table: identical output
@@ -366,7 +427,12 @@ object Retrieval {
   private def bm25ScoreFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, qTerms: DataFrame, k: Int, k1: Double,
       b: Double): DataFrame = {
+    // df comes from the vocabulary table restricted to the query terms —
+    // a ≤|q-terms|-row broadcast (one vocab-sized scan, never the corpus)
     val postings = spark.table(table)
+      .join(broadcast(spark.table(s"${table}_tok")
+        .join(broadcast(qTerms.select("token").distinct()), "token")),
+        "token")
     val stats = broadcast(spark.table(s"${table}_stats"))
     val term =
       (log(lit(1.0) +
@@ -441,7 +507,6 @@ object Retrieval {
       queryTextCol: String, k: Int = 10, mu: Double = 2000.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(mu > 0, "mu must be positive")
-    val postings = spark.table(table)
     val stats = broadcast(spark.table(s"${table}_stats")
       .select(col("total_dl").as("total_c")))
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
@@ -449,6 +514,11 @@ object Retrieval {
       .groupBy("query_id", "token").agg(count(lit(1)).as("qtf"))
       .withColumn("qlen",
         sum(col("qtf")).over(Window.partitionBy("query_id"))))
+    // cf from the vocabulary table restricted to the query terms
+    val postings = spark.table(table)
+      .join(broadcast(spark.table(s"${table}_tok")
+        .join(broadcast(qTerms.select("token").distinct()), "token")),
+        "token")
     val term =
       (col("qtf").cast("double") *
         log(lit(1.0) + col("tf").cast("double") * col("total_c").cast("double") /

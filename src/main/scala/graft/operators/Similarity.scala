@@ -763,21 +763,108 @@ object Similarity {
   def buildIvfIndex(data: DataFrame, idCol: String, cellCol: String,
       vecCol: String, table: String): Unit = {
     val spark = data.sparkSession
-    def dropWithDir(name: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS `$name`")
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    dropWithDir(table)
+    dropWithDir(spark, table)
     data.select(col(idCol), col(cellCol), col(vecCol))
       .write.mode("overwrite").format("parquet")
       .partitionBy(cellCol).saveAsTable(table)
-    dropWithDir(s"${table}_centroids")
-    centroids(data, cellCol, vecCol)
+    dropWithDir(spark, s"${table}_cstate")
+    centroidState(data, cellCol, vecCol)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_cstate")
+    dropWithDir(spark, s"${table}_centroids")
+    centroidsFromState(spark.table(s"${table}_cstate"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
+  }
+
+  private def dropWithDir(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Per-(cell, dim) centroid STATE `(cell, i, cs, cn)` with exact
+    * DECIMAL(28,18) element sums — the mergeable half of a centroid.
+    * Decimal sums are associative and order-independent, so merging a
+    * batch state into the stored state ([[appendToIvfIndex]]) yields
+    * BIT-identical centroids to a full rebuild — the IVM equality the
+    * x60 pattern gates. (vectorMean's double sums would drift with
+    * partitioning; the index path pays the explode for exactness.) */
+  private def centroidState(data: DataFrame, cellCol: String,
+      vecCol: String): DataFrame =
+    data.select(col(cellCol).as("cell"),
+        posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(sum(col("x").cast("decimal(28,18)")).as("cs"),
+        count(lit(1)).as("cn"))
+
+  /** Derive the broadcastable `(cell, centroid, n)` table from the state:
+    * element mean = double(exact sum)/n, array rebuilt in dim order. */
+  private def centroidsFromState(st: DataFrame): DataFrame =
+    st.groupBy("cell")
+      .agg(transform(
+          array_sort(collect_list(struct(col("i"),
+            (col("cs").cast("double") / col("cn").cast("double")).as("v")))),
+          s => s.getField("v")).as("centroid"),
+        max(col("cn")).as("n"))
+
+  /** Incremental maintenance of a [[buildIvfIndex]] index: append a
+    * vector batch (carrying its cell assignment — route cell-less
+    * batches with [[routeToNearestCell]] first) without rebuilding.
+    * Batch ids must be disjoint from the indexed corpus.
+    *
+    * What moves: the batch rows land in their cell PARTITIONS
+    * (mode("append") writes only new files into matched cell
+    * directories — existing files untouched); the centroid state merges
+    * by summation ([[Incremental.mergeStates]] over the exact DECIMAL
+    * element sums — associative, so append ≡ rebuild exactly, gated by
+    * x210); the centroid table regenerates from the merged state
+    * (numCells×d — broadcast-sized). The corpus-sized vector table is
+    * read by NOTHING in this path. */
+  def appendToIvfIndex(newData: DataFrame, idCol: String, cellCol: String,
+      vecCol: String, table: String): Unit = {
+    val spark = newData.sparkSession
+    newData.select(col(idCol), col(cellCol), col(vecCol))
+      .write.mode("append").format("parquet")
+      .partitionBy(cellCol).saveAsTable(table)
+    val merged = graft.operators.Incremental.mergeStates(
+        Seq(spark.table(s"${table}_cstate"),
+          centroidState(newData, cellCol, vecCol)), Seq("cell", "i"))
+      .localCheckpoint(eager = true)
+    dropWithDir(spark, s"${table}_cstate")
+    merged.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_cstate")
+    dropWithDir(spark, s"${table}_centroids")
+    centroidsFromState(spark.table(s"${table}_cstate"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+  }
+
+  /** Route a cell-less vector batch to its nearest EXISTING index cell
+    * (cosine against the broadcast centroid table, ties to the lowest
+    * cell id — one batch scan + a per-id top-1 window, the
+    * [[refineCells]] assignment step pointed at the stored index).
+    * Returns (idCol, cell) for [[appendToIvfIndex]]. */
+  def routeToNearestCell(spark: org.apache.spark.sql.SparkSession,
+      table: String, newData: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = broadcast(spark.table(s"${table}_centroids")
+      .select(col("cell"), col("centroid"),
+        norm(col("centroid")).as("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(desc("__cs"), col("cell"))
+    newData.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .crossJoin(cents)
+      .select(col("__id"), col("cell"),
+        (dot(col("__v"), col("centroid")) / (col("__n") * col("__cn")))
+          .as("__cs"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__id").as(idCol), col("cell"))
   }
 
   /** [[ivfTopK]] over a [[buildIvfIndex]] table: identical output (same

@@ -880,22 +880,24 @@ object Stats {
     * |cumPos·n₀ − cumNeg·n₁|.
     *
     * Scale shape: one hash groupBy collapses the corpus to its DISTINCT
-    * score values (scores are bounded-cardinality by construction —
-    * quantized model outputs, rule counts, length buckets); the rank
-    * window runs over that collapsed frame, not the corpus. All rank
-    * arithmetic in DECIMAL(38,0) — exact at any corpus size — with ONE
-    * final double division per statistic. Degenerate corpora (a single
-    * class) emit null metrics rather than 0/0. */
+    * score values; the running CDFs over that collapsed frame go through
+    * [[Indexing.globalPrefixSums]] (range shuffle + local prefix sums +
+    * broadcast offsets), so a CONTINUOUS score column — where the
+    * distinct-score frame is itself corpus-sized — never funnels through
+    * a single-partition window. All rank arithmetic in DECIMAL(38,0) —
+    * exact at any corpus size — with ONE final double division per
+    * statistic. Degenerate corpora (a single class) emit null metrics
+    * rather than 0/0. */
   def binaryAuc(df: DataFrame, scoreCol: String, label: Column): DataFrame =
     binaryAucBy(df.withColumn("__slice", lit(0L)), "__slice", scoreCol,
       label).drop("__slice")
 
   /** Per-slice [[binaryAuc]] — the scorer-drift view: one AUC/Gini/KS row
     * per group (source, language, ingest day), so a scorer that holds up
-    * globally but collapses on one slice is visible. At scale this is the
-    * SAFER shape: every window is hash-partitioned by the slice key, so
-    * nothing ever moves to a single partition (the ungrouped variant
-    * delegates here with a constant slice). */
+    * globally but collapses on one slice is visible. Both variants share
+    * the range-partitioned prefix-sum path (the ungrouped one delegates
+    * here with a constant slice), so even a single slice holding the
+    * whole corpus of distinct continuous scores stays parallel. */
   def binaryAucBy(df: DataFrame, groupCol: String, scoreCol: String,
       label: Column): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -903,19 +905,23 @@ object Stats {
       .groupBy(col(groupCol), col(scoreCol).as("__v"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
         count(lit(1)).as("__c"))
-    val wPrev = Window.partitionBy(groupCol).orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wIncl = Window.partitionBy(groupCol).orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    // collapsed to distinct scores; running pos/neg CDF counts + totals
-    val cum = pv.select(col(groupCol), col("__cp"), col("__c"),
-      coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__s"),
-      sum(col("__cp")).over(wIncl).as("__p"),
-      (sum(col("__c")).over(wIncl) - sum(col("__cp")).over(wIncl)).as("__g"),
-      sum(col("__cp")).over(wAll).as("__n1t"),
-      (sum(col("__c")).over(wAll) - sum(col("__cp")).over(wAll)).as("__n0t"))
+    // Running pos/neg CDF counts via the range-partitioned prefix sum —
+    // NOT `SUM() OVER (ORDER BY __v)` windows: with a CONTINUOUS score
+    // column the distinct-score frame is corpus-sized, and the ungrouped
+    // delegate (constant slice) would funnel all of it through one task.
+    // Group totals are a hash aggregate + broadcast join, not a window.
+    val pre = Indexing.globalPrefixSums(pv, Seq(groupCol),
+      Seq(col("__v")), Seq("__cp", "__c"))
+    val tot = pre.groupBy(col(groupCol))
+      .agg(sum(col("__cp")).as("__n1t"),
+        (sum(col("__c")) - sum(col("__cp"))).as("__n0t"))
+    val cum = pre.join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("__cp"), col("__c"),
+        col("__c_excl").as("__s"),
+        (col("__cp_excl") + col("__cp")).as("__p"),
+        ((col("__c_excl") + col("__c")) -
+          (col("__cp_excl") + col("__cp"))).as("__g"),
+        col("__n1t"), col("__n0t"))
     cum.groupBy(col(groupCol))
       .agg(
         sum(dec(col("__cp")) *
@@ -957,25 +963,30 @@ object Stats {
     * its own baseline.
     *
     * Same scale shape as binaryAuc: corpus → one hash groupBy onto the
-    * distinct-score frame, cumulative TP/total via a window over that
-    * (bounded) frame. Each ΔR·P term's products stay ≤ (corpus size)² —
-    * exact in double — then DECIMAL-quantized before the final sum. */
+    * distinct-score frame, cumulative TP/total via the range-partitioned
+    * prefix sum over that frame (parallel even when every score is
+    * distinct). Each ΔR·P term's products stay ≤ (corpus size)² — exact
+    * in double — then DECIMAL-quantized before the final sum. */
   def averagePrecision(df: DataFrame, scoreCol: String,
       label: Column): DataFrame = {
     val pv = df
       .groupBy(col(scoreCol).as("__v"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
         count(lit(1)).as("__c"))
-    val wIncl = Window.orderBy(desc("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val cum = pv.select(col("__cp"), col("__c"),
-      sum(col("__cp")).over(wIncl).as("__tp"),
-      sum(col("__c")).over(wIncl).as("__n"),
-      sum(col("__cp")).over(wAll).as("__n1"),
-      (sum(col("__c")).over(wAll) - sum(col("__cp")).over(wAll)).as("__n0"))
+    // Descending running TP/total via the range-partitioned prefix sum
+    // (the ungrouped `OVER (ORDER BY __v DESC)` window is a single-task
+    // sort of the whole distinct-score frame — corpus-sized for a
+    // continuous scorer); corpus totals via one hash agg, crossJoined.
+    val pre = Indexing.globalPrefixSums(pv, Nil,
+      Seq(col("__v").desc), Seq("__cp", "__c"))
+    val tot = pre.agg(sum(col("__cp")).as("__n1"),
+      (sum(col("__c")) - sum(col("__cp"))).as("__n0"))
+    val cum = pre.crossJoin(broadcast(tot))
+      .select(col("__cp"), col("__c"),
+        (col("__cp_excl") + col("__cp")).as("__tp"),
+        (col("__c_excl") + col("__c")).as("__n"),
+        col("__n1"), col("__n0"))
     cum
       .withColumn("__term",
         // n1 = 0 (no positives) must not 0-div under ANSI; the final
@@ -1006,9 +1017,12 @@ object Stats {
     * Buckets are GROUP-ATOMIC: assignment happens on the distinct-score
     * frame (bucket of a score group = floor(rowsBefore·B/N)), so tied
     * scores land in one bucket and the table is deterministic without an
-    * arbitrary within-tie order — and the corpus never flows through a
-    * single-partition window, only the bounded distinct-score frame
-    * does. Ratios are exact-integer-product doubles rounded once. */
+    * arbitrary within-tie order — and NOTHING flows through a
+    * single-partition window: rows-before-me comes from the
+    * range-partitioned prefix sum, so even an all-distinct continuous
+    * score column stays parallel (only the ≤`buckets`-row cumulative
+    * frame uses an ungrouped window). Ratios are exact-integer-product
+    * doubles rounded once. */
   def gainsTable(df: DataFrame, scoreCol: String, label: Column,
       buckets: Int = 10): DataFrame = {
     require(buckets > 0, "buckets must be positive")
@@ -1017,14 +1031,16 @@ object Stats {
       .groupBy(col(scoreCol).as("__v"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
         count(lit(1)).as("__c"))
-    val wPrev = Window.orderBy(desc("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = pv.select(col("__cp"), col("__c"),
-      coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__s"),
-      sum(col("__c")).over(wAll).as("__nt"),
-      sum(col("__cp")).over(wAll).as("__n1"))
+    // Rank-band assignment needs rows-before-me in score-desc order —
+    // the range-partitioned prefix sum, not an ungrouped window (the
+    // distinct-score frame is corpus-sized for a continuous scorer).
+    val pre = Indexing.globalPrefixSums(pv, Nil,
+      Seq(col("__v").desc), Seq("__c"))
+    val tot = pre.agg(sum(col("__c")).as("__nt"),
+      sum(col("__cp")).as("__n1"))
+    val cum = pre.crossJoin(broadcast(tot))
+      .select(col("__cp"), col("__c"), col("__c_excl").as("__s"),
+        col("__nt"), col("__n1"))
     val bucketed = cum
       .withColumn("bucket",
         expr(s"CAST((CAST(__s AS DECIMAL(38,0)) * $buckets) DIV __nt " +

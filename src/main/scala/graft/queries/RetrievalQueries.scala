@@ -309,6 +309,31 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Incremental postings-index maintenance, gated with the x60 IVM
+  // equality pattern: build the index on 80% of the corpus (doc_id % 5
+  // != 4), APPEND the remaining 20% batch (batch-only tokenization +
+  // bucketed append + vocabulary-sized df/cf merge — the corpus-sized
+  // postings are read by nothing in the append path), then score the
+  // same 5 queries. The oracle is x171's FULL-corpus BM25 verbatim:
+  // append-then-query must equal rebuild-then-query must equal the
+  // from-scratch scorer, exactly (tf/dl are per-doc, df/cf merge as
+  // integer sums — no approximation anywhere).
+  private val x209 = Q("x209_postings_append", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 5)
+      Retrieval.buildPostingsIndex(corpus.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", "graft_x209_postings")
+      Retrieval.appendToPostingsIndex(
+        corpus.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", "graft_x209_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x209_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   // Pseudo-relevance-feedback expansion over the postings index: pass 1
   // BM25 top-3 picks feedback docs, the 5 most frequent feedback terms
   // not already in the query (integer Σtf ranking, token tie-break) join
@@ -462,5 +487,6 @@ object RetrievalQueries {
       k = 10, pNum = 9, pDen = 10)
   }
 
-  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195, x207)
+  val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
+    x207, x209)
 }

@@ -180,6 +180,60 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // Incremental IVF-index maintenance, x60 IVM equality: build the index
+  // on 80% of the vectors, APPEND the remaining 20% batch (batch rows
+  // land in their cell partitions, the exact-DECIMAL centroid state
+  // merges by summation — decimal sums are associative, so the merged
+  // centroids are BIT-identical to a full rebuild's), then probe. The
+  // oracle is x6/x183's full-corpus IVF verbatim: append-then-query
+  // must equal rebuild-then-query must equal the from-scratch path.
+  private val x210 = Q("x210_ivf_append", Some(ivfOracle)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "label", "embedding", "graft_x210_ivf")
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 4),
+      "vec_id", "label", "embedding", "graft_x210_ivf")
+    Similarity.ivfTopKIndexed(s, "graft_x210_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // Probe routing for a cell-LESS ingest batch: assign each new vector
+  // to its nearest EXISTING index cell by centroid cosine (ties to the
+  // lowest cell id) — the step before appendToIvfIndex when the batch
+  // doesn't carry an assignment. The oracle recomputes the 80%-corpus
+  // per-cell centroids and replays the argmax; cell ids are integers, so
+  // the gate is exact as long as no vector is centroid-equidistant at
+  // double precision (margins on the labeled fixture are wide).
+  private val x211 = Q("x211_ivf_route", Some(
+    """WITH base AS (SELECT * FROM embeddings WHERE vec_id % 5 != 4),
+      |cent AS (
+      |  SELECT label AS cell, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM base CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |batch AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |              CAST(embedding AS DOUBLE[]))) AS vn
+      |          FROM embeddings WHERE vec_id % 5 = 4),
+      |sc AS (
+      |  SELECT b.vec_id, c.cell,
+      |    sum(c.cv * b.v[c.i]) / (sqrt(sum(c.cv * c.cv)) * b.vn) AS cs
+      |  FROM batch b CROSS JOIN cent c
+      |  GROUP BY b.vec_id, c.cell, b.vn)
+      |SELECT vec_id, cell
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY vec_id
+      |  ORDER BY cs DESC, cell) = 1
+      |ORDER BY vec_id""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "label", "embedding", "graft_x211_ivf")
+    Similarity.routeToNearestCell(s, "graft_x211_ivf",
+        emb.filter(col("vec_id") % 5 === 4).drop("label"),
+        "vec_id", "embedding")
+      .orderBy("vec_id")
+  }
+
   // Text analysis: language-ID + token counts + quality + fingerprint.
   private val x7 = Q("x7_text_analysis", Some {
     val markers = TextAnalysis.LangMarkers
@@ -1830,5 +1884,5 @@ object ScaleQueries {
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198)
+      x183, x198, x210, x211)
 }

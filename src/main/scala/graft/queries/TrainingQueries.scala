@@ -976,6 +976,104 @@ object TrainingQueries {
     Curation.logisticScoreWith(docs, "doc_id", "text", label, w, dim = 32)
   }
 
+  // Training-loss trajectory: per GD iteration the class-weighted
+  // logistic loss (at the step's incoming weights) and the gradient L2
+  // norm — the "why does accuracy plateau" diagnostics for x176's
+  // classifier. The oracle reuses x176's unrolled training CTE verbatim
+  // and reads each step's loss off z_t and the norm off g_t: the same
+  // replay, graded on a different projection of the same chain. Loss
+  // terms pass through ln/exp on both engines — per-row
+  // DECIMAL-quantized before the sum (the BM25-idf discipline), rounded
+  // at 6.
+  private val x212 = Q("x212_training_loss_curve", Some {
+    val steps = (1 to 8).map { t =>
+      s"""SELECT $t::BIGINT AS iter,
+         |  (SELECT round(CAST(sum(CAST(CASE WHEN z.y = 1
+         |       THEN cw.wpos * ln(1.0::DOUBLE + exp(-CAST(z.z AS DOUBLE)))
+         |       ELSE cw.wneg * ln(1.0::DOUBLE + exp(CAST(z.z AS DOUBLE)))
+         |       END AS DECIMAL(28,18))) AS DOUBLE) / any_value(n.n), 6)
+         |   FROM z_$t z, cw cw, n n) AS loss,
+         |  (SELECT round(sqrt(CAST(sum(CAST((g.gs / n2.n) * (g.gs / n2.n)
+         |       AS DECIMAL(28,18))) AS DOUBLE)), 6)
+         |   FROM g_$t g, n n2) AS grad_norm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${logisticCte(dim = 32, iters = 8, lr = 0.5)}
+       |SELECT * FROM ($steps) ORDER BY iter""".stripMargin
+  }) { (s, dir) =>
+    Curation.logisticTrainCurve(t(s, dir, "documents"), "doc_id", "text",
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+      dim = 32, iters = 8, lr = 0.5)
+  }
+
+  // Threshold-free grade of the decoupled scorer on its CONTINUOUS
+  // output: train on the labeled 75% (4 GD steps — AUC is rank-based,
+  // meaningful well before convergence), publish rounded weights, then
+  // rank the FULL corpus by the exact-DECIMAL logit z and grade it with
+  // binaryAuc. z is distinct per document (a per-doc subset-sum of
+  // weights), so the distinct-score frame is corpus-sized — this query
+  // exists to drive the evaluators' range-partitioned prefix-sum path
+  // in its worst regime (PlanRegressionSpec pins the no-single-task-sort
+  // plan). Grading z, not σ(z): AUC is invariant under the monotone σ,
+  // and exp() libm ULPs are not identical cross-engine while the
+  // DECIMAL(28,18) z is. The oracle replays training, the round-6
+  // weight publication, the full-corpus logit join, and the
+  // tie-corrected rank sums over the distinct-z frame.
+  private val x208 = Q("x208_continuous_auc", Some(
+    s"""WITH ${logisticCte(dim = 32, iters = 4, lr = 0.5,
+          where = " WHERE doc_id % 4 != 0")},
+       |wr AS MATERIALIZED (SELECT bucket, round(weight, 6) AS weight
+       |                    FROM w_4),
+       |sf0 AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN list_contains(ws, 'dup') THEN 1 ELSE 0 END AS y,
+       |    ('0x' || substring(md5(u.w), 1, 8))::BIGINT % 32 AS bucket
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents),
+       |    unnest(ws) AS u(w)),
+       |sfc AS MATERIALIZED (
+       |  SELECT DISTINCT id, y, bucket, 1::BIGINT AS x FROM sf0),
+       |sf AS MATERIALIZED (SELECT * FROM sfc
+       |      UNION ALL
+       |      SELECT DISTINCT id, y, 32::BIGINT AS bucket, 1::BIGINT AS x
+       |      FROM sfc),
+       |zf AS (
+       |  SELECT f.id, max(f.y) AS y,
+       |    sum(CAST(CAST(f.x AS DOUBLE) * wr.weight AS DECIMAL(28,18)))
+       |      AS z
+       |  FROM sf f JOIN wr USING (bucket) GROUP BY f.id),
+       |pv AS (SELECT z AS v, sum(y) AS cp, count(*) AS c FROM zf
+       |       GROUP BY z),
+       |cum AS (SELECT cp, c,
+       |    coalesce(sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+       |    sum(cp) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+       |    sum(c - cp) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g,
+       |    sum(cp) OVER () AS n1t,
+       |    sum(c - cp) OVER () AS n0t
+       |  FROM pv),
+       |m AS (SELECT sum(cp * (2 * s + c + 1)) AS r2, sum(cp) AS n1,
+       |        sum(c - cp) AS n0,
+       |        max(abs(p * n0t - g * n1t)) AS ksnum
+       |      FROM cum)
+       |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+       |  CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+       |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |    / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc,
+       |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini,
+       |  round(CAST(ksnum AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS ks
+       |FROM m""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val label = array_contains(graft.operators.Dedup.words(col("text")), "dup")
+    val w = Curation.logisticTrain(docs.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", label, dim = 32, iters = 4, lr = 0.5)
+    val z = Curation.logisticLogitsWith(docs, "doc_id", "text", label, w,
+      dim = 32)
+    graft.operators.Stats.binaryAuc(z, "z", col("y") === 1)
+  }
+
   // fastText-shaped training with hashed word-BIGRAM features joining the
   // unigram bucket space — gated on a label only WORD ORDER can separate:
   // y = "the adjacent pair 'table hash' occurs" (~9% of docs; the
@@ -1509,5 +1607,5 @@ object TrainingQueries {
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
     x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185,
-    x189, x190, x201, x203, x204)
+    x189, x190, x201, x203, x204, x208, x212)
 }

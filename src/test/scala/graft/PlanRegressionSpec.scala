@@ -525,9 +525,10 @@ class PlanRegressionSpec extends SparkSpec {
     assert(exchanges <= 2,
       s"indexed scoring should shuffle only matched rows (agg + window), " +
         s"found $exchanges exchanges:\n" + p.take(1200))
-    // no re-tokenization of the corpus: the only explode is the broadcast
-    // query side
-    assert("\\(\\d+\\) Generate".r.findAllIn(p).length == 1,
+    // no re-tokenization of the corpus: the only explodes are the
+    // broadcast QUERY side — once for the term join, once feeding the
+    // vocabulary (_tok) filter; both are query-batch-sized
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).length <= 2,
       "corpus text must not re-tokenize on the scoring path:\n" + p.take(900))
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
@@ -601,6 +602,35 @@ class PlanRegressionSpec extends SparkSpec {
     // shuffle joins allowed are the id-keyed pair self-join
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
       "frequent-item side must broadcast:\n" + p.take(900))
+  }
+
+  test("x208 continuous-score AUC: no ungrouped window anywhere in the plan") {
+    val p = plan("x208_continuous_auc")
+    // with a distinct-per-doc score, an empty-PARTITION-BY running sum
+    // would single-task-sort the corpus-sized distinct-score frame; the
+    // prefix-sum path must leave every windowspec with a partition column
+    // (ungrouped spec = first argument is a sort order, i.e. has ASC/DESC
+    // before the first comma)
+    val ungrouped = """windowspecdefinition\([^,]* (ASC|DESC)""".r
+    assert(ungrouped.findFirstIn(p).isEmpty,
+      "ungrouped window found:\n" + ungrouped.findFirstIn(p).getOrElse(""))
+    assert(p.contains("rangepartitioning("),
+      "prefix sums must range-shuffle:\n" + p.take(600))
+  }
+
+  test("scorer evals (AP, gains) keep every window partitioned too") {
+    for (name <- Seq("x192_avg_precision", "x193_gains_table",
+        "x196_auc_by_source")) {
+      val p = plan(name)
+      // ungrouped windows are allowed ONLY over frames bounded by
+      // construction: the ≤|partitions|-row offsets cumsum (ordered by
+      // __pid) and x193's ≤buckets-row cumulative-capture (ordered by
+      // the bucket id); anything else ungrouped is a corpus hazard
+      val ungrouped = """windowspecdefinition\(([^,]*) (ASC|DESC)""".r
+      val hits = ungrouped.findAllMatchIn(p).map(_.group(1)).toList
+        .filterNot(c => c.startsWith("__pid") || c.startsWith("bucket"))
+      assert(hits.isEmpty, s"$name has ungrouped windows:\n" + hits)
+    }
   }
 
   test("partitioned write prunes partitions on read") {

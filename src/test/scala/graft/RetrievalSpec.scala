@@ -209,6 +209,34 @@ class RetrievalSpec extends SparkSpec {
     directQ.zip(indexedQ).foreach { case (d, i) => assert(d == i) }
   }
 
+  test("appendToPostingsIndex ≡ full rebuild on every index table, exactly") {
+    val batch = Seq((20L, "apple mouse kiwi"), (21L, "kiwi kiwi banana"))
+      .toDF("doc_id", "text")
+    val all = corpus.unionByName(batch)
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_test_app", buckets = 4)
+    Retrieval.appendToPostingsIndex(batch, "doc_id", "text",
+      "graft_test_app", buckets = 4)
+    Retrieval.buildPostingsIndex(all, "doc_id", "text",
+      "graft_test_full", buckets = 4)
+    // postings equal as sets (file layout differs, contents must not)
+    def rows(t: String) = spark.table(t)
+      .orderBy("token", "doc").collect().toSeq
+    assert(rows("graft_test_app") == rows("graft_test_full"))
+    // vocabulary stats (df/cf) and corpus stats: exact integer equality
+    def tok(t: String) = spark.table(t + "_tok").orderBy("token")
+      .collect().toSeq
+    assert(tok("graft_test_app") == tok("graft_test_full"))
+    assert(spark.table("graft_test_app_stats").collect().toSeq ==
+      spark.table("graft_test_full_stats").collect().toSeq)
+    // and the scorer sees no difference (the x209 gate, locally)
+    val queries = Seq((1L, "kiwi banana")).toDF("doc_id", "text")
+    def score(t: String) = Retrieval.bm25TopKIndexed(spark, t, queries,
+      "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    assert(score("graft_test_app") == score("graft_test_full"))
+    assert(score("graft_test_app").nonEmpty)
+  }
+
   test("phraseTopK: adjacency and order required; occurrences counted; " +
     "phrases normalize like document tokens") {
     val docs = Seq(

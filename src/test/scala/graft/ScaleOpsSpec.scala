@@ -659,6 +659,39 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndex ≡ full rebuild: centroid state bit-identical, " +
+    "routing deterministic") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    Similarity.buildIvfIndex(base, "vec_id", "label", "embedding",
+      "graft_test_ivf_app")
+    Similarity.appendToIvfIndex(batch, "vec_id", "label", "embedding",
+      "graft_test_ivf_app")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_test_ivf_full")
+    // decimal element sums are associative: merged state == rebuilt state
+    // EXACTLY (not approximately), hence identical derived centroids
+    def state(t: String) = spark.table(t + "_cstate")
+      .orderBy("cell", "i").collect().toSeq
+    assert(state("graft_test_ivf_app") == state("graft_test_ivf_full"))
+    def cents(t: String) = spark.table(t + "_centroids")
+      .orderBy("cell").collect().toSeq
+    assert(cents("graft_test_ivf_app") == cents("graft_test_ivf_full"))
+    // vector partitions hold base + batch
+    assert(spark.table("graft_test_ivf_app").count() == emb.count())
+    // routing a cell-less batch lands every vector in an existing cell
+    val routed = Similarity.routeToNearestCell(spark,
+      "graft_test_ivf_app", batch.drop("label"), "vec_id", "embedding")
+    val cellSet = spark.table("graft_test_ivf_app_centroids")
+      .select($"cell".cast("long")).collect().map(_.getLong(0)).toSet
+    val got = routed.select($"vec_id", $"cell".cast("long").as("cell"))
+      .collect()
+    assert(got.length == batch.count())
+    assert(got.forall(r => cellSet.contains(r.getAs[Long]("cell"))))
+  }
+
   test("labelNoiseAudit: a planted mislabel in a tight cluster is the top " +
     "suspect with full disagreement") {
     // 12 vectors in two tight clusters; vector 0 carries the WRONG label
