@@ -561,4 +561,43 @@ object TextAnalysis {
         round(exp(col("__nll").cast("double") /
           col("n_trigrams").cast("double")), 4).as("perplexity"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing question "what share
+    * of the corpus token mass does a top-V vocabulary cover" answered at
+    * each candidate V: rank tokens by corpus frequency (descending, token
+    * tie-break) and report the covered mass and coverage ratio per size.
+    * The elbow of this curve is where BPE/vocab growth stops paying.
+    *
+    * Scale shape: ONE corpus tokenization pass collapses to the
+    * vocabulary-sized frequency frame; ranking uses
+    * [[graft.operators.Indexing.globalIndexBy]] (range shuffle + broadcast
+    * offsets — no single-partition window over the vocabulary, which at
+    * corpus scale is itself large); only the max(sizes)-row HEAD of the
+    * ranked frame joins the ≤|sizes|-row size list. Covered masses are
+    * exact integer sums; the ratio is one double division. */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+      sizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      "sizes must be non-empty positive")
+    val freq = df.select(explode(Dedup.words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("__neg", -col("cnt"))
+    val ranked = graft.operators.Indexing.globalIndexBy(freq,
+      Seq("__neg", "token"))
+    val tot = ranked.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__n_vocab"))
+    val sizesDf = df.sparkSession.range(1).select(
+      explode(array(sizes.map(v => lit(v.toLong)): _*)).as("vocab_size"))
+    ranked.filter(col("global_idx") <= lit(sizes.max.toLong))
+      .crossJoin(broadcast(sizesDf))
+      .filter(col("global_idx") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(sum(col("cnt")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("__n_vocab").as("n_vocab"),
+        col("__total").as("total_tokens"), col("covered"),
+        round(col("covered").cast("double") / col("__total").cast("double"),
+          6).as("coverage"))
+      .orderBy("vocab_size")
+  }
 }

@@ -405,6 +405,81 @@ object Retrieval {
     replaceSmallTable(mergedStats, s"${table}_stats")
   }
 
+  /** Champion lists (impact-ordered postings pruning — Manning/Raghavan/
+    * Schütze IIR §7.1.3): for every token, keep only its `topN`
+    * highest-BM25-impact documents in a `<table>_champ` companion table.
+    * Impact of (token, doc) is the token's full BM25 term contribution
+    * (idf × tf saturation at the corpus stats frozen at build time), so
+    * the list holds exactly the docs this token can rank highest.
+    *
+    * Why at 100 TB: a stopword-adjacent token's postings list is
+    * corpus-sized, and every query containing it pays a scan of the whole
+    * list under [[bm25TopKIndexed]]. The champion table is bounded by
+    * |vocabulary|·topN REGARDLESS of corpus size — serving from it makes
+    * per-batch cost independent of how skewed the token frequencies are.
+    * The trade is recall (a doc outside all its query-term champion lists
+    * can't be retrieved — the standard inexact-top-k trade); pair with an
+    * x69-style recall gate when tuning topN.
+    *
+    * Selection is deterministic cross-engine: impacts are DECIMAL(28,18)-
+    * quantized BEFORE the per-token rank window (so a libm ULP can never
+    * flip a boundary), ties break on doc id. Build cost: one postings
+    * scan + a token-keyed join to the vocabulary table + a per-token
+    * top-N window (WindowGroupLimit — each map task forwards ≤ topN rows
+    * per token). */
+  def buildChampionLists(spark: org.apache.spark.sql.SparkSession,
+      table: String, topN: Int, k1: Double = 1.2, b: Double = 0.75,
+      buckets: Int = 8): Unit = {
+    require(topN >= 1, "topN must be >= 1")
+    val stats = broadcast(spark.table(s"${table}_stats"))
+    val impact =
+      (log(lit(1.0) +
+        (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+            (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
+        .cast("decimal(28,18)")
+    val w = Window.partitionBy("token").orderBy(desc("impact"), col("doc"))
+    val champ = spark.table(table)
+      .join(spark.table(s"${table}_tok"), "token")
+      .crossJoin(stats)
+      .select(col("token"), col("doc"), impact.as("impact"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topN)
+      .select("token", "doc", "impact")
+    Bucketing.writeBucketed(champ, s"${table}_champ", buckets,
+      Seq("token"), Seq("token"))
+  }
+
+  /** Approximate BM25 top-k served ENTIRELY from a
+    * [[buildChampionLists]] table: a document scores the sum of its
+    * champion impacts over the query's terms (terms whose champion list
+    * misses the doc contribute nothing — the documented approximation).
+    * The serving plan touches ONLY the bounded `_champ` table: scan →
+    * broadcast query-term join → per-(query, doc) aggregate → rank
+    * window; the corpus-sized postings table is read by nothing.
+    * Impacts are already DECIMAL, so the score sum is order-free and the
+    * rank boundary (score desc, doc asc) is exact. */
+  def championTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    spark.table(s"${table}_champ")
+      .join(broadcast(qTerms), "token")
+      .groupBy("query_id", "doc")
+      .agg(sum(col("impact")).as("__s"), count(lit(1)).as("matched_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
+  }
+
   /** [[bm25TopK]] over a [[buildPostingsIndex]] table: identical output
     * (same per-term arithmetic, DECIMAL quantization, id tie-breaks —
     * x181 gates equality against the x171 oracle), but the corpus flows
@@ -454,6 +529,27 @@ object Retrieval {
         round(col("__s").cast("double"), 4).as("score"),
         col("matched_terms"), col("rank"))
   }
+
+  /** Per-query recall of an approximate ranking against an exact one —
+    * the gate that makes an inexact-top-k operator ([[championTopK]],
+    * IVF probes) honest: of the docs the exact ranking retrieved, what
+    * fraction did the approximation also retrieve. Both inputs are
+    * (query, item) rankings in any shape that has those two columns;
+    * output is one row per exact-side query. One left equi-join on the
+    * bounded (queries×k) frames + one hash aggregate — never corpus-
+    * sized. */
+  def rankingRecall(exact: DataFrame, approx: DataFrame, queryCol: String,
+      itemCol: String): DataFrame =
+    exact.select(col(queryCol), col(itemCol))
+      .join(approx.select(col(queryCol), col(itemCol))
+        .withColumn("__hit", lit(1L)), Seq(queryCol, itemCol), "left")
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"),
+          6))
+      .orderBy(queryCol)
 
   /** Pseudo-relevance-feedback query expansion over the postings index —
     * the Rocchio/RM-family two-pass retrieval loop of search-side

@@ -1110,4 +1110,226 @@ object Stats {
           .as("ece"))
       .orderBy("bin")
   }
+
+  /** Operating-point selection for a binary scorer: sweep every distinct
+    * score value as a "predict positive when score ≥ v" threshold and
+    * return the F1-optimal row with its full confusion matrix and the
+    * derived metrics (precision, recall, F1, accuracy, MCC) — the number
+    * a curation pipeline actually deploys after [[binaryAuc]] says the
+    * ranking is good.
+    *
+    * Tie-robust by construction: thresholds live on the DISTINCT-score
+    * frame (tied scores cross the boundary together), and F1 ties between
+    * thresholds break on the larger threshold (the stricter classifier).
+    *
+    * Scale shape: corpus → one hash groupBy onto the distinct-score
+    * frame; cumulative TP via [[Indexing.globalPrefixSums]] (descending —
+    * parallel even when every score is distinct); the argmax is a global
+    * top-1 (TakeOrderedAndProject — per-partition partial, never a full
+    * sort). Every confusion count is exact integer; the metric doubles
+    * are single fixed-order divisions of those integers, so the gate is
+    * exact. MCC's denominator multiplies four ≤n factors as doubles
+    * (sqrt once); the numerator stays DECIMAL(38,0). */
+  def bestThreshold(df: DataFrame, scoreCol: String,
+      label: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pv = df
+      .groupBy(col(scoreCol).as("__v"))
+      .agg(sum(when(label, 1L).otherwise(0L)).as("__cp"),
+        count(lit(1)).as("__c"))
+    val pre = Indexing.globalPrefixSums(pv, Nil,
+      Seq(col("__v").desc), Seq("__cp", "__c"))
+    val tot = pre.agg(sum(col("__cp")).as("__n1"),
+      (sum(col("__c")) - sum(col("__cp"))).as("__n0"))
+    val cm = pre.crossJoin(broadcast(tot))
+      .select(col("__v"),
+        (col("__cp_excl") + col("__cp")).as("tp"),
+        ((col("__c_excl") + col("__c")) -
+          (col("__cp_excl") + col("__cp"))).as("fp"),
+        col("__n1"), col("__n0"))
+      .withColumn("fn", col("__n1") - col("tp"))
+      .withColumn("tn", col("__n0") - col("fp"))
+      // ≥1 row is predicted positive at every distinct-score threshold,
+      // so 2·tp + fp + fn ≥ 1 and F1 is always defined
+      .withColumn("f1",
+        (lit(2.0) * col("tp").cast("double")) /
+          (lit(2.0) * col("tp").cast("double") +
+            col("fp").cast("double") + col("fn").cast("double")))
+    cm.orderBy(desc("f1"), desc("__v")).limit(1)
+      .select(col("__v").as("threshold"), col("tp"), col("fp"),
+        col("tn"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+        when(col("__n1") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") /
+            col("__n1").cast("double"), 6)).as("recall"),
+        round(col("f1"), 6).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("__n1") + col("__n0")).cast("double"), 6).as("accuracy"),
+        when((col("tp") + col("fp")) === 0 || (col("__n1")) === 0 ||
+            (col("tn") + col("fn")) === 0 || (col("__n0")) === 0, lit(null))
+          .otherwise(round(
+            (dec(col("tp")) * dec(col("tn")) -
+              dec(col("fp")) * dec(col("fn"))).cast("double") /
+            sqrt((col("tp") + col("fp")).cast("double") *
+              col("__n1").cast("double") *
+              (col("tn") + col("fn")).cast("double") *
+              col("__n0").cast("double")), 6)).as("mcc"))
+  }
+
+  /** Histogram-binning recalibration (the "apply" side of
+    * [[calibration]]'s diagnosis): learn per-bin empirical positive rates
+    * on a held-out CALIBRATION split, map the TARGET split's predicted
+    * probabilities to their bin's empirical rate, and report the per-bin
+    * mapping next to the corpus-level Brier score before vs after — the
+    * one-number answer to "did recalibration help".
+    *
+    * Bins the target never saw in calibration back off to the global
+    * calibration positive rate (the prior) rather than poisoning the
+    * sum with nulls.
+    *
+    * Scale shape: both splits collapse through ONE hash groupBy each
+    * (map-side combine, ≤ `bins` result rows); the mapping and the
+    * global rate are broadcast back onto the target; Brier terms are
+    * per-row doubles DECIMAL-quantized before the order-free sum. The
+    * corpus totals ride an unbounded window over the ≤`bins`-row frame. */
+  def recalibrate(target: DataFrame, calib: DataFrame, prob: Column,
+      label: Column, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    def binned(df: DataFrame) = df
+      .select(prob.cast("double").as("__p"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .withColumn("bin",
+        least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
+    val calAgg = binned(calib).groupBy("bin")
+      .agg(count(lit(1)).as("n_cal"), sum(col("__y")).as("__pos_cal"))
+      .withColumn("rate_cal",
+        col("__pos_cal").cast("double") / col("n_cal").cast("double"))
+      .select("bin", "n_cal", "rate_cal")
+    val calGlobal = binned(calib)
+      .agg((sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
+        .as("__gr"))
+    val sq = (c: Column) => (c * c).cast("decimal(28,18)")
+    val tgt = binned(target)
+      .join(broadcast(calAgg), Seq("bin"), "left")
+      .crossJoin(broadcast(calGlobal))
+      .withColumn("__pc", coalesce(col("rate_cal"), col("__gr")))
+    val perBin = tgt.groupBy("bin").agg(
+      coalesce(max(col("n_cal")), lit(0L)).as("n_cal"),
+      max(col("rate_cal")).as("__rc"),
+      count(lit(1)).as("n_tgt"),
+      sum(col("__y")).as("pos_tgt"),
+      sum(sq(col("__p") - col("__y").cast("double"))).as("__sbr"),
+      sum(sq(col("__pc") - col("__y").cast("double"))).as("__sbc"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perBin.select(col("bin"), col("n_cal"),
+        round(col("__rc"), 6).as("rate_cal"),
+        col("n_tgt"), col("pos_tgt"),
+        round(col("pos_tgt").cast("double") / col("n_tgt").cast("double"), 6)
+          .as("rate_tgt"),
+        round(sum(col("__sbr")).over(wAll).cast("double") /
+          sum(col("n_tgt")).over(wAll).cast("double"), 6).as("brier_raw"),
+        round(sum(col("__sbc")).over(wAll).cast("double") /
+          sum(col("n_tgt")).over(wAll).cast("double"), 6).as("brier_cal"))
+      .orderBy("bin")
+  }
+
+  /** Spearman rank correlation between two scorers over the same corpus —
+    * the monotone-agreement check that survives outliers and nonlinear
+    * scales (does the cheap heuristic rank documents the way the
+    * expensive model does?). Ties get average ranks (the standard
+    * tie-corrected form), so the statistic is deterministic without any
+    * within-tie order.
+    *
+    * Exactness: the average rank of a tied group is (2·|smaller| + c + 1)/2
+    * — half-integer, so DOUBLED ranks (2s + c + 1) stay exact Longs and
+    * Pearson is scale-invariant, so ρ(2Rₐ, 2R_b) = ρ(Rₐ, R_b). All five
+    * moments accumulate as exact DECIMAL(38,0) sums; the closed form runs
+    * ONCE in double in a fixed operation order (the corr-matrix
+    * discipline), so the gate is exact.
+    *
+    * Scale shape: per-column rank maps come from the distinct-value frame
+    * + [[Indexing.globalPrefixSums]] (no single-partition window even
+    * for continuous scores); rows join their two rank maps on value
+    * (hash equi-joins), then ONE aggregate. */
+  def spearmanRho(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    def rank2(c: String, out: String) = {
+      val pv = base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c"))
+      Indexing.globalPrefixSums(pv, Nil, Seq(col("__v")), Seq("__c"))
+        .select(col("__v").as(c),
+          (lit(2L) * col("__c_excl") + col("__c") + lit(1L)).as(out))
+    }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ranked = base
+      .join(rank2("__a", "__ra"), "__a")
+      .join(rank2("__b", "__rb"), "__b")
+    ranked.agg(count(lit(1)).as("__n"),
+        sum(dec(col("__ra"))).as("__sa"), sum(dec(col("__rb"))).as("__sb"),
+        sum(dec(col("__ra")) * dec(col("__ra"))).as("__saa"),
+        sum(dec(col("__rb")) * dec(col("__rb"))).as("__sbb"),
+        sum(dec(col("__ra")) * dec(col("__rb"))).as("__sab"))
+      .select(col("__n").as("n"),
+        when(col("__n") === 0, lit(null)).otherwise(round(
+          (col("__n").cast("double") * col("__sab").cast("double") -
+            col("__sa").cast("double") * col("__sb").cast("double")) /
+          (sqrt(col("__n").cast("double") * col("__saa").cast("double") -
+              col("__sa").cast("double") * col("__sa").cast("double")) *
+            sqrt(col("__n").cast("double") * col("__sbb").cast("double") -
+              col("__sb").cast("double") * col("__sb").cast("double"))), 6))
+          .as("rho"))
+  }
+
+  /** Population stability index of a score column, every group vs a named
+    * baseline group — the drift monitor a scoring pipeline runs per
+    * source/day before trusting a model trained on the baseline mix
+    * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted — the standard
+    * credit-scoring reading).
+    *
+    * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over equal-width bins of
+    * [lo, hi) (out-of-range values clamp to the edge bins), with
+    * Laplace-smoothed shares (n_i + 1)/(N + bins) so empty bins
+    * contribute finite, symmetric mass instead of ±∞.
+    *
+    * Scale shape: ONE hash groupBy of (group, bin) with map-side combine
+    * collapses the corpus to ≤ |groups|·bins rows; the full bin grid is
+    * rebuilt by exploding a `bins`-element sequence per group (zero-count
+    * bins materialized); the baseline column broadcasts back onto every
+    * group. ln terms are per-bin doubles DECIMAL-quantized before the
+    * order-free sum (the BM25-idf discipline). */
+  def psiByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      baseline: String, bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val binExpr = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) /
+        lit((hi - lo)) * bins), lit(0L)), lit(bins - 1L)).cast("long")
+    val counts = df.groupBy(col(groupCol).as("__g"), binExpr.as("bin"))
+      .agg(count(lit(1)).as("__c"))
+    // full (group, bin) grid so zero-count bins carry their Laplace mass
+    val grid = counts.select(col("__g")).distinct()
+      .select(col("__g"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val full = grid.join(counts, Seq("__g", "bin"), "left")
+      .select(col("__g"), col("bin"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = full.groupBy("__g").agg(sum(col("__c")).as("__n"))
+    val share = full.join(broadcast(tot), "__g")
+      .select(col("__g"), col("bin"), col("__n"),
+        ((col("__c") + lit(1L)).cast("double") /
+          (col("__n") + lit(bins.toLong)).cast("double")).as("__s"))
+    val base = share.filter(col("__g") === baseline)
+      .select(col("bin"), col("__s").as("__q"))
+    share.filter(col("__g") =!= baseline)
+      .join(broadcast(base), "bin")
+      .withColumn("__term",
+        ((col("__s") - col("__q")) * log(col("__s") / col("__q")))
+          .cast("decimal(28,18)"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n")).as("n"),
+        round(sum(col("__term")).cast("double"), 6).as("psi"))
+      .orderBy(groupCol)
+  }
 }

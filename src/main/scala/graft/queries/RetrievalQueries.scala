@@ -334,6 +334,118 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Champion-list (impact-ordered) approximate BM25: per-token top-8
+  // impact lists materialized from the postings index, the 5 queries
+  // served ENTIRELY from that bounded table (sum of champion impacts;
+  // terms whose list misses a doc contribute nothing — the documented
+  // IIR §7.1.3 approximation). The oracle replays tokenize → tf/dl/df →
+  // the quantized impact → the per-token top-8 window (impact DESC, doc
+  // tie-break) → the champion-only score sum → the id-tiebroken rank.
+  private val x217 = Q("x217_champion_topk", Some(
+    s"""WITH ct AS (
+       |  SELECT doc_id AS doc, u.w AS token
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE doc_id >= 5),
+       |    unnest(ws) AS u(w)),
+       |tf AS (SELECT doc, token, count(*) AS tf FROM ct GROUP BY 1, 2),
+       |tfdl AS (
+       |  SELECT doc, token, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |stats AS (
+       |  SELECT count(*) AS n_corpus,
+       |    CAST(sum(len($WORDS)) AS BIGINT) AS total_dl
+       |  FROM documents WHERE doc_id >= 5),
+       |imp AS (
+       |  SELECT tfdl.token, tfdl.doc,
+       |    CAST(ln(1.0::DOUBLE +
+       |        (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5::DOUBLE)
+       |        / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+       |      * (CAST(tf AS DOUBLE) * 2.2::DOUBLE)
+       |      / (CAST(tf AS DOUBLE) + 1.2::DOUBLE *
+       |          (0.25::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+       |            / (CAST(total_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+       |      AS DECIMAL(28,18)) AS impact
+       |  FROM tfdl JOIN dfq USING (token), stats),
+       |champ AS (
+       |  SELECT token, doc, impact,
+       |    row_number() OVER (PARTITION BY token
+       |      ORDER BY impact DESC, doc) AS r
+       |  FROM imp QUALIFY r <= 8),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, u.w AS token
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
+       |        WHERE doc_id < 5), unnest(ws) AS u(w)),
+       |scored AS (
+       |  SELECT query_id, doc, sum(impact) AS s,
+       |    CAST(count(*) AS BIGINT) AS matched_terms
+       |  FROM champ JOIN qt USING (token) GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc AS doc_id, round(CAST(s AS DOUBLE), 4) AS score,
+       |    matched_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc) AS INT) AS rank
+       |  FROM scored QUALIFY rank <= 5)
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x217_postings")
+      Retrieval.buildChampionLists(s, "graft_x217_postings", topN = 8)
+      Retrieval.championTopK(s, "graft_x217_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // The honesty gate for champion-list pruning: per-query recall@5 of the
+  // champion ranking against exact indexed BM25 on the same index. The
+  // oracle replays BOTH pipelines (they share the tokenize/tf/df/stats
+  // CTEs) plus the left-join recall aggregate — integer hit counts, one
+  // double division.
+  private val x218 = Q("x218_champion_recall", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)},
+       |imp AS (
+       |  SELECT tfdl.token, tfdl.doc,
+       |    CAST(ln(1.0::DOUBLE +
+       |        (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5::DOUBLE)
+       |        / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
+       |      * (CAST(tf AS DOUBLE) * 2.2::DOUBLE)
+       |      / (CAST(tf AS DOUBLE) + 1.2::DOUBLE *
+       |          (0.25::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE)
+       |            / (CAST(total_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
+       |      AS DECIMAL(28,18)) AS impact
+       |  FROM tfdl JOIN dfq USING (token), stats),
+       |champ AS (
+       |  SELECT token, doc, impact,
+       |    row_number() OVER (PARTITION BY token
+       |      ORDER BY impact DESC, doc) AS r
+       |  FROM imp QUALIFY r <= 8),
+       |cscored AS (
+       |  SELECT query_id, doc, sum(impact) AS s
+       |  FROM champ JOIN qt USING (token) GROUP BY 1, 2),
+       |cranked AS (
+       |  SELECT query_id, doc AS doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, doc) AS rank
+       |  FROM cscored QUALIFY rank <= 5)
+       |SELECT r.query_id AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM ranked r LEFT JOIN cranked c
+       |  ON c.query_id = r.query_id AND c.doc_id = r.doc_id
+       |GROUP BY r.query_id ORDER BY query_id""".stripMargin)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+      "text", "graft_x218_postings")
+    Retrieval.buildChampionLists(s, "graft_x218_postings", topN = 8)
+    val q5 = d.filter(col("doc_id") < 5)
+    val exact = Retrieval.bm25TopKIndexed(s, "graft_x218_postings", q5,
+      "doc_id", "text", k = 5)
+    val approx = Retrieval.championTopK(s, "graft_x218_postings", q5,
+      "doc_id", "text", k = 5)
+    Retrieval.rankingRecall(exact, approx, "query_id", "doc_id")
+  }
+
   // Pseudo-relevance-feedback expansion over the postings index: pass 1
   // BM25 top-3 picks feedback docs, the 5 most frequent feedback terms
   // not already in the query (integer Σtf ranking, token tie-break) join
@@ -488,5 +600,5 @@ object RetrievalQueries {
   }
 
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
-    x207, x209)
+    x207, x209, x217, x218)
 }

@@ -992,7 +992,192 @@ object StatsQueries {
       "embedding")
   }
 
+  // Operating-point selection: sweep every distinct score as a
+  // "positive when score ≥ v" threshold, return the F1-optimal row with
+  // the full confusion matrix + precision/recall/F1/accuracy/MCC.
+  // Integer confusion counts from the descending prefix sums; metric
+  // doubles are single fixed-order divisions, the argmax breaks F1 ties
+  // on the larger (stricter) threshold — the oracle replays all of it.
+  private val x213 = Q("x213_best_threshold", Some(
+    s"""WITH f AS (
+       |  SELECT n_chars AS v,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |pv AS (SELECT v, sum(y) AS cp, count(*) AS c FROM f GROUP BY v),
+       |cum AS (SELECT v,
+       |    sum(cp) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    sum(c - cp) OVER (ORDER BY v DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+       |    sum(cp) OVER () AS n1, sum(c - cp) OVER () AS n0
+       |  FROM pv),
+       |m AS (SELECT v, tp, fp, n1 - tp AS fn, n0 - fp AS tn, n1, n0,
+       |    2.0 * CAST(tp AS DOUBLE)
+       |      / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+       |        + CAST(n1 - tp AS DOUBLE)) AS f1
+       |  FROM cum)
+       |SELECT v AS threshold, CAST(tp AS BIGINT) AS tp,
+       |  CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+       |    AS "precision",
+       |  round(CAST(tp AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS recall,
+       |  round(f1, 6) AS f1,
+       |  round(CAST(tp + tn AS DOUBLE) / CAST(n1 + n0 AS DOUBLE), 6)
+       |    AS accuracy,
+       |  round(CAST(tp * tn - fp * fn AS DOUBLE)
+       |    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(n1 AS DOUBLE)
+       |      * CAST(tn + fn AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS mcc
+       |FROM m ORDER BY f1 DESC, v DESC LIMIT 1""".stripMargin)) {
+    (s, dir) =>
+      Stats.bestThreshold(t(s, dir, "documents"), "n_chars",
+        array_contains(graft.operators.Dedup.words(col("text")), "dup"))
+  }
+
+  // Histogram-binning recalibration: per-bin empirical rates learned on
+  // the doc_id%4=0 calibration split, applied to the rest; corpus Brier
+  // before vs after rides along. The rational p = n/(n+150) squash keeps
+  // bin assignment libm-free (the x187 discipline); Brier terms are
+  // per-row DECIMAL-quantized.
+  private val x214 = Q("x214_recalibrate", Some(
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(n_chars AS DOUBLE)
+       |      / (CAST(n_chars AS DOUBLE) + 150.0) AS p,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |cb AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y
+       |       FROM f WHERE doc_id % 4 = 0),
+       |tb AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y
+       |       FROM f WHERE doc_id % 4 != 0),
+       |cr AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cal,
+       |        CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate_cal
+       |       FROM cb GROUP BY bin),
+       |cg AS (SELECT CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gr
+       |       FROM cb),
+       |tj AS (SELECT t.bin, t.p, t.y, cr.n_cal, cr.rate_cal,
+       |        coalesce(cr.rate_cal, cg.gr) AS pc
+       |       FROM tb t LEFT JOIN cr USING (bin), cg),
+       |pb AS (SELECT bin, coalesce(max(n_cal), 0) AS n_cal,
+       |        max(rate_cal) AS rc, CAST(count(*) AS BIGINT) AS n_tgt,
+       |        CAST(sum(y) AS BIGINT) AS pos_tgt,
+       |        sum(CAST((p - y) * (p - y) AS DECIMAL(28,18))) AS sbr,
+       |        sum(CAST((pc - y) * (pc - y) AS DECIMAL(28,18))) AS sbc
+       |       FROM tj GROUP BY bin),
+       |tt AS (SELECT sum(sbr) AS tbr, sum(sbc) AS tbc, sum(n_tgt) AS nn
+       |       FROM pb)
+       |SELECT bin, n_cal, round(rc, 6) AS rate_cal, n_tgt, pos_tgt,
+       |  round(CAST(pos_tgt AS DOUBLE) / CAST(n_tgt AS DOUBLE), 6)
+       |    AS rate_tgt,
+       |  round(CAST(tbr AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS brier_raw,
+       |  round(CAST(tbc AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS brier_cal
+       |FROM pb, tt ORDER BY bin""".stripMargin)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val prob = col("n_chars").cast("double") /
+      (col("n_chars").cast("double") + lit(150.0))
+    val label = array_contains(graft.operators.Dedup.words(col("text")),
+      "dup")
+    Stats.recalibrate(docs.filter(col("doc_id") % 4 =!= 0),
+      docs.filter(col("doc_id") % 4 === 0), prob, label, bins = 10)
+  }
+
+  // Spearman ρ between the char-length and token-count scorers —
+  // tie-corrected average ranks via DOUBLED ranks (2s+c+1, exact Longs),
+  // five exact DECIMAL moments, ONE closed-form double pass. The oracle
+  // replays the distinct-value rank maps, the rank joins, and the fixed
+  // operation order.
+  private val x215 = Q("x215_spearman_rho", Some(
+    s"""WITH f AS (SELECT n_chars AS a, len($WORDS) AS b FROM documents),
+       |pa AS (SELECT a AS v, count(*) AS c FROM f GROUP BY a),
+       |qa AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+       |    AS r FROM pa),
+       |pb AS (SELECT b AS v, count(*) AS c FROM f GROUP BY b),
+       |qb AS (SELECT v, 2 * coalesce(sum(c) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+       |    AS r FROM pb),
+       |j AS (SELECT qa.r AS ra, qb.r AS rb
+       |      FROM f JOIN qa ON f.a = qa.v JOIN qb ON f.b = qb.v),
+       |m AS (SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+       |        sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+       |        sum(ra * rb) AS sab
+       |      FROM j)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+       |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+       |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+       |      * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+       |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS rho
+       |FROM m""".stripMargin)) { (s, dir) =>
+    Stats.spearmanRho(
+      t(s, dir, "documents").select(col("n_chars"),
+        size(graft.operators.Dedup.words(col("text"))).cast("long")
+          .as("n_tok")),
+      "n_chars", "n_tok")
+  }
+
+  // PSI drift of the doc-length distribution, every source vs the src0
+  // baseline: equal-width bins over [0, 600), Laplace-smoothed shares so
+  // zero bins carry finite symmetric mass, ln terms DECIMAL-quantized
+  // pre-sum. The oracle replays the clamp, the materialized zero-count
+  // grid, the smoothing, and the quantization.
+  private val x216 = Q("x216_psi_drift", Some(
+    """WITH b AS (SELECT source AS g,
+      |    CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0)
+      |      / 600.0 * 12), 0), 11) AS BIGINT) AS bin
+      |  FROM documents),
+      |cnt AS (SELECT g, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      |grid AS (SELECT g, r.range AS bin
+      |         FROM (SELECT DISTINCT g FROM cnt), range(0, 12) r),
+      |fl AS (SELECT grid.g, grid.bin, coalesce(cnt.c, 0) AS c
+      |       FROM grid LEFT JOIN cnt USING (g, bin)),
+      |tot AS (SELECT g, sum(c) AS n FROM fl GROUP BY g),
+      |sh AS (SELECT fl.g, fl.bin, tot.n,
+      |        CAST(c + 1 AS DOUBLE) / CAST(n + 12 AS DOUBLE) AS s
+      |       FROM fl JOIN tot USING (g)),
+      |base AS (SELECT bin, s AS q FROM sh WHERE g = 'src0'),
+      |tm AS (SELECT g, n,
+      |        CAST((s - q) * ln(s / q) AS DECIMAL(28,18)) AS term
+      |       FROM sh JOIN base USING (bin) WHERE g <> 'src0')
+      |SELECT g AS source, CAST(max(n) AS BIGINT) AS n,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+      |FROM tm GROUP BY g ORDER BY source""".stripMargin)) { (s, dir) =>
+    Stats.psiByGroup(t(s, dir, "documents"), "source", "n_chars",
+      baseline = "src0", bins = 12, lo = 0.0, hi = 600.0)
+  }
+
+  // Vocabulary coverage curve (tokenizer sizing): corpus token mass
+  // covered by the top-V frequency-ranked vocabulary at V ∈ {4, 8, 16,
+  // 32} (the fixture vocabulary is 31 tokens, so the curve saturates at
+  // the last step). Ranking is frequency-desc with token tie-break
+  // (unique tuple — deterministic cross-engine); masses are exact
+  // integer sums.
+  private val x219 = Q("x219_vocab_coverage", Some(
+    s"""WITH tk AS (
+       |  SELECT u.w AS token
+       |  FROM (SELECT $WORDS AS ws FROM documents), unnest(ws) AS u(w)),
+       |fr AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+       |rk AS (SELECT token, cnt,
+       |        row_number() OVER (ORDER BY cnt DESC, token) AS r
+       |       FROM fr),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |         CAST(count(*) AS BIGINT) AS nv
+       |        FROM fr),
+       |sz AS (SELECT unnest([4, 8, 16, 32]) AS vocab_size),
+       |cov AS (SELECT vocab_size, CAST(sum(cnt) AS BIGINT) AS covered
+       |        FROM rk JOIN sz ON rk.r <= sz.vocab_size
+       |        GROUP BY vocab_size)
+       |SELECT CAST(vocab_size AS BIGINT) AS vocab_size, nv AS n_vocab,
+       |  total AS total_tokens, covered,
+       |  round(CAST(covered AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       |    AS coverage
+       |FROM cov, tot ORDER BY vocab_size""".stripMargin)) { (s, dir) =>
+    graft.functions.TextAnalysis.vocabCoverage(t(s, dir, "documents"),
+      "text", Seq(4, 8, 16, 32))
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
-    x142, x143, x146, x186, x187, x192, x193, x196, x200, x205)
+    x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
+    x214, x215, x216, x219)
 }

@@ -619,8 +619,13 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("scorer evals (AP, gains) keep every window partitioned too") {
+    // x213/x215/x219 joined the family in round 9: best-threshold sweep,
+    // Spearman rank maps, and vocab-coverage ranking all run on
+    // distinct-value frames that are corpus-sized for continuous inputs —
+    // same prefix-sum rule, same bounded-window exceptions
     for (name <- Seq("x192_avg_precision", "x193_gains_table",
-        "x196_auc_by_source")) {
+        "x196_auc_by_source", "x213_best_threshold", "x215_spearman_rho",
+        "x219_vocab_coverage")) {
       val p = plan(name)
       // ungrouped windows are allowed ONLY over frames bounded by
       // construction: the ≤|partitions|-row offsets cumsum (ordered by

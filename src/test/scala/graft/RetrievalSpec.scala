@@ -237,6 +237,58 @@ class RetrievalSpec extends SparkSpec {
     assert(score("graft_test_app").nonEmpty)
   }
 
+  test("champion lists: uncapped topN reproduces exact indexed BM25; " +
+    "topN=1 keeps only the max-impact doc per token; serving plan " +
+    "never touches the postings table") {
+    val queries = Seq((1L, "apple banana"), (2L, "cherry dog"))
+      .toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_test_champ_ix", buckets = 4)
+    // topN beyond every postings-list length → champion scoring is EXACT
+    Retrieval.buildChampionLists(spark, "graft_test_champ_ix", topN = 100)
+    val exact = Retrieval.bm25TopKIndexed(spark, "graft_test_champ_ix",
+      queries, "doc_id", "text", k = 3).orderBy("query_id", "rank").collect()
+    val full = Retrieval.championTopK(spark, "graft_test_champ_ix",
+      queries, "doc_id", "text", k = 3).orderBy("query_id", "rank").collect()
+    assert(exact.length == full.length && exact.nonEmpty)
+    exact.zip(full).foreach { case (e, c) => assert(e == c) }
+    // the serving plan reads ONLY the bounded _champ table — the
+    // corpus-sized postings (and _tok/_stats) appear nowhere in it
+    val plan = Retrieval.championTopK(spark, "graft_test_champ_ix",
+      queries, "doc_id", "text", k = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_test_champ_ix_champ"))
+    assert(!plan.replace("graft_test_champ_ix_champ", "")
+      .contains("graft_test_champ_ix"))
+    // topN=1: exactly one champion per token — tf saturation picks the
+    // 8×-spam doc 11 for 'apple' over doc 10's tf=2 (impact, not tf/dl
+    // heuristics), and the short doc 13 for 'banana' over the longer 10
+    Retrieval.buildChampionLists(spark, "graft_test_champ_ix", topN = 1)
+    val champ = spark.table("graft_test_champ_ix_champ").collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("doc")).toMap
+    assert(spark.table("graft_test_champ_ix_champ")
+      .groupBy("token").count().collect().forall(_.getLong(1) == 1L))
+    assert(champ("apple") == 11L && champ("banana") == 13L)
+    // the approximation is visible: doc 10 matches BOTH query-1 terms
+    // but is nobody's champion at topN=1, so it cannot be retrieved
+    val k1 = Retrieval.championTopK(spark, "graft_test_champ_ix",
+      queries.filter($"doc_id" === 1L), "doc_id", "text", k = 5).collect()
+    assert(k1.map(_.getAs[Long]("doc_id")).toSet == Set(11L, 13L))
+  }
+
+  test("rankingRecall: per-query hit fractions; a query the approximation " +
+    "never returns scores recall 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("query_id", "doc_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L))
+      .toDF("query_id", "doc_id")
+    val r = Retrieval.rankingRecall(exact, approx, "query_id", "doc_id")
+      .collect()
+    assert(r.map(x => (x.getLong(0), x.getAs[Long]("n_exact"),
+      x.getAs[Long]("n_hit"), x.getAs[Double]("recall"))).toSeq ==
+      Seq((1L, 3L, 2L, 0.666667), (2L, 1L, 0L, 0.0)))
+  }
+
   test("phraseTopK: adjacency and order required; occurrences counted; " +
     "phrases normalize like document tokens") {
     val docs = Seq(

@@ -647,4 +647,76 @@ class StatsSpec extends SparkSpec {
     assert(b.getAs[Double]("gap") == 0.9)
     assert(b.getAs[Double]("ece") == 0.9)
   }
+
+  test("bestThreshold: picks the F1-optimal cut with the hand confusion " +
+    "matrix; perfect scorer reaches f1=1 at the boundary") {
+    // thresholds desc: v=5 f1=.5, v=4 f1=.8, v=3 f1=2/3, v=2 f1=6/7, v=1 f1=.75
+    val df = Seq((5L, 1), (4L, 1), (3L, 0), (2L, 1), (1L, 0))
+      .toDF("score", "y")
+    val r = Stats.bestThreshold(df, "score", $"y" === 1).head()
+    assert(r.getAs[Long]("threshold") == 2L)
+    assert(r.getAs[Long]("tp") == 3L && r.getAs[Long]("fp") == 1L)
+    assert(r.getAs[Long]("tn") == 1L && r.getAs[Long]("fn") == 0L)
+    assert(r.getAs[Double]("precision") == 0.75)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("f1") == 0.857143)
+    assert(r.getAs[Double]("accuracy") == 0.8)
+    // mcc = (3·1 − 1·0)/sqrt(4·3·2·1) = 3/sqrt(24)
+    assert(r.getAs[Double]("mcc") == math.rint(3.0 / math.sqrt(24.0) * 1e6) / 1e6)
+
+    val perfect = Seq((9L, 1), (8L, 1), (2L, 0), (1L, 0)).toDF("score", "y")
+    val p = Stats.bestThreshold(perfect, "score", $"y" === 1).head()
+    assert(p.getAs[Long]("threshold") == 8L)
+    assert(p.getAs[Double]("f1") == 1.0 && p.getAs[Double]("mcc") == 1.0)
+  }
+
+  test("recalibrate: per-bin empirical rates replace raw probs; unseen " +
+    "bins back off to the global calibration rate; Brier before/after") {
+    val calib = Seq((0.1, 0), (0.3, 1), (0.3, 0), (0.6, 1)).toDF("p", "y")
+    val target = Seq((0.1, 0), (0.35, 1), (0.9, 1)).toDF("p", "y")
+    val out = Stats.recalibrate(target, calib, $"p", $"y" === 1, bins = 4)
+      .collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 3L))
+    val byBin = out.map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(byBin(0L).getAs[Long]("n_cal") == 1L)
+    assert(byBin(0L).getAs[Double]("rate_cal") == 0.0)
+    assert(byBin(1L).getAs[Double]("rate_cal") == 0.5)
+    // bin 3 never seen in calibration → n_cal 0, null mapping, backoff 0.5
+    assert(byBin(3L).getAs[Long]("n_cal") == 0L)
+    assert(byBin(3L).isNullAt(byBin(3L).fieldIndex("rate_cal")))
+    assert(byBin(3L).getAs[Double]("rate_tgt") == 1.0)
+    // brier_raw = (0.01 + 0.4225 + 0.01)/3; brier_cal = (0 + .25 + .25)/3
+    assert(out.head.getAs[Double]("brier_raw") == 0.1475)
+    assert(out.head.getAs[Double]("brier_cal") == 0.166667)
+  }
+
+  test("spearmanRho: monotone nonlinear = 1, reversed = -1, tie-corrected " +
+    "hand case") {
+    val mono = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L)).toDF("a", "b")
+    assert(Stats.spearmanRho(mono, "a", "b").head().getAs[Double]("rho") == 1.0)
+    val rev = Seq((1L, 16L), (2L, 9L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    assert(Stats.spearmanRho(rev, "a", "b").head().getAs[Double]("rho") == -1.0)
+    // ties in a: doubled ranks a=(3,3,6), b=(2,4,6) → ρ = 18/sqrt(18·24)
+    val tied = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("a", "b")
+    val r = Stats.spearmanRho(tied, "a", "b").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("rho") ==
+      math.rint(18.0 / math.sqrt(18.0 * 24.0) * 1e6) / 1e6)
+  }
+
+  test("psiByGroup: identical distribution scores 0; a fully shifted " +
+    "group scores the closed-form smoothed mass") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0),
+      ("c", 101.0), ("c", 102.0), ("c", 103.0)).toDF("g", "v")
+    val out = Stats.psiByGroup(rows, "g", "v", baseline = "a",
+      bins = 2, lo = 0.0, hi = 200.0).collect()
+    assert(out.map(_.getAs[String]("g")).toSeq == Seq("b", "c"))
+    val byG = out.map(r => r.getAs[String]("g") -> r).toMap
+    assert(byG("b").getAs[Double]("psi") == 0.0)
+    // shares a = (0.8, 0.2), c = (0.2, 0.8): psi = 2·0.6·ln(4)
+    assert(byG("c").getAs[Double]("psi") ==
+      math.rint(1.2 * math.log(4.0) * 1e6) / 1e6)
+    assert(byG("c").getAs[Long]("n") == 3L)
+  }
 }

@@ -640,4 +640,22 @@ class TrainingOpsSpec extends SparkSpec {
     // neighbors (labeled 0) and misses
     assert(byLabel(0L) == 3L && byLabel(1L) == 4L)
   }
+
+  test("vocabCoverage: frequency-ranked mass shares; ties rank by token; " +
+    "oversized V saturates at full coverage") {
+    // freq: a=3, b=2, c=2, d=1 (b/c tie → b first); total mass 8
+    val docs = Seq((1L, "a a a b b c"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", Seq(1, 2, 3, 9))
+      .collect()
+    assert(out.map(_.getAs[Long]("vocab_size")).toSeq == Seq(1L, 2L, 3L, 9L))
+    val byV = out.map(r => r.getAs[Long]("vocab_size") -> r).toMap
+    assert(out.forall(_.getAs[Long]("n_vocab") == 4L))
+    assert(out.forall(_.getAs[Long]("total_tokens") == 8L))
+    assert(byV(1L).getAs[Long]("covered") == 3L) // {a}
+    assert(byV(2L).getAs[Long]("covered") == 5L) // {a, b} — tie-break
+    assert(byV(3L).getAs[Long]("covered") == 7L) // {a, b, c}
+    assert(byV(9L).getAs[Long]("covered") == 8L)
+    assert(byV(9L).getAs[Double]("coverage") == 1.0)
+    assert(byV(2L).getAs[Double]("coverage") == 0.625)
+  }
 }
