@@ -1178,6 +1178,41 @@ object Stats {
               col("__n0").cast("double")), 6)).as("mcc"))
   }
 
+  /** Subsampling confidence band for [[binaryAuc]] — the "is 0.71 vs 0.69
+    * real" question answered without distributional assumptions: B
+    * deterministic half-sample replicates (doc kept in replicate b iff
+    * md5(id:b) is even — engine-reproducible, no RNG state), AUC per
+    * replicate, and the mean/min/max band across replicates. A scorer
+    * whose band straddles 0.5 is noise regardless of its point estimate.
+    *
+    * Scale shape: the explode multiplies the corpus by B (a small
+    * constant) but immediately collapses through [[binaryAucBy]]'s
+    * distinct-score hash aggregate keyed by (replicate, score) — every
+    * running CDF stays on the range-partitioned prefix-sum path, and the
+    * band aggregate runs over ≤B rows. Replicates that degenerate to a
+    * single class contribute null AUCs (skipped by the band, counted in
+    * n_replicates). */
+  def bootstrapAuc(df: DataFrame, idCol: String, scoreCol: String,
+      label: Column, replicates: Int = 8): DataFrame = {
+    require(replicates >= 2, "need at least 2 replicates")
+    val reps = df
+      .select(col(idCol).cast("string").as("__id"),
+        col(scoreCol).as("__v"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .withColumn("__b",
+        explode(sequence(lit(0L), lit(replicates - 1L))))
+      .filter(conv(substring(md5(concat_ws(":", col("__id"),
+        col("__b").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0)
+    val per = binaryAucBy(reps, "__b", "__v", col("__y") === 1)
+    per.agg(count(lit(1)).as("n_replicates"),
+        sum(col("auc").cast("decimal(28,18)")).as("__s"),
+        min(col("auc")).as("auc_min"), max(col("auc")).as("auc_max"))
+      .select(col("n_replicates"),
+        round(col("__s").cast("double") /
+          col("n_replicates").cast("double"), 6).as("auc_mean"),
+        col("auc_min"), col("auc_max"))
+  }
+
   /** Histogram-binning recalibration (the "apply" side of
     * [[calibration]]'s diagnosis): learn per-bin empirical positive rates
     * on a held-out CALIBRATION split, map the TARGET split's predicted

@@ -1176,8 +1176,45 @@ object StatsQueries {
       "text", Seq(4, 8, 16, 32))
   }
 
+  // Half-sample bootstrap band around the x186 AUC: 8 deterministic
+  // md5-gated replicates, tie-corrected rank AUC per replicate, and the
+  // mean/min/max across them. The oracle replays the md5 membership, the
+  // per-replicate rank sums (PARTITION BY replicate), and the
+  // decimal-quantized band mean.
+  private val x220 = Q("x220_bootstrap_auc", Some(
+    s"""WITH f AS (
+       |  SELECT doc_id AS id, n_chars AS v,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |r AS (SELECT t.b, f.v, f.y
+       |      FROM f, range(0, 8) t(b)
+       |      WHERE ('0x' || substring(md5(f.id::VARCHAR || ':'
+       |        || t.b::VARCHAR), 1, 8))::BIGINT % 2 = 0),
+       |pv AS (SELECT b, v, sum(y) AS cp, count(*) AS c FROM r
+       |       GROUP BY b, v),
+       |cum AS (SELECT b, cp, c,
+       |    coalesce(sum(c) OVER (PARTITION BY b ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |  FROM pv),
+       |m AS (SELECT b, sum(cp * (2 * s + c + 1)) AS r2, sum(cp) AS n1,
+       |        sum(c - cp) AS n0
+       |      FROM cum GROUP BY b),
+       |a AS (SELECT b, round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |        / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)
+       |        AS auc
+       |      FROM m)
+       |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       |  round(CAST(sum(CAST(auc AS DECIMAL(28,18))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS auc_mean,
+       |  min(auc) AS auc_min, max(auc) AS auc_max
+       |FROM a""".stripMargin)) { (s, dir) =>
+    Stats.bootstrapAuc(t(s, dir, "documents"), "doc_id", "n_chars",
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+      replicates = 8)
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
-    x214, x215, x216, x219)
+    x214, x215, x216, x219, x220)
 }

@@ -625,7 +625,7 @@ class PlanRegressionSpec extends SparkSpec {
     // same prefix-sum rule, same bounded-window exceptions
     for (name <- Seq("x192_avg_precision", "x193_gains_table",
         "x196_auc_by_source", "x213_best_threshold", "x215_spearman_rho",
-        "x219_vocab_coverage")) {
+        "x219_vocab_coverage", "x220_bootstrap_auc")) {
       val p = plan(name)
       // ungrouped windows are allowed ONLY over frames bounded by
       // construction: the ≤|partitions|-row offsets cumsum (ordered by

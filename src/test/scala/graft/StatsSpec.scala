@@ -704,6 +704,29 @@ class StatsSpec extends SparkSpec {
       math.rint(18.0 / math.sqrt(18.0 * 24.0) * 1e6) / 1e6)
   }
 
+  test("bootstrapAuc: perfect separation stays perfect in every " +
+    "half-sample replicate; band is ordered") {
+    // 100 high-score positives + 100 low-score negatives: any subsample
+    // containing both classes (certain at this size) has AUC 1
+    val df = ((1 to 100).map(i => (i.toLong, 1000L + i, 1)) ++
+      (101 to 200).map(i => (i.toLong, i.toLong, 0))).toDF("id", "score", "y")
+    val r = Stats.bootstrapAuc(df, "id", "score", $"y" === 1,
+      replicates = 8).head()
+    assert(r.getAs[Long]("n_replicates") == 8L)
+    assert(r.getAs[Double]("auc_mean") == 1.0)
+    assert(r.getAs[Double]("auc_min") == 1.0)
+    assert(r.getAs[Double]("auc_max") == 1.0)
+
+    // a noisy scorer: the band brackets the mean and stays in [0, 1]
+    val noisy = (1 to 200).map(i =>
+      (i.toLong, (i * 37 % 101).toLong, i % 3 == 0)).toDF("id", "score", "y")
+    val b = Stats.bootstrapAuc(noisy, "id", "score", $"y", 8).head()
+    assert(b.getAs[Double]("auc_min") <= b.getAs[Double]("auc_mean"))
+    assert(b.getAs[Double]("auc_mean") <= b.getAs[Double]("auc_max"))
+    assert(b.getAs[Double]("auc_min") >= 0.0 &&
+      b.getAs[Double]("auc_max") <= 1.0)
+  }
+
   test("psiByGroup: identical distribution scores 0; a fully shifted " +
     "group scores the closed-form smoothed mass") {
     val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
