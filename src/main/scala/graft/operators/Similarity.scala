@@ -867,6 +867,34 @@ object Similarity {
       .select(col("__id").as(idCol), col("cell"))
   }
 
+  /** One Lloyd refinement of a stored IVF index — the periodic
+    * maintenance step after [[appendToIvfIndex]] batches have drifted
+    * the cells: reassign EVERY indexed vector to its nearest current
+    * centroid ([[routeToNearestCell]] pointed at the index's own
+    * vectors), then rebuild the partitioned table, the exact-DECIMAL
+    * centroid state, and the broadcast centroid table from the new
+    * assignment. Appends stay cheap and incremental; refine is the
+    * deliberate corpus-rewrite that restores cell coherence (and with
+    * it probe recall) — the classic build-fast/refine-periodically
+    * split of IVF maintenance.
+    *
+    * Plan: one corpus scan × broadcast centroids → per-id top-1 window
+    * (WindowGroupLimit) → partitioned rewrite + the (cells×d)-row state
+    * aggregate. The eager localCheckpoints are REQUIRED, not a cache
+    * nicety: the rewrite overwrites the very table the assignment
+    * reads. */
+  def refineCells(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, cellCol: String, vecCol: String): Unit = {
+    val vecs = spark.table(table).select(col(idCol), col(vecCol))
+      .localCheckpoint(eager = true)
+    val refined = vecs
+      .join(routeToNearestCell(spark, table, vecs, idCol, vecCol)
+        .withColumnRenamed("cell", "__newcell"), idCol)
+      .select(col(idCol), col("__newcell").as(cellCol), col(vecCol))
+      .localCheckpoint(eager = true)
+    buildIvfIndex(refined, idCol, cellCol, vecCol, table)
+  }
+
   /** [[ivfTopK]] over a [[buildIvfIndex]] table: identical output (same
     * centroid ranking, probe set, and exact in-cell cosines — x183 gates
     * equality against the x6 oracle), but the centroid pass reads the

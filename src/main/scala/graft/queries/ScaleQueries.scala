@@ -234,6 +234,61 @@ object ScaleQueries {
       .orderBy("vec_id")
   }
 
+  // Periodic IVF maintenance: ONE Lloyd refinement of the stored index
+  // (every vector reassigned to its nearest current centroid, table +
+  // exact-DECIMAL state + centroid table rebuilt), then the standard
+  // probe. The oracle replays the label-seeded centroids, the x211
+  // argmax reassignment over the FULL corpus, the refined centroids,
+  // the top-3 probe, and the in-cell cosine top-k — cell ids and rank
+  // boundaries are integer/tie-broken, so the gate is exact.
+  private val x221 = Q("x221_ivf_refine", Some(
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |cent AS (
+      |  SELECT label AS cell, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |             CAST(embedding AS DOUBLE[]))) AS vn
+      |         FROM embeddings),
+      |sc AS (
+      |  SELECT a.vec_id, c.cell,
+      |    sum(c.cv * a.v[c.i]) / (sqrt(sum(c.cv * c.cv)) * a.vn) AS cs
+      |  FROM allv a CROSS JOIN cent c
+      |  GROUP BY a.vec_id, c.cell, a.vn),
+      |asg AS (SELECT vec_id, cell FROM sc
+      |        QUALIFY row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY cs DESC, cell) = 1),
+      |cent2 AS (
+      |  SELECT asg.cell, r.i, avg(e.embedding[r.i]::DOUBLE) AS cv
+      |  FROM embeddings e JOIN asg USING (vec_id)
+      |  CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY asg.cell, r.i),
+      |cscore AS (
+      |  SELECT cell,
+      |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+      |  FROM cent2, q GROUP BY cell),
+      |probe AS (SELECT cell FROM cscore ORDER BY cs DESC, cell LIMIT 3)
+      |SELECT e.vec_id,
+      |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+      |FROM embeddings e JOIN asg USING (vec_id), q
+      |WHERE asg.cell IN (SELECT cell FROM probe)
+      |ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+      |LIMIT 10""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_x221_ivf")
+    Similarity.refineCells(s, "graft_x221_ivf", "vec_id", "label",
+      "embedding")
+    Similarity.ivfTopKIndexed(s, "graft_x221_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   // Text analysis: language-ID + token counts + quality + fingerprint.
   private val x7 = Q("x7_text_analysis", Some {
     val markers = TextAnalysis.LangMarkers
@@ -1884,5 +1939,5 @@ object ScaleQueries {
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198, x210, x211)
+      x183, x198, x210, x211, x221)
 }

@@ -692,6 +692,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.forall(r => cellSet.contains(r.getAs[Long]("cell"))))
   }
 
+  test("refineCells: one Lloyd step reassigns a mislabeled vector; " +
+    "rebuilt state is bit-identical to a from-scratch build on the " +
+    "corrected assignment") {
+    val rows = Seq(
+      (1L, 0L, Seq(10.0, 0.0)), (2L, 0L, Seq(11.0, 0.0)),
+      (3L, 0L, Seq(10.0, 1.0)), (4L, 1L, Seq(0.0, 10.0)),
+      (5L, 1L, Seq(0.0, 11.0)), (6L, 1L, Seq(1.0, 10.0)),
+      (7L, 0L, Seq(0.0, 9.0))) // geometrically cluster 1, labeled 0
+    val df = rows.toDF("vec_id", "label", "embedding")
+    Similarity.buildIvfIndex(df, "vec_id", "label", "embedding",
+      "graft_test_ivf_ref")
+    Similarity.refineCells(spark, "graft_test_ivf_ref", "vec_id", "label",
+      "embedding")
+    val cells = spark.table("graft_test_ivf_ref")
+      .select($"vec_id", $"label".cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(7L) == 1L) // the mislabel moved to its geometric cell
+    assert(Seq(1L, 2L, 3L).forall(cells(_) == 0L))
+    assert(Seq(4L, 5L, 6L).forall(cells(_) == 1L))
+    // decimal state sums group identically under the corrected labels,
+    // so refine ≡ rebuild-on-corrected EXACTLY (state and centroids)
+    val corrected = df.withColumn("label",
+      when($"vec_id" === 7L, 1L).otherwise($"label"))
+    Similarity.buildIvfIndex(corrected, "vec_id", "label", "embedding",
+      "graft_test_ivf_ref2")
+    def state(t: String) = spark.table(t + "_cstate")
+      .orderBy("cell", "i").collect().toSeq
+    assert(state("graft_test_ivf_ref") == state("graft_test_ivf_ref2"))
+    def cents(t: String) = spark.table(t + "_centroids")
+      .orderBy("cell").collect().toSeq
+    assert(cents("graft_test_ivf_ref") == cents("graft_test_ivf_ref2"))
+  }
+
   test("labelNoiseAudit: a planted mislabel in a tight cluster is the top " +
     "suspect with full disagreement") {
     // 12 vectors in two tight clusters; vector 0 carries the WRONG label
