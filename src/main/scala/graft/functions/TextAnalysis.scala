@@ -562,6 +562,28 @@ object TextAnalysis {
           col("n_trigrams").cast("double")), 4).as("perplexity"))
   }
 
+  /** Tokenizer fertility per group — subwords emitted per whitespace word
+    * (the pre-tokenizer regex shape of [[subwordCount]] over
+    * [[tokenCount]]): the cross-language cost metric of a tokenizer. A
+    * language whose fertility is 2× the corpus mean pays 2× the context
+    * budget per sentence — the number that drives per-language vocab
+    * allocation. One hash aggregate with map-side combine (integer sums
+    * per group); ratios are single double divisions. */
+  def tokenizerFertility(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(subwordCount(col(textCol)).cast("long")).as("n_subwords"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_subwords"),
+        when(col("n_tokens") === 0, lit(null)).otherwise(
+          round(col("n_subwords").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("fertility"),
+        round(col("n_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("tokens_per_doc"))
+      .orderBy(groupCol)
+
   /** Vocabulary coverage curve — the tokenizer-sizing question "what share
     * of the corpus token mass does a top-V vocabulary cover" answered at
     * each candidate V: rank tokens by corpus frequency (descending, token

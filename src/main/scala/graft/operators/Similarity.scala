@@ -867,6 +867,56 @@ object Similarity {
       .select(col("__id").as(idCol), col("cell"))
   }
 
+  /** Greedy k-center (farthest-point) seed selection — the
+    * diversity-maximizing subset a labeling/eval budget wants: start
+    * from the lowest id, then repeatedly pick the vector FARTHEST
+    * (cosine distance) from everything selected so far. The classic
+    * 2-approximation to the k-center objective (Gonzalez 1985); as a
+    * training-data op it seeds diverse eval sets and active-learning
+    * batches where random sampling oversamples dense clusters.
+    *
+    * Determinism: seed 1 is the minimum id; every argmax breaks ties on
+    * the lowest id; already-selected ids are anti-joined out so exact
+    * duplicates can never re-pick a seed. Distances are plain double
+    * cosine (the x211 selection-tolerance argument: margins, not ULPs,
+    * decide picks; ties fall to the id).
+    *
+    * Scale shape: k iterations, each ONE corpus scan × a broadcast
+    * ≤k-row seed frame → per-id min → global top-1
+    * (TakeOrderedAndProject) → a 1-row join back for the vector. The
+    * seed frame is eagerly localCheckpoint'ed per step (flat lineage —
+    * the MMR/x176 2^N lesson); k is capped so the loop stays bounded. */
+  def kCenterSeeds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    val base = df.select(col(idCol).as("__id"), asDouble(col(vecCol))
+        .as("__v"))
+      .withColumn("__n", norm(col("__v"))).persist()
+    var seeds = base.orderBy("__id").limit(1)
+      .select(col("__id").as("sid"), col("__v").as("sv"),
+        col("__n").as("sn"), lit(1L).as("seed_rank"),
+        lit(null).cast("double").as("min_dist"))
+      .localCheckpoint(eager = true)
+    for (t <- 2 to k) {
+      val mind = base
+        .join(seeds.select(col("sid").as("__id")), Seq("__id"), "left_anti")
+        .crossJoin(broadcast(seeds.select(col("sv"), col("sn"))))
+        .select(col("__id"),
+          (lit(1.0) - dot(col("__v"), col("sv")) /
+            (col("__n") * col("sn"))).as("__d"))
+        .groupBy("__id").agg(min(col("__d")).as("__mind"))
+      val next = mind.orderBy(desc("__mind"), col("__id")).limit(1)
+        .join(base, "__id")
+        .select(col("__id").as("sid"), col("__v").as("sv"),
+          col("__n").as("sn"), lit(t.toLong).as("seed_rank"),
+          round(col("__mind"), 6).as("min_dist"))
+      seeds = seeds.unionByName(next).localCheckpoint(eager = true)
+    }
+    base.unpersist()
+    seeds.select(col("seed_rank"), col("sid").as(idCol), col("min_dist"))
+      .orderBy("seed_rank")
+  }
+
   /** One Lloyd refinement of a stored IVF index — the periodic
     * maintenance step after [[appendToIvfIndex]] batches have drifted
     * the cells: reassign EVERY indexed vector to its nearest current

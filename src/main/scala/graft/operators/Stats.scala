@@ -1084,19 +1084,32 @@ object Stats {
     * lands in the top bin (`least`), mirroring the usual [0,1] closed
     * interval. */
   def calibration(df: DataFrame, prob: Column, label: Column,
-      bins: Int = 10): DataFrame = {
+      bins: Int = 10): DataFrame =
+    calibrationBy(df.withColumn("__slice", lit(0L)), "__slice", prob,
+      label, bins).drop("__slice")
+
+  /** Per-slice [[calibration]] — the calibration-drift view next to
+    * [[binaryAucBy]]'s discrimination drift: one reliability diagram +
+    * ECE per group (source, language, ingest day), so a scorer that is
+    * calibrated globally but systematically over-confident on one slice
+    * is visible. Every window is partitioned by the slice key over that
+    * slice's ≤`bins` rows — the ungrouped variant delegates here with a
+    * constant slice, and nothing corpus-sized flows through a window
+    * either way. */
+  def calibrationBy(df: DataFrame, groupCol: String, prob: Column,
+      label: Column, bins: Int = 10): DataFrame = {
     require(bins > 0, "bins must be positive")
-    val f = df.select(prob.cast("double").as("__p"),
+    val f = df.select(col(groupCol), prob.cast("double").as("__p"),
       when(label, 1L).otherwise(0L).as("__y"))
     val binned = f.withColumn("bin",
       least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
-    val perBin = binned.groupBy("bin").agg(
+    val perBin = binned.groupBy(col(groupCol), col("bin")).agg(
       count(lit(1)).as("n"),
       sum(col("__y")).as("n_pos"),
       sum(col("__p").cast("decimal(28,18)")).as("__sp"))
-    val wAll = Window.partitionBy().rowsBetween(
+    val wAll = Window.partitionBy(groupCol).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    perBin.select(col("bin"), col("n"), col("n_pos"),
+    perBin.select(col(groupCol), col("bin"), col("n"), col("n_pos"),
         round(col("__sp").cast("double") / col("n").cast("double"), 6)
           .as("conf"),
         round(col("n_pos").cast("double") / col("n").cast("double"), 6)
@@ -1108,7 +1121,7 @@ object Stats {
             .over(wAll).cast("double") /
           sum(col("n")).over(wAll).cast("double"), 6)
           .as("ece"))
-      .orderBy("bin")
+      .orderBy(groupCol, "bin")
   }
 
   /** Operating-point selection for a binary scorer: sweep every distinct
@@ -1315,6 +1328,56 @@ object Stats {
             sqrt(col("__n").cast("double") * col("__sbb").cast("double") -
               col("__sb").cast("double") * col("__sb").cast("double"))), 6))
           .as("rho"))
+  }
+
+  /** Weight-of-evidence table + information value of a numeric feature
+    * against a binary label — the credit-scoring sibling of
+    * [[psiByGroup]] (same smoothed-share machinery, but positive-vs-
+    * negative within one population instead of group-vs-baseline):
+    * WoE_i = ln(pctPos_i / pctNeg_i) per equal-width bin, IV = Σ_i
+    * (pctPos_i − pctNeg_i)·WoE_i. The standard reading: IV < 0.02
+    * useless, 0.1–0.3 medium, > 0.5 suspicious (leakage-grade) — the
+    * one-number triage for "is this metadata column worth a classifier
+    * feature".
+    *
+    * Laplace-smoothed class shares ((n+1)/(N+bins)) keep empty bins
+    * finite; the zero-count bin grid is materialized so the table is
+    * complete. Scale shape: ONE (bin) hash aggregate with map-side
+    * combine collapses the corpus to ≤bins rows; totals and IV ride
+    * windows over that bounded frame; ln terms DECIMAL-quantized. */
+  def informationValue(df: DataFrame, valueCol: String, label: Column,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val binExpr = least(greatest(
+      floor((col(valueCol).cast("double") - lit(lo)) /
+        lit((hi - lo)) * bins), lit(0L)), lit(bins - 1L)).cast("long")
+    val counts = df.select(binExpr.as("bin"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val grid = df.sparkSession.range(1)
+      .select(explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val full = grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val shares = full
+      .withColumn("__pp", (col("n_pos") + lit(1L)).cast("double") /
+        (sum(col("n_pos")).over(wAll) + lit(bins.toLong)).cast("double"))
+      .withColumn("__pn", (col("n_neg") + lit(1L)).cast("double") /
+        (sum(col("n_neg")).over(wAll) + lit(bins.toLong)).cast("double"))
+      .withColumn("__woe", log(col("__pp") / col("__pn")))
+      .withColumn("__term",
+        ((col("__pp") - col("__pn")) * col("__woe"))
+          .cast("decimal(28,18)"))
+    shares.select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        round(col("__woe"), 6).as("woe"),
+        round(sum(col("__term")).over(wAll).cast("double"), 6).as("iv"))
+      .orderBy("bin")
   }
 
   /** Population stability index of a score column, every group vs a named

@@ -289,6 +289,53 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // Greedy k-center (farthest-point) seed selection over the embedding
+  // corpus: seed 1 = lowest id, each next seed maximizes its min cosine
+  // distance to everything selected (ties to the lowest id, selected ids
+  // excluded). The oracle unrolls all 6 greedy steps as MATERIALIZED
+  // CTEs (the x176 2^N lesson) — argmax margins on the clustered
+  // fixture are wide, rank boundaries id-tiebroken.
+  private val x224 = Q("x224_kcenter_seeds", Some {
+    val k = 6
+    val steps = (2 to k).map { t =>
+      val prev = t - 1
+      s"""d$t AS MATERIALIZED (
+         |  SELECT a.id, min(1.0 - list_dot_product(a.v, s.v) / (a.n * s.n))
+         |    AS mind
+         |  FROM v a, sel$prev s
+         |  WHERE a.id NOT IN (SELECT id FROM sel$prev)
+         |  GROUP BY a.id),
+         |s$t AS MATERIALIZED (
+         |  SELECT v.id, v.v, v.n, $t::BIGINT AS seed_rank,
+         |    round(d$t.mind, 6) AS min_dist
+         |  FROM d$t JOIN v ON v.id = d$t.id
+         |  ORDER BY d$t.mind DESC, d$t.id LIMIT 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT id, v, n FROM sel$prev
+         |  UNION ALL SELECT id, v, n FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to k)
+      .map(t => s"UNION ALL SELECT seed_rank, id, min_dist FROM s$t")
+      .mkString("\n  ")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS n
+       |  FROM embeddings),
+       |s1 AS MATERIALIZED (
+       |  SELECT id, v, n, 1::BIGINT AS seed_rank, NULL::DOUBLE AS min_dist
+       |  FROM v ORDER BY id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT id, v, n FROM s1),
+       |$steps
+       |SELECT seed_rank, id AS vec_id, min_dist FROM (
+       |  SELECT seed_rank, id, min_dist FROM s1
+       |  $unions
+       |) ORDER BY seed_rank""".stripMargin
+  }) { (s, dir) =>
+    Similarity.kCenterSeeds(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 6)
+  }
+
   // Text analysis: language-ID + token counts + quality + fingerprint.
   private val x7 = Q("x7_text_analysis", Some {
     val markers = TextAnalysis.LangMarkers
@@ -1939,5 +1986,5 @@ object ScaleQueries {
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198, x210, x211, x221)
+      x183, x198, x210, x211, x221, x224)
 }

@@ -1213,8 +1213,99 @@ object StatsQueries {
       replicates = 8)
   }
 
+  // Calibration drift per source (x187 sliced the way x196 slices AUC):
+  // one reliability diagram + ECE per source, every window partitioned
+  // by the slice key. A scorer over-confident on one source shows as
+  // that slice's gap/ece, invisible in the pooled diagram.
+  private val x222 = Q("x222_calibration_by_source", Some(
+    s"""WITH f AS (
+       |  SELECT source, CAST(n_chars AS DOUBLE)
+       |      / (CAST(n_chars AS DOUBLE) + 150.0) AS p,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |b AS (SELECT source, CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+       |        p, y
+       |      FROM f),
+       |pb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(y) AS BIGINT) AS n_pos,
+       |        sum(CAST(p AS DECIMAL(28,18))) AS sp
+       |       FROM b GROUP BY source, bin),
+       |tot AS (SELECT source, sum(abs(sp - n_pos)) AS es, sum(n) AS nn
+       |        FROM pb GROUP BY source)
+       |SELECT pb.source, bin, n, n_pos,
+       |  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+       |  round(abs(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap,
+       |  round(CAST(t.es AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS ece
+       |FROM pb JOIN tot t USING (source)
+       |ORDER BY source, bin""".stripMargin)) { (s, dir) =>
+    Stats.calibrationBy(t(s, dir, "documents"), "source",
+      col("n_chars").cast("double") /
+        (col("n_chars").cast("double") + lit(150.0)),
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+      bins = 10)
+  }
+
+  // Tokenizer fertility per language: subwords per whitespace word from
+  // integer-exact per-group sums — the per-language context-budget cost
+  // that drives vocab allocation. The oracle replays the x7 subword twin
+  // (alphanumeric runs + standalone punctuation).
+  private val x223 = Q("x223_tokenizer_fertility", Some(
+    s"""WITH f AS (
+       |  SELECT lang, len($WORDS) AS tk,
+       |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS sw
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+       |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+       |  round(CAST(sum(sw) AS DOUBLE) / CAST(sum(tk) AS DOUBLE), 6)
+       |    AS fertility,
+       |  round(CAST(sum(tk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS tokens_per_doc
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+    graft.functions.TextAnalysis.tokenizerFertility(
+      t(s, dir, "documents"), "lang", "text")
+  }
+
+  // Weight-of-evidence table + information value of doc length against
+  // the 'dup' label — psi's within-population sibling: per-bin WoE from
+  // Laplace-smoothed class shares over the materialized bin grid, IV as
+  // the decimal-quantized term sum. Feature-triage in one number.
+  private val x225 = Q("x225_information_value", Some(
+    s"""WITH b AS (
+       |  SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0)
+       |      / 600.0 * 12), 0), 11) AS BIGINT) AS bin,
+       |    CASE WHEN list_contains($WORDS, 'dup') THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |cnt AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS n_pos
+       |        FROM b GROUP BY bin),
+       |grid AS (SELECT r.range AS bin FROM range(0, 12) r),
+       |fl AS (SELECT grid.bin, coalesce(cnt.n, 0) AS n,
+       |        coalesce(cnt.n_pos, 0) AS n_pos,
+       |        coalesce(cnt.n, 0) - coalesce(cnt.n_pos, 0) AS n_neg
+       |       FROM grid LEFT JOIN cnt USING (bin)),
+       |sh AS (SELECT bin, n, n_pos, n_neg,
+       |        CAST(n_pos + 1 AS DOUBLE)
+       |          / CAST((SELECT sum(n_pos) FROM fl) + 12 AS DOUBLE) AS pp,
+       |        CAST(n_neg + 1 AS DOUBLE)
+       |          / CAST((SELECT sum(n_neg) FROM fl) + 12 AS DOUBLE) AS pn
+       |       FROM fl),
+       |tm AS (SELECT bin, n, n_pos, n_neg, ln(pp / pn) AS woe,
+       |        CAST((pp - pn) * ln(pp / pn) AS DECIMAL(28,18)) AS term
+       |       FROM sh)
+       |SELECT bin, n, n_pos, n_neg, round(woe, 6) AS woe,
+       |  round(CAST((SELECT sum(term) FROM tm) AS DOUBLE), 6) AS iv
+       |FROM tm ORDER BY bin""".stripMargin)) { (s, dir) =>
+    Stats.informationValue(t(s, dir, "documents"), "n_chars",
+      array_contains(graft.operators.Dedup.words(col("text")), "dup"),
+      bins = 12, lo = 0.0, hi = 600.0)
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
-    x214, x215, x216, x219, x220)
+    x214, x215, x216, x219, x220, x222, x223, x225)
 }

@@ -692,6 +692,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.forall(r => cellSet.contains(r.getAs[Long]("cell"))))
   }
 
+  test("kCenterSeeds: farthest-point greedy picks the hand sequence; " +
+    "near-duplicates of a seed are never picked early") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), //   seed 1 (lowest id)
+      (2L, Seq(1.0, 0.01)), //  near-duplicate of 1 — picked LAST
+      (3L, Seq(0.0, 1.0)), //   orthogonal: dist 1
+      (4L, Seq(-1.0, 0.0)), //  opposite: dist 2 — picked first
+      (5L, Seq(0.7, 0.7))) //   45°: dist ≈ 0.293
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSeeds(df, "vec_id", "embedding", k = 4)
+      .collect()
+    assert(out.map(_.getAs[Long]("seed_rank")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 4L, 3L, 5L))
+    assert(out.head.isNullAt(out.head.fieldIndex("min_dist")))
+    assert(out(1).getAs[Double]("min_dist") == 2.0)
+    assert(out(2).getAs[Double]("min_dist") == 1.0)
+    assert(out(3).getAs[Double]("min_dist") == 0.292893)
+  }
+
   test("refineCells: one Lloyd step reassigns a mislabeled vector; " +
     "rebuilt state is bit-identical to a from-scratch build on the " +
     "corrected assignment") {

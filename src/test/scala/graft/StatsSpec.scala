@@ -648,6 +648,23 @@ class StatsSpec extends SparkSpec {
     assert(b.getAs[Double]("ece") == 0.9)
   }
 
+  test("calibrationBy: slices get independent diagrams and ECE; the " +
+    "ungrouped variant equals the constant-slice delegate") {
+    // slice a perfectly calibrated (bin 2: 1/4 pos at p=0.25);
+    // slice b fully miscalibrated (p=0.9, no positives)
+    val rows = (Seq.fill(3)(("a", 0.25, 0)) :+ (("a", 0.25, 1))) ++
+      Seq.fill(5)(("b", 0.9, 0))
+    val df = rows.toDF("src", "p", "y")
+    val out = Stats.calibrationBy(df, "src", $"p", $"y" === 1, bins = 10)
+      .collect()
+    val byKey = out.map(r => (r.getAs[String]("src"),
+      r.getAs[Long]("bin")) -> r).toMap
+    assert(byKey(("a", 2L)).getAs[Double]("gap") == 0.0)
+    assert(byKey(("a", 2L)).getAs[Double]("ece") == 0.0)
+    assert(byKey(("b", 9L)).getAs[Double]("gap") == 0.9)
+    assert(byKey(("b", 9L)).getAs[Double]("ece") == 0.9)
+  }
+
   test("bestThreshold: picks the F1-optimal cut with the hand confusion " +
     "matrix; perfect scorer reaches f1=1 at the boundary") {
     // thresholds desc: v=5 f1=.5, v=4 f1=.8, v=3 f1=2/3, v=2 f1=6/7, v=1 f1=.75
@@ -725,6 +742,30 @@ class StatsSpec extends SparkSpec {
     assert(b.getAs[Double]("auc_mean") <= b.getAs[Double]("auc_max"))
     assert(b.getAs[Double]("auc_min") >= 0.0 &&
       b.getAs[Double]("auc_max") <= 1.0)
+  }
+
+  test("informationValue: perfectly separating bins hit the smoothed " +
+    "closed form; grid materializes empty bins") {
+    // bin 0 all-positive, bin 1 all-negative: pp=(0.8,0.2), pn=(0.2,0.8)
+    val rows = Seq((1.0, 1), (2.0, 1), (3.0, 1), (6.0, 0), (7.0, 0),
+      (8.0, 0)).toDF("v", "y")
+    val out = Stats.informationValue(rows, "v", $"y" === 1,
+      bins = 2, lo = 0.0, hi = 10.0).collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L))
+    assert(out(0).getAs[Long]("n_pos") == 3L && out(0).getAs[Long]("n_neg") == 0L)
+    assert(out(0).getAs[Double]("woe") ==
+      math.rint(math.log(4.0) * 1e6) / 1e6)
+    assert(out(1).getAs[Double]("woe") ==
+      -math.rint(math.log(4.0) * 1e6) / 1e6)
+    assert(out.forall(_.getAs[Double]("iv") ==
+      math.rint(1.2 * math.log(4.0) * 1e6) / 1e6))
+
+    // a bin with no rows at all still appears, Laplace-smoothed
+    val sparse = Seq((1.0, 1), (9.0, 0)).toDF("v", "y")
+    val s = Stats.informationValue(sparse, "v", $"y" === 1,
+      bins = 4, lo = 0.0, hi = 10.0).collect()
+    assert(s.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(s(1).getAs[Long]("n") == 0L && s(2).getAs[Long]("n") == 0L)
   }
 
   test("psiByGroup: identical distribution scores 0; a fully shifted " +

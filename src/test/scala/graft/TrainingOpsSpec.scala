@@ -641,6 +641,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(byLabel(0L) == 3L && byLabel(1L) == 4L)
   }
 
+  test("tokenizerFertility: punctuation-heavy text pays more subwords " +
+    "per word; integer sums per group") {
+    val docs = Seq(("clean", "a b c"), ("clean", "d e"),
+      ("punct", "a.b, c!")).toDF("lang", "text")
+    val out = TextAnalysis.tokenizerFertility(docs, "lang", "text")
+      .collect()
+    val byLang = out.map(r => r.getAs[String]("lang") -> r).toMap
+    assert(byLang("clean").getAs[Long]("n_docs") == 2L)
+    assert(byLang("clean").getAs[Long]("n_tokens") == 5L)
+    assert(byLang("clean").getAs[Long]("n_subwords") == 5L)
+    assert(byLang("clean").getAs[Double]("fertility") == 1.0)
+    assert(byLang("punct").getAs[Long]("n_tokens") == 3L)
+    assert(byLang("punct").getAs[Long]("n_subwords") == 6L)
+    assert(byLang("punct").getAs[Double]("fertility") == 2.0)
+    assert(byLang("clean").getAs[Double]("tokens_per_doc") == 2.5)
+  }
+
   test("vocabCoverage: frequency-ranked mass shares; ties rank by token; " +
     "oversized V saturates at full coverage") {
     // freq: a=3, b=2, c=2, d=1 (b/c tie → b first); total mass 8
