@@ -584,6 +584,34 @@ object TextAnalysis {
           col("n_docs").cast("double"), 6).as("tokens_per_doc"))
       .orderBy(groupCol)
 
+  /** Padding-waste table for length-bucketed batching — the batching-
+    * efficiency question "how many pad tokens does this bucket layout
+    * burn": docs bucket by token count against sorted boundaries
+    * (bucket = #boundaries ≤ length), each bucket pads to its own max,
+    * waste = (n·max − Σlen)/(n·max). The complement of sequence packing
+    * (x38): packing concatenates into a fixed context, padding batches
+    * pad up — this table says when the bucket boundaries are wrong.
+    * ONE hash aggregate with map-side combine; integer-exact counts. */
+  def paddingWaste(df: org.apache.spark.sql.DataFrame, textCol: String,
+      boundaries: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.forall(_ > 0), "boundaries must be sorted positive")
+    val len = tokenCount(col(textCol)).cast("long")
+    val bucket = boundaries.foldLeft(lit(0L)) {
+      (acc, b) => acc + when(len >= b, 1L).otherwise(0L)
+    }
+    df.select(bucket.as("bucket"), len.as("__len"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("padded", col("n_docs") * col("max_len"))
+      .withColumn("waste_pct",
+        when(col("padded") === 0, lit(null)).otherwise(
+          round((col("padded") - col("sum_len")).cast("double") /
+            col("padded").cast("double"), 6)))
+      .orderBy("bucket")
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing question "what share
     * of the corpus token mass does a top-V vocabulary cover" answered at
     * each candidate V: rank tokens by corpus frequency (descending, token

@@ -336,6 +336,57 @@ object ScaleQueries {
       "embedding", k = 6)
   }
 
+  // Matryoshka-style truncation audit: exact cosine top-10 from the
+  // full 64-dim embeddings vs the same ranking from the FIRST 16 dims,
+  // graded per query with rankingRecall — the "how many dims can the
+  // ANN tier drop" measurement. The oracle replays both rankings (the
+  // x172 dense-ranking SQL, sliced lists on the truncated side) and the
+  // recall join; every rank boundary id-tiebroken.
+  private val x226 = Q("x226_matryoshka_recall", Some(
+    """WITH qf AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |            FROM embeddings WHERE vec_id < 5),
+      |rf AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+      |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |           CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv)))
+      |      DESC, vec_id) AS r
+      |  FROM embeddings, qf WHERE vec_id >= 5
+      |  QUALIFY r <= 10),
+      |qt AS (SELECT vec_id AS query_id,
+      |         (CAST(embedding AS DOUBLE[]))[1:16] AS qv
+      |       FROM embeddings WHERE vec_id < 5),
+      |rt AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      list_dot_product((CAST(embedding AS DOUBLE[]))[1:16], qv) /
+      |        (sqrt(list_dot_product((CAST(embedding AS DOUBLE[]))[1:16],
+      |           (CAST(embedding AS DOUBLE[]))[1:16])) * sqrt(list_dot_product(qv, qv)))
+      |      DESC, vec_id) AS r
+      |  FROM embeddings, qt WHERE vec_id >= 5
+      |  QUALIFY r <= 10)
+      |SELECT f.query_id AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+      |FROM rf f LEFT JOIN rt a
+      |  ON a.query_id = f.query_id AND a.vec_id = f.vec_id
+      |GROUP BY f.query_id ORDER BY query_id""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+    def cut(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", slice(col("embedding"), 1, 16))
+    val full = Similarity.bruteForceTopKBatch(corpus, "vec_id",
+      "embedding", queries, "vec_id", k = 10)
+    val trunc = Similarity.bruteForceTopKBatch(cut(corpus), "vec_id",
+      "embedding", cut(queries), "vec_id", k = 10)
+    graft.operators.Retrieval.rankingRecall(full, trunc, "query_id",
+      "vec_id")
+  }
+
   // Text analysis: language-ID + token counts + quality + fingerprint.
   private val x7 = Q("x7_text_analysis", Some {
     val markers = TextAnalysis.LangMarkers
@@ -1986,5 +2037,5 @@ object ScaleQueries {
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198, x210, x211, x221, x224)
+      x183, x198, x210, x211, x221, x224, x226)
 }

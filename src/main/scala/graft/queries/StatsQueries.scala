@@ -1304,8 +1304,31 @@ object StatsQueries {
       bins = 12, lo = 0.0, hi = 600.0)
   }
 
+  // Padding-waste table for length-bucketed batching: docs bucket by
+  // token count against (32, 64, 96), each bucket pads to its own max —
+  // the batching-efficiency complement of x38's packing. Integer-exact
+  // counts, one double ratio.
+  private val x227 = Q("x227_padding_waste", Some(
+    s"""WITH f AS (SELECT len($WORDS) AS l FROM documents),
+       |b AS (SELECT l,
+       |        (CASE WHEN l >= 32 THEN 1 ELSE 0 END
+       |         + CASE WHEN l >= 64 THEN 1 ELSE 0 END
+       |         + CASE WHEN l >= 96 THEN 1 ELSE 0 END) AS bucket
+       |      FROM f)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(max(l) AS BIGINT) AS max_len,
+       |  CAST(sum(l) AS BIGINT) AS sum_len,
+       |  CAST(count(*) * max(l) AS BIGINT) AS padded,
+       |  round(CAST(count(*) * max(l) - sum(l) AS DOUBLE)
+       |    / CAST(count(*) * max(l) AS DOUBLE), 6) AS waste_pct
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)) { (s, dir) =>
+    graft.functions.TextAnalysis.paddingWaste(t(s, dir, "documents"),
+      "text", Seq(32, 64, 96))
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
-    x214, x215, x216, x219, x220, x222, x223, x225)
+    x214, x215, x216, x219, x220, x222, x223, x225, x227)
 }

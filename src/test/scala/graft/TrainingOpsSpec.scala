@@ -658,6 +658,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(byLang("clean").getAs[Double]("tokens_per_doc") == 2.5)
   }
 
+  test("paddingWaste: buckets pad to their own max; boundary values land " +
+    "in the upper bucket; empty-free buckets exact") {
+    // token counts: 2, 3 (bucket 0), 5 (bucket 1), 9 (bucket 2)
+    val docs = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d e"),
+      (4L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val out = TextAnalysis.paddingWaste(docs, "text", Seq(4, 8)).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 1L, 2L))
+    val b0 = out(0)
+    assert(b0.getAs[Long]("n_docs") == 2L && b0.getAs[Long]("max_len") == 3L)
+    assert(b0.getAs[Long]("padded") == 6L && b0.getAs[Long]("sum_len") == 5L)
+    assert(b0.getAs[Double]("waste_pct") == 0.166667)
+    assert(out(1).getAs[Double]("waste_pct") == 0.0)
+    assert(out(2).getAs[Long]("n_docs") == 1L)
+  }
+
   test("vocabCoverage: frequency-ranked mass shares; ties rank by token; " +
     "oversized V saturates at full coverage") {
     // freq: a=3, b=2, c=2, d=1 (b/c tie → b first); total mass 8
