@@ -1330,6 +1330,69 @@ object Stats {
           .as("rho"))
   }
 
+  /** CUPED variance reduction for an A/B metric (Deng et al. 2013):
+    * adjust each unit's post-period metric y by its pre-period covariate
+    * x — y_cv = y − θ(x − E[x]) with θ = Cov(x,y)/Var(x) pooled — and
+    * report per-arm adjusted means plus the variance reduction
+    * 1 − Var(y_cv)/Var(y). The standard way to make an experiment
+    * readable at a fraction of the traffic; reductions of 30–50% are
+    * typical when x is the same metric pre-period.
+    *
+    * Everything is CLOSED-FORM from moments — no second pass: Var(y_cv)
+    * = Var(y) − Cov²/Var(x), and the per-arm adjusted mean is
+    * E_a[y] − θ(E_a[x] − E[x]). So the whole operator is ONE per-arm
+    * hash aggregate of exact DECIMAL moment sums (map-side combine) +
+    * pooled totals over the ≤|arms|-row frame; the double arithmetic
+    * runs once in a fixed operation order (population variances).
+    * Degenerate Var(x) = 0 yields null adjustments rather than 0/0.
+    * Metrics are INTEGER counts by contract (per-row products stay
+    * exact Longs; sums accumulate as exact DECIMAL(38,0)). */
+  def cupedAdjust(df: DataFrame, armCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val x = col(preCol).cast("long")
+    val y = col(postCol).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perArm = df.groupBy(col(armCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).as("__sx"), sum(dec(y)).as("__sy"),
+        sum(dec(x * x)).as("__sxx"),
+        sum(dec(x * y)).as("__sxy"),
+        sum(dec(y * y)).as("__syy"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = perArm
+      .withColumn("__tn", sum(col("n")).over(wAll).cast("double"))
+      .withColumn("__tx", sum(col("__sx")).over(wAll).cast("double"))
+      .withColumn("__ty", sum(col("__sy")).over(wAll).cast("double"))
+      .withColumn("__txx", sum(col("__sxx")).over(wAll).cast("double"))
+      .withColumn("__txy", sum(col("__sxy")).over(wAll).cast("double"))
+      .withColumn("__tyy", sum(col("__syy")).over(wAll).cast("double"))
+      .withColumn("__mx", col("__tx") / col("__tn"))
+      .withColumn("__varx",
+        col("__txx") / col("__tn") - (col("__tx") / col("__tn")) *
+          (col("__tx") / col("__tn")))
+      .withColumn("__cov",
+        col("__txy") / col("__tn") - (col("__tx") / col("__tn")) *
+          (col("__ty") / col("__tn")))
+      .withColumn("__vary",
+        col("__tyy") / col("__tn") - (col("__ty") / col("__tn")) *
+          (col("__ty") / col("__tn")))
+      .withColumn("__theta",
+        when(col("__varx") === 0.0, lit(null))
+          .otherwise(col("__cov") / col("__varx")))
+    tot.select(col(armCol), col("n"),
+        round(col("__sy").cast("double") / col("n").cast("double"), 6)
+          .as("mean_post"),
+        round(col("__sy").cast("double") / col("n").cast("double") -
+          col("__theta") * (col("__sx").cast("double") /
+            col("n").cast("double") - col("__mx")), 6).as("mean_adj"),
+        round(col("__theta"), 6).as("theta"),
+        when(col("__vary") === 0.0, lit(null)).otherwise(
+          round((col("__cov") * col("__cov") / col("__varx")) /
+            col("__vary"), 6)).as("var_reduction"))
+      .orderBy(armCol)
+  }
+
   /** Weight-of-evidence table + information value of a numeric feature
     * against a binary label — the credit-scoring sibling of
     * [[psiByGroup]] (same smoothed-share machinery, but positive-vs-

@@ -1327,8 +1327,62 @@ object StatsQueries {
       "text", Seq(32, 64, 96))
   }
 
+  // CUPED-adjusted A/B read of per-user activity: pre-period (first 15
+  // days) event counts as the covariate, post-period counts as the
+  // metric, arms by user parity. Everything closed-form from one
+  // per-arm aggregate of exact integer moments — the oracle replays the
+  // user rollup, the pooled θ = Cov/Var, the per-arm adjusted means,
+  // and the variance-reduction ratio in the same operation order.
+  private val x228 = Q("x228_cuped_adjust", Some(
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT user_id % 2 AS arm, x, y FROM u),
+      |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |        sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+      |        sum(x * y) AS sxy, sum(y * y) AS syy
+      |      FROM a GROUP BY arm),
+      |p AS (SELECT arm, n, sx, sy,
+      |        CAST(sum(n) OVER () AS DOUBLE) AS tn,
+      |        CAST(sum(sx) OVER () AS DOUBLE) AS tx,
+      |        CAST(sum(sy) OVER () AS DOUBLE) AS ty,
+      |        CAST(sum(sxx) OVER () AS DOUBLE) AS txx,
+      |        CAST(sum(sxy) OVER () AS DOUBLE) AS txy,
+      |        CAST(sum(syy) OVER () AS DOUBLE) AS tyy
+      |      FROM m),
+      |d AS (SELECT arm, n, sx, sy, tx / tn AS mx,
+      |        txx / tn - (tx / tn) * (tx / tn) AS varx,
+      |        txy / tn - (tx / tn) * (ty / tn) AS cov,
+      |        tyy / tn - (ty / tn) * (ty / tn) AS vary
+      |      FROM p),
+      |e AS (SELECT arm, n, sx, sy, mx, varx, cov, vary,
+      |        CASE WHEN varx = 0.0 THEN NULL ELSE cov / varx END AS theta
+      |      FROM d)
+      |SELECT arm, n,
+      |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_post,
+      |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - mx), 6)
+      |    AS mean_adj,
+      |  round(theta, 6) AS theta,
+      |  CASE WHEN vary = 0.0 THEN NULL
+      |       ELSE round((cov * cov / varx) / vary, 6) END
+      |    AS var_reduction
+      |FROM e ORDER BY arm""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val users = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("post"))
+      .withColumn("arm", col("user_id") % 2)
+    Stats.cupedAdjust(users, "arm", "pre", "post")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
-    x214, x215, x216, x219, x220, x222, x223, x225, x227)
+    x214, x215, x216, x219, x220, x222, x223, x225, x227, x228)
 }

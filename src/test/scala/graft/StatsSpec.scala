@@ -744,6 +744,24 @@ class StatsSpec extends SparkSpec {
       b.getAs[Double]("auc_max") <= 1.0)
   }
 
+  test("cupedAdjust: closed-form theta/variance-reduction on the hand " +
+    "case; adjustment removes the pre-period imbalance") {
+    // arm 0: (x,y)=(1,2),(2,4); arm 1: (3,7),(4,9) — y ≈ 2x + noise, so
+    // CUPED should collapse the arms' means toward each other
+    val df = Seq((0L, 1L, 2L), (0L, 2L, 4L), (1L, 3L, 7L), (1L, 4L, 9L))
+      .toDF("arm", "pre", "post")
+    val out = Stats.cupedAdjust(df, "arm", "pre", "post").collect()
+    assert(out.map(_.getAs[Long]("arm")).toSeq == Seq(0L, 1L))
+    // pooled: varx=1.25, cov=3.0, vary=7.25 → theta=2.4
+    assert(out.forall(_.getAs[Double]("theta") == 2.4))
+    assert(out(0).getAs[Double]("mean_post") == 3.0)
+    assert(out(1).getAs[Double]("mean_post") == 8.0)
+    assert(out(0).getAs[Double]("mean_adj") == 5.4)
+    assert(out(1).getAs[Double]("mean_adj") == 5.6)
+    // var reduction = (cov²/varx)/vary = 7.2/7.25
+    assert(out.forall(_.getAs[Double]("var_reduction") == 0.993103))
+  }
+
   test("informationValue: perfectly separating bins hit the smoothed " +
     "closed form; grid materializes empty bins") {
     // bin 0 all-positive, bin 1 all-negative: pp=(0.8,0.2), pn=(0.2,0.8)
