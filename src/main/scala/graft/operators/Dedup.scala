@@ -186,6 +186,64 @@ object Dedup {
     intra.unionByName(cross)
   }
 
+  /** Planted-pair recall audit for MinHash-LSH banding — the honesty gate
+    * the banding parameters need (the x69/x168 pattern pointed at text
+    * dedup): take a bounded deterministic md5 sample of documents, plant
+    * one perturbed near-duplicate per doc (the same text minus its last
+    * `dropLast` words — its shingle set is a strict subset, so the true
+    * Jaccard is known and high), run the production LSH over
+    * originals ∪ plants, and report what fraction of the
+    * above-threshold planted pairs the banding recovered. A recall
+    * printed here is the recall the 100 TB dedup run will have at that
+    * similarity level — measured, not inferred from the S-curve.
+    *
+    * Bounded by construction: 2·sampleN documents total, the truth side
+    * is the sampleN planted pairs (never all-pairs), and the sample
+    * ranking (md5 of "lshaudit:id", id tiebreak) is engine-replayable.
+    * Output: one row (n_planted, n_qualifying, n_hit, recall). */
+  def lshPlantedRecall(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.8,
+      shingleK: Int = 3, sampleN: Int = 64, dropLast: Int = 8): DataFrame = {
+    require(sampleN >= 1 && sampleN <= 1024, "sampleN must be in [1, 1024]")
+    require(dropLast >= 1, "dropLast must be positive")
+    val sample = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text"))
+      .withColumn("__rk", conv(substring(md5(concat(lit("lshaudit:"),
+        col("id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .orderBy(col("__rk"), col("id")).limit(sampleN)
+      .select(col("id"), col("__text"))
+    // plants carry id' = -id - 1 (disjoint from non-negative corpus ids)
+    val planted = sample.select((-col("id") - 1).as("id"),
+      concat_ws(" ", slice(words(col("__text")), lit(1),
+        greatest(size(words(col("__text"))) - dropLast, lit(0)))).as("__text"))
+    val all = sample.unionByName(planted).localCheckpoint(eager = true)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sets = shingleSets(all, "id", "__text", shingleK).persist(lvl)
+    val orig = sets.filter(col("id") >= 0 && size(col("shs")) > 0)
+      .select(col("id").as("oid"), col("shs").as("__so"))
+    val cop = sets.filter(col("id") < 0)
+      .select((-col("id") - 1).as("oid"), col("id").as("cid"),
+        col("shs").as("__sc"))
+    val qual = orig.join(cop, "oid")
+      .select(col("oid"), col("cid"),
+        jaccardOf(col("__so"), col("__sc")).as("__j"))
+      .withColumn("__q", (col("__j") >= threshold).cast("long"))
+    val lsh = minhashNearDups(all, "id", "__text", bands, rowsPerBand,
+        threshold, shingleK)
+      .select(col("id_a"), col("id_b")).withColumn("__hit", lit(1L))
+    // planted pair sorts as (cid, oid): the plant id is negative
+    qual.join(lsh, qual("cid") === lsh("id_a") && qual("oid") === lsh("id_b"),
+        "left")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(col("__q")).as("n_qualifying"),
+        sum(when(col("__q") === 1L, coalesce(col("__hit"), lit(0L)))
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_planted"), col("n_qualifying"), col("n_hit"),
+        when(col("n_qualifying") === 0, lit(null)).otherwise(
+          round(col("n_hit").cast("double") /
+            col("n_qualifying").cast("double"), 6)).as("recall"))
+  }
+
   /** Incremental-ingest exact dedup: drop batch rows whose content already
     * exists in the (much larger) history, then keep one min-id winner per
     * content within the batch — the "dedupe today's crawl against

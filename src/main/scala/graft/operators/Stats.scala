@@ -1330,6 +1330,54 @@ object Stats {
           .as("rho"))
   }
 
+  /** Welch's two-sample t statistic for an A/B metric with unequal
+    * variances — the significance companion to [[cupedAdjust]] (which
+    * shrinks the variance; this says whether the remaining difference
+    * clears it). Reports per-arm n/mean/variance, the mean difference,
+    * the t statistic, and the Welch–Satterthwaite degrees of freedom.
+    * No p-value on purpose: the t CDF needs special functions whose
+    * libm behavior is not bit-stable cross-engine; t and df are the
+    * exact part, and any consumer can threshold t directly (|t| > 1.96
+    * at df ≫ 30 is the usual read).
+    *
+    * The LOWER arm value is the control (column suffix 0). Metrics are
+    * INTEGER counts by contract (exact Long products, DECIMAL(38,0)
+    * sums); sample variances (n−1) computed once in double in a fixed
+    * operation order. One per-arm hash aggregate (map-side combine) +
+    * a 1×1 join of the two arm rows. Exactly two arms required. */
+  def welchT(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = df.groupBy(col(armCol).as("__arm"))
+      .agg(count(lit(1)).as("n"), sum(dec(x)).as("__s"),
+        sum(dec(x * x)).as("__ss"))
+      .withColumn("__mean", col("__s").cast("double") / col("n").cast("double"))
+      .withColumn("__var",
+        when(col("n") <= 1, lit(null)).otherwise(
+          (col("__ss").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") /
+              col("n").cast("double")) / (col("n").cast("double") - lit(1.0))))
+    val lo = m.orderBy("__arm").limit(1)
+      .select(col("__arm").as("arm0"), col("n").as("n0"),
+        col("__mean").as("__m0"), col("__var").as("__v0"))
+    val hi = m.orderBy(desc("__arm")).limit(1)
+      .select(col("__arm").as("arm1"), col("n").as("n1"),
+        col("__mean").as("__m1"), col("__var").as("__v1"))
+    lo.crossJoin(hi)
+      .withColumn("__se0", col("__v0") / col("n0").cast("double"))
+      .withColumn("__se1", col("__v1") / col("n1").cast("double"))
+      .select(col("arm0"), col("arm1"), col("n0"), col("n1"),
+        round(col("__m0"), 6).as("mean0"),
+        round(col("__m1"), 6).as("mean1"),
+        round(col("__m1") - col("__m0"), 6).as("diff"),
+        round((col("__m1") - col("__m0")) /
+          sqrt(col("__se0") + col("__se1")), 6).as("t"),
+        round(((col("__se0") + col("__se1")) * (col("__se0") + col("__se1"))) /
+          (col("__se0") * col("__se0") / (col("n0").cast("double") - lit(1.0)) +
+            col("__se1") * col("__se1") / (col("n1").cast("double") - lit(1.0))),
+          6).as("df_welch"))
+  }
+
   /** CUPED variance reduction for an A/B metric (Deng et al. 2013):
     * adjust each unit's post-period metric y by its pre-period covariate
     * x — y_cv = y − θ(x − E[x]) with θ = Cov(x,y)/Var(x) pooled — and

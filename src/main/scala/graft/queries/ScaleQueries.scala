@@ -75,6 +75,77 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // Planted-pair recall audit for the x2 banding parameters: every
+  // md5-sampled doc gets a perturbed near-duplicate (last 8 words
+  // dropped — the true Jaccard is a strict-subset ratio, known and
+  // high), the production LSH runs over originals ∪ plants, and the
+  // recovered fraction of above-threshold planted pairs IS the banding
+  // recall at that similarity level. The oracle replays the sample, the
+  // plants, the x2 minhash/band/verify chain, and the hit join.
+  private val x230 = Q("x230_lsh_planted_recall", Some {
+    val hashes = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i").mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"(${b}, h${2 * b}::VARCHAR || '_' || h${2 * b + 1}::VARCHAR)").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, text,
+       |    ('0x' || substring(md5('lshaudit:' || doc_id::VARCHAR), 1, 8))::BIGINT
+       |      AS rk
+       |  FROM documents),
+       |samp AS (SELECT id, text FROM base ORDER BY rk, id LIMIT 64),
+       |wsd AS (SELECT id, list_filter(string_split_regex(regexp_replace(
+       |          lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')
+       |          AS ws
+       |        FROM samp),
+       |pl AS (SELECT -id - 1 AS id,
+       |         array_to_string(ws[1:greatest(len(ws) - 8, 0)], ' ') AS text
+       |       FROM wsd),
+       |alls AS (SELECT id, text FROM samp UNION ALL SELECT id, text FROM pl),
+       |sets AS (
+       |  SELECT id, list_distinct(list_transform(range(1, len(ws)-1),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs
+       |  FROM (SELECT id, list_filter(string_split_regex(regexp_replace(
+       |          lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')
+       |          AS ws
+       |        FROM alls)),
+       |qual AS (
+       |  SELECT o.id AS oid, c.id AS cid,
+       |    CASE WHEN len(list_intersect(o.shs, c.shs))::DOUBLE /
+       |      (len(o.shs) + len(c.shs) - len(list_intersect(o.shs, c.shs)))
+       |      >= 0.8 THEN 1 ELSE 0 END AS q
+       |  FROM sets o JOIN sets c ON c.id = -o.id - 1
+       |  WHERE o.id >= 0 AND len(o.shs) > 0),
+       |ne AS (SELECT id, shs FROM sets WHERE len(shs) > 0),
+       |expl AS (
+       |  SELECT id, ('0x' || substring(md5(u.sh), 1, 8))::BIGINT AS ha,
+       |    ('0x' || substring(md5(u.sh), 9, 8))::BIGINT AS hb
+       |  FROM ne, unnest(shs) AS u(sh)),
+       |sig AS (SELECT id, $hashes FROM expl GROUP BY id),
+       |bands AS (SELECT id, u.b[1]::INT AS band, u.b[2] AS bkey
+       |          FROM sig, unnest([$bandKeys]) AS u(b)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+       |lsh AS (SELECT cand.id_a, cand.id_b
+       |        FROM cand JOIN ne x ON cand.id_a = x.id
+       |                  JOIN ne y ON cand.id_b = y.id
+       |        WHERE len(list_intersect(x.shs, y.shs))::DOUBLE /
+       |          (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+       |          >= 0.8)
+       |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       |  CAST(sum(q) AS BIGINT) AS n_qualifying,
+       |  CAST(sum(CASE WHEN q = 1 AND l.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CASE WHEN sum(q) = 0 THEN NULL
+       |       ELSE round(CAST(sum(CASE WHEN q = 1 AND l.id_a IS NOT NULL
+       |           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(sum(q) AS DOUBLE), 6)
+       |       END AS recall
+       |FROM qual LEFT JOIN lsh l
+       |  ON l.id_a = qual.cid AND l.id_b = qual.oid""".stripMargin
+  }) { (s, dir) =>
+    Dedup.lshPlantedRecall(t(s, dir, "documents"), "doc_id", "text")
+  }
+
   // SimHash 32-bit signatures (token hashes with multiplicity).
   private val x3 = Q("x3_simhash", Some {
     val bitSums = (0 until 32).map(j =>
@@ -2037,5 +2108,5 @@ object ScaleQueries {
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198, x210, x211, x221, x224, x226)
+      x183, x198, x210, x211, x221, x224, x226, x230)
 }

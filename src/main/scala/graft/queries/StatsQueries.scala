@@ -1381,8 +1381,50 @@ object StatsQueries {
     Stats.cupedAdjust(users, "arm", "pre", "post")
   }
 
+  // Welch's t on the post-period per-user activity by arm — x228's
+  // significance companion (x158 covers proportions; this covers
+  // unequal-variance means). t and the Welch–Satterthwaite df are exact
+  // closed forms from integer moments; no p-value by design (t CDF is
+  // libm-unstable cross-engine).
+  private val x229 = Q("x229_welch_t", Some(
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT user_id % 2 AS arm, y FROM u),
+      |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(y) AS s,
+      |        sum(y * y) AS ss
+      |      FROM a GROUP BY arm),
+      |d AS (SELECT arm, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var
+      |      FROM m),
+      |lo AS (SELECT arm AS arm0, n AS n0, mean AS m0, var AS v0 FROM d
+      |       ORDER BY arm LIMIT 1),
+      |hi AS (SELECT arm AS arm1, n AS n1, mean AS m1, var AS v1 FROM d
+      |       ORDER BY arm DESC LIMIT 1),
+      |j AS (SELECT arm0, arm1, n0, n1, m0, m1,
+      |        v0 / CAST(n0 AS DOUBLE) AS se0,
+      |        v1 / CAST(n1 AS DOUBLE) AS se1
+      |      FROM lo, hi)
+      |SELECT arm0, arm1, n0, n1, round(m0, 6) AS mean0,
+      |  round(m1, 6) AS mean1, round(m1 - m0, 6) AS diff,
+      |  round((m1 - m0) / sqrt(se0 + se1), 6) AS t,
+      |  round(((se0 + se1) * (se0 + se1))
+      |    / (se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)
+      |      + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)), 6) AS df_welch
+      |FROM j""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val users = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("post"))
+      .withColumn("arm", col("user_id") % 2)
+    Stats.welchT(users, "arm", "post")
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
-    x214, x215, x216, x219, x220, x222, x223, x225, x227, x228)
+    x214, x215, x216, x219, x220, x222, x223, x225, x227, x228, x229)
 }

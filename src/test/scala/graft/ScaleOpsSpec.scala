@@ -692,6 +692,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.forall(r => cellSet.contains(r.getAs[Long]("cell"))))
   }
 
+  test("lshPlantedRecall: high-similarity plants are recovered; " +
+    "too-short docs are excluded from the planted count") {
+    val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words20),
+      (2L, (1 to 20).map(i => s"v$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      (4L, "only two")) // 2 words → no shingles → excluded
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.lshPlantedRecall(docs, "doc_id", "text",
+      threshold = 0.5, sampleN = 8, dropLast = 1).head()
+    assert(r.getAs[Long]("n_planted") == 3L)
+    // J = 17/18 ≈ 0.944 per plant — all qualify at 0.5
+    assert(r.getAs[Long]("n_qualifying") == 3L)
+    assert(r.getAs[Long]("n_hit") == 3L)
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
   test("kCenterSeeds: farthest-point greedy picks the hand sequence; " +
     "near-duplicates of a seed are never picked early") {
     val df = Seq(

@@ -744,6 +744,22 @@ class StatsSpec extends SparkSpec {
       b.getAs[Double]("auc_max") <= 1.0)
   }
 
+  test("welchT: hand case hits the closed forms; lower arm is control") {
+    // arm 0: (1,2,3) → mean 2, var 1; arm 1: (4,6) → mean 5, var 2
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 6L))
+      .toDF("arm", "v")
+    val r = Stats.welchT(df, "arm", "v").head()
+    assert(r.getAs[Long]("arm0") == 0L && r.getAs[Long]("arm1") == 1L)
+    assert(r.getAs[Long]("n0") == 3L && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Double]("mean0") == 2.0 && r.getAs[Double]("mean1") == 5.0)
+    assert(r.getAs[Double]("diff") == 3.0)
+    // se0 = 1/3, se1 = 1: t = 3/sqrt(4/3); df = (16/9)/(1/18 + 1) = 32/19
+    assert(r.getAs[Double]("t") ==
+      math.rint(3.0 / math.sqrt(4.0 / 3.0) * 1e6) / 1e6)
+    assert(r.getAs[Double]("df_welch") ==
+      math.rint(32.0 / 19.0 * 1e6) / 1e6)
+  }
+
   test("cupedAdjust: closed-form theta/variance-reduction on the hand " +
     "case; adjustment removes the pre-period imbalance") {
     // arm 0: (x,y)=(1,2),(2,4); arm 1: (3,7),(4,9) — y ≈ 2x + noise, so
