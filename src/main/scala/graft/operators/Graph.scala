@@ -505,6 +505,80 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** Katz centrality over the symmetrized graph — [[pageRank]]'s
+    * path-counting sibling: x_{t+1}(v) = β + α·Σ_{u∼v} x_t(u), i.e. every
+    * walk into v contributes α^length. Unlike PageRank there is no degree
+    * normalization, so high-degree hubs adjacent to other hubs dominate —
+    * the influence measure link-graph curation uses when edge COUNT, not
+    * edge share, is the signal (α must stay below 1/λ_max; the default
+    * 0.1 is safe for the bounded-degree graphs here).
+    *
+    * Same engine-parity discipline as pageRank: scores live on the exact
+    * 1e-10 grid after every iteration (floor(x·1e10 + 0.5)/1e10),
+    * neighbor contributions are DECIMAL(28,14)-quantized before the
+    * order-free sum, and each of the ≤20 iterations is one node-keyed
+    * equi-join + hash aggregate with lineage truncated per step. The
+    * symmetrized edge set means every node receives ≥1 contribution, so
+    * no node drops between iterations. */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4, alpha: Double = 0.1, beta: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
+    val fwd = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val quant = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
+    var x = und.select(col("src").as("node")).distinct()
+      .select(col("node"), quant(lit(beta)).as("katz"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val next = Checkpoints.truncate(und
+        .join(x, col("src") === col("node"))
+        .select(col("dst"), col("katz").cast("decimal(28,14)").as("contrib"))
+        .groupBy("dst")
+        .agg(quant(lit(beta) +
+          lit(alpha) * sum(col("contrib")).cast("double")).as("katz"))
+        .select(col("dst").as("node"), col("katz")),
+        checkpointDir)
+      x = next
+    }
+    x
+  }
+
+  /** Local clustering coefficient per node — "how much of my
+    * neighborhood is itself connected": cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), null for degree < 2 (undefined, not zero). The
+    * community-tightness profile next to [[triangleCounts]]'s raw counts;
+    * in dedup graphs a node with high degree but near-zero cc is a hub
+    * stitching unrelated families together (a split candidate).
+    *
+    * Scale shape: edges canonicalize + distinct once; degrees are one
+    * hash aggregate over the exploded endpoints; triangles come from
+    * [[triangleCounts]] (two ordered equi-joins, never all-pairs); the
+    * final frame is one left join + exact-integer arithmetic with a
+    * single double division. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(e, "a", "b"), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(null)).otherwise(
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+              .cast("double") /
+            (col("degree").cast("double") *
+              (col("degree").cast("double") - lit(1.0))), 6)).as("cc"))
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))

@@ -1440,6 +1440,99 @@ object ScaleQueries {
       .limit(30)
   }
 
+  // Katz centrality (path-counting influence, no degree normalization)
+  // over the part–supplier graph — pageRank's sibling with the same
+  // engine-parity discipline: 1e-10-grid scores per iteration,
+  // DECIMAL(28,14)-quantized contributions, id-tiebroken top-k. The
+  // oracle unrolls all 4 iterations.
+  private val x231 = Q("x231_katz_centrality", Some {
+    val steps = (1 to 4).map { t =>
+      s"""k$t AS (
+         |  SELECT e.dst AS node,
+         |    floor((CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+         |      * CAST(sum(CAST(k.k AS DECIMAL(28,14))) AS DOUBLE)) * 1e10
+         |      + 0.5) / 1e10 AS k
+         |  FROM e JOIN k${t - 1} k ON k.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+       |    's' || l_suppkey::VARCHAR AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |k0 AS (SELECT DISTINCT src AS node,
+       |         floor(CAST(1.0 AS DOUBLE) * 1e10 + 0.5) / 1e10 AS k
+       |       FROM e),
+       |$steps
+       |SELECT node, k AS katz FROM k4
+       |ORDER BY katz DESC, node LIMIT 30""".stripMargin
+  }) { (s, dir) =>
+    val e = t(s, dir, "lineitem").select(
+      concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+      concat(lit("s"), col("l_suppkey").cast("string")).as("dst")).distinct()
+    Graph.katzCentrality(e, "src", "dst", iters = 4)
+      .orderBy(desc("katz"), col("node"))
+      .limit(30)
+  }
+
+  // Local clustering coefficient over the x71 co-occurrence graph: how
+  // much of each user's neighborhood is itself connected — exact-integer
+  // triangle/degree arithmetic, one double division, degree<2 rows
+  // excluded (cc undefined). The oracle replays the capped graph, the
+  // ordered triangle join, degrees, and the ratio.
+  private val x232 = Q("x232_clustering_coeff", Some(
+    """WITH bkt AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+      |  FROM events),
+      |capped AS (
+      |  SELECT event_type, h FROM bkt GROUP BY event_type, h
+      |  HAVING count(*) <= 10),
+      |inb AS (SELECT b.* FROM bkt b JOIN capped c
+      |        ON b.event_type = c.event_type AND b.h = c.h),
+      |e AS (
+      |  SELECT DISTINCT least(x.user_id, y.user_id) AS a,
+      |    greatest(x.user_id, y.user_id) AS b
+      |  FROM inb x JOIN inb y
+      |    ON x.event_type = y.event_type AND x.h = y.h
+      |   AND x.user_id < y.user_id),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+      |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY node),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      |       FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |             UNION ALL SELECT c FROM tri)
+      |       GROUP BY node)
+      |SELECT d.node, d.degree, coalesce(tn.n_triangles, 0) AS n_triangles,
+      |  round(2.0 * CAST(coalesce(tn.n_triangles, 0) AS DOUBLE)
+      |    / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)),
+      |    6) AS cc
+      |FROM deg d LEFT JOIN tn USING (node)
+      |WHERE d.degree >= 2
+      |ORDER BY cc DESC, node LIMIT 20""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    val capped = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= 10)
+      .select("event_type", "h")
+    val inb = ev.join(capped, Seq("event_type", "h"))
+    val edges = inb.alias("x")
+      .join(inb.alias("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.h") === col("y.h") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("src"), col("y.user_id").as("dst"))
+    Graph.clusteringCoefficient(edges, "src", "dst")
+      .filter(col("degree") >= 2)
+      .orderBy(desc("cc"), col("node"))
+      .limit(20)
+  }
+
   // Audio modality for real: every doc becomes a genuine RIFF/WAVE payload
   // (PCM16 mono, deterministic synth), decoded back by walking the actual
   // container bytes — rate/duration from the header, RMS from the PCM
@@ -2108,5 +2201,5 @@ object ScaleQueries {
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198, x210, x211, x221, x224, x226, x230)
+      x183, x198, x210, x211, x221, x224, x226, x230, x231, x232)
 }

@@ -507,4 +507,31 @@ class SnapshotGraphSpec extends SparkSpec {
       .filter($"community" === 9L).head()
     assert(r9.isNullAt(r9.fieldIndex("conductance")))
   }
+
+  test("katzCentrality: hand values on the 3-path at two iterations; " +
+    "middle node dominates") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val k = Graph.katzCentrality(e, "src", "dst", iters = 2,
+      alpha = 0.1, beta = 1.0)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[Double]("katz")).toMap
+    // k1: ends 1.1, middle 1.2; k2: ends 1 + 0.1·1.2 = 1.12,
+    // middle 1 + 0.1·(1.1 + 1.1) = 1.22
+    assert(k("1") == 1.12 && k("3") == 1.12)
+    assert(k("2") == 1.22)
+  }
+
+  test("clusteringCoefficient: closed triangle scores 1, the bridge " +
+    "node dilutes, degree-1 nodes are null") {
+    // triangle 1-2-3 plus pendant edge 3-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val cc = Graph.clusteringCoefficient(e, "src", "dst").collect()
+      .map(r => r.getAs[Long]("node") -> r).toMap
+    assert(cc(1L).getAs[Double]("cc") == 1.0)
+    assert(cc(2L).getAs[Double]("cc") == 1.0)
+    assert(cc(3L).getAs[Double]("cc") == 0.333333) // 2·1/(3·2)
+    assert(cc(4L).isNullAt(cc(4L).fieldIndex("cc")))
+    assert(cc(3L).getAs[Long]("degree") == 3L)
+    assert(cc(4L).getAs[Long]("n_triangles") == 0L)
+  }
 }
