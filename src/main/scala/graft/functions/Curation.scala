@@ -44,6 +44,64 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Exact-quota mixture sampling — "build me a training mix of exactly
+    * `total` documents with each group's share preserved": per-group
+    * quotas by Hamilton's largest-remainder method (base = ⌊total·n_g/N⌋,
+    * the total−Σbase leftovers go to the largest integer remainders,
+    * ties to the lower group key), then each group contributes its
+    * md5-ranked top-quota documents. Unlike rate-based sampling
+    * ([[stratifiedSample]]) the output size is EXACTLY `total` and the
+    * allocation is the closest integer apportionment to the true shares
+    * — the property a fixed token budget needs.
+    *
+    * Everything is integer arithmetic (quotas via DECIMAL(38,0) div/mod
+    * — no float shares anywhere) plus one deterministic md5 order, so
+    * the draw replays bit-for-bit in any engine. Scale shape: one count
+    * aggregate (≤|groups| rows, windows over that bounded frame only),
+    * quotas broadcast back, and the per-group draw is a rank window the
+    * optimizer caps pre-shuffle (WindowGroupLimit at the max quota).
+    * Requires total ≤ N (quota of a group never exceeds its n_g only
+    * when shares are consistent — callers sample DOWN). */
+  def quotaSample(df: DataFrame, idCol: String, groupCol: String,
+      total: Int, seed: String = "q"): DataFrame = {
+    require(total >= 1, "total must be positive")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("__rem"), col(groupCol))
+    // "__tot", not "__N": Spark SQL resolution is case-insensitive, so a
+    // name differing from "__n" only by case would alias the SAME column
+    // inside expr() and the apportionment would divide n by itself
+    val quotas = counts
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn("__base",
+        expr(s"CAST((CAST(__n AS DECIMAL(38,0)) * $total) DIV __tot " +
+          "AS BIGINT)"))
+      .withColumn("__rem",
+        (dec(col("__n")) * dec(lit(total.toLong))) %
+          dec(col("__tot")))
+      .withColumn("__left",
+        lit(total.toLong) - sum(col("__base")).over(wAll))
+      .withColumn("__rr", row_number().over(wRem))
+      .select(col(groupCol),
+        (col("__base") +
+          when(col("__rr") <= col("__left"), 1L).otherwise(0L))
+          .as("quota"))
+    val wDraw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("__ord"), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("__ord", Dedup.seededHash(0,
+        concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__rn", row_number().over(wDraw))
+      .filter(col("__rn") <= col("quota"))
+      .select(col(groupCol), col(idCol), col("quota"))
+  }
+
   /** Benchmark decontamination: flag training documents that share any word
     * n-gram with an eval/benchmark set (the standard n-gram-overlap
     * decontamination step of LLM training-data prep; production uses n≈13,

@@ -1604,8 +1604,43 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  // Exact-quota mixture sampling: exactly 97 documents with per-language
+  // shares apportioned by Hamilton's largest-remainder method (97 is
+  // coprime to the counts, so the remainder ranking genuinely decides
+  // two leftovers), each language contributing its md5-ranked top-quota
+  // docs. All-integer quotas + a deterministic draw — the oracle replays
+  // the div/mod apportionment, the remainder ranking, and the draw.
+  private val x233 = Q("x233_quota_sample", Some(
+    """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |             FROM documents GROUP BY lang),
+      |q AS (SELECT lang, n,
+      |        CAST((CAST(n AS HUGEINT) * 97) // (SELECT sum(n) FROM cnt)
+      |          AS BIGINT) AS base,
+      |        (CAST(n AS HUGEINT) * 97) % (SELECT sum(n) FROM cnt) AS rem
+      |      FROM cnt),
+      |q2 AS (SELECT lang, base, rem,
+      |        97 - (SELECT sum(base) FROM q) AS leftover,
+      |        row_number() OVER (ORDER BY rem DESC, lang) AS rr
+      |       FROM q),
+      |quota AS (SELECT lang,
+      |        CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+      |          AS BIGINT) AS quota
+      |       FROM q2),
+      |drawn AS (
+      |  SELECT d.lang, d.doc_id, qu.quota,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY ('0x' || substring(md5('0:q:' || d.doc_id::VARCHAR),
+      |        1, 8))::BIGINT, d.doc_id) AS rk
+      |  FROM documents d JOIN quota qu USING (lang))
+      |SELECT lang, doc_id, quota FROM drawn WHERE rk <= quota
+      |ORDER BY lang, doc_id""".stripMargin)) { (s, dir) =>
+    Curation.quotaSample(t(s, dir, "documents"), "doc_id", "lang",
+        total = 97)
+      .orderBy("lang", "doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
     x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185,
-    x189, x190, x201, x203, x204, x208, x212)
+    x189, x190, x201, x203, x204, x208, x212, x233)
 }

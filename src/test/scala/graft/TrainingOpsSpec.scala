@@ -658,6 +658,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(byLang("clean").getAs[Double]("tokens_per_doc") == 2.5)
   }
 
+  test("quotaSample: Hamilton apportionment hits exact quotas; output " +
+    "size is exactly the requested total; draw is deterministic") {
+    // counts a=3, b=2, c=5; total 7 → base (2,1,3), remainders (1,4,5),
+    // one leftover goes to c → quotas (2,1,4)
+    val df = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq.fill(5)("c"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "g")
+    val out = Curation.quotaSample(df, "id", "g", total = 7).collect()
+    assert(out.length == 7)
+    val byG = out.groupBy(_.getAs[String]("g")).view.mapValues(_.length)
+    assert(byG("a") == 2 && byG("b") == 1 && byG("c") == 4)
+    assert(out.filter(_.getAs[String]("g") == "c")
+      .forall(_.getAs[Long]("quota") == 4L))
+    val again = Curation.quotaSample(df, "id", "g", total = 7).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("paddingWaste: buckets pad to their own max; boundary values land " +
     "in the upper bucket; empty-free buckets exact") {
     // token counts: 2, 3 (bucket 0), 5 (bucket 1), 9 (bucket 2)
