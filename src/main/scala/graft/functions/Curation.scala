@@ -60,8 +60,13 @@ object Curation {
     * aggregate (≤|groups| rows, windows over that bounded frame only),
     * quotas broadcast back, and the per-group draw is a rank window the
     * optimizer caps pre-shuffle (WindowGroupLimit at the max quota).
+    *
     * Requires total ≤ N (quota of a group never exceeds its n_g only
-    * when shares are consistent — callers sample DOWN). */
+    * when shares are consistent — callers sample DOWN). ENFORCED at
+    * action time: a `raise_error` guard rides the ≤|groups|-row counts
+    * frame (no extra corpus pass, the plan stays lazily buildable), so
+    * a budget larger than the corpus fails loudly instead of silently
+    * returning all N rows — fewer than the promised total. */
   def quotaSample(df: DataFrame, idCol: String, groupCol: String,
       total: Int, seed: String = "q"): DataFrame = {
     require(total >= 1, "total must be positive")
@@ -77,6 +82,12 @@ object Curation {
     // inside expr() and the apportionment would divide n by itself
     val quotas = counts
       .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn("__tot",
+        when(col("__tot") < lit(total.toLong),
+          raise_error(concat(
+            lit(s"quotaSample: total=$total exceeds corpus size N="),
+            col("__tot").cast("string"))).cast("bigint"))
+        .otherwise(col("__tot")))
       .withColumn("__base",
         expr(s"CAST((CAST(__n AS DECIMAL(38,0)) * $total) DIV __tot " +
           "AS BIGINT)"))

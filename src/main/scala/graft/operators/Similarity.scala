@@ -930,19 +930,29 @@ object Similarity {
     *
     * Plan: one corpus scan × broadcast centroids → per-id top-1 window
     * (WindowGroupLimit) → partitioned rewrite + the (cells×d)-row state
-    * aggregate. The eager localCheckpoints are REQUIRED, not a cache
-    * nicety: the rewrite overwrites the very table the assignment
-    * reads. */
+    * aggregate.
+    *
+    * The refined assignment is staged DURABLY (a `_refine_staging`
+    * parquet table) before the rebuild drops the source table, because
+    * the rewrite overwrites the very table the assignment reads. An
+    * executor-local pin (localCheckpoint) is NOT enough here: its
+    * blocks are non-replicated, so losing an executor between the pin
+    * and the rewrite — after the source is dropped — would lose the
+    * corpus. With the staging table, a rebuild that dies mid-write is
+    * recoverable from disk; the staging table is dropped only after
+    * the rebuild completes. */
   def refineCells(spark: org.apache.spark.sql.SparkSession, table: String,
       idCol: String, cellCol: String, vecCol: String): Unit = {
+    val staging = s"${table}_refine_staging"
     val vecs = spark.table(table).select(col(idCol), col(vecCol))
-      .localCheckpoint(eager = true)
     val refined = vecs
       .join(routeToNearestCell(spark, table, vecs, idCol, vecCol)
         .withColumnRenamed("cell", "__newcell"), idCol)
       .select(col(idCol), col("__newcell").as(cellCol), col(vecCol))
-      .localCheckpoint(eager = true)
-    buildIvfIndex(refined, idCol, cellCol, vecCol, table)
+    dropWithDir(spark, staging)
+    refined.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    buildIvfIndex(spark.table(staging), idCol, cellCol, vecCol, table)
+    dropWithDir(spark, staging)
   }
 
   /** [[ivfTopK]] over a [[buildIvfIndex]] table: identical output (same

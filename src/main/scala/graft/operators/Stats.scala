@@ -304,7 +304,16 @@ object Stats {
     * Returns one row: (n_items, pairs_both, ari). `pairs_both` (pairs
     * co-clustered in BOTH partitions) is reported as BIGINT — exact to
     * ~4.3B co-clustered-pair counts; the internal sums are DECIMAL(38,0)
-    * far beyond that. */
+    * far beyond that.
+    *
+    * EAGER — the one deliberate exception to the library's lazy-plan
+    * contract: the contingency aggregate and its three bounded readers
+    * execute AT CONSTRUCTION (one corpus-sized job) so the persisted
+    * contingency table can be unpersisted before returning (LEAKCHECK
+    * discipline — no cache entry outlives the call). Callers that build
+    * plans without running them (dry runs, plan inspection) trigger the
+    * job — and surface any failure — here, not at action time; the
+    * returned 1-row frame itself is a local, job-free plan. */
   def adjustedRandIndex(df: DataFrame, idCol: String, aCol: String,
       bCol: String): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
@@ -1203,8 +1212,10 @@ object Stats {
     * distinct-score hash aggregate keyed by (replicate, score) — every
     * running CDF stays on the range-partitioned prefix-sum path, and the
     * band aggregate runs over ≤B rows. Replicates that degenerate to a
-    * single class contribute null AUCs (skipped by the band, counted in
-    * n_replicates). */
+    * single class contribute null AUCs — skipped by the band AND by the
+    * mean (`auc_mean` divides by `n_valid`, the non-degenerate replicate
+    * count, reported next to `n_replicates`; dividing by all replicates
+    * would silently bias the mean toward 0). */
   def bootstrapAuc(df: DataFrame, idCol: String, scoreCol: String,
       label: Column, replicates: Int = 8): DataFrame = {
     require(replicates >= 2, "need at least 2 replicates")
@@ -1218,11 +1229,13 @@ object Stats {
         col("__b").cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0)
     val per = binaryAucBy(reps, "__b", "__v", col("__y") === 1)
     per.agg(count(lit(1)).as("n_replicates"),
+        count(col("auc")).as("n_valid"),
         sum(col("auc").cast("decimal(28,18)")).as("__s"),
         min(col("auc")).as("auc_min"), max(col("auc")).as("auc_max"))
-      .select(col("n_replicates"),
-        round(col("__s").cast("double") /
-          col("n_replicates").cast("double"), 6).as("auc_mean"),
+      .select(col("n_replicates"), col("n_valid"),
+        when(col("n_valid") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__s").cast("double") /
+            col("n_valid").cast("double"), 6)).as("auc_mean"),
         col("auc_min"), col("auc_max"))
   }
 
@@ -1344,13 +1357,22 @@ object Stats {
     * INTEGER counts by contract (exact Long products, DECIMAL(38,0)
     * sums); sample variances (n−1) computed once in double in a fixed
     * operation order. One per-arm hash aggregate (map-side combine) +
-    * a 1×1 join of the two arm rows. Exactly two arms required. */
+    * a 1×1 join of the two arm rows.
+    *
+    * Exactly two arms required — ENFORCED, lazily: `n_arms` (counted
+    * over the ≤|arms|-row aggregate frame, no extra corpus pass) is
+    * reported, and `diff`/`t`/`df_welch` are NULL unless n_arms = 2.
+    * One arm would otherwise self-compare (diff = 0 looks like a null
+    * result); three-plus arms would silently drop the middle arms. */
   def welchT(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
     val x = col(valueCol).cast("long")
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val m = df.groupBy(col(armCol).as("__arm"))
       .agg(count(lit(1)).as("n"), sum(dec(x)).as("__s"),
         sum(dec(x * x)).as("__ss"))
+      .withColumn("__narms", count(lit(1)).over(wAll))
       .withColumn("__mean", col("__s").cast("double") / col("n").cast("double"))
       .withColumn("__var",
         when(col("n") <= 1, lit(null)).otherwise(
@@ -1359,23 +1381,27 @@ object Stats {
               col("n").cast("double")) / (col("n").cast("double") - lit(1.0))))
     val lo = m.orderBy("__arm").limit(1)
       .select(col("__arm").as("arm0"), col("n").as("n0"),
-        col("__mean").as("__m0"), col("__var").as("__v0"))
+        col("__mean").as("__m0"), col("__var").as("__v0"),
+        col("__narms"))
     val hi = m.orderBy(desc("__arm")).limit(1)
       .select(col("__arm").as("arm1"), col("n").as("n1"),
         col("__mean").as("__m1"), col("__var").as("__v1"))
+    val twoArms = col("__narms") === 2
     lo.crossJoin(hi)
       .withColumn("__se0", col("__v0") / col("n0").cast("double"))
       .withColumn("__se1", col("__v1") / col("n1").cast("double"))
-      .select(col("arm0"), col("arm1"), col("n0"), col("n1"),
+      .select(col("__narms").as("n_arms"),
+        col("arm0"), col("arm1"), col("n0"), col("n1"),
         round(col("__m0"), 6).as("mean0"),
         round(col("__m1"), 6).as("mean1"),
-        round(col("__m1") - col("__m0"), 6).as("diff"),
-        round((col("__m1") - col("__m0")) /
-          sqrt(col("__se0") + col("__se1")), 6).as("t"),
-        round(((col("__se0") + col("__se1")) * (col("__se0") + col("__se1"))) /
+        when(twoArms, round(col("__m1") - col("__m0"), 6)).as("diff"),
+        when(twoArms, round((col("__m1") - col("__m0")) /
+          sqrt(col("__se0") + col("__se1")), 6)).as("t"),
+        when(twoArms, round(
+          ((col("__se0") + col("__se1")) * (col("__se0") + col("__se1"))) /
           (col("__se0") * col("__se0") / (col("n0").cast("double") - lit(1.0)) +
             col("__se1") * col("__se1") / (col("n1").cast("double") - lit(1.0))),
-          6).as("df_welch"))
+          6)).as("df_welch"))
   }
 
   /** CUPED variance reduction for an A/B metric (Deng et al. 2013):

@@ -1199,13 +1199,16 @@ object StatsQueries {
        |m AS (SELECT b, sum(cp * (2 * s + c + 1)) AS r2, sum(cp) AS n1,
        |        sum(c - cp) AS n0
        |      FROM cum GROUP BY b),
-       |a AS (SELECT b, round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
-       |        / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)
-       |        AS auc
+       |a AS (SELECT b,
+       |        CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+       |          ELSE round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+       |            / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)
+       |        END AS auc
        |      FROM m)
        |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       |  CAST(count(auc) AS BIGINT) AS n_valid,
        |  round(CAST(sum(CAST(auc AS DECIMAL(28,18))) AS DOUBLE)
-       |    / CAST(count(*) AS DOUBLE), 6) AS auc_mean,
+       |    / CAST(count(auc) AS DOUBLE), 6) AS auc_mean,
        |  min(auc) AS auc_min, max(auc) AS auc_max
        |FROM a""".stripMargin)) { (s, dir) =>
     Stats.bootstrapAuc(t(s, dir, "documents"), "doc_id", "n_chars",
@@ -1404,16 +1407,19 @@ object StatsQueries {
       |       ORDER BY arm LIMIT 1),
       |hi AS (SELECT arm AS arm1, n AS n1, mean AS m1, var AS v1 FROM d
       |       ORDER BY arm DESC LIMIT 1),
-      |j AS (SELECT arm0, arm1, n0, n1, m0, m1,
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n_arms FROM m),
+      |j AS (SELECT n_arms, arm0, arm1, n0, n1, m0, m1,
       |        v0 / CAST(n0 AS DOUBLE) AS se0,
       |        v1 / CAST(n1 AS DOUBLE) AS se1
-      |      FROM lo, hi)
-      |SELECT arm0, arm1, n0, n1, round(m0, 6) AS mean0,
-      |  round(m1, 6) AS mean1, round(m1 - m0, 6) AS diff,
-      |  round((m1 - m0) / sqrt(se0 + se1), 6) AS t,
-      |  round(((se0 + se1) * (se0 + se1))
+      |      FROM lo, hi, na)
+      |SELECT n_arms, arm0, arm1, n0, n1, round(m0, 6) AS mean0,
+      |  round(m1, 6) AS mean1,
+      |  CASE WHEN n_arms = 2 THEN round(m1 - m0, 6) END AS diff,
+      |  CASE WHEN n_arms = 2
+      |    THEN round((m1 - m0) / sqrt(se0 + se1), 6) END AS t,
+      |  CASE WHEN n_arms = 2 THEN round(((se0 + se1) * (se0 + se1))
       |    / (se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)
-      |      + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)), 6) AS df_welch
+      |      + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)), 6) END AS df_welch
       |FROM j""".stripMargin)) { (s, dir) =>
     val ev = Tables.events(s, dir)
     val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")

@@ -730,6 +730,7 @@ class StatsSpec extends SparkSpec {
     val r = Stats.bootstrapAuc(df, "id", "score", $"y" === 1,
       replicates = 8).head()
     assert(r.getAs[Long]("n_replicates") == 8L)
+    assert(r.getAs[Long]("n_valid") == 8L)
     assert(r.getAs[Double]("auc_mean") == 1.0)
     assert(r.getAs[Double]("auc_min") == 1.0)
     assert(r.getAs[Double]("auc_max") == 1.0)
@@ -744,11 +745,29 @@ class StatsSpec extends SparkSpec {
       b.getAs[Double]("auc_max") <= 1.0)
   }
 
+  test("bootstrapAuc: degenerate replicates are excluded from the mean, " +
+    "not just the band") {
+    // 2 positives, 200 negatives: some half-sample replicates lose both
+    // positives and degenerate to a single class (null AUC). The mean
+    // must divide by the valid count — with perfect separation every
+    // valid replicate has AUC 1, so auc_mean stays exactly 1.0.
+    val df = (Seq((1L, 1000L, 1), (2L, 1001L, 1)) ++
+      (3 to 202).map(i => (i.toLong, i.toLong, 0))).toDF("id", "score", "y")
+    val r = Stats.bootstrapAuc(df, "id", "score", $"y" === 1,
+      replicates = 64).head()
+    assert(r.getAs[Long]("n_replicates") == 64L)
+    val valid = r.getAs[Long]("n_valid")
+    assert(valid < 64L, "fixture should produce some degenerate replicates")
+    assert(valid > 0L)
+    assert(r.getAs[Double]("auc_mean") == 1.0)
+  }
+
   test("welchT: hand case hits the closed forms; lower arm is control") {
     // arm 0: (1,2,3) → mean 2, var 1; arm 1: (4,6) → mean 5, var 2
     val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 6L))
       .toDF("arm", "v")
     val r = Stats.welchT(df, "arm", "v").head()
+    assert(r.getAs[Long]("n_arms") == 2L)
     assert(r.getAs[Long]("arm0") == 0L && r.getAs[Long]("arm1") == 1L)
     assert(r.getAs[Long]("n0") == 3L && r.getAs[Long]("n1") == 2L)
     assert(r.getAs[Double]("mean0") == 2.0 && r.getAs[Double]("mean1") == 5.0)
@@ -758,6 +777,23 @@ class StatsSpec extends SparkSpec {
       math.rint(3.0 / math.sqrt(4.0 / 3.0) * 1e6) / 1e6)
     assert(r.getAs[Double]("df_welch") ==
       math.rint(32.0 / 19.0 * 1e6) / 1e6)
+  }
+
+  test("welchT: wrong arm counts surface as n_arms with null comparison " +
+    "columns instead of a plausible-looking answer") {
+    // one arm: min and max pick the SAME arm — a self-comparison
+    val one = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("arm", "v")
+    val r1 = Stats.welchT(one, "arm", "v").head()
+    assert(r1.getAs[Long]("n_arms") == 1L)
+    assert(r1.isNullAt(r1.fieldIndex("diff")))
+    assert(r1.isNullAt(r1.fieldIndex("t")))
+    assert(r1.isNullAt(r1.fieldIndex("df_welch")))
+    // three arms: the middle arm would be silently dropped
+    val three = Seq((0L, 1L), (0L, 2L), (1L, 4L), (1L, 5L), (2L, 8L),
+      (2L, 9L)).toDF("arm", "v")
+    val r3 = Stats.welchT(three, "arm", "v").head()
+    assert(r3.getAs[Long]("n_arms") == 3L)
+    assert(r3.isNullAt(r3.fieldIndex("t")))
   }
 
   test("cupedAdjust: closed-form theta/variance-reduction on the hand " +

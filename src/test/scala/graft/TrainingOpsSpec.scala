@@ -674,6 +674,14 @@ class TrainingOpsSpec extends SparkSpec {
     val again = Curation.quotaSample(df, "id", "g", total = 7).collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
       again.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+
+    // total > N: the "output size is EXACTLY total" contract cannot be
+    // met — fail loudly at action time, never silently return N rows
+    val ex = intercept[Exception] {
+      Curation.quotaSample(df, "id", "g", total = 11).collect()
+    }
+    assert(ex.getMessage.contains("exceeds corpus size") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exceeds corpus size")))
   }
 
   test("paddingWaste: buckets pad to their own max; boundary values land " +
