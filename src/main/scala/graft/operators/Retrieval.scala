@@ -331,6 +331,13 @@ object Retrieval {
       s"${table}_tok")
     replaceSmallTable(corpusStatsOf(docs, idCol, textCol),
       s"${table}_stats")
+    // doc-level membership (doc, dl) — what makes the index DELETABLE:
+    // n_corpus/total_dl deltas need per-doc lengths for ids that may
+    // have zero postings rows (token-free docs), and membership checks
+    // must not scan the corpus-sized postings. 1 row per doc, 2 longs.
+    replaceSmallTable(docLensOf(docs, idCol, textCol), s"${table}_docs")
+    // a rebuilt index must not inherit a previous incarnation's deletes
+    dropTableWithDir(docs.sparkSession, s"${table}_tomb")
   }
 
   /** Batch postings `(token, doc, tf, dl)` — one pass over `docs`. */
@@ -348,6 +355,40 @@ object Retrieval {
       textCol: String): DataFrame =
     docs.select(size(Dedup.words(col(textCol))).cast("long").as("__dl"))
       .agg(count(lit(1)).as("n_corpus"), sum(col("__dl")).as("total_dl"))
+
+  /** Per-doc membership rows `(doc, dl)` for the `_docs` companion —
+    * token-free docs included (dl = 0), matching `n_corpus`'s count-
+    * every-doc convention. */
+  private def docLensOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      size(Dedup.words(col(textCol))).cast("long").as("dl"))
+
+  /** The queryable postings rows: the physical table minus tombstoned
+    * docs. Indexes that have never seen a delete have no `_tomb` table
+    * and read the bare scan — plan unchanged; after
+    * [[deleteFromPostingsIndex]] the scan anti-joins the broadcast
+    * tombstone set (batch-sized) until [[compactPostingsIndex]]
+    * reclaims the rows physically. */
+  private def livePostings(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val base = spark.table(table)
+    if (spark.catalog.tableExists(s"${table}_tomb"))
+      base.join(broadcast(spark.table(s"${table}_tomb")), Seq("doc"),
+        "left_anti")
+    else base
+  }
+
+  /** Drop a table AND its leftover warehouse directory (the
+    * replaceSmallTable cleanup, without the rewrite). */
+  private def dropTableWithDir(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 
   /** Drop-and-overwrite a small companion table. Idempotent across
     * sessions, like Bucketing.writeBucketed: a fresh in-memory catalog
@@ -403,6 +444,161 @@ object Retrieval {
         sum(col("total_dl")).as("total_dl"))
       .localCheckpoint(eager = true)
     replaceSmallTable(mergedStats, s"${table}_stats")
+    // membership rows append like the postings: batch-only, no rewrite
+    docLensOf(newDocs, idCol, textCol)
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_docs")
+  }
+
+  /** Delete documents from a [[buildPostingsIndex]] index WITHOUT
+    * rewriting the corpus-sized postings — the logical-delete half of
+    * the index lifecycle (append = [[appendToPostingsIndex]], reclaim =
+    * [[compactPostingsIndex]], update = [[upsertIntoPostingsIndex]]).
+    *
+    * What moves, and why query results equal a rebuild on the surviving
+    * corpus (gated by x234):
+    *  - `_tomb`: the batch's ids (restricted to docs actually present
+    *    and not already tombstoned — deleting an absent or
+    *    already-deleted id is a NO-OP, which also makes a re-run of the
+    *    same delete idempotent) land in a tombstone table; every scorer
+    *    reads the postings through [[livePostings]], which anti-joins
+    *    the broadcast tombstone set.
+    *  - `_tok` df/cf: decremented exactly by the deleted docs' per-token
+    *    counts — integer sums, so delete ≡ rebuild bit-exactly. Tokens
+    *    whose df reaches 0 drop out of the vocabulary, as a rebuild
+    *    would drop them. This is the one index-sized cost: ONE postings
+    *    scan restricted to the batch (broadcast semi-join) — there is no
+    *    doc-keyed copy of the postings, so batch deletes to amortize it.
+    *  - `_stats`: n_corpus/total_dl decrement from the `_docs` rows
+    *    (exact even for token-free docs, which have no postings).
+    *
+    * Write order: `_tomb` FIRST. A crash mid-delete then leaves deleted
+    * docs invisible (correct) with companion stats transiently
+    * overcounting — and [[compactPostingsIndex]] rebuilds companions
+    * from surviving truth, so compaction repairs any such gap. */
+  def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      deleteIds: DataFrame, idCol: String, table: String): Unit = {
+    val tombT = s"${table}_tomb"
+    val del = deleteIds.select(col(idCol).as("doc")).distinct()
+    val existing =
+      if (spark.catalog.tableExists(tombT)) spark.table(tombT)
+      else del.limit(0)
+    val newTombs = spark.table(s"${table}_docs")
+      .join(broadcast(del), Seq("doc"), "left_semi")
+      .join(broadcast(existing), Seq("doc"), "left_anti")
+      .localCheckpoint(eager = true) // (doc, dl), pinned before rewrites
+    val allTombs = existing.select("doc")
+      .unionByName(newTombs.select("doc"))
+      .localCheckpoint(eager = true) // pinned: reads the table it replaces
+    replaceSmallTable(allTombs, tombT)
+    // vocabulary deltas: one postings scan restricted to the batch
+    val tokDelta = spark.table(table)
+      .join(broadcast(newTombs.select("doc")), Seq("doc"), "left_semi")
+      .groupBy("token")
+      .agg((-count(lit(1))).as("df"), (-sum(col("tf"))).as("cf"))
+    val mergedTok = Incremental.mergeStates(
+        Seq(spark.table(s"${table}_tok"), tokDelta), Seq("token"))
+      .filter(col("df") > 0)
+      .localCheckpoint(eager = true)
+    replaceSmallTable(mergedTok, s"${table}_tok")
+    val mergedStats = spark.table(s"${table}_stats")
+      .unionByName(newTombs
+        .agg((-count(lit(1))).as("n_corpus"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("total_dl")))
+      .agg(sum(col("n_corpus")).as("n_corpus"),
+        sum(col("total_dl")).as("total_dl"))
+      .localCheckpoint(eager = true)
+    replaceSmallTable(mergedStats, s"${table}_stats")
+  }
+
+  /** Physically reclaim tombstoned rows: rewrite the postings minus the
+    * tombstone set, then REBUILD every companion (`_tok`, `_stats`,
+    * `_docs`) from the surviving truth and drop `_tomb`. Rebuilding
+    * rather than trusting the incremental deltas makes compaction the
+    * index's REPAIR operation too: a crash that interrupted a delete
+    * between its companion writes is healed here.
+    *
+    * The corpus-sized rewrite is the point of the operation (that is
+    * where the bytes come back); both the postings survivors and the
+    * `_docs` survivors are staged DURABLY before the tables they were
+    * read from are dropped — the refineCells lesson: never hold the
+    * only copy of a corpus in executor-local storage while destroying
+    * its source. No-op when nothing was ever deleted. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 8): Unit = {
+    val tombT = s"${table}_tomb"
+    if (!spark.catalog.tableExists(tombT)) return
+    val tomb = broadcast(spark.table(tombT).select("doc"))
+    val stagingP = s"${table}_compact_staging"
+    val stagingD = s"${table}_docs_staging"
+    dropTableWithDir(spark, stagingP)
+    spark.table(table).join(tomb, Seq("doc"), "left_anti")
+      .write.mode("overwrite").format("parquet").saveAsTable(stagingP)
+    dropTableWithDir(spark, stagingD)
+    spark.table(s"${table}_docs").join(tomb, Seq("doc"), "left_anti")
+      .write.mode("overwrite").format("parquet").saveAsTable(stagingD)
+    Bucketing.writeBucketed(
+      spark.table(stagingP).select("token", "doc", "tf", "dl"), table,
+      buckets, Seq("token"), Seq("token"))
+    replaceSmallTable(spark.table(stagingD), s"${table}_docs")
+    replaceSmallTable(spark.table(table).groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
+      s"${table}_tok")
+    replaceSmallTable(spark.table(s"${table}_docs")
+      .agg(count(lit(1)).as("n_corpus"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl")),
+      s"${table}_stats")
+    dropTableWithDir(spark, tombT)
+    dropTableWithDir(spark, stagingP)
+    dropTableWithDir(spark, stagingD)
+  }
+
+  /** Upsert a document batch: replace docs whose ids are already
+    * indexed, insert the rest — delete → compact → append. The
+    * composition is what an append-only postings store fundamentally
+    * costs for in-place updates: the delete is logical, but re-adding a
+    * tombstoned id needs its OLD rows physically gone first (the
+    * tombstone filter is by doc id and would otherwise kill the new
+    * rows too), so an upsert pays one compaction — batch updates to
+    * amortize it. Ids new to the index pass through the delete as
+    * no-ops, so a mixed insert/update batch is handled in one call.
+    * Gated by x235: stale-build → upsert ≡ building on the final corpus
+    * from scratch. */
+  def upsertIntoPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String, table: String,
+      buckets: Int = 8): Unit = {
+    deleteFromPostingsIndex(spark, docs.select(col(idCol)), idCol, table)
+    compactPostingsIndex(spark, table, buckets)
+    appendToPostingsIndex(docs, idCol, textCol, table, buckets)
+  }
+
+  /** 1-row health report of a postings index — the "when do I compact"
+    * signal: doc counts (physical / live / tombstoned), live vocabulary
+    * size, postings rows (physical vs live — the gap is the bytes a
+    * compaction reclaims), live token mass, and the live average doc
+    * length the scorers are currently using. Companion-table reads plus
+    * one postings count (column-pruned scans, no corpus text). */
+  def postingsIndexStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val tombT = s"${table}_tomb"
+    val nTomb =
+      if (spark.catalog.tableExists(tombT))
+        spark.table(tombT).agg(count(lit(1)).as("n_tombstoned"))
+      else spark.range(1).select(lit(0L).as("n_tombstoned"))
+    val docsAgg = spark.table(s"${table}_docs")
+      .agg(count(lit(1)).as("n_docs"))
+    val tokAgg = spark.table(s"${table}_tok")
+      .agg(count(lit(1)).as("n_tokens"))
+    val postAgg = spark.table(table).agg(count(lit(1)).as("n_postings"))
+    val liveAgg = livePostings(spark, table)
+      .agg(count(lit(1)).as("n_postings_live"))
+    docsAgg.crossJoin(nTomb).crossJoin(tokAgg).crossJoin(postAgg)
+      .crossJoin(liveAgg).crossJoin(spark.table(s"${table}_stats"))
+      .select(col("n_docs"),
+        (col("n_docs") - col("n_tombstoned")).as("n_docs_live"),
+        col("n_tombstoned"), col("n_tokens"), col("n_postings"),
+        col("n_postings_live"), col("total_dl"),
+        round(col("total_dl").cast("double") /
+          col("n_corpus").cast("double"), 6).as("avg_dl"))
   }
 
   /** Champion lists (impact-ordered postings pruning — Manning/Raghavan/
@@ -442,7 +638,7 @@ object Retrieval {
             (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
         .cast("decimal(28,18)")
     val w = Window.partitionBy("token").orderBy(desc("impact"), col("doc"))
-    val champ = spark.table(table)
+    val champ = livePostings(spark, table)
       .join(spark.table(s"${table}_tok"), "token")
       .crossJoin(stats)
       .select(col("token"), col("doc"), impact.as("impact"))
@@ -504,7 +700,7 @@ object Retrieval {
       b: Double): DataFrame = {
     // df comes from the vocabulary table restricted to the query terms —
     // a ≤|q-terms|-row broadcast (one vocab-sized scan, never the corpus)
-    val postings = spark.table(table)
+    val postings = livePostings(spark, table)
       .join(broadcast(spark.table(s"${table}_tok")
         .join(broadcast(qTerms.select("token").distinct()), "token")),
         "token")
@@ -572,7 +768,7 @@ object Retrieval {
       queryTextCol: String, k: Int = 10, fbDocs: Int = 3, fbTerms: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1 && fbDocs >= 1 && fbTerms >= 0, "bad k/fbDocs/fbTerms")
-    val postings = spark.table(table)
+    val postings = livePostings(spark, table)
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
     val pass1 = bm25ScoreFromIndex(spark, table, qTerms, fbDocs, k1, b)
@@ -611,7 +807,7 @@ object Retrieval {
       .withColumn("qlen",
         sum(col("qtf")).over(Window.partitionBy("query_id"))))
     // cf from the vocabulary table restricted to the query terms
-    val postings = spark.table(table)
+    val postings = livePostings(spark, table)
       .join(broadcast(spark.table(s"${table}_tok")
         .join(broadcast(qTerms.select("token").distinct()), "token")),
         "token")

@@ -843,6 +843,88 @@ object Similarity {
       .saveAsTable(s"${table}_centroids")
   }
 
+  /** Delete vectors from a [[buildIvfIndex]] index — the lifecycle
+    * complement of [[appendToIvfIndex]] (and the ingredient
+    * [[refineCells]] doesn't cover: shrinking the corpus). Ids absent
+    * from the index are no-ops, so a re-run is idempotent.
+    *
+    * What moves, and why the result is BIT-identical to a rebuild on
+    * the surviving vectors (gated by x238):
+    *  - the deleted rows are found by ONE id-semi-joined index scan and
+    *    staged durably; only their cells' PARTITIONS are rewritten
+    *    (dynamic partition overwrite — untouched cells keep their
+    *    files), with cells emptied entirely dropped via partition DDL,
+    *    exactly as a rebuild would not produce them;
+    *  - the exact-DECIMAL centroid state has the deleted batch's state
+    *    SUBTRACTED (decimal sums are associative, so full − deleted =
+    *    survivors to the bit); cells whose count reaches 0 drop out;
+    *  - the broadcast centroid table regenerates from the merged state.
+    *
+    * Both the deleted rows and the affected-cell survivors are staged
+    * as durable parquet tables BEFORE any partition of the source is
+    * overwritten (the refineCells lesson — executor-local pins are not
+    * crash-safe when the source is being destroyed). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      deleteIds: DataFrame, idCol: String, table: String,
+      cellCol: String, vecCol: String): Unit = {
+    val delT = s"${table}_delete_staging"
+    val survT = s"${table}_survivor_staging"
+    dropWithDir(spark, delT)
+    spark.table(table)
+      .join(broadcast(deleteIds.select(col(idCol)).distinct()), Seq(idCol),
+        "left_semi")
+      .write.mode("overwrite").format("parquet").saveAsTable(delT)
+    val delS = spark.table(delT)
+    val affected = delS.select(col(cellCol)).distinct().collect()
+      .map(_.get(0))
+    if (affected.nonEmpty) {
+      dropWithDir(spark, survT)
+      spark.table(table).filter(col(cellCol).isin(affected: _*))
+        .join(broadcast(delS.select(col(idCol))), Seq(idCol), "left_anti")
+        .write.mode("overwrite").format("parquet").saveAsTable(survT)
+      // rewrite ONLY the affected cell partitions (positional insertInto:
+      // partition column last, matching the table's on-disk layout)
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try {
+        spark.table(survT)
+          .select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite")
+          .insertInto(table)
+      } finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+      // cells with no survivors get no partition from the dynamic
+      // overwrite — drop their old files explicitly, as a rebuild
+      // would never have written them
+      val survCells = spark.table(survT).select(col(cellCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      affected.filterNot(survCells).foreach { c =>
+        val v = c.toString.replace("'", "''")
+        spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
+          s"PARTITION (`$cellCol`='$v')")
+      }
+      val neg = centroidState(delS, cellCol, vecCol)
+        .select(col("cell"), col("i"), (-col("cs")).as("cs"),
+          (-col("cn")).as("cn"))
+      val merged = graft.operators.Incremental.mergeStates(
+          Seq(spark.table(s"${table}_cstate"), neg), Seq("cell", "i"))
+        .filter(col("cn") > 0)
+        .localCheckpoint(eager = true)
+      dropWithDir(spark, s"${table}_cstate")
+      merged.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_cstate")
+      dropWithDir(spark, s"${table}_centroids")
+      centroidsFromState(spark.table(s"${table}_cstate"))
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_centroids")
+      dropWithDir(spark, survT)
+    }
+    dropWithDir(spark, delT)
+  }
+
   /** Route a cell-less vector batch to its nearest EXISTING index cell
     * (cosine against the broadcast centroid table, ties to the lowest
     * cell id — one batch scan + a per-id top-1 window, the

@@ -22,10 +22,11 @@ object RetrievalQueries {
     * with doc_id >= 5, queries = documents with doc_id < `nQueries`. Ends
     * at `ranked(query_id, doc_id, score, matched_terms, rank)` with rank
     * <= `k`. Mirrors Retrieval.bm25TopK term for term. */
-  private def bm25Cte(nQueries: Int, k: Int): String =
+  private def bm25Cte(nQueries: Int, k: Int,
+      corpusWhere: String = "doc_id >= 5"): String =
     s"""ct AS (
        |  SELECT doc_id AS doc, u.w AS token
-       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE doc_id >= 5),
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE $corpusWhere),
        |    unnest(ws) AS u(w)),
        |tf AS (SELECT doc, token, count(*) AS tf FROM ct GROUP BY 1, 2),
        |tfdl AS (
@@ -34,7 +35,7 @@ object RetrievalQueries {
        |stats AS (
        |  SELECT count(*) AS n_corpus,
        |    CAST(sum(len($WORDS)) AS BIGINT) AS total_dl
-       |  FROM documents WHERE doc_id >= 5),
+       |  FROM documents WHERE $corpusWhere),
        |qt AS (
        |  SELECT DISTINCT doc_id AS query_id, u.w AS token
        |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
@@ -599,6 +600,117 @@ object RetrievalQueries {
       k = 10, pNum = 9, pDen = 10)
   }
 
+  // Logical delete from the postings index (the lifecycle complement of
+  // x209's append): build on the FULL corpus, tombstone the 20% batch —
+  // _tok df/cf decremented by exact integer deltas, _stats from the
+  // _docs membership rows, scorers anti-join the broadcast tombstones —
+  // then score. The oracle is a from-scratch BM25 on the SURVIVING
+  // corpus: tombstone-phase delete must equal a rebuild, bit-exactly,
+  // before any compaction has run.
+  private val x234 = Q("x234_postings_delete", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5,
+        corpusWhere = "doc_id >= 5 AND doc_id % 5 != 4")}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x234_postings")
+      Retrieval.deleteFromPostingsIndex(s,
+        d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4)
+          .select(col("doc_id")),
+        "doc_id", "graft_x234_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x234_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // Physical reclaim: same delete, then compactPostingsIndex rewrites
+  // the postings minus tombstones (survivors staged durably first),
+  // REBUILDS every companion from surviving truth (compaction doubles
+  // as the repair op), and drops _tomb — after which the scoring plan
+  // has no anti-join left. Same oracle as x234: compaction must not
+  // move a single score.
+  private val x235 = Q("x235_postings_compact", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5,
+        corpusWhere = "doc_id >= 5 AND doc_id % 5 != 4")}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x235_postings")
+      Retrieval.deleteFromPostingsIndex(s,
+        d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4)
+          .select(col("doc_id")),
+        "doc_id", "graft_x235_postings")
+      Retrieval.compactPostingsIndex(s, "graft_x235_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x235_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // Upsert — the full CRUD composition (delete → compact → append):
+  // the index is built with 20% of the corpus STALE (mangled text),
+  // then the true versions are upserted. The oracle is x171's
+  // full-corpus BM25 verbatim: after the upsert the index must be
+  // indistinguishable from one that never saw the stale text.
+  private val x236 = Q("x236_postings_upsert", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 5)
+      val stale = corpus.withColumn("text",
+        when(col("doc_id") % 5 === 4,
+          concat(col("text"), lit(" zzstalemarker zzstalemarker")))
+          .otherwise(col("text")))
+      Retrieval.buildPostingsIndex(stale, "doc_id", "text",
+        "graft_x236_postings")
+      Retrieval.upsertIntoPostingsIndex(s,
+        corpus.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+        "graft_x236_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x236_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // Index health report mid-lifecycle (after a delete, before the
+  // compact): the physical/live gaps — docs and postings rows — are
+  // the "when do I compact" signal, and the live avg_dl is what the
+  // scorers are actually normalizing by. The oracle replays doc
+  // membership, the tombstone split, live vocabulary (tokens whose df
+  // survives), and physical-vs-live postings counts from the raw text.
+  private val x237 = Q("x237_postings_stats", Some(
+    s"""WITH phys AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5),
+       |live AS (SELECT doc_id, text FROM phys WHERE doc_id % 5 != 4),
+       |pp AS (SELECT DISTINCT p.doc_id, u.w AS token
+       |       FROM (SELECT doc_id, $WORDS AS ws FROM phys) p,
+       |         unnest(ws) AS u(w)),
+       |pl AS (SELECT DISTINCT l.doc_id, u.w AS token
+       |       FROM (SELECT doc_id, $WORDS AS ws FROM live) l,
+       |         unnest(ws) AS u(w))
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM phys) AS n_docs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_docs_live,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM phys
+       |   WHERE doc_id % 5 = 4) AS n_tombstoned,
+       |  (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM pl)
+       |    AS n_tokens,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pp) AS n_postings,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pl) AS n_postings_live,
+       |  (SELECT CAST(sum(len($WORDS)) AS BIGINT) FROM live)
+       |    AS total_dl,
+       |  round((SELECT CAST(sum(len($WORDS)) AS DOUBLE) FROM live) /
+       |    (SELECT CAST(count(*) AS DOUBLE) FROM live), 6) AS avg_dl""".stripMargin)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+      "text", "graft_x237_postings")
+    Retrieval.deleteFromPostingsIndex(s,
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4)
+        .select(col("doc_id")),
+      "doc_id", "graft_x237_postings")
+    Retrieval.postingsIndexStats(s, "graft_x237_postings")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
-    x207, x209, x217, x218)
+    x207, x209, x217, x218, x234, x235, x236, x237)
 }

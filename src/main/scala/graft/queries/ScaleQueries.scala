@@ -2196,10 +2196,51 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  // IVF index delete (the lifecycle complement of x210's append): build
+  // on the FULL corpus, delete the 20% batch — only the affected cell
+  // partitions are rewritten (survivors staged durably first; emptied
+  // cells dropped via partition DDL), and the exact-DECIMAL centroid
+  // state has the batch SUBTRACTED (decimal sums are associative, so
+  // full − deleted ≡ a survivor rebuild to the bit) — then probe. The
+  // oracle recomputes centroids and cosines on the surviving vectors
+  // from scratch: delete-then-query must equal rebuild-then-query.
+  private val x238 = Q("x238_ivf_delete", Some(
+    """WITH base AS (SELECT * FROM embeddings WHERE vec_id % 5 != 4),
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM base
+      |      WHERE vec_id = 0),
+      |cent AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM base CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |cscore AS (
+      |  SELECT label,
+      |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+      |  FROM cent, q GROUP BY label),
+      |probe AS (SELECT label FROM cscore ORDER BY cs DESC, label LIMIT 3)
+      |SELECT vec_id,
+      |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+      |FROM base, q WHERE label IN (SELECT label FROM probe)
+      |ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |LIMIT 10""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_x238_ivf")
+    Similarity.deleteFromIvfIndex(s,
+      emb.filter(col("vec_id") % 5 === 4).select(col("vec_id")),
+      "vec_id", "graft_x238_ivf", "label", "embedding")
+    Similarity.ivfTopKIndexed(s, "graft_x238_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198, x210, x211, x221, x224, x226, x230, x231, x232)
+      x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238)
 }

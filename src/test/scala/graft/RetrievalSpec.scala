@@ -237,6 +237,98 @@ class RetrievalSpec extends SparkSpec {
     assert(score("graft_test_app").nonEmpty)
   }
 
+  test("deleteFromPostingsIndex: tombstone phase matches a rebuild on " +
+    "survivors exactly (scores + companions); absent-id and double " +
+    "deletes are no-ops; token-free docs delete exactly") {
+    val queries = Seq((1L, "apple banana"), (2L, "dog kiwi"))
+      .toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_test_del", buckets = 4)
+    // delete a token-ful doc, the token-free doc, and an ABSENT id
+    val ids = Seq(13L, 14L, 99L).toDF("doc_id")
+    Retrieval.deleteFromPostingsIndex(spark, ids, "doc_id",
+      "graft_test_del")
+    val survivors = corpus.filter(!$"doc_id".isin(13L, 14L))
+    Retrieval.buildPostingsIndex(survivors, "doc_id", "text",
+      "graft_test_del_ref", buckets = 4)
+    def tok(t: String) = spark.table(t + "_tok").orderBy("token")
+      .collect().toSeq
+    assert(tok("graft_test_del") == tok("graft_test_del_ref"))
+    assert(spark.table("graft_test_del_stats").collect().toSeq ==
+      spark.table("graft_test_del_ref_stats").collect().toSeq)
+    def score(t: String) = Retrieval.bm25TopKIndexed(spark, t, queries,
+      "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    assert(score("graft_test_del") == score("graft_test_del_ref"))
+    assert(score("graft_test_del").nonEmpty)
+    assert(!score("graft_test_del")
+      .exists(_.getAs[Long]("doc_id") == 13L))
+    // re-running the same delete (and deleting already-absent ids)
+    // changes nothing — idempotent
+    Retrieval.deleteFromPostingsIndex(spark, ids, "doc_id",
+      "graft_test_del")
+    assert(tok("graft_test_del") == tok("graft_test_del_ref"))
+    assert(spark.table("graft_test_del_stats").collect().toSeq ==
+      spark.table("graft_test_del_ref_stats").collect().toSeq)
+
+    // stats report: physical vs live gap is exactly the deleted docs
+    val st = Retrieval.postingsIndexStats(spark, "graft_test_del").head()
+    assert(st.getAs[Long]("n_docs") == 5L)
+    assert(st.getAs[Long]("n_docs_live") == 3L)
+    assert(st.getAs[Long]("n_tombstoned") == 2L)
+    assert(st.getAs[Long]("n_postings") >
+      st.getAs[Long]("n_postings_live"))
+
+    // compact: physical rows reclaimed, tombstones gone, scores stable
+    Retrieval.compactPostingsIndex(spark, "graft_test_del", buckets = 4)
+    assert(!spark.catalog.tableExists("graft_test_del_tomb"))
+    def rows(t: String) = spark.table(t)
+      .orderBy("token", "doc").collect().toSeq
+    assert(rows("graft_test_del") == rows("graft_test_del_ref"))
+    assert(tok("graft_test_del") == tok("graft_test_del_ref"))
+    assert(spark.table("graft_test_del_docs").orderBy("doc")
+      .collect().toSeq ==
+      spark.table("graft_test_del_ref_docs").orderBy("doc")
+        .collect().toSeq)
+    assert(score("graft_test_del") == score("graft_test_del_ref"))
+    val st2 = Retrieval.postingsIndexStats(spark, "graft_test_del").head()
+    assert(st2.getAs[Long]("n_docs") == 3L)
+    assert(st2.getAs[Long]("n_tombstoned") == 0L)
+    assert(st2.getAs[Long]("n_postings") ==
+      st2.getAs[Long]("n_postings_live"))
+  }
+
+  test("upsertIntoPostingsIndex: a mixed update+insert batch lands the " +
+    "index exactly on a from-scratch build of the final corpus") {
+    val stale = corpus.withColumn("text",
+      when($"doc_id" === 12L, lit("zz stale zz")).otherwise($"text"))
+    Retrieval.buildPostingsIndex(stale, "doc_id", "text",
+      "graft_test_ups", buckets = 4)
+    val batch = Seq((12L, "dog cat mouse"), (30L, "kiwi dog dog"))
+      .toDF("doc_id", "text")
+    Retrieval.upsertIntoPostingsIndex(spark, batch, "doc_id", "text",
+      "graft_test_ups", buckets = 4)
+    val finalCorpus = corpus // doc 12 restored to its original text
+      .unionByName(Seq((30L, "kiwi dog dog")).toDF("doc_id", "text"))
+    Retrieval.buildPostingsIndex(finalCorpus, "doc_id", "text",
+      "graft_test_ups_ref", buckets = 4)
+    def rows(t: String) = spark.table(t)
+      .orderBy("token", "doc").collect().toSeq
+    assert(rows("graft_test_ups") == rows("graft_test_ups_ref"))
+    def tok(t: String) = spark.table(t + "_tok").orderBy("token")
+      .collect().toSeq
+    assert(tok("graft_test_ups") == tok("graft_test_ups_ref"))
+    assert(spark.table("graft_test_ups_stats").collect().toSeq ==
+      spark.table("graft_test_ups_ref_stats").collect().toSeq)
+    val queries = Seq((1L, "dog kiwi"), (2L, "apple banana"))
+      .toDF("doc_id", "text")
+    def score(t: String) = Retrieval.bm25TopKIndexed(spark, t, queries,
+      "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    assert(score("graft_test_ups") == score("graft_test_ups_ref"))
+    // no stale term survives anywhere
+    assert(!spark.table("graft_test_ups").filter($"token" === "stale")
+      .collect().nonEmpty)
+  }
+
   test("champion lists: uncapped topN reproduces exact indexed BM25; " +
     "topN=1 keeps only the max-impact doc per token; serving plan " +
     "never touches the postings table") {

@@ -692,6 +692,56 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.forall(r => cellSet.contains(r.getAs[Long]("cell"))))
   }
 
+  test("deleteFromIvfIndex ≡ rebuild on survivors: state bit-identical, " +
+    "emptied cells dropped, untouched cells' files untouched") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_test_ivf_del")
+    // delete every vector of ONE cell (it must vanish entirely), a few
+    // vectors of another, and an absent id (no-op)
+    val doomedCell = emb.select($"label").orderBy("label").head().get(0)
+    val fullCell = emb.filter($"label" === doomedCell).select($"vec_id")
+    val partial = emb.filter($"label" =!= doomedCell)
+      .orderBy("vec_id").limit(3).select($"vec_id")
+    val ids = fullCell.unionByName(partial)
+      .unionByName(Seq(999999L).toDF("vec_id"))
+    Similarity.deleteFromIvfIndex(spark, ids, "vec_id",
+      "graft_test_ivf_del", "label", "embedding")
+    val delIds = fullCell.unionByName(partial).collect()
+      .map(_.getLong(0)).toSet
+    val survivors = emb.filter(!$"vec_id".isin(delIds.toSeq: _*))
+    Similarity.buildIvfIndex(survivors, "vec_id", "label", "embedding",
+      "graft_test_ivf_delref")
+    def state(t: String) = spark.table(t + "_cstate")
+      .orderBy("cell", "i").collect().toSeq
+    assert(state("graft_test_ivf_del") == state("graft_test_ivf_delref"))
+    def cents(t: String) = spark.table(t + "_centroids")
+      .orderBy("cell").collect().toSeq
+    assert(cents("graft_test_ivf_del") == cents("graft_test_ivf_delref"))
+    // table contents: survivors only; the doomed cell has no partition
+    def tbl(t: String) = spark.table(t).select($"vec_id").orderBy("vec_id")
+      .collect().toSeq
+    assert(tbl("graft_test_ivf_del") == tbl("graft_test_ivf_delref"))
+    assert(spark.table("graft_test_ivf_del")
+      .filter($"label" === doomedCell).isEmpty)
+    assert(spark.sql("SHOW PARTITIONS graft_test_ivf_del").collect()
+      .map(_.getString(0)).forall(p => p != s"label=$doomedCell"))
+    // the probe path agrees with the rebuilt index exactly
+    val q = emb.filter($"vec_id" === survivors.orderBy("vec_id")
+      .head().getAs[Long]("vec_id"))
+    def probe(t: String) = Similarity.ivfTopKIndexed(spark, t, "vec_id",
+        "label", "embedding", q, k = 5, nprobe = 2)
+      .collect().toSeq
+    assert(probe("graft_test_ivf_del") == probe("graft_test_ivf_delref"))
+    assert(probe("graft_test_ivf_del").nonEmpty)
+    // idempotent: deleting the same ids again changes nothing
+    Similarity.deleteFromIvfIndex(spark, ids, "vec_id",
+      "graft_test_ivf_del", "label", "embedding")
+    assert(state("graft_test_ivf_del") == state("graft_test_ivf_delref"))
+    assert(tbl("graft_test_ivf_del") == tbl("graft_test_ivf_delref"))
+  }
+
   test("lshPlantedRecall: high-similarity plants are recovered; " +
     "too-short docs are excluded from the planted count") {
     val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
