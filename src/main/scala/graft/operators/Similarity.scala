@@ -925,6 +925,47 @@ object Similarity {
     dropWithDir(spark, delT)
   }
 
+  /** Upsert a vector batch into a [[buildIvfIndex]] index: replace
+    * vectors whose ids are already indexed, insert the rest — delete →
+    * append. Unlike the postings upsert there is NO compaction step:
+    * [[deleteFromIvfIndex]] is physical (the affected cell partitions
+    * are rewritten immediately), so a re-added id has no old rows to
+    * collide with. Batches must carry their cell assignment — route
+    * cell-less batches with [[routeToNearestCell]] first. Gated by
+    * x239: stale-build → upsert ≡ building on the final corpus. */
+  def upsertIntoIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newData: DataFrame, idCol: String, cellCol: String, vecCol: String,
+      table: String): Unit = {
+    deleteFromIvfIndex(spark, newData.select(col(idCol)), idCol, table,
+      cellCol, vecCol)
+    appendToIvfIndex(newData, idCol, cellCol, vecCol, table)
+  }
+
+  /** Per-cell health report of an IVF index — the "when do I refine"
+    * signal ([[refineCells]] is the corpus-rewrite answer): cell sizes
+    * with each cell's share of the corpus and its ratio to the mean
+    * cell size. A max ratio ≫ 1 means probe cost is dominated by one
+    * hot cell (appends drifted the balance); ratios near 1 mean the
+    * partitions prune evenly. Reads ONLY the (cells×d)-row state table
+    * — never the vectors. */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val sizes = spark.table(s"${table}_cstate")
+      .groupBy(col("cell")).agg(max(col("cn")).as("n_vectors"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sizes
+      .withColumn("__tot", sum(col("n_vectors")).over(w))
+      .withColumn("__ncells", count(lit(1)).over(w))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors").cast("double") /
+          col("__tot").cast("double"), 6).as("share"),
+        round(col("n_vectors").cast("double") * col("__ncells").cast("double") /
+          col("__tot").cast("double"), 6).as("ratio_to_mean"))
+      .orderBy("cell")
+  }
+
   /** Route a cell-less vector batch to its nearest EXISTING index cell
     * (cosine against the broadcast centroid table, ties to the lowest
     * cell id — one batch scan + a per-id top-1 window, the

@@ -2237,10 +2237,57 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // IVF upsert — delete → append, NO compact needed (the IVF delete is
+  // physical, so a re-added id has no old rows to collide with, unlike
+  // the postings store): the index is built with the 20% batch's
+  // vectors STALE (negated — same cells, wrong geometry), then the true
+  // vectors are upserted. The oracle is x6/x183's full-corpus IVF
+  // verbatim: after the upsert the index must be indistinguishable from
+  // one that never saw the stale vectors — centroids included, since
+  // the negated vectors' exact-DECIMAL state was subtracted on delete.
+  private val x239 = Q("x239_ivf_upsert", Some(ivfOracle)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val stale = emb.withColumn("embedding",
+      when(col("vec_id") % 5 === 4,
+        transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+    Similarity.buildIvfIndex(stale, "vec_id", "label", "embedding",
+      "graft_x239_ivf")
+    Similarity.upsertIntoIvfIndex(s,
+      emb.filter(col("vec_id") % 5 === 4), "vec_id", "label", "embedding",
+      "graft_x239_ivf")
+    Similarity.ivfTopKIndexed(s, "graft_x239_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // IVF health report after an append has grown the cells: per-cell
+  // sizes with share-of-corpus and ratio-to-mean — the "when do I
+  // refine" signal, read ENTIRELY from the (cells×d)-row state table
+  // (the corpus-sized vector partitions appear nowhere in the plan).
+  // The oracle recounts the cells from the raw vectors.
+  private val x240 = Q("x240_ivf_stats", Some(
+    """WITH c AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS n
+      |          FROM embeddings GROUP BY label),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+      |        CAST(count(*) AS BIGINT) AS nc FROM c)
+      |SELECT cell, n AS n_vectors,
+      |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+      |  round(CAST(n AS DOUBLE) * CAST(nc AS DOUBLE)
+      |    / CAST(tot AS DOUBLE), 6) AS ratio_to_mean
+      |FROM c, t ORDER BY cell""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "label", "embedding", "graft_x240_ivf")
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 4),
+      "vec_id", "label", "embedding", "graft_x240_ivf")
+    Similarity.ivfIndexStats(s, "graft_x240_ivf")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
-      x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238)
+      x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
+      x240)
 }

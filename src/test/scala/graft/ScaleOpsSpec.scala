@@ -742,6 +742,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(tbl("graft_test_ivf_del") == tbl("graft_test_ivf_delref"))
   }
 
+  test("upsertIntoIvfIndex: replacing stale vectors lands the index " +
+    "exactly on a from-scratch build; state and table bit-identical") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val stale = emb.withColumn("embedding",
+      when($"vec_id" % 5 === 4, transform($"embedding", x => -x))
+        .otherwise($"embedding"))
+    Similarity.buildIvfIndex(stale, "vec_id", "label", "embedding",
+      "graft_test_ivf_ups")
+    Similarity.upsertIntoIvfIndex(spark,
+      emb.filter($"vec_id" % 5 === 4), "vec_id", "label", "embedding",
+      "graft_test_ivf_ups")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_test_ivf_upsref")
+    def state(t: String) = spark.table(t + "_cstate")
+      .orderBy("cell", "i").collect().toSeq
+    assert(state("graft_test_ivf_ups") == state("graft_test_ivf_upsref"))
+    def cents(t: String) = spark.table(t + "_centroids")
+      .orderBy("cell").collect().toSeq
+    assert(cents("graft_test_ivf_ups") == cents("graft_test_ivf_upsref"))
+    def tbl(t: String) = spark.table(t)
+      .select($"vec_id", $"label", $"embedding").orderBy("vec_id")
+      .collect().toSeq
+    assert(tbl("graft_test_ivf_ups") == tbl("graft_test_ivf_upsref"))
+    // the stats report reads only the state table and sums to 1
+    val st = Similarity.ivfIndexStats(spark, "graft_test_ivf_ups")
+      .collect()
+    assert(st.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    assert(math.abs(st.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
+
   test("lshPlantedRecall: high-similarity plants are recovered; " +
     "too-short docs are excluded from the planted count") {
     val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
