@@ -601,6 +601,62 @@ object Retrieval {
           col("n_corpus").cast("double"), 6).as("avg_dl"))
   }
 
+  /** Replay a static document frame through Structured Streaming into a
+    * postings index — the LIVE-INGEST leg of the index lifecycle: seed
+    * an empty index, then stream the corpus as MemoryStream
+    * micro-batches, each committed by `foreachBatch` →
+    * [[appendToPostingsIndex]]. This is exactly how a production
+    * pipeline tails a document feed into the searchable index (the
+    * append path was designed to be micro-batch-shaped: batch-only
+    * tokenization, bucketed append, vocabulary-sized merges — nothing
+    * per-batch touches the corpus-sized postings).
+    *
+    * Micro-batch boundaries are id-ordered and each doc appears in
+    * exactly one batch, honoring the append path's append-only-ids
+    * contract. Gated by x241: the streamed index must serve BM25
+    * results IDENTICAL to a from-scratch batch build of the same
+    * corpus — the foreachBatch commit protocol (micro-batch atomicity +
+    * associative companion merges) is what makes stream ≡ batch exact.
+    *
+    * The driver-side collect is the replay harness ONLY (bounded by
+    * `maxRows`, same as the streaming sessionization replays): a real
+    * deployment reads `readStream` from a feed and never collects. */
+  def streamingIndexIngestReplay(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, idCol: String, textCol: String, table: String,
+      buckets: Int = 8, batches: Int = 4, maxRows: Int = 250000): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)].collect()
+    require(rows.length <= maxRows,
+      s"streamingIndexIngestReplay: ${rows.length} docs exceed the " +
+        s"replay-harness bound $maxRows — use readStream in production")
+    val sorted = rows.sortBy(_._1)
+    // empty seed: postings/bucket spec + zeroed companions
+    buildPostingsIndex(
+      spark.createDataset(Seq.empty[(Long, String)]).toDF(idCol, textCol),
+      idCol, textCol, table, buckets)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF(idCol, textCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("ix_ckpt").toString
+    val q = streamDf.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendToPostingsIndex(batch, idCol, textCol, table, buckets)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val chunk =
+        math.max(1, math.ceil(sorted.length.toDouble / batches).toInt)
+      sorted.grouped(chunk).foreach { c =>
+        mem.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   /** Champion lists (impact-ordered postings pruning — Manning/Raghavan/
     * Schütze IIR §7.1.3): for every token, keep only its `topN`
     * highest-BM25-impact documents in a `<table>_champ` companion table.

@@ -711,6 +711,26 @@ object RetrievalQueries {
     Retrieval.postingsIndexStats(s, "graft_x237_postings")
   }
 
+  // Streaming ingest into the postings index: the corpus replayed as a
+  // real MemoryStream in id-ordered micro-batches, each committed by
+  // foreachBatch → appendToPostingsIndex onto an empty seed index —
+  // then scored. The oracle is x171's full-corpus BM25 verbatim:
+  // stream-built ≡ batch-built, exactly (micro-batch tokenization is
+  // per-doc, companion merges are associative integer sums, so the
+  // batch boundaries cannot leave a trace).
+  private val x241 = Q("x241_streaming_index_ingest", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.streamingIndexIngestReplay(s,
+        d.filter(col("doc_id") >= 5), "doc_id", "text",
+        "graft_x241_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x241_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
-    x207, x209, x217, x218, x234, x235, x236, x237)
+    x207, x209, x217, x218, x234, x235, x236, x237, x241)
 }

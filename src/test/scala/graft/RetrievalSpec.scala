@@ -329,6 +329,32 @@ class RetrievalSpec extends SparkSpec {
       .collect().nonEmpty)
   }
 
+  test("streamingIndexIngestReplay: micro-batch foreachBatch ingest " +
+    "equals a from-scratch batch build on every index table") {
+    Retrieval.streamingIndexIngestReplay(spark, corpus, "doc_id", "text",
+      "graft_test_stream_ix", buckets = 4, batches = 3)
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_test_stream_ref", buckets = 4)
+    def rows(t: String) = spark.table(t)
+      .orderBy("token", "doc").collect().toSeq
+    assert(rows("graft_test_stream_ix") == rows("graft_test_stream_ref"))
+    def tok(t: String) = spark.table(t + "_tok").orderBy("token")
+      .collect().toSeq
+    assert(tok("graft_test_stream_ix") == tok("graft_test_stream_ref"))
+    assert(spark.table("graft_test_stream_ix_stats").collect().toSeq ==
+      spark.table("graft_test_stream_ref_stats").collect().toSeq)
+    assert(spark.table("graft_test_stream_ix_docs").orderBy("doc")
+      .collect().toSeq ==
+      spark.table("graft_test_stream_ref_docs").orderBy("doc")
+        .collect().toSeq)
+    val queries = Seq((1L, "apple banana"), (2L, "dog kiwi"))
+      .toDF("doc_id", "text")
+    def score(t: String) = Retrieval.bm25TopKIndexed(spark, t, queries,
+      "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    assert(score("graft_test_stream_ix") == score("graft_test_stream_ref"))
+    assert(score("graft_test_stream_ix").nonEmpty)
+  }
+
   test("champion lists: uncapped topN reproduces exact indexed BM25; " +
     "topN=1 keeps only the max-impact doc per token; serving plan " +
     "never touches the postings table") {
