@@ -113,6 +113,79 @@ object Curation {
       .select(col(groupCol), col(idCol), col("quota"))
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual/multi-
+    * domain rebalancing step of LLM data prep (Lample & Conneau 2019's
+    * exponentiated-share sampling): per-group quotas proportional to
+    * n_g^α instead of n_g, so low-resource groups are oversampled
+    * relative to their raw share while the corpus-wide budget stays
+    * EXACTLY `total`. α = 1/2^sqrtSteps (default 0.5, the common
+    * choice): the exponent is computed as `sqrtSteps` nested square
+    * roots because IEEE sqrt is correctly rounded — bit-identical in
+    * any engine — where a general libm pow() is not.
+    *
+    * Determinism: weights are integerized as floor(1e6·n^α + 0.5)
+    * (floor(x+0.5) is engine-stable where round()/rint() tie rules are
+    * not), apportionment is [[quotaSample]]'s Hamilton largest-remainder
+    * method on those exact integers, and the per-group draw is the same
+    * md5-ranked top-quota. Scale shape identical to [[quotaSample]]:
+    * one ≤|groups|-row counts aggregate (windows ride only that frame),
+    * quotas broadcast back, WindowGroupLimit-capped draw.
+    *
+    * Flattening can apportion a small group MORE than it has (that is
+    * the point of temperature sampling — and its failure mode, since
+    * a saturated group cannot fill its quota): enforced at action time
+    * via raise_error on the bounded quota frame — lower `total` or use
+    * more corpus rather than silently missing the budget. */
+  def temperatureQuotaSample(df: DataFrame, idCol: String,
+      groupCol: String, total: Int, sqrtSteps: Int = 1,
+      seed: String = "tq"): DataFrame = {
+    require(total >= 1, "total must be positive")
+    require(sqrtSteps >= 1 && sqrtSteps <= 3, "sqrtSteps must be in [1, 3]")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("__rem"), col(groupCol))
+    val flat = (1 to sqrtSteps)
+      .foldLeft(col("__n").cast("double"))((a, _) => sqrt(a))
+    val quotas = counts
+      .withColumn("__w",
+        floor(flat * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("__wtot", sum(col("__w")).over(wAll))
+      .withColumn("__base",
+        expr(s"CAST((CAST(__w AS DECIMAL(38,0)) * $total) DIV __wtot " +
+          "AS BIGINT)"))
+      .withColumn("__rem",
+        (dec(col("__w")) * dec(lit(total.toLong))) % dec(col("__wtot")))
+      .withColumn("__left",
+        lit(total.toLong) - sum(col("__base")).over(wAll))
+      .withColumn("__rr", row_number().over(wRem))
+      .withColumn("quota",
+        col("__base") +
+          when(col("__rr") <= col("__left"), 1L).otherwise(0L))
+      .withColumn("quota",
+        when(col("quota") > col("__n"),
+          raise_error(concat(
+            lit("temperatureQuotaSample: flattened quota "),
+            col("quota").cast("string"), lit(" exceeds group size "),
+            col("__n").cast("string"),
+            lit(" — lower total or flatten less"))).cast("bigint"))
+        .otherwise(col("quota")))
+      .select(col(groupCol), col("quota"))
+    val wDraw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("__ord"), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("__ord", Dedup.seededHash(0,
+        concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__rn", row_number().over(wDraw))
+      .filter(col("__rn") <= col("quota"))
+      .select(col(groupCol), col(idCol), col("quota"))
+  }
+
   /** Benchmark decontamination: flag training documents that share any word
     * n-gram with an eval/benchmark set (the standard n-gram-overlap
     * decontamination step of LLM training-data prep; production uses n≈13,

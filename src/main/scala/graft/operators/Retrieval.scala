@@ -655,6 +655,12 @@ object Retrieval {
         q.processAllAvailable()
       }
     } finally q.stop()
+    // the micro-batches committed through foreachBatch's CLONED session;
+    // refresh this session's relation cache so no reader lists files a
+    // micro-batch rewrite replaced (the IVF twin's hazard, avoided
+    // defensively here too)
+    Seq(table, s"${table}_tok", s"${table}_stats", s"${table}_docs")
+      .foreach(spark.catalog.refreshTable)
   }
 
   /** Champion lists (impact-ordered postings pruning — Manning/Raghavan/

@@ -990,6 +990,60 @@ object Similarity {
       .select(col("__id").as(idCol), col("cell"))
   }
 
+  /** Replay a static vector frame through Structured Streaming into an
+    * IVF index — the dense-side twin of
+    * [[graft.operators.Retrieval.streamingIndexIngestReplay]]: seed an
+    * empty index, stream the corpus as MemoryStream micro-batches, and
+    * commit each through `foreachBatch` → [[appendToIvfIndex]] (batch
+    * rows land in their cell partitions, the exact-DECIMAL centroid
+    * state merges associatively — so batch boundaries leave no trace
+    * and stream-built ≡ batch-built to the bit, gated by x242 against
+    * the full-corpus IVF oracle). Batches carry their cell assignment;
+    * a cell-less live feed would [[routeToNearestCell]] each
+    * micro-batch first. The driver-side collect is the replay harness
+    * ONLY (bounded by `maxRows`); production reads `readStream`. */
+  def streamingIvfIngestReplay(spark: org.apache.spark.sql.SparkSession,
+      data: DataFrame, idCol: String, cellCol: String, vecCol: String,
+      table: String, batches: Int = 4, maxRows: Int = 250000): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = data.select(col(idCol).cast("long"),
+        col(cellCol).cast("int"), col(vecCol))
+      .as[(Long, Int, Seq[Float])].collect()
+    require(rows.length <= maxRows,
+      s"streamingIvfIngestReplay: ${rows.length} vectors exceed the " +
+        s"replay-harness bound $maxRows — use readStream in production")
+    val sorted = rows.sortBy(_._1)
+    buildIvfIndex(
+      spark.createDataset(Seq.empty[(Long, Int, Seq[Float])])
+        .toDF(idCol, cellCol, vecCol),
+      idCol, cellCol, vecCol, table)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Seq[Float])]
+    val streamDf = mem.toDF().toDF(idCol, cellCol, vecCol)
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_ckpt").toString
+    val q = streamDf.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendToIvfIndex(batch, idCol, cellCol, vecCol, table)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val chunk =
+        math.max(1, math.ceil(sorted.length.toDouble / batches).toInt)
+      sorted.grouped(chunk).foreach { c =>
+        mem.addData(c.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the micro-batches committed through foreachBatch's CLONED session;
+    // its table rewrites don't invalidate THIS session's relation cache
+    // (the empty-seed build read _cstate back here, caching its file
+    // listing) — refresh, or the next read lists vanished files
+    Seq(table, s"${table}_cstate", s"${table}_centroids")
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** Greedy k-center (farthest-point) seed selection — the
     * diversity-maximizing subset a labeling/eval budget wants: start
     * from the lowest id, then repeatedly pick the vector FARTHEST

@@ -2283,11 +2283,27 @@ object ScaleQueries {
     Similarity.ivfIndexStats(s, "graft_x240_ivf")
   }
 
+  // Streaming ingest into the IVF index — the dense twin of x241: the
+  // corpus replayed as a real MemoryStream in id-ordered micro-batches,
+  // each committed by foreachBatch → appendToIvfIndex onto an empty
+  // seed index, then probed. Oracle: x6/x183's full-corpus IVF
+  // verbatim — the exact-DECIMAL centroid state merges associatively,
+  // so micro-batch boundaries cannot move a centroid bit.
+  private val x242 = Q("x242_streaming_ivf_ingest", Some(ivfOracle)) {
+    (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.streamingIvfIngestReplay(s, emb, "vec_id", "label",
+        "embedding", "graft_x242_ivf")
+      Similarity.ivfTopKIndexed(s, "graft_x242_ivf", "vec_id", "label",
+          "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240)
+      x240, x242)
 }

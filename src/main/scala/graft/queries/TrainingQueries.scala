@@ -1639,8 +1639,48 @@ object TrainingQueries {
       .orderBy("lang", "doc_id")
   }
 
+  // Temperature-flattened mixture (α = 0.5): quotas ∝ √n_g — the
+  // multilingual rebalancing next to x233's proportional quotas, same
+  // exact-integer Hamilton apportionment but over floor(1e6·√n + 0.5)
+  // weights (IEEE sqrt is correctly rounded; floor(x+0.5) is
+  // engine-stable where round()'s tie rule is not). The oracle replays
+  // the weights, the largest-remainder split, and the md5 draw; the
+  // low-resource langs visibly oversample vs x233 on the same budget.
+  private val x243 = Q("x243_temperature_mix", Some(
+    """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |             FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n,
+      |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+      |          AS BIGINT) AS w
+      |      FROM cnt),
+      |q AS (SELECT lang, n, w,
+      |        CAST((CAST(w AS HUGEINT) * 97) // (SELECT sum(w) FROM w)
+      |          AS BIGINT) AS base,
+      |        (CAST(w AS HUGEINT) * 97) % (SELECT sum(w) FROM w) AS rem
+      |      FROM w),
+      |q2 AS (SELECT lang, base, rem,
+      |        97 - (SELECT sum(base) FROM q) AS leftover,
+      |        row_number() OVER (ORDER BY rem DESC, lang) AS rr
+      |       FROM q),
+      |quota AS (SELECT lang,
+      |        CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+      |          AS BIGINT) AS quota
+      |       FROM q2),
+      |drawn AS (
+      |  SELECT d.lang, d.doc_id, qu.quota,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY ('0x' || substring(md5('0:tq:' || d.doc_id::VARCHAR),
+      |        1, 8))::BIGINT, d.doc_id) AS rk
+      |  FROM documents d JOIN quota qu USING (lang))
+      |SELECT lang, doc_id, quota FROM drawn WHERE rk <= quota
+      |ORDER BY lang, doc_id""".stripMargin)) { (s, dir) =>
+    Curation.temperatureQuotaSample(t(s, dir, "documents"), "doc_id",
+        "lang", total = 97)
+      .orderBy("lang", "doc_id")
+  }
+
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
     x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185,
-    x189, x190, x201, x203, x204, x208, x212, x233)
+    x189, x190, x201, x203, x204, x208, x212, x233, x243)
 }

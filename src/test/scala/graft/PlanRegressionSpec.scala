@@ -533,6 +533,42 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
 
+  test("x234 lifecycle: never-deleted index keeps the tombstone-free " +
+    "scoring plan; a delete adds exactly one broadcast anti-join; " +
+    "compaction removes it again") {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+      "text", "graft_plan_lcp", buckets = 4)
+    def plan() = Retrieval.bm25TopKIndexed(spark, "graft_plan_lcp",
+        d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the delete machinery must cost NOTHING until a delete happens:
+    // no anti-join, no tombstone table anywhere in the plan
+    val fresh = plan()
+    assert(!fresh.contains("LeftAnti"), fresh.take(900))
+    assert(!fresh.contains("_tomb"), fresh.take(900))
+    // tombstone phase: the only plan change is one BROADCAST anti-join
+    // (batch-sized build side) — the corpus still never shuffles on token
+    Retrieval.deleteFromPostingsIndex(spark,
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 7 === 3)
+        .select(col("doc_id")), "doc_id", "graft_plan_lcp")
+    val tombed = plan()
+    assert(tombed.contains("LeftAnti"), tombed.take(900))
+    assert(tombed.contains("BroadcastHashJoin"), tombed.take(900))
+    assert(!tombed.contains("Exchange hashpartitioning(token"),
+      "corpus must not re-shuffle on token even with tombstones:\n" +
+        tombed.take(900))
+    assert("Exchange hashpartitioning".r.findAllIn(tombed).length <= 2,
+      tombed.take(1200))
+    // compaction restores the exact tombstone-free shape
+    Retrieval.compactPostingsIndex(spark, "graft_plan_lcp", buckets = 4)
+    val compacted = plan()
+    assert(!compacted.contains("LeftAnti"), compacted.take(900))
+    assert(!compacted.contains("_tomb"), compacted.take(900))
+  }
+
   test("x183 indexed IVF: probe scan prunes cell partitions, centroids come from the tiny table") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.col

@@ -773,6 +773,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(st.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
 
+  test("streamingIvfIngestReplay: micro-batch foreachBatch ingest " +
+    "equals a from-scratch batch build, state bit-identical") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.streamingIvfIngestReplay(spark, emb, "vec_id", "label",
+      "embedding", "graft_test_ivf_stream", batches = 3)
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_test_ivf_streamref")
+    def state(t: String) = spark.table(t + "_cstate")
+      .orderBy("cell", "i").collect().toSeq
+    assert(state("graft_test_ivf_stream") ==
+      state("graft_test_ivf_streamref"))
+    def cents(t: String) = spark.table(t + "_centroids")
+      .orderBy("cell").collect().toSeq
+    assert(cents("graft_test_ivf_stream") ==
+      cents("graft_test_ivf_streamref"))
+    assert(spark.table("graft_test_ivf_stream").count() == emb.count())
+    val q = emb.filter($"vec_id" === 0)
+    def probe(t: String) = Similarity.ivfTopKIndexed(spark, t, "vec_id",
+      "label", "embedding", q, k = 5, nprobe = 2).collect().toSeq
+    assert(probe("graft_test_ivf_stream") ==
+      probe("graft_test_ivf_streamref"))
+    assert(probe("graft_test_ivf_stream").nonEmpty)
+  }
+
   test("lshPlantedRecall: high-similarity plants are recovered; " +
     "too-short docs are excluded from the planted count") {
     val words20 = (1 to 20).map(i => s"w$i").mkString(" ")

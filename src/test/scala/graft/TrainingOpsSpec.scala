@@ -684,6 +684,37 @@ class TrainingOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("exceeds corpus size")))
   }
 
+  test("temperatureQuotaSample: sqrt flattening oversamples the small " +
+    "group vs proportional quotas; budget exact; saturation throws") {
+    // counts a=81, b=9: sqrt weights 9e6/3e6 → quotas (3,1) at total=4,
+    // where proportional apportionment would give (4,0) — the
+    // low-resource group is guaranteed representation
+    val df = (Seq.fill(81)("a") ++ Seq.fill(9)("b"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val out = Curation.temperatureQuotaSample(df, "id", "g", total = 4)
+      .collect()
+    assert(out.length == 4)
+    val byG = out.groupBy(_.getAs[String]("g")).view.mapValues(_.length)
+    assert(byG("a") == 3 && byG("b") == 1)
+    val prop = Curation.quotaSample(df, "id", "g", total = 4).collect()
+    assert(prop.groupBy(_.getAs[String]("g")).view.mapValues(_.length)
+      .getOrElse("b", 0) == 0)
+    // deterministic draw
+    val again = Curation.temperatureQuotaSample(df, "id", "g", total = 4)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    // a singleton group saturates under flattening: fail, don't shortfall
+    val tiny = (Seq.fill(81)("a") ++ Seq("b"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val ex = intercept[Exception] {
+      Curation.temperatureQuotaSample(tiny, "id", "g", total = 20)
+        .collect()
+    }
+    assert(ex.getMessage.contains("exceeds group size") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exceeds group size")))
+  }
+
   test("paddingWaste: buckets pad to their own max; boundary values land " +
     "in the upper bucket; empty-free buckets exact") {
     // token counts: 2, 3 (bucket 0), 5 (bucket 1), 9 (bucket 2)
