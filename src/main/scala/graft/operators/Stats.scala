@@ -145,6 +145,52 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact GLOBAL quantiles of a corpus-sized column — what
+    * [[exactQuantiles]] cannot do ungrouped: its rank window partitioned
+    * by nothing would funnel the whole corpus through ONE task (the
+    * r8-verdict hazard class), and Spark's exact `percentile` aggregate
+    * buffers every value in executor memory. Here the distinct-value
+    * frame (worst case corpus-sized, e.g. a continuous score) carries
+    * its running count on [[Indexing.globalPrefixSums]]'s
+    * range-partitioned path, and each requested quantile picks the
+    * FIRST value whose cumulative count reaches its target rank —
+    * percentile_disc semantics (an actual data element, bit-identical
+    * cross-engine; interpolated quantiles of a continuous column would
+    * hash-drift).
+    *
+    * Quantiles are passed in BASIS POINTS (1..10000) so the target rank
+    * `ceil(bps·N / 10⁴)` is computed in exact integer arithmetic —
+    * `ceil(q·N)` in doubles turns 0.1·30 into 3.0000000000000004 and
+    * silently shifts the rank. Nulls are excluded (SQL percentile
+    * convention). The quantile pick is a broadcast theta-join of the
+    * ≤|bps| target rows against the cumulative frame + one min — work
+    * O(n·|bps|), no sort, no single-partition stage anywhere
+    * (plan-pinned). Returns (q, rank, n_values, value) ordered by q. */
+  def globalQuantiles(df: DataFrame, valueCol: String,
+      quantilesBps: Seq[Int]): DataFrame = {
+    require(quantilesBps.nonEmpty &&
+      quantilesBps.forall(b => b >= 1 && b <= 10000),
+      "quantiles must be basis points in [1, 10000]")
+    val vals = df.select(col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val cum = Indexing.globalPrefixSums(vals, Nil, Seq(col("__v")),
+        Seq("__c"))
+      .withColumn("__cum", col("__c_excl") + col("__c"))
+    val targets = broadcast(vals.agg(sum(col("__c")).as("__n"))
+      .select(col("__n"), explode(array(
+        quantilesBps.map(b => lit(b.toLong)): _*)).as("__bps"))
+      .withColumn("__t",
+        expr("CAST((CAST(__bps AS DECIMAL(38,0)) * __n + 9999) " +
+          "DIV 10000 AS BIGINT)")))
+    cum.join(targets, col("__cum") >= col("__t"))
+      .groupBy("__bps", "__t", "__n")
+      .agg(min(col("__v")).as("value"))
+      .select((col("__bps").cast("double") / lit(10000.0)).as("q"),
+        col("__t").as("rank"), col("__n").as("n_values"), col("value"))
+      .orderBy("q")
+  }
+
   /** Cross-group quantile alignment table — the batch-effect view of a
     * score column (microarray-style quantile normalization, applied to
     * curation: heuristic quality scores are NOT comparable across

@@ -731,6 +731,31 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Champion lists rebuilt AFTER a delete: the bounded serving table
+  // must reflect the surviving corpus (impacts at the decremented
+  // df/cf/N stats, tombstoned docs absent from every list). Uncapped
+  // topN makes champion scoring exactly BM25, so the gate is the x234
+  // survivor oracle verbatim — any stale stat or leaked tombstone in
+  // the champion build path flips a hash.
+  private val x245 = Q("x245_champion_after_delete", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5,
+        corpusWhere = "doc_id >= 5 AND doc_id % 5 != 4")}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x245_postings")
+      Retrieval.deleteFromPostingsIndex(s,
+        d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4)
+          .select(col("doc_id")),
+        "doc_id", "graft_x245_postings")
+      Retrieval.buildChampionLists(s, "graft_x245_postings",
+        topN = 1000000)
+      Retrieval.championTopK(s, "graft_x245_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
-    x207, x209, x217, x218, x234, x235, x236, x237, x241)
+    x207, x209, x217, x218, x234, x235, x236, x237, x241, x245)
 }

@@ -1429,8 +1429,41 @@ object StatsQueries {
     Stats.welchT(users, "arm", "post")
   }
 
+  // Exact GLOBAL quantiles of a near-continuous column (59.8k distinct
+  // of 60k lineitem prices at sf0.01 — the worst case): running counts
+  // ride the range-partitioned prefix-sum path (no single-partition
+  // window, no in-memory percentile buffer), target ranks are exact
+  // integer basis-point arithmetic (ceil(q·N) in doubles would shift
+  // ranks: 0.1·30 = 3.0000000000000004), and each quantile returns an
+  // ACTUAL data element (percentile_disc semantics — interpolation on
+  // a continuous column would hash-drift). The oracle replays the
+  // cumulative counts and the rank pick.
+  private val x244 = Q("x244_global_quantiles", Some(
+    """WITH vals AS (SELECT l_extendedprice AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |       GROUP BY v),
+      |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM vals),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vals),
+      |t AS (SELECT bps,
+      |        CAST((CAST(bps AS HUGEINT) * n + 9999) // 10000 AS BIGINT)
+      |          AS tgt, n
+      |      FROM (SELECT unnest([2500, 5000, 9000, 9900, 9990]) AS bps),
+      |        n)
+      |SELECT CAST(bps AS DOUBLE) / 10000.0 AS q, tgt AS rank,
+      |  n AS n_values, min(v) AS value
+      |FROM cum JOIN t ON cum.cum >= t.tgt
+      |GROUP BY bps, tgt, n
+      |ORDER BY q""".stripMargin)) { (s, dir) =>
+    Stats.globalQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
+      Seq(2500, 5000, 9000, 9900, 9990))
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
-    x214, x215, x216, x219, x220, x222, x223, x225, x227, x228, x229)
+    x214, x215, x216, x219, x220, x222, x223, x225, x227, x228, x229,
+    x244)
 }

@@ -272,6 +272,43 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(4) == 1L)
   }
 
+  test("globalQuantiles: percentile_disc ranks on hand data; duplicates " +
+    "and nulls handled; no single-partition window in the plan") {
+    // values 10,20,...,100 (n=10): p25 → rank ceil(2500*10/10000)=3 → 30;
+    // p50 → rank 5 → 50; p90 → rank 9 → 90; p100 → rank 10 → 100
+    val df = ((1 to 10).map(i => Some(i * 10.0)) :+ None)
+      .toDF("v")
+    val r = Stats.globalQuantiles(df, "v", Seq(2500, 5000, 9000, 10000))
+      .collect()
+    assert(r.map(_.getAs[Double]("q")).toSeq ==
+      Seq(0.25, 0.5, 0.9, 1.0))
+    assert(r.map(_.getAs[Long]("rank")).toSeq == Seq(3L, 5L, 9L, 10L))
+    assert(r.map(_.getAs[Double]("value")).toSeq ==
+      Seq(30.0, 50.0, 90.0, 100.0))
+    assert(r.forall(_.getAs[Long]("n_values") == 10L)) // null excluded
+    // duplicates: 1,1,1,9 (n=4): p50 → rank 2 → 1; p7500 → rank 3 → 1;
+    // p7600 → rank ceil(3.04)=4 → 9
+    val dup = Seq(1.0, 1.0, 1.0, 9.0).toDF("v")
+    val d = Stats.globalQuantiles(dup, "v", Seq(5000, 7500, 7600))
+      .collect()
+    assert(d.map(_.getAs[Double]("value")).toSeq == Seq(1.0, 1.0, 9.0))
+    // the integer-bps rank would be WRONG in double arithmetic:
+    // ceil(0.1 * 30) in IEEE is 4, the exact rational rank is 3
+    val thirty = (1 to 30).map(_.toDouble).toDF("v")
+    val t = Stats.globalQuantiles(thirty, "v", Seq(1000)).collect().head
+    assert(t.getAs[Long]("rank") == 3L && t.getAs[Double]("value") == 3.0)
+    // scale shape: the only ungrouped window orders by __pid — the
+    // ≤|partitions|-row offsets frame of the prefix-sum path; the
+    // corpus-sized cumulative NEVER rides a single-partition window
+    val plan = Stats.globalQuantiles(df, "v", Seq(5000))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val ungrouped = """windowspecdefinition\(([^,)]*) (ASC|DESC)""".r
+    val heads = ungrouped.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(heads.forall(_.contains("__pid")),
+      "corpus-sized ungrouped window found:\n" + heads.mkString(", "))
+  }
+
   test("tCloseness: exact TVD per class, absent values included, t gate") {
     // global: A=9/12, B=3/12. g1 (2A,2B): TVD=.25; g2 (4A): TVD=.25 — the
     // B it never saw must count; g3 (3A,1B) matches global: TVD=0.
