@@ -939,6 +939,61 @@ object Retrieval {
       .orderBy("phrase", "rank")
   }
 
+  /** Positional postings index `(token, doc, pos)`, bucketed on token —
+    * what turns [[phraseTopK]] from a per-call corpus re-tokenization
+    * into an index lookup. One row per token OCCURRENCE (not per
+    * distinct (doc, token) like [[buildPostingsIndex]]) — the standard
+    * positional-index size trade of IR: the table is the corpus token
+    * stream, and in exchange any phrase of any length is answerable
+    * with single-token scans + equi-joins, no shingle materialization
+    * per query. Build once next to the BM25 index; serve every phrase
+    * batch from it (x246 gates it against x195's from-scratch oracle). */
+  def buildPositionalIndex(docs: DataFrame, idCol: String,
+      textCol: String, table: String, buckets: Int = 8): Unit = {
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(Dedup.words(col(textCol))).as(Seq("pos", "token")))
+    Bucketing.writeBucketed(toks.select("token", "doc", "pos"), table,
+      buckets, Seq("token"), Seq("token"))
+  }
+
+  /** Exact phrase search FROM a [[buildPositionalIndex]] table — the
+    * classic positional-intersection algorithm (IIR §2.4.2): an n-word
+    * phrase occurs at (doc, p) iff token i sits at position p+i for all
+    * i, so each phrase is n single-token postings scans (the literal
+    * token filter prunes buckets and pushes into the scan) aligned to a
+    * common start position and intersected by (doc, start) equi-joins.
+    * Work = Σ |postings(phrase tokens)| — never the corpus, never a
+    * per-query shingle explode; phrases with repeated words intersect
+    * the same list at shifted offsets, which is exactly right.
+    * Occurrence counts are exact integers; output and ordering match
+    * [[phraseTopK]] (count desc, doc asc, top-k per phrase). */
+  def phraseTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      table: String, phrases: Seq[String], k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val normed = phrases.map { p =>
+      p.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" +").filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "no non-empty phrase after normalization")
+    val per = normed.map { toks =>
+      val matches = toks.zipWithIndex.map { case (t, i) =>
+        spark.table(table).filter(col("token") === t)
+          .select(col("doc"), (col("pos") - i).as("__start"))
+      }.reduce((a, b) => a.join(b, Seq("doc", "__start")))
+      matches.groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select(lit(toks.mkString(" ")).as("phrase"), col("doc"),
+          col("n_occurrences"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("phrase")
+      .orderBy(desc("n_occurrences"), col("doc"))
+    per.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("phrase"), col("doc").as("doc_id"),
+        col("n_occurrences"), col("rank"))
+      .orderBy("phrase", "rank")
+  }
+
   /** Rank-biased overlap (Webber et al. 2010) between two rankings of the
     * same query set, truncated at depth `k` — the top-weighted agreement
     * grade recall@k can't give: recall asks "did the same items show up",

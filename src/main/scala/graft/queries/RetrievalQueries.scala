@@ -509,7 +509,7 @@ object RetrievalQueries {
   // the scan projection — no positional postings table, no corpus-side
   // join. "table hash" is the x185 bigram label (~9% of docs); the
   // 3-word phrase exercises the second shingle length in the same call.
-  private val x195 = Q("x195_phrase_search", Some(
+  private val phraseOracle =
     s"""WITH base AS (
        |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents),
        |sh2 AS (
@@ -530,9 +530,27 @@ object RetrievalQueries {
        |FROM c
        |QUALIFY row_number() OVER (PARTITION BY phrase
        |  ORDER BY n_occurrences DESC, doc_id) <= 10
-       |ORDER BY phrase, rank""".stripMargin)) { (s, dir) =>
-    graft.operators.Retrieval.phraseTopK(t(s, dir, "documents"), "doc_id",
-      "text", Seq("Table-Hash!", "key agg row"), k = 10)
+       |ORDER BY phrase, rank""".stripMargin
+
+  private val x195 = Q("x195_phrase_search", Some(phraseOracle)) {
+    (s, dir) =>
+      graft.operators.Retrieval.phraseTopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("Table-Hash!", "key agg row"), k = 10)
+  }
+
+  // The same phrases served from a MATERIALIZED positional index
+  // (token, doc, pos): the classic positional-intersection algorithm —
+  // per phrase, n single-token postings scans aligned to a common start
+  // and intersected by (doc, start) equi-joins; work is
+  // Σ|postings(phrase tokens)|, with NO corpus re-tokenization and no
+  // per-query shingle explode (x195 pays both per call). Same oracle as
+  // x195: index-served phrase counts must be identical.
+  private val x246 = Q("x246_phrase_indexed", Some(phraseOracle)) {
+    (s, dir) =>
+      Retrieval.buildPositionalIndex(t(s, dir, "documents"), "doc_id",
+        "text", "graft_x246_positions")
+      Retrieval.phraseTopKIndexed(s, "graft_x246_positions",
+        Seq("Table-Hash!", "key agg row"), k = 10)
   }
 
   // Rank-biased overlap between the sparse (BM25) and dense (cosine)
@@ -757,5 +775,5 @@ object RetrievalQueries {
   }
 
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
-    x207, x209, x217, x218, x234, x235, x236, x237, x241, x245)
+    x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246)
 }

@@ -431,6 +431,33 @@ class RetrievalSpec extends SparkSpec {
     assert(r3.length == 1 && r3.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("phraseTopKIndexed: positional-index intersection equals the " +
+    "from-scratch phrase scan, repeated-word and single-word phrases " +
+    "included") {
+    val docs = Seq(
+      (1L, "a b c a b"),
+      (2L, "b c"),
+      (3L, "b a c b"),
+      (4L, "dog dog dog"), // "dog dog" occurs at starts 1 and 2
+      (5L, "")).toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_positions", buckets = 4)
+    val phrases = Seq("A-B!", "b c", "b c a", "dog dog", "dog")
+    val direct = Retrieval.phraseTopK(docs, "doc_id", "text", phrases,
+      k = 10).collect().toSeq
+    val indexed = Retrieval.phraseTopKIndexed(spark,
+      "graft_test_positions", phrases, k = 10).collect().toSeq
+    assert(direct.nonEmpty && direct == indexed)
+    // the repeated-word phrase intersects the SAME postings list at
+    // shifted offsets: 2 occurrences in doc 4
+    val dd = indexed.filter(_.getAs[String]("phrase") == "dog dog")
+    assert(dd.length == 1 &&
+      dd.head.getAs[Long]("n_occurrences") == 2L)
+    // single-word phrase = term frequency
+    val d1 = indexed.filter(_.getAs[String]("phrase") == "dog")
+    assert(d1.head.getAs[Long]("n_occurrences") == 3L)
+  }
+
   test("rboOverlap: identical lists hit the truncated ceiling, disjoint " +
       "lists surface at 0, partial overlap is hand-exact") {
     def rk(rows: (Long, String, Int)*) = rows.toDF("q", "item", "r")
