@@ -191,6 +191,46 @@ object Stats {
       .orderBy("q")
   }
 
+  /** Per-GROUP exact quantiles at corpus scale — [[globalQuantiles]]
+    * generalized with a group key, for when BOTH the group count and
+    * the per-group cardinality are too big for the in-memory paths
+    * ([[exactQuantiles]] window-sorts each group in one task;
+    * `percentile_disc` buffers a group's values in executor memory).
+    * The per-(group, value) counts carry their running sums on the
+    * prefix-sum path PARTITIONED BY GROUP; per-group target ranks come
+    * from a ≤|groups|-row counts frame and the pick is one
+    * equi-plus-range join (group equality + cum ≥ target — planned as
+    * a sort-merge join on the group key) + one min per (group, q).
+    * Same percentile_disc semantics, integer basis-point ranks, and
+    * null handling as [[globalQuantiles]]. Returns
+    * (group, q, rank, n_values, value) ordered by (group, q). */
+  def globalQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+      quantilesBps: Seq[Int]): DataFrame = {
+    require(quantilesBps.nonEmpty &&
+      quantilesBps.forall(b => b >= 1 && b <= 10000),
+      "quantiles must be basis points in [1, 10000]")
+    val vals = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val cum = Indexing.globalPrefixSums(vals, Seq("__g"),
+        Seq(col("__v")), Seq("__c"))
+      .withColumn("__cum", col("__c_excl") + col("__c"))
+    val targets = vals.groupBy("__g").agg(sum(col("__c")).as("__n"))
+      .select(col("__g").as("__tg"), col("__n"), explode(array(
+        quantilesBps.map(b => lit(b.toLong)): _*)).as("__bps"))
+      .withColumn("__t",
+        expr("CAST((CAST(__bps AS DECIMAL(38,0)) * __n + 9999) " +
+          "DIV 10000 AS BIGINT)"))
+    cum.join(targets,
+        col("__g") === col("__tg") && col("__cum") >= col("__t"))
+      .groupBy("__g", "__bps", "__t", "__n")
+      .agg(min(col("__v")).as("value"))
+      .select(col("__g").as(groupCol),
+        (col("__bps").cast("double") / lit(10000.0)).as("q"),
+        col("__t").as("rank"), col("__n").as("n_values"), col("value"))
+      .orderBy(groupCol, "q")
+  }
+
   /** Cross-group quantile alignment table — the batch-effect view of a
     * score column (microarray-style quantile normalization, applied to
     * curation: heuristic quality scores are NOT comparable across

@@ -1461,9 +1461,36 @@ object StatsQueries {
       Seq(2500, 5000, 9000, 9900, 9990))
   }
 
+  // Per-group exact quantiles at corpus scale: documents' char lengths
+  // sliced by source — the grouped prefix-sum path (partitioned BY
+  // group), per-group integer bps ranks, and the equi+range pick.
+  // Oracle replays per-(source, value) counts, per-source running
+  // sums, and the rank arithmetic.
+  private val x247 = Q("x247_quantiles_by_source", Some(
+    """WITH vals AS (SELECT source AS g, n_chars AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM documents WHERE n_chars IS NOT NULL
+      |       GROUP BY g, v),
+      |cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM vals),
+      |n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY g),
+      |t AS (SELECT g, n, bps,
+      |        CAST((CAST(bps AS HUGEINT) * n + 9999) // 10000 AS BIGINT)
+      |          AS tgt
+      |      FROM n, (SELECT unnest([2500, 5000, 7500, 9900]) AS bps))
+      |SELECT t.g AS source, CAST(bps AS DOUBLE) / 10000.0 AS q,
+      |  tgt AS rank, n AS n_values, min(v) AS value
+      |FROM cum JOIN t ON cum.g = t.g AND cum.cum >= t.tgt
+      |GROUP BY t.g, bps, tgt, n
+      |ORDER BY source, q""".stripMargin)) { (s, dir) =>
+    Stats.globalQuantilesBy(t(s, dir, "documents"), "source", "n_chars",
+      Seq(2500, 5000, 7500, 9900))
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
     x214, x215, x216, x219, x220, x222, x223, x225, x227, x228, x229,
-    x244)
+    x244, x247)
 }

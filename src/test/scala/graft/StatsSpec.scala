@@ -309,6 +309,26 @@ class StatsSpec extends SparkSpec {
       "corpus-sized ungrouped window found:\n" + heads.mkString(", "))
   }
 
+  test("globalQuantilesBy: per-group percentile_disc ranks; groups " +
+    "independent; nulls excluded per group") {
+    // g=a: 10..100 (n=10); g=b: 1,1,9 (n=3, duplicates)
+    val df = ((1 to 10).map(i => ("a", Some(i * 10.0))) ++
+      Seq(("b", Some(1.0)), ("b", Some(1.0)), ("b", Some(9.0)),
+        ("b", None))).toDF("g", "v")
+    val r = Stats.globalQuantilesBy(df, "g", "v", Seq(5000, 9000))
+      .collect()
+    val a = r.filter(_.getAs[String]("g") == "a")
+    assert(a.map(x => (x.getAs[Double]("q"), x.getAs[Long]("rank"),
+      x.getAs[Double]("value"))).toSeq ==
+      Seq((0.5, 5L, 50.0), (0.9, 9L, 90.0)))
+    val b = r.filter(_.getAs[String]("g") == "b")
+    // n=3: p50 → rank 2 → 1.0; p90 → rank ceil(2.7)=3 → 9.0
+    assert(b.map(x => (x.getAs[Double]("q"), x.getAs[Long]("rank"),
+      x.getAs[Double]("value"))).toSeq ==
+      Seq((0.5, 2L, 1.0), (0.9, 3L, 9.0)))
+    assert(b.forall(_.getAs[Long]("n_values") == 3L))
+  }
+
   test("tCloseness: exact TVD per class, absent values included, t gate") {
     // global: A=9/12, B=3/12. g1 (2A,2B): TVD=.25; g2 (4A): TVD=.25 — the
     // B it never saw must count; g3 (3A,1B) matches global: TVD=0.
