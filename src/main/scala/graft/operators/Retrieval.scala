@@ -994,6 +994,53 @@ object Retrieval {
       .orderBy("phrase", "rank")
   }
 
+  /** Term-proximity ranking from a [[buildPositionalIndex]] table — the
+    * classic "query terms NEAR each other" relevance signal bag-of-words
+    * scorers can't see (a doc mentioning both terms in one breath beats
+    * one mentioning them pages apart): per (query, doc), count the
+    * occurrence pairs of two DIFFERENT query terms within `window`
+    * positions, rank by that count (ties to the doc id), top-k per
+    * query.
+    *
+    * Scale shape: query terms broadcast into the positional scan (work =
+    * Σ postings(q-terms), never the corpus); the position self-join is
+    * BANDED — each occurrence joins only its own and two adjacent
+    * `window`-sized position buckets (one side exploded ×3), so a
+    * |pos_a − pos_b| ≤ window predicate never becomes a per-doc
+    * cartesian even on term-spammy docs. A pair is counted exactly once
+    * (the probe side expands, the build side keeps its fixed bucket;
+    * token order `t_a < t_b` picks each unordered pair once). Counts
+    * are exact integers — hash-gateable (x248). */
+  def proximityTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = 10, window: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(window >= 1, "window must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val hits = spark.table(table).join(qTerms, "token")
+    val probe = hits.select(col("query_id"), col("doc"),
+        col("token").as("__ta"), col("pos").as("__pa"))
+      .withColumn("__bkt", explode(array(
+        expr(s"CAST(__pa AS BIGINT) DIV $window") - 1,
+        expr(s"CAST(__pa AS BIGINT) DIV $window"),
+        expr(s"CAST(__pa AS BIGINT) DIV $window") + 1)))
+    val build = hits.select(col("query_id"), col("doc"),
+        col("token").as("__tb"), col("pos").as("__pb"))
+      .withColumn("__bkt", expr(s"CAST(__pb AS BIGINT) DIV $window"))
+    probe.join(build, Seq("query_id", "doc", "__bkt"))
+      .filter(col("__ta") < col("__tb") &&
+        abs(col("__pa") - col("__pb")) <= window)
+      .groupBy("query_id", "doc")
+      .agg(count(lit(1)).as("n_close_pairs"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("n_close_pairs"), col("doc"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        col("n_close_pairs"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Rank-biased overlap (Webber et al. 2010) between two rankings of the
     * same query set, truncated at depth `k` — the top-weighted agreement
     * grade recall@k can't give: recall asks "did the same items show up",

@@ -458,6 +458,31 @@ class RetrievalSpec extends SparkSpec {
     assert(d1.head.getAs[Long]("n_occurrences") == 3L)
   }
 
+  test("proximityTopK: pairs within the window counted once across " +
+    "bucket boundaries; same-term pairs excluded; far pairs excluded") {
+    val docs = Seq(
+      // "a" at 0, "b" at 2 and 3: two (a,b) pairs within window 3 —
+      // positions 2 and 3 fall in DIFFERENT w=3 buckets than 0's
+      // neighbors, exercising the banded-join boundary
+      (10L, "a x b b"),
+      // "a" at 0, "b" at 9: far apart — no pair
+      (11L, "a x x x x x x x x b"),
+      // "a a" adjacent: same token, never a pair
+      (12L, "a a"),
+      (13L, "b x a")) // (a,b) distance 2: one pair
+      .toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_prox", buckets = 4)
+    val queries = Seq((1L, "a b")).toDF("doc_id", "text")
+    val r = Retrieval.proximityTopK(spark, "graft_test_prox", queries,
+      "doc_id", "text", k = 10, window = 3).collect()
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") ->
+      x.getAs[Long]("n_close_pairs")).toMap
+    assert(byDoc == Map(10L -> 2L, 13L -> 1L))
+    assert(r.head.getAs[Long]("doc_id") == 10L &&
+      r.head.getAs[Int]("rank") == 1)
+  }
+
   test("rboOverlap: identical lists hit the truncated ceiling, disjoint " +
       "lists surface at 0, partial overlap is hand-exact") {
     def rk(rows: (Long, String, Int)*) = rows.toDF("q", "item", "r")
