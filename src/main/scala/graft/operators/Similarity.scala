@@ -1312,10 +1312,13 @@ object Similarity {
     * row stream, unlike the inherent Gram cost of [[effectiveRank]]).
     * Each iteration applies C·v directly to the data via the identity
     * (C·v)_i = (Σ_r x_ri·u_r − μ_i·Σ_r u_r)/n with u_r = x_r·v − μ·v:
-    * one per-row dot pass (broadcast v) + one per-dim aggregate — O(n·d)
-    * per iteration, two passes over the persisted exploded frame. The
-    * d-row v/μ frames broadcast; per-iteration lineage is cut by a lazy
-    * localCheckpoint.
+    * ONE pass over the persisted (id, vec) frame per step — the per-row
+    * dot is a codegen'd literal-vector expression (map-only), the
+    * per-dim sums one map-side-combined hash aggregate whose shuffle is
+    * d×partitions rows. All d-vector arithmetic (means, deflation dots,
+    * norms, Rayleigh quotients) lives on the DRIVER, bounded by the
+    * embedding dimension d, never the corpus — and replicates the SQL
+    * decimal/double op sequence bit-exactly (see [[pcaBase]]).
     *
     * Determinism (gate-grade): v₀ = 1/√d on every dim; per-row products
     * are bit-identical cross-engine and every order-sensitive sum (dots,
@@ -1337,79 +1340,225 @@ object Similarity {
 
   private def dec18(c: Column): Column = c.cast("decimal(28,18)")
 
+  /** Per-term-DECIMAL(28,18)-quantized dot of two double-array columns —
+    * the gate-grade twin of [[dot]] (native codegen'd expression; see
+    * [[graft.functions.expr.DotProductDec18]] for the bit-identity
+    * argument against the `sum(dec18(x*v))` aggregate it replaces). */
+  private def dot18(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.expr.DotProductDec18(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Shared power-iteration machinery of [[pcaTopComponents]] /
-    * [[pcaProject]]: the persisted exploded (id, i, x) frame, the n /
-    * moment / mean frames, and per component its final d-row vector
-    * frame plus 1-row Rayleigh-λ frame. */
-  private case class PcaParts(ex: DataFrame, nF: DataFrame, mom: DataFrame,
-      mu: DataFrame, comps: Seq[(DataFrame, DataFrame)])
+    * [[pcaProject]] / the block variants: the persisted (id, xs) frame
+    * plus the DRIVER-side d-bounded state — corpus size n, dimension d,
+    * per-dim means, trace of C, and per component its final unit vector
+    * and Rayleigh λ. Every d-vector lives on the driver (d is the
+    * embedding dimension — bounded by the model, never the corpus);
+    * only the O(n·d) operator application is distributed. */
+  private case class PcaComp(v: Array[Double], lam: Double)
+  private case class PcaParts(exArr: DataFrame, n: Double, d: Int,
+      mu: Array[Double], tr: Double, comps: Seq[PcaComp])
+
+  /** Corpus-side base state: one persisted (id, xs) scan + ONE moment
+    * aggregate (per-dim Σx, Σx², row count), collected as d rows. All
+    * double/decimal arithmetic below replicates the former frame-based
+    * formulation bit-exactly (DECIMAL(28,18) per-term quantization via
+    * `BigDecimal.valueOf(x).setScale(18, HALF_UP)` — Spark's own
+    * double→decimal cast sequence — exact decimal sums, `doubleValue`
+    * conversion = Spark's decimal→double cast), so the x178/x180/x182
+    * oracles gate this path unchanged. Assumes fixed-width (dense)
+    * vectors, like every consumer of the embeddings column. */
+  private def pcaBase(data: DataFrame, idCol: String,
+      vecCol: String): PcaParts = {
+    import graft.functions.expr.DotProductDec18.d18
+    val exArr = data.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val momRows = exArr
+      .select(posexplode(col("xs")).as(Seq("__d0", "x")))
+      .groupBy("__d0")
+      .agg(sum(dec18(col("x"))).as("sx"),
+        sum(dec18(col("x") * col("x"))).as("sxx"),
+        count(lit(1)).as("cnt"))
+      .orderBy("__d0").collect()
+    require(momRows.nonEmpty, "pca: empty corpus")
+    val d = momRows.length
+    val n = momRows(0).getLong(3).toDouble
+    val sx = momRows.map(_.getDecimal(1).doubleValue)
+    val sxx = momRows.map(_.getDecimal(2).doubleValue)
+    val mu = Array.tabulate(d)(i => sx(i) / n)
+    // trace(C) = Σ dec18((Σx² − (Σx)²/n)/n), exact-decimal summed
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < d) {
+      acc = acc.add(d18((sxx(i) - sx(i) * sx(i) / n) / n)); i += 1
+    }
+    PcaParts(exArr, n, d, mu, acc.doubleValue, Seq.empty)
+  }
+
+  /** ONE distributed pass applying the (uncentered half of the)
+    * covariance operator to a batch of direction vectors: per row,
+    * u_c = dot18(xs, v_c) − μ·v_c (codegen'd, map-only), then per-dim
+    * decimal sums a_{c,i} = Σ_rows dec18(x_i·u_c) and b_c = Σ_rows
+    * dec18(u_c) in a single hash aggregate (map-side combined; the
+    * shuffle is d×partitions rows). Returns the collected d-vectors —
+    * bounded by the embedding dimension, never the corpus. */
+  private def pcaApply(exArr: DataFrame,
+      vs: Seq[(Array[Double], Double)])
+      : (IndexedSeq[Array[Double]], IndexedSeq[Double]) = {
+    val uCols = vs.zipWithIndex.map { case ((v, muv), ci) =>
+      (dot18(col("xs"), lit(v)) - lit(muv)).as(s"__u$ci") }
+    val withU = exArr.select(uCols :+ col("xs"): _*)
+    val exploded = withU.select(
+      vs.indices.map(ci => col(s"__u$ci")) :+
+        posexplode(col("xs")).as(Seq("__d0", "x")): _*)
+    val aggs = vs.indices.flatMap(ci => Seq(
+      sum(dec18(col("x") * col(s"__u$ci"))).as(s"__sa$ci"),
+      sum(dec18(col(s"__u$ci"))).as(s"__sb$ci")))
+    val rows = exploded.groupBy("__d0")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("__d0").collect()
+    val a = vs.indices
+      .map(ci => rows.map(_.getDecimal(1 + 2 * ci).doubleValue))
+    // b_c is Σ over all rows (dense vectors: every row covers dim 0)
+    val b = vs.indices.map(ci => rows(0).getDecimal(2 + 2 * ci).doubleValue)
+    (a, b)
+  }
 
   private def pcaParts(data: DataFrame, idCol: String, vecCol: String,
       m: Int, iters: Int): PcaParts = {
+    import graft.functions.expr.DotProductDec18.dotArr
     require(m >= 1 && m <= 4, s"m=$m out of [1,4]")
     require(iters >= 1 && iters <= 16, "iters out of [1,16]")
-    val ex = data.select(col(idCol).as("id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("__d0", "x")))
-      .select(col("id"), (col("__d0") + 1).cast("long").as("i"), col("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nF = broadcast(ex.filter(col("i") === 1)
-      .agg(count(lit(1)).cast("double").as("n")))
-    val mom = ex.groupBy("i")
-      .agg(sum(dec18(col("x"))).as("sx"), sum(dec18(col("x") * col("x"))).as("sxx"))
-    val mu = broadcast(mom.crossJoin(nF)
-      .select(col("i"), (col("sx").cast("double") / col("n")).as("mu")))
-    val dF = broadcast(mu.agg(count(lit(1)).cast("double").as("d")))
-    val v0 = mu.crossJoin(dF)
-      .select(col("i"), (lit(1.0) / sqrt(col("d"))).as("v"))
-    // (v_final, λ 1-row frame) per component, in order
-    val comps = scala.collection.mutable.ArrayBuffer
-      .empty[(DataFrame, DataFrame)]
+    val base = pcaBase(data, idCol, vecCol)
+    val d = base.d
+    val v0 = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    val comps = scala.collection.mutable.ArrayBuffer.empty[PcaComp]
     (1 to m).foreach { _ =>
-      val (vFinal, vPrev, tFinal) =
-        (1 to iters).foldLeft((v0, v0, v0)) { case ((v, _, _), _) =>
-          val muv = broadcast(mu.join(v, "i")
-            .agg(sum(dec18(col("mu") * col("v"))).cast("double").as("muv")))
-          val s = ex.join(broadcast(v), "i")
-            .groupBy("id")
-            .agg(sum(dec18(col("x") * col("v"))).cast("double").as("__sr"))
-            .crossJoin(muv)
-            .select(col("id"), (col("__sr") - col("muv")).as("u"))
-          val bF = broadcast(s.agg(sum(dec18(col("u"))).cast("double").as("b")))
-          val tRaw = ex.join(s, "id")
-            .groupBy("i")
-            .agg(sum(dec18(col("x") * col("u"))).cast("double").as("__a"))
-            .join(mu, "i").crossJoin(bF).crossJoin(nF)
-            .select(col("i"),
-              ((col("__a") - col("mu") * col("b")) / col("n")).as("t"))
-          // projection deflation, d-row arithmetic only: re-orthogonalize
-          // the image against every already-found component — subtract
-          // (v_j·t)·v_j, so the normalized result is ⊥ v_j by construction
-          val t = comps.foldLeft(tRaw) { case (acc, (vj, _)) =>
-            val pj = broadcast(vj.select(col("i"), col("v").as("__vj"))
-              .join(tRaw, "i")
-              .agg(sum(dec18(col("__vj") * col("t"))).cast("double")
-                .as("pj")))
-            acc.join(broadcast(vj.select(col("i"), col("v").as("__vj"))), "i")
-              .crossJoin(pj)
-              .select(col("i"),
-                (col("t") - col("pj") * col("__vj")).as("t"))
-          }
-          val qF = broadcast(t.agg(sum(dec18(col("t") * col("t")))
-            .cast("double").as("q")))
-          val vNext = t.crossJoin(qF)
-            .select(col("i"), (col("t") / sqrt(col("q"))).as("v"))
-            .localCheckpoint(eager = false)
-          (vNext, v, t)
+      var v = v0; var vPrev = v0; var tFin = v0
+      (1 to iters).foreach { _ =>
+        val muv = dotArr(base.mu, v)
+        val (a, b) = pcaApply(base.exArr, Seq((v, muv)))
+        val tRaw =
+          Array.tabulate(d)(i => (a(0)(i) - base.mu(i) * b(0)) / base.n)
+        // projection deflation: every p_j is computed against the RAW
+        // image (not the running difference) and the subtractions chain
+        // left-to-right in component order — the exact FP op sequence
+        // the x180 oracle replays
+        val t = tRaw.clone()
+        comps.foreach { pc =>
+          val pj = dotArr(pc.v, tRaw)
+          var i = 0
+          while (i < d) { t(i) = t(i) - pj * pc.v(i); i += 1 }
         }
-      // Rayleigh λ on the deflated operator; lazily checkpointed — every
-      // later component references it once per iteration, and without the
-      // cut each reference would re-plan the whole previous chain
-      val lamF = broadcast(vPrev.join(tFinal, "i")
-        .agg(sum(dec18(col("v") * col("t"))).cast("double").as("lam"))
-        .localCheckpoint(eager = false))
-      comps += ((vFinal, lamF))
+        val q = dotArr(t, t)
+        val vn = Array.tabulate(d)(i => t(i) / math.sqrt(q))
+        vPrev = v; tFin = t; v = vn
+      }
+      // Rayleigh λ of the deflated operator: v_{iters−1} · t_iters
+      comps += PcaComp(v, dotArr(vPrev, tFin))
     }
-    PcaParts(ex, nF, mom, mu, comps.toSeq)
+    base.copy(comps = comps.toSeq)
+  }
+
+  /** Block (simultaneous/orthogonal) power iteration — ALL m components
+    * advance in ONE data pass per step (Golub & Van Loan §8.2.4), the
+    * scale completion of [[pcaTopComponents]]'s sequential deflation:
+    * where deflation pays m·iters operator applications (each a corpus
+    * pass), the block runs iters applications of C to the whole m-column
+    * block, re-orthonormalized per step by classical Gram–Schmidt on the
+    * driver (m² dot products of d-vectors — never touches the data).
+    *
+    * Starting block: interleaved indicator vectors (component c takes
+    * dims ≡ c−1 mod m, normalized) — deterministic, SQL-replayable,
+    * linearly independent by disjoint support, and their span contains
+    * the all-ones direction the sequential variant starts from.
+    *
+    * Same gate-grade determinism discipline as the deflation path
+    * (per-term DECIMAL(28,18) quantization in every dot/aggregate/norm,
+    * fixed projection order p_j against the raw image with left-chained
+    * subtraction, unrollable step count) — the whole run replays in SQL
+    * (x249). Converged spectra match the deflation variant; at finite
+    * iters the iterates differ by construction (deflation projects
+    * against FINAL earlier components, the block against the current
+    * step's), so the two operators are gated by separate oracles. */
+  private def pcaPartsBlock(data: DataFrame, idCol: String, vecCol: String,
+      m: Int, iters: Int): PcaParts = {
+    import graft.functions.expr.DotProductDec18.dotArr
+    require(m >= 1 && m <= 4, s"m=$m out of [1,4]")
+    require(iters >= 1 && iters <= 16, "iters out of [1,16]")
+    val base = pcaBase(data, idCol, vecCol)
+    val d = base.d
+    require(m <= d, s"m=$m exceeds dimension $d")
+    var vs: IndexedSeq[Array[Double]] = (1 to m).map { c =>
+      val cnt = (0 until d).count(_ % m == c - 1).toDouble
+      Array.tabulate(d)(i0 =>
+        if (i0 % m == c - 1) 1.0 / math.sqrt(cnt) else 0.0)
+    }
+    var vPrevs = vs
+    var tFins = vs
+    (1 to iters).foreach { _ =>
+      val muvs = vs.map(v => dotArr(base.mu, v))
+      val (a, b) = pcaApply(base.exArr, vs.zip(muvs))
+      val tRaws = (0 until m).map(c =>
+        Array.tabulate(d)(i => (a(c)(i) - base.mu(i) * b(c)) / base.n))
+      val newVs = Array.ofDim[Array[Double]](m)
+      val tProjs = Array.ofDim[Array[Double]](m)
+      (0 until m).foreach { c =>
+        val t = tRaws(c).clone()
+        (0 until c).foreach { j =>
+          val pj = dotArr(newVs(j), tRaws(c))
+          var i = 0
+          while (i < d) { t(i) = t(i) - pj * newVs(j)(i); i += 1 }
+        }
+        val q = dotArr(t, t)
+        newVs(c) = Array.tabulate(d)(i => t(i) / math.sqrt(q))
+        tProjs(c) = t
+      }
+      vPrevs = vs; tFins = tProjs.toIndexedSeq; vs = newVs.toIndexedSeq
+    }
+    base.copy(comps = (0 until m).map(c =>
+      PcaComp(vs(c), dotArr(vPrevs(c), tFins(c)))))
+  }
+
+  /** (component, dim, loading, eigenvalue, explained, cum_explained)
+    * output frame from driver-side parts — divisions and rounding stay
+    * IN Spark, exactly as the frame-based formulation did. */
+  private def componentsOut(spark: org.apache.spark.sql.SparkSession,
+      p: PcaParts): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      (pc, cIdx) <- p.comps.zipWithIndex
+      // cum-λ: fixed left-to-right double addition
+      cum = p.comps.take(cIdx + 1).map(_.lam).reduce(_ + _)
+      i <- 0 until p.d
+    } yield (cIdx + 1, (i + 1).toLong, pc.v(i), pc.lam, cum)
+    rows.toDF("component", "dim", "v", "lam", "cum")
+      .select(col("component"), col("dim"),
+        round(col("v"), 6).as("loading"),
+        round(col("lam"), 6).as("eigenvalue"),
+        round(col("lam") / lit(p.tr), 4).as("explained"),
+        round(col("cum") / lit(p.tr), 4).as("cum_explained"))
+  }
+
+  /** (id, component, coord) projection frame: one map-only pass over the
+    * persisted (id, xs) scan for ALL components (per-row dot18 against
+    * each broadcast-literal component vector), never a shuffle. */
+  private def projectOut(p: PcaParts, whiten: Boolean,
+      roundTo: Int): DataFrame = {
+    import graft.functions.expr.DotProductDec18.dotArr
+    val cols = p.comps.zipWithIndex.map { case (pc, ci) =>
+      val muv = dotArr(p.mu, pc.v)
+      val dotc = dot18(col("xs"), lit(pc.v)) - lit(muv)
+      val coord = if (whiten) dotc / lit(math.sqrt(pc.lam)) else dotc
+      struct(lit(ci + 1).as("component"), round(coord, roundTo).as("coord"))
+    }
+    p.exArr.select(col("id"), explode(array(cols: _*)).as("__pc"))
+      .select(col("id"), col("__pc.component").as("component"),
+        col("__pc.coord").as("coord"))
   }
 
   /** Top-`m` principal components by power iteration with PROJECTION
@@ -1419,10 +1568,12 @@ object Similarity {
     * direction). Component c runs the same power loop, but every
     * iteration's image t = C·v is re-orthogonalized against the found
     * components before normalizing: t ← t − Σ_{j<c} (v_j·t)·v_j. Each
-    * correction is a d-row broadcast join (v_j) times a 1-row dot frame
-    * — O(d) per prior component per iteration, on top of the same two
-    * O(n·d) data passes as the single-component loop; the data is never
-    * touched by the deflation.
+    * correction is driver-side d-vector arithmetic — O(d) per prior
+    * component per iteration, on top of the single O(n·d) data pass of
+    * the component loop; the data is never touched by the deflation.
+    * (When m > 1 and the corpus passes dominate, see
+    * [[pcaTopComponentsBlock]] — iters passes total instead of
+    * m·iters.)
     *
     * Projection deflation is chosen over Hotelling (C − λvvᵀ)
     * deliberately: it makes v_c orthogonal to every v_j BY CONSTRUCTION
@@ -1445,29 +1596,26 @@ object Similarity {
     * `explained` = λ_c/trace(C), and the running `cum_explained`
     * Σ_{j≤c} λ_j / trace(C). */
   def pcaTopComponents(data: DataFrame, idCol: String, vecCol: String,
-      m: Int = 2, iters: Int = 5): DataFrame = {
-    val p = pcaParts(data, idCol, vecCol, m, iters)
-    import p.{comps, mom, nF}
-    val trF = broadcast(mom.crossJoin(nF)
-      .select(((col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double") / col("n")) /
-        col("n")).as("__var"))
-      .agg(sum(dec18(col("__var"))).cast("double").as("tr")))
-    comps.toSeq.zipWithIndex.map { case ((vF, _), cIdx) =>
-      val c = cIdx + 1
-      // cum-λ: fixed left-to-right addition over the 1-row λ frames
-      val withLams = (0 to cIdx).foldLeft(vF) { case (acc, j) =>
-        acc.crossJoin(comps(j)._2.select(col("lam").as(s"__l${j + 1}")))
-      }
-      val cum = (1 to c).map(j => col(s"__l$j")).reduce(_ + _)
-      withLams.crossJoin(trF)
-        .select(lit(c).as("component"), col("i").as("dim"),
-          round(col("v"), 6).as("loading"),
-          round(col(s"__l$c"), 6).as("eigenvalue"),
-          round(col(s"__l$c") / col("tr"), 4).as("explained"),
-          round(cum / col("tr"), 4).as("cum_explained"))
-    }.reduce(_.unionByName(_))
-  }
+      m: Int = 2, iters: Int = 5): DataFrame =
+    componentsOut(data.sparkSession, pcaParts(data, idCol, vecCol, m, iters))
+
+  /** [[pcaTopComponents]]'s output contract computed by BLOCK power
+    * iteration (see [[pcaPartsBlock]]): iters corpus passes total instead
+    * of m·iters — the variant to reach for when m > 1 and the corpus is
+    * the cost. Gated by its own per-step-replay oracle (x249). */
+  def pcaTopComponentsBlock(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 2, iters: Int = 5): DataFrame =
+    componentsOut(data.sparkSession,
+      pcaPartsBlock(data, idCol, vecCol, m, iters))
+
+  /** [[pcaProject]] on block-iterated components — training costs iters
+    * corpus passes (not m·iters), the projection one map-only pass for
+    * all m coordinates. Gated by x250. */
+  def pcaProjectBlock(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 2, iters: Int = 5, whiten: Boolean = false,
+      roundTo: Int = 6): DataFrame =
+    projectOut(pcaPartsBlock(data, idCol, vecCol, m, iters), whiten,
+      roundTo)
 
   /** Project every vector onto the top-`m` principal components — the
     * actual decorrelation/compression step the component extraction
@@ -1479,34 +1627,18 @@ object Similarity {
     * preconditioning before [[scalarQuantize]]/[[pqTopK]] (quantizers
     * spend their budget evenly instead of on the dominant direction).
     *
-    * One O(n·d) pass per component over the persisted exploded frame
-    * with d-row broadcast vectors — the data is never shuffled wider
-    * than its (id, i, x) explosion, and the per-id dot aggregate is the
-    * only corpus-sized shuffle. Determinism: the per-row dot is a
-    * DECIMAL(28,18)-quantized sum; (dot − μ·v)/√λ is one fixed double
-    * op sequence (x182 replays training AND projection).
+    * ONE map-only O(n·d·m) pass over the persisted (id, vec) frame for
+    * ALL components (each coordinate a codegen'd per-row dot against
+    * its literal component vector) — the projection never shuffles.
+    * Determinism: the per-row dot is a DECIMAL(28,18)-quantized sum;
+    * (dot − μ·v)/√λ is one fixed double op sequence (x182 replays
+    * training AND projection).
     *
     * Returns (id, component, coord), one row per vector per component. */
   def pcaProject(data: DataFrame, idCol: String, vecCol: String,
       m: Int = 2, iters: Int = 5, whiten: Boolean = false,
-      roundTo: Int = 6): DataFrame = {
-    val p = pcaParts(data, idCol, vecCol, m, iters)
-    p.comps.zipWithIndex.map { case ((vF, lamF), cIdx) =>
-      val c = cIdx + 1
-      val muv = broadcast(p.mu.join(vF, "i")
-        .agg(sum(dec18(col("mu") * col("v"))).cast("double").as("muv")))
-      val dots = p.ex.join(broadcast(vF), "i")
-        .groupBy("id")
-        .agg(sum(dec18(col("x") * col("v"))).cast("double").as("__s"))
-        .crossJoin(muv)
-      val (base, coord) =
-        if (whiten) (dots.crossJoin(lamF),
-          (col("__s") - col("muv")) / sqrt(col("lam")))
-        else (dots, col("__s") - col("muv"))
-      base.select(col("id"), lit(c).as("component"),
-        round(coord, roundTo).as("coord"))
-    }.reduce(_.unionByName(_))
-  }
+      roundTo: Int = 6): DataFrame =
+    projectOut(pcaParts(data, idCol, vecCol, m, iters), whiten, roundTo)
 
   /** Batched [[ivfTopKIndexed]]: per-QUERY probe routing against the
     * materialized IVF index — each query ranks the (broadcast-sized)

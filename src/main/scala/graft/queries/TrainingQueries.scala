@@ -1516,6 +1516,153 @@ object TrainingQueries {
       .orderBy("id", "component")
   }
 
+  /** Oracle twin of Similarity.pcaTopComponentsBlock: block
+    * (simultaneous/orthogonal) power iteration. Per step, ONE operator
+    * application per component against the step-(k−1) block, then
+    * classical Gram–Schmidt against the CURRENT step's already-normalized
+    * vectors — p_j computed on the RAW image with the left-associated
+    * subtraction chain, the pcaDeflCte op pattern re-pointed from vf_j
+    * (final earlier components) to bv_j_k (this step's). Starts from
+    * interleaved indicator vectors: component c takes dims ≡ c−1 (mod m),
+    * normalized by the size of its dim class. */
+  private def pcaBlockCte(m: Int, iters: Int): String = {
+    def vname(c: Int, k: Int) = s"bv_${c}_$k"
+    val starts = (1 to m).map { c =>
+      s"""cntb_$c AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS cnt FROM mu
+         |  WHERE (i - 1) % $m = ${c - 1}),
+         |${vname(c, 0)} AS MATERIALIZED (
+         |  SELECT i, CASE WHEN (i - 1) % $m = ${c - 1}
+         |    THEN 1.0::DOUBLE / sqrt(cnt.cnt) ELSE 0.0::DOUBLE END AS v
+         |  FROM mu, cntb_$c cnt)""".stripMargin
+    }.mkString(",\n")
+    val steps = (1 to iters).map { k =>
+      (1 to m).map { c =>
+        val vp = vname(c, k - 1)
+        val priors = 1 until c
+        val pjCtes = priors.map { j =>
+          s"""pjb_${c}_${k}_$j AS MATERIALIZED (
+             |  SELECT CAST(sum(CAST(w.v * t.t AS DECIMAL(28,18))) AS DOUBLE)
+             |    AS pj
+             |  FROM ${vname(j, k)} w JOIN trawb_${c}_$k t USING (i)),""".stripMargin
+        }.mkString("\n")
+        val tExpr = priors.foldLeft("tr0.t") { (acc, j) =>
+          s"($acc - p$j.pj * w$j.v)"
+        }
+        val tJoins =
+          if (priors.isEmpty) ""
+          else " " + priors.map(j => s"JOIN ${vname(j, k)} w$j USING (i)")
+            .mkString(" ") + ", " +
+            priors.map(j => s"pjb_${c}_${k}_$j p$j").mkString(", ")
+        s"""muvb_${c}_$k AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(mu.mu * v.v AS DECIMAL(28,18))) AS DOUBLE)
+           |    AS muv FROM mu JOIN $vp v USING (i)),
+           |sb_${c}_$k AS MATERIALIZED (
+           |  SELECT ex.id,
+           |    CAST(sum(CAST(ex.x * v.v AS DECIMAL(28,18))) AS DOUBLE) - m.muv
+           |      AS u
+           |  FROM ex JOIN $vp v USING (i), muvb_${c}_$k m
+           |  GROUP BY ex.id, m.muv),
+           |bb_${c}_$k AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(u AS DECIMAL(28,18))) AS DOUBLE) AS b
+           |  FROM sb_${c}_$k),
+           |trawb_${c}_$k AS MATERIALIZED (
+           |  SELECT ex.i,
+           |    (CAST(sum(CAST(ex.x * s.u AS DECIMAL(28,18))) AS DOUBLE)
+           |      - mu.mu * b.b) / n.n AS t
+           |  FROM ex JOIN sb_${c}_$k s USING (id) JOIN mu ON ex.i = mu.i,
+           |    bb_${c}_$k b, n
+           |  GROUP BY ex.i, mu.mu, b.b, n.n),
+           |$pjCtes
+           |tb_${c}_$k AS MATERIALIZED (
+           |  SELECT tr0.i, $tExpr AS t
+           |  FROM trawb_${c}_$k tr0$tJoins),
+           |qb_${c}_$k AS MATERIALIZED (
+           |  SELECT CAST(sum(CAST(t * t AS DECIMAL(28,18))) AS DOUBLE) AS q
+           |  FROM tb_${c}_$k),
+           |${vname(c, k)} AS MATERIALIZED (
+           |  SELECT i, t / sqrt(q.q) AS v FROM tb_${c}_$k, qb_${c}_$k q)"""
+          .stripMargin
+      }.mkString(",\n")
+    }.mkString(",\n")
+    val lams = (1 to m).map { c =>
+      s"""lamb_$c AS MATERIALIZED (
+         |  SELECT CAST(sum(CAST(v.v * t.t AS DECIMAL(28,18))) AS DOUBLE)
+         |    AS lam
+         |  FROM ${vname(c, iters - 1)} v JOIN tb_${c}_$iters t USING (i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$pcaBaseCte,
+       |$starts,
+       |$steps,
+       |$lams""".stripMargin
+  }
+
+  // Top-2 principal components by BLOCK (simultaneous) power iteration —
+  // the one-data-pass-per-step completion of x180: both components'
+  // operator applications share each step's single corpus pass, then a
+  // driver-side Gram–Schmidt re-orthonormalizes the image block (m² dots
+  // of d-vectors — the data is never touched). The oracle replays every
+  // step: interleaved-indicator starts, per-component C·v at the previous
+  // block, the GS projections against THIS step's new vectors, and the
+  // projected-operator Rayleigh eigenvalues.
+  private val x249 = Q("x249_pca_block", Some(
+    s"""WITH ${pcaBlockCte(m = 2, iters = 5)},
+       |tr AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(
+       |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+       |      / n.n) / n.n AS DECIMAL(28,18))) AS DOUBLE) AS tr
+       |  FROM mom, n)
+       |SELECT 1 AS component, v.i AS dim, round(v.v, 6) AS loading,
+       |  round(l1.lam, 6) AS eigenvalue,
+       |  round(l1.lam / tr.tr, 4) AS explained,
+       |  round(l1.lam / tr.tr, 4) AS cum_explained
+       |FROM bv_1_5 v, lamb_1 l1, tr
+       |UNION ALL
+       |SELECT 2, v.i, round(v.v, 6), round(l2.lam, 6),
+       |  round(l2.lam / tr.tr, 4),
+       |  round((l1.lam + l2.lam) / tr.tr, 4)
+       |FROM bv_2_5 v, lamb_1 l1, lamb_2 l2, tr
+       |ORDER BY component, dim""".stripMargin)) { (s, dir) =>
+    graft.operators.Similarity.pcaTopComponentsBlock(
+        t(s, dir, "embeddings"), "vec_id", "embedding", m = 2, iters = 5)
+      .orderBy("component", "dim")
+  }
+
+  // Whitening projection on the BLOCK-iterated components (x182's
+  // contract on x249's training loop): y_c = ((x − μ)·v_c)/√λ_c per
+  // vector, one map-only pass for both coordinates. The oracle replays
+  // the full block training AND the per-vector projection arithmetic.
+  private val x250 = Q("x250_pca_block_whiten", Some(
+    s"""WITH ${pcaBlockCte(m = 2, iters = 5)},
+       |muvpb_1 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(mu.mu * v.v AS DECIMAL(28,18))) AS DOUBLE)
+       |    AS muv FROM mu JOIN bv_1_5 v USING (i)),
+       |muvpb_2 AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(mu.mu * v.v AS DECIMAL(28,18))) AS DOUBLE)
+       |    AS muv FROM mu JOIN bv_2_5 v USING (i)),
+       |yb_1 AS (
+       |  SELECT ex.id,
+       |    (CAST(sum(CAST(ex.x * v.v AS DECIMAL(28,18))) AS DOUBLE) - m.muv)
+       |      / sqrt(l.lam) AS coord
+       |  FROM ex JOIN bv_1_5 v USING (i), muvpb_1 m, lamb_1 l
+       |  GROUP BY ex.id, m.muv, l.lam),
+       |yb_2 AS (
+       |  SELECT ex.id,
+       |    (CAST(sum(CAST(ex.x * v.v AS DECIMAL(28,18))) AS DOUBLE) - m.muv)
+       |      / sqrt(l.lam) AS coord
+       |  FROM ex JOIN bv_2_5 v USING (i), muvpb_2 m, lamb_2 l
+       |  GROUP BY ex.id, m.muv, l.lam)
+       |SELECT id, 1 AS component, round(coord, 6) AS coord FROM yb_1
+       |UNION ALL
+       |SELECT id, 2, round(coord, 6) FROM yb_2
+       |ORDER BY id, component""".stripMargin)) { (s, dir) =>
+    graft.operators.Similarity.pcaProjectBlock(
+        t(s, dir, "embeddings"), "vec_id", "embedding", m = 2, iters = 5,
+        whiten = true)
+      .orderBy("id", "component")
+  }
+
   // Apriori-depth-2 association rules over document tokens: distinct
   // (doc, item), infrequent items pruned BEFORE the pair self-join
   // (the Apriori invariant), then integer-exact confidence/lift. Every
@@ -1681,6 +1828,7 @@ object TrainingQueries {
 
   val qs: Seq[Q] = Seq(x32, x33, x36, x37, x38, x39, x41, x43, x49, x52,
     x53, x54, x57, x62, x63, x65, x66, x72, x73, x74, x111, x113, x116,
-    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182, x185,
+    x118, x119, x120, x121, x137, x176, x177, x178, x179, x180, x182,
+    x249, x250, x185,
     x189, x190, x201, x203, x204, x208, x212, x233, x243)
 }

@@ -636,6 +636,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(m1) < 1e-4 && math.abs(m2) < 1e-4, s"means $m1 $m2")
   }
 
+  test("pcaTopComponentsBlock agrees with sequential deflation on a " +
+    "well-separated spectrum") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array(((i % 10) * 2).toFloat, ((i % 5) * 1.0f),
+        ((i % 3) * 0.2f), 0.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val blk = Similarity.pcaTopComponentsBlock(df, "vec_id", "embedding",
+      m = 3, iters = 8).orderBy("component", "dim").collect()
+    val seq = Similarity.pcaTopComponents(df, "vec_id", "embedding",
+      m = 3, iters = 8).orderBy("component", "dim").collect()
+    assert(blk.length == 12)
+    def loadings(rows: Array[org.apache.spark.sql.Row], c: Int) = rows
+      .filter(_.getAs[Int]("component") == c)
+      .sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("loading"))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    (1 to 3).foreach { c =>
+      // same subspace axis up to sign (|cos| ≈ 1) and same eigenvalue
+      val cosAbs = math.abs(dot(loadings(blk, c), loadings(seq, c)))
+      assert(cosAbs > 0.9999, s"component $c axis cos $cosAbs")
+      val eb = blk.filter(_.getAs[Int]("component") == c)
+        .head.getAs[Double]("eigenvalue")
+      val es = seq.filter(_.getAs[Int]("component") == c)
+        .head.getAs[Double]("eigenvalue")
+      assert(math.abs(eb - es) / es < 1e-3, s"component $c λ $eb vs $es")
+      // block components are mutually orthogonal by GS construction
+      ((c + 1) to 3).foreach { c2 =>
+        val o = math.abs(dot(loadings(blk, c), loadings(blk, c2)))
+        assert(o < 1e-4, s"block v${c}*v$c2 = $o")
+      }
+    }
+    // whitened block projection: unit variance per coordinate
+    val proj = Similarity.pcaProjectBlock(df, "vec_id", "embedding",
+      m = 2, iters = 8, whiten = true).collect()
+    assert(proj.length == 120)
+    (1 to 2).foreach { c =>
+      val ys = proj.filter(_.getAs[Int]("component") == c)
+        .map(_.getAs[Double]("coord"))
+      val m0 = ys.sum / ys.length
+      val v0 = ys.map(v => (v - m0) * (v - m0)).sum / ys.length
+      assert(math.abs(v0 - 1.0) < 0.01, s"block whiten var$c = $v0")
+    }
+  }
+
   test("ivfTopKBatch: each query's results equal the single-query indexed " +
     "probe") {
     val emb = spark.read
