@@ -66,7 +66,16 @@ object Curation {
     * action time: a `raise_error` guard rides the ≤|groups|-row counts
     * frame (no extra corpus pass, the plan stays lazily buildable), so
     * a budget larger than the corpus fails loudly instead of silently
-    * returning all N rows — fewer than the promised total. */
+    * returning all N rows — fewer than the promised total.
+    *
+    * EMPTY-corpus caveat: the guard rides the counts frame, which has
+    * no rows when `df` is empty — an empty input returns an EMPTY frame
+    * rather than raising (there is no row for the guard to evaluate
+    * on), even though total >= 1 > N = 0 violates the exact-budget
+    * contract. Callers drawing from a possibly-empty corpus must treat
+    * an empty result as that violation; every non-empty input with
+    * total > N raises. The same caveat applies to
+    * [[temperatureQuotaSample]]'s saturation guard. */
   def quotaSample(df: DataFrame, idCol: String, groupCol: String,
       total: Int, seed: String = "q"): DataFrame = {
     require(total >= 1, "total must be positive")

@@ -39,6 +39,39 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Re-quantize a score onto the exact 1e-10 grid:
+    * floor(x·1e10 + 0.5)/1e10, NOT round(x, 10) — round() tie-break
+    * semantics differ across engines on boundary values, floor of the
+    * same IEEE ops cannot. Every iterate of the rank family lives on
+    * this grid (see the object scaladoc). */
+  private def quant10(c: Column): Column =
+    floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
+
+  /** THE iteration scaffold of the rank family ([[pageRank]],
+    * [[labelPropagation]], [[personalizedPageRank]], [[katzCentrality]],
+    * [[connectedComponentsDoubling]], [[kCorePeel]] — [[hits]] keeps its
+    * own loop because its state is an alternating hub/authority PAIR):
+    * run `step` `iters` times from `init`, lineage-TRUNCATING every
+    * iterate via [[Checkpoints.truncate]] (persist alone keeps the full
+    * plan tree growing linearly per round, and every later round — and
+    * every downstream consumer — re-analyzes that whole tree on the
+    * driver: measured ~4 s of pure planning per action behind the x29
+    * chain at sf0.1). Returns ALL iterates, `init` first, because the
+    * per-iteration residual/convergence reports consume the whole
+    * trajectory; single-answer callers take `.last`. */
+  private def iterate(init: DataFrame, iters: Int,
+      checkpointDir: Option[String])(
+      step: DataFrame => DataFrame): Seq[DataFrame] = {
+    val frames = Seq.newBuilder[DataFrame]
+    var cur = init
+    frames += cur
+    for (_ <- 1 to iters) {
+      cur = Checkpoints.truncate(step(cur), checkpointDir)
+      frames += cur
+    }
+    frames.result()
+  }
+
   /** Undirected PageRank: `edges` are (src, dst) pairs; the graph is
     * symmetrized and deduplicated, so every node has out-degree ≥ 1 (no
     * dangling-mass correction needed). Returns (node, rank) after `iters`
@@ -84,31 +117,23 @@ object Graph {
     val edgesDeg = und.join(deg, "src").persist()
     // node count as a broadcast 1-row frame (no driver-side action)
     val nNodes = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
-    val quant = (c: org.apache.spark.sql.Column) =>
-      floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
-    var rank = deg.select(col("src").as("node"))
+    val rank0 = deg.select(col("src").as("node"))
       .crossJoin(broadcast(nNodes))
-      .select(col("node"), quant(lit(1.0) / col("n_nodes")).as("rank"),
+      .select(col("node"), quant10(lit(1.0) / col("n_nodes")).as("rank"),
         col("n_nodes"))
       .persist()
-    val frames = Seq.newBuilder[DataFrame]
-    frames += rank
-    for (_ <- 1 to iters) {
-      val next = Checkpoints.truncate(edgesDeg
+    iterate(rank0, iters, checkpointDir) { rank =>
+      edgesDeg
         .join(rank, col("src") === col("node"))
         .select(col("dst"),
           (col("rank") / col("deg")).cast("decimal(28,14)").as("contrib"),
           col("n_nodes"))
         .groupBy("dst")
-        .agg(quant(lit(1.0 - damping) / first(col("n_nodes")) +
+        .agg(quant10(lit(1.0 - damping) / first(col("n_nodes")) +
           lit(damping) * sum(col("contrib")).cast("double")).as("rank"),
           first(col("n_nodes")).as("n_nodes"))
-        .select(col("dst").as("node"), col("rank"), col("n_nodes")),
-        checkpointDir)
-      frames += next
-      rank = next
+        .select(col("dst").as("node"), col("rank"), col("n_nodes"))
     }
-    frames.result()
   }
 
   /** (iter, l1_e10) rows from consecutive (node, <score>) frames: the sum
@@ -187,24 +212,18 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = Checkpoints.truncate(
+    val labels0 = Checkpoints.truncate(
       und.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lab")), checkpointDir)
-    val frames = Seq.newBuilder[DataFrame]
-    frames += labels
-    for (_ <- 1 to iters) {
-      val next = Checkpoints.truncate(und
+    iterate(labels0, iters, checkpointDir) { labels =>
+      und
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("best"))
-        .select(col("dst").as("node"), (-col("best.nl")).as("lab")),
-        checkpointDir)
-      frames += next
-      labels = next
+        .select(col("dst").as("node"), (-col("best.nl")).as("lab"))
     }
-    frames.result()
   }
 
   /** Personalized PageRank — [[pageRank]] with the restart mass pinned to a
@@ -255,24 +274,21 @@ object Graph {
     require(!seedSet.isEmpty,
       "personalizedPageRank: no seed node is present in the edge list")
     val nSeeds = seedSet.agg(count(lit(1)).cast("double").as("n_seeds"))
-    val quant = (c: Column) => floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
     val seedMark = seedSet.select(col("node").as("__sn"), lit(1).as("__is"))
     // e(v): (1-d)/|S| on seeds, 0 elsewhere — the personalization vector
     def restart(nodeCol: Column): Column =
       when(col("__is").isNotNull,
         lit(1.0 - damping) / col("n_seeds")).otherwise(lit(0.0))
-    var rank = deg.select(col("src").as("node"))
+    val rank0 = deg.select(col("src").as("node"))
       .join(broadcast(seedMark), col("node") === col("__sn"), "left")
       .crossJoin(broadcast(nSeeds))
       .select(col("node"),
-        quant(when(col("__is").isNotNull, lit(1.0) / col("n_seeds"))
+        quant10(when(col("__is").isNotNull, lit(1.0) / col("n_seeds"))
           .otherwise(lit(0.0))).as("rank"),
         col("n_seeds"))
       .persist()
-    val frames = Seq.newBuilder[DataFrame]
-    frames += rank
-    for (_ <- 1 to iters) {
-      val next = Checkpoints.truncate(edgesDeg
+    iterate(rank0, iters, checkpointDir) { rank =>
+      edgesDeg
         .join(rank, col("src") === col("node"))
         .select(col("dst"),
           (col("rank") / col("deg")).cast("decimal(28,14)").as("contrib"),
@@ -282,13 +298,10 @@ object Graph {
           first(col("n_seeds")).as("n_seeds"))
         .join(broadcast(seedMark), col("dst") === col("__sn"), "left")
         .select(col("dst").as("node"),
-          quant(restart(col("dst")) + lit(damping) * col("__c")).as("rank"),
-          col("n_seeds")),
-        checkpointDir)
-      frames += next
-      rank = next
+          quant10(restart(col("dst")) + lit(damping) * col("__c"))
+            .as("rank"),
+          col("n_seeds"))
     }
-    frames.result()
   }
 
   /** HITS hubs & authorities over a DIRECTED edge list (hub score: "points
@@ -333,13 +346,12 @@ object Graph {
     require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst")).distinct().persist()
-    val quant = (c: Column) => floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
     val dec = (c: Column) => c.cast("decimal(28,14)")
     val nSrc = e.select("src").distinct()
       .agg(count(lit(1)).cast("double").as("n_src"))
     var hub = Checkpoints.truncate(e.select("src").distinct()
       .crossJoin(broadcast(nSrc))
-      .select(col("src"), quant(lit(1.0) / col("n_src")).as("h")),
+      .select(col("src"), quant10(lit(1.0) / col("n_src")).as("h")),
       checkpointDir)
     val hubs = Seq.newBuilder[DataFrame]
     val auths = Seq.newBuilder[DataFrame]
@@ -350,7 +362,7 @@ object Graph {
       val aTot = aRaw.agg(sum(col("__raw")).as("__tot"))
       val auth = Checkpoints.truncate(aRaw.crossJoin(broadcast(aTot))
         .select(col("dst"),
-          quant(col("__raw").cast("double") / col("__tot").cast("double"))
+          quant10(col("__raw").cast("double") / col("__tot").cast("double"))
             .as("a")),
         checkpointDir)
       auths += auth
@@ -359,7 +371,7 @@ object Graph {
       val hTot = hRaw.agg(sum(col("__raw")).as("__tot"))
       hub = Checkpoints.truncate(hRaw.crossJoin(broadcast(hTot))
         .select(col("src"),
-          quant(col("__raw").cast("double") / col("__tot").cast("double"))
+          quant10(col("__raw").cast("double") / col("__tot").cast("double"))
             .as("h")),
         checkpointDir)
       hubs += hub
@@ -423,10 +435,10 @@ object Graph {
       col(dstCol).cast("long").as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = Checkpoints.truncate(
+    val labels0 = Checkpoints.truncate(
       und.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lab")), checkpointDir)
-    for (_ <- 1 to rounds) {
+    iterate(labels0, rounds, checkpointDir) { labels =>
       // both union branches derive from the same checkpointed `labels`;
       // fresh aliases keep their attribute ids disjoint (Catalyst's union
       // constraint rewrite chokes on shared ids across branches)
@@ -435,14 +447,11 @@ object Graph {
         .union(und.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("lab").as("lab")))
         .groupBy("node").agg(min(col("lab")).as("lab"))
-      val jumped = Checkpoints.truncate(prop.as("a")
+      prop.as("a")
         .join(prop.select(col("node").as("__n2"), col("lab").as("__l2")).as("b"),
           col("a.lab") === col("__n2"))
-        .select(col("a.node").as("node"), col("__l2").as("lab")),
-        checkpointDir)
-      labels = jumped
-    }
-    labels.select(col("node"), col("lab").as("component"))
+        .select(col("a.node").as("node"), col("__l2").as("lab"))
+    }.last.select(col("node"), col("lab").as("component"))
   }
 
   /** k-core peeling — iteratively drop nodes of degree < k and re-induce
@@ -461,18 +470,16 @@ object Graph {
       s"k=$k rounds=$rounds out of range")
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    var und = Checkpoints.truncate(
+    val und0 = Checkpoints.truncate(
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(), checkpointDir)
-    for (_ <- 1 to rounds) {
+    iterate(und0, rounds, checkpointDir) { und =>
       val keep = und.groupBy("src").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("src").as("__keep"))
-      und = Checkpoints.truncate(und
+      und
         .join(keep, col("src") === col("__keep"), "left_semi")
-        .join(keep, col("dst") === col("__keep"), "left_semi"),
-        checkpointDir)
-    }
-    und.groupBy(col("src").as("node"))
+        .join(keep, col("dst") === col("__keep"), "left_semi")
+    }.last.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
   }
 
@@ -528,23 +535,18 @@ object Graph {
       col(dstCol).cast("string").as("dst"))
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    val quant = (c: org.apache.spark.sql.Column) =>
-      floor(c * lit(1e10) + lit(0.5)) / lit(1e10)
-    var x = und.select(col("src").as("node")).distinct()
-      .select(col("node"), quant(lit(beta)).as("katz"))
+    val x0 = und.select(col("src").as("node")).distinct()
+      .select(col("node"), quant10(lit(beta)).as("katz"))
       .persist()
-    for (_ <- 1 to iters) {
-      val next = Checkpoints.truncate(und
+    iterate(x0, iters, checkpointDir) { x =>
+      und
         .join(x, col("src") === col("node"))
         .select(col("dst"), col("katz").cast("decimal(28,14)").as("contrib"))
         .groupBy("dst")
-        .agg(quant(lit(beta) +
+        .agg(quant10(lit(beta) +
           lit(alpha) * sum(col("contrib")).cast("double")).as("katz"))
-        .select(col("dst").as("node"), col("katz")),
-        checkpointDir)
-      x = next
-    }
-    x
+        .select(col("dst").as("node"), col("katz"))
+    }.last
   }
 
   /** Local clustering coefficient per node — "how much of my

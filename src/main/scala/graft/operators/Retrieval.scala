@@ -302,11 +302,19 @@ object Retrieval {
   }
 
   /** Materialize the retrieval index once: a postings table
-    * `(token, doc, tf, dl)` written BUCKETED on `token`
+    * `(token, doc, tf, dl, gen)` written BUCKETED on `token`
     * (`Bucketing.writeBucketed` — catalog table, so repeated same-key
     * joins read co-located buckets), a vocabulary-sized `<table>_tok`
     * companion `(token, df, cf)`, and a 1-row `<table>_stats` companion
     * `(n_corpus, total_dl)`.
+    *
+    * `gen` is the row's ingest GENERATION (0 at build; each
+    * [[appendToPostingsIndex]] batch gets the next integer, tracked in
+    * the 1-row `<table>_gen` companion). Tombstones are (doc, gen)
+    * CUTOFFS — a delete kills a doc's rows with `gen <= cutoff` — which
+    * is what makes [[upsertIntoPostingsIndex]] a LOGICAL operation:
+    * re-inserted rows arrive at a newer generation the tombstone cannot
+    * touch, so an upsert never pays a physical rewrite.
     *
     * Why: [[bm25TopK]]/[[queryLikelihoodTopK]] re-tokenize and
     * re-aggregate the corpus on EVERY call — two corpus passes per query
@@ -323,30 +331,40 @@ object Retrieval {
     * `_tok` rows matching the query terms — ≤|query terms| rows). */
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 8): Unit = {
-    val tf = postingsOf(docs, idCol, textCol)
-    Bucketing.writeBucketed(tf.select("token", "doc", "tf", "dl"), table,
-      buckets, Seq("token"), Seq("token"))
+    val spark = docs.sparkSession
+    val tf = postingsOf(docs, idCol, textCol, gen = 0L)
+    Bucketing.writeBucketed(tf.select("token", "doc", "tf", "dl", "gen"),
+      table, buckets, Seq("token"), Seq("token"))
     replaceSmallTable(tf.groupBy("token")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
       s"${table}_tok")
     replaceSmallTable(corpusStatsOf(docs, idCol, textCol),
       s"${table}_stats")
-    // doc-level membership (doc, dl) — what makes the index DELETABLE:
-    // n_corpus/total_dl deltas need per-doc lengths for ids that may
-    // have zero postings rows (token-free docs), and membership checks
-    // must not scan the corpus-sized postings. 1 row per doc, 2 longs.
-    replaceSmallTable(docLensOf(docs, idCol, textCol), s"${table}_docs")
+    // doc-level membership (doc, dl, gen) — what makes the index
+    // DELETABLE: n_corpus/total_dl deltas need per-doc lengths for ids
+    // that may have zero postings rows (token-free docs), and membership
+    // checks must not scan the corpus-sized postings. 1 row per doc.
+    replaceSmallTable(docLensOf(docs, idCol, textCol, gen = 0L),
+      s"${table}_docs")
+    setGen(spark, table, 0L)
     // a rebuilt index must not inherit a previous incarnation's deletes
-    dropTableWithDir(docs.sparkSession, s"${table}_tomb")
+    // or serving companions: stale champion lists would keep serving the
+    // OLD corpus (this was a live defect — championTopK reads `_champ`
+    // directly), and a stale positional sibling would do the same for
+    // phrase search. Rebuild order: postings first, then
+    // [[buildPositionalIndex]] / [[buildChampionLists]].
+    Seq("_tomb", "_champ", "_champ_meta", "_pos", "_pos_tomb")
+      .foreach(s => dropTableWithDir(spark, s"$table$s"))
   }
 
-  /** Batch postings `(token, doc, tf, dl)` — one pass over `docs`. */
+  /** Batch postings `(token, doc, tf, dl, gen)` — one pass over `docs`. */
   private def postingsOf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String, gen: Long): DataFrame =
     docs.select(col(idCol).as("doc"),
         explode(Dedup.words(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc")))
+      .withColumn("gen", lit(gen))
 
   /** 1-row `(n_corpus, total_dl)`: N counts every doc (token-free
     * included), total_dl the token count — same conventions as the
@@ -356,34 +374,78 @@ object Retrieval {
     docs.select(size(Dedup.words(col(textCol))).cast("long").as("__dl"))
       .agg(count(lit(1)).as("n_corpus"), sum(col("__dl")).as("total_dl"))
 
-  /** Per-doc membership rows `(doc, dl)` for the `_docs` companion —
+  /** Per-doc membership rows `(doc, dl, gen)` for the `_docs` companion —
     * token-free docs included (dl = 0), matching `n_corpus`'s count-
     * every-doc convention. */
   private def docLensOf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String, gen: Long): DataFrame =
     docs.select(col(idCol).as("doc"),
-      size(Dedup.words(col(textCol))).cast("long").as("dl"))
+      size(Dedup.words(col(textCol))).cast("long").as("dl"),
+      lit(gen).as("gen"))
 
-  /** The queryable postings rows: the physical table minus tombstoned
-    * docs. Indexes that have never seen a delete have no `_tomb` table
-    * and read the bare scan — plan unchanged; after
-    * [[deleteFromPostingsIndex]] the scan anti-joins the broadcast
-    * tombstone set (batch-sized) until [[compactPostingsIndex]]
-    * reclaims the rows physically. */
-  private def livePostings(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame = {
-    val base = spark.table(table)
-    if (spark.catalog.tableExists(s"${table}_tomb"))
-      base.join(broadcast(spark.table(s"${table}_tomb")), Seq("doc"),
+  /** Filter a (doc, gen)-carrying frame through `table`'s tombstone
+    * CUTOFFS: a tombstone (doc, g) kills that doc's rows with gen <= g —
+    * rows re-ingested at a NEWER generation survive, which is what makes
+    * upsert logical. Tables that have never seen a delete have no `_tomb`
+    * and read the bare frame — plan unchanged; otherwise ONE broadcast
+    * anti-join (batch-sized build side, equi on doc plus the gen-cutoff
+    * conjunct) until [[compactPostingsIndex]] reclaims the rows
+    * physically. */
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, table: String): DataFrame = {
+    if (spark.catalog.tableExists(s"${table}_tomb")) {
+      val tomb = spark.table(s"${table}_tomb")
+        .select(col("doc").as("__tdoc"), col("gen").as("__tgen"))
+      base.join(broadcast(tomb),
+        col("doc") === col("__tdoc") && col("gen") <= col("__tgen"),
         "left_anti")
-    else base
+    } else base
   }
 
+  /** The queryable postings rows: the physical table minus tombstoned
+    * generations (see [[liveRows]]). */
+  private def livePostings(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = liveRows(spark, spark.table(table), table)
+
+  /** The live `_docs` membership rows of a postings index. */
+  private def liveDocs(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    liveRows(spark, spark.table(s"${table}_docs"), table)
+
+  /** The `_gen` generation counter lives as a PATH-addressed 1-row
+    * parquet directory under the warehouse, NOT a catalog table: it is
+    * rewritten on every append, and the catalog round-trips of a
+    * DROP/CREATE TABLE pair per micro-batch are pure ingest overhead for
+    * one long. */
+  private def genPath(spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${table.toLowerCase}_gen")
+
+  /** The current ingest generation of an index (0 when the `_gen`
+    * counter is absent — a freshly built index). */
+  private def currentGen(spark: org.apache.spark.sql.SparkSession,
+      table: String): Long = {
+    val p = genPath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).head().getLong(0)
+    else 0L
+  }
+
+  private def setGen(spark: org.apache.spark.sql.SparkSession,
+      table: String, gen: Long): Unit =
+    spark.range(1).select(lit(gen).as("gen")).coalesce(1)
+      .write.mode("overwrite").parquet(genPath(spark, table).toString)
+
   /** Drop a table AND its leftover warehouse directory (the
-    * replaceSmallTable cleanup, without the rewrite). */
+    * replaceSmallTable cleanup, without the rewrite). Skips the DROP
+    * statement when the catalog has no such table — the hygiene drops in
+    * [[buildPostingsIndex]] hit several usually-absent companions, and a
+    * parsed no-op DDL per absent table is measurable ingest overhead. */
   private def dropTableWithDir(spark: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    if (spark.catalog.tableExists(name))
+      spark.sql(s"DROP TABLE `$name`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -426,8 +488,14 @@ object Retrieval {
   def appendToPostingsIndex(newDocs: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int = 8): Unit = {
     val spark = newDocs.sparkSession
-    val tf = postingsOf(newDocs, idCol, textCol)
-    tf.select("token", "doc", "tf", "dl")
+    // claim the next generation FIRST: a crash after the bump wastes a
+    // number, a crash after the batch write but before the bump could
+    // hand a later batch the same generation and let one tombstone
+    // cutoff kill both
+    val newGen = currentGen(spark, table) + 1
+    setGen(spark, table, newGen)
+    val tf = postingsOf(newDocs, idCol, textCol, newGen)
+    tf.select("token", "doc", "tf", "dl", "gen")
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "token").sortBy("token").saveAsTable(table)
     // vocabulary + corpus stats merge; eager localCheckpoint pins the
@@ -445,8 +513,22 @@ object Retrieval {
       .localCheckpoint(eager = true)
     replaceSmallTable(mergedStats, s"${table}_stats")
     // membership rows append like the postings: batch-only, no rewrite
-    docLensOf(newDocs, idCol, textCol)
+    docLensOf(newDocs, idCol, textCol, newGen)
       .write.mode("append").format("parquet").saveAsTable(s"${table}_docs")
+    // positional sibling (see [[buildPositionalIndex]]): occurrence rows
+    // are per-doc, so the sibling appends batch-only too
+    if (spark.catalog.tableExists(s"${table}_pos"))
+      positionsOf(newDocs, idCol, textCol, newGen)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "token").sortBy("token")
+        .saveAsTable(s"${table}_pos")
+    // champion lists refresh INCREMENTALLY at the post-append stats
+    // (bounded by |vocab|·(topN + batch postings) — see
+    // [[refreshChampions]]); without this the bounded serving table
+    // would silently freeze at pre-append idf and miss every new doc
+    if (spark.catalog.tableExists(s"${table}_champ"))
+      refreshChampions(spark, table,
+        tf.select("token", "doc", "tf", "dl", "gen"))
   }
 
   /** Delete documents from a [[buildPostingsIndex]] index WITHOUT
@@ -456,43 +538,67 @@ object Retrieval {
     *
     * What moves, and why query results equal a rebuild on the surviving
     * corpus (gated by x234):
-    *  - `_tomb`: the batch's ids (restricted to docs actually present
-    *    and not already tombstoned — deleting an absent or
-    *    already-deleted id is a NO-OP, which also makes a re-run of the
-    *    same delete idempotent) land in a tombstone table; every scorer
-    *    reads the postings through [[livePostings]], which anti-joins
-    *    the broadcast tombstone set.
-    *  - `_tok` df/cf: decremented exactly by the deleted docs' per-token
-    *    counts — integer sums, so delete ≡ rebuild bit-exactly. Tokens
-    *    whose df reaches 0 drop out of the vocabulary, as a rebuild
-    *    would drop them. This is the one index-sized cost: ONE postings
-    *    scan restricted to the batch (broadcast semi-join) — there is no
-    *    doc-keyed copy of the postings, so batch deletes to amortize it.
-    *  - `_stats`: n_corpus/total_dl decrement from the `_docs` rows
+    *  - `_tomb`: one (doc, gen-cutoff) row per affected doc — the cutoff
+    *    is the index's CURRENT generation, so it kills exactly the doc's
+    *    live rows and can never touch rows a later append re-inserts
+    *    (what makes [[upsertIntoPostingsIndex]] rewrite-free). Only ids
+    *    with live membership rows tombstone: deleting an absent or
+    *    already-deleted id is a NO-OP (idempotent re-runs, and a
+    *    pure-insert upsert batch leaves no empty `_tomb` behind to tax
+    *    every scoring plan with a pointless anti-join). A doc deleted,
+    *    re-upserted, and deleted again gets its cutoff RAISED in place.
+    *    Every scorer reads the postings through [[livePostings]]. The
+    *    tombstones are MIRRORED to the `_pos` positional sibling's
+    *    `_pos_tomb` when one exists — one takedown call silences BM25,
+    *    phrase, and proximity serving together.
+    *  - `_tok` df/cf: decremented exactly by the deleted docs' live
+    *    per-token counts — integer sums, so delete ≡ rebuild bit-exactly.
+    *    Tokens whose df reaches 0 drop out of the vocabulary, as a
+    *    rebuild would drop them. This is the one index-sized cost: ONE
+    *    postings scan restricted to the batch (broadcast semi-join on
+    *    (doc, gen)) — there is no doc-keyed copy of the postings, so
+    *    batch deletes to amortize it.
+    *  - `_stats`: n_corpus/total_dl decrement from the live `_docs` rows
     *    (exact even for token-free docs, which have no postings).
+    *  - `_champ` (when present) is NOT rewritten: [[championTopK]] reads
+    *    it through the same tombstone filter, so deleted docs stop being
+    *    served immediately; surviving champion IMPACTS keep the
+    *    build-time stats until [[buildChampionLists]] reruns or an
+    *    append refreshes them — the documented approximation.
     *
-    * Write order: `_tomb` FIRST. A crash mid-delete then leaves deleted
-    * docs invisible (correct) with companion stats transiently
-    * overcounting — and [[compactPostingsIndex]] rebuilds companions
-    * from surviving truth, so compaction repairs any such gap. */
+    * Write order: `_tomb` (and its `_pos` mirror) FIRST. A crash
+    * mid-delete then leaves deleted docs invisible (correct) with
+    * companion stats transiently overcounting — and
+    * [[compactPostingsIndex]] rebuilds companions from surviving truth,
+    * so compaction repairs any such gap. */
   def deleteFromPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       deleteIds: DataFrame, idCol: String, table: String): Unit = {
     val tombT = s"${table}_tomb"
     val del = deleteIds.select(col(idCol).as("doc")).distinct()
+    // live membership rows being killed: (doc, dl, gen) — a live doc has
+    // exactly one live generation (appends require ids disjoint from the
+    // live corpus; upsert deletes before re-adding)
+    val newTombs = liveDocs(spark, table)
+      .join(broadcast(del), Seq("doc"), "left_semi")
+      .localCheckpoint(eager = true)
+    if (newTombs.isEmpty) return // nothing live matches: full no-op
+    val curGen = currentGen(spark, table)
+    val affected = newTombs.select("doc").distinct()
     val existing =
       if (spark.catalog.tableExists(tombT)) spark.table(tombT)
-      else del.limit(0)
-    val newTombs = spark.table(s"${table}_docs")
-      .join(broadcast(del), Seq("doc"), "left_semi")
-      .join(broadcast(existing), Seq("doc"), "left_anti")
-      .localCheckpoint(eager = true) // (doc, dl), pinned before rewrites
-    val allTombs = existing.select("doc")
-      .unionByName(newTombs.select("doc"))
+      else del.limit(0).withColumn("gen", lit(0L))
+    val allTombs = existing
+      .join(broadcast(affected), Seq("doc"), "left_anti")
+      .unionByName(affected.withColumn("gen", lit(curGen)))
       .localCheckpoint(eager = true) // pinned: reads the table it replaces
     replaceSmallTable(allTombs, tombT)
-    // vocabulary deltas: one postings scan restricted to the batch
+    if (spark.catalog.tableExists(s"${table}_pos"))
+      replaceSmallTable(spark.table(tombT), s"${table}_pos_tomb")
+    // vocabulary deltas: one postings scan restricted to the batch's
+    // live (doc, gen) rows
     val tokDelta = spark.table(table)
-      .join(broadcast(newTombs.select("doc")), Seq("doc"), "left_semi")
+      .join(broadcast(newTombs.select("doc", "gen")), Seq("doc", "gen"),
+        "left_semi")
       .groupBy("token")
       .agg((-count(lit(1))).as("df"), (-sum(col("tf"))).as("cf"))
     val mergedTok = Incremental.mergeStates(
@@ -527,18 +633,42 @@ object Retrieval {
       table: String, buckets: Int = 8): Unit = {
     val tombT = s"${table}_tomb"
     if (!spark.catalog.tableExists(tombT)) return
-    val tomb = broadcast(spark.table(tombT).select("doc"))
+    if (spark.table(tombT).isEmpty) { // defensive: nothing to reclaim
+      dropTableWithDir(spark, tombT)
+      dropTableWithDir(spark, s"${table}_pos_tomb")
+      return
+    }
     val stagingP = s"${table}_compact_staging"
     val stagingD = s"${table}_docs_staging"
     dropTableWithDir(spark, stagingP)
-    spark.table(table).join(tomb, Seq("doc"), "left_anti")
+    livePostings(spark, table)
       .write.mode("overwrite").format("parquet").saveAsTable(stagingP)
     dropTableWithDir(spark, stagingD)
-    spark.table(s"${table}_docs").join(tomb, Seq("doc"), "left_anti")
+    liveDocs(spark, table)
       .write.mode("overwrite").format("parquet").saveAsTable(stagingD)
+    // champion survivors (bounded |vocab|·topN): filtered BEFORE the
+    // tombstones drop, or compaction would resurrect deleted docs into
+    // the serving table
+    val champAlive =
+      if (spark.catalog.tableExists(s"${table}_champ"))
+        Some(liveRows(spark, spark.table(s"${table}_champ"), table)
+          .localCheckpoint(eager = true))
+      else None
+    // positional sibling: same survivor rewrite against ITS tombstones
+    if (spark.catalog.tableExists(s"${table}_pos")) {
+      val stagingX = s"${table}_pos_compact_staging"
+      dropTableWithDir(spark, stagingX)
+      livePositions(spark, s"${table}_pos")
+        .write.mode("overwrite").format("parquet").saveAsTable(stagingX)
+      Bucketing.writeBucketed(
+        spark.table(stagingX).select("token", "doc", "pos", "gen"),
+        s"${table}_pos", buckets, Seq("token"), Seq("token"))
+      dropTableWithDir(spark, s"${table}_pos_tomb")
+      dropTableWithDir(spark, stagingX)
+    }
     Bucketing.writeBucketed(
-      spark.table(stagingP).select("token", "doc", "tf", "dl"), table,
-      buckets, Seq("token"), Seq("token"))
+      spark.table(stagingP).select("token", "doc", "tf", "dl", "gen"),
+      table, buckets, Seq("token"), Seq("token"))
     replaceSmallTable(spark.table(stagingD), s"${table}_docs")
     replaceSmallTable(spark.table(table).groupBy("token")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
@@ -547,27 +677,31 @@ object Retrieval {
       .agg(count(lit(1)).as("n_corpus"),
         coalesce(sum(col("dl")), lit(0L)).as("total_dl")),
       s"${table}_stats")
+    champAlive.foreach(c => Bucketing.writeBucketed(c, s"${table}_champ",
+      buckets, Seq("token"), Seq("token")))
     dropTableWithDir(spark, tombT)
     dropTableWithDir(spark, stagingP)
     dropTableWithDir(spark, stagingD)
   }
 
   /** Upsert a document batch: replace docs whose ids are already
-    * indexed, insert the rest — delete → compact → append. The
-    * composition is what an append-only postings store fundamentally
-    * costs for in-place updates: the delete is logical, but re-adding a
-    * tombstoned id needs its OLD rows physically gone first (the
-    * tombstone filter is by doc id and would otherwise kill the new
-    * rows too), so an upsert pays one compaction — batch updates to
-    * amortize it. Ids new to the index pass through the delete as
-    * no-ops, so a mixed insert/update batch is handled in one call.
-    * Gated by x235: stale-build → upsert ≡ building on the final corpus
-    * from scratch. */
+    * indexed, insert the rest — a PURELY LOGICAL delete → append.
+    * Generation-stamped tombstones are what make this rewrite-free: the
+    * delete's (doc, gen-cutoff) rows kill only the generations that
+    * existed at delete time, and the re-appended batch arrives at the
+    * next generation, above every cutoff — so nothing here ever touches
+    * the corpus-sized postings beyond the delete's one batch-restricted
+    * scan (the pre-generational design paid a FULL compaction per upsert
+    * batch because doc-keyed tombstones would have killed the new rows
+    * too). Ids new to the index pass through the delete as no-ops, so a
+    * mixed insert/update batch is handled in one call; the physical
+    * reclaim of dead generations stays where it belongs, in scheduled
+    * [[compactPostingsIndex]] runs. Gated by x236: stale-build → upsert
+    * ≡ building on the final corpus from scratch. */
   def upsertIntoPostingsIndex(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, idCol: String, textCol: String, table: String,
       buckets: Int = 8): Unit = {
     deleteFromPostingsIndex(spark, docs.select(col(idCol)), idCol, table)
-    compactPostingsIndex(spark, table, buckets)
     appendToPostingsIndex(docs, idCol, textCol, table, buckets)
   }
 
@@ -586,15 +720,20 @@ object Retrieval {
       else spark.range(1).select(lit(0L).as("n_tombstoned"))
     val docsAgg = spark.table(s"${table}_docs")
       .agg(count(lit(1)).as("n_docs"))
+    // live membership counted through the gen cutoffs directly: under
+    // upserts a doc can hold several dead generations, so physical-minus-
+    // tombstoned would overcount
+    val docsLiveAgg = liveDocs(spark, table)
+      .agg(count(lit(1)).as("n_docs_live"))
     val tokAgg = spark.table(s"${table}_tok")
       .agg(count(lit(1)).as("n_tokens"))
     val postAgg = spark.table(table).agg(count(lit(1)).as("n_postings"))
     val liveAgg = livePostings(spark, table)
       .agg(count(lit(1)).as("n_postings_live"))
     docsAgg.crossJoin(nTomb).crossJoin(tokAgg).crossJoin(postAgg)
-      .crossJoin(liveAgg).crossJoin(spark.table(s"${table}_stats"))
-      .select(col("n_docs"),
-        (col("n_docs") - col("n_tombstoned")).as("n_docs_live"),
+      .crossJoin(liveAgg).crossJoin(docsLiveAgg)
+      .crossJoin(spark.table(s"${table}_stats"))
+      .select(col("n_docs"), col("n_docs_live"),
         col("n_tombstoned"), col("n_tokens"), col("n_postings"),
         col("n_postings_live"), col("total_dl"),
         round(col("total_dl").cast("double") /
@@ -663,6 +802,48 @@ object Retrieval {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** THE production deploy shape for index ingest: tail a parquet FEED
+    * DIRECTORY with `readStream` (`maxFilesPerTrigger = 1` — one
+    * micro-batch per arriving file), committing each micro-batch through
+    * `foreachBatch` → [[appendToPostingsIndex]] onto an empty seed
+    * index, driven to completion with `Trigger.AvailableNow`. This is
+    * the x89 file-pipeline pattern pointed at the retrieval index — no
+    * driver-side collect anywhere (the MemoryStream variant above is the
+    * bounded replay HARNESS; this one is what a deployment actually
+    * runs, and a long-lived deployment simply drops the AvailableNow
+    * trigger).
+    *
+    * Batch boundaries cannot leave a trace: per-doc tokenization,
+    * bucketed appends, and associative integer companion merges make
+    * stream-built ≡ batch-built EXACT regardless of how the feed was
+    * split into files (gated by x256 against the from-scratch full-
+    * corpus oracle). Feed files must carry disjoint doc ids — the append
+    * path's standard contract. Restartability comes from the checkpoint:
+    * a resumed run re-reads only unprocessed files. */
+  def fileStreamIndexIngest(spark: org.apache.spark.sql.SparkSession,
+      feedDir: String, idCol: String, textCol: String, table: String,
+      buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(feedDir).schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    buildPostingsIndex(empty, idCol, textCol, table, buckets)
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("ix_feed_ckpt").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendToPostingsIndex(batch, idCol, textCol, table, buckets)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(table, s"${table}_tok", s"${table}_stats", s"${table}_docs")
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** Champion lists (impact-ordered postings pruning — Manning/Raghavan/
     * Schütze IIR §7.1.3): for every token, keep only its `topN`
     * highest-BM25-impact documents in a `<table>_champ` companion table.
@@ -689,6 +870,32 @@ object Retrieval {
       table: String, topN: Int, k1: Double = 1.2, b: Double = 0.75,
       buckets: Int = 8): Unit = {
     require(topN >= 1, "topN must be >= 1")
+    writeChampions(spark, table,
+      livePostings(spark, table).select("token", "doc", "tf", "dl", "gen"),
+      topN, k1, b, buckets)
+    // the build's parameters persist so incremental refresh can't
+    // silently diverge from them
+    replaceSmallTable(spark.range(1).select(lit(topN).as("top_n"),
+      lit(k1).as("k1"), lit(b).as("b"), lit(buckets).as("buckets")),
+      s"${table}_champ_meta")
+  }
+
+  /** Score candidate (token, doc, tf, dl, gen) rows at the index's
+    * CURRENT stats and keep the per-token top-N — the shared selection
+    * core of [[buildChampionLists]] (candidates = all live postings) and
+    * [[refreshChampions]] (candidates = surviving champions ∪ batch).
+    * tf/dl/gen are kept ON the champion rows: tf/dl are what make a
+    * later re-score at moved stats possible at all, gen is what lets
+    * [[championTopK]]/[[compactPostingsIndex]] apply tombstone cutoffs
+    * to the serving table. Selection stays deterministic cross-engine:
+    * impacts are DECIMAL(28,18)-quantized BEFORE the rank window, ties
+    * break on doc id. The selected rows are pinned (they may read the
+    * `_champ` incarnation being replaced — the table is |vocab|·topN
+    * bounded, and a lost pin is repaired by rebuilding from postings
+    * truth) before the bucketed overwrite. */
+  private def writeChampions(spark: org.apache.spark.sql.SparkSession,
+      table: String, candidates: DataFrame, topN: Int, k1: Double,
+      b: Double, buckets: Int): Unit = {
     val stats = broadcast(spark.table(s"${table}_stats"))
     val impact =
       (log(lit(1.0) +
@@ -700,15 +907,39 @@ object Retrieval {
             (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
         .cast("decimal(28,18)")
     val w = Window.partitionBy("token").orderBy(desc("impact"), col("doc"))
-    val champ = livePostings(spark, table)
+    val champ = candidates
       .join(spark.table(s"${table}_tok"), "token")
       .crossJoin(stats)
-      .select(col("token"), col("doc"), impact.as("impact"))
+      .select(col("token"), col("doc"), col("tf"), col("dl"), col("gen"),
+        impact.as("impact"))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= topN)
-      .select("token", "doc", "impact")
+      .select("token", "doc", "tf", "dl", "gen", "impact")
+      .localCheckpoint(eager = true)
     Bucketing.writeBucketed(champ, s"${table}_champ", buckets,
       Seq("token"), Seq("token"))
+  }
+
+  /** Incremental champion refresh after an append (invoked by
+    * [[appendToPostingsIndex]] whenever `_champ` exists): re-score the
+    * SURVIVING champion rows ∪ the batch's postings at the post-append
+    * stats and re-select each token's top-N — bounded by
+    * |vocab|·(topN + batch postings), never the corpus. Equality with a
+    * full [[buildChampionLists]] rebuild holds whenever the stats shift
+    * does not reorder a token's impacts across the old top-N boundary
+    * (idf is a per-token positive scale, so ONLY the avgdl shift inside
+    * the tf-saturation term can reorder; ChampionRefreshSpec asserts
+    * rebuild-equality on the fixture, and x251 oracle-gates the refresh
+    * at uncapped topN where the bound is exact by construction) — the
+    * standard bounded-candidate trade of impact-ordered pruning. */
+  private def refreshChampions(spark: org.apache.spark.sql.SparkSession,
+      table: String, batchTf: DataFrame): Unit = {
+    val meta = spark.table(s"${table}_champ_meta").head()
+    val oldChamp = liveRows(spark, spark.table(s"${table}_champ"), table)
+      .select("token", "doc", "tf", "dl", "gen")
+    writeChampions(spark, table, oldChamp.unionByName(batchTf),
+      meta.getAs[Int]("top_n"), meta.getAs[Double]("k1"),
+      meta.getAs[Double]("b"), meta.getAs[Int]("buckets"))
   }
 
   /** Approximate BM25 top-k served ENTIRELY from a
@@ -716,10 +947,13 @@ object Retrieval {
     * champion impacts over the query's terms (terms whose champion list
     * misses the doc contribute nothing — the documented approximation).
     * The serving plan touches ONLY the bounded `_champ` table: scan →
-    * broadcast query-term join → per-(query, doc) aggregate → rank
-    * window; the corpus-sized postings table is read by nothing.
-    * Impacts are already DECIMAL, so the score sum is order-free and the
-    * rank boundary (score desc, doc asc) is exact. */
+    * tombstone filter (the [[liveRows]] broadcast anti-join — absent
+    * until a delete happens, so takedowns silence champion serving
+    * immediately without a rewrite) → broadcast query-term join →
+    * per-(query, doc) aggregate → rank window; the corpus-sized postings
+    * table is read by nothing. Impacts are already DECIMAL, so the score
+    * sum is order-free and the rank boundary (score desc, doc asc) is
+    * exact. */
   def championTopK(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int = 10): DataFrame = {
@@ -727,7 +961,7 @@ object Retrieval {
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
     val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
-    spark.table(s"${table}_champ")
+    liveRows(spark, spark.table(s"${table}_champ"), table)
       .join(broadcast(qTerms), "token")
       .groupBy("query_id", "doc")
       .agg(sum(col("impact")).as("__s"), count(lit(1)).as("matched_terms"))
@@ -939,22 +1173,51 @@ object Retrieval {
       .orderBy("phrase", "rank")
   }
 
-  /** Positional postings index `(token, doc, pos)`, bucketed on token —
-    * what turns [[phraseTopK]] from a per-call corpus re-tokenization
-    * into an index lookup. One row per token OCCURRENCE (not per
-    * distinct (doc, token) like [[buildPostingsIndex]]) — the standard
-    * positional-index size trade of IR: the table is the corpus token
-    * stream, and in exchange any phrase of any length is answerable
-    * with single-token scans + equi-joins, no shingle materialization
-    * per query. Build once next to the BM25 index; serve every phrase
-    * batch from it (x246 gates it against x195's from-scratch oracle). */
+  /** Positional postings index `(token, doc, pos, gen)`, bucketed on
+    * token — what turns [[phraseTopK]] from a per-call corpus
+    * re-tokenization into an index lookup. One row per token OCCURRENCE
+    * (not per distinct (doc, token) like [[buildPostingsIndex]]) — the
+    * standard positional-index size trade of IR: the table is the corpus
+    * token stream, and in exchange any phrase of any length is
+    * answerable with single-token scans + equi-joins, no shingle
+    * materialization per query. Build once next to the BM25 index; serve
+    * every phrase batch from it (x246 gates it against x195's
+    * from-scratch oracle).
+    *
+    * LIFECYCLE: name the table `<postingsTable>_pos` and the postings
+    * lifecycle maintains it as a SIBLING — [[appendToPostingsIndex]]
+    * appends the batch's occurrence rows at the batch generation,
+    * [[deleteFromPostingsIndex]] mirrors its (doc, gen) tombstone
+    * cutoffs to `_pos_tomb` (ONE takedown call silences BM25, phrase,
+    * and proximity serving together — gated by x252),
+    * [[compactPostingsIndex]] rewrites the survivors and drops the
+    * mirror. Build the postings index first: its build drops stale
+    * siblings of previous incarnations. Occurrence rows are per-doc, so
+    * every sibling maintenance step is batch-sized, exactly like the
+    * postings' own. */
   def buildPositionalIndex(docs: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int = 8): Unit = {
-    val toks = docs.select(col(idCol).as("doc"),
-      posexplode(Dedup.words(col(textCol))).as(Seq("pos", "token")))
-    Bucketing.writeBucketed(toks.select("token", "doc", "pos"), table,
+    Bucketing.writeBucketed(
+      positionsOf(docs, idCol, textCol, gen = 0L), table,
       buckets, Seq("token"), Seq("token"))
+    // a rebuilt index must not inherit a previous incarnation's deletes
+    dropTableWithDir(docs.sparkSession, s"${table}_tomb")
   }
+
+  /** Batch occurrence rows `(token, doc, pos, gen)` — one pass. */
+  private def positionsOf(docs: DataFrame, idCol: String, textCol: String,
+      gen: Long): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        posexplode(Dedup.words(col(textCol))).as(Seq("pos", "token")))
+      .select(col("token"), col("doc"), col("pos"), lit(gen).as("gen"))
+
+  /** The queryable occurrence rows of a positional index: the physical
+    * table minus tombstoned generations (see [[liveRows]]; for a
+    * `<T>_pos` sibling the `_tomb` read here is the `<T>_pos_tomb`
+    * mirror the postings delete writes). */
+  private def livePositions(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    liveRows(spark, spark.table(table), table)
 
   /** Exact phrase search FROM a [[buildPositionalIndex]] table — the
     * classic positional-intersection algorithm (IIR §2.4.2): an n-word
@@ -977,7 +1240,7 @@ object Retrieval {
     require(normed.nonEmpty, "no non-empty phrase after normalization")
     val per = normed.map { toks =>
       val matches = toks.zipWithIndex.map { case (t, i) =>
-        spark.table(table).filter(col("token") === t)
+        livePositions(spark, table).filter(col("token") === t)
           .select(col("doc"), (col("pos") - i).as("__start"))
       }.reduce((a, b) => a.join(b, Seq("doc", "__start")))
       matches.groupBy(col("doc"))
@@ -1018,7 +1281,7 @@ object Retrieval {
     require(window >= 1, "window must be >= 1")
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
-    val hits = spark.table(table).join(qTerms, "token")
+    val hits = livePositions(spark, table).join(qTerms, "token")
     val probe = hits.select(col("query_id"), col("doc"),
         col("token").as("__ta"), col("pos").as("__pa"))
       .withColumn("__bkt", explode(array(

@@ -875,6 +875,8 @@ object Similarity {
         "left_semi")
       .write.mode("overwrite").format("parquet").saveAsTable(delT)
     val delS = spark.table(delT)
+    // driver collect bounded by |cells| BY CONSTRUCTION (distinct values
+    // of the partition column — centroid-table-sized, never the corpus)
     val affected = delS.select(col(cellCol)).distinct().collect()
       .map(_.get(0))
     if (affected.nonEmpty) {
@@ -898,7 +900,7 @@ object Similarity {
       }
       // cells with no survivors get no partition from the dynamic
       // overwrite — drop their old files explicitly, as a rebuild
-      // would never have written them
+      // would never have written them (collect again |cells|-bounded)
       val survCells = spark.table(survT).select(col(cellCol)).distinct()
         .collect().map(_.get(0)).toSet
       affected.filterNot(survCells).foreach { c =>
@@ -906,16 +908,25 @@ object Similarity {
         spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
           s"PARTITION (`$cellCol`='$v')")
       }
+      // merged centroid state staged DURABLY (parquet, not a
+      // localCheckpoint) before its source table drops — the refineCells
+      // discipline: an executor loss between pin and rewrite must never
+      // hold the only copy of state there is no compaction/repair op to
+      // rebuild (the postings index can heal companions from surviving
+      // truth; the cells×d running sums here ARE the truth)
       val neg = centroidState(delS, cellCol, vecCol)
         .select(col("cell"), col("i"), (-col("cs")).as("cs"),
           (-col("cn")).as("cn"))
-      val merged = graft.operators.Incremental.mergeStates(
+      val stateT = s"${table}_cstate_staging"
+      dropWithDir(spark, stateT)
+      graft.operators.Incremental.mergeStates(
           Seq(spark.table(s"${table}_cstate"), neg), Seq("cell", "i"))
         .filter(col("cn") > 0)
-        .localCheckpoint(eager = true)
+        .write.mode("overwrite").format("parquet").saveAsTable(stateT)
       dropWithDir(spark, s"${table}_cstate")
-      merged.write.mode("overwrite").format("parquet")
+      spark.table(stateT).write.mode("overwrite").format("parquet")
         .saveAsTable(s"${table}_cstate")
+      dropWithDir(spark, stateT)
       dropWithDir(spark, s"${table}_centroids")
       centroidsFromState(spark.table(s"${table}_cstate"))
         .write.mode("overwrite").format("parquet")
@@ -964,6 +975,189 @@ object Similarity {
         round(col("n_vectors").cast("double") * col("__ncells").cast("double") /
           col("__tot").cast("double"), 6).as("ratio_to_mean"))
       .orderBy("cell")
+  }
+
+  /** Targeted IVF cell maintenance — the surgical middle ground between
+    * cheap appends and [[refineCells]]' full corpus rewrite, driven by
+    * exactly the signal [[ivfIndexStats]] reports: SPLIT every cell
+    * whose size ratio-to-mean exceeds `splitAbove` (one 2-means Lloyd
+    * step on JUST that cell's rows: deterministic md5 half seeding →
+    * exact-DECIMAL half centroids → one cosine reassignment, half 0
+    * keeping the cell id, half 1 taking a fresh id above the current
+    * max) and MERGE every cell below `mergeBelow` (members rerouted to
+    * the nearest SURVIVING centroid, ties to the lowest cell; arrivals
+    * into a cell that is itself splitting join that cell's split
+    * assignment, so one pass leaves no oversized survivor it created
+    * itself).
+    *
+    * 100 TB shape: only the AFFECTED partitions move — split sources,
+    * merge sources (vacated via partition DDL, the x238 machinery),
+    * reroute targets (their untouched rows ride along so the dynamic
+    * partition overwrite is complete per partition), and the fresh
+    * split halves. The corpus outside those partitions is read by
+    * nothing. The full affected contents are staged DURABLY before any
+    * destructive write (the refineCells discipline), and the centroid
+    * state of affected cells is recomputed from the staged truth with
+    * the same exact-DECIMAL sums as a from-scratch build — so the
+    * centroid table is bit-identical to rebuilding on the final
+    * assignment. Cell ids must be integral (the library's md5Cell /
+    * label cells are). Driver collects are |cells|-bounded throughout.
+    * Gated by x257 (full per-step oracle replay: sizes → split/merge
+    * sets → reroute → half seeding → reassignment → probe → top-k). */
+  def rebalanceIvfCells(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, cellCol: String, vecCol: String,
+      splitAbove: Double = 2.0, mergeBelow: Double = 0.5): Unit = {
+    require(splitAbove > 1.0 && mergeBelow < 1.0 && mergeBelow >= 0.0,
+      s"need mergeBelow < 1 < splitAbove, got ($mergeBelow, $splitAbove)")
+    // sizes off the (cells×d) state — |cells|-bounded driver collect
+    val sizes = spark.table(s"${table}_cstate")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(max(col("cn")).as("n")).orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = sizes.map(_._2).sum
+    val mean = total.toDouble / sizes.length
+    val splits = sizes.filter(_._2 > splitAbove * mean).map(_._1)
+    val merges = sizes.filter(_._2 < mergeBelow * mean).map(_._1)
+    require(sizes.length - merges.length >= 1,
+      "rebalanceIvfCells: merging every cell leaves nothing to route to")
+    if (splits.isEmpty && merges.isEmpty) return
+    val maxCell = sizes.map(_._1).max
+    // fresh ids for the second half of each split, in split-cell order
+    val newIdOf = splits.sorted.zipWithIndex
+      .map { case (c, i) => (c, maxCell + 1 + i) }.toMap
+    val splitSet = splits.toSet
+    val base = spark.table(table)
+    // 1) reroute merge-cell members to the nearest surviving centroid
+    val survCents = broadcast(spark.table(s"${table}_centroids")
+      .filter(!col("cell").cast("long").isin(merges: _*))
+      .select(col("cell").cast("long").as("cell"), col("centroid"),
+        norm(col("centroid")).as("__cn")))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(desc("__cs"), col("cell"))
+    val rerouted =
+      if (merges.isEmpty) null
+      else base.filter(col(cellCol).cast("long").isin(merges: _*))
+        .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+        .withColumn("__v", asDouble(col("__vec")))
+        .withColumn("__nn", norm(col("__v")))
+        .crossJoin(survCents)
+        .select(col("__id"), col("__vec"), col("cell"),
+          (dot(col("__v"), col("centroid")) / (col("__nn") * col("__cn")))
+            .as("__cs"))
+        .withColumn("__rk", row_number().over(wT))
+        .filter(col("__rk") === 1)
+        .select(col("__id").as(idCol), col("cell").as("__dest"),
+          col("__vec").as(vecCol))
+    // 2) split assignment: original rows of split cells ∪ arrivals into
+    //    them; md5 half seed → exact-DECIMAL half centroids → one cosine
+    //    reassignment (ties to half 0)
+    val splitAssigned =
+      if (splits.isEmpty) null
+      else {
+        val own = base.filter(col(cellCol).cast("long").isin(splits: _*))
+          .select(col(idCol), col(cellCol).cast("long").as("__c"),
+            col(vecCol))
+        val splitInput = (if (rerouted == null) own
+          else own.unionByName(rerouted
+            .filter(col("__dest").isin(splits: _*))
+            .select(col(idCol), col("__dest").as("__c"), col(vecCol))))
+          .withColumn("__half", md5Cell("ivfsplit", col(idCol), 2))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val halfCents = broadcast(splitInput
+          .select(col("__c"), col("__half"),
+            posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+          .groupBy("__c", "__half", "i")
+          .agg((sum(dec18(col("x"))).cast("double") /
+            count(lit(1)).cast("double")).as("v"))
+          .groupBy("__c", "__half")
+          .agg(transform(
+              array_sort(collect_list(struct(col("i"), col("v")))),
+              s => s.getField("v")).as("__hc"))
+          .withColumn("__hn", norm(col("__hc"))))
+        val wH = org.apache.spark.sql.expressions.Window
+          .partitionBy("__rid").orderBy(desc("__cs"), col("__half"))
+        val newIdCol = splits.sorted.foldLeft(lit(null).cast("long")) {
+          (acc, c) => when(col("__c") === c, lit(newIdOf(c))).otherwise(acc)
+        }
+        splitInput
+          .select(col(idCol).as("__rid"), col("__c"), col(vecCol)
+            .as("__vec"))
+          .withColumn("__v", asDouble(col("__vec")))
+          .withColumn("__nn", norm(col("__v")))
+          .join(halfCents, Seq("__c"))
+          .select(col("__rid"), col("__c"), col("__vec"), col("__half"),
+            (dot(col("__v"), col("__hc")) / (col("__nn") * col("__hn")))
+              .as("__cs"))
+          .withColumn("__rk", row_number().over(wH))
+          .filter(col("__rk") === 1)
+          .select(col("__rid").as(idCol),
+            when(col("__half") === 0, col("__c")).otherwise(newIdCol)
+              .as("__dest"),
+            col("__vec").as(vecCol))
+      }
+    // 3) complete contents of every affected partition, staged durably:
+    //    reroute targets carry their untouched original rows so the
+    //    dynamic partition overwrite replaces each partition wholesale
+    val arrivals =
+      if (rerouted == null) splitAssigned
+      else if (splitAssigned == null) rerouted
+      else splitAssigned.unionByName(
+        rerouted.filter(!col("__dest").isin(splits: _*)))
+    val targetCells = arrivals.select(col("__dest")).distinct().collect()
+      .map(_.getLong(0)).filterNot(splitSet).filter(_ <= maxCell)
+    val targetOrig = base
+      .filter(col(cellCol).cast("long").isin(targetCells.toSeq: _*))
+      .select(col(idCol), col(cellCol).cast("long").as("__dest"),
+        col(vecCol))
+    // staged cell ids go back to the table's own cell type (partition
+    // column and state-table cell types must line up exactly)
+    val cellType = base.schema(cellCol).dataType
+    val staged = arrivals.select(col(idCol), col("__dest"), col(vecCol))
+      .unionByName(targetOrig)
+      .select(col(idCol), col("__dest").cast(cellType).as(cellCol),
+        col(vecCol))
+    val stagingT = s"${table}_rebalance_staging"
+    dropWithDir(spark, stagingT)
+    staged.write.mode("overwrite").format("parquet").saveAsTable(stagingT)
+    // 4) partition surgery: overwrite exactly the staged partitions,
+    //    then vacate the merged sources via partition DDL (x238)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try {
+      spark.table(stagingT)
+        .select(base.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(table)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    merges.foreach { c =>
+      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
+        s"PARTITION (`$cellCol`='$c')")
+    }
+    // 5) state surgery: affected cells recomputed from the staged truth
+    //    (exact-DECIMAL sums ≡ a from-scratch build on the final
+    //    assignment), untouched cells keep their rows; staged durably
+    //    before the replace (no repair op exists for this state)
+    val affected = (splits ++ merges ++ targetCells ++
+      splits.map(newIdOf)).distinct
+    val stateT = s"${table}_cstate_rebalance_staging"
+    dropWithDir(spark, stateT)
+    spark.table(s"${table}_cstate")
+      .filter(!col("cell").cast("long").isin(affected: _*))
+      .unionByName(
+        centroidState(spark.table(stagingT), cellCol, vecCol))
+      .write.mode("overwrite").format("parquet").saveAsTable(stateT)
+    dropWithDir(spark, s"${table}_cstate")
+    spark.table(stateT).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_cstate")
+    dropWithDir(spark, s"${table}_centroids")
+    centroidsFromState(spark.table(s"${table}_cstate"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    dropWithDir(spark, stateT)
+    dropWithDir(spark, stagingT)
   }
 
   /** Route a cell-less vector batch to its nearest EXISTING index cell

@@ -509,9 +509,10 @@ object RetrievalQueries {
   // the scan projection — no positional postings table, no corpus-side
   // join. "table hash" is the x185 bigram label (~9% of docs); the
   // 3-word phrase exercises the second shingle length in the same call.
-  private val phraseOracle =
+  private def phraseOracleWhere(corpusWhere: String) =
     s"""WITH base AS (
-       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents),
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
+       |  WHERE $corpusWhere),
        |sh2 AS (
        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS sh
        |  FROM base, unnest(range(1, n)) AS r(i) WHERE n >= 2),
@@ -531,6 +532,8 @@ object RetrievalQueries {
        |QUALIFY row_number() OVER (PARTITION BY phrase
        |  ORDER BY n_occurrences DESC, doc_id) <= 10
        |ORDER BY phrase, rank""".stripMargin
+
+  private val phraseOracle = phraseOracleWhere("1 = 1")
 
   private val x195 = Q("x195_phrase_search", Some(phraseOracle)) {
     (s, dir) =>
@@ -782,10 +785,10 @@ object RetrievalQueries {
   // cartesian); the oracle brute-forces the |Δpos| ≤ 3 pair join on the
   // same positions (h MATERIALIZED — it is referenced twice and DuckDB
   // inlines dual-referenced CTEs). Counts are exact integers.
-  private val x248 = Q("x248_proximity_rank", Some(
+  private def proximityOracle(corpusWhere: String) =
     s"""WITH base AS (
        |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
-       |  WHERE doc_id >= 5),
+       |  WHERE $corpusWhere),
        |pos AS (
        |  SELECT doc_id AS doc, ws[i] AS token, CAST(i - 1 AS BIGINT) AS pos
        |  FROM base, unnest(range(1, n + 1)) AS r(i)),
@@ -808,7 +811,10 @@ object RetrievalQueries {
        |FROM pairs
        |QUALIFY row_number() OVER (PARTITION BY query_id
        |  ORDER BY n_close_pairs DESC, doc) <= 5
-       |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val x248 = Q("x248_proximity_rank",
+      Some(proximityOracle("doc_id >= 5"))) { (s, dir) =>
     val d = t(s, dir, "documents")
     Retrieval.buildPositionalIndex(d.filter(col("doc_id") >= 5), "doc_id",
       "text", "graft_x248_positions")
@@ -816,7 +822,153 @@ object RetrievalQueries {
       d.filter(col("doc_id") < 5), "doc_id", "text", k = 5, window = 3)
   }
 
+  // Incremental champion refresh after an APPEND (the half of the
+  // champion lifecycle x245's rebuild-after-delete left open): the index
+  // is built on 80% of the corpus with champion lists, the remaining 20%
+  // appended — appendToPostingsIndex now re-scores surviving champions ∪
+  // batch postings at the POST-append stats and re-selects each token's
+  // top-N, so the bounded serving table neither freezes at pre-append
+  // idf nor misses the new docs. Uncapped topN makes the candidate bound
+  // exact by construction, so the oracle is the from-scratch FULL-corpus
+  // BM25: append + incremental refresh must equal a full rebuild,
+  // bit-exactly.
+  private val x251 = Q("x251_champion_refresh_append", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 5)
+      Retrieval.buildPostingsIndex(corpus.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", "graft_x251_postings")
+      Retrieval.buildChampionLists(s, "graft_x251_postings",
+        topN = 1000000)
+      Retrieval.appendToPostingsIndex(
+        corpus.filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", "graft_x251_postings")
+      Retrieval.championTopK(s, "graft_x251_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // ONE takedown call silences BOTH indexes: the positional table is
+  // built as the postings index's `_pos` SIBLING, and a single
+  // deleteFromPostingsIndex mirrors its (doc, gen) tombstone cutoffs to
+  // the sibling — phrase search stops serving the deleted docs with no
+  // second delete call and no rewrite. The oracle is the from-scratch
+  // phrase search on the SURVIVING corpus.
+  private val x252 = Q("x252_phrase_after_takedown", Some(
+      phraseOracleWhere("doc_id % 5 != 4"))) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    Retrieval.buildPostingsIndex(d, "doc_id", "text",
+      "graft_x252_postings")
+    Retrieval.buildPositionalIndex(d, "doc_id", "text",
+      "graft_x252_postings_pos")
+    Retrieval.deleteFromPostingsIndex(s,
+      d.filter(col("doc_id") % 5 === 4).select(col("doc_id")),
+      "doc_id", "graft_x252_postings")
+    Retrieval.phraseTopKIndexed(s, "graft_x252_postings_pos",
+      Seq("Table-Hash!", "key agg row"), k = 10)
+  }
+
+  // Family compaction: after the takedown, compactPostingsIndex rewrites
+  // BOTH the postings and the positional sibling to their survivors and
+  // drops both tombstone tables — proximity ranking must then equal the
+  // from-scratch survivor oracle with NO tombstone filter left anywhere
+  // (physical reclaim, not logical masking).
+  private val x253 = Q("x253_proximity_after_compact", Some(
+      proximityOracle("doc_id >= 5 AND doc_id % 5 != 4"))) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") >= 5)
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_x253_postings")
+    Retrieval.buildPositionalIndex(corpus, "doc_id", "text",
+      "graft_x253_postings_pos")
+    Retrieval.deleteFromPostingsIndex(s,
+      corpus.filter(col("doc_id") % 5 === 4).select(col("doc_id")),
+      "doc_id", "graft_x253_postings")
+    Retrieval.compactPostingsIndex(s, "graft_x253_postings")
+    Retrieval.proximityTopK(s, "graft_x253_postings_pos",
+      d.filter(col("doc_id") < 5), "doc_id", "text", k = 5, window = 3)
+  }
+
+  // Family append: appendToPostingsIndex appends the batch's occurrence
+  // rows into the `_pos` sibling at the batch generation — one ingest
+  // call maintains BM25 and phrase serving together. The oracle is the
+  // from-scratch phrase search on the FULL corpus: append-maintained
+  // positional index ≡ rebuild.
+  private val x254 = Q("x254_phrase_after_family_append", Some(
+      phraseOracle)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val seed = d.filter(col("doc_id") % 5 =!= 4)
+    Retrieval.buildPostingsIndex(seed, "doc_id", "text",
+      "graft_x254_postings")
+    Retrieval.buildPositionalIndex(seed, "doc_id", "text",
+      "graft_x254_postings_pos")
+    Retrieval.appendToPostingsIndex(d.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", "graft_x254_postings")
+    Retrieval.phraseTopKIndexed(s, "graft_x254_postings_pos",
+      Seq("Table-Hash!", "key agg row"), k = 10)
+  }
+
+  // The full generational CRUD chain: build with 20% of the corpus
+  // STALE, upsert the true versions (now a PURELY LOGICAL delete+append —
+  // no per-batch compaction), then DELETE a slice that includes
+  // freshly-upserted docs (their tombstone cutoff must be RAISED past
+  // the re-insert generation, the subtlest path in the design), then
+  // compact the multi-generation index. The oracle is a from-scratch
+  // build on the final surviving corpus: no sequence of logical
+  // operations may be distinguishable from it.
+  private val x255 = Q("x255_upsert_delete_compact_chain", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5,
+        corpusWhere = "doc_id >= 5 AND doc_id % 10 != 4")}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 5)
+      val stale = corpus.withColumn("text",
+        when(col("doc_id") % 5 === 4,
+          concat(col("text"), lit(" zzstalemarker zzstalemarker")))
+          .otherwise(col("text")))
+      Retrieval.buildPostingsIndex(stale, "doc_id", "text",
+        "graft_x255_postings")
+      Retrieval.upsertIntoPostingsIndex(s,
+        corpus.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+        "graft_x255_postings")
+      Retrieval.deleteFromPostingsIndex(s,
+        corpus.filter(col("doc_id") % 10 === 4).select(col("doc_id")),
+        "doc_id", "graft_x255_postings")
+      Retrieval.compactPostingsIndex(s, "graft_x255_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x255_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // Production-shaped streaming ingest: the corpus written as a 4-file
+  // parquet FEED DIRECTORY, tailed by readStream (one micro-batch per
+  // file) through foreachBatch → appendToPostingsIndex onto an empty
+  // seed, driven to completion with AvailableNow — the x89 file-pipeline
+  // pattern pointed at the index (x241's MemoryStream replay is the
+  // harness; this is the deploy shape, zero driver collects). The oracle
+  // is the from-scratch full-corpus BM25: per-doc tokenization, bucketed
+  // appends, and associative integer companion merges make the file
+  // split undetectable.
+  private val x256 = Q("x256_file_stream_ingest", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_x256_feed").toString
+      d.filter(col("doc_id") >= 5).repartition(4)
+        .write.mode("overwrite").parquet(feed)
+      Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text",
+        "graft_x256_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x256_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
-    x248)
+    x248, x251, x252, x253, x254, x255, x256)
 }

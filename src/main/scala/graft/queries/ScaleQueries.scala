@@ -2237,6 +2237,131 @@ object ScaleQueries {
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // IVF cell split/merge maintenance — the surgical answer to the
+  // drift x240 measures, without refineCells' full corpus rewrite: a
+  // deliberately skewed assignment (labels 0..3 collapsed into one hot
+  // cell at ~3x the mean, every 29th vector exiled to a starved cell)
+  // is rebalanced — the hot cell 2-means-splits (md5 half seeding, one
+  // cosine reassignment), the starved cell's members reroute to the
+  // nearest surviving centroid — then probed. Only affected partitions
+  // move. The oracle replays EVERY decision: sizes → threshold sets →
+  // exact-DECIMAL surviving centroids → reroute argmax → md5 halves →
+  // half centroids → reassignment → fresh-id numbering → final
+  // centroids → probe → exact in-cell top-k.
+  private val x257 = Q("x257_ivf_rebalance", Some(
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    CASE WHEN vec_id % 29 = 0 THEN 99
+      |         WHEN label <= 3 THEN 0 ELSE label END AS cell
+      |  FROM embeddings),
+      |vn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nv FROM emb),
+      |sizes AS (SELECT cell, count(*) AS n FROM emb GROUP BY cell),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+      |        CAST(count(*) AS DOUBLE) AS k, max(cell) AS maxc FROM sizes),
+      |splits AS (
+      |  SELECT cell, (SELECT maxc FROM tot) +
+      |    row_number() OVER (ORDER BY cell) AS newid
+      |  FROM sizes, tot WHERE n > 2.0 * (t / k)),
+      |mergesx AS (SELECT cell FROM sizes, tot WHERE n < 0.5 * (t / k)),
+      |survst AS MATERIALIZED (
+      |  SELECT e.cell, r.i,
+      |    CAST(sum(CAST(v[r.i] AS DECIMAL(28,18))) AS DOUBLE) / count(*)
+      |      AS cv
+      |  FROM emb e CROSS JOIN range(1, 65) AS r(i)
+      |  WHERE e.cell NOT IN (SELECT cell FROM mergesx)
+      |  GROUP BY e.cell, r.i),
+      |mcos AS (
+      |  SELECT m.vec_id, s.cell,
+      |    sum(s.cv * m.v[s.i]) AS dp, sum(s.cv * s.cv) AS cn2
+      |  FROM emb m JOIN survst s ON true
+      |  WHERE m.cell IN (SELECT cell FROM mergesx)
+      |  GROUP BY m.vec_id, s.cell),
+      |mroute AS (
+      |  SELECT vec_id, cell AS dest FROM (
+      |    SELECT c.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY c.dp / (sqrt(c.cn2) * n.nv) DESC, c.cell) AS rk
+      |    FROM mcos c JOIN vn n USING (vec_id))
+      |  WHERE rk = 1),
+      |sirows AS MATERIALIZED (
+      |  SELECT e.vec_id, e.cell AS c, e.v FROM emb e
+      |  WHERE e.cell IN (SELECT cell FROM splits)
+      |  UNION ALL
+      |  SELECT r.vec_id, r.dest AS c, e.v
+      |  FROM mroute r JOIN emb e USING (vec_id)
+      |  WHERE r.dest IN (SELECT cell FROM splits)),
+      |shalf AS MATERIALIZED (
+      |  SELECT vec_id, c, v,
+      |    ((('0x' || substring(md5('ivfsplit:' || vec_id), 1, 6))::BIGINT
+      |      % 2))::INT AS half
+      |  FROM sirows),
+      |hcent AS MATERIALIZED (
+      |  SELECT c, half, r.i,
+      |    CAST(sum(CAST(v[r.i] AS DECIMAL(28,18))) AS DOUBLE) / count(*)
+      |      AS cv
+      |  FROM shalf CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY c, half, r.i),
+      |scos AS (
+      |  SELECT s.vec_id, s.c, h.half,
+      |    sum(h.cv * s.v[h.i]) AS dp, sum(h.cv * h.cv) AS hn2
+      |  FROM shalf s JOIN hcent h ON h.c = s.c
+      |  GROUP BY s.vec_id, s.c, h.half),
+      |sassign AS (
+      |  SELECT x.vec_id,
+      |    CASE WHEN x.half = 0 THEN x.c ELSE sp.newid END AS dest
+      |  FROM (
+      |    SELECT c2.vec_id, c2.c, c2.half,
+      |      row_number() OVER (PARTITION BY c2.vec_id
+      |        ORDER BY c2.dp / (sqrt(c2.hn2) * n.nv) DESC, c2.half) AS rk
+      |    FROM scos c2 JOIN vn n USING (vec_id)) x
+      |  JOIN splits sp ON sp.cell = x.c
+      |  WHERE x.rk = 1),
+      |final AS MATERIALIZED (
+      |  SELECT e.vec_id, e.v, e.cell FROM emb e
+      |  WHERE e.cell NOT IN (SELECT cell FROM mergesx)
+      |    AND e.cell NOT IN (SELECT cell FROM splits)
+      |  UNION ALL
+      |  SELECT r.vec_id, e.v, r.dest FROM mroute r JOIN emb e USING (vec_id)
+      |  WHERE r.dest NOT IN (SELECT cell FROM splits)
+      |  UNION ALL
+      |  SELECT a.vec_id, e.v, a.dest FROM sassign a JOIN emb e USING (vec_id)),
+      |fcent AS MATERIALIZED (
+      |  SELECT f.cell, r.i,
+      |    CAST(sum(CAST(v[r.i] AS DECIMAL(28,18))) AS DOUBLE) / count(*)
+      |      AS cv
+      |  FROM final f CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY f.cell, r.i),
+      |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+      |cscore AS (
+      |  SELECT cell,
+      |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) *
+      |      sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+      |  FROM fcent, q GROUP BY cell),
+      |probe AS (SELECT cell FROM cscore ORDER BY cs DESC, cell LIMIT 3)
+      |SELECT f.vec_id,
+      |  round(list_dot_product(f.v, q.qv) /
+      |    (sqrt(list_dot_product(f.v, f.v)) *
+      |     sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+      |FROM final f, q WHERE f.cell IN (SELECT cell FROM probe)
+      |ORDER BY list_dot_product(f.v, q.qv) /
+      |    (sqrt(list_dot_product(f.v, f.v)) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |LIMIT 10""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val skewed = emb.select(col("vec_id"),
+      when(col("vec_id") % 29 === 0, lit(99))
+        .otherwise(when(col("label") <= 3, lit(0)).otherwise(col("label")))
+        .cast("int").as("label"),
+      col("embedding"))
+    Similarity.buildIvfIndex(skewed, "vec_id", "label", "embedding",
+      "graft_x257_ivf")
+    Similarity.rebalanceIvfCells(s, "graft_x257_ivf", "vec_id", "label",
+      "embedding", splitAbove = 2.0, mergeBelow = 0.5)
+    Similarity.ivfTopKIndexed(s, "graft_x257_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+      .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
   // IVF upsert — delete → append, NO compact needed (the IVF delete is
   // physical, so a re-added id has no old rows to collide with, unlike
   // the postings store): the index is built with the 20% batch's
@@ -2305,5 +2430,5 @@ object ScaleQueries {
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242)
+      x240, x242, x257)
 }

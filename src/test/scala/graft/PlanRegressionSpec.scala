@@ -567,6 +567,24 @@ class PlanRegressionSpec extends SparkSpec {
     val compacted = plan()
     assert(!compacted.contains("LeftAnti"), compacted.take(900))
     assert(!compacted.contains("_tomb"), compacted.take(900))
+    // upsert is LOGICAL (generation-stamped tombstones): the physical
+    // postings only GROW by the batch — no corpus rewrite — and the
+    // scoring plan gains exactly the delete's one broadcast anti-join,
+    // with the corpus still never shuffling on token
+    val before = spark.table("graft_plan_lcp").count()
+    val batch = d.filter(col("doc_id") >= 5 && col("doc_id") % 7 === 2)
+    Retrieval.upsertIntoPostingsIndex(spark, batch, "doc_id", "text",
+      "graft_plan_lcp", buckets = 4)
+    val batchPostings = batch
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.Dedup.words(col("text"))).as("t"), col("doc_id"))
+      .distinct().count()
+    assert(spark.table("graft_plan_lcp").count() == before + batchPostings,
+      "upsert must append its batch, never rewrite the corpus")
+    val upserted = plan()
+    assert(upserted.contains("LeftAnti"), upserted.take(900))
+    assert(!upserted.contains("Exchange hashpartitioning(token"),
+      upserted.take(900))
   }
 
   test("x183 indexed IVF: probe scan prunes cell partitions, centroids come from the tiny table") {

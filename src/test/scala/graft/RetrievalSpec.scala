@@ -219,8 +219,9 @@ class RetrievalSpec extends SparkSpec {
       "graft_test_app", buckets = 4)
     Retrieval.buildPostingsIndex(all, "doc_id", "text",
       "graft_test_full", buckets = 4)
-    // postings equal as sets (file layout differs, contents must not)
-    def rows(t: String) = spark.table(t)
+    // postings equal as sets (file layout differs, contents must not);
+    // gen is ingest provenance and legitimately differs (0 vs 0/1)
+    def rows(t: String) = spark.table(t).drop("gen")
       .orderBy("token", "doc").collect().toSeq
     assert(rows("graft_test_app") == rows("graft_test_full"))
     // vocabulary stats (df/cf) and corpus stats: exact integer equality
@@ -303,15 +304,34 @@ class RetrievalSpec extends SparkSpec {
       when($"doc_id" === 12L, lit("zz stale zz")).otherwise($"text"))
     Retrieval.buildPostingsIndex(stale, "doc_id", "text",
       "graft_test_ups", buckets = 4)
+    val preUpsertRows = spark.table("graft_test_ups").count()
     val batch = Seq((12L, "dog cat mouse"), (30L, "kiwi dog dog"))
       .toDF("doc_id", "text")
     Retrieval.upsertIntoPostingsIndex(spark, batch, "doc_id", "text",
       "graft_test_ups", buckets = 4)
+    // the generational pin: upsert is LOGICAL — no corpus rewrite. The
+    // physical table still holds every pre-upsert row (now tombstoned)
+    // plus exactly the batch's postings; reclaim belongs to compaction.
+    val batchPostings = 5L // dog/cat/mouse for 12; kiwi/dog for 30
+    assert(spark.table("graft_test_ups").count() ==
+      preUpsertRows + batchPostings,
+      "upsert must append, never rewrite the corpus")
+    assert(spark.catalog.tableExists("graft_test_ups_tomb"),
+      "upsert of an existing id must tombstone its old generation")
     val finalCorpus = corpus // doc 12 restored to its original text
       .unionByName(Seq((30L, "kiwi dog dog")).toDF("doc_id", "text"))
     Retrieval.buildPostingsIndex(finalCorpus, "doc_id", "text",
       "graft_test_ups_ref", buckets = 4)
-    def rows(t: String) = spark.table(t)
+    val queries = Seq((1L, "dog kiwi"), (2L, "apple banana"))
+      .toDF("doc_id", "text")
+    def score(t: String) = Retrieval.bm25TopKIndexed(spark, t, queries,
+      "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    // scores equal a from-scratch build BEFORE any physical reclaim
+    assert(score("graft_test_ups") == score("graft_test_ups_ref"))
+    // compaction reclaims the dead generations; tables then equal the
+    // rebuild row-for-row (modulo the gen provenance column)
+    Retrieval.compactPostingsIndex(spark, "graft_test_ups", buckets = 4)
+    def rows(t: String) = spark.table(t).drop("gen")
       .orderBy("token", "doc").collect().toSeq
     assert(rows("graft_test_ups") == rows("graft_test_ups_ref"))
     def tok(t: String) = spark.table(t + "_tok").orderBy("token")
@@ -319,12 +339,8 @@ class RetrievalSpec extends SparkSpec {
     assert(tok("graft_test_ups") == tok("graft_test_ups_ref"))
     assert(spark.table("graft_test_ups_stats").collect().toSeq ==
       spark.table("graft_test_ups_ref_stats").collect().toSeq)
-    val queries = Seq((1L, "dog kiwi"), (2L, "apple banana"))
-      .toDF("doc_id", "text")
-    def score(t: String) = Retrieval.bm25TopKIndexed(spark, t, queries,
-      "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
     assert(score("graft_test_ups") == score("graft_test_ups_ref"))
-    // no stale term survives anywhere
+    // no stale term survives anywhere after the reclaim
     assert(!spark.table("graft_test_ups").filter($"token" === "stale")
       .collect().nonEmpty)
   }
@@ -335,7 +351,7 @@ class RetrievalSpec extends SparkSpec {
       "graft_test_stream_ix", buckets = 4, batches = 3)
     Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
       "graft_test_stream_ref", buckets = 4)
-    def rows(t: String) = spark.table(t)
+    def rows(t: String) = spark.table(t).drop("gen")
       .orderBy("token", "doc").collect().toSeq
     assert(rows("graft_test_stream_ix") == rows("graft_test_stream_ref"))
     def tok(t: String) = spark.table(t + "_tok").orderBy("token")
@@ -343,10 +359,10 @@ class RetrievalSpec extends SparkSpec {
     assert(tok("graft_test_stream_ix") == tok("graft_test_stream_ref"))
     assert(spark.table("graft_test_stream_ix_stats").collect().toSeq ==
       spark.table("graft_test_stream_ref_stats").collect().toSeq)
-    assert(spark.table("graft_test_stream_ix_docs").orderBy("doc")
-      .collect().toSeq ==
-      spark.table("graft_test_stream_ref_docs").orderBy("doc")
-        .collect().toSeq)
+    assert(spark.table("graft_test_stream_ix_docs").drop("gen")
+      .orderBy("doc").collect().toSeq ==
+      spark.table("graft_test_stream_ref_docs").drop("gen")
+        .orderBy("doc").collect().toSeq)
     val queries = Seq((1L, "apple banana"), (2L, "dog kiwi"))
       .toDF("doc_id", "text")
     def score(t: String) = Retrieval.bm25TopKIndexed(spark, t, queries,
@@ -510,5 +526,78 @@ class RetrievalSpec extends SparkSpec {
       pNum = 1, pDen = 2).collect().head
     // both items enter at depth 2: X_1 = 0, X_2 = 2 -> 0.5*(0.5*1) = 0.25
     assert(swapped.getAs[Double]("rbo") == 0.25)
+  }
+
+  test("champion refresh after append equals a full rebuild at capped " +
+    "topN; deleted docs vanish from champion serving without a rebuild") {
+    val batch = Seq((20L, "apple mouse kiwi"), (21L, "kiwi kiwi banana"))
+      .toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_test_chref", buckets = 4)
+    Retrieval.buildChampionLists(spark, "graft_test_chref", topN = 2,
+      buckets = 4)
+    Retrieval.appendToPostingsIndex(batch, "doc_id", "text",
+      "graft_test_chref", buckets = 4) // auto-refreshes _champ
+    Retrieval.buildPostingsIndex(corpus.unionByName(batch), "doc_id",
+      "text", "graft_test_chref_ref", buckets = 4)
+    Retrieval.buildChampionLists(spark, "graft_test_chref_ref", topN = 2,
+      buckets = 4)
+    def champ(t: String) = spark.table(t + "_champ")
+      .select("token", "doc", "impact")
+      .orderBy("token", "doc").collect().toSeq
+    assert(champ("graft_test_chref") == champ("graft_test_chref_ref"),
+      "incremental refresh must match the full rebuild on this fixture")
+    val queries = Seq((1L, "kiwi banana")).toDF("doc_id", "text")
+    def serve(t: String) = Retrieval.championTopK(spark, t, queries,
+      "doc_id", "text", k = 5).orderBy("query_id", "rank").collect().toSeq
+    assert(serve("graft_test_chref") == serve("graft_test_chref_ref"))
+    // delete: champion serving drops the doc immediately (tombstone
+    // filter at serve time), no rebuild call anywhere
+    Retrieval.deleteFromPostingsIndex(spark,
+      Seq(21L).toDF("doc_id"), "doc_id", "graft_test_chref")
+    val served = serve("graft_test_chref")
+    assert(!served.exists(_.getAs[Long]("doc_id") == 21L),
+      s"deleted doc still served: $served")
+    assert(served.nonEmpty)
+  }
+
+  test("positional sibling lifecycle: one delete call silences phrase " +
+    "and proximity; append maintains the sibling; compaction reclaims " +
+    "it physically") {
+    val docs = Seq(
+      (10L, "red fox jumps red fox sleeps"),
+      (11L, "red fox jumps again and again"),
+      (12L, "blue fox jumps"),
+      (13L, "red cat sleeps")).toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(docs.filter($"doc_id" <= 12), "doc_id",
+      "text", "graft_test_fam", buckets = 4)
+    Retrieval.buildPositionalIndex(docs.filter($"doc_id" <= 12), "doc_id",
+      "text", "graft_test_fam_pos", buckets = 4)
+    // family append maintains the sibling
+    Retrieval.appendToPostingsIndex(docs.filter($"doc_id" === 13),
+      "doc_id", "text", "graft_test_fam", buckets = 4)
+    def phrase() = Retrieval.phraseTopKIndexed(spark,
+        "graft_test_fam_pos", Seq("red fox"), k = 10)
+      .select("doc_id", "n_occurrences").orderBy("doc_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(phrase() == Seq((10L, 2L), (11L, 1L)))
+    // ONE takedown call silences the sibling too
+    Retrieval.deleteFromPostingsIndex(spark, Seq(10L).toDF("doc_id"),
+      "doc_id", "graft_test_fam")
+    assert(phrase() == Seq((11L, 1L)),
+      "phrase serving must not surface the tombstoned doc")
+    val prox = Retrieval.proximityTopK(spark, "graft_test_fam_pos",
+        Seq((1L, "red fox")).toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, window = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(!prox.contains(10L), s"proximity served deleted doc: $prox")
+    // compaction rewrites the sibling's survivors and drops both tombs
+    Retrieval.compactPostingsIndex(spark, "graft_test_fam", buckets = 4)
+    assert(!spark.catalog.tableExists("graft_test_fam_tomb"))
+    assert(!spark.catalog.tableExists("graft_test_fam_pos_tomb"))
+    assert(spark.table("graft_test_fam_pos")
+      .filter($"doc" === 10L).count() == 0,
+      "compaction must physically drop the deleted doc's occurrences")
+    assert(phrase() == Seq((11L, 1L)))
   }
 }

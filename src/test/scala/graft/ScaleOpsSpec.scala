@@ -681,6 +681,59 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("rebalanceIvfCells: hot cell splits, starved cell merges, rows " +
+    "conserved, full-probe search unchanged") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // skewed assignment: labels 0..3 collapse into hot cell 0 (~4x mean),
+    // every ~29th vector lands in starved cell 99 (far below mean)
+    val skewed = emb.select($"vec_id",
+      when($"vec_id" % 29 === 0, lit(99))
+        .otherwise(when($"label" <= 3, lit(0)).otherwise($"label"))
+        .cast("int").as("label"),
+      $"embedding")
+    Similarity.buildIvfIndex(skewed, "vec_id", "label", "embedding",
+      "graft_test_rebal")
+    val cellsBefore = spark.table("graft_test_rebal_centroids")
+      .select("cell").collect().map(_.getInt(0)).sorted.toSeq
+    assert(cellsBefore == Seq(0, 4, 5, 6, 7, 8, 9, 99),
+      s"seed cells $cellsBefore")
+    val idsBefore = spark.table("graft_test_rebal")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    Similarity.rebalanceIvfCells(spark, "graft_test_rebal", "vec_id",
+      "label", "embedding", splitAbove = 2.0, mergeBelow = 0.5)
+    // cell 0 split into {0, 100}; cell 99 merged away
+    val cellsAfter = spark.table("graft_test_rebal_centroids")
+      .select("cell").collect().map(_.getInt(0)).sorted.toSeq
+    assert(cellsAfter.contains(100) && !cellsAfter.contains(99),
+      s"cells after rebalance: $cellsAfter")
+    // every vector survives exactly once
+    val idsAfter = spark.table("graft_test_rebal")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsAfter == idsBefore, "rebalance must conserve the corpus")
+    // centroid state matches the physical partitions exactly
+    val physSizes = spark.table("graft_test_rebal").groupBy("label")
+      .count().collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val stateSizes = Similarity.ivfIndexStats(spark, "graft_test_rebal")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(stateSizes == physSizes, s"state $stateSizes vs phys $physSizes")
+    // no remaining cell above the split bound
+    val maxRatio = Similarity.ivfIndexStats(spark, "graft_test_rebal")
+      .agg(org.apache.spark.sql.functions.max($"ratio_to_mean"))
+      .head().getDouble(0)
+    assert(maxRatio <= 2.0, s"hot cell survived: ratio $maxRatio")
+    // probing EVERY cell is exact search — the rebalanced index must
+    // return exactly the brute-force top-k
+    val q = emb.filter($"vec_id" === 0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q,
+        k = 10).collect().map(_.getLong(0)).toSeq
+    val full = Similarity.ivfTopKIndexed(spark, "graft_test_rebal",
+        "vec_id", "label", "embedding", q, k = 10,
+        nprobe = cellsAfter.length)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, s"full-probe $full != exact $exact")
+  }
+
   test("ivfTopKBatch: each query's results equal the single-query indexed " +
     "probe") {
     val emb = spark.read

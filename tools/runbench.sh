@@ -8,8 +8,11 @@ AO=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   AO="$AO --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_BENCH_CLASSES overrides the classes dir (point long bench chains
+# at a snapshot so recompiles can't corrupt a lazily-loading run)
+CLASSES="${GRAFT_BENCH_CLASSES:-$REPO/target/scala-2.13/classes}"
 SPARK_GRAFT_SF_DIR="$SF" java -Xmx${MEM}g $AO \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   graft.Bench > "$OUT" 2>"$OUT.err"
 grep -c '"metric"' "$OUT" >/dev/null && echo "done: $OUT"

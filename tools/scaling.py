@@ -1,16 +1,26 @@
 #!/usr/bin/env python3
 """Emit the sf0.1 -> sf1 scaling table from two Bench JSON lines.
 
-Usage: python3 tools/scaling.py BENCH_sf0.1.json BENCH_sf1.json [notes.md] > docs/SCALING.md
+Usage: python3 tools/scaling.py BENCH_sf0.1.json BENCH_sf1.json [notes.md]
+           [--retime SFDIR_SMALL SFDIR_BIG] > docs/SCALING.md
 
-The optional third argument is a markdown file appended verbatim as a
-"Notes" section — the place to pin watchlist analysis (isolated
-re-timings, known adversarial-shape ratios) next to the numbers.
+The optional notes argument is a markdown file appended verbatim as a
+"Notes" section — the place to pin watchlist analysis (known
+adversarial-shape ratios) next to the numbers.
 
 Each side accepts a comma-separated list of runs; per-query times are
 min-merged across them (min is the standard low-noise estimator for
 repeated wall-clock runs on a shared box — run-to-run variance at
 local[32] is easily +/-30% on sub-second queries).
+
+--retime automates the isolated re-timing that used to be a hand-run
+step: any in-table ratio above ISO_TRIGGER (6x) gets BOTH scale factors
+re-run ALONE in a fresh JVM (SPARK_GRAFT_BENCH_FILTER pinned to the one
+query), because a ratio measured inside a shared 350-query JVM can be
+contaminated by cache pressure and JIT state from alphabetically earlier
+queries (the round-7 lesson: a pure filter once showed a fake 76x). The
+isolated ratio lands in its own column and the raw runs are written
+under docs/bench/auto_iso_* for audit — zero hand-run files.
 
 The committed artifact (docs/SCALING.md) makes *scaling* regressions —
 not just wall-time regressions — visible every round: a query whose
@@ -18,7 +28,12 @@ not just wall-time regressions — visible every round: a query whose
 Dev tool only; runs driver-side (python3 is not a library dependency).
 """
 import json
+import os
+import subprocess
 import sys
+
+ISO_TRIGGER = 6.0  # in-table ratio above which an isolated re-time runs
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_one(path):
@@ -44,8 +59,23 @@ def load(paths):
     return merged
 
 
+def retime_one(query, sfdir, out_path):
+    """Run the single query alone in a fresh JVM; return its seconds."""
+    env = dict(os.environ, SPARK_GRAFT_BENCH_FILTER=query)
+    subprocess.run([os.path.join(REPO, "tools", "runbench.sh"),
+                    sfdir, out_path, "24"],
+                   env=env, check=True, capture_output=True, text=True)
+    return load_one(out_path)["queries"][query]
+
+
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
+    args = list(sys.argv[1:])
+    retime_dirs = None
+    if "--retime" in args:
+        i = args.index("--retime")
+        retime_dirs = (args[i + 1], args[i + 2])
+        del args[i:i + 3]
+    a, b = load(args[0]), load(args[1])
     qa, qb = a["queries"], b["queries"]
     shared = sorted(set(qa) & set(qb))
     rows = []
@@ -55,6 +85,23 @@ def main():
         ratio = tb / ta if ta >= 0.1 else None
         rows.append((q, ta, tb, ratio))
     rows.sort(key=lambda r: -(r[3] or 0))
+
+    iso_results = {}
+    if retime_dirs:
+        flagged = [r[0] for r in rows if r[3] is not None
+                   and r[3] > ISO_TRIGGER]
+        iso_dir = os.path.join(REPO, "docs", "bench")
+        os.makedirs(iso_dir, exist_ok=True)
+        for q in flagged:
+            try:
+                t_small = retime_one(q, retime_dirs[0],
+                    os.path.join(iso_dir, f"auto_iso_{q}_small.json"))
+                t_big = retime_one(q, retime_dirs[1],
+                    os.path.join(iso_dir, f"auto_iso_{q}_big.json"))
+                iso_results[q] = (t_small, t_big)
+            except subprocess.CalledProcessError as e:
+                print(f"<!-- isolated re-time of {q} FAILED: "
+                      f"{e.stderr and e.stderr[-200:]} -->", file=sys.stderr)
 
     print("# Scaling: sf0.1 -> sf1 (10x data), full registry, same HEAD")
     print()
@@ -71,15 +118,33 @@ def main():
     over = [r for r in rows if r[3] is not None and r[3] > 8.0]
     print(f"- {len(ratios)} queries with a meaningful ratio "
           f"(sf0.1 time >= 0.1 s); {len(over)} above the 8x bound")
+    if iso_results:
+        print(f"- isolated column: in-table ratios above {ISO_TRIGGER}x were "
+              "automatically re-timed ALONE in a fresh JVM per scale factor "
+              "(shared-JVM ratios can be contaminated by the other ~350 "
+              "queries' cache and JIT state); raw runs in docs/bench/auto_iso_*")
     print()
-    print("| query | sf0.1 s | sf1 s | ratio at 10x data |")
-    print("|---|---|---|---|")
+    if iso_results:
+        print("| query | sf0.1 s | sf1 s | ratio at 10x data | isolated |")
+        print("|---|---|---|---|---|")
+    else:
+        print("| query | sf0.1 s | sf1 s | ratio at 10x data |")
+        print("|---|---|---|---|")
     for q, ta, tb, ratio in rows:
         r = f"{ratio:.1f}x" if ratio is not None else "— (sf0.1 < 0.1 s)"
-        print(f"| {q} | {ta:.2f} | {tb:.2f} | {r} |")
-    if len(sys.argv) > 3:
+        if iso_results:
+            if q in iso_results:
+                ts, tb2 = iso_results[q]
+                c = f"{tb2/ts:.1f}x ({ts:.2f} s → {tb2:.2f} s)"
+            else:
+                c = "—"
+            print(f"| {q} | {ta:.2f} | {tb:.2f} | {r} | {c} |")
+        else:
+            print(f"| {q} | {ta:.2f} | {tb:.2f} | {r} |")
+    notes = [p for p in args[2:] if not p.startswith("--")]
+    if notes:
         print()
-        with open(sys.argv[3]) as f:
+        with open(notes[0]) as f:
             print(f.read().rstrip())
 
 
