@@ -1304,6 +1304,54 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** Directional term-proximity from a [[buildPositionalIndex]] table —
+    * the SEQUENCE-aware companion to [[proximityTopK]]'s unordered
+    * counts: per (query, doc), count occurrence pairs of two DIFFERENT
+    * query terms where the first PRECEDES the second within `window`
+    * positions (1 ≤ pos_b − pos_a ≤ window). "new york" scores; "york
+    * … new" does not — the ordered-window operator of Metzler &
+    * Croft's sequential-dependence model, the middle ground between
+    * bag-of-words proximity and exact phrase match.
+    *
+    * Scale shape: identical to [[proximityTopK]] — query terms
+    * broadcast into the positional scan (work = Σ postings(q-terms)),
+    * and the position self-join is BANDED; the forward-only window
+    * needs just TWO probe buckets (own + next) instead of three. Each
+    * ordered pair is counted exactly once (the probe side is the
+    * earlier occurrence; direction disambiguates, so no token-order
+    * tiebreak is needed). Counts are exact integers — hash-gateable
+    * (x259). Reads through [[livePositions]] like every positional
+    * scorer. */
+  def orderedPairTopK(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = 10, window: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(window >= 1, "window must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val hits = livePositions(spark, table).join(qTerms, "token")
+    val probe = hits.select(col("query_id"), col("doc"),
+        col("token").as("__ta"), col("pos").as("__pa"))
+      .withColumn("__bkt", explode(array(
+        expr(s"CAST(__pa AS BIGINT) DIV $window"),
+        expr(s"CAST(__pa AS BIGINT) DIV $window") + 1)))
+    val build = hits.select(col("query_id"), col("doc"),
+        col("token").as("__tb"), col("pos").as("__pb"))
+      .withColumn("__bkt", expr(s"CAST(__pb AS BIGINT) DIV $window"))
+    probe.join(build, Seq("query_id", "doc", "__bkt"))
+      .filter(col("__ta") =!= col("__tb") &&
+        col("__pb") - col("__pa") >= 1 &&
+        col("__pb") - col("__pa") <= window)
+      .groupBy("query_id", "doc")
+      .agg(count(lit(1)).as("n_ordered_pairs"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("n_ordered_pairs"), col("doc"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        col("n_ordered_pairs"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Rank-biased overlap (Webber et al. 2010) between two rankings of the
     * same query set, truncated at depth `k` — the top-weighted agreement
     * grade recall@k can't give: recall asks "did the same items show up",

@@ -204,6 +204,27 @@ object Stats {
     * Same percentile_disc semantics, integer basis-point ranks, and
     * null handling as [[globalQuantiles]]. Returns
     * (group, q, rank, n_values, value) ordered by (group, q). */
+  /** One-pass exact quantiles for SEVERAL numeric columns — the numeric
+    * dataset profile ([[globalQuantiles]] per column would pay one
+    * corpus scan each): the columns melt to (col_name, value) rows (a
+    * constant ×p explode that partial aggregation collapses map-side)
+    * and ride the per-group prefix-sum path with the COLUMN NAME as the
+    * group. Values are cast to double (exact for the numeric widths
+    * here; quantiles return actual data elements, so the cast is the
+    * only representation step). Same rank discipline as the single-
+    * column operators: integer basis-point targets, percentile_disc
+    * semantics, no single-partition window. Gated by x260. */
+  def globalQuantilesMultiCol(df: DataFrame, valueCols: Seq[String],
+      quantilesBps: Seq[Int]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val melted = df.select(explode(array(valueCols.map(c =>
+        struct(lit(c).as("__col"), col(c).cast("double").as("__mv"))): _*))
+        .as("__s"))
+      .select(col("__s.__col").as("__col"), col("__s.__mv").as("__mv"))
+    globalQuantilesBy(melted, "__col", "__mv", quantilesBps)
+      .withColumnRenamed("__col", "col_name")
+  }
+
   def globalQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
       quantilesBps: Seq[Int]): DataFrame = {
     require(quantilesBps.nonEmpty &&

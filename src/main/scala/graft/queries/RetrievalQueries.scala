@@ -968,7 +968,47 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Directional (ordered-window) proximity from the positional index:
+  // per (query, doc), ordered pairs of two different query terms where
+  // the first precedes the second by 1..3 positions — the
+  // sequential-dependence signal x248's unordered counts can't see.
+  // The oracle brute-forces the directional pair join on the same
+  // positions (h MATERIALIZED — dual-referenced); counts exact.
+  private val x259 = Q("x259_ordered_window_rank", Some(
+    s"""WITH base AS (
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
+       |  WHERE doc_id >= 5),
+       |pos AS (
+       |  SELECT doc_id AS doc, ws[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+       |  FROM base, unnest(range(1, n + 1)) AS r(i)),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, u.w AS token
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
+       |        WHERE doc_id < 5), unnest(ws) AS u(w)),
+       |h AS MATERIALIZED (
+       |  SELECT qt.query_id, p.doc, p.token, p.pos
+       |  FROM pos p JOIN qt USING (token)),
+       |pairs AS (
+       |  SELECT a.query_id, a.doc,
+       |    CAST(count(*) AS BIGINT) AS n_ordered_pairs
+       |  FROM h a JOIN h b ON a.query_id = b.query_id AND a.doc = b.doc
+       |    AND a.token <> b.token AND b.pos - a.pos BETWEEN 1 AND 3
+       |  GROUP BY a.query_id, a.doc)
+       |SELECT query_id, doc AS doc_id, n_ordered_pairs,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_ordered_pairs DESC, doc) AS INT) AS rank
+       |FROM pairs
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY n_ordered_pairs DESC, doc) <= 5
+       |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    Retrieval.buildPositionalIndex(d.filter(col("doc_id") >= 5), "doc_id",
+      "text", "graft_x259_positions")
+    Retrieval.orderedPairTopK(s, "graft_x259_positions",
+      d.filter(col("doc_id") < 5), "doc_id", "text", k = 5, window = 3)
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
-    x248, x251, x252, x253, x254, x255, x256)
+    x248, x251, x252, x253, x254, x255, x256, x259)
 }

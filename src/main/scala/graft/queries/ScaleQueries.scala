@@ -2248,8 +2248,8 @@ object ScaleQueries {
   // exact-DECIMAL surviving centroids → reroute argmax → md5 halves →
   // half centroids → reassignment → fresh-id numbering → final
   // centroids → probe → exact in-cell top-k.
-  private val x257 = Q("x257_ivf_rebalance", Some(
-    """WITH emb AS (
+  private val ivfRebalanceCte =
+    """emb AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    CASE WHEN vec_id % 29 = 0 THEN 99
       |         WHEN label <= 3 THEN 0 ELSE label END AS cell
@@ -2337,7 +2337,26 @@ object ScaleQueries {
       |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) *
       |      sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
       |  FROM fcent, q GROUP BY cell),
-      |probe AS (SELECT cell FROM cscore ORDER BY cs DESC, cell LIMIT 3)
+      |probe AS (SELECT cell FROM cscore ORDER BY cs DESC, cell LIMIT 3)""".stripMargin
+
+  /** Shared Spark-side rebalance harness of x257/x258: skewed build →
+    * rebalance. Returns the original embeddings frame. */
+  private def rebalancedIvf(s: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val skewed = emb.select(col("vec_id"),
+      when(col("vec_id") % 29 === 0, lit(99))
+        .otherwise(when(col("label") <= 3, lit(0)).otherwise(col("label")))
+        .cast("int").as("label"),
+      col("embedding"))
+    Similarity.buildIvfIndex(skewed, "vec_id", "label", "embedding", table)
+    Similarity.rebalanceIvfCells(s, table, "vec_id", "label",
+      "embedding", splitAbove = 2.0, mergeBelow = 0.5)
+    emb
+  }
+
+  private val x257 = Q("x257_ivf_rebalance", Some(
+    s"""WITH $ivfRebalanceCte
       |SELECT f.vec_id,
       |  round(list_dot_product(f.v, q.qv) /
       |    (sqrt(list_dot_product(f.v, f.v)) *
@@ -2347,19 +2366,51 @@ object ScaleQueries {
       |    (sqrt(list_dot_product(f.v, f.v)) *
       |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
       |LIMIT 10""".stripMargin)) { (s, dir) =>
-    val emb = t(s, dir, "embeddings")
-    val skewed = emb.select(col("vec_id"),
-      when(col("vec_id") % 29 === 0, lit(99))
-        .otherwise(when(col("label") <= 3, lit(0)).otherwise(col("label")))
-        .cast("int").as("label"),
-      col("embedding"))
-    Similarity.buildIvfIndex(skewed, "vec_id", "label", "embedding",
-      "graft_x257_ivf")
-    Similarity.rebalanceIvfCells(s, "graft_x257_ivf", "vec_id", "label",
-      "embedding", splitAbove = 2.0, mergeBelow = 0.5)
+    val emb = rebalancedIvf(s, dir, "graft_x257_ivf")
     Similarity.ivfTopKIndexed(s, "graft_x257_ivf", "vec_id", "label",
         "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
       .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  // The honesty gate for the rebalance (the x218 pattern pointed at
+  // x257): recall@10 of the rebalanced 3-probe IVF ranking against
+  // exact brute force over the same corpus. The oracle replays the
+  // whole rebalance (x257's CTE chain) AND the brute-force ranking,
+  // then the hit-count join — so the reported recall is itself
+  // hash-gated, not an article of faith.
+  private val x258 = Q("x258_ivf_rebalance_recall", Some(
+    s"""WITH $ivfRebalanceCte,
+      |approx AS (
+      |  SELECT f.vec_id FROM final f, q
+      |  WHERE f.cell IN (SELECT cell FROM probe)
+      |  ORDER BY list_dot_product(f.v, q.qv) /
+      |      (sqrt(list_dot_product(f.v, f.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10),
+      |exact AS (
+      |  SELECT e.vec_id FROM emb e, q
+      |  ORDER BY list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10)
+      |SELECT CAST(0 AS BIGINT) AS query_id,
+      |  CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+      |FROM exact e LEFT JOIN approx a USING (vec_id)""".stripMargin)) {
+    (s, dir) =>
+      val emb = rebalancedIvf(s, dir, "graft_x258_ivf")
+      val q = emb.filter(col("vec_id") === 0)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, k = 10)
+        .select(lit(0L).as("query_id"), col("vec_id"))
+      val approx = Similarity.ivfTopKIndexed(s, "graft_x258_ivf",
+          "vec_id", "label", "embedding", q, k = 10, nprobe = 3)
+        .select(lit(0L).as("query_id"), col("vec_id"))
+      graft.operators.Retrieval.rankingRecall(exact, approx, "query_id",
+        "vec_id")
   }
 
   // IVF upsert — delete → append, NO compact needed (the IVF delete is
@@ -2430,5 +2481,5 @@ object ScaleQueries {
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257)
+      x240, x242, x257, x258)
 }

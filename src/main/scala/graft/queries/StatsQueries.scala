@@ -1488,9 +1488,44 @@ object StatsQueries {
       Seq(2500, 5000, 7500, 9900))
   }
 
+  // One-pass multi-column quantile profile: three lineitem measures
+  // melted to (col_name, value) and pushed through the grouped
+  // prefix-sum path with the COLUMN NAME as the group — p columns cost
+  // one corpus scan, not p. Oracle replays the melt, the per-column
+  // running counts, and the integer rank picks.
+  private val x260 = Q("x260_multicol_quantiles", Some(
+    """WITH m AS (
+      |  SELECT 'l_discount' AS g, CAST(l_discount AS DOUBLE) AS v
+      |  FROM lineitem WHERE l_discount IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'l_quantity', CAST(l_quantity AS DOUBLE)
+      |  FROM lineitem WHERE l_quantity IS NOT NULL),
+      |vals AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |         FROM m GROUP BY g, v),
+      |cum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM vals),
+      |n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vals GROUP BY g),
+      |t AS (SELECT g, n, bps,
+      |        CAST((CAST(bps AS HUGEINT) * n + 9999) // 10000 AS BIGINT)
+      |          AS tgt
+      |      FROM n, (SELECT unnest([2500, 5000, 9500, 9900]) AS bps))
+      |SELECT t.g AS col_name, CAST(bps AS DOUBLE) / 10000.0 AS q,
+      |  tgt AS rank, n AS n_values, min(v) AS value
+      |FROM cum JOIN t ON cum.g = t.g AND cum.cum >= t.tgt
+      |GROUP BY t.g, bps, tgt, n
+      |ORDER BY col_name, q""".stripMargin)) { (s, dir) =>
+    Stats.globalQuantilesMultiCol(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq(2500, 5000, 9500, 9900))
+  }
+
   val qs: Seq[Q] = Seq(x77, x78, x79, x80, x81, x82, x86, x87, x88, x89,
     x91, x92, x93, x94, x95, x110, x134, x135, x138, x139, x140, x141,
     x142, x143, x146, x186, x187, x192, x193, x196, x200, x205, x213,
     x214, x215, x216, x219, x220, x222, x223, x225, x227, x228, x229,
-    x244, x247)
+    x244, x247, x260)
 }

@@ -499,6 +499,35 @@ class RetrievalSpec extends SparkSpec {
       r.head.getAs[Int]("rank") == 1)
   }
 
+  test("orderedPairTopK: direction matters — only first-precedes-second " +
+    "pairs count; bucket-boundary pairs kept; same-term pairs excluded") {
+    val docs = Seq(
+      (10L, "a x b b"), //  a→b at +2 and +3: two ordered pairs
+      (11L, "b x a"), //    b before a: ZERO (a,b)-ordered... but (b,a)?
+      (12L, "a a"), //      same token, never a pair
+      (13L, "a b a")) //    a→b (+1) and b→a (+1): both directions, 2 pairs
+      .toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_ord", buckets = 4)
+    val queries = Seq((1L, "a b")).toDF("doc_id", "text")
+    val r = Retrieval.orderedPairTopK(spark, "graft_test_ord", queries,
+      "doc_id", "text", k = 10, window = 3).collect()
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") ->
+      x.getAs[Long]("n_ordered_pairs")).toMap
+    // doc 11's (b at 0, a at 2) IS an ordered pair (b precedes a) — the
+    // operator counts ordered pairs of DIFFERENT terms in either token
+    // order, direction fixed by position
+    assert(byDoc == Map(10L -> 2L, 11L -> 1L, 13L -> 2L), byDoc.toString)
+    // contrast with the unordered proximity count on doc 13: the same 2
+    // adjacent pairs — but doc 10's far (a, b-at-3) pair shows ordered
+    // and unordered agree there while direction uniquely splits doc 11
+    val prox = Retrieval.proximityTopK(spark, "graft_test_ord", queries,
+      "doc_id", "text", k = 10, window = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_close_pairs"))
+      .toMap
+    assert(prox(11L) == 1L && byDoc(11L) == 1L && prox(10L) == 2L)
+  }
+
   test("rboOverlap: identical lists hit the truncated ceiling, disjoint " +
       "lists surface at 0, partial overlap is hand-exact") {
     def rk(rows: (Long, String, Int)*) = rows.toDF("q", "item", "r")
