@@ -994,6 +994,22 @@ object Retrieval {
   private def bm25ScoreFromIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, qTerms: DataFrame, k: Int, k1: Double,
       b: Double): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    bm25Scores(spark, table, qTerms, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
+  }
+
+  /** The UNCAPPED per-(query, doc) BM25 score frame
+    * (query_id, doc, __s DECIMAL, matched_terms) — shared by the rank
+    * cap above and [[sdmTopK]]'s fusion (which must weight the full
+    * candidate set before any cut). */
+  private def bm25Scores(spark: org.apache.spark.sql.SparkSession,
+      table: String, qTerms: DataFrame, k1: Double,
+      b: Double): DataFrame = {
     // df comes from the vocabulary table restricted to the query terms —
     // a ≤|q-terms|-row broadcast (one vocab-sized scan, never the corpus)
     val postings = livePostings(spark, table)
@@ -1010,16 +1026,10 @@ object Retrieval {
           (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
             (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
         .cast("decimal(28,18)")
-    val scored = postings.join(broadcast(qTerms), "token")
+    postings.join(broadcast(qTerms), "token")
       .crossJoin(stats)
       .groupBy("query_id", "doc")
       .agg(sum(term).as("__s"), count(lit(1)).as("matched_terms"))
-    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc").as("doc_id"),
-        round(col("__s").cast("double"), 4).as("score"),
-        col("matched_terms"), col("rank"))
   }
 
   /** Per-query recall of an approximate ranking against an exact one —
@@ -1278,30 +1288,53 @@ object Retrieval {
       table: String, queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k: Int = 10, window: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(window >= 1, "window must be >= 1")
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
-    val hits = livePositions(spark, table).join(qTerms, "token")
-    val probe = hits.select(col("query_id"), col("doc"),
-        col("token").as("__ta"), col("pos").as("__pa"))
-      .withColumn("__bkt", explode(array(
-        expr(s"CAST(__pa AS BIGINT) DIV $window") - 1,
-        expr(s"CAST(__pa AS BIGINT) DIV $window"),
-        expr(s"CAST(__pa AS BIGINT) DIV $window") + 1)))
-    val build = hits.select(col("query_id"), col("doc"),
-        col("token").as("__tb"), col("pos").as("__pb"))
-      .withColumn("__bkt", expr(s"CAST(__pb AS BIGINT) DIV $window"))
-    probe.join(build, Seq("query_id", "doc", "__bkt"))
-      .filter(col("__ta") < col("__tb") &&
-        abs(col("__pa") - col("__pb")) <= window)
-      .groupBy("query_id", "doc")
-      .agg(count(lit(1)).as("n_close_pairs"))
+    pairCounts(spark, table, qTerms, window, ordered = false)
+      .withColumnRenamed("n_pairs", "n_close_pairs")
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(desc("n_close_pairs"), col("doc"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc").as("doc_id"),
         col("n_close_pairs"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The UNCAPPED banded pair-count core shared by [[proximityTopK]]
+    * (unordered: ta < tb, |Δpos| ≤ window — the probe side explodes into
+    * 3 buckets), [[orderedPairTopK]] (directional: ta ≠ tb,
+    * 1 ≤ pos_b − pos_a ≤ window — 2 forward buckets suffice), and
+    * [[sdmTopK]]'s fusion. Returns (query_id, doc, n_pairs) — exact
+    * integers over the live occurrence rows. */
+  private def pairCounts(spark: org.apache.spark.sql.SparkSession,
+      table: String, qTerms: DataFrame, window: Int,
+      ordered: Boolean): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val hits = livePositions(spark, table).join(qTerms, "token")
+    val buckets =
+      if (ordered) array(
+        expr(s"CAST(__pa AS BIGINT) DIV $window"),
+        expr(s"CAST(__pa AS BIGINT) DIV $window") + 1)
+      else array(
+        expr(s"CAST(__pa AS BIGINT) DIV $window") - 1,
+        expr(s"CAST(__pa AS BIGINT) DIV $window"),
+        expr(s"CAST(__pa AS BIGINT) DIV $window") + 1)
+    val probe = hits.select(col("query_id"), col("doc"),
+        col("token").as("__ta"), col("pos").as("__pa"))
+      .withColumn("__bkt", explode(buckets))
+    val build = hits.select(col("query_id"), col("doc"),
+        col("token").as("__tb"), col("pos").as("__pb"))
+      .withColumn("__bkt", expr(s"CAST(__pb AS BIGINT) DIV $window"))
+    val pairCond =
+      if (ordered) col("__ta") =!= col("__tb") &&
+        col("__pb") - col("__pa") >= 1 &&
+        col("__pb") - col("__pa") <= window
+      else col("__ta") < col("__tb") &&
+        abs(col("__pa") - col("__pb")) <= window
+    probe.join(build, Seq("query_id", "doc", "__bkt"))
+      .filter(pairCond)
+      .groupBy("query_id", "doc")
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Directional term-proximity from a [[buildPositionalIndex]] table —
@@ -1326,29 +1359,77 @@ object Retrieval {
       table: String, queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k: Int = 10, window: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    require(window >= 1, "window must be >= 1")
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
-    val hits = livePositions(spark, table).join(qTerms, "token")
-    val probe = hits.select(col("query_id"), col("doc"),
-        col("token").as("__ta"), col("pos").as("__pa"))
-      .withColumn("__bkt", explode(array(
-        expr(s"CAST(__pa AS BIGINT) DIV $window"),
-        expr(s"CAST(__pa AS BIGINT) DIV $window") + 1)))
-    val build = hits.select(col("query_id"), col("doc"),
-        col("token").as("__tb"), col("pos").as("__pb"))
-      .withColumn("__bkt", expr(s"CAST(__pb AS BIGINT) DIV $window"))
-    probe.join(build, Seq("query_id", "doc", "__bkt"))
-      .filter(col("__ta") =!= col("__tb") &&
-        col("__pb") - col("__pa") >= 1 &&
-        col("__pb") - col("__pa") <= window)
-      .groupBy("query_id", "doc")
-      .agg(count(lit(1)).as("n_ordered_pairs"))
+    pairCounts(spark, table, qTerms, window, ordered = true)
+      .withColumnRenamed("n_pairs", "n_ordered_pairs")
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(desc("n_ordered_pairs"), col("doc"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc").as("doc_id"),
         col("n_ordered_pairs"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sequential-dependence ranking (Metzler & Croft 2005, the weighted
+    * feature form) over the INDEX FAMILY — the capstone that stitches
+    * the postings index and its positional sibling into one scorer:
+    *
+    *   score(q, d) = wT·BM25(q, d)
+    *               + wO·ln(1 + ordered_pairs(q, d))
+    *               + wU·ln(1 + unordered_pairs(q, d))
+    *
+    * BM25 carries term evidence, the ordered-window count carries
+    * sequence evidence ("new york" beats "york … new"), the unordered
+    * count carries plain nearness — the standard three-feature SDM
+    * decomposition with the default 0.80/0.10/0.15-style weighting
+    * collapsed to (0.8, 0.1, 0.1). Candidates are the BM25 term-match
+    * set (a document sharing no term is never ranked — the SDM
+    * convention); pair-less candidates contribute ln(1) = 0.
+    *
+    * Determinism: the BM25 half is the per-term-DECIMAL sum cast to
+    * double; pair counts are exact integers; the three weighted terms
+    * combine in ONE fixed double expression, are quantized to
+    * DECIMAL(28,18) BEFORE the rank window (a libm ULP can never flip a
+    * boundary), and ties break on doc id — the x171 discipline (x261
+    * replays BM25, both pair joins, and the fusion end to end).
+    *
+    * Scale shape: the three component frames are each postings-bounded
+    * (Σ postings(q-terms) / banded pair joins — never the corpus), and
+    * the fusion is two LEFT equi-joins on (query, doc) + one
+    * WindowGroupLimit. `table` is the postings index; the positional
+    * sibling `<table>_pos` must exist (the family build order). */
+  def sdmTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, window: Int = 3, wT: Double = 0.8, wO: Double = 0.1,
+      wU: Double = 0.1, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val bm = bm25Scores(spark, table, qTerms, k1, b)
+    val ord = pairCounts(spark, s"${table}_pos", qTerms, window,
+      ordered = true).withColumnRenamed("n_pairs", "__no")
+    val unord = pairCounts(spark, s"${table}_pos", qTerms, window,
+      ordered = false).withColumnRenamed("n_pairs", "__nu")
+    val score =
+      (lit(wT) * col("__s").cast("double") +
+        lit(wO) * log(lit(1.0) + coalesce(col("__no"), lit(0L))
+          .cast("double")) +
+        lit(wU) * log(lit(1.0) + coalesce(col("__nu"), lit(0L))
+          .cast("double")))
+        .cast("decimal(28,18)")
+    val w = Window.partitionBy("query_id").orderBy(desc("__sc"), col("doc"))
+    bm.join(ord, Seq("query_id", "doc"), "left")
+      .join(unord, Seq("query_id", "doc"), "left")
+      .withColumn("__sc", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__sc").cast("double"), 4).as("score"),
+        col("matched_terms"),
+        coalesce(col("__no"), lit(0L)).as("n_ordered"),
+        coalesce(col("__nu"), lit(0L)).as("n_unordered"),
+        col("rank"))
       .orderBy("query_id", "rank")
   }
 

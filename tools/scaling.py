@@ -71,6 +71,13 @@ def retime_one(query, sfdir, out_path):
 def main():
     args = list(sys.argv[1:])
     retime_dirs = None
+    reuse_iso = False
+    if "--reuse-iso" in args:
+        # reuse committed auto_iso_* runs for rows already re-timed this
+        # round (each retime is a full fresh-JVM run; when only the table
+        # assembly changed, re-running them is waste)
+        reuse_iso = True
+        args.remove("--reuse-iso")
     if "--retime" in args:
         i = args.index("--retime")
         retime_dirs = (args[i + 1], args[i + 2])
@@ -94,10 +101,15 @@ def main():
         os.makedirs(iso_dir, exist_ok=True)
         for q in flagged:
             try:
-                t_small = retime_one(q, retime_dirs[0],
-                    os.path.join(iso_dir, f"auto_iso_{q}_small.json"))
-                t_big = retime_one(q, retime_dirs[1],
-                    os.path.join(iso_dir, f"auto_iso_{q}_big.json"))
+                p_small = os.path.join(iso_dir, f"auto_iso_{q}_small.json")
+                p_big = os.path.join(iso_dir, f"auto_iso_{q}_big.json")
+                if reuse_iso and os.path.exists(p_small) \
+                        and os.path.exists(p_big):
+                    t_small = load_one(p_small)["queries"][q]
+                    t_big = load_one(p_big)["queries"][q]
+                else:
+                    t_small = retime_one(q, retime_dirs[0], p_small)
+                    t_big = retime_one(q, retime_dirs[1], p_big)
                 iso_results[q] = (t_small, t_big)
             except subprocess.CalledProcessError as e:
                 print(f"<!-- isolated re-time of {q} FAILED: "
