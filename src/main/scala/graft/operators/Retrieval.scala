@@ -819,15 +819,23 @@ object Retrieval {
     * split into files (gated by x256 against the from-scratch full-
     * corpus oracle). Feed files must carry disjoint doc ids — the append
     * path's standard contract. Restartability comes from the checkpoint:
-    * a resumed run re-reads only unprocessed files. */
+    * a resumed run re-reads only unprocessed files.
+    *
+    * `withPositional = true` seeds the `<table>_pos` SIBLING too, so the
+    * same stream maintains BM25 AND phrase/proximity serving — each
+    * micro-batch's occurrence rows ride the family append (x262 gates
+    * stream-built phrase search against the from-scratch oracle). */
   def fileStreamIndexIngest(spark: org.apache.spark.sql.SparkSession,
       feedDir: String, idCol: String, textCol: String, table: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8, withPositional: Boolean = false): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(feedDir).schema
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     buildPostingsIndex(empty, idCol, textCol, table, buckets)
+    if (withPositional)
+      buildPositionalIndex(empty, idCol, textCol, s"${table}_pos",
+        buckets)
     val ckpt =
       java.nio.file.Files.createTempDirectory("ix_feed_ckpt").toString
     val q = spark.readStream.schema(schema)
@@ -840,7 +848,8 @@ object Retrieval {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Seq(table, s"${table}_tok", s"${table}_stats", s"${table}_docs")
+    (Seq(table, s"${table}_tok", s"${table}_stats", s"${table}_docs") ++
+        (if (withPositional) Seq(s"${table}_pos") else Nil))
       .foreach(spark.catalog.refreshTable)
   }
 

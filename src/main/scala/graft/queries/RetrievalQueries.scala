@@ -1067,7 +1067,27 @@ object RetrievalQueries {
       .orderBy("query_id", "rank")
   }
 
+  // The streamed feed maintaining the WHOLE family: readStream over a
+  // 4-file parquet feed, each micro-batch appended through foreachBatch
+  // into the postings index AND its positional sibling (occurrence rows
+  // ride the same family append) — then PHRASE search served from the
+  // stream-built sibling. The oracle is the from-scratch phrase scan on
+  // the full corpus: per-doc occurrence rows make the file split
+  // undetectable on the positional side exactly as the integer merges
+  // do on the BM25 side (x256).
+  private val x262 = Q("x262_file_stream_phrase", Some(phraseOracle)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_x262_feed").toString
+      d.repartition(4).write.mode("overwrite").parquet(feed)
+      Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text",
+        "graft_x262_postings", withPositional = true)
+      Retrieval.phraseTopKIndexed(s, "graft_x262_postings_pos",
+        Seq("Table-Hash!", "key agg row"), k = 10)
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
-    x248, x251, x252, x253, x254, x255, x256, x259, x261)
+    x248, x251, x252, x253, x254, x255, x256, x259, x261, x262)
 }
