@@ -455,7 +455,12 @@ object Retrieval {
   /** Drop-and-overwrite a small companion table. Idempotent across
     * sessions, like Bucketing.writeBucketed: a fresh in-memory catalog
     * doesn't know about directories a previous session's saveAsTable
-    * left in the warehouse. */
+    * left in the warehouse. The post-write refreshTable evicts any
+    * cached relation/file listing of the PREVIOUS incarnation — a
+    * lifecycle chain rewrites `_tok`/`_stats` several times in one
+    * session, and a reader planning against a stale listing dies with
+    * FILE_NOT_EXIST (the x241 relation-cache lesson, observed once on
+    * the third `_tok` rewrite of a chained-append run). */
   private def replaceSmallTable(df: DataFrame, name: String): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -464,6 +469,7 @@ object Retrieval {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    spark.catalog.refreshTable(name)
   }
 
   /** Incremental maintenance of a [[buildPostingsIndex]] index: ingest a

@@ -1087,7 +1087,38 @@ object RetrievalQueries {
         Seq("Table-Hash!", "key agg row"), k = 10)
   }
 
+  // Champion refresh is IDEMPOTENT across sequential appends: the index
+  // is built on 60% of the corpus with champion lists, then TWO separate
+  // 20% batches append — each append re-scores surviving champions ∪ its
+  // batch at that moment's stats, so the second refresh runs over the
+  // FIRST refresh's output (the compounding path x251's single append
+  // can't see). Uncapped topN keeps the candidate bound exact at every
+  // step, so the oracle is the from-scratch FULL-corpus BM25: two
+  // chained incremental refreshes must be indistinguishable from one
+  // final rebuild.
+  private val x263 = Q("x263_champion_chained_appends", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 5)
+      Retrieval.buildPostingsIndex(
+        corpus.filter(col("doc_id") % 5 < 3), "doc_id", "text",
+        "graft_x263_postings")
+      Retrieval.buildChampionLists(s, "graft_x263_postings",
+        topN = 1000000)
+      Retrieval.appendToPostingsIndex(
+        corpus.filter(col("doc_id") % 5 === 3), "doc_id", "text",
+        "graft_x263_postings")
+      Retrieval.appendToPostingsIndex(
+        corpus.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+        "graft_x263_postings")
+      Retrieval.championTopK(s, "graft_x263_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
-    x248, x251, x252, x253, x254, x255, x256, x259, x261, x262)
+    x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263)
 }
