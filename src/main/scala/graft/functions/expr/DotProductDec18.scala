@@ -54,34 +54,60 @@ case class DotProductDec18(left: Expression, right: Expression)
 
 object DotProductDec18 {
   /** Quantize a double exactly the way Spark's CAST(x AS DECIMAL(28,18))
-    * does (Double.toString-based BigDecimal, HALF_UP at scale 18). */
+    * does (Double.toString-based BigDecimal, HALF_UP at scale 18).
+    * Callers must guard non-finite inputs (valueOf throws on NaN/±Inf —
+    * Spark's cast nulls them; see [[q18OrNull]]). */
   def d18(x: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(x).setScale(18, java.math.RoundingMode.HALF_UP)
+
+  /** The FULL Spark double→DECIMAL(28,18) cast under non-ANSI semantics:
+    * NaN/±Infinity cast to null, and a quantized value whose precision
+    * exceeds 28 digits (|x| ≥ ~1e10) overflows `changePrecision` and
+    * casts to null too. Returns null in both cases so the term-sum loops
+    * below SKIP the term — exactly what the SQL aggregate
+    * `sum(CAST(... AS DECIMAL(28,18)))` they replace does (sum ignores
+    * null terms). Without this, a single NaN embedding crashed every
+    * PCA job, and |x| ≥ 1e10 terms silently diverged from the cast. */
+  def q18OrNull(x: Double): java.math.BigDecimal = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      return null
+    val q = d18(x)
+    if (q.precision > 28) null else q
+  }
 
   /** Static entry shared by interpreted eval, generated code, and the
     * driver-side d-vector arithmetic of the PCA machinery. Null elements
     * are skipped, matching the join-based aggregate (a missing (i) row
-    * simply contributed no term). */
+    * simply contributed no term) — as are terms the double→decimal cast
+    * would null (non-finite, precision-28 overflow; see [[q18OrNull]]). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i))
-        acc = acc.add(d18(a.getDouble(i) * b.getDouble(i)))
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val q = q18OrNull(a.getDouble(i) * b.getDouble(i))
+        if (q ne null) acc = acc.add(q)
+      }
       i += 1
     }
     acc.doubleValue
   }
 
   /** Driver-side twin over plain arrays — the same quantize/sum/convert
-    * sequence for the d-bounded vector frames (deflation dots, norms,
-    * Rayleigh quotients) that the PCA rewrite keeps on the driver. */
+    * sequence (including the cast's null-skip of non-finite and
+    * precision-overflow terms) for the d-bounded vector frames
+    * (deflation dots, norms, Rayleigh quotients) that the PCA rewrite
+    * keeps on the driver. */
   def dotArr(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var acc = java.math.BigDecimal.ZERO
     var i = 0
-    while (i < n) { acc = acc.add(d18(a(i) * b(i))); i += 1 }
+    while (i < n) {
+      val q = q18OrNull(a(i) * b(i))
+      if (q ne null) acc = acc.add(q)
+      i += 1
+    }
     acc.doubleValue
   }
 }

@@ -808,6 +808,74 @@ object Retrieval {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** The applied-batch LEDGER of a streaming ingest lives UNDER the
+    * stream's checkpoint directory — batch ids are only meaningful
+    * relative to one checkpoint (a fresh checkpoint restarts them at 0,
+    * so a table-level ledger would wrongly skip a second feed's first
+    * batches). One tiny parquet row per committed batch. */
+  private def appliedLedger(ckpt: String): String = s"$ckpt/graft_applied"
+
+  private def appliedBatchIds(spark: org.apache.spark.sql.SparkSession,
+      ckpt: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(appliedLedger(ckpt))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString).collect().map(_.getLong(0)).toSet
+  }
+
+  private def recordAppliedBatch(spark: org.apache.spark.sql.SparkSession,
+      ckpt: String, batchId: Long): Unit =
+    spark.range(1).select(lit(batchId).as("batch_id")).coalesce(1)
+      .write.mode("append").parquet(appliedLedger(ckpt))
+
+  /** Repair a PARTIALLY APPLIED append of `ids` (a crash inside
+    * [[appendToPostingsIndex]] between its table writes): any live trace
+    * of the batch's doc ids — postings, `_docs`, or sibling rows — is an
+    * orphan (the append contract says the ids were new to the index), so
+    * tombstone those ids RAW (no companion deltas: the crashed attempt's
+    * `_tok`/`_stats` merges may or may not have happened) and rebuild
+    * the companions from surviving truth, exactly the
+    * [[compactPostingsIndex]] repair philosophy. Cost: one `_docs` probe
+    * always; one postings scan + vocabulary rebuild only when a trace is
+    * found — the repair path runs at most once per stream (re)start, on
+    * the first unrecorded batch. No-op on a clean history. */
+  private[graft] def repairPartialAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, table: String): Unit = {
+    val idsB = broadcast(ids.select(col("doc")).distinct()
+      .localCheckpoint(eager = true))
+    val docTrace = liveDocs(spark, table)
+      .join(idsB, Seq("doc"), "left_semi").select("doc")
+    val postTrace = livePostings(spark, table)
+      .join(idsB, Seq("doc"), "left_semi").select("doc")
+    val orphans = docTrace.unionByName(postTrace).distinct()
+      .localCheckpoint(eager = true)
+    if (orphans.isEmpty) return
+    val tombT = s"${table}_tomb"
+    val curGen = currentGen(spark, table)
+    val existing =
+      if (spark.catalog.tableExists(tombT)) spark.table(tombT)
+      else orphans.limit(0).withColumn("gen", lit(0L))
+    val allTombs = existing
+      .join(broadcast(orphans), Seq("doc"), "left_anti")
+      .unionByName(orphans.withColumn("gen", lit(curGen)))
+      .localCheckpoint(eager = true)
+    replaceSmallTable(allTombs, tombT)
+    if (spark.catalog.tableExists(s"${table}_pos"))
+      replaceSmallTable(spark.table(tombT), s"${table}_pos_tomb")
+    replaceSmallTable(livePostings(spark, table).groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
+      s"${table}_tok")
+    replaceSmallTable(liveDocs(spark, table)
+        .agg(count(lit(1)).as("n_corpus"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_dl")),
+      s"${table}_stats")
+    if (spark.catalog.tableExists(s"${table}_ub"))
+      replaceSmallTable(livePostings(spark, table).groupBy("token")
+          .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl")),
+        s"${table}_ub")
+  }
+
   /** THE production deploy shape for index ingest: tail a parquet FEED
     * DIRECTORY with `readStream` (`maxFilesPerTrigger = 1` — one
     * micro-batch per arriving file), committing each micro-batch through
@@ -824,38 +892,80 @@ object Retrieval {
     * stream-built ≡ batch-built EXACT regardless of how the feed was
     * split into files (gated by x256 against the from-scratch full-
     * corpus oracle). Feed files must carry disjoint doc ids — the append
-    * path's standard contract. Restartability comes from the checkpoint:
-    * a resumed run re-reads only unprocessed files.
+    * path's standard contract.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once replays: each
+    * committed batch id is recorded in a ledger under the checkpoint
+    * (replays of recorded batches SKIP), and the first unrecorded batch
+    * after a (re)start runs [[repairPartialAppend]] first — so a crash
+    * MID-append (which leaves the first attempt's partial rows live and
+    * its batch unrecorded) is healed before the re-run appends, instead
+    * of double-counting postings and df/cf/n_corpus. Pass a durable
+    * `checkpointDir` to make a production run restartable (a resumed
+    * run re-reads only unprocessed files and skips recorded batches);
+    * the default temp checkpoint serves the build-once case.
     *
     * `withPositional = true` seeds the `<table>_pos` SIBLING too, so the
     * same stream maintains BM25 AND phrase/proximity serving — each
     * micro-batch's occurrence rows ride the family append (x262 gates
-    * stream-built phrase search against the from-scratch oracle). */
+    * stream-built phrase search against the from-scratch oracle).
+    * `champTopN > 0` seeds `_champ`/`_champ_meta` on the empty build, so
+    * [[refreshChampions]] fires on every micro-batch and champion
+    * serving is maintained by the SAME stream (x264 gates stream-built
+    * champion serving ≡ [[buildChampionLists]] on the final corpus at
+    * uncapped topN). */
   def fileStreamIndexIngest(spark: org.apache.spark.sql.SparkSession,
       feedDir: String, idCol: String, textCol: String, table: String,
-      buckets: Int = 8, withPositional: Boolean = false): Unit = {
+      buckets: Int = 8, withPositional: Boolean = false,
+      champTopN: Int = 0, checkpointDir: Option[String] = None): Unit = {
     import org.apache.spark.sql.streaming.Trigger
+    // eager schema read: the feed directory must already hold >= 1
+    // parquet file when ingest starts (readStream needs a schema and
+    // cannot infer one from an empty directory) — seed the feed with its
+    // first file, or pass an explicit schema variant if a truly empty
+    // tail-from-nothing start is ever needed
     val schema = spark.read.parquet(feedDir).schema
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    buildPostingsIndex(empty, idCol, textCol, table, buckets)
-    if (withPositional)
-      buildPositionalIndex(empty, idCol, textCol, s"${table}_pos",
-        buckets)
-    val ckpt =
-      java.nio.file.Files.createTempDirectory("ix_feed_ckpt").toString
+    // a durable checkpoint + existing index = RESUMING a prior run;
+    // reseeding would wipe its committed batches while the checkpoint
+    // still marks their files processed
+    val resuming = checkpointDir.isDefined &&
+      spark.catalog.tableExists(table)
+    if (!resuming) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      buildPostingsIndex(empty, idCol, textCol, table, buckets)
+      if (withPositional)
+        buildPositionalIndex(empty, idCol, textCol, s"${table}_pos",
+          buckets)
+      if (champTopN > 0)
+        buildChampionLists(spark, table, champTopN, buckets = buckets)
+    }
+    val ckpt = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("ix_feed_ckpt").toString)
+    // only the FIRST unrecorded batch after a (re)start can be a replay
+    // of a crashed attempt; batches after it committed synchronously
+    @volatile var mayHaveOrphans = true
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendToPostingsIndex(batch, idCol, textCol, table, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        if (!appliedBatchIds(s2, ckpt).contains(batchId)) {
+          if (mayHaveOrphans)
+            repairPartialAppend(s2,
+              batch.select(col(idCol).as("doc")), table)
+          appendToPostingsIndex(batch, idCol, textCol, table, buckets)
+          recordAppliedBatch(s2, ckpt, batchId)
+        }
+        mayHaveOrphans = false
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     (Seq(table, s"${table}_tok", s"${table}_stats", s"${table}_docs") ++
-        (if (withPositional) Seq(s"${table}_pos") else Nil))
+        (if (withPositional) Seq(s"${table}_pos") else Nil) ++
+        (if (champTopN > 0) Seq(s"${table}_champ") else Nil))
       .foreach(spark.catalog.refreshTable)
   }
 
@@ -1222,11 +1332,25 @@ object Retrieval {
     * postings' own. */
   def buildPositionalIndex(docs: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
     Bucketing.writeBucketed(
       positionsOf(docs, idCol, textCol, gen = 0L), table,
       buckets, Seq("token"), Seq("token"))
     // a rebuilt index must not inherit a previous incarnation's deletes
-    dropTableWithDir(docs.sparkSession, s"${table}_tomb")
+    dropTableWithDir(spark, s"${table}_tomb")
+    // SIBLING built late: when this is the `<T>_pos` companion of a
+    // postings index that ALREADY carries tombstones, seed the mirror
+    // from the parent's `_tomb` — without it phrase/proximity serving
+    // would resurrect deleted docs until the next delete or compaction
+    // happened to mirror/reclaim them (the build-order caveat, closed).
+    // Harmless when the docs frame is the surviving corpus (the copied
+    // cutoffs then match no positional row); necessary when it is the
+    // full original corpus.
+    if (table.endsWith("_pos")) {
+      val parent = table.stripSuffix("_pos")
+      if (spark.catalog.tableExists(s"${parent}_tomb"))
+        replaceSmallTable(spark.table(s"${parent}_tomb"), s"${table}_tomb")
+    }
   }
 
   /** Batch occurrence rows `(token, doc, pos, gen)` — one pass. */

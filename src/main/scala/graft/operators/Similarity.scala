@@ -1050,14 +1050,18 @@ object Similarity {
           col("__vec").as(vecCol))
     // 2) split assignment: original rows of split cells ∪ arrivals into
     //    them; md5 half seed → exact-DECIMAL half centroids → one cosine
-    //    reassignment (ties to half 0)
+    //    reassignment (ties to half 0). The persisted per-split input is
+    //    released in the finally below — it is read by two jobs (half
+    //    centroids + reassignment) and dead after the staging write.
+    var splitInput: DataFrame = null
+    try {
     val splitAssigned =
       if (splits.isEmpty) null
       else {
         val own = base.filter(col(cellCol).cast("long").isin(splits: _*))
           .select(col(idCol), col(cellCol).cast("long").as("__c"),
             col(vecCol))
-        val splitInput = (if (rerouted == null) own
+        splitInput = (if (rerouted == null) own
           else own.unionByName(rerouted
             .filter(col("__dest").isin(splits: _*))
             .select(col(idCol), col("__dest").as("__c"), col(vecCol))))
@@ -1103,8 +1107,11 @@ object Similarity {
       else if (splitAssigned == null) rerouted
       else splitAssigned.unionByName(
         rerouted.filter(!col("__dest").isin(splits: _*)))
-    val targetCells = arrivals.select(col("__dest")).distinct().collect()
-      .map(_.getLong(0)).filterNot(splitSet).filter(_ <= maxCell)
+    // ONE |cells|-bounded collect of every staged destination: feeds the
+    // reroute-target partition completion AND the vacate set below
+    val destCells = arrivals.select(col("__dest")).distinct().collect()
+      .map(_.getLong(0))
+    val targetCells = destCells.filterNot(splitSet).filter(_ <= maxCell)
     val targetOrig = base
       .filter(col(cellCol).cast("long").isin(targetCells.toSeq: _*))
       .select(col(idCol), col(cellCol).cast("long").as("__dest"),
@@ -1132,7 +1139,13 @@ object Similarity {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)
     }
-    merges.foreach { c =>
+    // vacate the merged sources AND any split source no staged row kept:
+    // when a split's reassignment (or its md5 half seeding) leaves half 0
+    // empty, the dynamic overwrite never touched the source partition, so
+    // without this DDL its old rows would stay live on disk (duplicated
+    // into the new cell) while the cell vanished from _cstate/_centroids
+    val vacated = merges ++ splits.filterNot(destCells.toSet)
+    vacated.foreach { c =>
       spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
         s"PARTITION (`$cellCol`='$c')")
     }
@@ -1158,6 +1171,7 @@ object Similarity {
       .saveAsTable(s"${table}_centroids")
     dropWithDir(spark, stateT)
     dropWithDir(spark, stagingT)
+    } finally if (splitInput != null) splitInput.unpersist()
   }
 
   /** Route a cell-less vector batch to its nearest EXISTING index cell

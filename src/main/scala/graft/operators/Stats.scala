@@ -31,31 +31,49 @@ object Stats {
   private def dec(c: Column): Column = c.cast("decimal(28,6)")
 
   /** All pairwise Pearson correlations between `cols` in ONE scan: a single
-    * aggregate computes every first/second moment (map-side combined), and
-    * the |cols|²/2 result rows are projected lazily from that 1-row frame —
-    * no per-pair passes, no shuffle beyond the one partial agg. */
+    * NATIVE aggregate ([[graft.functions.expr.PairMomentsDec6]]) computes
+    * every first/second moment (map-side combined) in one primitive loop
+    * per row, and the |cols|²/2 result rows are projected lazily from that
+    * 1-row frame — no per-pair passes, no shuffle beyond the one partial
+    * agg.
+    *
+    * Each moment is bit-identical to the SQL formulation
+    * `CAST(sum(CAST(a*b AS DECIMAL(28,6))) AS DOUBLE)` it replaces (the
+    * DuckDB oracles replay exactly that), but the per-row cost is one
+    * call into a primitive quantize/accumulate loop instead of
+    * 2k + k(k−1)/2 interpreted decimal-sum updates — DECIMAL(38,6) agg
+    * buffers are immutable in UnsafeRow, so the old shape planned as
+    * non-codegen SortAggregate and scaled at 8× on 10× data (four rounds
+    * chronic; the [[graft.functions.expr.DotProductDec18]] lesson,
+    * applied to moments). */
   def correlationMatrix(df: DataFrame, cols: Seq[String],
       roundTo: Int = 6): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    val k = cols.size
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
-      yield (cols(i), cols(j))
-    val aggs =
-      cols.map(c => sum(dec(col(c))).cast("double").as(s"s_$c")) ++
-      cols.map(c => sum(dec(col(c) * col(c))).cast("double").as(s"q_$c")) ++
-      pairs.map { case (a, b) =>
-        sum(dec(col(a) * col(b))).cast("double").as(s"p_${a}_$b") }
+      yield (i, j)
+    // pair (i, j) sits at row-major offset within the p-block
+    val pairOffset = pairs.zipWithIndex.toMap
+    import org.apache.spark.sql.graftbridge.Bridge
+    val momAgg = Bridge.column(graft.functions.expr.PairMomentsDec6(
+      Bridge.expression(array(cols.map(c => col(c).cast("double")): _*)),
+      k).toAggregateExpression())
     // complete-case: one shared n must match every moment sum, so a row
     // with a null in ANY correlated column is excluded from all of them
     val m = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
-      .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+      .agg(momAgg.as("__mom"))
+    def el(i: Int) = element_at(col("__mom"), i + 1)
+    val n = el(0)
+    def s(i: Int) = el(1 + i)
+    def q(i: Int) = el(1 + k + i)
+    def p(i: Int, j: Int) = el(1 + 2 * k + pairOffset((i, j)))
     // ONE explode of per-pair structs off the single 1-row aggregate — a
     // union of per-pair selects would re-evaluate the aggregate (and
     // re-scan the source) once per pair
-    val pairStructs = pairs.map { case (a, b) =>
-      val corr = (col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
-        sqrt((col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
-          (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")))
-      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+    val pairStructs = pairs.map { case (i, j) =>
+      val corr = (n * p(i, j) - s(i) * s(j)) /
+        sqrt((n * q(i) - s(i) * s(i)) * (n * q(j) - s(j) * s(j)))
+      struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
         round(corr, roundTo).as("pearson_r"))
     }
     m.select(explode(array(pairStructs: _*)).as("pr")).select("pr.*")

@@ -151,4 +151,107 @@ class NativeExprSpec extends SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("pair_moments_dec6: every moment bit-equals the SQL decimal-sum " +
+    "formulation on adversarial values (ties, negatives, non-finite, " +
+    "precision overflow, nulls)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions._
+    // rows designed to hit every path: plain values, >6-decimal values
+    // (fast path), exact scale-6 ties (slow path, HALF_UP), negatives,
+    // big magnitudes (long-overflow spill band), 1e11+ (slow path),
+    // >= 1e22 products (precision-28 overflow -> skipped), NaN/Inf
+    // (skipped), and a null row (complete-case upstream filter)
+    val rows: Seq[(java.lang.Double, java.lang.Double, java.lang.Double)] =
+      Seq(
+        (1.5, 2.25, -3.125),
+        (1.0000005, -2.0000015, 0.0000005),
+        (12345.678901234, -98765.432109876, 3.14159265358979),
+        (55321.95, 44210.87, 0.07),
+        (1.0e11, 2.0e11, -1.5e11),
+        (1.0e22, 1.0e22, 1.0e22),
+        (Double.NaN, 5.0, 6.0),
+        (Double.PositiveInfinity, 7.0, Double.NegativeInfinity),
+        (null, 9.0, 10.0),
+        (-0.0, 0.0, 123.4567894999)
+      )
+    val df = rows.toDF("a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    val filtered = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
+    // the OLD formulation, term by term — the established oracle shape.
+    // The aggregate mirrors the PERMISSIVE (non-ANSI) cast semantics
+    // (overflow/non-finite → null, skipped by sum) so a NaN or huge
+    // value can't crash a whole stats job — flip ansi off to express
+    // that ground truth (Spark 4 defaults it on).
+    val oldAgg = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try filtered.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec($"a")).cast("double").as("m0"),
+        sum(dec($"b")).cast("double").as("m1"),
+        sum(dec($"c")).cast("double").as("m2"),
+        sum(dec($"a" * $"a")).cast("double").as("m3"),
+        sum(dec($"b" * $"b")).cast("double").as("m4"),
+        sum(dec($"c" * $"c")).cast("double").as("m5"),
+        sum(dec($"a" * $"b")).cast("double").as("m6"),
+        sum(dec($"a" * $"c")).cast("double").as("m7"),
+        sum(dec($"b" * $"c")).cast("double").as("m8")).head()
+      finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    val momCol = Bridge.column(graft.functions.expr.PairMomentsDec6(
+      Bridge.expression(array($"a".cast("double"), $"b".cast("double"),
+        $"c".cast("double"))), 3).toAggregateExpression())
+    val mom = filtered.agg(momCol.as("m")).head().getSeq[Any](0)
+    assert(mom.length == 10)
+    (0 to 9).foreach { i =>
+      val exp = if (oldAgg.isNullAt(i)) null else oldAgg.getDouble(i)
+      val got = mom(i)
+      assert(got == exp, s"moment $i: got $got, SQL formulation $exp")
+    }
+    // and the public operator agrees with an inline old-style replay
+    val cm = graft.operators.Stats
+      .correlationMatrix(df, cols).orderBy("col_x", "col_y").collect()
+    assert(cm.length == 3)
+    def m(i: Int) = oldAgg.getDouble(i)
+    val expAb = BigDecimal(math.floor((m(0) * m(6) - m(1) * m(2)) /
+      math.sqrt((m(0) * m(3) - m(1) * m(1)) *
+        (m(0) * m(4) - m(2) * m(2))) * 1e6 + 0.5) / 1e6).toDouble
+    val gotAb = cm.find(r => r.getString(0) == "a" && r.getString(1) == "b")
+      .get.getDouble(2)
+    assert(math.abs(gotAb - expAb) < 2e-6, s"corr(a,b): $gotAb vs $expAb")
+  }
+
+  test("dot_product_dec18 skips non-finite and precision-overflow terms " +
+    "like the SQL cast (a NaN embedding no longer crashes the job)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1.0, Double.NaN, 2.0, 1.0e11, Double.PositiveInfinity),
+       Seq(2.0, 3.0, Double.NaN, 1.0e11, 1.0))).toDF("a", "b")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dot18 = Bridge.column(graft.functions.expr.DotProductDec18(
+      Bridge.expression($"a"), Bridge.expression($"b")))
+    val got = df.select(dot18.as("d")).head().getDouble(0)
+    // surviving terms: 1*2 = 2 (NaN products, and the 1e22 product that
+    // overflows DECIMAL(28,18) precision, are all skipped — matching
+    // sum(CAST(.. AS DECIMAL(28,18))) null-skip semantics)
+    assert(got == 2.0, s"got $got")
+    // SQL-side replay of the same semantics (permissive cast: ansi off;
+    // the sum over DECIMAL(28,18) terms skips the nulled casts — the
+    // aggregate shape every oracle uses)
+    val sql = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try df.select(explode(arrays_zip($"a", $"b")).as("t"))
+        .agg(sum(expr("CAST(t.a * t.b AS DECIMAL(28,18))"))
+          .cast("double").as("s")).head().getDouble(0)
+      finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    assert(got == sql, s"native $got vs SQL $sql")
+    // driver-side twin agrees
+    import graft.functions.expr.DotProductDec18.dotArr
+    assert(dotArr(Array(1.0, Double.NaN, 2.0, 1.0e11),
+      Array(2.0, 3.0, Double.NaN, 1.0e11)) == 2.0)
+  }
 }

@@ -629,4 +629,83 @@ class RetrievalSpec extends SparkSpec {
       "compaction must physically drop the deleted doc's occurrences")
     assert(phrase() == Seq((11L, 1L)))
   }
+
+  test("repairPartialAppend heals a crash-mid-append: repair + re-append " +
+    "equals a clean build; no-op on a clean history") {
+    val t = "graft_test_rep"
+    val batch = Seq((20L, "apple mouse kiwi"), (21L, "kiwi kiwi banana"))
+      .toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text", t, buckets = 4)
+
+    // no-op guarantee first: repairing ids the index has never seen must
+    // not move any companion
+    val tokBefore = spark.table(s"${t}_tok").orderBy("token")
+      .collect().toSeq
+    Retrieval.repairPartialAppend(spark,
+      Seq(20L, 21L).toDF("doc"), t)
+    assert(spark.table(s"${t}_tok").orderBy("token").collect().toSeq ==
+      tokBefore)
+
+    // simulate the crash: run the append, then roll the COMPANIONS back
+    // to their pre-append incarnations — the surviving state is exactly
+    // "postings written at the claimed generation, crash before any
+    // companion merge" (gen counter bumped, as in a real crash)
+    def snap(name: String) = spark.table(name).localCheckpoint(eager = true)
+    val (tokSnap, statsSnap, docsSnap) =
+      (snap(s"${t}_tok"), snap(s"${t}_stats"), snap(s"${t}_docs"))
+    Retrieval.appendToPostingsIndex(batch, "doc_id", "text", t,
+      buckets = 4)
+    Seq((tokSnap, s"${t}_tok"), (statsSnap, s"${t}_stats"),
+        (docsSnap, s"${t}_docs")).foreach { case (df, name) =>
+      df.write.mode("overwrite").format("parquet").saveAsTable(name)
+      spark.catalog.refreshTable(name)
+    }
+
+    // the exactly-once replay protocol: repair, then re-run the append
+    Retrieval.repairPartialAppend(spark,
+      batch.select($"doc_id".as("doc")), t)
+    Retrieval.appendToPostingsIndex(batch, "doc_id", "text", t,
+      buckets = 4)
+
+    Retrieval.buildPostingsIndex(corpus.unionByName(batch), "doc_id",
+      "text", s"${t}_ref", buckets = 4)
+    val queries = Seq((1L, "kiwi banana"), (2L, "apple mouse"))
+      .toDF("doc_id", "text")
+    def score(table: String) = Retrieval.bm25TopKIndexed(spark, table,
+      queries, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(score(t) == score(s"${t}_ref"))
+    assert(score(t).nonEmpty)
+    assert(spark.table(s"${t}_tok").orderBy("token").collect().toSeq ==
+      spark.table(s"${t}_ref_tok").orderBy("token").collect().toSeq)
+    assert(spark.table(s"${t}_stats").collect().toSeq ==
+      spark.table(s"${t}_ref_stats").collect().toSeq)
+  }
+
+  test("fileStreamIndexIngest: durable-checkpoint resume skips committed " +
+    "batches — no duplication, index unchanged") {
+    val t = "graft_test_feedres"
+    val feed = java.nio.file.Files
+      .createTempDirectory("graft_feedres").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_feedres_ckpt").toString
+    corpus.filter($"doc_id" <= 11).repartition(1)
+      .write.mode("overwrite").parquet(feed)
+    corpus.filter($"doc_id" > 11).repartition(1)
+      .write.mode("append").parquet(feed)
+    Retrieval.fileStreamIndexIngest(spark, feed, "doc_id", "text", t,
+      buckets = 4, checkpointDir = Some(ckpt))
+    val queries = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    def score() = Retrieval.bm25TopKIndexed(spark, t, queries,
+      "doc_id", "text", k = 5).orderBy("query_id", "rank")
+      .collect().toSeq
+    val first = score()
+    assert(first.nonEmpty)
+    val nDocs = spark.table(s"${t}_docs").count()
+    // resume with the same checkpoint: nothing re-ingested, nothing wiped
+    Retrieval.fileStreamIndexIngest(spark, feed, "doc_id", "text", t,
+      buckets = 4, checkpointDir = Some(ckpt))
+    assert(score() == first)
+    assert(spark.table(s"${t}_docs").count() == nDocs)
+  }
 }

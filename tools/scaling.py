@@ -29,10 +29,16 @@ Dev tool only; runs driver-side (python3 is not a library dependency).
 """
 import json
 import os
+import re
 import subprocess
 import sys
 
 ISO_TRIGGER = 6.0  # in-table ratio above which an isolated re-time runs
+# a committed run with fewer queries than this is a FILTER run (a late-added
+# query benched alone): its times carry cold-JVM overhead on both sides, so
+# in-table ratios from it overstate — such queries are auto-retimed isolated
+# even when their in-table ratio is under ISO_TRIGGER
+FULL_RUN_MIN = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -49,9 +55,12 @@ def load(paths):
     runs = [load_one(p) for p in paths.split(",")]
     merged = dict(runs[0])
     qs = {}
+    src = {}  # per query: the LARGEST run (by query count) it appeared in
     for q in set().union(*(r["queries"].keys() for r in runs)):
         qs[q] = min(r["queries"][q] for r in runs if q in r["queries"])
+        src[q] = max(len(r["queries"]) for r in runs if q in r["queries"])
     merged["queries"] = qs
+    merged["src_run_size"] = src
     merged["value"] = sum(qs.values())
     merged["n_queries"] = len(qs)
     merged["n_errors"] = max(r["n_errors"] for r in runs)
@@ -60,8 +69,14 @@ def load(paths):
 
 
 def retime_one(query, sfdir, out_path):
-    """Run the single query alone in a fresh JVM; return its seconds."""
-    env = dict(os.environ, SPARK_GRAFT_BENCH_FILTER=query)
+    """Run the single query alone in a fresh JVM; return its seconds.
+
+    The filter is anchored (^name$): an unanchored regex would also match
+    any query whose name contains this one as a substring, so the "alone
+    in a fresh JVM" guarantee would silently not hold for prefix-named
+    queries (x21 vs x210)."""
+    env = dict(os.environ,
+               SPARK_GRAFT_BENCH_FILTER=f"^{re.escape(query)}$")
     subprocess.run([os.path.join(REPO, "tools", "runbench.sh"),
                     sfdir, out_path, "24"],
                    env=env, check=True, capture_output=True, text=True)
@@ -94,9 +109,18 @@ def main():
     rows.sort(key=lambda r: -(r[3] or 0))
 
     iso_results = {}
+    filter_sourced = set()
     if retime_dirs:
-        flagged = [r[0] for r in rows if r[3] is not None
-                   and r[3] > ISO_TRIGGER]
+        # flag (a) in-table ratios over the trigger, and (b) queries whose
+        # numbers on EITHER side come only from small filter runs (cold
+        # single-query JVMs overstate in-table ratios — the r11 caveat rows)
+        filter_sourced = {
+            q for q in shared
+            if min(a["src_run_size"].get(q, 0),
+                   b["src_run_size"].get(q, 0)) < FULL_RUN_MIN}
+        flagged = [r[0] for r in rows
+                   if (r[3] is not None and r[3] > ISO_TRIGGER)
+                   or r[0] in filter_sourced]
         iso_dir = os.path.join(REPO, "docs", "bench")
         os.makedirs(iso_dir, exist_ok=True)
         for q in flagged:
@@ -114,6 +138,11 @@ def main():
             except subprocess.CalledProcessError as e:
                 print(f"<!-- isolated re-time of {q} FAILED: "
                       f"{e.stderr and e.stderr[-200:]} -->", file=sys.stderr)
+            except KeyError:
+                # the pinned query errored inside the bench run: it lands in
+                # the run's errors map instead of queries — surface, not die
+                print(f"<!-- isolated re-time of {q} FAILED: query errored "
+                      "in the pinned bench run -->", file=sys.stderr)
 
     print("# Scaling: sf0.1 -> sf1 (10x data), full registry, same HEAD")
     print()
@@ -135,6 +164,12 @@ def main():
               "automatically re-timed ALONE in a fresh JVM per scale factor "
               "(shared-JVM ratios can be contaminated by the other ~350 "
               "queries' cache and JIT state); raw runs in docs/bench/auto_iso_*")
+    if filter_sourced:
+        print(f"- {len(filter_sourced)} queries whose committed numbers come "
+              f"only from filter runs (< {FULL_RUN_MIN} queries in the run — "
+              "cold-JVM times that overstate in-table ratios) were "
+              "auto-retimed isolated regardless of their in-table ratio; "
+              "their isolated column is the authoritative number")
     print()
     if iso_results:
         print("| query | sf0.1 s | sf1 s | ratio at 10x data | isolated |")
@@ -147,7 +182,10 @@ def main():
         if iso_results:
             if q in iso_results:
                 ts, tb2 = iso_results[q]
-                c = f"{tb2/ts:.1f}x ({ts:.2f} s → {tb2:.2f} s)"
+                # an sf0.1 time that rounds to zero gives no meaningful
+                # ratio (and would divide by zero)
+                iso_r = f"{tb2/ts:.1f}x" if ts > 0 else "—"
+                c = f"{iso_r} ({ts:.2f} s → {tb2:.2f} s)"
             else:
                 c = "—"
             print(f"| {q} | {ta:.2f} | {tb:.2f} | {r} | {c} |")
