@@ -353,9 +353,28 @@ object Retrieval {
     // directly), and a stale positional sibling would do the same for
     // phrase search. Rebuild order: postings first, then
     // [[buildPositionalIndex]] / [[buildChampionLists]].
-    Seq("_tomb", "_champ", "_champ_meta", "_pos", "_pos_tomb")
+    Seq("_tomb", "_champ", "_champ_meta", "_pos", "_pos_tomb", "_ub")
       .foreach(s => dropTableWithDir(spark, s"$table$s"))
   }
+
+  /** Per-token impact BOUNDS companion `<table>_ub` `(token, max_tf,
+    * min_dl)` — what [[wandTopK]]'s MaxScore pruning needs to upper-bound
+    * any document's per-term BM25 contribution WITHOUT scanning postings:
+    * the impact formula is increasing in tf and decreasing in dl, so
+    * `impact(max_tf, min_dl)` at current corpus stats dominates every
+    * live posting of the token. One postings scan builds it; maintenance
+    * is free-riding:
+    *  - append merges `greatest(max_tf)` / `least(min_dl)` (associative);
+    *  - delete leaves it UNTOUCHED — deletes only remove rows, so the
+    *    stored extremes still dominate the survivors (a stale-but-valid
+    *    upper bound costs pruning power, never exactness);
+    *  - compaction and the stream-ingest repair rebuild it from
+    *    surviving truth. */
+  def buildImpactBounds(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    replaceSmallTable(livePostings(spark, table).groupBy("token")
+        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl")),
+      s"${table}_ub")
 
   /** Batch postings `(token, doc, tf, dl, gen)` — one pass over `docs`. */
   private def postingsOf(docs: DataFrame, idCol: String,
@@ -521,6 +540,21 @@ object Retrieval {
     // membership rows append like the postings: batch-only, no rewrite
     docLensOf(newDocs, idCol, textCol, newGen)
       .write.mode("append").format("parquet").saveAsTable(s"${table}_docs")
+    // impact bounds (see [[buildImpactBounds]]): extremes merge
+    // associatively, so the append is a vocabulary-sized greatest/least
+    if (spark.catalog.tableExists(s"${table}_ub")) {
+      val batchUb = tf.groupBy("token")
+        .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"))
+      val mergedUb = spark.table(s"${table}_ub")
+        .join(batchUb, Seq("token"), "full_outer")
+        .select(col("token"),
+          greatest(coalesce(col("max_tf"), lit(0L)),
+            coalesce(col("__btf"), lit(0L))).as("max_tf"),
+          least(coalesce(col("min_dl"), lit(Long.MaxValue)),
+            coalesce(col("__bdl"), lit(Long.MaxValue))).as("min_dl"))
+        .localCheckpoint(eager = true)
+      replaceSmallTable(mergedUb, s"${table}_ub")
+    }
     // positional sibling (see [[buildPositionalIndex]]): occurrence rows
     // are per-doc, so the sibling appends batch-only too
     if (spark.catalog.tableExists(s"${table}_pos"))
@@ -685,6 +719,10 @@ object Retrieval {
       s"${table}_stats")
     champAlive.foreach(c => Bucketing.writeBucketed(c, s"${table}_champ",
       buckets, Seq("token"), Seq("token")))
+    // impact bounds: recompute exact extremes from the survivors (the
+    // stale-but-valid bounds regain their pruning power here)
+    if (spark.catalog.tableExists(s"${table}_ub"))
+      buildImpactBounds(spark, table)
     dropTableWithDir(spark, tombT)
     dropTableWithDir(spark, stagingP)
     dropTableWithDir(spark, stagingD)
@@ -1128,11 +1166,12 @@ object Retrieval {
         col("matched_terms"), col("rank"))
   }
 
-  /** The UNCAPPED per-(query, doc) BM25 score frame
-    * (query_id, doc, __s DECIMAL, matched_terms) — shared by the rank
-    * cap above and [[sdmTopK]]'s fusion (which must weight the full
-    * candidate set before any cut). */
-  private def bm25Scores(spark: org.apache.spark.sql.SparkSession,
+  /** The per-(query, doc, token) quantized BM25 term rows — the shared
+    * pre-aggregation core of [[bm25Scores]] and [[wandTopK]] (which must
+    * re-aggregate different doc subsets of the SAME rows: seed docs for
+    * its threshold, then the pruned candidate set). Postings-bounded:
+    * Σ |postings(q-terms)|. */
+  private[graft] def bm25TermRows(spark: org.apache.spark.sql.SparkSession,
       table: String, qTerms: DataFrame, k1: Double,
       b: Double): DataFrame = {
     // df comes from the vocabulary table restricted to the query terms —
@@ -1153,8 +1192,141 @@ object Retrieval {
         .cast("decimal(28,18)")
     postings.join(broadcast(qTerms), "token")
       .crossJoin(stats)
+      .select(col("query_id"), col("doc"), col("token"), term.as("__t"))
+  }
+
+  /** The UNCAPPED per-(query, doc) BM25 score frame
+    * (query_id, doc, __s DECIMAL, matched_terms) — shared by the rank
+    * cap above and [[sdmTopK]]'s fusion (which must weight the full
+    * candidate set before any cut). */
+  private def bm25Scores(spark: org.apache.spark.sql.SparkSession,
+      table: String, qTerms: DataFrame, k1: Double,
+      b: Double): DataFrame =
+    bm25TermRows(spark, table, qTerms, k1, b)
       .groupBy("query_id", "doc")
-      .agg(sum(term).as("__s"), count(lit(1)).as("matched_terms"))
+      .agg(sum(col("__t")).as("__s"), count(lit(1)).as("matched_terms"))
+
+  /** EXACT BM25 top-k with MaxScore dynamic pruning (Turtle & Flood
+    * 1995 family) — the exact counterpart to [[championTopK]]'s
+    * recall-trading champion lists: identical output to
+    * [[bm25TopKIndexed]] (exactness is the algorithm's guarantee — the
+    * x171 oracle gates it verbatim), but documents matching ONLY
+    * low-impact "non-essential" terms never enter the scoring
+    * aggregate. A stopword-adjacent query term costs [[bm25TopKIndexed]]
+    * a shuffle+aggregate over its corpus-sized postings list; here that
+    * list contributes only the rows of docs already candidated by a
+    * rarer term.
+    *
+    * The batch formulation (document-at-a-time cursors don't map to
+    * dataframes; the pruning logic does):
+    *  1. Per-term upper bound ub(t) = impact(max_tf(t), min_dl(t)) at
+    *     CURRENT corpus stats, from the `<table>_ub` companion
+    *     ([[buildImpactBounds]]) — dominates every live posting of t
+    *     because the impact formula is monotone in tf (up) and dl
+    *     (down); a small relative+absolute safety margin absorbs
+    *     floating-point non-monotonicity and the DECIMAL(28,18) HALF_UP
+    *     of the quantized per-row terms.
+    *  2. Threshold seed: each query's RAREST term (min df, token
+    *     tie-break) fetches its postings' docs; those docs score FULLY
+    *     and the k-th best score is θ — a valid lower bound on the true
+    *     k-th best (any exactly-scored doc subset yields one).
+    *  3. MaxScore partition: terms sorted by ub ascending; the maximal
+    *     prefix whose cumulative ub stays below θ (with the FP slack on
+    *     the comparison) is non-essential — a doc matching ONLY those
+    *     terms scores strictly below θ and can never displace the
+    *     seeded top-k, ties included.
+    *  4. Candidates = seed docs ∪ docs with ≥ 1 essential-term posting;
+    *     they score FULLY (all their matching term rows, non-essential
+    *     included) and the usual rank window cuts top-k.
+    *
+    * Scale shape: the term rows are computed once, lazily, and
+    * re-aggregated per phase — every pass is postings-bounded
+    * (Σ postings(q-terms)) and the per-(query, doc) aggregates carry
+    * only seed/candidate rows instead of every match. The seed and
+    * candidate frames are doc-id lists the optimizer (AQE) broadcasts
+    * when small — the common case after pruning; a pathological query
+    * where nothing prunes degrades to [[bm25TopKIndexed]]'s cost, never
+    * worse. θ/ub/essential-term frames are all ≤ |queries × terms| rows
+    * (broadcast). Gated by x265 (the x171 oracle verbatim) +
+    * WandSpec fixture equality and pruning assertions. */
+  def wandTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val rows = bm25TermRows(spark, table, qTerms, k1, b)
+    val cand = wandCandidateDocs(spark, table, qTerms, rows, k, k1, b)
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    rows.join(cand, Seq("query_id", "doc"), "left_semi")
+      .groupBy("query_id", "doc")
+      .agg(sum(col("__t")).as("__s"), count(lit(1)).as("matched_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
+  }
+
+  /** [[wandTopK]]'s pruned candidate set (query_id, doc) — steps 1-4's
+    * seed ∪ essential-match union, factored out so the pruning itself is
+    * directly testable (WandSpec asserts it excludes the
+    * stopword-only docs a full scorer would aggregate). */
+  private[graft] def wandCandidateDocs(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      qTerms: DataFrame, rows: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    require(spark.catalog.tableExists(s"${table}_ub"),
+      s"wandTopK needs ${table}_ub — run buildImpactBounds first")
+    val qTok = broadcast(qTerms.select("token").distinct())
+    val stats = broadcast(spark.table(s"${table}_stats"))
+    // 1) per-(query, term) upper bounds at current stats (margined)
+    val ubRaw =
+      (log(lit(1.0) +
+        (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        (col("max_tf").cast("double") * lit(k1 + 1.0)) /
+        (col("max_tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("min_dl").cast("double") /
+            (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
+    val ub = broadcast(qTerms
+      .join(broadcast(spark.table(s"${table}_tok").join(qTok, "token")),
+        "token")
+      .join(broadcast(spark.table(s"${table}_ub").join(qTok, "token")),
+        "token")
+      .crossJoin(stats)
+      .select(col("query_id"), col("token"), col("df"),
+        (ubRaw * lit(1.0 + 1e-9) + lit(1e-12)).as("__ub")))
+    // 2) rarest-term seed docs → exact scores → θ = k-th best
+    val rare = broadcast(ub
+      .withColumn("__rr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("df"), col("token"))))
+      .filter(col("__rr") === 1).select("query_id", "token"))
+    val seedDocs = rows.join(rare, Seq("query_id", "token"), "left_semi")
+      .select("query_id", "doc").distinct()
+    val theta = broadcast(rows
+      .join(seedDocs, Seq("query_id", "doc"), "left_semi")
+      .groupBy("query_id", "doc").agg(sum(col("__t")).as("__s"))
+      .withColumn("__r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("__s"), col("doc"))))
+      .filter(col("__r") === k)
+      .select(col("query_id"), col("__s").cast("double").as("__theta")))
+    // 3) essential terms: cumulative-ub prefix (ub asc, token tie-break)
+    //    at or above θ, with FP slack so a borderline prefix never
+    //    prunes; a query with no θ row (< k seed docs) prunes nothing
+    val wUb = Window.partitionBy("query_id")
+      .orderBy(col("__ub"), col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ess = broadcast(ub
+      .withColumn("__pref", sum(col("__ub")).over(wUb))
+      .join(theta, Seq("query_id"), "left")
+      .filter(col("__pref") >=
+        coalesce(col("__theta"), lit(0.0)) * lit(1.0 - 1e-9) - lit(1e-12))
+      .select("query_id", "token"))
+    // 4) candidates = seed ∪ essential matches
+    rows.join(ess, Seq("query_id", "token"), "left_semi")
+      .select("query_id", "doc")
+      .unionByName(seedDocs).distinct()
   }
 
   /** Per-query recall of an approximate ranking against an exact one —

@@ -23,7 +23,7 @@ object RetrievalQueries {
     * at `ranked(query_id, doc_id, score, matched_terms, rank)` with rank
     * <= `k`. Mirrors Retrieval.bm25TopK term for term. */
   private def bm25Cte(nQueries: Int, k: Int,
-      corpusWhere: String = "doc_id >= 5"): String =
+      corpusWhere: String = "doc_id >= 5", qtSql: String = null): String =
     s"""ct AS (
        |  SELECT doc_id AS doc, u.w AS token
        |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE $corpusWhere),
@@ -36,10 +36,11 @@ object RetrievalQueries {
        |  SELECT count(*) AS n_corpus,
        |    CAST(sum(len($WORDS)) AS BIGINT) AS total_dl
        |  FROM documents WHERE $corpusWhere),
-       |qt AS (
+       |qt AS (${Option(qtSql).getOrElse(
+      s"""
        |  SELECT DISTINCT doc_id AS query_id, u.w AS token
        |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
-       |        WHERE doc_id < $nQueries), unnest(ws) AS u(w)),
+       |        WHERE doc_id < $nQueries), unnest(ws) AS u(w)""")}),
        |terms AS (
        |  SELECT qt.query_id, tfdl.doc,
        |    CAST(ln(1.0::DOUBLE +
@@ -1118,7 +1119,69 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Exact BM25 top-k under MaxScore dynamic pruning: per-token
+  // (max_tf, min_dl) bounds upper-bound every term contribution, the
+  // rarest term's fully-scored postings seed the k-th-best threshold,
+  // and docs matching only below-threshold terms never enter the
+  // scoring aggregate. EXACTNESS is the algorithm's guarantee, so the
+  // oracle is x171's full-corpus BM25 VERBATIM — any pruning error
+  // flips a hash.
+  private val x265 = Q("x265_wand_topk", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x265_postings")
+      Retrieval.buildImpactBounds(s, "graft_x265_postings")
+      Retrieval.wandTopK(s, "graft_x265_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  /** The skewed-token serving pair (x266 = wand, x267 = the
+    * bm25TopKIndexed baseline): ONE query mixing the corpus's rarest
+    * token ('dup', df ≈ 5% of docs) with a near-universal one ('batch',
+    * df ≈ 80%) — the shape where MaxScore pays off, because the
+    * stopword-adjacent term's corpus-sized postings are non-essential
+    * once the rare term's top-k seeds the threshold. Same oracle both
+    * sides (wand is exact); the bench JSON carries the direct serving-
+    * cost comparison. */
+  private val skewedQt =
+    """
+      |  SELECT CAST(1 AS BIGINT) AS query_id, u.w AS token
+      |  FROM unnest(['dup', 'batch']) AS u(w)""".stripMargin
+  private val skewedOracle =
+    s"""WITH ${bm25Cte(nQueries = 0, k = 5, qtSql = skewedQt)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin
+
+  private val x266 = Q("x266_wand_skewed", Some(skewedOracle)) {
+    (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x266_postings")
+      Retrieval.buildImpactBounds(s, "graft_x266_postings")
+      Retrieval.wandTopK(s, "graft_x266_postings",
+          Seq((1L, "dup batch")).toDF("doc_id", "text"),
+          "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  private val x267 = Q("x267_bm25_skewed_baseline", Some(skewedOracle)) {
+    (s, dir) =>
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x267_postings")
+      Retrieval.bm25TopKIndexed(s, "graft_x267_postings",
+          Seq((1L, "dup batch")).toDF("doc_id", "text"),
+          "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
-    x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263)
+    x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
+    x265, x266, x267)
 }

@@ -703,4 +703,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(part_key"), p.take(400))
     assert(read.count() == 2)
   }
+
+  test("x265 wand final aggregate consumes the pruned candidate set " +
+    "(semi join feeds the scoring aggregate), query side broadcast") {
+    val p = plan("x265_wand_topk")
+    // the scoring aggregate must NOT sit directly on the postings join:
+    // the candidate semi-join is what bounds the shuffled rows to the
+    // pruned set — its disappearance would silently turn wandTopK back
+    // into the full scorer
+    assert(p.contains("LeftSemi"), "candidate semi-join missing:\n" +
+      p.take(800))
+    // query-term joins broadcast (human-scale side never shuffles the
+    // postings on its account)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(800))
+  }
 }
