@@ -846,26 +846,6 @@ object Retrieval {
       .foreach(spark.catalog.refreshTable)
   }
 
-  /** The applied-batch LEDGER of a streaming ingest lives UNDER the
-    * stream's checkpoint directory — batch ids are only meaningful
-    * relative to one checkpoint (a fresh checkpoint restarts them at 0,
-    * so a table-level ledger would wrongly skip a second feed's first
-    * batches). One tiny parquet row per committed batch. */
-  private def appliedLedger(ckpt: String): String = s"$ckpt/graft_applied"
-
-  private def appliedBatchIds(spark: org.apache.spark.sql.SparkSession,
-      ckpt: String): Set[Long] = {
-    val p = new org.apache.hadoop.fs.Path(appliedLedger(ckpt))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(p.toString).collect().map(_.getLong(0)).toSet
-  }
-
-  private def recordAppliedBatch(spark: org.apache.spark.sql.SparkSession,
-      ckpt: String, batchId: Long): Unit =
-    spark.range(1).select(lit(batchId).as("batch_id")).coalesce(1)
-      .write.mode("append").parquet(appliedLedger(ckpt))
-
   /** Repair a PARTIALLY APPLIED append of `ids` (a crash inside
     * [[appendToPostingsIndex]] between its table writes): any live trace
     * of the batch's doc ids — postings, `_docs`, or sibling rows — is an
@@ -988,12 +968,12 @@ object Retrieval {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s2 = batch.sparkSession
-        if (!appliedBatchIds(s2, ckpt).contains(batchId)) {
+        if (!IngestLedger.appliedBatchIds(s2, ckpt).contains(batchId)) {
           if (mayHaveOrphans)
             repairPartialAppend(s2,
               batch.select(col(idCol).as("doc")), table)
           appendToPostingsIndex(batch, idCol, textCol, table, buckets)
-          recordAppliedBatch(s2, ckpt, batchId)
+          IngestLedger.recordAppliedBatch(s2, ckpt, batchId)
         }
         mayHaveOrphans = false
       }

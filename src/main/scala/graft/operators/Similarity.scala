@@ -1252,6 +1252,129 @@ object Similarity {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** Repair a PARTIALLY APPLIED IVF append of `ids` (a crash inside
+    * [[appendToIvfIndex]] between the partition append and the state
+    * merge): any row of the batch's ids already in the table is an
+    * orphan (the append contract says the ids were new), so the
+    * affected partitions are rewritten without them (the x238 partition
+    * surgery) and the centroid state is rebuilt FROM THE PHYSICAL TABLE
+    * — the crashed attempt may or may not have merged its state delta,
+    * and recomputing the exact-DECIMAL sums from surviving truth is the
+    * only assumption-free repair (bit-identical to a from-scratch
+    * build). Cost: one id-probe always; one corpus scan for the state
+    * rebuild only when a trace is found — at most once per stream
+    * (re)start. */
+  private[graft] def repairPartialIvfAppend(
+      spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      idCol: String, table: String, cellCol: String,
+      vecCol: String): Unit = {
+    val delT = s"${table}_repair_staging"
+    dropWithDir(spark, delT)
+    spark.table(table)
+      .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol),
+        "left_semi")
+      .write.mode("overwrite").format("parquet").saveAsTable(delT)
+    val delS = spark.table(delT)
+    if (delS.isEmpty) { dropWithDir(spark, delT); return }
+    // |cells|-bounded collects, as in deleteFromIvfIndex
+    val affected = delS.select(col(cellCol)).distinct().collect()
+      .map(_.get(0))
+    val survT = s"${table}_repair_surv_staging"
+    dropWithDir(spark, survT)
+    spark.table(table).filter(col(cellCol).isin(affected: _*))
+      .join(broadcast(delS.select(col(idCol))), Seq(idCol), "left_anti")
+      .write.mode("overwrite").format("parquet").saveAsTable(survT)
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try {
+      spark.table(survT)
+        .select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(table)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+    val survCells = spark.table(survT).select(col(cellCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    affected.filterNot(survCells).foreach { c =>
+      val v = c.toString.replace("'", "''")
+      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
+        s"PARTITION (`$cellCol`='$v')")
+    }
+    spark.catalog.refreshTable(table)
+    dropWithDir(spark, s"${table}_cstate")
+    centroidState(spark.table(table), cellCol, vecCol)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_cstate")
+    dropWithDir(spark, s"${table}_centroids")
+    centroidsFromState(spark.table(s"${table}_cstate"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    dropWithDir(spark, survT)
+    dropWithDir(spark, delT)
+  }
+
+  /** THE production deploy shape for dense-index ingest — the IVF twin
+    * of [[graft.operators.Retrieval.fileStreamIndexIngest]]: tail a
+    * parquet feed directory of (id, cell, vector) rows with `readStream`
+    * (`maxFilesPerTrigger = 1`), commit each micro-batch through
+    * `foreachBatch` → [[appendToIvfIndex]] onto an empty seed index,
+    * driven with `Trigger.AvailableNow`. Batch rows land in their cell
+    * partitions and the exact-DECIMAL centroid state merges
+    * associatively, so stream-built ≡ batch-built to the bit no matter
+    * how the feed was split into files (x268 gates it on the full-corpus
+    * IVF oracle; a cell-less live feed would [[routeToNearestCell]] each
+    * batch first). Post-stream maintenance composes: [[ivfIndexStats]] →
+    * [[rebalanceIvfCells]] → the x258 recall gate, exactly as with a
+    * batch-built index (x269).
+    *
+    * Exactly-once under foreachBatch's at-least-once replays, via the
+    * same two-leg protocol as the sparse family: committed batch ids are
+    * recorded in a checkpoint-scoped [[IngestLedger]] (recorded replays
+    * SKIP), and the first unrecorded batch after a (re)start runs
+    * [[repairPartialIvfAppend]] before appending. Pass a durable
+    * `checkpointDir` for restartable runs (a resume re-reads only
+    * unprocessed files and never reseeds). */
+  def fileStreamIvfIngest(spark: org.apache.spark.sql.SparkSession,
+      feedDir: String, idCol: String, cellCol: String, vecCol: String,
+      table: String, checkpointDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    // eager schema read: the feed directory must already hold >= 1
+    // parquet file when ingest starts (readStream cannot infer a schema
+    // from an empty directory)
+    val schema = spark.read.parquet(feedDir).schema
+    val resuming = checkpointDir.isDefined &&
+      spark.catalog.tableExists(table)
+    if (!resuming)
+      buildIvfIndex(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        idCol, cellCol, vecCol, table)
+    val ckpt = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("ivf_feed_ckpt").toString)
+    @volatile var mayHaveOrphans = true
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        if (!IngestLedger.appliedBatchIds(s2, ckpt).contains(batchId)) {
+          if (mayHaveOrphans)
+            repairPartialIvfAppend(s2, batch.select(col(idCol)), idCol,
+              table, cellCol, vecCol)
+          appendToIvfIndex(batch, idCol, cellCol, vecCol, table)
+          IngestLedger.recordAppliedBatch(s2, ckpt, batchId)
+        }
+        mayHaveOrphans = false
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(table, s"${table}_cstate", s"${table}_centroids")
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** Greedy k-center (farthest-point) seed selection — the
     * diversity-maximizing subset a labeling/eval budget wants: start
     * from the lowest id, then repeatedly pick the vector FARTHEST

@@ -2475,11 +2475,90 @@ object ScaleQueries {
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // File-feed streaming ingest into the IVF index — the dense twin of
+  // x256 (x242's MemoryStream replay is the harness; this is the deploy
+  // shape): the corpus written as a 4-file parquet feed, readStream →
+  // foreachBatch → appendToIvfIndex onto an empty seed, AvailableNow.
+  // Oracle: the full-corpus IVF verbatim — the exact-DECIMAL centroid
+  // state merges associatively, so the file split cannot move a
+  // centroid bit.
+  private val x268 = Q("x268_ivf_file_stream_ingest", Some(ivfOracle)) {
+    (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_x268_feed").toString
+      emb.select(col("vec_id"), col("label"), col("embedding"))
+        .repartition(4).write.mode("overwrite").parquet(feed)
+      Similarity.fileStreamIvfIngest(s, feed, "vec_id", "label",
+        "embedding", "graft_x268_ivf")
+      Similarity.ivfTopKIndexed(s, "graft_x268_ivf", "vec_id", "label",
+          "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** x269's Spark side: the x257/x258 skewed corpus arrives as a FILE
+    * FEED instead of a batch build, then the same surgical rebalance
+    * runs on the stream-built index. Stream ≡ batch makes x258's oracle
+    * (which replays skewed-build → rebalance → probe → recall against
+    * brute force) hold verbatim over the streamed path. */
+  private def streamRebalancedIvf(s: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val skewed = emb.select(col("vec_id"),
+      when(col("vec_id") % 29 === 0, lit(99))
+        .otherwise(when(col("label") <= 3, lit(0)).otherwise(col("label")))
+        .cast("int").as("label"),
+      col("embedding"))
+    val feed = java.nio.file.Files
+      .createTempDirectory(s"graft_${table}_feed").toString
+    skewed.repartition(4).write.mode("overwrite").parquet(feed)
+    Similarity.fileStreamIvfIngest(s, feed, "vec_id", "label",
+      "embedding", table)
+    Similarity.rebalanceIvfCells(s, table, "vec_id", "label",
+      "embedding", splitAbove = 2.0, mergeBelow = 0.5)
+    emb
+  }
+
+  private val x269 = Q("x269_ivf_stream_rebalance_recall", Some(
+    s"""WITH $ivfRebalanceCte,
+      |approx AS (
+      |  SELECT f.vec_id FROM final f, q
+      |  WHERE f.cell IN (SELECT cell FROM probe)
+      |  ORDER BY list_dot_product(f.v, q.qv) /
+      |      (sqrt(list_dot_product(f.v, f.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10),
+      |exact AS (
+      |  SELECT e.vec_id FROM emb e, q
+      |  ORDER BY list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10)
+      |SELECT CAST(0 AS BIGINT) AS query_id,
+      |  CAST(count(*) AS BIGINT) AS n_exact,
+      |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+      |FROM exact e LEFT JOIN approx a USING (vec_id)""".stripMargin)) {
+    (s, dir) =>
+      val emb = streamRebalancedIvf(s, dir, "graft_x269_ivf")
+      val q = emb.filter(col("vec_id") === 0)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, k = 10)
+        .select(lit(0L).as("query_id"), col("vec_id"))
+      val approx = Similarity.ivfTopKIndexed(s, "graft_x269_ivf",
+          "vec_id", "label", "embedding", q, k = 10, nprobe = 3)
+        .select(lit(0L).as("query_id"), col("vec_id"))
+      graft.operators.Retrieval.rankingRecall(exact, approx, "query_id",
+        "vec_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257, x258)
+      x240, x242, x257, x258, x268, x269)
 }

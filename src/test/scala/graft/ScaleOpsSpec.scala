@@ -1019,4 +1019,61 @@ class ScaleOpsSpec extends SparkSpec {
     val row7 = got2.find(_.getAs[Long]("label") == 7L)
     assert(row7.isDefined && row7.get.getAs[Long]("n_correct") == 0L)
   }
+
+  test("repairPartialIvfAppend heals a crash-mid-append: repair + " +
+    "re-append equals a clean build; no-op on a clean history") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    Similarity.buildIvfIndex(base, "vec_id", "label", "embedding",
+      "graft_test_ivfrep")
+    // clean-history no-op: probing unseen ids must not move anything
+    val stateBefore = spark.table("graft_test_ivfrep_cstate")
+      .orderBy("cell", "i").collect().toSeq
+    Similarity.repairPartialIvfAppend(spark, batch.select($"vec_id"),
+      "vec_id", "graft_test_ivfrep", "label", "embedding")
+    assert(spark.table("graft_test_ivfrep_cstate").orderBy("cell", "i")
+      .collect().toSeq == stateBefore)
+
+    // simulate the crash: append fully, then roll the state companions
+    // back — the surviving picture is "rows written, crash before the
+    // state merge"
+    def snap(n: String) = spark.table(n).localCheckpoint(eager = true)
+    val (cs, cen) = (snap("graft_test_ivfrep_cstate"),
+      snap("graft_test_ivfrep_centroids"))
+    Similarity.appendToIvfIndex(batch, "vec_id", "label", "embedding",
+      "graft_test_ivfrep")
+    Seq((cs, "graft_test_ivfrep_cstate"),
+        (cen, "graft_test_ivfrep_centroids")).foreach { case (df, n) =>
+      df.write.mode("overwrite").format("parquet").saveAsTable(n)
+      spark.catalog.refreshTable(n)
+    }
+
+    // the exactly-once protocol: repair, then re-run the append
+    Similarity.repairPartialIvfAppend(spark, batch.select($"vec_id"),
+      "vec_id", "graft_test_ivfrep", "label", "embedding")
+    Similarity.appendToIvfIndex(batch, "vec_id", "label", "embedding",
+      "graft_test_ivfrep")
+
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_test_ivfrep_ref")
+    // rows: no duplicates, exact corpus
+    assert(spark.table("graft_test_ivfrep").orderBy("vec_id")
+      .select("vec_id", "label").collect().toSeq ==
+      spark.table("graft_test_ivfrep_ref").orderBy("vec_id")
+        .select("vec_id", "label").collect().toSeq)
+    // centroid state: bit-identical to the clean build
+    assert(spark.table("graft_test_ivfrep_cstate").orderBy("cell", "i")
+      .collect().toSeq ==
+      spark.table("graft_test_ivfrep_ref_cstate").orderBy("cell", "i")
+        .collect().toSeq)
+    // and the probe sees no difference
+    def probe(t: String) = Similarity.ivfTopKIndexed(spark, t, "vec_id",
+        "label", "embedding", emb.filter($"vec_id" === 0), k = 5,
+        nprobe = 3)
+      .select($"vec_id", round($"cosine", 4)).collect().toSeq
+    assert(probe("graft_test_ivfrep") == probe("graft_test_ivfrep_ref"))
+    assert(probe("graft_test_ivfrep").nonEmpty)
+  }
 }
