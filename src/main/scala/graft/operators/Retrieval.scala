@@ -1577,11 +1577,13 @@ object Retrieval {
     * are exact integers — hash-gateable (x248). */
   def proximityTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, queryIdCol: String,
-      queryTextCol: String, k: Int = 10, window: Int = 3): DataFrame = {
+      queryTextCol: String, k: Int = 10, window: Int = 3,
+      maxOccPerToken: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
-    pairCounts(spark, table, qTerms, window, ordered = false)
+    pairCounts(spark, table, qTerms, window, ordered = false,
+      maxOccPerToken = maxOccPerToken)
       .withColumnRenamed("n_pairs", "n_close_pairs")
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(desc("n_close_pairs"), col("doc"))))
@@ -1599,9 +1601,21 @@ object Retrieval {
     * integers over the live occurrence rows. */
   private def pairCounts(spark: org.apache.spark.sql.SparkSession,
       table: String, qTerms: DataFrame, window: Int,
-      ordered: Boolean): DataFrame = {
+      ordered: Boolean, maxOccPerToken: Int = 0): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val hits = livePositions(spark, table).join(qTerms, "token")
+    val raw = livePositions(spark, table).join(qTerms, "token")
+    // opt-in worst-case bound (the x17 maxBucket idiom): keep only each
+    // (query, doc, token)'s FIRST maxOccPerToken occurrences on BOTH
+    // join sides, so one token-spamming doc is O(cap²) within its band
+    // instead of O(occ²). Off by default — capping changes counts, and
+    // the existing oracles replay the uncapped semantics.
+    val hits =
+      if (maxOccPerToken <= 0) raw
+      else raw.withColumn("__occ_rn", row_number().over(
+          Window.partitionBy("query_id", "doc", "token")
+            .orderBy(col("pos"))))
+        .filter(col("__occ_rn") <= maxOccPerToken)
+        .drop("__occ_rn")
     val buckets =
       if (ordered) array(
         expr(s"CAST(__pa AS BIGINT) DIV $window"),
@@ -1648,17 +1662,90 @@ object Retrieval {
     * scorer. */
   def orderedPairTopK(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, queryIdCol: String,
-      queryTextCol: String, k: Int = 10, window: Int = 3): DataFrame = {
+      queryTextCol: String, k: Int = 10, window: Int = 3,
+      maxOccPerToken: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
-    pairCounts(spark, table, qTerms, window, ordered = true)
+    pairCounts(spark, table, qTerms, window, ordered = true,
+      maxOccPerToken = maxOccPerToken)
       .withColumnRenamed("n_pairs", "n_ordered_pairs")
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(desc("n_ordered_pairs"), col("doc"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc").as("doc_id"),
         col("n_ordered_pairs"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** MINIMAL-SPAN ranking from a [[buildPositionalIndex]] table — the
+    * passage/snippet primitive the pairwise scorers can't give: per
+    * (query, doc), the length of the smallest position window containing
+    * EVERY distinct query term at least once (Clarke et al.'s shortest
+    * substring / cover semantics). A 3-term query answered in one breath
+    * scores span 3; the same terms scattered across a page score the
+    * page. Only documents containing ALL query terms qualify — the
+    * strict cover convention (a query term absent from the whole corpus
+    * therefore empties the ranking, deliberately).
+    *
+    * Algorithm, set-shaped: a minimal cover must START at some term
+    * occurrence s (else it could shrink), and its END is then forced:
+    * end(s) = max over required terms t of nextocc(t, s.pos) (the
+    * smallest occurrence of t at or after s). min_span(doc) =
+    * min over s of end(s) − s.pos + 1, over starts where every term has
+    * a next occurrence. nextocc computes with ONE ordered window per
+    * (query, doc, term): starts and occurrences union into one frame,
+    * sorted by (pos, starts-first), and `min(occurrence pos)` over the
+    * current-row-to-end frame reads each start's next occurrence of that
+    * term — no per-term pivoting, no quadratic position self-join, spans
+    * of ANY length (the banded pair join caps at `window`; this must
+    * not).
+    *
+    * Scale shape: query terms broadcast into the positional scan (work =
+    * m × Σ occurrences(q-terms) rows — never the corpus), the window
+    * partitions by (query, doc, term) so WindowExec spills per group,
+    * and the final per-(query, doc) min + rank ride the usual
+    * WindowGroupLimit. Counts and spans are exact integers —
+    * hash-gateable (x270). Ties rank by doc id. */
+  def minSpanTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val qm = broadcast(qTerms.groupBy("query_id")
+      .agg(count(lit(1)).as("__m")))
+    val occ = livePositions(spark, table).join(qTerms, "token")
+      .select(col("query_id"), col("doc"), col("token"), col("pos"))
+    // candidate starts × the query's required terms (m small)
+    val starts = occ.select(col("query_id"), col("doc"), col("pos"))
+      .join(qTerms.withColumnRenamed("token", "__term"), Seq("query_id"))
+      .select(col("query_id"), col("doc"), col("__term").as("term"),
+        col("pos"), lit(1).as("__isq"))
+    val occs = occ.select(col("query_id"), col("doc"),
+      col("token").as("term"), col("pos"), lit(0).as("__isq"))
+    // starts sort BEFORE occurrences at equal pos, so a start whose own
+    // token occupies its position sees that occurrence in its frame
+    val wNext = Window.partitionBy("query_id", "doc", "term")
+      .orderBy(col("pos"), col("__isq").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withNext = starts.unionByName(occs).withColumn("__next",
+      min(when(col("__isq") === 0, col("pos"))).over(wNext))
+    val spans = withNext.filter(col("__isq") === 1)
+      .groupBy("query_id", "doc", "pos")
+      .agg(count(col("__next")).as("__cov"), max(col("__next")).as("__end"))
+      .join(qm, Seq("query_id"))
+      .filter(col("__cov") === col("__m")) // every term covered
+      .select(col("query_id"), col("doc"),
+        (col("__end") - col("pos") + lit(1L)).as("__span"))
+    val best = spans.groupBy("query_id", "doc")
+      .agg(min(col("__span")).as("min_span"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("min_span"), col("doc"))
+    best.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"), col("min_span"),
+        col("rank"))
       .orderBy("query_id", "rank")
   }
 

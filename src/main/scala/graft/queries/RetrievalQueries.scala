@@ -1119,6 +1119,29 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Champions ride the streamed family: the feed-directory ingest seeds
+  // `_champ`/`_champ_meta` on the empty build, so EVERY micro-batch's
+  // append refreshes the champion lists at post-batch stats — champion
+  // serving is maintained by the same stream that maintains BM25. At
+  // uncapped topN the bounded-candidate refresh is exact (the x263
+  // argument), so championTopK from the purely stream-built index must
+  // equal the full-corpus BM25 oracle verbatim.
+  private val x264 = Q("x264_file_stream_champions", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_x264_feed").toString
+      d.filter(col("doc_id") >= 5).repartition(4)
+        .write.mode("overwrite").parquet(feed)
+      Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text",
+        "graft_x264_postings", champTopN = 1000000)
+      Retrieval.championTopK(s, "graft_x264_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   // Exact BM25 top-k under MaxScore dynamic pruning: per-token
   // (max_tf, min_dl) bounds upper-bound every term contribution, the
   // rarest term's fully-scored postings seed the k-th-best threshold,
@@ -1180,8 +1203,152 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Minimal-span (shortest cover) ranking from the positional index:
+  // per (query, doc), the smallest window containing every query term —
+  // the passage primitive the pairwise scorers can't express (spans of
+  // ANY length; the banded pair joins cap at `window`). The oracle
+  // replays the exact start×term union, the ordered
+  // next-occurrence window (starts-first at equal pos), the
+  // all-terms-covered gate, and the span-asc id-tiebroken rank — all
+  // integer arithmetic.
+  private val x270 = Q("x270_min_span_rank", Some(
+    s"""WITH base AS (
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
+       |  WHERE doc_id >= 5),
+       |pos AS (
+       |  SELECT doc_id AS doc, ws[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+       |  FROM base, unnest(range(1, n + 1)) AS r(i)),
+       |qt AS (
+       |  SELECT CAST(1 AS BIGINT) AS query_id, u.w AS token
+       |  FROM unnest(['dup', 'batch']) AS u(w)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), u.w
+       |  FROM unnest(['spark', 'window', 'group']) AS u(w)),
+       |qm AS (SELECT query_id, count(*) AS m FROM qt GROUP BY 1),
+       |occ AS MATERIALIZED (
+       |  SELECT qt.query_id, p.doc, p.token, p.pos
+       |  FROM pos p JOIN qt USING (token)),
+       |st AS (
+       |  SELECT o.query_id, o.doc, q2.token AS term, o.pos,
+       |    1 AS isq
+       |  FROM (SELECT DISTINCT query_id, doc, pos FROM occ) o
+       |  JOIN qt q2 USING (query_id)),
+       |un AS (
+       |  SELECT * FROM st
+       |  UNION ALL
+       |  SELECT query_id, doc, token AS term, pos, 0 AS isq FROM occ),
+       |nx AS (
+       |  SELECT query_id, doc, term, pos, isq,
+       |    min(CASE WHEN isq = 0 THEN pos END) OVER (
+       |      PARTITION BY query_id, doc, term
+       |      ORDER BY pos, isq DESC
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+       |  FROM un),
+       |spans AS (
+       |  SELECT query_id, doc, pos, count(nxt) AS cov,
+       |    max(nxt) AS e
+       |  FROM nx WHERE isq = 1 GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT s.query_id, s.doc, min(s.e - s.pos + 1) AS min_span
+       |  FROM spans s JOIN qm USING (query_id)
+       |  WHERE s.cov = qm.m GROUP BY 1, 2)
+       |SELECT query_id, doc AS doc_id, min_span,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY min_span, doc) AS INT) AS rank
+       |FROM best
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY min_span, doc) <= 5
+       |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    Retrieval.buildPositionalIndex(d.filter(col("doc_id") >= 5), "doc_id",
+      "text", "graft_x270_positions")
+    Retrieval.minSpanTopK(s, "graft_x270_positions",
+      Seq((1L, "dup batch"), (2L, "spark window group"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", k = 5)
+  }
+
+  // THE composition certificate for the whole index story: one harness
+  // stream-ingests the FAMILY from a file feed (postings + positional
+  // sibling + champion lists), deletes a slice (one takedown call,
+  // tombstones mirrored family-wide), appends a late batch (sibling +
+  // champions ride), compacts (survivor rewrite, companion rebuild,
+  // tombstones reclaimed) — then serves sequential-dependence ranking
+  // from what remains. The oracle is x261's three-frame SDM replay on
+  // the FINAL SURVIVOR corpus from scratch: if any lifecycle step leaks
+  // a deleted doc, loses an appended one, or drifts a stat, the fusion
+  // scores flip the hash.
+  private val x271 = Q("x271_streamed_family_chain", Some {
+    val survivors = "doc_id >= 5 AND doc_id % 10 <> 7"
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5, corpusWhere = survivors)},
+       |base2 AS (
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
+       |  WHERE $survivors),
+       |pos AS (
+       |  SELECT doc_id AS doc, ws[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+       |  FROM base2, unnest(range(1, n + 1)) AS r(i)),
+       |h AS MATERIALIZED (
+       |  SELECT qt.query_id, p.doc, p.token, p.pos
+       |  FROM pos p JOIN qt USING (token)),
+       |po AS (
+       |  SELECT a.query_id, a.doc, CAST(count(*) AS BIGINT) AS no
+       |  FROM h a JOIN h b ON a.query_id = b.query_id AND a.doc = b.doc
+       |    AND a.token <> b.token AND b.pos - a.pos BETWEEN 1 AND 3
+       |  GROUP BY a.query_id, a.doc),
+       |pu AS (
+       |  SELECT a.query_id, a.doc, CAST(count(*) AS BIGINT) AS nu
+       |  FROM h a JOIN h b ON a.query_id = b.query_id AND a.doc = b.doc
+       |    AND a.token < b.token AND abs(a.pos - b.pos) <= 3
+       |  GROUP BY a.query_id, a.doc),
+       |comb AS (
+       |  SELECT s.query_id, s.doc, s.matched_terms,
+       |    coalesce(po.no, 0) AS no, coalesce(pu.nu, 0) AS nu,
+       |    CAST(0.8::DOUBLE * CAST(s.s AS DOUBLE)
+       |      + 0.1::DOUBLE * ln(1.0::DOUBLE +
+       |          CAST(coalesce(po.no, 0) AS DOUBLE))
+       |      + 0.1::DOUBLE * ln(1.0::DOUBLE +
+       |          CAST(coalesce(pu.nu, 0) AS DOUBLE))
+       |      AS DECIMAL(28,18)) AS sc
+       |  FROM scored s
+       |    LEFT JOIN po ON po.query_id = s.query_id AND po.doc = s.doc
+       |    LEFT JOIN pu ON pu.query_id = s.query_id AND pu.doc = s.doc)
+       |SELECT query_id, doc AS doc_id,
+       |  round(CAST(sc AS DOUBLE), 4) AS score, matched_terms,
+       |  no AS n_ordered, nu AS n_unordered,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sc DESC, doc) AS INT) AS rank
+       |FROM comb
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY sc DESC, doc) <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val tbl = "graft_x271_postings"
+    // 80% of the corpus arrives as a 4-file stream maintaining the
+    // whole family; doc ids ≡ 7 (mod 10) are all in this slice
+    val feed = java.nio.file.Files
+      .createTempDirectory("graft_x271_feed").toString
+    d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
+      .repartition(4).write.mode("overwrite").parquet(feed)
+    Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text", tbl,
+      withPositional = true, champTopN = 1000000)
+    // takedown: one call silences BM25 + phrase + proximity + champions
+    Retrieval.deleteFromPostingsIndex(s,
+      d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id", tbl)
+    // the late 20% batch appends through the same family path
+    Retrieval.appendToPostingsIndex(
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
+      "doc_id", "text", tbl)
+    // physical reclaim + companion rebuild-from-truth
+    Retrieval.compactPostingsIndex(s, tbl)
+    Retrieval.sdmTopK(s, tbl, d.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 5, window = 3)
+      .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
-    x265, x266, x267)
+    x264, x265, x266, x267, x270, x271)
 }

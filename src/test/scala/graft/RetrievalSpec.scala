@@ -708,4 +708,74 @@ class RetrievalSpec extends SparkSpec {
     assert(score() == first)
     assert(spark.table(s"${t}_docs").count() == nDocs)
   }
+
+  test("minSpanTopK: exact minimal covers, strict all-terms gate, and " +
+    "the span-vs-proximity contrast") {
+    val docs = Seq(
+      (40L, "alpha beta gamma"),
+      (41L, "alpha x x x x gamma"),
+      (42L, "gamma alpha"),
+      (43L, "alpha alpha gamma"),
+      (44L, "alpha only here"),
+      (45L, "alpha gamma alpha gamma")).toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_span", buckets = 4)
+    val q = Seq((1L, "alpha gamma")).toDF("doc_id", "text")
+    val spans = Retrieval.minSpanTopK(spark, "graft_test_span", q,
+        "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("min_span")).toMap
+    // hand-computed minimal covers; doc 44 (missing 'gamma') excluded
+    assert(spans == Map(40L -> 3L, 41L -> 6L, 42L -> 2L, 43L -> 2L,
+      45L -> 2L), s"got $spans")
+    // rank: span asc, doc id tie-break
+    val ranked = Retrieval.minSpanTopK(spark, "graft_test_span", q,
+        "doc_id", "text", k = 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ranked == Seq(42L, 43L, 45L, 40L, 41L))
+    // contrast with windowed proximity: doc 41's terms sit 5 apart, so
+    // the window=3 pair count can't see it at all — the span ranker can
+    val prox = Retrieval.proximityTopK(spark, "graft_test_span", q,
+        "doc_id", "text", k = 10, window = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!prox.contains(41L) && spans.contains(41L),
+      "span must rank the wide-cover doc proximity cannot see")
+    // single-term query: every containing doc covers at span 1
+    val one = Retrieval.minSpanTopK(spark, "graft_test_span",
+        Seq((2L, "beta")).toDF("doc_id", "text"), "doc_id", "text", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("min_span")).toMap
+    assert(one == Map(40L -> 1L))
+    // a query term absent from the whole corpus empties the ranking
+    assert(Retrieval.minSpanTopK(spark, "graft_test_span",
+      Seq((3L, "alpha zzzmissing")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 5).isEmpty)
+  }
+
+  test("pairCounts occurrence cap: a bigram-spamming doc is bounded at " +
+    "cap-squared work, honest docs are untouched, default off") {
+    // doc 50 spams the bigram 60 times (3600 in-window ordered pairs
+    // uncapped); doc 51 mentions it twice
+    val spam = ("red fox " * 60).trim
+    val docs = Seq((50L, spam), (51L, "red fox jumps and red fox sits"))
+      .toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_cap", buckets = 4)
+    val q = Seq((1L, "red fox")).toDF("doc_id", "text")
+    def counts(cap: Int) = Retrieval.orderedPairTopK(spark,
+        "graft_test_cap", q, "doc_id", "text", k = 10, window = 3,
+        maxOccPerToken = cap)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_ordered_pairs")).toMap
+    val uncapped = counts(0)
+    val capped = counts(5)
+    // spam doc: uncapped blows up with its occurrence count; the cap
+    // bounds it by cap^2 regardless of spam length
+    assert(uncapped(50L) > 100L, s"fixture drift: ${uncapped(50L)}")
+    assert(capped(50L) <= 25L, s"cap leaked: ${capped(50L)}")
+    // the honest doc's occurrences are all under the cap: identical count
+    assert(capped(51L) == uncapped(51L))
+    // default (0) is the uncapped semantics the oracles replay
+    assert(counts(0) == uncapped)
+  }
 }
