@@ -1163,43 +1163,47 @@ object RetrievalQueries {
   }
 
   /** The skewed-token serving pair (x266 = wand, x267 = the
-    * bm25TopKIndexed baseline): ONE query mixing the corpus's rarest
-    * token ('dup', df ≈ 5% of docs) with a near-universal one ('batch',
-    * df ≈ 80%) — the shape where MaxScore pays off, because the
-    * stopword-adjacent term's corpus-sized postings are non-essential
-    * once the rare term's top-k seeds the threshold. Same oracle both
-    * sides (wand is exact); the bench JSON carries the direct serving-
-    * cost comparison. */
+    * bm25TopKIndexed baseline): a 16-query batch, each mixing the
+    * corpus's rarest token ('dup', df ≈ 5% of docs) with a
+    * near-universal one ('batch', df ≈ 80%) — the shape where MaxScore
+    * pays off, because the stopword-adjacent term's corpus-sized
+    * postings are non-essential once the rare term's top-k seeds the
+    * threshold. The 16-way batch makes SERVING dominate the shared
+    * index build, so the bench JSON carries a meaningful serving-cost
+    * comparison (the full scorer aggregates 16 × postings('batch')
+    * rows; wand aggregates 16 × the pruned candidate set). Same oracle
+    * both sides — wand is exact. */
   private val skewedQt =
     """
-      |  SELECT CAST(1 AS BIGINT) AS query_id, u.w AS token
-      |  FROM unnest(['dup', 'batch']) AS u(w)""".stripMargin
+      |  SELECT CAST(r.i AS BIGINT) AS query_id, u.w AS token
+      |  FROM range(1, 17) AS r(i), unnest(['dup', 'batch']) AS u(w)""".stripMargin
   private val skewedOracle =
     s"""WITH ${bm25Cte(nQueries = 0, k = 5, qtSql = skewedQt)}
        |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin
 
+  private def skewedQueries(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (1 to 16).map(i => (i.toLong, "dup batch")).toDF("doc_id", "text")
+  }
+
   private val x266 = Q("x266_wand_skewed", Some(skewedOracle)) {
     (s, dir) =>
-      import s.implicits._
       val d = t(s, dir, "documents")
       Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
         "text", "graft_x266_postings")
       Retrieval.buildImpactBounds(s, "graft_x266_postings")
-      Retrieval.wandTopK(s, "graft_x266_postings",
-          Seq((1L, "dup batch")).toDF("doc_id", "text"),
+      Retrieval.wandTopK(s, "graft_x266_postings", skewedQueries(s),
           "doc_id", "text", k = 5)
         .orderBy("query_id", "rank")
   }
 
   private val x267 = Q("x267_bm25_skewed_baseline", Some(skewedOracle)) {
     (s, dir) =>
-      import s.implicits._
       val d = t(s, dir, "documents")
       Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
         "text", "graft_x267_postings")
       Retrieval.bm25TopKIndexed(s, "graft_x267_postings",
-          Seq((1L, "dup batch")).toDF("doc_id", "text"),
-          "doc_id", "text", k = 5)
+          skewedQueries(s), "doc_id", "text", k = 5)
         .orderBy("query_id", "rank")
   }
 
