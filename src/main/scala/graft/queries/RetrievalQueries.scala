@@ -1335,8 +1335,14 @@ object RetrievalQueries {
       .createTempDirectory("graft_x271_feed").toString
     d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
       .repartition(4).write.mode("overwrite").parquet(feed)
+    // champions ride at a REALISTIC capped topN: the chain certifies the
+    // maintenance paths compose (seed → per-batch refresh → tombstone
+    // filter → compaction rewrite); the equality gate is sdmTopK, which
+    // never reads `_champ` — x264 owns the uncapped champion-equality
+    // gate, so paying 4 uncapped corpus-sized refreshes here bought
+    // nothing but wall-clock
     Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text", tbl,
-      withPositional = true, champTopN = 1000000)
+      withPositional = true, champTopN = 8)
     // takedown: one call silences BM25 + phrase + proximity + champions
     Retrieval.deleteFromPostingsIndex(s,
       d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id", tbl)

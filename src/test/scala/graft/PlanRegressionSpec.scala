@@ -704,6 +704,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(read.count() == 2)
   }
 
+  test("x270 min-span windows are partitioned (never a global sort) " +
+    "and the query side broadcasts into the positional scan") {
+    val p = plan("x270_min_span_rank")
+    // every window spec must partition: the next-occurrence window by
+    // (query, doc, term), the rank window by query — an ungrouped
+    // window here would funnel the corpus through one partition
+    val ungrouped = """windowspecdefinition\(([^,]*) (ASC|DESC)""".r
+    val hits = ungrouped.findAllMatchIn(p).map(_.group(1)).toList
+    assert(hits.isEmpty, s"ungrouped windows:\n$hits")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"), "span join went cartesian")
+  }
+
   test("x265 wand final aggregate consumes the pruned candidate set " +
     "(semi join feeds the scoring aggregate), query side broadcast") {
     val p = plan("x265_wand_topk")
