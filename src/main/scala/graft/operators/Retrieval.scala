@@ -353,7 +353,8 @@ object Retrieval {
     // directly), and a stale positional sibling would do the same for
     // phrase search. Rebuild order: postings first, then
     // [[buildPositionalIndex]] / [[buildChampionLists]].
-    Seq("_tomb", "_champ", "_champ_meta", "_pos", "_pos_tomb", "_ub")
+    Seq("_tomb", "_champ", "_champ_meta", "_pos", "_pos_tomb", "_ub",
+        "_bm", "_bm_meta")
       .foreach(s => dropTableWithDir(spark, s"$table$s"))
   }
 
@@ -555,6 +556,26 @@ object Retrieval {
         .localCheckpoint(eager = true)
       replaceSmallTable(mergedUb, s"${table}_ub")
     }
+    // block-max bounds (see [[buildBlockMax]]): the same associative
+    // extremes merge, at (token, block) granularity — block membership
+    // is a pure hash of the doc id, so the batch's rows land in the
+    // same blocks a rebuild would put them in
+    if (spark.catalog.tableExists(s"${table}_bm")) {
+      val nBlocks = spark.table(s"${table}_bm_meta")
+        .head().getAs[Int]("n_blocks")
+      val batchBm = tf
+        .groupBy(col("token"), blockOf(col("doc"), nBlocks).as("block"))
+        .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"))
+      val mergedBm = spark.table(s"${table}_bm")
+        .join(batchBm, Seq("token", "block"), "full_outer")
+        .select(col("token"), col("block"),
+          greatest(coalesce(col("max_tf"), lit(0L)),
+            coalesce(col("__btf"), lit(0L))).as("max_tf"),
+          least(coalesce(col("min_dl"), lit(Long.MaxValue)),
+            coalesce(col("__bdl"), lit(Long.MaxValue))).as("min_dl"))
+        .localCheckpoint(eager = true)
+      replaceSmallTable(mergedBm, s"${table}_bm")
+    }
     // positional sibling (see [[buildPositionalIndex]]): occurrence rows
     // are per-doc, so the sibling appends batch-only too
     if (spark.catalog.tableExists(s"${table}_pos"))
@@ -723,6 +744,9 @@ object Retrieval {
     // stale-but-valid bounds regain their pruning power here)
     if (spark.catalog.tableExists(s"${table}_ub"))
       buildImpactBounds(spark, table)
+    if (spark.catalog.tableExists(s"${table}_bm"))
+      buildBlockMax(spark, table, spark.table(s"${table}_bm_meta")
+        .head().getAs[Int]("n_blocks"))
     dropTableWithDir(spark, tombT)
     dropTableWithDir(spark, stagingP)
     dropTableWithDir(spark, stagingD)
@@ -892,6 +916,9 @@ object Retrieval {
       replaceSmallTable(livePostings(spark, table).groupBy("token")
           .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl")),
         s"${table}_ub")
+    if (spark.catalog.tableExists(s"${table}_bm"))
+      buildBlockMax(spark, table, spark.table(s"${table}_bm_meta")
+        .head().getAs[Int]("n_blocks"))
   }
 
   /** THE production deploy shape for index ingest: tail a parquet FEED
@@ -1237,6 +1264,14 @@ object Retrieval {
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
     val rows = bm25TermRows(spark, table, qTerms, k1, b)
     val cand = wandCandidateDocs(spark, table, qTerms, rows, k, k1, b)
+    rankCandidates(rows, cand, k)
+  }
+
+  /** Score a pruned candidate set FULLY against the shared term rows and
+    * rank-cap to top-k — [[wandTopK]] / [[bmwTopK]]'s common exact tail
+    * (the output shape is [[bm25TopKIndexed]]'s). */
+  private def rankCandidates(rows: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
     rows.join(cand, Seq("query_id", "doc"), "left_semi")
       .groupBy("query_id", "doc")
@@ -1248,6 +1283,32 @@ object Retrieval {
         col("matched_terms"), col("rank"))
   }
 
+  /** A term's BM25 impact upper bound at CURRENT corpus stats from
+    * stored (max_tf, min_dl) extremes — shared by the global `_ub` and
+    * per-block `_bm` pruning paths so both bound with the IDENTICAL
+    * expression tree. Expects `df`, `n_corpus`, `total_dl` columns in
+    * scope (the vocab row and broadcast stats joined alongside). The
+    * impact formula is increasing in tf and decreasing in dl, so the
+    * extremes dominate every posting they were aggregated over. */
+  private def impactUb(maxTf: Column, minDl: Column, k1: Double,
+      b: Double): Column =
+    (log(lit(1.0) +
+      (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) *
+      (maxTf.cast("double") * lit(k1 + 1.0)) /
+      (maxTf.cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * minDl.cast("double") /
+          (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
+
+  /** MaxScore's pruning state, factored so [[bmwTopK]]'s block
+    * refinement can reuse the seed docs and threshold without
+    * recomputing them: `candidates` is the seed ∪ essential-match union,
+    * `seedDocs` the rarest-term docs (unconditionally kept — they are
+    * exactly scored), `theta` one margin-free (query_id, __theta) row
+    * per query that seeded a full k (absent rows prune nothing). */
+  private case class MaxScoreState(candidates: DataFrame,
+      seedDocs: DataFrame, theta: DataFrame)
+
   /** [[wandTopK]]'s pruned candidate set (query_id, doc) — steps 1-4's
     * seed ∪ essential-match union, factored out so the pruning itself is
     * directly testable (WandSpec asserts it excludes the
@@ -1255,20 +1316,18 @@ object Retrieval {
   private[graft] def wandCandidateDocs(
       spark: org.apache.spark.sql.SparkSession, table: String,
       qTerms: DataFrame, rows: DataFrame, k: Int, k1: Double,
-      b: Double): DataFrame = {
+      b: Double): DataFrame =
+    maxScorePruning(spark, table, qTerms, rows, k, k1, b).candidates
+
+  private def maxScorePruning(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      qTerms: DataFrame, rows: DataFrame, k: Int, k1: Double,
+      b: Double): MaxScoreState = {
     require(spark.catalog.tableExists(s"${table}_ub"),
       s"wandTopK needs ${table}_ub — run buildImpactBounds first")
     val qTok = broadcast(qTerms.select("token").distinct())
     val stats = broadcast(spark.table(s"${table}_stats"))
     // 1) per-(query, term) upper bounds at current stats (margined)
-    val ubRaw =
-      (log(lit(1.0) +
-        (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))) *
-        (col("max_tf").cast("double") * lit(k1 + 1.0)) /
-        (col("max_tf").cast("double") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("min_dl").cast("double") /
-            (col("total_dl").cast("double") / col("n_corpus").cast("double")))))
     val ub = broadcast(qTerms
       .join(broadcast(spark.table(s"${table}_tok").join(qTok, "token")),
         "token")
@@ -1276,7 +1335,8 @@ object Retrieval {
         "token")
       .crossJoin(stats)
       .select(col("query_id"), col("token"), col("df"),
-        (ubRaw * lit(1.0 + 1e-9) + lit(1e-12)).as("__ub")))
+        (impactUb(col("max_tf"), col("min_dl"), k1, b) * lit(1.0 + 1e-9) +
+          lit(1e-12)).as("__ub")))
     // 2) rarest-term seed docs → exact scores → θ = k-th best
     val rare = broadcast(ub
       .withColumn("__rr", row_number().over(Window.partitionBy("query_id")
@@ -1304,9 +1364,116 @@ object Retrieval {
         coalesce(col("__theta"), lit(0.0)) * lit(1.0 - 1e-9) - lit(1e-12))
       .select("query_id", "token"))
     // 4) candidates = seed ∪ essential matches
-    rows.join(ess, Seq("query_id", "token"), "left_semi")
+    MaxScoreState(
+      rows.join(ess, Seq("query_id", "token"), "left_semi")
+        .select("query_id", "doc")
+        .unionByName(seedDocs).distinct(),
+      seedDocs, theta)
+  }
+
+  /** A document's pruning block: stable hash shard of the doc id. The
+    * classic block-max layout blocks a posting list by POSITION (doc-id
+    * runs), but positional blocks are not maintainable under the
+    * generational lifecycle — an append would re-rank every run. Hash
+    * shards keep block membership a pure function of the doc id, so
+    * append merges extremes per (token, block) associatively and a
+    * delete leaves stale-but-valid bounds, exactly the `_ub` contract
+    * at block granularity. */
+  private def blockOf(doc: Column, nBlocks: Int): Column =
+    pmod(xxhash64(doc), lit(nBlocks.toLong))
+
+  /** Per-(token, block) impact-bound companion `<table>_bm`
+    * `(token, block, max_tf, min_dl)` + 1-row `<table>_bm_meta`
+    * `(n_blocks)` — the Block-Max refinement of [[buildImpactBounds]]'
+    * global per-token extremes (Ding & Suel 2011's block-max skipping,
+    * re-expressed for the batch plan: instead of cursor skips, the
+    * per-block bounds shrink [[bmwTopK]]'s candidate set below
+    * MaxScore's). One high-tf outlier doc inflates the GLOBAL bound of
+    * its token for every candidate; with blocks it inflates only the
+    * bound of the one block the outlier hashes into — candidates in the
+    * other nBlocks−1 blocks keep tight bounds and prune.
+    *
+    * Size: ≤ |vocab| × nBlocks rows (vocab-sized-companion class;
+    * nBlocks trades memory for pruning power). Maintenance mirrors
+    * `_ub`: append merges greatest/least per (token, block); delete
+    * leaves bounds stale-but-valid; compaction and the stream-ingest
+    * repair rebuild from surviving truth. */
+  def buildBlockMax(spark: org.apache.spark.sql.SparkSession,
+      table: String, nBlocks: Int = 64): Unit = {
+    require(nBlocks >= 1, "nBlocks must be >= 1")
+    replaceSmallTable(livePostings(spark, table)
+        .groupBy(col("token"), blockOf(col("doc"), nBlocks).as("block"))
+        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl")),
+      s"${table}_bm")
+    replaceSmallTable(
+      spark.range(1).select(lit(nBlocks).as("n_blocks")),
+      s"${table}_bm_meta")
+  }
+
+  /** EXACT BM25 top-k with Block-Max pruning — [[wandTopK]]'s MaxScore
+    * candidates refined through the per-(token, block) bounds of
+    * [[buildBlockMax]]: a candidate doc whose matched rows' summed
+    * BLOCK bounds cannot reach θ is dropped before the exact scoring
+    * aggregate (its true score ≤ the block-bound sum < θ, so it can
+    * never displace the seeded top-k, ties included — seed docs are
+    * unconditionally kept and every comparison carries the same FP
+    * slack as MaxScore's). Survivors score FULLY, so the output is
+    * [[bm25TopKIndexed]]'s verbatim — x272 gates it on the x171 oracle.
+    *
+    * Scale shape: one extra broadcast join of the candidate term rows
+    * against the ≤ |q-terms| × nBlocks bound slice plus one
+    * candidate-bounded aggregate — every pass still postings-bounded. A
+    * missing (token, block) bound row (impossible after a correct
+    * lifecycle, cheap insurance regardless) falls back to +∞, which
+    * keeps the doc: absence must never prune. */
+  def bmwTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val rows = bm25TermRows(spark, table, qTerms, k1, b)
+    val cand = bmwCandidateDocs(spark, table, qTerms, rows, k, k1, b)
+    rankCandidates(rows, cand, k)
+  }
+
+  /** [[bmwTopK]]'s candidate set — MaxScore's, minus the docs the block
+    * bounds disqualify. Factored out so BlockMaxSpec can assert the
+    * refinement is a strict subset on a block-skewed fixture. */
+  private[graft] def bmwCandidateDocs(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      qTerms: DataFrame, rows: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    require(spark.catalog.tableExists(s"${table}_bm"),
+      s"bmwTopK needs ${table}_bm — run buildBlockMax first")
+    val st = maxScorePruning(spark, table, qTerms, rows, k, k1, b)
+    val nBlocks = spark.table(s"${table}_bm_meta")
+      .head().getAs[Int]("n_blocks")
+    val qTok = broadcast(qTerms.select("token").distinct())
+    val stats = broadcast(spark.table(s"${table}_stats"))
+    // per-(query, token, block) margined bounds at CURRENT stats
+    val bub = broadcast(qTerms
+      .join(broadcast(spark.table(s"${table}_tok").join(qTok, "token")),
+        "token")
+      .join(broadcast(spark.table(s"${table}_bm").join(qTok, "token")),
+        "token")
+      .crossJoin(stats)
+      .select(col("query_id"), col("token"), col("block"),
+        (impactUb(col("max_tf"), col("min_dl"), k1, b) * lit(1.0 + 1e-9) +
+          lit(1e-12)).as("__bub")))
+    // per-candidate bound = Σ over its MATCHED rows of the row's block
+    // bound (each true term impact ≤ its block bound by monotonicity)
+    val bound = rows.join(st.candidates, Seq("query_id", "doc"),
+        "left_semi")
+      .withColumn("block", blockOf(col("doc"), nBlocks))
+      .join(bub, Seq("query_id", "token", "block"), "left")
+      .groupBy("query_id", "doc")
+      .agg(sum(coalesce(col("__bub"), lit(Double.MaxValue))).as("__db"))
+    bound.join(st.theta, Seq("query_id"), "left")
+      .filter(col("__db") >=
+        coalesce(col("__theta"), lit(0.0)) * lit(1.0 - 1e-9) - lit(1e-12))
       .select("query_id", "doc")
-      .unionByName(seedDocs).distinct()
+      .unionByName(st.seedDocs).distinct()
   }
 
   /** Per-query recall of an approximate ranking against an exact one —

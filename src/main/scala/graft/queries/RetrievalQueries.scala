@@ -1357,8 +1357,45 @@ object RetrievalQueries {
       .orderBy("query_id", "rank")
   }
 
+  // Block-Max pruning on top of MaxScore: per-(token, hash-block)
+  // (max_tf, min_dl) bounds disqualify candidate docs whose summed block
+  // bounds cannot reach the seeded threshold — a strictly tighter
+  // candidate set than x265's global bounds (one high-tf outlier doc
+  // inflates only its OWN block's bound). Survivors still score fully,
+  // so EXACTNESS is again the algorithm's guarantee and the oracle is
+  // x171's full-corpus BM25 verbatim.
+  private val x272 = Q("x272_blockmax_topk", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x272_postings")
+      Retrieval.buildImpactBounds(s, "graft_x272_postings")
+      Retrieval.buildBlockMax(s, "graft_x272_postings", nBlocks = 16)
+      Retrieval.bmwTopK(s, "graft_x272_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
+  // The skewed-token serving batch (x266's 16 queries) under Block-Max:
+  // completes the serving triple x267 (full scan) > x266 (MaxScore) >
+  // x273 (Block-Max) over the same oracle — the bench JSON carries the
+  // three-way serving-cost comparison on the identical query load.
+  private val x273 = Q("x273_blockmax_skewed", Some(skewedOracle)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      Retrieval.buildPostingsIndex(d.filter(col("doc_id") >= 5), "doc_id",
+        "text", "graft_x273_postings")
+      Retrieval.buildImpactBounds(s, "graft_x273_postings")
+      Retrieval.buildBlockMax(s, "graft_x273_postings", nBlocks = 16)
+      Retrieval.bmwTopK(s, "graft_x273_postings", skewedQueries(s),
+          "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
-    x264, x265, x266, x267, x270, x271)
+    x264, x265, x266, x267, x270, x271, x272, x273)
 }

@@ -730,4 +730,17 @@ class PlanRegressionSpec extends SparkSpec {
     // postings on its account)
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(800))
   }
+
+  test("x272 block-max final aggregate consumes the refined candidate " +
+    "set; block-bound join broadcasts the (token, block) slice") {
+    val p = plan("x272_blockmax_topk")
+    // same invariant as wand's: the semi-join is what keeps the scoring
+    // aggregate candidate-bounded instead of postings-wide
+    assert(p.contains("LeftSemi"), "candidate semi-join missing:\n" +
+      p.take(800))
+    // the per-block bound slice and query terms broadcast — the
+    // corpus-sized postings never shuffle on the bound join's account
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
