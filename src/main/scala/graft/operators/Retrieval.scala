@@ -1880,6 +1880,24 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val best = coveredSpans(spark, table, qTerms)
+      .groupBy("query_id", "doc")
+      .agg(min(col("__span")).as("min_span"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("min_span"), col("doc"))
+    best.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"), col("min_span"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[minSpanTopK]]'s covered-start frame, shared with
+    * [[minSpanSnippets]]: one row per (query_id, doc, pos) start whose
+    * forced cover contains every query term, carrying `__end` (the
+    * forced last position) and `__span` (= end − pos + 1). */
+  private def coveredSpans(spark: org.apache.spark.sql.SparkSession,
+      table: String, qTerms: DataFrame): DataFrame = {
     val qm = broadcast(qTerms.groupBy("query_id")
       .agg(count(lit(1)).as("__m")))
     val occ = livePositions(spark, table).join(qTerms, "token")
@@ -1898,21 +1916,59 @@ object Retrieval {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val withNext = starts.unionByName(occs).withColumn("__next",
       min(when(col("__isq") === 0, col("pos"))).over(wNext))
-    val spans = withNext.filter(col("__isq") === 1)
+    withNext.filter(col("__isq") === 1)
       .groupBy("query_id", "doc", "pos")
       .agg(count(col("__next")).as("__cov"), max(col("__next")).as("__end"))
       .join(qm, Seq("query_id"))
       .filter(col("__cov") === col("__m")) // every term covered
-      .select(col("query_id"), col("doc"),
+      .select(col("query_id"), col("doc"), col("pos"), col("__end"),
         (col("__end") - col("pos") + lit(1L)).as("__span"))
-    val best = spans.groupBy("query_id", "doc")
-      .agg(min(col("__span")).as("min_span"))
-    val w = Window.partitionBy("query_id")
+  }
+
+  /** Snippet (passage) EXTRACTION from the positional index — the
+    * serving half of [[minSpanTopK]]: per query, the top-k docs by
+    * minimal span, each carrying its best window's bounds AND the
+    * window's exact token text reassembled from the index (the
+    * positional rows cover every position 0..dl−1 densely, so the
+    * [start, end] slice reconstructs the tokenized passage verbatim —
+    * no second scan of the document corpus, the snippet is served from
+    * the same table that found it).
+    *
+    * Best window per (query, doc) = smallest span, EARLIEST start on
+    * ties (the deterministic snippet convention); docs rank by
+    * (min_span, doc) exactly like [[minSpanTopK]], so row k here is doc
+    * k there. Scale shape: span discovery is [[coveredSpans]]'
+    * (m × Σ occurrences(q-terms)); the reassembly joins the positional
+    * scan against the BROADCAST (queries × k)-row winner frame with a
+    * position-range conjunct — one corpus-bounded pass, snippet length
+    * bounded by the span (a query answered in one breath reads one
+    * breath). Exact strings and integers — hash-gateable (x274). */
+  def minSpanSnippets(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val wBest = Window.partitionBy("query_id", "doc")
+      .orderBy(col("__span"), col("pos"))
+    val wRank = Window.partitionBy("query_id")
       .orderBy(col("min_span"), col("doc"))
-    best.withColumn("rank", row_number().over(w))
+    val top = coveredSpans(spark, table, qTerms)
+      .withColumn("__br", row_number().over(wBest))
+      .filter(col("__br") === 1)
+      .select(col("query_id"), col("doc"), col("pos").as("start_pos"),
+        col("__end"), col("__span").as("min_span"))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
+    livePositions(spark, table)
+      .join(broadcast(top), Seq("doc"))
+      .filter(col("pos") >= col("start_pos") && col("pos") <= col("__end"))
+      .groupBy("query_id", "doc", "start_pos", "min_span", "rank")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"),
+          col("token")))), s => s.getField("token")), " ").as("snippet"))
       .select(col("query_id"), col("doc").as("doc_id"), col("min_span"),
-        col("rank"))
+        col("start_pos"), col("snippet"), col("rank"))
       .orderBy("query_id", "rank")
   }
 

@@ -1394,8 +1394,82 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Snippet extraction — the serving half of x270's minimal spans: the
+  // top docs by smallest cover, each with its best window's bounds and
+  // the window's token text REASSEMBLED FROM THE POSITIONAL INDEX
+  // (dense positions make the [start, end] slice the exact tokenized
+  // passage — no second corpus scan). Best window = smallest span,
+  // earliest start on ties. The oracle replays span discovery, the
+  // per-doc window pick, the rank, and the string_agg reassembly.
+  private val x274 = Q("x274_min_span_snippets", Some(
+    s"""WITH base AS (
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
+       |  WHERE doc_id >= 5),
+       |pos AS (
+       |  SELECT doc_id AS doc, ws[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+       |  FROM base, unnest(range(1, n + 1)) AS r(i)),
+       |qt AS (
+       |  SELECT CAST(1 AS BIGINT) AS query_id, u.w AS token
+       |  FROM unnest(['dup', 'batch']) AS u(w)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), u.w
+       |  FROM unnest(['spark', 'window', 'group']) AS u(w)),
+       |qm AS (SELECT query_id, count(*) AS m FROM qt GROUP BY 1),
+       |occ AS MATERIALIZED (
+       |  SELECT qt.query_id, p.doc, p.token, p.pos
+       |  FROM pos p JOIN qt USING (token)),
+       |st AS (
+       |  SELECT o.query_id, o.doc, q2.token AS term, o.pos,
+       |    1 AS isq
+       |  FROM (SELECT DISTINCT query_id, doc, pos FROM occ) o
+       |  JOIN qt q2 USING (query_id)),
+       |un AS (
+       |  SELECT * FROM st
+       |  UNION ALL
+       |  SELECT query_id, doc, token AS term, pos, 0 AS isq FROM occ),
+       |nx AS (
+       |  SELECT query_id, doc, term, pos, isq,
+       |    min(CASE WHEN isq = 0 THEN pos END) OVER (
+       |      PARTITION BY query_id, doc, term
+       |      ORDER BY pos, isq DESC
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+       |  FROM un),
+       |spans AS (
+       |  SELECT query_id, doc, pos, count(nxt) AS cov,
+       |    max(nxt) AS e
+       |  FROM nx WHERE isq = 1 GROUP BY 1, 2, 3),
+       |bestw AS (
+       |  SELECT s.query_id, s.doc, s.pos AS start_pos, s.e,
+       |    s.e - s.pos + 1 AS min_span
+       |  FROM spans s JOIN qm USING (query_id)
+       |  WHERE s.cov = qm.m
+       |  QUALIFY row_number() OVER (PARTITION BY s.query_id, s.doc
+       |    ORDER BY s.e - s.pos + 1, s.pos) = 1),
+       |topd AS (
+       |  SELECT query_id, doc, start_pos, e, min_span,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY min_span, doc) AS INT) AS rank
+       |  FROM bestw
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY min_span, doc) <= 5)
+       |SELECT t.query_id, t.doc AS doc_id, t.min_span, t.start_pos,
+       |  string_agg(p.token, ' ' ORDER BY p.pos) AS snippet, t.rank
+       |FROM topd t JOIN pos p ON p.doc = t.doc
+       |  AND p.pos BETWEEN t.start_pos AND t.e
+       |GROUP BY t.query_id, t.doc, t.min_span, t.start_pos, t.rank
+       |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    Retrieval.buildPositionalIndex(d.filter(col("doc_id") >= 5), "doc_id",
+      "text", "graft_x274_positions")
+    Retrieval.minSpanSnippets(s, "graft_x274_positions",
+      Seq((1L, "dup batch"), (2L, "spark window group"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", k = 5)
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
-    x264, x265, x266, x267, x270, x271, x272, x273)
+    x264, x265, x266, x267, x270, x271, x272, x273, x274)
 }

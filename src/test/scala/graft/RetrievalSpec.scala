@@ -752,6 +752,34 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", k = 5).isEmpty)
   }
 
+  test("minSpanSnippets: the best window's token slice is served from " +
+    "the index, smallest span with earliest start on ties") {
+    val docs = Seq(
+      (40L, "alpha beta gamma"),
+      (41L, "alpha x x x x gamma"),
+      (42L, "gamma alpha"),
+      (43L, "alpha alpha gamma"),
+      (44L, "alpha only here"),
+      (45L, "alpha gamma alpha gamma")).toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_snip", buckets = 4)
+    val q = Seq((1L, "alpha gamma")).toDF("doc_id", "text")
+    val got = Retrieval.minSpanSnippets(spark, "graft_test_snip", q,
+        "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("min_span"), r.getAs[Long]("start_pos"),
+          r.getAs[String]("snippet"), r.getAs[Int]("rank")))).toMap
+    assert(got == Map(
+      // doc 43: span-2 window starts at 1, NOT the span-3 start at 0
+      43L -> ((2L, 1L, "alpha gamma", 2)),
+      // doc 45: two span-2 windows (starts 0 and 2) — earliest wins
+      45L -> ((2L, 0L, "alpha gamma", 3)),
+      42L -> ((2L, 0L, "gamma alpha", 1)),
+      40L -> ((3L, 0L, "alpha beta gamma", 4)),
+      // the snippet reconstructs NON-query tokens inside the window too
+      41L -> ((6L, 0L, "alpha x x x x gamma", 5))), s"got $got")
+  }
+
   test("pairCounts occurrence cap: a bigram-spamming doc is bounded at " +
     "cap-squared work, honest docs are untouched, default off") {
     // doc 50 spams the bigram 60 times (3600 in-window ordered pairs
