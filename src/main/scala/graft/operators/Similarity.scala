@@ -775,6 +775,139 @@ object Similarity {
     centroidsFromState(spark.table(s"${table}_cstate"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
+    // a rebuilt index must not inherit a previous incarnation's
+    // quantized serving companions (the stale-champion defect class):
+    // the grid and codes describe the OLD corpus
+    Seq("_codes", "_cdims", "_cmeta")
+      .foreach(s => dropWithDir(spark, s"$table$s"))
+  }
+
+  /** SQ8 codes of a vector frame under `table`'s FROZEN grid
+    * (`_cdims`/`_cmeta`) — the shared quantizer of [[buildIvfCodes]]
+    * (where it sees exactly the vectors the grid was fit on) and the
+    * lifecycle maintenance paths (where out-of-grid components CLAMP
+    * into the edge buckets — the standard frozen-grid contract that
+    * keeps codes comparable across the index lifetime). Returns
+    * (idCol, cellCol, code array<smallint> in dim order). */
+  private def sqCodesOf(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, idCol: String, cellCol: String, vecCol: String,
+      table: String): DataFrame = {
+    val dims = broadcast(spark.table(s"${table}_cdims"))
+    val levels = spark.table(s"${table}_cmeta").head()
+      .getAs[Int]("levels")
+    df.select(col(idCol), col(cellCol),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .join(dims, "pos")
+      .withColumn("qc", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(greatest(lit(0L),
+          least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) *
+            lit(levels)), lit((levels - 1).toLong)))))
+      .groupBy(col(idCol), col(cellCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("qc")))),
+        s => s.getField("qc").cast("smallint")).as("code"))
+  }
+
+  /** Quantized serving companion for a [[buildIvfIndex]] index: a
+    * `<table>_codes` table `(id, code array<smallint>, cell)` — SQ8
+    * codes partitioned by the SAME cells as the full-precision vectors —
+    * plus the frozen grid `_cdims (pos, lo, hi)` and 1-row
+    * `_cmeta (levels)`. This is the memory/IO story of a 100 TB ANN
+    * deployment: the probe-time scan reads 2 bytes per dimension instead
+    * of 8 (float64) — the full-precision table is touched only for the
+    * final `rescore`-row exact pass of [[ivfTopKQuantized]].
+    *
+    * Grid semantics: per-dim (lo, hi) fit over the CURRENT index corpus
+    * and then FROZEN — appended vectors quantize into the same grid
+    * (edge-bucket clamp), so codes stay mutually comparable; re-fit by
+    * calling [[buildIvfCodes]] again. Lifecycle: append rides
+    * ([[appendToIvfIndex]] appends the batch's codes into their cell
+    * partitions), delete/upsert rewrite exactly the affected cell
+    * partitions from surviving truth, [[rebalanceIvfCells]] rebuilds the
+    * codes table to the new assignment (codes are per-row functions of
+    * the vector, so the rebuild is one corpus pass at the frozen grid —
+    * never a re-fit). */
+  def buildIvfCodes(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, cellCol: String, vecCol: String,
+      levels: Int = 256): Unit = {
+    require(levels > 1 && levels <= 32767, "levels must fit a smallint")
+    val data = spark.table(table)
+    val dims = data
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .localCheckpoint(eager = true)
+    dropWithDir(spark, s"${table}_cdims")
+    dims.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_cdims")
+    dropWithDir(spark, s"${table}_cmeta")
+    spark.range(1).select(lit(levels).as("levels"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_cmeta")
+    dropWithDir(spark, s"${table}_codes")
+    sqCodesOf(spark, data, idCol, cellCol, vecCol, table)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy(cellCol).saveAsTable(s"${table}_codes")
+  }
+
+  /** IVF search over the QUANTIZED index — the asymmetric-distance
+    * (ADC) serving path: route the query to `nprobe` cells via the
+    * broadcast centroids, scan only those cells' `_codes` partitions,
+    * score the full-precision query against bucket-center
+    * reconstructions, keep the top `rescore` candidates, and EXACT-score
+    * just those against the full-precision table — the standard
+    * two-stage quantized serve (coarse pass reads the 2-byte/dim codes,
+    * the 8-byte/dim vectors are read for `rescore` rows only). Returns
+    * (idCol, adc_cosine, cosine, rank) ranked by the EXACT cosine,
+    * id-tiebroken; `rescore` ≥ k trades the re-read volume against the
+    * chance the ADC pass mis-orders near-ties. */
+  def ivfTopKQuantized(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, cellCol: String, vecCol: String,
+      queryDf: DataFrame, k: Int, nprobe: Int, rescore: Int): DataFrame = {
+    require(k >= 1 && rescore >= k, "need rescore >= k >= 1")
+    require(spark.catalog.tableExists(s"${table}_codes"),
+      s"ivfTopKQuantized needs ${table}_codes — run buildIvfCodes first")
+    val q = broadcast(queryDf.select(asDouble(col(vecCol)).as("__qv")))
+    val probed = spark.table(s"${table}_centroids").crossJoin(q)
+      .select(col("cell"), cosine(col("centroid"), col("__qv")).as("cs"))
+      .orderBy(desc("cs"), col("cell"))
+      .limit(nprobe)
+    val levels = spark.table(s"${table}_cmeta").head()
+      .getAs[Int]("levels")
+    val codes = spark.table(s"${table}_codes")
+    val cand = codes.join(
+      broadcast(probed.select(col("cell").as("__probe_cell"))),
+      codes(cellCol) === col("__probe_cell"))
+    // bucket-center reconstruction — the dequantizedVectors formula,
+    // restricted to the probed cells
+    val deq = cand
+      .select(col(idCol), posexplode(col("code")).as(Seq("pos", "qc")))
+      .join(broadcast(spark.table(s"${table}_cdims")), "pos")
+      .withColumn("deq", col("lo") + (col("qc").cast("double") +
+        lit(0.5)) * (col("hi") - col("lo")) / lit(levels.toDouble))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("deq")))),
+        s => s.getField("deq")).as("__dv"))
+    val topR = deq.crossJoin(q)
+      .select(col(idCol),
+        cosine(col("__dv"), col("__qv")).as("adc_cosine"))
+      .orderBy(desc("adc_cosine"), col(idCol))
+      .limit(rescore)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("__cos"), col(idCol))
+    spark.table(table)
+      .join(broadcast(topR), Seq(idCol))
+      .crossJoin(q)
+      .select(col(idCol), col("adc_cosine"),
+        cosine(asDouble(col(vecCol)), col("__qv")).as("__cos"))
+      // rescore-bounded frame: the partition-less rank window holds at
+      // most `rescore` rows
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), round(col("adc_cosine"), 4).as("adc_cosine"),
+        round(col("__cos"), 4).as("cosine"), col("rank"))
+      .orderBy("rank")
   }
 
   private def dropWithDir(spark: org.apache.spark.sql.SparkSession,
@@ -841,6 +974,14 @@ object Similarity {
     centroidsFromState(spark.table(s"${table}_cstate"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
+    // quantized serving companion: the batch's codes ride the append
+    // into their cell partitions at the FROZEN grid (see
+    // [[buildIvfCodes]] — out-of-grid components clamp, never re-fit)
+    if (spark.catalog.tableExists(s"${table}_codes"))
+      sqCodesOf(spark, newData.select(col(idCol), col(cellCol),
+          col(vecCol)), idCol, cellCol, vecCol, table)
+        .write.mode("append").format("parquet")
+        .partitionBy(cellCol).saveAsTable(s"${table}_codes")
   }
 
   /** Delete vectors from a [[buildIvfIndex]] index — the lifecycle
@@ -907,6 +1048,32 @@ object Similarity {
         val v = c.toString.replace("'", "''")
         spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
           s"PARTITION (`$cellCol`='$v')")
+      }
+      // quantized serving companion: mirror the partition-bounded
+      // rewrite — affected cells' codes recomputed from the STAGED
+      // survivors at the frozen grid, vacated cells dropped by the same
+      // DDL (a stale codes partition would resurrect deleted vectors in
+      // every ADC pass)
+      if (spark.catalog.tableExists(s"${table}_codes")) {
+        val survCodes = sqCodesOf(spark, spark.table(survT), idCol,
+          cellCol, vecCol, table)
+        val ck = "spark.sql.sources.partitionOverwriteMode"
+        val prevC = spark.conf.getOption(ck)
+        spark.conf.set(ck, "dynamic")
+        try survCodes
+          .select(spark.table(s"${table}_codes").columns
+            .map(col).toIndexedSeq: _*)
+          .write.mode("overwrite").insertInto(s"${table}_codes")
+        finally prevC match {
+          case Some(v) => spark.conf.set(ck, v)
+          case None => spark.conf.unset(ck)
+        }
+        affected.filterNot(survCells).foreach { c =>
+          val v = c.toString.replace("'", "''")
+          spark.sql(s"ALTER TABLE `${table}_codes` DROP IF EXISTS " +
+            s"PARTITION (`$cellCol`='$v')")
+        }
+        spark.catalog.refreshTable(s"${table}_codes")
       }
       // merged centroid state staged DURABLY (parquet, not a
       // localCheckpoint) before its source table drops — the refineCells
@@ -1171,6 +1338,17 @@ object Similarity {
       .saveAsTable(s"${table}_centroids")
     dropWithDir(spark, stateT)
     dropWithDir(spark, stagingT)
+    // quantized serving companion: cells were split/merged, so code
+    // rows must move partitions too — rebuild the codes table to the
+    // NEW assignment at the FROZEN grid (one pass over the rebalanced
+    // table; codes are per-row functions of the vector, so no re-fit)
+    if (spark.catalog.tableExists(s"${table}_codes")) {
+      val fresh = sqCodesOf(spark, spark.table(table), idCol, cellCol,
+        vecCol, table).localCheckpoint(eager = true)
+      dropWithDir(spark, s"${table}_codes")
+      fresh.write.mode("overwrite").format("parquet")
+        .partitionBy(cellCol).saveAsTable(s"${table}_codes")
+    }
     } finally if (splitInput != null) splitInput.unpersist()
   }
 

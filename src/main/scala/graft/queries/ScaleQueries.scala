@@ -2554,11 +2554,97 @@ object ScaleQueries {
         "vec_id")
   }
 
+  /** Shared by x275/x276: the ADC two-stage serve replayed in SQL —
+    * routing (nprobe=3 by centroid cosine), bucket-center reconstruction
+    * under the grid fit on `gridWhere`'s vectors (edge-bucket CLAMP for
+    * out-of-grid components), top-20 by reconstructed cosine, exact
+    * rescore, top-10 by exact cosine, id-tiebroken. */
+  private def adcOracle(gridWhere: String): String =
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |cent AS (
+       |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+       |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+       |  GROUP BY label, i),
+       |cscore AS (
+       |  SELECT label,
+       |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+       |  FROM cent, q GROUP BY label),
+       |probe AS (SELECT label FROM cscore ORDER BY cs DESC, label LIMIT 3),
+       |e AS (
+       |  SELECT vec_id, label, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |d AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM e
+       |      WHERE $gridWhere GROUP BY pos),
+       |r AS (
+       |  SELECT e.vec_id, e.pos,
+       |    d.lo + (CAST(CASE WHEN d.hi = d.lo THEN 0
+       |      ELSE greatest(0, least(floor((e.v - d.lo) / (d.hi - d.lo) * 256), 255))
+       |      END AS DOUBLE) + 0.5) * (d.hi - d.lo) / 256 AS deq
+       |  FROM e JOIN d USING (pos)
+       |  WHERE e.label IN (SELECT label FROM probe)),
+       |vecs AS (SELECT vec_id, array_agg(deq ORDER BY pos) AS dv
+       |         FROM r GROUP BY vec_id),
+       |adc AS (
+       |  SELECT vec_id, list_dot_product(dv, q.qv) /
+       |    (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(q.qv, q.qv))) AS adc_cos
+       |  FROM vecs, q
+       |  ORDER BY adc_cos DESC, vec_id LIMIT 20),
+       |ex AS (
+       |  SELECT a.vec_id, a.adc_cos,
+       |    list_dot_product(CAST(em.embedding AS DOUBLE[]), q.qv) /
+       |      (sqrt(list_dot_product(CAST(em.embedding AS DOUBLE[]), CAST(em.embedding AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |  FROM adc a JOIN embeddings em USING (vec_id), q)
+       |SELECT vec_id, round(adc_cos, 4) AS adc_cosine,
+       |  round(cos, 4) AS cosine,
+       |  CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |FROM ex
+       |QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id) <= 10
+       |ORDER BY rank""".stripMargin
+
+  // Quantized (SQ8) serving from the materialized IVF index — the
+  // memory/IO posture of a 100 TB ANN deployment: the probe-time scan
+  // reads the 2-byte/dim `_codes` partitions of the routed cells, and
+  // the full-precision vectors are read ONLY for the top-20 rescore.
+  // The oracle replays routing, grid fit, quantize/reconstruct, the ADC
+  // top-20, and the exact rescore rank.
+  private val x275 = Q("x275_ivf_sq8_adc", Some(adcOracle("TRUE"))) {
+    (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+        "graft_x275_ivf")
+      Similarity.buildIvfCodes(s, "graft_x275_ivf", "vec_id", "label",
+        "embedding")
+      Similarity.ivfTopKQuantized(s, "graft_x275_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3,
+        rescore = 20)
+  }
+
+  // Frozen-grid lifecycle: the grid is fit on the 80% build corpus and
+  // FROZEN; the appended 20% batch's codes ride appendToIvfIndex into
+  // their cell partitions, out-of-grid components clamping into the
+  // edge buckets. The oracle quantizes EVERY vector under the 80% grid
+  // — serve-after-append must equal that replay exactly, or the frozen
+  // grid / clamp / code-append contract broke somewhere.
+  private val x276 = Q("x276_ivf_sq8_append", Some(
+    adcOracle("vec_id % 5 <> 4"))) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+        "vec_id", "label", "embedding", "graft_x276_ivf")
+      Similarity.buildIvfCodes(s, "graft_x276_ivf", "vec_id", "label",
+        "embedding")
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 4),
+        "vec_id", "label", "embedding", "graft_x276_ivf")
+      Similarity.ivfTopKQuantized(s, "graft_x276_ivf", "vec_id", "label",
+        "embedding", emb.filter(col("vec_id") === 0), k = 10, nprobe = 3,
+        rescore = 20)
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257, x258, x268, x269)
+      x240, x242, x257, x258, x268, x269, x275, x276)
 }

@@ -694,6 +694,11 @@ class ScaleOpsSpec extends SparkSpec {
       $"embedding")
     Similarity.buildIvfIndex(skewed, "vec_id", "label", "embedding",
       "graft_test_rebal")
+    Similarity.buildIvfCodes(spark, "graft_test_rebal", "vec_id",
+      "label", "embedding")
+    val codesBefore = spark.table("graft_test_rebal_codes")
+      .select($"vec_id", $"code".cast("string")).orderBy("vec_id")
+      .collect().toSeq
     val cellsBefore = spark.table("graft_test_rebal_centroids")
       .select("cell").collect().map(_.getInt(0)).sorted.toSeq
     assert(cellsBefore == Seq(0, 4, 5, 6, 7, 8, 9, 99),
@@ -732,6 +737,19 @@ class ScaleOpsSpec extends SparkSpec {
         nprobe = cellsAfter.length)
       .collect().map(_.getLong(0)).toSeq
     assert(full == exact, s"full-probe $full != exact $exact")
+    // the codes companion followed the moves: same per-id codes (the
+    // grid is frozen — cells moved, vectors didn't), partitions in sync
+    // with the rebalanced assignment
+    assert(spark.table("graft_test_rebal_codes")
+      .select($"vec_id", $"code".cast("string")).orderBy("vec_id")
+      .collect().toSeq == codesBefore,
+      "rebalance must not change per-id codes")
+    val codeCells = spark.table("graft_test_rebal_codes")
+      .select($"vec_id", $"label").orderBy("vec_id").collect().toSeq
+    val mainCells = spark.table("graft_test_rebal")
+      .select($"vec_id", $"label").orderBy("vec_id").collect().toSeq
+    assert(codeCells == mainCells,
+      "codes partitions out of sync with the rebalanced cells")
   }
 
   test("ivfTopKBatch: each query's results equal the single-query indexed " +
@@ -838,6 +856,66 @@ class ScaleOpsSpec extends SparkSpec {
       "graft_test_ivf_del", "label", "embedding")
     assert(state("graft_test_ivf_del") == state("graft_test_ivf_delref"))
     assert(tbl("graft_test_ivf_del") == tbl("graft_test_ivf_delref"))
+  }
+
+  test("SQ8 codes companion: frozen-grid append ≡ delete round-trip, " +
+    "delete prunes code partitions, rescore-everything serve is exact") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tbl = "graft_test_ivf_sq"
+    val eighty = emb.filter($"vec_id" % 5 =!= 4)
+    Similarity.buildIvfIndex(eighty, "vec_id", "label", "embedding", tbl)
+    Similarity.buildIvfCodes(spark, tbl, "vec_id", "label", "embedding")
+    def codeRows() = spark.table(s"${tbl}_codes")
+      .select($"vec_id", $"code".cast("string"), $"label")
+      .orderBy("vec_id").collect().toSeq
+    val before = codeRows()
+    val grid = spark.table(s"${tbl}_cdims").orderBy("pos")
+      .collect().toSeq
+    // append rides at the FROZEN grid; the grid itself must not move
+    val batch = emb.filter($"vec_id" % 5 === 4)
+    Similarity.appendToIvfIndex(batch, "vec_id", "label", "embedding",
+      tbl)
+    assert(spark.table(s"${tbl}_cdims").orderBy("pos")
+      .collect().toSeq == grid, "append must not re-fit the grid")
+    val batchIds = batch.select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(spark.table(s"${tbl}_codes").count() == before.size +
+      batchIds.size, "appended codes missing")
+    // deleting the batch lands the codes table exactly where it started
+    // (the delete path rewrites affected cell partitions at the same
+    // frozen grid the append quantized with)
+    Similarity.deleteFromIvfIndex(spark, batch.select($"vec_id"),
+      "vec_id", tbl, "label", "embedding")
+    assert(codeRows() == before,
+      "append → delete did not round-trip the codes companion")
+    // delete a WHOLE cell: its codes partition must vanish with it
+    val doomed = eighty.select($"label").orderBy("label").head().get(0)
+    Similarity.deleteFromIvfIndex(spark,
+      eighty.filter($"label" === doomed).select($"vec_id"), "vec_id",
+      tbl, "label", "embedding")
+    assert(spark.table(s"${tbl}_codes")
+      .filter($"label" === doomed).isEmpty, "stale codes partition")
+    assert(spark.sql(s"SHOW PARTITIONS ${tbl}_codes").collect()
+      .map(_.getString(0)).forall(p => p != s"label=$doomed"))
+    // serve sanity: with rescore = everything probed, the exact-rescore
+    // stage ranks every candidate by true cosine — identical ids and
+    // cosines to the full-precision indexed probe
+    val q = emb.filter($"vec_id" === 0)
+    val quant = Similarity.ivfTopKQuantized(spark, tbl, "vec_id",
+        "label", "embedding", q, k = 5, nprobe = 2, rescore = 1000000)
+      .select($"vec_id", $"cosine").collect().toSeq
+    val exact = Similarity.ivfTopKIndexed(spark, tbl, "vec_id", "label",
+        "embedding", q, k = 5, nprobe = 2)
+      .select($"vec_id", round($"cosine", 4).as("cosine"))
+      .collect().toSeq
+    assert(quant == exact && exact.nonEmpty,
+      "rescore-everything quantized serve diverged from full precision")
+    // a rebuild must not inherit the old incarnation's codes
+    Similarity.buildIvfIndex(eighty, "vec_id", "label", "embedding", tbl)
+    assert(!spark.catalog.tableExists(s"${tbl}_codes") &&
+      !spark.catalog.tableExists(s"${tbl}_cdims"),
+      "rebuild leaked stale quantized companions")
   }
 
   test("upsertIntoIvfIndex: replacing stale vectors lands the index " +
