@@ -958,11 +958,17 @@ object Retrieval {
     * [[refreshChampions]] fires on every micro-batch and champion
     * serving is maintained by the SAME stream (x264 gates stream-built
     * champion serving ≡ [[buildChampionLists]] on the final corpus at
-    * uncapped topN). */
+    * uncapped topN). `boundsBlocks > 0` seeds `_ub` and a
+    * `boundsBlocks`-block `_bm` the same way, so the stream maintains
+    * the dynamic-pruning surfaces too and [[wandTopK]]/[[bmwTopK]] serve
+    * EXACT results straight off the drained feed (x277 — exactness means
+    * the gate is the full-BM25 oracle, not an equality-with-batch-build
+    * proxy). */
   def fileStreamIndexIngest(spark: org.apache.spark.sql.SparkSession,
       feedDir: String, idCol: String, textCol: String, table: String,
       buckets: Int = 8, withPositional: Boolean = false,
-      champTopN: Int = 0, checkpointDir: Option[String] = None): Unit = {
+      champTopN: Int = 0, checkpointDir: Option[String] = None,
+      boundsBlocks: Int = 0): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     // eager schema read: the feed directory must already hold >= 1
     // parquet file when ingest starts (readStream needs a schema and
@@ -984,6 +990,13 @@ object Retrieval {
           buckets)
       if (champTopN > 0)
         buildChampionLists(spark, table, champTopN, buckets = buckets)
+      // seed the dynamic-pruning companions on the empty build so every
+      // micro-batch's append merges extremes (associative) — a purely
+      // stream-built index serves wandTopK/bmwTopK with no extra pass
+      if (boundsBlocks > 0) {
+        buildImpactBounds(spark, table)
+        buildBlockMax(spark, table, boundsBlocks)
+      }
     }
     val ckpt = checkpointDir.getOrElse(
       java.nio.file.Files.createTempDirectory("ix_feed_ckpt").toString)
@@ -1010,7 +1023,9 @@ object Retrieval {
     q.awaitTermination()
     (Seq(table, s"${table}_tok", s"${table}_stats", s"${table}_docs") ++
         (if (withPositional) Seq(s"${table}_pos") else Nil) ++
-        (if (champTopN > 0) Seq(s"${table}_champ") else Nil))
+        (if (champTopN > 0) Seq(s"${table}_champ") else Nil) ++
+        (if (boundsBlocks > 0) Seq(s"${table}_ub", s"${table}_bm")
+         else Nil))
       .foreach(spark.catalog.refreshTable)
   }
 

@@ -1468,8 +1468,30 @@ object RetrievalQueries {
       "doc_id", "text", k = 5)
   }
 
+  // Dynamic pruning rides the streamed family: the feed ingest seeds
+  // `_ub` + `_bm` on the empty build and every micro-batch merges the
+  // extremes associatively, so Block-Max serving works straight off the
+  // drained feed. Because bmw is EXACT, the gate is the from-scratch
+  // full-corpus BM25 oracle itself — stale or mis-merged bounds under a
+  // streamed build would flip the hash.
+  private val x277 = Q("x277_file_stream_bmw", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_x277_feed").toString
+      d.filter(col("doc_id") >= 5).repartition(4)
+        .write.mode("overwrite").parquet(feed)
+      Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text",
+        "graft_x277_postings", boundsBlocks = 16)
+      Retrieval.bmwTopK(s, "graft_x277_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
-    x264, x265, x266, x267, x270, x271, x272, x273, x274)
+    x264, x265, x266, x267, x270, x271, x272, x273, x274, x277)
 }
