@@ -1783,9 +1783,19 @@ object Retrieval {
     * integers over the live occurrence rows. */
   private def pairCounts(spark: org.apache.spark.sql.SparkSession,
       table: String, qTerms: DataFrame, window: Int,
-      ordered: Boolean, maxOccPerToken: Int = 0): DataFrame = {
+      ordered: Boolean, maxOccPerToken: Int = 0,
+      candidates: Option[DataFrame] = None): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val raw = livePositions(spark, table).join(qTerms, "token")
+    // optional candidate restriction ([[cascadeTopK]]'s stage 2): the
+    // (query, doc) filter lands BEFORE the banded self-join, so the
+    // quadratic-within-band work is paid for candidate docs only —
+    // per-doc counts are independent across docs, so restricting changes
+    // WHICH rows exist, never their values
+    val rawAll = livePositions(spark, table).join(qTerms, "token")
+    val raw = candidates
+      .map(c => rawAll.join(broadcast(c.select(col("query_id"),
+        col("doc"))), Seq("query_id", "doc"), "left_semi"))
+      .getOrElse(rawAll)
     // opt-in worst-case bound (the x17 maxBucket idiom): keep only each
     // (query, doc, token)'s FIRST maxOccPerToken occurrences on BOTH
     // join sides, so one token-spamming doc is O(cap²) within its band
@@ -2036,6 +2046,76 @@ object Retrieval {
         .cast("decimal(28,18)")
     val w = Window.partitionBy("query_id").orderBy(desc("__sc"), col("doc"))
     bm.join(ord, Seq("query_id", "doc"), "left")
+      .join(unord, Seq("query_id", "doc"), "left")
+      .withColumn("__sc", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__sc").cast("double"), 4).as("score"),
+        col("matched_terms"),
+        coalesce(col("__no"), lit(0L)).as("n_ordered"),
+        coalesce(col("__nu"), lit(0L)).as("n_unordered"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Two-stage ranking CASCADE over the index family — the production
+    * serving composition (candidate generation → reranker): stage 1
+    * retrieves each query's exact BM25 top-`candN` under MaxScore
+    * pruning (the [[wandTopK]] machinery, unrounded DECIMAL scores),
+    * stage 2 reranks ONLY those candidates with the sequential-
+    * dependence fusion ([[sdmTopK]]'s three-feature score). The
+    * expensive positional evidence is computed for `candN` docs per
+    * query instead of every term match — the reason cascades exist: at
+    * 100 TB the pair-count join over all matches of a common term is a
+    * corpus-scale cost, while `queries × candN` is a constant.
+    *
+    * Exactness contract: stage 1 is exact (WAND's guarantee), stage 2
+    * scores candidates exactly like [[sdmTopK]] would (per-doc pair
+    * counts are independent across docs, so restricting to candidates
+    * changes WHICH docs carry scores, never the scores) — the output is
+    * sdmTopK's ranking restricted to the BM25 top-candN pool, replayed
+    * verbatim by x278's oracle. A doc with weak term evidence but strong
+    * proximity can fall outside the pool — the standard cascade trade,
+    * tuned by candN. */
+  def cascadeTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, candN: Int = 50, window: Int = 3, wT: Double = 0.8,
+      wO: Double = 0.1, wU: Double = 0.1, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // candN < k is legal: the pool bounds the output (a query serves at
+    // most candN rows) — the knob an operator turns when the reranker,
+    // not the result size, is the budget
+    require(k >= 1 && candN >= 1, "need candN >= 1 and k >= 1")
+    val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
+    val rows = bm25TermRows(spark, table, qTerms, k1, b)
+    val pruned = wandCandidateDocs(spark, table, qTerms, rows, candN,
+      k1, b)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(desc("__s"), col("doc"))
+    val bmTop = rows.join(pruned, Seq("query_id", "doc"), "left_semi")
+      .groupBy("query_id", "doc")
+      .agg(sum(col("__t")).as("__s"), count(lit(1)).as("matched_terms"))
+      .withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= candN)
+      .drop("__r")
+    val candDocs = bmTop.select("query_id", "doc")
+    val ord = pairCounts(spark, s"${table}_pos", qTerms, window,
+      ordered = true, candidates = Some(candDocs))
+      .withColumnRenamed("n_pairs", "__no")
+    val unord = pairCounts(spark, s"${table}_pos", qTerms, window,
+      ordered = false, candidates = Some(candDocs))
+      .withColumnRenamed("n_pairs", "__nu")
+    val score =
+      (lit(wT) * col("__s").cast("double") +
+        lit(wO) * log(lit(1.0) + coalesce(col("__no"), lit(0L))
+          .cast("double")) +
+        lit(wU) * log(lit(1.0) + coalesce(col("__nu"), lit(0L))
+          .cast("double")))
+        .cast("decimal(28,18)")
+    val w = Window.partitionBy("query_id").orderBy(desc("__sc"), col("doc"))
+    bmTop.join(ord, Seq("query_id", "doc"), "left")
       .join(unord, Seq("query_id", "doc"), "left")
       .withColumn("__sc", score)
       .withColumn("rank", row_number().over(w))

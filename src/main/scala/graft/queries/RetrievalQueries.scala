@@ -1490,8 +1490,75 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
   }
 
+  // Two-stage cascade: WAND-pruned exact BM25 top-20 candidates, then
+  // the SDM fusion reranks ONLY those 20 per query — the production
+  // candidate-generation → reranker shape, where positional evidence is
+  // paid for a constant candidate pool instead of every term match. The
+  // oracle replays the unrounded-DECIMAL top-20 cut and the full SDM
+  // fusion restricted to it.
+  private val x278 = Q("x278_cascade_rank", Some(
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5)},
+       |base2 AS (
+       |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
+       |  WHERE doc_id >= 5),
+       |pos AS (
+       |  SELECT doc_id AS doc, ws[i] AS token, CAST(i - 1 AS BIGINT) AS pos
+       |  FROM base2, unnest(range(1, n + 1)) AS r(i)),
+       |cand AS (
+       |  SELECT query_id, doc FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY s DESC, doc) <= 20),
+       |h AS MATERIALIZED (
+       |  SELECT qt.query_id, p.doc, p.token, p.pos
+       |  FROM pos p JOIN qt USING (token)
+       |  JOIN cand c ON c.query_id = qt.query_id AND c.doc = p.doc),
+       |po AS (
+       |  SELECT a.query_id, a.doc, CAST(count(*) AS BIGINT) AS no
+       |  FROM h a JOIN h b ON a.query_id = b.query_id AND a.doc = b.doc
+       |    AND a.token <> b.token AND b.pos - a.pos BETWEEN 1 AND 3
+       |  GROUP BY a.query_id, a.doc),
+       |pu AS (
+       |  SELECT a.query_id, a.doc, CAST(count(*) AS BIGINT) AS nu
+       |  FROM h a JOIN h b ON a.query_id = b.query_id AND a.doc = b.doc
+       |    AND a.token < b.token AND abs(a.pos - b.pos) <= 3
+       |  GROUP BY a.query_id, a.doc),
+       |comb AS (
+       |  SELECT s.query_id, s.doc, s.matched_terms,
+       |    coalesce(po.no, 0) AS no, coalesce(pu.nu, 0) AS nu,
+       |    CAST(0.8::DOUBLE * CAST(s.s AS DOUBLE)
+       |      + 0.1::DOUBLE * ln(1.0::DOUBLE +
+       |          CAST(coalesce(po.no, 0) AS DOUBLE))
+       |      + 0.1::DOUBLE * ln(1.0::DOUBLE +
+       |          CAST(coalesce(pu.nu, 0) AS DOUBLE))
+       |      AS DECIMAL(28,18)) AS sc
+       |  FROM scored s
+       |    JOIN cand USING (query_id, doc)
+       |    LEFT JOIN po ON po.query_id = s.query_id AND po.doc = s.doc
+       |    LEFT JOIN pu ON pu.query_id = s.query_id AND pu.doc = s.doc)
+       |SELECT query_id, doc AS doc_id,
+       |  round(CAST(sc AS DOUBLE), 4) AS score, matched_terms,
+       |  no AS n_ordered, nu AS n_unordered,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sc DESC, doc) AS INT) AS rank
+       |FROM comb
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY sc DESC, doc) <= 5
+       |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") >= 5)
+    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+      "graft_x278_postings")
+    Retrieval.buildPositionalIndex(corpus, "doc_id", "text",
+      "graft_x278_postings_pos")
+    Retrieval.buildImpactBounds(s, "graft_x278_postings")
+    Retrieval.cascadeTopK(s, "graft_x278_postings",
+        d.filter(col("doc_id") < 5), "doc_id", "text", k = 5, candN = 20,
+        window = 3)
+      .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
-    x264, x265, x266, x267, x270, x271, x272, x273, x274, x277)
+    x264, x265, x266, x267, x270, x271, x272, x273, x274, x277, x278)
 }

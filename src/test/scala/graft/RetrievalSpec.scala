@@ -752,6 +752,44 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", k = 5).isEmpty)
   }
 
+  test("cascadeTopK: uncapped pool equals sdmTopK exactly; a small pool " +
+    "is the documented trade (strong-proximity doc outside it drops)") {
+    // doc 60: high BM25 ('alpha' spam) but scattered; doc 61: one clean
+    // 'alpha beta' adjacency but weak term evidence — with pad docs
+    // diluting idf, 61 ranks below the spam on pure BM25
+    val docs = Seq(
+      (60L, "alpha alpha alpha alpha x x x x beta"),
+      (61L, "alpha beta " + (1 to 40).map(i => s"p$i").mkString(" ")),
+      (62L, "alpha x beta x alpha"),
+      (63L, "alpha " + (1 to 20).map(i => s"q$i").mkString(" ")),
+      (64L, "beta " + (1 to 20).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Retrieval.buildPostingsIndex(docs, "doc_id", "text",
+      "graft_test_casc", buckets = 4)
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_casc_pos", buckets = 4)
+    Retrieval.buildImpactBounds(spark, "graft_test_casc")
+    val q = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    // candN covering every match: the cascade IS sdmTopK
+    val full = Retrieval.sdmTopK(spark, "graft_test_casc", q, "doc_id",
+      "text", k = 5, window = 3).collect().toSeq
+    val casc = Retrieval.cascadeTopK(spark, "graft_test_casc", q,
+      "doc_id", "text", k = 5, candN = 100, window = 3).collect().toSeq
+    assert(casc == full && full.nonEmpty,
+      "uncapped cascade diverged from the direct SDM ranking")
+    // candN = 2: only the two strongest BM25 docs are reranked — the
+    // pool is a strict restriction, and every served doc comes from it
+    val narrow = Retrieval.cascadeTopK(spark, "graft_test_casc", q,
+        "doc_id", "text", k = 5, candN = 2, window = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(narrow.length == 2, s"pool of 2 must serve 2, got $narrow")
+    val bmTop2 = Retrieval.bm25TopKIndexed(spark, "graft_test_casc", q,
+        "doc_id", "text", k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(narrow.toSet == bmTop2,
+      s"cascade pool $narrow != BM25 top-2 $bmTop2")
+  }
+
   test("minSpanSnippets: the best window's token slice is served from " +
     "the index, smallest span with earliest start on ties") {
     val docs = Seq(
