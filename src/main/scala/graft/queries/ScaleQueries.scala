@@ -2640,11 +2640,74 @@ object ScaleQueries {
         rescore = 20)
   }
 
+  // The honesty gate for quantized serving: recall@10 of the pure-ADC
+  // candidate set (rescore = k keeps exactly the ADC top-k ids) against
+  // the full-precision indexed probe AT THE SAME nprobe — so the number
+  // isolates quantization loss from routing loss. The oracle replays
+  // both rankings and the integer basis-point recall.
+  private val x279 = Q("x279_ivf_sq8_recall", Some(
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      |cent AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |cscore AS (
+      |  SELECT label,
+      |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+      |  FROM cent, q GROUP BY label),
+      |probe AS (SELECT label FROM cscore ORDER BY cs DESC, label LIMIT 3),
+      |bf AS (
+      |  SELECT vec_id FROM embeddings, q
+      |  WHERE label IN (SELECT label FROM probe)
+      |  ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10),
+      |e AS (
+      |  SELECT vec_id, label, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |d AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM e GROUP BY pos),
+      |r AS (
+      |  SELECT e.vec_id, e.pos,
+      |    d.lo + (CAST(CASE WHEN d.hi = d.lo THEN 0
+      |      ELSE greatest(0, least(floor((e.v - d.lo) / (d.hi - d.lo) * 256), 255))
+      |      END AS DOUBLE) + 0.5) * (d.hi - d.lo) / 256 AS deq
+      |  FROM e JOIN d USING (pos)
+      |  WHERE e.label IN (SELECT label FROM probe)),
+      |vecs AS (SELECT vec_id, array_agg(deq ORDER BY pos) AS dv
+      |         FROM r GROUP BY vec_id),
+      |adc AS (
+      |  SELECT vec_id FROM vecs, q
+      |  ORDER BY list_dot_product(dv, q.qv) /
+      |    (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10)
+      |SELECT (SELECT count(*) FROM bf) AS n_exact,
+      |  (SELECT count(*) FROM adc) AS n_approx,
+      |  (SELECT count(*) FROM bf JOIN adc USING (vec_id)) AS n_overlap,
+      |  CAST((SELECT count(*) FROM bf JOIN adc USING (vec_id)) * 10000
+      |    // (SELECT count(*) FROM bf) AS BIGINT) AS recall_bps""".stripMargin)) {
+    (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+        "graft_x279_ivf")
+      Similarity.buildIvfCodes(s, "graft_x279_ivf", "vec_id", "label",
+        "embedding")
+      val q = emb.filter(col("vec_id") === 0)
+      val exact = Similarity.ivfTopKIndexed(s, "graft_x279_ivf",
+        "vec_id", "label", "embedding", q, k = 10, nprobe = 3)
+      // rescore = k keeps exactly the ADC top-k ids (the exact pass
+      // reorders them, never swaps the set) — set-recall of pure ADC
+      val approx = Similarity.ivfTopKQuantized(s, "graft_x279_ivf",
+        "vec_id", "label", "embedding", q, k = 10, nprobe = 3,
+        rescore = 10)
+      Similarity.recallAtK(exact, approx, "vec_id")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257, x258, x268, x269, x275, x276)
+      x240, x242, x257, x258, x268, x269, x275, x276, x279)
 }
