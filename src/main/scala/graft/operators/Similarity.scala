@@ -984,6 +984,74 @@ object Similarity {
         .partitionBy(cellCol).saveAsTable(s"${table}_codes")
   }
 
+  /** Batch twin of [[ivfTopKQuantized]] — the serving shape a real
+    * deployment runs (hybrid-search pipelines score QUERY BATCHES, not
+    * one vector at a time): per-query routing to `nprobe` cells
+    * ([[ivfTopKBatch]]'s window), ONE bucket-center reconstruction per
+    * candidate doc across the whole batch (the distinct probed-cell set
+    * drives the code scan, so a doc probed by five queries dequantizes
+    * once, not five times), per-query ADC top-`rescore`, then the exact
+    * full-precision rescore ranks top-k. Returns
+    * (query_id, idCol, adc_cosine, cosine, rank). */
+  def ivfTopKQuantizedBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, cellCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, k: Int, nprobe: Int,
+      rescore: Int): DataFrame = {
+    require(k >= 1 && rescore >= 1, "need k >= 1 and rescore >= 1")
+    require(spark.catalog.tableExists(s"${table}_codes"),
+      s"ivfTopKQuantizedBatch needs ${table}_codes — run buildIvfCodes" +
+        " first")
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pq").orderBy(desc("__cs"), col("__probe_cell"))
+    val cells = spark.table(s"${table}_centroids").crossJoin(q)
+      .select(col("query_id").as("__pq"), col("cell").as("__probe_cell"),
+        cosine(col("centroid"), col("__qv")).as("__cs"))
+      .withColumn("__r", row_number().over(wp))
+      .filter(col("__r") <= nprobe)
+      .select(col("__pq"), col("__probe_cell"))
+    val levels = spark.table(s"${table}_cmeta").head()
+      .getAs[Int]("levels")
+    val codes = spark.table(s"${table}_codes")
+    // one reconstruction per doc in the UNION of probed cells
+    val probedCells = cells.select(col("__probe_cell")).distinct()
+    val deq = codes.join(broadcast(probedCells),
+        codes(cellCol) === col("__probe_cell"))
+      .select(col(idCol), col(cellCol),
+        posexplode(col("code")).as(Seq("pos", "qc")))
+      .join(broadcast(spark.table(s"${table}_cdims")), "pos")
+      .withColumn("deq", col("lo") + (col("qc").cast("double") +
+        lit(0.5)) * (col("hi") - col("lo")) / lit(levels.toDouble))
+      .groupBy(col(idCol), col(cellCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("deq")))),
+        s => s.getField("deq")).as("__dv"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("adc_cosine"), col(idCol))
+    val topR = deq.join(broadcast(cells),
+        deq(cellCol) === col("__probe_cell"))
+      .join(q, col("__pq") === q("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col("__dv"), col("__qv")).as("adc_cosine"))
+      .withColumn("__rr", row_number().over(wr))
+      .filter(col("__rr") <= rescore)
+      .drop("__rr")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__cos"), col(idCol))
+    spark.table(table)
+      .join(broadcast(topR), Seq(idCol))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("adc_cosine"),
+        cosine(asDouble(col(vecCol)), col("__qv")).as("__cos"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol),
+        round(col("adc_cosine"), 4).as("adc_cosine"),
+        round(col("__cos"), 4).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Delete vectors from a [[buildIvfIndex]] index — the lifecycle
     * complement of [[appendToIvfIndex]] (and the ingredient
     * [[refineCells]] doesn't cover: shrinking the corpus). Ids absent

@@ -2703,11 +2703,82 @@ object ScaleQueries {
       Similarity.recallAtK(exact, approx, "vec_id")
   }
 
+  // Batch quantized serving (x198's batch probe over the SQ8 codes):
+  // per-query routing, ONE bucket-center reconstruction per candidate
+  // doc across the whole 4-query batch, per-query ADC top-20, exact
+  // rescore top-10. The oracle replays routing, grid, reconstruction,
+  // and both ranking stages per query.
+  private val x280 = Q("x280_ivf_sq8_batch", Some(
+    """WITH q AS (
+      |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS qn
+      |  FROM embeddings WHERE vec_id < 4),
+      |cent AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+      |  FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |cscore AS (
+      |  SELECT q.qid, c.label,
+      |    sum(c.cv * q.qv[c.i]) / (sqrt(sum(c.cv * c.cv)) * q.qn) AS cs
+      |  FROM cent c, q GROUP BY q.qid, c.label, q.qn),
+      |probe AS (
+      |  SELECT qid, label FROM cscore
+      |  QUALIFY row_number() OVER (PARTITION BY qid
+      |    ORDER BY cs DESC, label) <= 3),
+      |e AS (
+      |  SELECT vec_id, label, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |d AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM e GROUP BY pos),
+      |r AS (
+      |  SELECT e.vec_id, e.label, e.pos,
+      |    d.lo + (CAST(CASE WHEN d.hi = d.lo THEN 0
+      |      ELSE greatest(0, least(floor((e.v - d.lo) / (d.hi - d.lo) * 256), 255))
+      |      END AS DOUBLE) + 0.5) * (d.hi - d.lo) / 256 AS deq
+      |  FROM e JOIN d USING (pos)),
+      |vecs AS (SELECT vec_id, label, array_agg(deq ORDER BY pos) AS dv
+      |         FROM r GROUP BY vec_id, label),
+      |adc AS (
+      |  SELECT p.qid AS query_id, v.vec_id,
+      |    list_dot_product(v.dv, q.qv) /
+      |      (sqrt(list_dot_product(v.dv, v.dv)) * q.qn) AS adc_cos
+      |  FROM vecs v JOIN probe p ON v.label = p.label
+      |    JOIN q ON q.qid = p.qid),
+      |topr AS (
+      |  SELECT query_id, vec_id, adc_cos FROM adc
+      |  QUALIFY row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc_cos DESC, vec_id) <= 20),
+      |ex AS (
+      |  SELECT t.query_id, t.vec_id, t.adc_cos,
+      |    list_dot_product(CAST(em.embedding AS DOUBLE[]), q.qv) /
+      |      (sqrt(list_dot_product(CAST(em.embedding AS DOUBLE[]),
+      |        CAST(em.embedding AS DOUBLE[]))) * q.qn) AS cos
+      |  FROM topr t JOIN embeddings em USING (vec_id)
+      |    JOIN q ON q.qid = t.query_id)
+      |SELECT query_id, vec_id, round(adc_cos, 4) AS adc_cosine,
+      |  round(cos, 4) AS cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |FROM ex
+      |QUALIFY row_number() OVER (PARTITION BY query_id
+      |  ORDER BY cos DESC, vec_id) <= 10
+      |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_x280_ivf")
+    Similarity.buildIvfCodes(s, "graft_x280_ivf", "vec_id", "label",
+      "embedding")
+    Similarity.ivfTopKQuantizedBatch(s, "graft_x280_ivf", "vec_id",
+        "label", "embedding", emb.filter(col("vec_id") < 4), "vec_id",
+        k = 10, nprobe = 3, rescore = 20)
+      .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257, x258, x268, x269, x275, x276, x279)
+      x240, x242, x257, x258, x268, x269, x275, x276, x279, x280)
 }

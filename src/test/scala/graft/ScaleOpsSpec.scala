@@ -775,6 +775,35 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKQuantizedBatch: each query's results equal the " +
+    "single-query quantized probe") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
+      "graft_test_sqbatch")
+    Similarity.buildIvfCodes(spark, "graft_test_sqbatch", "vec_id",
+      "label", "embedding")
+    val batch = Similarity.ivfTopKQuantizedBatch(spark,
+      "graft_test_sqbatch", "vec_id", "label", "embedding",
+      emb.filter($"vec_id" < 3), "vec_id", k = 5, nprobe = 2,
+      rescore = 10).collect()
+    assert(batch.nonEmpty)
+    for (qid <- 0L until 3L) {
+      val single = Similarity.ivfTopKQuantized(spark,
+          "graft_test_sqbatch", "vec_id", "label", "embedding",
+          emb.filter($"vec_id" === qid), k = 5, nprobe = 2, rescore = 10)
+        .collect().map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Double]("adc_cosine"), r.getAs[Double]("cosine"),
+          r.getAs[Int]("rank")))
+      val mine = batch.filter(_.getAs[Long]("query_id") == qid)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Double]("adc_cosine"), r.getAs[Double]("cosine"),
+          r.getAs[Int]("rank")))
+      assert(mine.toSeq == single.toSeq, s"query $qid diverged")
+    }
+  }
+
   test("appendToIvfIndex ≡ full rebuild: centroid state bit-identical, " +
     "routing deterministic") {
     val emb = spark.read
