@@ -1557,8 +1557,41 @@ object RetrievalQueries {
       .orderBy("query_id", "rank")
   }
 
+  // The bounds-lifecycle chain certificate: stream-ingest the index
+  // with `_ub`/`_bm` riding every micro-batch → delete a slice (bounds
+  // stay stale-but-valid) → append a late batch (extremes merge) →
+  // compact (bounds rebuild from survivors, regaining tightness) →
+  // serve Block-Max top-k. bmw is exact at EVERY point of that chain,
+  // so the gate is the from-scratch full BM25 on the final survivors —
+  // if any lifecycle step under- or over-bounds a term, pruning goes
+  // wrong and the hash flips.
+  private val x281 = Q("x281_bounds_lifecycle_chain", Some {
+    val survivors = "doc_id >= 5 AND doc_id % 10 <> 7"
+    s"""WITH ${bm25Cte(nQueries = 5, k = 5, corpusWhere = survivors)}
+       |SELECT * FROM ranked ORDER BY query_id, rank""".stripMargin
+  }) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val tbl = "graft_x281_postings"
+    val feed = java.nio.file.Files
+      .createTempDirectory("graft_x281_feed").toString
+    d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
+      .repartition(4).write.mode("overwrite").parquet(feed)
+    Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text", tbl,
+      boundsBlocks = 16)
+    Retrieval.deleteFromPostingsIndex(s,
+      d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id", tbl)
+    Retrieval.appendToPostingsIndex(
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
+      "doc_id", "text", tbl)
+    Retrieval.compactPostingsIndex(s, tbl)
+    Retrieval.bmwTopK(s, tbl, d.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
-    x264, x265, x266, x267, x270, x271, x272, x273, x274, x277, x278)
+    x264, x265, x266, x267, x270, x271, x272, x273, x274, x277, x278,
+    x281)
 }

@@ -731,6 +731,20 @@ class PlanRegressionSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(800))
   }
 
+  test("x275 quantized probe partition-prunes the codes scan to the " +
+    "routed cells (dynamic pruning on the cell partition column)") {
+    val p = plan("x275_ivf_sq8_adc")
+    // the 2-bytes/dim story holds only if the codes scan READS just the
+    // probed cells' partitions — the file-level pruning must be visible
+    // as a dynamic partition filter on the scan, or a refactor has
+    // silently regressed the coarse pass to a full-index read
+    val codesScan = p.split("\n\n")
+      .filter(s => s.contains("_codes") && s.contains("Scan parquet"))
+    assert(codesScan.nonEmpty, "codes scan missing from the plan")
+    assert(p.contains("dynamicpruningexpression"),
+      "codes scan lost its partition pruning:\n" + p.take(800))
+  }
+
   test("x272 block-max final aggregate consumes the refined candidate " +
     "set; block-bound join broadcasts the (token, block) slice") {
     val p = plan("x272_blockmax_topk")
