@@ -1557,6 +1557,32 @@ object Similarity {
     centroidsFromState(spark.table(s"${table}_cstate"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
+    // quantized serving companion: the crashed attempt may have landed
+    // its code rows too (codes append last in appendToIvfIndex, so code
+    // orphans only ever live in cells the main-table repair already
+    // flagged) — rewrite the affected cells' codes from the repaired
+    // truth at the frozen grid, or ADC serving would resurrect the
+    // orphans and double-serve them after the re-append
+    if (spark.catalog.tableExists(s"${table}_codes")) {
+      val repCodes = sqCodesOf(spark,
+        spark.table(table).filter(col(cellCol).isin(affected: _*)),
+        idCol, cellCol, vecCol, table)
+      spark.conf.set(confKey, "dynamic")
+      try repCodes
+        .select(spark.table(s"${table}_codes").columns
+          .map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").insertInto(s"${table}_codes")
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+      affected.filterNot(survCells).foreach { c =>
+        val v = c.toString.replace("'", "''")
+        spark.sql(s"ALTER TABLE `${table}_codes` DROP IF EXISTS " +
+          s"PARTITION (`$cellCol`='$v')")
+      }
+      spark.catalog.refreshTable(s"${table}_codes")
+    }
     dropWithDir(spark, survT)
     dropWithDir(spark, delT)
   }

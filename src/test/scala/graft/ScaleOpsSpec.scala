@@ -1135,6 +1135,12 @@ class ScaleOpsSpec extends SparkSpec {
     val batch = emb.filter($"vec_id" % 5 === 4)
     Similarity.buildIvfIndex(base, "vec_id", "label", "embedding",
       "graft_test_ivfrep")
+    Similarity.buildIvfCodes(spark, "graft_test_ivfrep", "vec_id",
+      "label", "embedding")
+    def codesNow() = spark.table("graft_test_ivfrep_codes")
+      .select($"vec_id", $"code".cast("string"), $"label")
+      .orderBy("vec_id").collect().toSeq
+    val codesBefore = codesNow()
     // clean-history no-op: probing unseen ids must not move anything
     val stateBefore = spark.table("graft_test_ivfrep_cstate")
       .orderBy("cell", "i").collect().toSeq
@@ -1160,8 +1166,19 @@ class ScaleOpsSpec extends SparkSpec {
     // the exactly-once protocol: repair, then re-run the append
     Similarity.repairPartialIvfAppend(spark, batch.select($"vec_id"),
       "vec_id", "graft_test_ivfrep", "label", "embedding")
+    // the crashed attempt's code rows (codes append last, so they were
+    // written) must be healed too — repair lands the codes table exactly
+    // back on its pre-crash content
+    assert(codesNow() == codesBefore,
+      "repair left orphan code rows behind")
     Similarity.appendToIvfIndex(batch, "vec_id", "label", "embedding",
       "graft_test_ivfrep")
+    // after the re-append: one code row per corpus id, none duplicated
+    val codeIds = spark.table("graft_test_ivfrep_codes")
+      .select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(codeIds == emb.select($"vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "codes after repair + re-append diverged from the corpus")
 
     Similarity.buildIvfIndex(emb, "vec_id", "label", "embedding",
       "graft_test_ivfrep_ref")
