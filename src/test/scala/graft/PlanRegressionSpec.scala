@@ -731,6 +731,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(800))
   }
 
+  test("x278 cascade: every window partitions by query, no cartesian, " +
+    "and the candidate semi-join bounds the positional stages") {
+    val p = plan("x278_cascade_rank")
+    val ungrouped = """windowspecdefinition\(([^,]*) (ASC|DESC)""".r
+    val hits = ungrouped.findAllMatchIn(p).map(_.group(1)).toList
+    assert(hits.isEmpty, s"ungrouped windows:\n$hits")
+    assert(!p.contains("CartesianProduct"), "cascade went cartesian")
+    // stage-2 restriction: the pair-count inputs must semi-join against
+    // the candidate pool, or the reranker silently pays every match of
+    // a common term again
+    assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
   test("x275 quantized probe partition-prunes the codes scan to the " +
     "routed cells (dynamic pruning on the cell partition column)") {
     val p = plan("x275_ivf_sq8_adc")
