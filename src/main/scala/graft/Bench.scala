@@ -60,7 +60,17 @@ object Bench {
     // isolation field: measurement-protocol marker so cross-round bench
     // diffs carry their own caveat (r6 numbers predate per-query cache
     // clearing and are flattered for persist-heavy queries — see r7 verdict)
-    val line = s"""{"metric":"total","value":${jd(total)},"unit":"sec","isolation":"clearCache-per-query","queries":$qs,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    // boot fingerprint: host + kernel boot time. Two bench maps are only
+    // ratio-comparable when they ran on the same boot — a slower host
+    // boot once showed as a uniform fake 1.25x on identical code (r12);
+    // scaling.py refuses to pair maps whose boot ids differ.
+    val boot = try {
+      val btime = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("btime "))
+        .map(_.stripPrefix("btime ").trim).getOrElse("nobtime")
+      s"${java.net.InetAddress.getLocalHost.getHostName}-$btime"
+    } catch { case _: Throwable => "unknown" }
+    val line = s"""{"metric":"total","value":${jd(total)},"unit":"sec","isolation":"clearCache-per-query","boot":"$boot","queries":$qs,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // Also persist the FULL per-query map: the driver's bench artifact
     // keeps only a tail of stdout, which truncates ~75% of the registry;

@@ -79,19 +79,26 @@ object DotProductDec18 {
     * driver-side d-vector arithmetic of the PCA machinery. Null elements
     * are skipped, matching the join-based aggregate (a missing (i) row
     * simply contributed no term) — as are terms the double→decimal cast
-    * would null (non-finite, precision-28 overflow; see [[q18OrNull]]). */
+    * would null (non-finite, precision-28 overflow; see [[q18OrNull]]).
+    *
+    * The exact decimal sum runs in the split-long accumulator of
+    * [[Dec18Sums]] (each term quantized by
+    * [[VecMomentsDec18.quantize18]] — the same shortest-decimal HALF_UP
+    * sequence as [[q18OrNull]], exhaustively spec-compared), so the hot
+    * per-row path allocates one small accumulator instead of one
+    * BigDecimal per element. The exact total is identical, hence so is
+    * its double conversion. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
-    var acc = java.math.BigDecimal.ZERO
+    val acc = new Dec18Sums(1)
+    val scratch = new Array[Long](2)
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        val q = q18OrNull(a.getDouble(i) * b.getDouble(i))
-        if (q ne null) acc = acc.add(q)
-      }
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc.addTerm(0, a.getDouble(i) * b.getDouble(i), scratch)
       i += 1
     }
-    acc.doubleValue
+    acc.total(0).doubleValue
   }
 
   /** Driver-side twin over plain arrays — the same quantize/sum/convert

@@ -829,7 +829,34 @@ object Similarity {
     * never a re-fit). */
   def buildIvfCodes(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, cellCol: String, vecCol: String,
-      levels: Int = 256): Unit = {
+      levels: Int = 256): Unit =
+    fitCodes(spark, table, idCol, cellCol, vecCol, levels, gridGen = 0L)
+
+  /** Grid REFIT — the drift repair the frozen-grid contract needs: after
+    * enough appended drift, clamped components saturate the edge buckets
+    * and ADC recall decays with no honest way back. This re-fits the
+    * per-dim (lo, hi) grid over the CURRENT corpus, rebuilds every code
+    * under it (one corpus pass — codes are per-row functions of the
+    * vector and grid), and bumps `grid_gen` in `_cmeta` so operators can
+    * tell refit generations apart. `levels` is preserved. Equivalent to
+    * [[buildIvfCodes]] from scratch at the same levels (RefitSpec), so
+    * every serving guarantee carries over; the before/after recall is
+    * measured, not assumed (x283's drift-honesty gate). */
+  def refitIvfCodes(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, cellCol: String,
+      vecCol: String): Unit = {
+    require(spark.catalog.tableExists(s"${table}_cmeta"),
+      s"refitIvfCodes needs ${table}_cmeta — run buildIvfCodes first")
+    val meta = spark.table(s"${table}_cmeta").head()
+    val gen = if (meta.schema.fieldNames.contains("grid_gen"))
+      meta.getAs[Long]("grid_gen") else 0L
+    fitCodes(spark, table, idCol, cellCol, vecCol,
+      meta.getAs[Int]("levels"), gen + 1L)
+  }
+
+  private def fitCodes(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, cellCol: String, vecCol: String,
+      levels: Int, gridGen: Long): Unit = {
     require(levels > 1 && levels <= 32767, "levels must fit a smallint")
     val data = spark.table(table)
     val dims = data
@@ -841,7 +868,8 @@ object Similarity {
     dims.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_cdims")
     dropWithDir(spark, s"${table}_cmeta")
-    spark.range(1).select(lit(levels).as("levels"))
+    spark.range(1).select(lit(levels).as("levels"),
+        lit(gridGen).as("grid_gen"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_cmeta")
     dropWithDir(spark, s"${table}_codes")
@@ -867,6 +895,13 @@ object Similarity {
     require(k >= 1 && rescore >= k, "need rescore >= k >= 1")
     require(spark.catalog.tableExists(s"${table}_codes"),
       s"ivfTopKQuantized needs ${table}_codes — run buildIvfCodes first")
+    // single-query contract: the routing limit and the partition-less
+    // rank windows below assume ONE query vector — a multi-row frame
+    // would silently mix queries into one ranking (r12 ADVICE). Batches
+    // go through ivfTopKQuantizedBatch, which keys everything by query.
+    require(queryDf.limit(2).count() == 1,
+      "ivfTopKQuantized takes exactly one query row — use " +
+        "ivfTopKQuantizedBatch for query batches")
     val q = broadcast(queryDf.select(asDouble(col(vecCol)).as("__qv")))
     val probed = spark.table(s"${table}_centroids").crossJoin(q)
       .select(col("cell"), cosine(col("centroid"), col("__qv")).as("cs"))
@@ -997,7 +1032,9 @@ object Similarity {
       table: String, idCol: String, cellCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, k: Int, nprobe: Int,
       rescore: Int): DataFrame = {
-    require(k >= 1 && rescore >= 1, "need k >= 1 and rescore >= 1")
+    // same contract as the single-query probe (r12 ADVICE: a batch call
+    // with rescore < k silently served fewer than k rows per query)
+    require(k >= 1 && rescore >= k, "need rescore >= k >= 1")
     require(spark.catalog.tableExists(s"${table}_codes"),
       s"ivfTopKQuantizedBatch needs ${table}_codes — run buildIvfCodes" +
         " first")
@@ -1965,33 +2002,39 @@ object Similarity {
       mu: Array[Double], tr: Double, comps: Seq[PcaComp])
 
   /** Corpus-side base state: one persisted (id, xs) scan + ONE moment
-    * aggregate (per-dim Σx, Σx², row count), collected as d rows. All
-    * double/decimal arithmetic below replicates the former frame-based
-    * formulation bit-exactly (DECIMAL(28,18) per-term quantization via
-    * `BigDecimal.valueOf(x).setScale(18, HALF_UP)` — Spark's own
-    * double→decimal cast sequence — exact decimal sums, `doubleValue`
-    * conversion = Spark's decimal→double cast), so the x178/x180/x182
-    * oracles gate this path unchanged. Assumes fixed-width (dense)
-    * vectors, like every consumer of the embeddings column. */
+    * aggregate (per-dim Σx, Σx², row count), computed by the NATIVE
+    * [[graft.functions.expr.VecMomentsDec18]] aggregate — no posexplode,
+    * no interpreted per-dim decimal sums, one primitive loop per row
+    * (the x182/x249/x250 cost center; the PairMomentsDec6 technique).
+    * All arithmetic replicates the former posexplode + groupBy(dim)
+    * formulation bit-exactly (DECIMAL(28,18) per-term quantization =
+    * Spark's own double→decimal cast sequence, exact decimal sums,
+    * `doubleValue` conversion = Spark's decimal→double cast), so the
+    * x178/x180/x182 oracles gate this path unchanged. Assumes
+    * fixed-width (dense) vectors, like every consumer of the embeddings
+    * column. */
   private def pcaBase(data: DataFrame, idCol: String,
       vecCol: String): PcaParts = {
     import graft.functions.expr.DotProductDec18.d18
+    import org.apache.spark.sql.graftbridge.Bridge
     val exArr = data.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("xs"))
       .filter(col("xs").isNotNull && size(col("xs")) >= 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val momRows = exArr
-      .select(posexplode(col("xs")).as(Seq("__d0", "x")))
-      .groupBy("__d0")
-      .agg(sum(dec18(col("x"))).as("sx"),
-        sum(dec18(col("x") * col("x"))).as("sxx"),
-        count(lit(1)).as("cnt"))
-      .orderBy("__d0").collect()
-    require(momRows.nonEmpty, "pca: empty corpus")
-    val d = momRows.length
-    val n = momRows(0).getLong(3).toDouble
-    val sx = momRows.map(_.getDecimal(1).doubleValue)
-    val sxx = momRows.map(_.getDecimal(2).doubleValue)
+    val momAgg = Bridge.column(graft.functions.expr.VecMomentsDec18(
+      Bridge.expression(col("xs")),
+      Bridge.expression(lit(Array.empty[Double])), c = 0,
+      wantBase = true).toAggregateExpression())
+    // layout: [d, n_rows, cnt(d), sx(d), sxx(d)]
+    val mom = exArr.agg(momAgg.as("__mom"))
+      .head().getSeq[java.lang.Double](0)
+    val d = mom(0).doubleValue.toInt
+    require(d >= 1, "pca: empty corpus")
+    // n = the dim-0 coverage count, exactly the count(lit(1)) the dim-0
+    // group of the replaced formulation carried
+    val n = mom(2).doubleValue
+    val sx = Array.tabulate(d)(i => mom(2 + d + i).doubleValue)
+    val sxx = Array.tabulate(d)(i => mom(2 + 2 * d + i).doubleValue)
     val mu = Array.tabulate(d)(i => sx(i) / n)
     // trace(C) = Σ dec18((Σx² − (Σx)²/n)/n), exact-decimal summed
     var acc = java.math.BigDecimal.ZERO
@@ -2004,30 +2047,35 @@ object Similarity {
 
   /** ONE distributed pass applying the (uncentered half of the)
     * covariance operator to a batch of direction vectors: per row,
-    * u_c = dot18(xs, v_c) − μ·v_c (codegen'd, map-only), then per-dim
-    * decimal sums a_{c,i} = Σ_rows dec18(x_i·u_c) and b_c = Σ_rows
-    * dec18(u_c) in a single hash aggregate (map-side combined; the
-    * shuffle is d×partitions rows). Returns the collected d-vectors —
+    * u_c = dot18(xs, v_c) − μ·v_c (codegen'd, map-only), then ALL the
+    * per-dim decimal sums a_{c,i} = Σ_rows dec18(x_i·u_c) and b_c =
+    * Σ_rows dec18(u_c) in ONE native
+    * [[graft.functions.expr.VecMomentsDec18]] aggregate — no posexplode,
+    * no interpreted decimal aggregation, one primitive quantize/
+    * accumulate loop per row; partial aggregation still applies, so the
+    * shuffle carries one buffer per partition. Bit-identical to the
+    * posexplode + groupBy(dim) formulation it replaces (the x178–x250
+    * oracles gate it unchanged). Returns the collected d-vectors —
     * bounded by the embedding dimension, never the corpus. */
   private def pcaApply(exArr: DataFrame,
       vs: Seq[(Array[Double], Double)])
       : (IndexedSeq[Array[Double]], IndexedSeq[Double]) = {
-    val uCols = vs.zipWithIndex.map { case ((v, muv), ci) =>
-      (dot18(col("xs"), lit(v)) - lit(muv)).as(s"__u$ci") }
-    val withU = exArr.select(uCols :+ col("xs"): _*)
-    val exploded = withU.select(
-      vs.indices.map(ci => col(s"__u$ci")) :+
-        posexplode(col("xs")).as(Seq("__d0", "x")): _*)
-    val aggs = vs.indices.flatMap(ci => Seq(
-      sum(dec18(col("x") * col(s"__u$ci"))).as(s"__sa$ci"),
-      sum(dec18(col(s"__u$ci"))).as(s"__sb$ci")))
-    val rows = exploded.groupBy("__d0")
-      .agg(aggs.head, aggs.tail: _*)
-      .orderBy("__d0").collect()
-    val a = vs.indices
-      .map(ci => rows.map(_.getDecimal(1 + 2 * ci).doubleValue))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val c = vs.size
+    val uCols = vs.map { case (v, muv) =>
+      dot18(col("xs"), lit(v)) - lit(muv) }
+    val momAgg = Bridge.column(graft.functions.expr.VecMomentsDec18(
+      Bridge.expression(col("xs")),
+      Bridge.expression(array(uCols: _*)), c,
+      wantBase = false).toAggregateExpression())
+    // layout: [d, n, cnt(d), sb(c), sa(0)(d) … sa(c−1)(d)]
+    val mom = exArr.agg(momAgg.as("__mom"))
+      .head().getSeq[java.lang.Double](0)
+    val d = mom(0).doubleValue.toInt
+    val a = vs.indices.map(ci =>
+      Array.tabulate(d)(i => mom(2 + d + c + ci * d + i).doubleValue))
     // b_c is Σ over all rows (dense vectors: every row covers dim 0)
-    val b = vs.indices.map(ci => rows(0).getDecimal(2 + 2 * ci).doubleValue)
+    val b = vs.indices.map(ci => mom(2 + d + ci).doubleValue)
     (a, b)
   }
 

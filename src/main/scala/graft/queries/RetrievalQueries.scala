@@ -1462,10 +1462,14 @@ object RetrievalQueries {
     val d = t(s, dir, "documents")
     Retrieval.buildPositionalIndex(d.filter(col("doc_id") >= 5), "doc_id",
       "text", "graft_x274_positions")
+    // corpus handed in: the snippet reassembly re-tokenizes ONLY the
+    // winner docs (broadcast semi-join on the corpus scan) instead of
+    // paying a full pass over the token-bucketed positional table
     Retrieval.minSpanSnippets(s, "graft_x274_positions",
       Seq((1L, "dup batch"), (2L, "spark window group"))
         .toDF("doc_id", "text"),
-      "doc_id", "text", k = 5)
+      "doc_id", "text", k = 5,
+      corpus = Some((d.filter(col("doc_id") >= 5), "doc_id", "text")))
   }
 
   // Dynamic pruning rides the streamed family: the feed ingest seeds
@@ -1496,7 +1500,11 @@ object RetrievalQueries {
   // paid for a constant candidate pool instead of every term match. The
   // oracle replays the unrounded-DECIMAL top-20 cut and the full SDM
   // fusion restricted to it.
-  private val x278 = Q("x278_cascade_rank", Some(
+  /** Shared by x278 (MaxScore stage 1) and x284 (Block-Max stage 1):
+    * the cascade's oracle replays the unrounded-DECIMAL BM25 top-20 cut
+    * and the full SDM fusion restricted to it — both stage-1 pruners
+    * are exact, so the pool and the answer are pruner-independent. */
+  private val cascadeOracle: String =
     s"""WITH ${bm25Cte(nQueries = 5, k = 5)},
        |base2 AS (
        |  SELECT doc_id, $WORDS AS ws, len($WORDS) AS n FROM documents
@@ -1543,18 +1551,42 @@ object RetrievalQueries {
        |FROM comb
        |QUALIFY row_number() OVER (PARTITION BY query_id
        |  ORDER BY sc DESC, doc) <= 5
-       |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
-    val d = t(s, dir, "documents")
-    val corpus = d.filter(col("doc_id") >= 5)
-    Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
-      "graft_x278_postings")
-    Retrieval.buildPositionalIndex(corpus, "doc_id", "text",
-      "graft_x278_postings_pos")
-    Retrieval.buildImpactBounds(s, "graft_x278_postings")
-    Retrieval.cascadeTopK(s, "graft_x278_postings",
-        d.filter(col("doc_id") < 5), "doc_id", "text", k = 5, candN = 20,
-        window = 3)
-      .orderBy("query_id", "rank")
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val x278 = Q("x278_cascade_rank", Some(cascadeOracle)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 5)
+      Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+        "graft_x278_postings")
+      Retrieval.buildPositionalIndex(corpus, "doc_id", "text",
+        "graft_x278_postings_pos")
+      Retrieval.buildImpactBounds(s, "graft_x278_postings")
+      Retrieval.cascadeTopK(s, "graft_x278_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5,
+          candN = 20, window = 3)
+        .orderBy("query_id", "rank")
+  }
+
+  // x278 with `_bm` present: cascadeTopK's stage 1 rides Block-Max
+  // (bmwCandidateDocs — a strictly smaller exact candidate superset for
+  // the same top-candN pool), gated on the IDENTICAL oracle — the
+  // refinement must be invisible in the answer, visible only in the
+  // candidate volume.
+  private val x284 = Q("x284_cascade_blockmax", Some(cascadeOracle)) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 5)
+      Retrieval.buildPostingsIndex(corpus, "doc_id", "text",
+        "graft_x284_postings")
+      Retrieval.buildPositionalIndex(corpus, "doc_id", "text",
+        "graft_x284_postings_pos")
+      Retrieval.buildImpactBounds(s, "graft_x284_postings")
+      Retrieval.buildBlockMax(s, "graft_x284_postings", nBlocks = 16)
+      Retrieval.cascadeTopK(s, "graft_x284_postings",
+          d.filter(col("doc_id") < 5), "doc_id", "text", k = 5,
+          candN = 20, window = 3)
+        .orderBy("query_id", "rank")
   }
 
   // The bounds-lifecycle chain certificate: stream-ingest the index
@@ -1589,9 +1621,114 @@ object RetrievalQueries {
       .orderBy("query_id", "rank")
   }
 
+  // The PRODUCTION hybrid-serving certificate (x172 fused the
+  // non-indexed scorers; this fuses the INDEXES): both families arrive
+  // as file streams — postings with `_ub`/`_bm` bounds riding every
+  // micro-batch, IVF with its exact-decimal centroid state — the SQ8
+  // codes are fit on the drained dense index, and the served rankings
+  // are Block-Max BM25 (exact) and the quantized ADC batch probe, fused
+  // by integer reciprocal-rank. The oracle replays the full BM25, the
+  // full routing/grid/quantize/ADC/rescore chain, and the integer
+  // fusion — the x171/x280 oracle disciplines composed over the x271
+  // streamed-harness pattern.
+  private val x282 = Q("x282_hybrid_indexed_fusion", Some(
+    s"""WITH ${bm25Cte(nQueries = 3, k = 20)},
+       |eq AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS qn
+       |  FROM embeddings WHERE vec_id < 3),
+       |corp AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id >= 5),
+       |cent AS (
+       |  SELECT label, i, avg(v[i]) AS cv
+       |  FROM corp CROSS JOIN range(1, 65) AS r(i) GROUP BY label, i),
+       |cscore AS (
+       |  SELECT eq.qid, c.label,
+       |    sum(c.cv * eq.qv[c.i]) / (sqrt(sum(c.cv * c.cv)) * eq.qn) AS cs
+       |  FROM cent c, eq GROUP BY eq.qid, c.label, eq.qn),
+       |probe AS (
+       |  SELECT qid, label FROM cscore
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY cs DESC, label) <= 3),
+       |e AS (
+       |  SELECT c.vec_id, c.label, u.i - 1 AS pos, c.v[u.i] AS x
+       |  FROM corp c, unnest(range(1, len(c.v) + 1)) AS u(i)),
+       |dg AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos),
+       |r2 AS (
+       |  SELECT e.vec_id, e.label, e.pos,
+       |    dg.lo + (CAST(CASE WHEN dg.hi = dg.lo THEN 0
+       |      ELSE greatest(0, least(floor((e.x - dg.lo) / (dg.hi - dg.lo) * 256), 255))
+       |      END AS DOUBLE) + 0.5) * (dg.hi - dg.lo) / 256 AS deq
+       |  FROM e JOIN dg USING (pos)),
+       |vecs AS (SELECT vec_id, label, array_agg(deq ORDER BY pos) AS dv
+       |         FROM r2 GROUP BY vec_id, label),
+       |adc AS (
+       |  SELECT p.qid AS query_id, v.vec_id,
+       |    list_dot_product(v.dv, eq.qv) /
+       |      (sqrt(list_dot_product(v.dv, v.dv)) * eq.qn) AS adc_cos
+       |  FROM vecs v JOIN probe p ON v.label = p.label
+       |    JOIN eq ON eq.qid = p.qid),
+       |topr AS (
+       |  SELECT query_id, vec_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_cos DESC, vec_id) <= 30),
+       |dr AS (
+       |  SELECT t.query_id, t.vec_id AS item_id,
+       |    CAST(row_number() OVER (PARTITION BY t.query_id ORDER BY
+       |      list_dot_product(c.v, eq.qv) /
+       |        (sqrt(list_dot_product(c.v, c.v)) * eq.qn) DESC, t.vec_id)
+       |      AS INT) AS rank
+       |  FROM topr t JOIN corp c USING (vec_id)
+       |    JOIN eq ON eq.qid = t.query_id
+       |  QUALIFY rank <= 20),
+       |contribs AS (
+       |  SELECT query_id, doc_id AS item_id, 1000000000 // (60 + rank) AS c
+       |  FROM ranked
+       |  UNION ALL
+       |  SELECT query_id, item_id, 1000000000 // (60 + rank) FROM dr),
+       |fused AS (
+       |  SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_ppb,
+       |    CAST(count(*) AS BIGINT) AS n_lists
+       |  FROM contribs GROUP BY 1, 2)
+       |SELECT query_id, item_id, rrf_ppb, n_lists,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_ppb DESC, item_id) AS INT) AS rank
+       |FROM fused QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val feedS = java.nio.file.Files
+      .createTempDirectory("graft_x282_feed_s").toString
+    d.filter(col("doc_id") >= 5).repartition(4)
+      .write.mode("overwrite").parquet(feedS)
+    Retrieval.fileStreamIndexIngest(s, feedS, "doc_id", "text",
+      "graft_x282_postings", boundsBlocks = 16)
+    val feedD = java.nio.file.Files
+      .createTempDirectory("graft_x282_feed_d").toString
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .filter(col("vec_id") >= 5).repartition(4)
+      .write.mode("overwrite").parquet(feedD)
+    Similarity.fileStreamIvfIngest(s, feedD, "vec_id", "label",
+      "embedding", "graft_x282_ivf")
+    Similarity.buildIvfCodes(s, "graft_x282_ivf", "vec_id", "label",
+      "embedding")
+    val sparse = Retrieval.bmwTopK(s, "graft_x282_postings",
+        d.filter(col("doc_id") < 3), "doc_id", "text", k = 20)
+      .select(col("query_id"), col("doc_id").as("item"), col("rank"))
+    val dense = Similarity.ivfTopKQuantizedBatch(s, "graft_x282_ivf",
+        "vec_id", "label", "embedding", emb.filter(col("vec_id") < 3),
+        "vec_id", k = 20, nprobe = 3, rescore = 30)
+      .select(col("query_id"), col("vec_id").as("item"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), "query_id", "item", "rank",
+        kRrf = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
     x264, x265, x266, x267, x270, x271, x272, x273, x274, x277, x278,
-    x281)
+    x281, x282, x284)
 }

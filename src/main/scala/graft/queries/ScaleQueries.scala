@@ -2774,11 +2774,133 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  // The drift-honesty gate for the frozen-grid contract: the appended
+  // batch is DISTRIBUTION-SHIFTED (every component ×3 + 2 — far outside
+  // the base grid, so its codes clamp into the edge buckets), ADC recall
+  // is measured at the frozen grid, the grid is REFIT over the current
+  // corpus (refitIvfCodes: new per-dim bounds, full code rebuild, same
+  // levels, grid_gen bump), and recall is measured again. The oracle
+  // replays BOTH recalls — the same routing/quantize/clamp/rank chain
+  // under the two grids — so the query certifies both the decay and the
+  // repair with numbers, not vibes.
+  private val x283 = Q("x283_ivf_sq8_grid_refit", Some(
+    """WITH q AS (
+      |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |    e -> e * 3.0 + 2.0) AS qv
+      |  FROM embeddings WHERE vec_id = 0),
+      |corpus AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id % 5 <> 4
+      |  UNION ALL
+      |  SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]), e -> e * 3.0 + 2.0)
+      |  FROM embeddings WHERE vec_id % 5 = 4),
+      |cent AS (
+      |  SELECT label, i, avg(v[i]) AS cv
+      |  FROM corpus CROSS JOIN range(1, 65) AS r(i)
+      |  GROUP BY label, i),
+      |cscore AS (
+      |  SELECT label,
+      |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+      |  FROM cent, q GROUP BY label),
+      |probe AS (SELECT label FROM cscore ORDER BY cs DESC, label LIMIT 3),
+      |e AS (
+      |  SELECT c.vec_id, c.label, u.i - 1 AS pos, c.v[u.i] AS x
+      |  FROM corpus c, unnest(range(1, len(c.v) + 1)) AS u(i)),
+      |bf AS (
+      |  SELECT c.vec_id FROM corpus c, q
+      |  WHERE c.label IN (SELECT label FROM probe)
+      |  ORDER BY list_dot_product(c.v, q.qv) /
+      |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10),
+      |dfro AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e
+      |         WHERE vec_id % 5 <> 4 GROUP BY pos),
+      |dref AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos),
+      |rfro AS (
+      |  SELECT e.vec_id, e.pos,
+      |    d.lo + (CAST(CASE WHEN d.hi = d.lo THEN 0
+      |      ELSE greatest(0, least(floor((e.x - d.lo) / (d.hi - d.lo) * 256), 255))
+      |      END AS DOUBLE) + 0.5) * (d.hi - d.lo) / 256 AS deq
+      |  FROM e JOIN dfro d USING (pos)
+      |  WHERE e.label IN (SELECT label FROM probe)),
+      |vfro AS (SELECT vec_id, array_agg(deq ORDER BY pos) AS dv
+      |         FROM rfro GROUP BY vec_id),
+      |afro AS (
+      |  SELECT vec_id FROM vfro, q
+      |  ORDER BY list_dot_product(dv, q.qv) /
+      |    (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10),
+      |rref AS (
+      |  SELECT e.vec_id, e.pos,
+      |    d.lo + (CAST(CASE WHEN d.hi = d.lo THEN 0
+      |      ELSE greatest(0, least(floor((e.x - d.lo) / (d.hi - d.lo) * 256), 255))
+      |      END AS DOUBLE) + 0.5) * (d.hi - d.lo) / 256 AS deq
+      |  FROM e JOIN dref d USING (pos)
+      |  WHERE e.label IN (SELECT label FROM probe)),
+      |vref AS (SELECT vec_id, array_agg(deq ORDER BY pos) AS dv
+      |         FROM rref GROUP BY vec_id),
+      |aref AS (
+      |  SELECT vec_id FROM vref, q
+      |  ORDER BY list_dot_product(dv, q.qv) /
+      |    (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+      |  LIMIT 10)
+      |SELECT * FROM (
+      |  SELECT 'frozen' AS phase,
+      |    (SELECT count(*) FROM bf) AS n_exact,
+      |    (SELECT count(*) FROM afro) AS n_approx,
+      |    (SELECT count(*) FROM bf JOIN afro USING (vec_id)) AS n_overlap,
+      |    CAST((SELECT count(*) FROM bf JOIN afro USING (vec_id)) * 10000
+      |      // (SELECT count(*) FROM bf) AS BIGINT) AS recall_bps
+      |  UNION ALL
+      |  SELECT 'refit',
+      |    (SELECT count(*) FROM bf),
+      |    (SELECT count(*) FROM aref),
+      |    (SELECT count(*) FROM bf JOIN aref USING (vec_id)),
+      |    CAST((SELECT count(*) FROM bf JOIN aref USING (vec_id)) * 10000
+      |      // (SELECT count(*) FROM bf) AS BIGINT)
+      |) ORDER BY phase""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val shifted = emb.filter(col("vec_id") % 5 === 4)
+      .withColumn("embedding",
+        expr("transform(embedding, e -> e * 3.0D + 2.0D)"))
+    Similarity.buildIvfIndex(base, "vec_id", "label", "embedding",
+      "graft_x283_ivf")
+    Similarity.buildIvfCodes(s, "graft_x283_ivf", "vec_id", "label",
+      "embedding")
+    Similarity.appendToIvfIndex(shifted, "vec_id", "label", "embedding",
+      "graft_x283_ivf")
+    // the query FOLLOWS the drifted distribution (what drift means in
+    // production: new queries look like new documents) — its true
+    // neighbors are the shifted batch, whose frozen-grid codes clamp
+    val q = emb.filter(col("vec_id") === 0)
+      .withColumn("embedding",
+        expr("transform(embedding, e -> e * 3.0D + 2.0D)"))
+    def recall(phase: String) = {
+      val exact = Similarity.ivfTopKIndexed(s, "graft_x283_ivf", "vec_id",
+        "label", "embedding", q, k = 10, nprobe = 3)
+      val approx = Similarity.ivfTopKQuantized(s, "graft_x283_ivf",
+        "vec_id", "label", "embedding", q, k = 10, nprobe = 3,
+        rescore = 10)
+      // eager: the frozen-phase numbers must land BEFORE refit rewrites
+      // the grid and codes under this lazy plan
+      Similarity.recallAtK(exact, approx, "vec_id")
+        .select(lit(phase).as("phase"), col("n_exact"), col("n_approx"),
+          col("n_overlap"), col("recall_bps"))
+        .localCheckpoint(eager = true)
+    }
+    val frozen = recall("frozen")
+    Similarity.refitIvfCodes(s, "graft_x283_ivf", "vec_id", "label",
+      "embedding")
+    frozen.unionByName(recall("refit")).orderBy("phase")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257, x258, x268, x269, x275, x276, x279, x280)
+      x240, x242, x257, x258, x268, x269, x275, x276, x279, x280, x283)
 }

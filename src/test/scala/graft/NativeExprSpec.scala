@@ -223,6 +223,163 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(gotAb - expAb) < 2e-6, s"corr(a,b): $gotAb vs $expAb")
   }
 
+  test("quantize18 bit-equals the BigDecimal double→DECIMAL(28,18) cast " +
+    "over edge cases and a 200k random-bits sweep") {
+    import graft.functions.expr.{DotProductDec18, VecMomentsDec18}
+    val TEN18 = java.math.BigInteger.valueOf(1000000000000000000L)
+    val out = new Array[Long](2)
+    def check(x: Double): Unit = {
+      val ok = VecMomentsDec18.quantize18(x, out)
+      val ref = DotProductDec18.q18OrNull(x)
+      if (ref == null) assert(!ok, s"$x: parser kept a null-cast term")
+      else {
+        assert(ok, s"$x: parser dropped an in-precision term")
+        assert(math.abs(out(1)) < 1000000000000000000L,
+          s"$x: lo out of range ${out(1)}")
+        val got = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(out(0)).multiply(TEN18)
+            .add(java.math.BigInteger.valueOf(out(1))), 18)
+        assert(got.compareTo(ref) == 0, s"$x: got $got want $ref")
+      }
+    }
+    Seq(0.0, -0.0, 1.0, -1.0, 0.5, 2.0 / 3.0, math.Pi, -math.E,
+      1e-18, 5e-19, 4.999e-19, 1.5e-19, -5e-19, 1e-3, 1e-4, 9.99e-4,
+      0.001234, 0.0012345678901234567, 1e7, 9999999.999, 1.0e10,
+      9.999999999e9, 9.999999999999998e9, 1.2345678901234567e9,
+      123456.789012345678, 1000.0, 55321.95, -98765.432109876,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE, 4.9e-324,
+      1e-308, java.lang.Double.MAX_VALUE, 1e300, -1e300,
+      0.49999999999999994, 0.5000000000000001).foreach(check)
+    assert(!VecMomentsDec18.quantize18(Double.NaN, out))
+    assert(!VecMomentsDec18.quantize18(Double.PositiveInfinity, out))
+    assert(!VecMomentsDec18.quantize18(Double.NegativeInfinity, out))
+    // full-bit-pattern sweep: every magnitude band incl. subnormals
+    val rnd = new scala.util.Random(20260816L)
+    var i = 0
+    while (i < 200000) {
+      val x = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      if (!x.isNaN && !x.isInfinite) check(x)
+      i += 1
+    }
+    // dense band around typical embedding magnitudes
+    i = 0
+    while (i < 50000) {
+      check((rnd.nextDouble() - 0.5) *
+        math.pow(10.0, rnd.between(-22, 12)))
+      i += 1
+    }
+  }
+
+  test("Dec18Sums: carry normalization and hi-overflow spill stay exact") {
+    import graft.functions.expr.Dec18Sums
+    val TEN18 = java.math.BigInteger.valueOf(1000000000000000000L)
+    def bd(hi: Long, lo: Long) = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(hi).multiply(TEN18)
+        .add(java.math.BigInteger.valueOf(lo)), 18)
+    val s = new Dec18Sums(1)
+    var ref = java.math.BigDecimal.ZERO
+    // carries in both directions
+    Seq((0L, 999999999999999999L), (0L, 999999999999999999L),
+      (-3L, -999999999999999999L), (5L, 1L),
+      (0L, -999999999999999999L)).foreach { case (h, l) =>
+      s.addParsed(0, h, l); ref = ref.add(bd(h, l))
+      assert(math.abs(s.lo(0)) < 1000000000000000000L)
+      assert(s.total(0).compareTo(ref) == 0)
+    }
+    // force the hi two's-complement overflow spill path
+    val big = Long.MaxValue / 2 + 5L
+    (1 to 4).foreach { _ =>
+      s.addParsed(0, big, 0L); ref = ref.add(bd(big, 0L))
+      assert(s.total(0).compareTo(ref) == 0, "spill lost exactness")
+    }
+    (1 to 4).foreach { _ =>
+      s.addParsed(0, -big, -7L); ref = ref.add(bd(-big, -7L))
+      assert(s.total(0).compareTo(ref) == 0, "negative spill lost exactness")
+    }
+  }
+
+  test("vec_moments_dec18: base and apply modes bit-equal the posexplode " +
+    "SQL decimal-sum formulation (nulls, non-finite, overflow, ragged)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions._
+    val rows: Seq[Seq[java.lang.Double]] = Seq(
+      Seq[java.lang.Double](1.5, -2.25, 3.125),
+      Seq[java.lang.Double](0.1, 0.2, 0.3),
+      Seq[java.lang.Double](null, 5.0, -7.5),
+      Seq[java.lang.Double](1.0e22, Double.NaN, 2.0),
+      Seq[java.lang.Double](12345.6789, -5.0e-7, 99999.5),
+      null,
+      Seq[java.lang.Double](4.0, 5.0))
+    val df = rows.toDF("xs").select($"xs".cast("array<double>").as("xs"))
+    def dec18(c: org.apache.spark.sql.Column) = c.cast("decimal(28,18)")
+    def withAnsiOff[T](f: => T): T = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try f finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    def slot(m: Seq[java.lang.Double], i: Int): Any =
+      if (m(i) == null) null else m(i).doubleValue
+    // ---- base mode: per-dim cnt / Σdec18(x) / Σdec18(x²)
+    val oldBase = withAnsiOff {
+      df.select(posexplode($"xs").as(Seq("d0", "x")))
+        .groupBy("d0")
+        .agg(sum(dec18($"x")).cast("double").as("sx"),
+          sum(dec18($"x" * $"x")).cast("double").as("sxx"),
+          count(lit(1)).as("cnt"))
+        .orderBy("d0").collect()
+    }
+    val baseAgg = Bridge.column(graft.functions.expr.VecMomentsDec18(
+      Bridge.expression($"xs"),
+      Bridge.expression(lit(Array.empty[Double])), 0,
+      wantBase = true).toAggregateExpression())
+    val mb = df.agg(baseAgg.as("m")).head().getSeq[java.lang.Double](0)
+    val d = mb(0).doubleValue.toInt
+    assert(d == 3 && oldBase.length == 3)
+    (0 until d).foreach { i =>
+      assert(mb(2 + i).doubleValue == oldBase(i).getLong(3).toDouble,
+        s"cnt($i)")
+      val wantSx = if (oldBase(i).isNullAt(1)) null
+        else oldBase(i).getDouble(1)
+      val wantSxx = if (oldBase(i).isNullAt(2)) null
+        else oldBase(i).getDouble(2)
+      assert(slot(mb, 2 + d + i) == wantSx, s"sx($i)")
+      assert(slot(mb, 2 + 2 * d + i) == wantSxx, s"sxx($i)")
+    }
+    // ---- apply mode: per-dim Σdec18(x·u_c) + dim-0 Σdec18(u_c), c = 2
+    val u0 = coalesce(element_at($"xs", 1), lit(0.0)) * lit(1.5) - lit(0.25)
+    val u1 = coalesce(element_at($"xs", 2), lit(Double.NaN))
+    val oldApply = withAnsiOff {
+      df.select($"xs", u0.as("u0"), u1.as("u1"))
+        .select($"u0", $"u1", posexplode($"xs").as(Seq("d0", "x")))
+        .groupBy("d0")
+        .agg(sum(dec18($"x" * $"u0")).cast("double").as("sa0"),
+          sum(dec18($"u0")).cast("double").as("sb0"),
+          sum(dec18($"x" * $"u1")).cast("double").as("sa1"),
+          sum(dec18($"u1")).cast("double").as("sb1"))
+        .orderBy("d0").collect()
+    }
+    val applyAgg = Bridge.column(graft.functions.expr.VecMomentsDec18(
+      Bridge.expression($"xs"), Bridge.expression(array(u0, u1)), 2,
+      wantBase = false).toAggregateExpression())
+    val ma = df.agg(applyAgg.as("m")).head().getSeq[java.lang.Double](0)
+    assert(ma(0).doubleValue.toInt == d)
+    (0 to 1).foreach { ci =>
+      val wantSb = if (oldApply(0).isNullAt(2 + 2 * ci)) null
+        else oldApply(0).getDouble(2 + 2 * ci)
+      assert(slot(ma, 2 + d + ci) == wantSb, s"sb($ci)")
+      (0 until d).foreach { i =>
+        val wantSa = if (oldApply(i).isNullAt(1 + 2 * ci)) null
+          else oldApply(i).getDouble(1 + 2 * ci)
+        assert(slot(ma, 2 + d + 2 + ci * d + i) == wantSa, s"sa($ci)($i)")
+      }
+    }
+    // serialize/deserialize round-trip exercised by forcing a 2-partition
+    // aggregation (partial buffers must merge through the wire format)
+    val mb2 = df.repartition(2).agg(baseAgg.as("m")).head()
+      .getSeq[java.lang.Double](0)
+    assert(mb2 == mb, "partial-merge path diverged from single-partition")
+  }
+
   test("dot_product_dec18 skips non-finite and precision-overflow terms " +
     "like the SQL cast (a NaN embedding no longer crashes the job)") {
     import org.apache.spark.sql.functions._

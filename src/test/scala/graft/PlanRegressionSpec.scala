@@ -744,6 +744,25 @@ class PlanRegressionSpec extends SparkSpec {
     assert("LeftSemi".r.findAllIn(p).length >= 2, p.take(800))
   }
 
+  test("x274 snippet reassembly is doc-keyed: only span DISCOVERY scans " +
+    "the positional table, the winner slice re-tokenizes from the corpus") {
+    val p = plan("x274_min_span_snippets")
+    // coveredSpans legitimately reads the positional table twice (the
+    // starts × required-terms frame unions the occurrence frame); a
+    // third scan means the reassembly regressed to the full positional
+    // pass the corpus-keyed path exists to avoid
+    val posScans =
+      """\(\d+\) Scan parquet \S*graft_x274_positions""".r
+        .findAllIn(p).length
+    assert(posScans == 2, s"positional scans = $posScans (want 2):\n" +
+      p.take(800))
+    // the reassembly side reads the documents corpus, restricted by the
+    // broadcast winner join BEFORE the position explode
+    assert(p.contains("documents.parquet"),
+      "corpus scan missing from the reassembly:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"), "reassembly went cartesian")
+  }
+
   test("x275 quantized probe partition-prunes the codes scan to the " +
     "routed cells (dynamic pruning on the cell partition column)") {
     val p = plan("x275_ivf_sq8_adc")

@@ -82,4 +82,40 @@ class RestartRecoverySpec extends SparkSpec {
     assert(u1.size == 1 && u1.head(3) == 4L,
       s"user 1's session must merge across the restart, got $u1")
   }
+
+  test("IngestLedger: watermark compaction bounds the file count at O(1), " +
+    "coverage stays exact, crash-mid-compaction only duplicates") {
+    import graft.operators.IngestLedger
+    val ckpt = Files.createTempDirectory("graft_ledger_test").toString
+    def partFiles(): Array[org.apache.hadoop.fs.Path] = {
+      val p = new org.apache.hadoop.fs.Path(s"$ckpt/graft_applied")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("part-"))
+    }
+    // a long stream: 41 committed batches — the naive one-file-per-batch
+    // ledger would hold 41 files and re-read all of them every batch
+    (0L to 40L).foreach(IngestLedger.recordAppliedBatch(spark, ckpt, _))
+    val a = IngestLedger.appliedBatchIds(spark, ckpt)
+    assert((0L to 40L).forall(a.contains), s"coverage lost: $a")
+    assert(!a.contains(41L) && !a.contains(100L), s"over-coverage: $a")
+    assert(partFiles().length <= IngestLedger.CompactAt + 1,
+      s"compaction did not bound the ledger: ${partFiles().length} files")
+    // crash-mid-compaction: the summary landed but the subsumed files
+    // were not deleted — the reader unions, coverage must be UNCHANGED
+    spark.createDataFrame(Seq((40L, true), (7L, false)))
+      .toDF("batch_id", "is_wm")
+      .coalesce(1).write.mode("append").parquet(s"$ckpt/graft_applied")
+    val dup = IngestLedger.appliedBatchIds(spark, ckpt)
+    assert((0L to 40L).forall(dup.contains) && !dup.contains(41L),
+      s"duplicate coverage changed the set: $dup")
+    // recording continues over the duplicated state; resume reads O(1)
+    (41L to 60L).foreach(IngestLedger.recordAppliedBatch(spark, ckpt, _))
+    val b = IngestLedger.appliedBatchIds(spark, ckpt)
+    assert((0L to 60L).forall(b.contains) && !b.contains(61L))
+    assert(b.extra.isEmpty,
+      s"contiguous commits must fold into the watermark: $b")
+    assert(partFiles().length <= IngestLedger.CompactAt + 1)
+  }
 }

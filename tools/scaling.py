@@ -65,6 +65,7 @@ def load(paths):
     merged["n_queries"] = len(qs)
     merged["n_errors"] = max(r["n_errors"] for r in runs)
     merged["n_runs"] = len(runs)
+    merged["boots"] = sorted({r.get("boot") for r in runs if r.get("boot")})
     return merged
 
 
@@ -87,6 +88,10 @@ def main():
     args = list(sys.argv[1:])
     retime_dirs = None
     reuse_iso = False
+    allow_cross_boot = False
+    if "--allow-cross-boot" in args:
+        allow_cross_boot = True
+        args.remove("--allow-cross-boot")
     if "--reuse-iso" in args:
         # reuse committed auto_iso_* runs for rows already re-timed this
         # round (each retime is a full fresh-JVM run; when only the table
@@ -98,6 +103,18 @@ def main():
         retime_dirs = (args[i + 1], args[i + 2])
         del args[i:i + 3]
     a, b = load(args[0]), load(args[1])
+    # boot-fingerprint guard (r12: a slower host boot showed as a uniform
+    # fake 1.25x on identical code): a pair is ratio-comparable only when
+    # the two sides share a boot. Refuse cross-boot pairs unless
+    # explicitly overridden — and flag the override in the artifact.
+    boots_a, boots_b = set(a.get("boots", [])), set(b.get("boots", []))
+    cross_boot = bool(boots_a) and bool(boots_b) and not (boots_a & boots_b)
+    if cross_boot and not allow_cross_boot:
+        raise SystemExit(
+            "refusing to pair cross-boot bench maps "
+            f"(side A boots {sorted(boots_a)}, side B boots "
+            f"{sorted(boots_b)}); rerun both sides on one boot, or pass "
+            "--allow-cross-boot to emit a flagged table")
     qa, qb = a["queries"], b["queries"]
     shared = sorted(set(qa) & set(qb))
     rows = []
@@ -150,6 +167,20 @@ def main():
     if iso:
         print(f"- bench protocol: isolation = {iso} (r6-era numbers predate "
               "this and are not comparable for persist-heavy queries)")
+    if cross_boot:
+        print("- **CROSS-BOOT PAIR (flagged, --allow-cross-boot)**: the "
+              f"two sides ran on different boots ({sorted(boots_a)} vs "
+              f"{sorted(boots_b)}) — host-state drift can shift every "
+              "ratio uniformly; treat totals and ratios as indicative only")
+    elif boots_a or boots_b:
+        same = sorted(boots_a | boots_b)
+        print(f"- boot: {', '.join(same)} (sides share a boot — "
+              "ratio-comparable)")
+        if len(boots_a) > 1 or len(boots_b) > 1:
+            print("- note: one side min-merges runs from MULTIPLE boots — "
+                  "per-query mins may mix host states")
+    else:
+        print("- boot: unknown (maps predate the r13 boot fingerprint)")
     print(f"- sf0.1: {a['n_queries']} queries, {a['n_errors']} errors, "
           f"{a['value']:.1f} s total (per-query min of {a.get('n_runs', 1)} runs)")
     print(f"- sf1:   {b['n_queries']} queries, {b['n_errors']} errors, "
