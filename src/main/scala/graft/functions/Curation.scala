@@ -816,6 +816,12 @@ object Curation {
     feats.join(broadcast(w.select(col("bucket"),
         col("weight").cast("double").as("weight"))), "bucket")
       .groupBy("id")
+      // NOTE: stays the interpreted decimal sum deliberately — a native
+      // TypedImperativeAggregate here would put corpus-many keys through
+      // ObjectHashAggregate, whose 128-key fallback degrades to
+      // sort-based aggregation (measured 2x SLOWER at sf0.1). The
+      // small-key aggregates (per-bucket gradient, loss, norm) use
+      // SumDec18 instead.
       .agg(sum((col("x").cast("double") * col("weight"))
           .cast("decimal(28,18)")).as("__z"),
         max(col("y")).as("y"))
@@ -835,61 +841,91 @@ object Curation {
           .as("fn"))
       .withColumn("accuracy_bps", expr("(tp + tn) * 10000 div n_docs"))
 
-  /** Per-bucket weights after `iters` full-batch GD steps (unrounded
-    * DOUBLE weights plus the exact-decimal machinery the gates need). */
-  private def logisticWeights(feats: DataFrame, iters: Int, lr: Double)
-      : DataFrame = {
-    val nF = broadcast(feats.select("id").distinct()
-      .agg(count(lit(1)).cast("double").as("__n")))
+  /** Per-doc feature-ARRAY frame + driver-side class stats — the GD
+    * loop's working set: one aggregate over the persisted exploded
+    * frame (reuses its id partitioning), then every iteration is a
+    * MAP-ONLY pass (native gather-sum z against the broadcast-literal
+    * weight vector) plus one (dim+1)-key gradient aggregate. Returns
+    * (docs frame persisted by the caller's lifetime, n_docs, class
+    * weights wpos/wneg, the sorted seen-bucket list). */
+  private def logisticDocs(feats: DataFrame)
+      : (DataFrame, Double, Double, Double, Array[Long]) = {
+    val docs = feats.groupBy("id", "y")
+      .agg(sort_array(collect_list(col("bucket"))).as("__bs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // class-balanced residual weights n/(2·n_class): with a 5% positive
     // rate an unweighted full-batch GD provably stalls (the rare class's
     // gradient is outvoted ~20:1 — measured: all-negative predictions
     // after 8 steps); balanced weights also cancel the gradient of every
     // non-discriminative bucket at w=0, so learning concentrates on the
-    // separating features. greatest(·,1) guards a single-class corpus
+    // separating features. max(·,1) guards a single-class corpus
     // (weights degenerate to a no-op instead of dividing by zero).
-    val cwF = broadcast(feats.select("id", "y").distinct()
-      .agg(count(lit(1)).cast("double").as("__na"),
-        sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double").as("__np"),
-        sum(when(col("y") === 0, 1L).otherwise(0L)).cast("double").as("__nn"))
-      .select(
-        (col("__na") / (lit(2.0) * greatest(col("__np"), lit(1.0))))
-          .as("__wpos"),
-        (col("__na") / (lit(2.0) * greatest(col("__nn"), lit(1.0))))
-          .as("__wneg")))
-    def gradOf(resid: DataFrame): DataFrame =
-      feats.join(resid.select("id", "__resid"), "id")
-        .groupBy("bucket")
-        .agg(sum((col("__resid") * col("x").cast("double"))
-          .cast("decimal(28,18)")).as("__gs"))
-        .crossJoin(nF)
-        .select(col("bucket"),
-          (col("__gs").cast("double") / col("__n")).as("__grad"))
-    val w0 = feats.select("bucket").distinct()
-      .withColumn("weight", lit(0.0))
-    (1 to iters).foldLeft(w0) { (w, _) =>
-      // z is an order-free DECIMAL sum of per-row double products; σ and
-      // the residual are one fixed double op sequence per doc
-      val z = feats.join(broadcast(w), "bucket")
-        .groupBy("id")
-        .agg(sum((col("x").cast("double") * col("weight"))
-            .cast("decimal(28,18)")).as("__z"),
-          max(col("y")).as("y"))
-      val resid = z.crossJoin(cwF).withColumn("__resid",
-        (lit(1.0) / (lit(1.0) + exp(-col("__z").cast("double")))
-          - col("y").cast("double")) *
-          when(col("y") === 1, col("__wpos")).otherwise(col("__wneg")))
-      // tiny (dim+1)-row frame; checkpoint truncates the per-iteration
-      // lineage (the BPE/k-means discipline). LAZY: an eager checkpoint
-      // would run one serial job per iteration before any result is
-      // asked for — lazily the first consumer computes it once and every
-      // later reference reads the cached blocks
-      w.join(gradOf(resid), Seq("bucket"), "left")
-        .select(col("bucket"),
-          (col("weight") - lit(lr) * coalesce(col("__grad"), lit(0.0)))
-            .as("weight"))
-        .localCheckpoint(eager = false)
-    }
+    val cnt = docs.agg(count(lit(1)).cast("double").as("na"),
+      sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double").as("np"),
+      sum(when(col("y") === 0, 1L).otherwise(0L)).cast("double").as("nn"))
+      .head()
+    val na = cnt.getDouble(0)
+    val wpos = na / (2.0 * math.max(cnt.getDouble(1), 1.0))
+    val wneg = na / (2.0 * math.max(cnt.getDouble(2), 1.0))
+    val seen = feats.select("bucket").distinct().collect()
+      .map(_.getLong(0)).sorted
+    (docs, na, wpos, wneg, seen)
+  }
+
+  /** One full-batch GD step at the current driver-held weight vector:
+    * per-doc z via [[graft.functions.expr.GatherSumDec18]] (map-only —
+    * no join, no per-id aggregate), residual as the same fixed double op
+    * sequence as ever, then the (dim+1)-key exact-decimal gradient
+    * aggregate collected to the driver. Returns (bucket → Σdec18(resid))
+    * for buckets with at least one term. Value-identical to the former
+    * join + DECIMAL-sum formulation: the gathered z is the same exact
+    * sum of identically-quantized terms, and resid·x with x = 1 is
+    * resid to the bit. */
+  private def gradStep(docs: DataFrame, w: Array[Double], wpos: Double,
+      wneg: Double): Map[Long, Double] = {
+    import graft.functions.expr.GatherSumDec18.gatherSumDec18
+    import graft.functions.expr.SumDec18.sumDec18
+    val z = gatherSumDec18(col("__bs"), lit(w))
+    val resid =
+      (lit(1.0) / (lit(1.0) + exp(-z)) - col("y").cast("double")) *
+        when(col("y") === 1, lit(wpos)).otherwise(lit(wneg))
+    docs.select(resid.as("__resid"), explode(col("__bs")).as("bucket"))
+      .groupBy("bucket")
+      .agg(sumDec18(col("__resid")).as("__gs"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> r.getDouble(1)))
+      .toMap
+  }
+
+  /** Per-bucket weights after `iters` full-batch GD steps (unrounded
+    * DOUBLE weights plus the exact-decimal machinery the gates need).
+    *
+    * 100 TB shape (r13): the weight vector lives on the DRIVER
+    * (dim+1 ≤ 4097 doubles) and enters each iteration as an array
+    * literal, so one GD step is ONE job — a map-only pass over the
+    * persisted per-doc array frame into a (dim+1)-key gradient
+    * aggregate — instead of the former broadcast join + corpus-keyed
+    * interpreted DECIMAL aggregate + gradient join + lineage
+    * checkpoint. Every number is bit-identical to that formulation:
+    * z is the same exact decimal sum (gather-sum of the same quantized
+    * terms), the residual/update arithmetic is the same IEEE op
+    * sequence, and buckets without gradient rows keep their weight
+    * (the old left-join coalesce-0 update subtracted an exact 0). */
+  private def logisticWeights(feats: DataFrame, iters: Int, lr: Double)
+      : DataFrame = {
+    val (docs, n, wpos, wneg, seen) = logisticDocs(feats)
+    val maxB = if (seen.isEmpty) 0 else seen.max.toInt
+    val w = new Array[Double](maxB + 1)
+    try {
+      (1 to iters).foreach { _ =>
+        val gs = gradStep(docs, w, wpos, wneg)
+        gs.foreach { case (b, g) => w(b.toInt) -= lr * (g / n) }
+      }
+    } finally docs.unpersist()
+    val spark = feats.sparkSession
+    import spark.implicits._
+    seen.toSeq.map(b => (b, w(b.toInt))).toDF("bucket", "weight")
   }
 
   /** Model-based quality filtering, training side: a fastText-shaped
@@ -1115,64 +1151,44 @@ object Curation {
     require(iters >= 1 && iters <= 16, "iters out of [1,16]")
     val feats = logisticFeatures(df, idCol, textCol, label, dim,
       bigrams = bigrams)
-    val nF = broadcast(feats.select("id").distinct()
-      .agg(count(lit(1)).cast("double").as("__n")))
-    val cwF = broadcast(feats.select("id", "y").distinct()
-      .agg(count(lit(1)).cast("double").as("__na"),
-        sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double").as("__np"),
-        sum(when(col("y") === 0, 1L).otherwise(0L)).cast("double").as("__nn"))
-      .select(
-        (col("__na") / (lit(2.0) * greatest(col("__np"), lit(1.0))))
-          .as("__wpos"),
-        (col("__na") / (lit(2.0) * greatest(col("__nn"), lit(1.0))))
-          .as("__wneg")))
-    var w = feats.select("bucket").distinct().withColumn("weight", lit(0.0))
-    val rows = Seq.newBuilder[DataFrame]
-    for (t <- 1 to iters) {
-      val z = feats.join(broadcast(w), "bucket")
-        .groupBy("id")
-        .agg(sum((col("x").cast("double") * col("weight"))
-            .cast("decimal(28,18)")).as("__z"),
-          max(col("y")).as("y"))
-      // class-weighted logistic loss at the incoming weights: per-row
-      // cw·ln(1+exp(∓z)) quantized pre-sum, one final division by n
-      val lossF = z.crossJoin(cwF).crossJoin(nF)
-        .select(col("__n"),
-          (when(col("y") === 1,
-            col("__wpos") * log(lit(1.0) + exp(-col("__z").cast("double"))))
-            .otherwise(
-              col("__wneg") * log(lit(1.0) + exp(col("__z").cast("double")))))
-            .cast("decimal(28,18)").as("__l"))
-        .groupBy("__n").agg(sum(col("__l")).as("__ls"))
-        .select((col("__ls").cast("double") / col("__n")).as("__loss"))
-      val resid = z.crossJoin(cwF).withColumn("__resid",
-        (lit(1.0) / (lit(1.0) + exp(-col("__z").cast("double")))
-          - col("y").cast("double")) *
-          when(col("y") === 1, col("__wpos")).otherwise(col("__wneg")))
-      // (dim+1)-row gradient, consumed twice (norm + update): lazy
-      // checkpoint so the chain stays flat across iterations
-      val grad = feats.join(resid.select("id", "__resid"), "id")
-        .groupBy("bucket")
-        .agg(sum((col("__resid") * col("x").cast("double"))
-          .cast("decimal(28,18)")).as("__gs"))
-        .crossJoin(nF)
-        .select(col("bucket"),
-          (col("__gs").cast("double") / col("__n")).as("__grad"))
-        .localCheckpoint(eager = false)
-      val normF = grad
-        .agg(sum((col("__grad") * col("__grad")).cast("decimal(28,18)"))
-          .as("__g2"))
-        .select(sqrt(col("__g2").cast("double")).as("__gn"))
-      rows += lossF.crossJoin(normF).select(lit(t).cast("long").as("iter"),
-        round(col("__loss"), roundTo).as("loss"),
-        round(col("__gn"), roundTo).as("grad_norm"))
-      w = w.join(grad, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (col("weight") - lit(lr) * coalesce(col("__grad"), lit(0.0)))
-            .as("weight"))
-        .localCheckpoint(eager = false)
-    }
-    rows.result().reduce(_.unionByName(_)).orderBy("iter")
+    import graft.functions.expr.DotProductDec18.q18OrNull
+    import graft.functions.expr.GatherSumDec18.gatherSumDec18
+    import graft.functions.expr.SumDec18.sumDec18
+    val (docs, n, wpos, wneg, seen) = logisticDocs(feats)
+    val maxB = if (seen.isEmpty) 0 else seen.max.toInt
+    val w = new Array[Double](maxB + 1)
+    val rows = Seq.newBuilder[(Long, Double, Double)]
+    // Spark's round(double, s) sequence — shortest-decimal HALF_UP
+    def rnd(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue
+    try {
+      for (t <- 1 to iters) {
+        // class-weighted logistic loss at the incoming weights: per-row
+        // cw·ln(1+exp(∓z)) quantized pre-sum, one final division by n —
+        // z via the native gather-sum, the same exact decimal total the
+        // former join-aggregate produced
+        val z = gatherSumDec18(col("__bs"), lit(w))
+        val ls = docs.select(
+            (when(col("y") === 1, lit(wpos) * log(lit(1.0) + exp(-z)))
+              .otherwise(lit(wneg) * log(lit(1.0) + exp(z)))).as("__l"))
+          .agg(sumDec18(col("__l")).as("__ls")).head().getDouble(0)
+        val gs = gradStep(docs, w, wpos, wneg)
+        // grad-norm: sqrt of the exact dec18 sum of grad² — the same
+        // quantize/exact-sum/convert chain, replayed driver-side over
+        // the (dim+1)-bounded gradient
+        var g2 = java.math.BigDecimal.ZERO
+        val grads = gs.map { case (b, g) => b -> (g / n) }
+        grads.values.foreach { g =>
+          val q = q18OrNull(g * g)
+          if (q ne null) g2 = g2.add(q)
+        }
+        rows += ((t.toLong, rnd(ls / n), rnd(math.sqrt(g2.doubleValue))))
+        grads.foreach { case (b, g) => w(b.toInt) -= lr * g }
+      }
+    } finally docs.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.result().toDF("iter", "loss", "grad_norm").orderBy("iter")
   }
 
   /** χ² token–label feature selection — which vocabulary items carry the

@@ -23,6 +23,9 @@ final class Dec18Sums(var size: Int) {
   var lo: Array[Long] = new Array[Long](size)
   var seen: Array[Boolean] = new Array[Boolean](size)
   var spill: Array[java.math.BigDecimal] = _
+  /** Transient parse scratch for callers that use this class AS an agg
+    * buffer ([[SumDec18]]); never serialized. */
+  var scratch: Array[Long] = _
 
   def grow(n: Int): Unit = if (n > size) {
     hi = java.util.Arrays.copyOf(hi, n)

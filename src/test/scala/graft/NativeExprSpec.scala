@@ -380,6 +380,75 @@ class NativeExprSpec extends SparkSpec {
     assert(mb2 == mb, "partial-merge path diverged from single-partition")
   }
 
+  test("sum_dec18 bit-equals sum(CAST(x AS DECIMAL(28,18))) cast to " +
+    "double, per group, including null/non-finite/overflow terms") {
+    import graft.functions.expr.SumDec18.sumDec18
+    import org.apache.spark.sql.functions._
+    val rows: Seq[(Long, java.lang.Double)] = Seq(
+      (1L, 1.5), (1L, -2.25), (1L, 0.0000005), (1L, 55321.95),
+      (2L, Double.NaN), (2L, 3.25), (2L, 1.0e22), (2L, -5.0e-19),
+      (3L, null), (3L, Double.PositiveInfinity),
+      (4L, 12345.678901234), (4L, -12345.678901234))
+    val df = rows.toDF("g", "x")
+    val got = df.groupBy("g").agg(sumDec18(col("x")).as("s"))
+      .orderBy("g").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getDouble(1): Any)).toMap
+    val want = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try df.groupBy("g")
+        .agg(sum(col("x").cast("decimal(28,18)")).cast("double").as("s"))
+        .orderBy("g").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+          else r.getDouble(1): Any)).toMap
+      finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    assert(got == want, s"got $got want $want")
+    // group 3: every term cast-nulls → the sum is null, not 0
+    assert(got(3L) == null)
+    // partial-merge path: 3 partitions force serialize/merge
+    val merged = df.repartition(3).groupBy("g")
+      .agg(sumDec18(col("x")).as("s")).orderBy("g").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getDouble(1): Any)).toMap
+    assert(merged == want, "partial-merge diverged")
+  }
+
+  test("gather_sum_dec18 equals the join + decimal-sum formulation; " +
+    "out-of-range and null entries contribute nothing") {
+    import graft.functions.expr.GatherSumDec18.gatherSumDec18
+    import org.apache.spark.sql.functions._
+    val w = Array(0.125, -3.5, 0.0000005, 55321.95, Double.NaN)
+    val docs = Seq(
+      (10L, Seq(0L, 2L, 3L)),
+      (11L, Seq(1L, 1L, 3L)), // duplicate index contributes twice
+      (12L, Seq(4L)),         // NaN weight: term skipped → sum 0
+      (13L, Seq(99L, -1L, 0L)), // out-of-range skipped
+      (14L, Seq.empty[Long]))
+      .toDF("id", "bs")
+    val got = docs.select(col("id"), gatherSumDec18(col("bs"), lit(w)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // SQL replay: explode + join on index + decimal sum
+    val wDf = w.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("b", "wv")
+    val want = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try docs.select(col("id"), explode(col("bs")).as("b"))
+        .join(wDf, "b")
+        .groupBy("id")
+        .agg(sum(col("wv").cast("decimal(28,18)")).cast("double").as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) 0.0
+          else r.getDouble(1))).toMap
+      finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    want.foreach { case (id, s) =>
+      assert(got(id) == s, s"id $id: got ${got(id)} want $s") }
+    assert(got(12L) == 0.0 && got(13L) == w(0) && got(14L) == 0.0)
+  }
+
   test("dot_product_dec18 skips non-finite and precision-overflow terms " +
     "like the SQL cast (a NaN embedding no longer crashes the job)") {
     import org.apache.spark.sql.functions._
