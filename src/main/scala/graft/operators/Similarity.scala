@@ -854,6 +854,41 @@ object Similarity {
       meta.getAs[Int]("levels"), gen + 1L)
   }
 
+  /** Clamp-rate DRIFT MONITOR for a frozen SQ8 grid — the number an
+    * operator watches to decide when [[refitIvfCodes]] is due: for a
+    * candidate batch (typically the next append), the fraction of vector
+    * components that fall OUTSIDE the per-dim (lo, hi) grid and would
+    * clamp into an edge bucket. A healthy in-distribution batch clamps
+    * ~0 bps (the grid was fit on min/max, so in-range data never
+    * clamps); a drifted batch shows up in the thousands — x283 measured
+    * the recall cost of exactly that state, this operator detects it
+    * BEFORE serving quality decays. Returns one row:
+    * (n_vectors, n_components, n_clamped, n_dims_affected, clamp_bps) —
+    * exact integers, basis points by integer division.
+    *
+    * Scale shape: one map-side pass over the batch (posexplode against
+    * the broadcast d-row grid) into a single global aggregate — never
+    * touches the index. */
+  def sqClampStats(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    require(spark.catalog.tableExists(s"${table}_cdims"),
+      s"sqClampStats needs ${table}_cdims — run buildIvfCodes first")
+    val out = when(col("v") < col("lo") || col("v") > col("hi"), 1L)
+      .otherwise(0L)
+    batch.select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .join(broadcast(spark.table(s"${table}_cdims")), "pos")
+      .withColumn("__c", out)
+      .agg(countDistinct(col("__id")).as("n_vectors"),
+        count(lit(1)).as("n_components"),
+        sum(col("__c")).as("n_clamped"),
+        countDistinct(when(col("__c") === 1L, col("pos")))
+          .as("n_dims_affected"))
+      .withColumn("clamp_bps",
+        expr("n_clamped * 10000 div n_components"))
+  }
+
   private def fitCodes(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, cellCol: String, vecCol: String,
       levels: Int, gridGen: Long): Unit = {

@@ -2896,11 +2896,70 @@ object ScaleQueries {
     frozen.unionByName(recall("refit")).orderBy("phase")
   }
 
+  // The refit DECISION metric: x283 measured what drift costs (ADC
+  // recall 3000 vs 9000 bps) and refitIvfCodes repairs it — this is the
+  // monitor that says WHEN. Clamp rate of a candidate batch against the
+  // frozen grid: the natural out-of-sample batch clamps near zero, the
+  // distribution-shifted one in the thousands of bps. Exact integers,
+  // replayed end to end (grid fit, per-component out-of-range test,
+  // distinct-dim count, integer basis points).
+  private val x285 = Q("x285_sq8_clamp_monitor", Some(
+    """WITH eb AS (
+      |  SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |d AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM eb
+      |      WHERE vec_id % 5 <> 4 GROUP BY pos),
+      |cl AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN e.x < d.lo OR e.x > d.hi THEN 1 ELSE 0 END AS c
+      |  FROM eb e JOIN d USING (pos) WHERE e.vec_id % 5 = 4),
+      |sh AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN e.x * 3.0 + 2.0 < d.lo OR e.x * 3.0 + 2.0 > d.hi
+      |      THEN 1 ELSE 0 END AS c
+      |  FROM eb e JOIN d USING (pos) WHERE e.vec_id % 5 = 4)
+      |SELECT * FROM (
+      |  SELECT 'clean' AS phase,
+      |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+      |    CAST(count(*) AS BIGINT) AS n_components,
+      |    CAST(sum(c) AS BIGINT) AS n_clamped,
+      |    CAST(count(DISTINCT CASE WHEN c = 1 THEN pos END) AS BIGINT)
+      |      AS n_dims_affected,
+      |    CAST(sum(c) * 10000 // count(*) AS BIGINT) AS clamp_bps
+      |  FROM cl
+      |  UNION ALL
+      |  SELECT 'shifted',
+      |    CAST(count(DISTINCT vec_id) AS BIGINT),
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(c) AS BIGINT),
+      |    CAST(count(DISTINCT CASE WHEN c = 1 THEN pos END) AS BIGINT),
+      |    CAST(sum(c) * 10000 // count(*) AS BIGINT)
+      |  FROM sh
+      |) ORDER BY phase""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "label", "embedding", "graft_x285_ivf")
+    Similarity.buildIvfCodes(s, "graft_x285_ivf", "vec_id", "label",
+      "embedding")
+    val clean = emb.filter(col("vec_id") % 5 === 4)
+    val shifted = clean.withColumn("embedding",
+      expr("transform(embedding, e -> e * 3.0D + 2.0D)"))
+    def stats(phase: String, b: org.apache.spark.sql.DataFrame) =
+      Similarity.sqClampStats(s, "graft_x285_ivf", b, "vec_id",
+          "embedding")
+        .select(lit(phase).as("phase"), col("n_vectors"),
+          col("n_components"), col("n_clamped"), col("n_dims_affected"),
+          col("clamp_bps"))
+    stats("clean", clean).unionByName(stats("shifted", shifted))
+      .orderBy("phase")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257, x258, x268, x269, x275, x276, x279, x280, x283)
+      x240, x242, x257, x258, x268, x269, x275, x276, x279, x280, x283, x285)
 }
