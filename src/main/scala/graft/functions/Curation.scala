@@ -784,15 +784,20 @@ object Curation {
       bigrams: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"), label.cast("int").as("y"),
       Dedup.words(col(textCol)).as("__ws"))
+    // per-doc array_distinct BEFORE the hash: presence features dedupe
+    // per (id, bucket) anyway, so collapsing repeated words row-locally
+    // (no shuffle) saves one md5+conv per repeated occurrence — the
+    // feature set is identical (distinct-after-hash still runs, for
+    // bucket collisions between DIFFERENT words)
     val featCol =
-      if (!bigrams) explode(col("__ws"))
-      else explode(concat(col("__ws"),
+      if (!bigrams) explode(array_distinct(col("__ws")))
+      else explode(array_distinct(concat(col("__ws"),
         // guard: sequence(1, 0) runs DESCENDING, so token counts < 2
         // must emit an empty bigram list, not a broken one
         when(size(col("__ws")) >= 2,
           expr("transform(sequence(1, size(__ws) - 1), " +
             "i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"))
-          .otherwise(expr("array()").cast("array<string>"))))
+          .otherwise(expr("array()").cast("array<string>")))))
     val counts = base.select(col("id"), col("y"), featCol.as("__w"))
       .withColumn("bucket",
         conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % dim)
@@ -1070,13 +1075,19 @@ object Curation {
       lr: Double = 0.5, roundTo: Int = 6, bigrams: Boolean = false)
       : DataFrame = {
     require(k >= 2 && k <= 8, s"k=$k out of [2,8]")
-    val fold = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % k
+    // features are a PER-ROW function of the document, so fold filters
+    // commute with the build: ONE persisted full-corpus feature frame
+    // serves every fold's training and held-out scoring, instead of 2k
+    // tokenize+hash rebuilds (r13 — the crossval queries' remaining
+    // cost). The fold is recomputed from the carried id, identically.
+    val feats = logisticFeatures(df, idCol, textCol, label, dim,
+      bigrams = bigrams)
+    val foldOfId = conv(substring(md5(col("id").cast("string")), 1, 8),
+      16, 10).cast("long") % k
     val perFold = (0 until k).map { i =>
-      val w = logisticTrain(df.filter(fold =!= i), idCol, textCol, label,
-        dim, iters, lr, roundTo, bigrams)
-      val z = zOf(logisticFeatures(df.filter(fold === i), idCol, textCol,
-        label, dim, iterate = false, bigrams = bigrams), w)
+      val w = logisticWeights(feats.filter(foldOfId =!= i), iters, lr)
+        .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
+      val z = zOf(feats.filter(foldOfId === i), w)
       graft.operators.Stats.binaryAuc(z, "__z", col("y") === 1)
         .select(lit(i).cast("long").as("fold"), col("n_pos"), col("n_neg"),
           col("u2"), col("auc"), col("gini"), col("ks"))
@@ -1112,12 +1123,21 @@ object Curation {
       conv(substring(md5(concat(lit(tag + ":"), col(idCol).cast("string"))),
         1, 8), 16, 10).cast("long")
     val isEval = h("lc-eval") % 5 === 0
-    val frac = h("lc-frac") % 100
-    val evalDf = df.filter(isEval)
+    // fraction filters commute with the per-row feature build (the
+    // crossval amortization, r13): one persisted pool feature frame is
+    // filtered per fraction, and the common eval slice's features are
+    // built and persisted ONCE instead of once per fraction
+    val pool = logisticFeatures(df.filter(!isEval), idCol, textCol, label,
+      dim, bigrams = bigrams)
+    val fracOfId = conv(substring(md5(concat(lit("lc-frac:"),
+      col("id").cast("string"))), 1, 8), 16, 10).cast("long") % 100
+    val evalFeats = logisticFeatures(df.filter(isEval), idCol, textCol,
+        label, dim, iterate = false, bigrams = bigrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fractionsPct.map { p =>
-      val w = logisticTrain(df.filter(!isEval && frac < p), idCol, textCol,
-        label, dim, iters, lr, roundTo, bigrams)
-      logisticScoreWith(evalDf, idCol, textCol, label, w, dim, bigrams)
+      val w = logisticWeights(pool.filter(fracOfId < p), iters, lr)
+        .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
+      confusionOf(zOf(evalFeats, w))
         .select(lit(p).cast("long").as("train_pct"), col("n_docs"),
           col("tp"), col("fp"), col("tn"), col("fn"), col("accuracy_bps"))
     }.reduce(_.unionByName(_)).orderBy("train_pct")
