@@ -869,9 +869,15 @@ object Curation {
       sum(when(col("y") === 1, 1L).otherwise(0L)).cast("double").as("np"),
       sum(when(col("y") === 0, 1L).otherwise(0L)).cast("double").as("nn"))
       .head()
+    // SQL sum over an EMPTY frame is null (count is 0): a training slice
+    // with zero featured docs (a tiny learning-curve fraction, a fold
+    // covering the whole corpus, an all-token-free corpus) must degrade
+    // to a no-op training run, not a NullPointerException (r13 ADVICE)
     val na = cnt.getDouble(0)
-    val wpos = na / (2.0 * math.max(cnt.getDouble(1), 1.0))
-    val wneg = na / (2.0 * math.max(cnt.getDouble(2), 1.0))
+    val np = if (cnt.isNullAt(1)) 0.0 else cnt.getDouble(1)
+    val nn = if (cnt.isNullAt(2)) 0.0 else cnt.getDouble(2)
+    val wpos = na / (2.0 * math.max(np, 1.0))
+    val wneg = na / (2.0 * math.max(nn, 1.0))
     val seen = feats.select("bucket").distinct().collect()
       .map(_.getLong(0)).sorted
     (docs, na, wpos, wneg, seen)
@@ -923,7 +929,9 @@ object Curation {
     val maxB = if (seen.isEmpty) 0 else seen.max.toInt
     val w = new Array[Double](maxB + 1)
     try {
-      (1 to iters).foreach { _ =>
+      // n == 0: nothing to learn from — skip the iteration jobs entirely
+      // (every gradient is empty) instead of running `iters` no-op passes
+      if (n > 0) (1 to iters).foreach { _ =>
         val gs = gradStep(docs, w, wpos, wneg)
         gs.foreach { case (b, g) => w(b.toInt) -= lr * (g / n) }
       }
@@ -962,8 +970,14 @@ object Curation {
     require(iters >= 1 && iters <= 16, "iters out of [1,16]")
     val feats = logisticFeatures(df, idCol, textCol, label, dim,
       bigrams = bigrams)
-    logisticWeights(feats, iters, lr)
-      .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
+    // the GD loop is eager (driver-held weights) and the returned frame
+    // is a driver-local toDF, so the persisted feature frame can be
+    // released here — no downstream plan references it (r13 ADVICE:
+    // persisted corpus frames must not accumulate across calls)
+    val w =
+      try logisticWeights(feats, iters, lr)
+      finally feats.unpersist()
+    w.select(col("bucket"), round(col("weight"), roundTo).as("weight"))
   }
 
   /** Train-and-score in one call: trains on `df` with [[logisticTrain]]'s
@@ -979,7 +993,13 @@ object Curation {
     require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
     val feats = logisticFeatures(df, idCol, textCol, label, dim,
       bigrams = bigrams)
-    confusionOf(zOf(feats, logisticWeights(feats, iters, lr)))
+    // the scoring plan reads the persisted feats, so materialize the
+    // 1-row confusion frame eagerly (localCheckpoint) before releasing
+    // it — unpersist-then-lazy-read would silently recompute the corpus
+    try
+      confusionOf(zOf(feats, logisticWeights(feats, iters, lr)))
+        .localCheckpoint(eager = true)
+    finally feats.unpersist()
   }
 
   /** Scoring decoupled from training: apply a PRE-TRAINED (bucket,
@@ -1084,15 +1104,21 @@ object Curation {
       bigrams = bigrams)
     val foldOfId = conv(substring(md5(col("id").cast("string")), 1, 8),
       16, 10).cast("long") % k
-    val perFold = (0 until k).map { i =>
-      val w = logisticWeights(feats.filter(foldOfId =!= i), iters, lr)
-        .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
-      val z = zOf(feats.filter(foldOfId === i), w)
-      graft.operators.Stats.binaryAuc(z, "__z", col("y") === 1)
-        .select(lit(i).cast("long").as("fold"), col("n_pos"), col("n_neg"),
-          col("u2"), col("auc"), col("gini"), col("ks"))
-    }
-    perFold.reduce(_.unionByName(_)).orderBy("fold")
+    try {
+      val perFold = (0 until k).map { i =>
+        val w = logisticWeights(feats.filter(foldOfId =!= i), iters, lr)
+          .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
+        val z = zOf(feats.filter(foldOfId === i), w)
+        graft.operators.Stats.binaryAuc(z, "__z", col("y") === 1)
+          .select(lit(i).cast("long").as("fold"), col("n_pos"), col("n_neg"),
+            col("u2"), col("auc"), col("gini"), col("ks"))
+      }
+      // ≤ k rows: materialize eagerly so the persisted full-corpus
+      // feature frame can be released in the finally (r13 ADVICE — it
+      // accumulated MEMORY_AND_DISK blocks across calls)
+      perFold.reduce(_.unionByName(_)).orderBy("fold")
+        .localCheckpoint(eager = true)
+    } finally feats.unpersist()
   }
 
   /** Learning curve for the quality classifier — "is more labeled data
@@ -1134,13 +1160,18 @@ object Curation {
     val evalFeats = logisticFeatures(df.filter(isEval), idCol, textCol,
         label, dim, iterate = false, bigrams = bigrams)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fractionsPct.map { p =>
-      val w = logisticWeights(pool.filter(fracOfId < p), iters, lr)
-        .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
-      confusionOf(zOf(evalFeats, w))
-        .select(lit(p).cast("long").as("train_pct"), col("n_docs"),
-          col("tp"), col("fp"), col("tn"), col("fn"), col("accuracy_bps"))
-    }.reduce(_.unionByName(_)).orderBy("train_pct")
+    try
+      // |fractions| rows: materialize eagerly so both persisted feature
+      // frames can be released in the finally (r13 ADVICE)
+      fractionsPct.map { p =>
+        val w = logisticWeights(pool.filter(fracOfId < p), iters, lr)
+          .select(col("bucket"), round(col("weight"), roundTo).as("weight"))
+        confusionOf(zOf(evalFeats, w))
+          .select(lit(p).cast("long").as("train_pct"), col("n_docs"),
+            col("tp"), col("fp"), col("tn"), col("fn"), col("accuracy_bps"))
+      }.reduce(_.unionByName(_)).orderBy("train_pct")
+        .localCheckpoint(eager = true)
+    finally { pool.unpersist(); evalFeats.unpersist() }
   }
 
   /** Training-loss trajectory of the quality classifier — the diagnostics
@@ -1182,16 +1213,21 @@ object Curation {
     def rnd(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue
     try {
-      for (t <- 1 to iters) {
+      // n == 0 (no featured docs): the curve is empty — skip the
+      // per-iteration jobs rather than dividing the loss by zero
+      for (t <- 1 to iters if n > 0) {
         // class-weighted logistic loss at the incoming weights: per-row
         // cw·ln(1+exp(∓z)) quantized pre-sum, one final division by n —
         // z via the native gather-sum, the same exact decimal total the
         // former join-aggregate produced
         val z = gatherSumDec18(col("__bs"), lit(w))
-        val ls = docs.select(
+        // sumDec18 over an empty/all-null frame is null (SQL sum
+        // semantics) — degrade to loss 0 instead of an NPE (r13 ADVICE)
+        val lsRow = docs.select(
             (when(col("y") === 1, lit(wpos) * log(lit(1.0) + exp(-z)))
               .otherwise(lit(wneg) * log(lit(1.0) + exp(z)))).as("__l"))
-          .agg(sumDec18(col("__l")).as("__ls")).head().getDouble(0)
+          .agg(sumDec18(col("__l")).as("__ls")).head()
+        val ls = if (lsRow.isNullAt(0)) 0.0 else lsRow.getDouble(0)
         val gs = gradStep(docs, w, wpos, wneg)
         // grad-norm: sqrt of the exact dec18 sum of grad² — the same
         // quantize/exact-sum/convert chain, replayed driver-side over
@@ -1205,7 +1241,7 @@ object Curation {
         rows += ((t.toLong, rnd(ls / n), rnd(math.sqrt(g2.doubleValue))))
         grads.foreach { case (b, g) => w(b.toInt) -= lr * g }
       }
-    } finally docs.unpersist()
+    } finally { docs.unpersist(); feats.unpersist() }
     val spark = df.sparkSession
     import spark.implicits._
     rows.result().toDF("iter", "loss", "grad_norm").orderBy("iter")

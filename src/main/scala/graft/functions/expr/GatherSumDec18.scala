@@ -53,21 +53,55 @@ case class GatherSumDec18(left: Expression, right: Expression)
 }
 
 object GatherSumDec18 {
+  // quantize18's 2-long parse scratch, one per THREAD — gather runs once
+  // per input row in the codegen'd hot path of every GD iteration, so a
+  // per-row array (let alone a per-row Dec18Sums) is allocation churn
+  // (r13 verdict)
+  private val tlScratch = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](2)
+  }
+
   def gather(idx: ArrayData, vals: ArrayData): Double = {
-    val acc = new Dec18Sums(1)
-    val scratch = new Array[Long](2)
+    val scratch = tlScratch.get()
+    // Dec18Sums' single slot, flattened to two locals + the lazy spill:
+    // same carry normalization, same overflow-spilling hi adds, same
+    // exact total — bit-identical to the Dec18Sums(1) path for any
+    // term set (NativeExprSpec pins the parity)
+    var hi = 0L
+    var lo = 0L
+    var spill: java.math.BigDecimal = null
     val n = idx.numElements()
     val m = vals.numElements()
     var i = 0
     while (i < n) {
       if (!idx.isNullAt(i)) {
         val b = idx.getLong(i)
-        if (b >= 0L && b < m && !vals.isNullAt(b.toInt))
-          acc.addTerm(0, vals.getDouble(b.toInt), scratch)
+        if (b >= 0L && b < m && !vals.isNullAt(b.toInt) &&
+            VecMomentsDec18.quantize18(vals.getDouble(b.toInt), scratch)) {
+          var l = lo + scratch(1)
+          var carry = 0L
+          if (l >= Dec18Sums.E18) { l -= Dec18Sums.E18; carry = 1L }
+          else if (l <= -Dec18Sums.E18) { l += Dec18Sums.E18; carry = -1L }
+          lo = l
+          val u = scratch(0)
+          val r = hi + u
+          if (((hi ^ r) & (u ^ r)) < 0L) {
+            spill = Dec18Sums.spillWhole(spill, hi); hi = u
+          } else hi = r
+          if (carry != 0L) {
+            val r2 = hi + carry
+            if (((hi ^ r2) & (carry ^ r2)) < 0L) {
+              spill = Dec18Sums.spillWhole(spill, hi); hi = carry
+            } else hi = r2
+          }
+        }
       }
       i += 1
     }
-    acc.total(0).doubleValue
+    val base = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(hi).multiply(Dec18Sums.TEN18)
+        .add(java.math.BigInteger.valueOf(lo)), 18)
+    (if (spill == null) base else spill.add(base)).doubleValue
   }
 
   /** Column form: exact dec18 sum of `values(i)` for i in `indices`. */

@@ -119,6 +119,16 @@ object Dec18Sums {
   private[expr] final val E18 = 1000000000000000000L
   private[expr] final val TEN18 = java.math.BigInteger.valueOf(E18)
 
+  /** Move `units` WHOLE accumulated units (scaled by 10¹⁸) into the
+    * exact spill — the overflow path of [[Dec18Sums.addHi]], shared with
+    * flattened single-slot accumulators ([[GatherSumDec18.gather]]). */
+  private[expr] def spillWhole(cur: java.math.BigDecimal,
+      units: Long): java.math.BigDecimal = {
+    val v = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(units).multiply(TEN18), 18)
+    if (cur == null) v else cur.add(v)
+  }
+
   def read(in: java.io.DataInputStream): Dec18Sums = {
     val s = new Dec18Sums(in.readInt())
     var t = 0

@@ -786,10 +786,15 @@ object Dedup {
     * superset of the partition key adds no exchange). */
   def duplicatedPassages(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    // the gram frame feeds BOTH the dup-gram aggregate and the join-back:
+    // localCheckpoint it so the tokenize+shingle+md5 scan (the dominant
+    // map cost) runs ONCE, not once per consumer (r13 verdict — the
+    // centroid-list idiom)
     val grams = df
       .select(col(idCol),
         posexplode(shingleList(words(col(textCol)), k)).as(Seq("__p0", "__g")))
       .select(col(idCol), (col("__p0") + 1).as("__pos"), md5(col("__g")).as("__h"))
+      .localCheckpoint(eager = true)
     val dupGrams = grams.select(col(idCol), col("__h")).distinct()
       .groupBy("__h").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select("__h")
@@ -834,18 +839,8 @@ object Dedup {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
       l: Int = 50): DataFrame = {
     require(l >= 2, "window length l must be >= 2")
-    val base = df.withColumn("__ws", words(col(textCol)))
-      .withColumn("__nt", size(col("__ws")))
-    // __ws is a bound column, so the slice lambda reads an attribute (one
-    // words() evaluation per row — the shingleList discipline); windows
-    // hash in place and only (id, pos, hash) leaves the projection
-    val occ = base.filter(col("__nt") >= l)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(1, __nt - ${l - 1}), " +
-        s"i -> md5(array_join(slice(__ws, i, $l), ' ')))"))
-        .as(Seq("__p0", "__h")))
-      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"),
-        col("__h"))
+    val base = substrBase(df, textCol)
+    val occ = substrOcc(base, idCol, l)
     val dupKeys = occ.groupBy("__h").agg(count(lit(1)).as("__nocc"))
       .filter(col("__nocc") >= 2).select("__h")
     val w = org.apache.spark.sql.expressions.Window
@@ -853,6 +848,32 @@ object Dedup {
     val removedOcc = occ.join(dupKeys, "__h")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") > 1)
+    substrStrip(base, removedOcc, idCol, l)
+  }
+
+  /** (__ws, __nt) working columns for the substring-dedup family. */
+  private def substrBase(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__ws", words(col(textCol)))
+      .withColumn("__nt", size(col("__ws")))
+
+  /** Every length-`l` token window of `base`, as (idCol, __pos, __h) —
+    * __ws is a bound column, so the slice lambda reads an attribute (one
+    * words() evaluation per row — the shingleList discipline); windows
+    * hash in place and only (id, pos, hash) leaves the projection. */
+  private def substrOcc(base: DataFrame, idCol: String, l: Int): DataFrame =
+    base.filter(col("__nt") >= l)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, __nt - ${l - 1}), " +
+        s"i -> md5(array_join(slice(__ws, i, $l), ' ')))"))
+        .as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"),
+        col("__h"))
+
+  /** Strip the token positions covered by `removedOcc`'s windows from
+    * `base` and reassemble — the shared tail of [[substringDedup]] and
+    * [[incrementalSubstringDedup]]. */
+  private def substrStrip(base: DataFrame, removedOcc: DataFrame,
+      idCol: String, l: Int): DataFrame = {
     // covered token positions, distinct per doc: overlapping duplicated
     // windows merge into one removal set
     val rmPos = removedOcc
@@ -879,5 +900,179 @@ object Dedup {
             " ")).as("clean_text"),
         (col("__nt") - size(col("__rm"))).cast("long").as("n_tokens_kept"),
         size(col("__rm")).cast("long").as("n_tokens_removed"))
+  }
+
+  /** Incremental ExactSubstr dedup — [[substringDedup]] for a ROLLING
+    * ingest: dedupe only the BATCH against history ∪ batch, equal to the
+    * full-corpus pass restricted to batch ids (the [[incrementalDedup]]
+    * batch-vs-history decomposition lifted to substring level). At
+    * 100 TB this is what makes substring dedup affordable on a live
+    * corpus: history is touched by ONE map-only window scan filtered
+    * through a Bloom filter of the batch's window keys — no full-corpus
+    * shuffle, no history re-windowing into the duplicate aggregate.
+    *
+    * Semantics (first occurrence = global (id, position) order):
+    *  - a batch window whose key exists ANYWHERE in history duplicates
+    *    an earlier occurrence → stripped from every batch position;
+    *  - a key absent from history but occurring ≥2× within the batch
+    *    keeps its batch-first occurrence;
+    *  - history documents are NOT rewritten — valid because of the
+    *    CONTRACT (checked, one column-pruned scan per side): every batch
+    *    id sorts AFTER every history id (ingest order = id order), so a
+    *    history occurrence always precedes every batch occurrence and
+    *    the full-corpus pass would keep history text unchanged.
+    *
+    * Bloom direction: the filter summarizes the BATCH keys (bounded),
+    * not history's (corpus-many windows would not fit a driver-built
+    * filter) — history windows stream past it map-side and only
+    * maybe-matching keys shuffle into the exact semi-join confirm
+    * (false positives cost a lookup, never a wrong strip; no false
+    * negatives ⇒ no missed duplicate). Returns one row per BATCH doc:
+    * (idCol, clean_text, n_tokens_kept, n_tokens_removed) — gated equal
+    * to [[substringDedup]](history ∪ batch) on the batch ids (x288). */
+  def incrementalSubstringDedup(history: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, l: Int = 50,
+      fpp: Double = 0.01): DataFrame = {
+    require(l >= 2, "window length l must be >= 2")
+    val ordered = history.agg(max(col(idCol)).as("__hm"))
+      .crossJoin(batch.agg(min(col(idCol)).as("__bn")))
+      .select((col("__hm").isNull || col("__bn").isNull ||
+        col("__hm") < col("__bn")).as("ok"))
+      .head().getBoolean(0)
+    require(ordered, "incrementalSubstringDedup: every batch id must " +
+      "sort after every history id (ingest order = id order) — " +
+      "otherwise first occurrences could move into the batch and " +
+      "already-published history documents would need rewriting")
+    incrementalSubstrCore(
+      substrOcc(substrBase(history, textCol), idCol, l).select(col("__h")),
+      batch, idCol, textCol, l, fpp)
+  }
+
+  /** The batch-side core shared by [[incrementalSubstringDedup]] (history
+    * re-windowed per call) and [[incrementalSubstringDedupIndexed]]
+    * (history keys read from the persisted key table): `histKeys` is a
+    * one-column (`__h`) frame of every window key the past corpus
+    * contains, consumed through one Bloom-filtered map-only scan. */
+  private def incrementalSubstrCore(histKeys: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, l: Int, fpp: Double): DataFrame = {
+    val baseB = substrBase(batch, textCol)
+    val occB = substrOcc(baseB, idCol, l)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bKeys = occB.select(col("__h")).distinct().persist(lvl)
+    try {
+      val nb = bKeys.count() // explicit build-side scan (BloomPrune contract)
+      val histHits =
+        if (nb == 0) bKeys.limit(0)
+        else {
+          val bf = bKeys.stat.bloomFilter("__h", math.max(nb, 1L), fpp)
+          val bc = batch.sparkSession.sparkContext.broadcast(bf)
+          val maybe = udf((h: String) =>
+            h != null && bc.value.mightContainString(h))
+          histKeys.filter(maybe(col("__h"))).distinct()
+            .join(bKeys, Seq("__h"), "left_semi")
+        }
+      // (a) key seen in history: every batch occurrence has an earlier
+      //     (history) occurrence — all stripped
+      val remA = occB.join(histHits, Seq("__h"), "left_semi")
+      // (b) batch-only duplicates: strip all but the (id, pos)-first —
+      //     the batch-local rank IS the global rank (no history
+      //     occurrence exists for these keys)
+      val dupB = occB.groupBy("__h").agg(count(lit(1)).as("__nocc"))
+        .filter(col("__nocc") >= 2).select("__h")
+        .join(histHits, Seq("__h"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__h").orderBy(col(idCol), col("__pos"))
+      val remB = occB.join(dupB, "__h")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") > 1).drop("__rk")
+      // the strip plan re-reads the removal occurrences lazily — pin the
+      // union so the Bloom/confirm work runs once, then release bKeys
+      val removed = remA.unionByName(remB).localCheckpoint(eager = true)
+      substrStrip(baseB, removed, idCol, l)
+    } finally bKeys.unpersist()
+  }
+
+  /** Persist the historical window-key state [[incrementalSubstringDedup]]
+    * re-derives per call: a `table` of every distinct length-`l` window
+    * key in `df` (narrow — 32 hex chars per key) plus a 1-row
+    * `<table>_meta (max_id)` for the O(1) ingest-order contract check.
+    * With the table in place a ROLLING ingest never re-windows history:
+    * each batch is one [[incrementalSubstringDedupIndexed]] call + one
+    * [[appendSubstringKeys]], and history text is never read again. */
+  def buildSubstringKeys(df: DataFrame, idCol: String, textCol: String,
+      l: Int, table: String): Unit = {
+    require(l >= 2, "window length l must be >= 2")
+    val spark = df.sparkSession
+    dropWithDir(spark, table)
+    substrOcc(substrBase(df, textCol), idCol, l).select(col("__h"))
+      .distinct()
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    dropWithDir(spark, s"${table}_meta")
+    df.agg(max(col(idCol)).as("max_id"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Drop a managed table AND its warehouse directory — a fresh session
+    * sees leftover directories from a previous run as
+    * LOCATION_ALREADY_EXISTS (the Similarity/Retrieval builder idiom). */
+  private def dropWithDir(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Advance the key state past a processed batch: the batch's distinct
+    * window keys APPEND to the table (cross-batch duplicates are
+    * harmless — consumers semi-join; compact with a distinct rewrite if
+    * the multiset ever bothers storage) and `max_id` advances. Call
+    * AFTER [[incrementalSubstringDedupIndexed]] has materialized the
+    * batch's output — appending first would make the batch its own
+    * history and strip every window. */
+  def appendSubstringKeys(batch: DataFrame, idCol: String,
+      textCol: String, l: Int, table: String): Unit = {
+    val spark = batch.sparkSession
+    substrOcc(substrBase(batch, textCol), idCol, l).select(col("__h"))
+      .distinct()
+      .write.mode("append").format("parquet").saveAsTable(table)
+    val newMax = spark.table(s"${table}_meta")
+      .crossJoin(batch.agg(max(col(idCol)).as("__bm")))
+      .select(when(col("max_id").isNull || col("max_id") < col("__bm"),
+        col("__bm")).otherwise(col("max_id")).as("max_id"))
+      .localCheckpoint(eager = true)
+    newMax.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** [[incrementalSubstringDedup]] against the PERSISTED key state
+    * ([[buildSubstringKeys]]) — the rolling-ingest steady state: history
+    * contributes one Bloom-filtered scan of the narrow key table, never
+    * a re-tokenization of corpus text. Same semantics, same equality
+    * gate (x289 rolls two batches and must reproduce the full-corpus
+    * pass); the ingest-order contract checks against the table's
+    * `max_id` in O(1). */
+  def incrementalSubstringDedupIndexed(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, textCol: String, l: Int = 50,
+      fpp: Double = 0.01): DataFrame = {
+    require(l >= 2, "window length l must be >= 2")
+    require(spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(s"${table}_meta"),
+      s"incrementalSubstringDedupIndexed needs $table and ${table}_meta" +
+        " — run buildSubstringKeys first")
+    val ordered = spark.table(s"${table}_meta")
+      .crossJoin(batch.agg(min(col(idCol)).as("__bn")))
+      .select((col("max_id").isNull || col("__bn").isNull ||
+        col("max_id") < col("__bn")).as("ok"))
+      .head().getBoolean(0)
+    require(ordered, "incrementalSubstringDedupIndexed: every batch id " +
+      "must sort after the key table's max_id (ingest order = id " +
+      "order) — otherwise first occurrences could move into the batch " +
+      "and already-published history documents would need rewriting")
+    incrementalSubstrCore(spark.table(table).select(col("__h")), batch,
+      idCol, textCol, l, fpp)
   }
 }

@@ -889,6 +889,59 @@ object Similarity {
         expr("n_clamped * 10000 div n_components"))
   }
 
+  /** Close the SQ8 drift loop — the scheduled-maintenance POLICY op:
+    * [[sqClampStats]] detects drift, x283 measured its recall cost,
+    * [[refitIvfCodes]] repairs it; this is the one call an ingest
+    * pipeline actually runs per batch. It (1) measures the batch's clamp
+    * rate against the CURRENT frozen grid (one map-side pass, before the
+    * batch can influence the grid), (2) appends the batch through
+    * [[appendToIvfIndex]] (codes ride at the frozen grid), and (3) if
+    * the measured `clamp_bps` EXCEEDS `maxClampBps`, refits grid+codes
+    * over the post-append corpus ([[refitIvfCodes]] — `grid_gen` bumps
+    * exactly once); a healthy batch leaves the grid untouched. An empty
+    * batch is a full no-op (no append, no refit).
+    *
+    * Returns the DECISION ROW a maintenance log wants — all exact
+    * BIGINTs, oracle-replayable: (n_vectors, n_components, n_clamped,
+    * n_dims_affected, clamp_bps, max_clamp_bps, refit,
+    * grid_gen_before, grid_gen_after); gens are read back from `_cmeta`,
+    * not inferred. */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, cellCol: String,
+      vecCol: String, maxClampBps: Long = 100L): DataFrame = {
+    require(maxClampBps >= 0L, "maxClampBps must be >= 0")
+    require(spark.catalog.tableExists(s"${table}_cmeta"),
+      s"maintainIvfIndex needs ${table}_cmeta — run buildIvfCodes first")
+    def gen(): Long = {
+      val m = spark.table(s"${table}_cmeta").head()
+      if (m.schema.fieldNames.contains("grid_gen"))
+        m.getAs[Long]("grid_gen")
+      else 0L // pre-grid_gen _cmeta (refitIvfCodes' convention)
+    }
+    val st = sqClampStats(spark, table, batch, idCol, vecCol).head()
+    val nVec = st.getLong(0)
+    // integer-division bps is null only when n_components = 0 (empty
+    // batch) — nothing to clamp, nothing to repair
+    val clampBps = if (st.isNullAt(4)) 0L else st.getLong(4)
+    val genBefore = gen()
+    val refit = nVec > 0L && clampBps > maxClampBps
+    if (nVec > 0L) {
+      appendToIvfIndex(batch.select(col(idCol), col(cellCol), col(vecCol)),
+        idCol, cellCol, vecCol, table)
+      if (refit) refitIvfCodes(spark, table, idCol, cellCol, vecCol)
+    }
+    spark.range(1).select(
+      lit(nVec).as("n_vectors"),
+      lit(if (st.isNullAt(1)) 0L else st.getLong(1)).as("n_components"),
+      lit(if (st.isNullAt(2)) 0L else st.getLong(2)).as("n_clamped"),
+      lit(if (st.isNullAt(3)) 0L else st.getLong(3)).as("n_dims_affected"),
+      lit(clampBps).as("clamp_bps"),
+      lit(maxClampBps).as("max_clamp_bps"),
+      lit(if (refit) 1L else 0L).as("refit"),
+      lit(genBefore).as("grid_gen_before"),
+      lit(gen()).as("grid_gen_after"))
+  }
+
   private def fitCodes(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, cellCol: String, vecCol: String,
       levels: Int, gridGen: Long): Unit = {
@@ -930,14 +983,26 @@ object Similarity {
     require(k >= 1 && rescore >= k, "need rescore >= k >= 1")
     require(spark.catalog.tableExists(s"${table}_codes"),
       s"ivfTopKQuantized needs ${table}_codes — run buildIvfCodes first")
-    // single-query contract: the routing limit and the partition-less
-    // rank windows below assume ONE query vector — a multi-row frame
-    // would silently mix queries into one ranking (r12 ADVICE). Batches
-    // go through ivfTopKQuantizedBatch, which keys everything by query.
-    require(queryDf.limit(2).count() == 1,
-      "ivfTopKQuantized takes exactly one query row — use " +
-        "ivfTopKQuantizedBatch for query batches")
-    val q = broadcast(queryDf.select(asDouble(col(vecCol)).as("__qv")))
+    // single-query contract, enforced IN the serving plan: the routing
+    // limit and the partition-less rank windows below assume ONE query
+    // vector — a multi-row frame would silently mix queries into one
+    // ranking (r12 ADVICE). A global window count rides the broadcast
+    // build and raise_error fires on >1 rows, so the hard error costs
+    // ZERO extra jobs (the r13 eager limit(2).count() guard re-executed
+    // the query frame's lineage on every serve — a latency tax on the
+    // hot path). An EMPTY query frame serves an empty result (no query,
+    // no answer). Batches go through ivfTopKQuantizedBatch, which keys
+    // everything by query.
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy()
+    val q = broadcast(queryDf.select(asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__nq", count(lit(1)).over(wq))
+      .select(when(col("__nq") > 1L,
+          raise_error(concat(
+            lit("ivfTopKQuantized takes exactly one query row, got "),
+            col("__nq").cast("string"),
+            lit(" — use ivfTopKQuantizedBatch for query batches")))
+            .cast("array<double>"))
+        .otherwise(col("__qv")).as("__qv")))
     val probed = spark.table(s"${table}_centroids").crossJoin(q)
       .select(col("cell"), cosine(col("centroid"), col("__qv")).as("cs"))
       .orderBy(desc("cs"), col("cell"))

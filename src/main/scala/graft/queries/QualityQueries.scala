@@ -1217,7 +1217,10 @@ object QualityQueries {
   // reassembly word for word, so both the removal decision AND the exact
   // rebuilt text are gated. l=5 on the synthetic docs (10-99 tokens;
   // production uses l≈50 — the parameter scales freely).
-  private val x169 = Q("x169_substring_dedup", Some {
+  // Shared by x169 (full-corpus) and x288 (incremental batch-vs-history,
+  // which must EQUAL the full-corpus pass on history ∪ batch — the x76
+  // equality shape lifted to substring level).
+  private val substrDedupOracle: String = {
     val words =
       """list_filter(string_split_regex(regexp_replace(lower(text),
         |    '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')""".stripMargin
@@ -1250,8 +1253,61 @@ object QualityQueries {
        |  CAST(coalesce(len(r.rm), 0) AS BIGINT) AS n_tokens_removed
        |FROM base b LEFT JOIN rml r USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
-  }) { (s, dir) =>
-    Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", l = 5)
+  }
+
+  private val x169 = Q("x169_substring_dedup", Some(substrDedupOracle)) {
+    (s, dir) =>
+      Dedup.substringDedup(t(s, dir, "documents"), "doc_id", "text", l = 5)
+        .orderBy("doc_id")
+  }
+
+  // Incremental ExactSubstr dedup — the rolling-ingest decomposition of
+  // x169: history (doc_id < 400, already deduped by the full pass) stays
+  // untouched; the batch dedupes against history ∪ batch through ONE
+  // Bloom-filtered map-only history window scan + exact semi-join
+  // confirm. The gate is EQUALITY with the full-corpus pass: history
+  // rows from substringDedup(history) plus batch rows from the
+  // incremental op must reproduce x169's oracle over ALL documents —
+  // any missed cross-boundary duplicate, any wrongly-stripped
+  // batch-first occurrence, any rewritten history doc flips the hash.
+  private val x288 = Q("x288_incremental_substring_dedup",
+      Some(substrDedupOracle)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val hist = d.filter(col("doc_id") < 400)
+    val batch = d.filter(col("doc_id") >= 400)
+    Dedup.substringDedup(hist, "doc_id", "text", l = 5)
+      .unionByName(
+        Dedup.incrementalSubstringDedup(hist, batch, "doc_id", "text",
+          l = 5))
+      .orderBy("doc_id")
+  }
+
+  // The rolling steady state of x288: history's window keys live in a
+  // PERSISTED narrow key table (buildSubstringKeys), each batch is one
+  // Bloom-filtered key-table scan + appendSubstringKeys — history TEXT
+  // is never re-read. Two consecutive batches roll through (batch 2 must
+  // see batch 1's keys as history: a b1-window recurring in b2 keeps
+  // only its b1 occurrence), and the chain must still reproduce the
+  // full-corpus x169 oracle over all documents.
+  private val x289 = Q("x289_rolling_substring_dedup",
+      Some(substrDedupOracle)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val hist = d.filter(col("doc_id") < 300)
+    val b1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val b2 = d.filter(col("doc_id") >= 400)
+    Dedup.buildSubstringKeys(hist, "doc_id", "text", l = 5,
+      "graft_x289_subkeys")
+    // each batch's output must land BEFORE its keys append (appending
+    // first would make the batch its own history) — the phase discipline
+    val out1 = Dedup.incrementalSubstringDedupIndexed(s,
+        "graft_x289_subkeys", b1, "doc_id", "text", l = 5)
+      .localCheckpoint(eager = true)
+    Dedup.appendSubstringKeys(b1, "doc_id", "text", l = 5,
+      "graft_x289_subkeys")
+    val out2 = Dedup.incrementalSubstringDedupIndexed(s,
+      "graft_x289_subkeys", b2, "doc_id", "text", l = 5)
+    Dedup.substringDedup(hist, "doc_id", "text", l = 5)
+      .unionByName(out1).unionByName(out2)
       .orderBy("doc_id")
   }
 
@@ -1642,5 +1698,5 @@ object QualityQueries {
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
     x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170,
-    x188, x191, x194, x197, x199, x202, x206)
+    x188, x191, x194, x197, x199, x202, x206, x288, x289)
 }

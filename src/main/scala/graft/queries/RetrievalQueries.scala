@@ -22,27 +22,31 @@ object RetrievalQueries {
     * with doc_id >= 5, queries = documents with doc_id < `nQueries`. Ends
     * at `ranked(query_id, doc_id, score, matched_terms, rank)` with rank
     * <= `k`. Mirrors Retrieval.bm25TopK term for term. */
+  // `sfx` suffixes every CTE name so two instantiations (different
+  // corpus slices — the x286 lifecycle phases) can share one WITH.
   private def bm25Cte(nQueries: Int, k: Int,
-      corpusWhere: String = "doc_id >= 5", qtSql: String = null): String =
-    s"""ct AS (
+      corpusWhere: String = "doc_id >= 5", qtSql: String = null,
+      sfx: String = ""): String =
+    s"""ct$sfx AS (
        |  SELECT doc_id AS doc, u.w AS token
        |  FROM (SELECT doc_id, $WORDS AS ws FROM documents WHERE $corpusWhere),
        |    unnest(ws) AS u(w)),
-       |tf AS (SELECT doc, token, count(*) AS tf FROM ct GROUP BY 1, 2),
-       |tfdl AS (
-       |  SELECT doc, token, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
-       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-       |stats AS (
+       |tf$sfx AS (SELECT doc, token, count(*) AS tf FROM ct$sfx GROUP BY 1, 2),
+       |tfdl$sfx AS (
+       |  SELECT doc, token, tf, sum(tf) OVER (PARTITION BY doc) AS dl
+       |  FROM tf$sfx),
+       |dfq$sfx AS (SELECT token, count(*) AS df FROM tf$sfx GROUP BY token),
+       |stats$sfx AS (
        |  SELECT count(*) AS n_corpus,
        |    CAST(sum(len($WORDS)) AS BIGINT) AS total_dl
        |  FROM documents WHERE $corpusWhere),
-       |qt AS (${Option(qtSql).getOrElse(
+       |qt$sfx AS (${Option(qtSql).getOrElse(
       s"""
        |  SELECT DISTINCT doc_id AS query_id, u.w AS token
        |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
        |        WHERE doc_id < $nQueries), unnest(ws) AS u(w)""")}),
-       |terms AS (
-       |  SELECT qt.query_id, tfdl.doc,
+       |terms$sfx AS (
+       |  SELECT qt$sfx.query_id, tfdl$sfx.doc,
        |    CAST(ln(1.0::DOUBLE +
        |        (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5::DOUBLE)
        |        / (CAST(df AS DOUBLE) + 0.5::DOUBLE))
@@ -51,17 +55,18 @@ object RetrievalQueries {
        |          (0.25::DOUBLE + 0.75::DOUBLE * CAST(dl AS DOUBLE)
        |            / (CAST(total_dl AS DOUBLE) / CAST(n_corpus AS DOUBLE))))
        |      AS DECIMAL(28,18)) AS term
-       |  FROM tfdl JOIN qt USING (token) JOIN dfq USING (token), stats),
-       |scored AS (
+       |  FROM tfdl$sfx JOIN qt$sfx USING (token) JOIN dfq$sfx USING (token),
+       |    stats$sfx),
+       |scored$sfx AS (
        |  SELECT query_id, doc, sum(term) AS s,
        |    CAST(count(*) AS BIGINT) AS matched_terms
-       |  FROM terms GROUP BY 1, 2),
-       |ranked AS (
+       |  FROM terms$sfx GROUP BY 1, 2),
+       |ranked$sfx AS (
        |  SELECT query_id, doc AS doc_id, round(CAST(s AS DOUBLE), 4) AS score,
        |    matched_terms,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY s DESC, doc) AS INT) AS rank
-       |  FROM scored QUALIFY rank <= $k)""".stripMargin
+       |  FROM scored$sfx QUALIFY rank <= $k)""".stripMargin
 
   // BM25 top-5 per query: 5 query docs against the rest of the corpus.
   // The oracle replays tokenize → tf → windowed dl → df → the exact
@@ -1726,9 +1731,177 @@ object RetrievalQueries {
       .orderBy("query_id", "rank")
   }
 
+  // One lifecycle phase of the x286 oracle: the full x282 dense replay
+  // (query norms → exact-decimal-free cosine routing → per-dim grid fit
+  // over THIS PHASE's corpus → SQ8 quantize/dequantize → ADC top-rescore
+  // → exact rescore top-k) plus the integer RRF fusion against
+  // `ranked$sfx` (the suffixed bm25Cte instantiation). Grid-per-phase is
+  // the point: phase 1's grid is the stream-drained fit, phase 2's is
+  // refitIvfCodes' re-fit over the post-append-post-delete survivors.
+  private def hybridDenseCte(sfx: String, vecWhere: String): String =
+    s"""eq$sfx AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS qn
+       |  FROM embeddings WHERE vec_id < 3),
+       |corp$sfx AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE $vecWhere),
+       |cent$sfx AS (
+       |  SELECT label, i, avg(v[i]) AS cv
+       |  FROM corp$sfx CROSS JOIN range(1, 65) AS r(i) GROUP BY label, i),
+       |cscore$sfx AS (
+       |  SELECT eq$sfx.qid, c.label,
+       |    sum(c.cv * eq$sfx.qv[c.i]) /
+       |      (sqrt(sum(c.cv * c.cv)) * eq$sfx.qn) AS cs
+       |  FROM cent$sfx c, eq$sfx GROUP BY eq$sfx.qid, c.label, eq$sfx.qn),
+       |probe$sfx AS (
+       |  SELECT qid, label FROM cscore$sfx
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY cs DESC, label) <= 3),
+       |e$sfx AS (
+       |  SELECT c.vec_id, c.label, u.i - 1 AS pos, c.v[u.i] AS x
+       |  FROM corp$sfx c, unnest(range(1, len(c.v) + 1)) AS u(i)),
+       |dg$sfx AS (SELECT pos, min(x) AS lo, max(x) AS hi
+       |           FROM e$sfx GROUP BY pos),
+       |r2$sfx AS (
+       |  SELECT e$sfx.vec_id, e$sfx.label, e$sfx.pos,
+       |    dg$sfx.lo + (CAST(CASE WHEN dg$sfx.hi = dg$sfx.lo THEN 0
+       |      ELSE greatest(0, least(floor((e$sfx.x - dg$sfx.lo)
+       |        / (dg$sfx.hi - dg$sfx.lo) * 256), 255))
+       |      END AS DOUBLE) + 0.5) * (dg$sfx.hi - dg$sfx.lo) / 256 AS deq
+       |  FROM e$sfx JOIN dg$sfx USING (pos)),
+       |vecs$sfx AS (SELECT vec_id, label, array_agg(deq ORDER BY pos) AS dv
+       |             FROM r2$sfx GROUP BY vec_id, label),
+       |adc$sfx AS (
+       |  SELECT p.qid AS query_id, v.vec_id,
+       |    list_dot_product(v.dv, eq$sfx.qv) /
+       |      (sqrt(list_dot_product(v.dv, v.dv)) * eq$sfx.qn) AS adc_cos
+       |  FROM vecs$sfx v JOIN probe$sfx p ON v.label = p.label
+       |    JOIN eq$sfx ON eq$sfx.qid = p.qid),
+       |topr$sfx AS (
+       |  SELECT query_id, vec_id FROM adc$sfx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_cos DESC, vec_id) <= 30),
+       |dr$sfx AS (
+       |  SELECT t.query_id, t.vec_id AS item_id,
+       |    CAST(row_number() OVER (PARTITION BY t.query_id ORDER BY
+       |      list_dot_product(c.v, eq$sfx.qv) /
+       |        (sqrt(list_dot_product(c.v, c.v)) * eq$sfx.qn) DESC,
+       |      t.vec_id) AS INT) AS rank
+       |  FROM topr$sfx t JOIN corp$sfx c USING (vec_id)
+       |    JOIN eq$sfx ON eq$sfx.qid = t.query_id
+       |  QUALIFY rank <= 20),
+       |contribs$sfx AS (
+       |  SELECT query_id, doc_id AS item_id, 1000000000 // (60 + rank) AS c
+       |  FROM ranked$sfx
+       |  UNION ALL
+       |  SELECT query_id, item_id, 1000000000 // (60 + rank) FROM dr$sfx),
+       |fused$sfx AS (
+       |  SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_ppb,
+       |    CAST(count(*) AS BIGINT) AS n_lists
+       |  FROM contribs$sfx GROUP BY 1, 2)""".stripMargin
+
+  // The HYBRID-STACK LIFECYCLE certificate — the scenario a production
+  // corpus actually lives: x282 certified build→serve for the fused
+  // bmw + SQ8-ADC + integer-RRF stack; this chains MAINTENANCE through
+  // the middle. Stream-build both families, serve the fused top-k, then
+  // append a late batch to BOTH families, take down a slice from BOTH,
+  // refit the drifted SQ8 grid (grid_gen bump), compact the postings —
+  // and serve again. BOTH serves gate on full oracle replays: phase 1
+  // against the streamed 80% slice, phase 2 against the post-maintenance
+  // survivors with the grid REFIT over them — if any maintenance step
+  // leaves a stale posting, bound, code, centroid or grid row behind,
+  // the second serve's hash flips.
+  private val x286 = Q("x286_hybrid_lifecycle_chain", Some {
+    val p1Docs = "doc_id >= 5 AND doc_id % 5 <> 4"
+    val p2Docs = "doc_id >= 5 AND doc_id % 10 <> 7"
+    val p1Vecs = "vec_id >= 5 AND vec_id % 5 <> 4"
+    val p2Vecs = "vec_id >= 5 AND vec_id % 10 <> 7"
+    s"""WITH ${bm25Cte(nQueries = 3, k = 20, corpusWhere = p1Docs, sfx = "_p1")},
+       |${hybridDenseCte("_p1", p1Vecs)},
+       |${bm25Cte(nQueries = 3, k = 20, corpusWhere = p2Docs, sfx = "_p2")},
+       |${hybridDenseCte("_p2", p2Vecs)}
+       |SELECT * FROM (
+       |  SELECT '1_built' AS phase, query_id, item_id, rrf_ppb, n_lists,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_ppb DESC, item_id) AS INT) AS rank
+       |  FROM fused_p1
+       |  QUALIFY rank <= 10
+       |  UNION ALL
+       |  SELECT '2_maintained', query_id, item_id, rrf_ppb, n_lists,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_ppb DESC, item_id) AS INT) AS rank
+       |  FROM fused_p2
+       |  QUALIFY rank <= 10
+       |) ORDER BY phase, query_id, rank""".stripMargin
+  }) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    // 80% of both corpora arrive as 4-file streams maintaining the whole
+    // family (postings + _ub/_bm bounds; IVF vectors + exact-decimal
+    // centroid state); ids ≡ 7 (mod 10) are all inside this slice
+    val feedS = java.nio.file.Files
+      .createTempDirectory("graft_x286_feed_s").toString
+    d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
+      .repartition(4).write.mode("overwrite").parquet(feedS)
+    Retrieval.fileStreamIndexIngest(s, feedS, "doc_id", "text",
+      "graft_x286_postings", boundsBlocks = 16)
+    val feedD = java.nio.file.Files
+      .createTempDirectory("graft_x286_feed_d").toString
+    emb.select(col("vec_id"), col("label"), col("embedding"))
+      .filter(col("vec_id") >= 5 && col("vec_id") % 5 =!= 4)
+      .repartition(4).write.mode("overwrite").parquet(feedD)
+    Similarity.fileStreamIvfIngest(s, feedD, "vec_id", "label",
+      "embedding", "graft_x286_ivf")
+    Similarity.buildIvfCodes(s, "graft_x286_ivf", "vec_id", "label",
+      "embedding")
+    // one fused serve; eager (localCheckpoint) because the maintenance
+    // steps REWRITE the tables this lazy plan reads — the x283 phase
+    // discipline
+    def serve(phase: String) = {
+      val sparse = Retrieval.bmwTopK(s, "graft_x286_postings",
+          d.filter(col("doc_id") < 3), "doc_id", "text", k = 20)
+        .select(col("query_id"), col("doc_id").as("item"), col("rank"))
+      val dense = Similarity.ivfTopKQuantizedBatch(s, "graft_x286_ivf",
+          "vec_id", "label", "embedding", emb.filter(col("vec_id") < 3),
+          "vec_id", k = 20, nprobe = 3, rescore = 30)
+        .select(col("query_id"), col("vec_id").as("item"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), "query_id", "item", "rank",
+          kRrf = 60, topK = 10)
+        .select(lit(phase).as("phase"), col("query_id"), col("item_id"),
+          col("rrf_ppb"), col("n_lists"), col("rank"))
+        .localCheckpoint(eager = true)
+    }
+    val built = serve("1_built")
+    // mid-life maintenance, every step on BOTH families: late 20% batch
+    // appends (codes ride the frozen grid), a takedown slice deletes
+    // (tombstones + partition rewrites), the SQ8 grid refits over the
+    // survivors (grid_gen 0 → 1), postings compact (physical reclaim +
+    // companion rebuild from surviving truth)
+    Retrieval.appendToPostingsIndex(
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
+      "doc_id", "text", "graft_x286_postings")
+    Similarity.appendToIvfIndex(
+      emb.select(col("vec_id"), col("label"), col("embedding"))
+        .filter(col("vec_id") >= 5 && col("vec_id") % 5 === 4),
+      "vec_id", "label", "embedding", "graft_x286_ivf")
+    Retrieval.deleteFromPostingsIndex(s,
+      d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id",
+      "graft_x286_postings")
+    Similarity.deleteFromIvfIndex(s,
+      emb.filter(col("vec_id") % 10 === 7).select("vec_id"), "vec_id",
+      "graft_x286_ivf", "label", "embedding")
+    Similarity.refitIvfCodes(s, "graft_x286_ivf", "vec_id", "label",
+      "embedding")
+    Retrieval.compactPostingsIndex(s, "graft_x286_postings")
+    built.unionByName(serve("2_maintained"))
+      .orderBy("phase", "query_id", "rank")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
     x264, x265, x266, x267, x270, x271, x272, x273, x274, x277, x278,
-    x281, x282, x284)
+    x281, x282, x284, x286)
 }

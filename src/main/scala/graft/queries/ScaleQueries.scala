@@ -2955,11 +2955,103 @@ object ScaleQueries {
       .orderBy("phase")
   }
 
+  // Closing the drift loop (x285 detects, x283 measures, refitIvfCodes
+  // repairs): maintainIvfIndex is the POLICY op a scheduled ingest runs —
+  // measure the batch's clamp bps against the frozen grid, append, and
+  // refit only past the threshold. Two maintenance rounds: the clean
+  // batch no-ops (grid_gen stays), the distribution-shifted one refits
+  // (grid_gen +1). The oracle replays BOTH decisions from raw data —
+  // including the phase-2 grid being conditional on phase 1's decision
+  // (if the clean batch HAD refit, phase 2 would clamp against the
+  // refit grid), so the threshold logic itself is what's gated, not a
+  // hardcoded outcome.
+  private val x287 = Q("x287_ivf_auto_maintenance", Some(
+    """WITH eb AS (
+      |  SELECT vec_id, u.i - 1 AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |d0 AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM eb
+      |       WHERE vec_id % 5 <> 4 GROUP BY pos),
+      |c1 AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN e.x < d.lo OR e.x > d.hi THEN 1 ELSE 0 END AS c
+      |  FROM eb e JOIN d0 d USING (pos) WHERE e.vec_id % 5 = 4),
+      |s1 AS (
+      |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS nv,
+      |    CAST(count(*) AS BIGINT) AS nc,
+      |    CAST(sum(c) AS BIGINT) AS ncl,
+      |    CAST(count(DISTINCT CASE WHEN c = 1 THEN pos END) AS BIGINT)
+      |      AS nd,
+      |    CAST(sum(c) * 10000 // count(*) AS BIGINT) AS bps
+      |  FROM c1),
+      |r1 AS (SELECT CASE WHEN bps > 100 THEN 1 ELSE 0 END AS refit
+      |       FROM s1),
+      |dall AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM eb GROUP BY pos),
+      |d2 AS (
+      |  SELECT b.pos,
+      |    CASE WHEN (SELECT refit FROM r1) = 1 THEN a.lo ELSE b.lo END AS lo,
+      |    CASE WHEN (SELECT refit FROM r1) = 1 THEN a.hi ELSE b.hi END AS hi
+      |  FROM d0 b JOIN dall a USING (pos)),
+      |c2 AS (
+      |  SELECT e.vec_id, e.pos,
+      |    CASE WHEN e.x * 3.0 + 2.0 < d.lo OR e.x * 3.0 + 2.0 > d.hi
+      |      THEN 1 ELSE 0 END AS c
+      |  FROM eb e JOIN d2 d USING (pos) WHERE e.vec_id % 5 = 4),
+      |s2 AS (
+      |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS nv,
+      |    CAST(count(*) AS BIGINT) AS nc,
+      |    CAST(sum(c) AS BIGINT) AS ncl,
+      |    CAST(count(DISTINCT CASE WHEN c = 1 THEN pos END) AS BIGINT)
+      |      AS nd,
+      |    CAST(sum(c) * 10000 // count(*) AS BIGINT) AS bps
+      |  FROM c2),
+      |r2 AS (SELECT CASE WHEN bps > 100 THEN 1 ELSE 0 END AS refit
+      |       FROM s2)
+      |SELECT * FROM (
+      |  SELECT '1_clean' AS phase, nv AS n_vectors, nc AS n_components,
+      |    ncl AS n_clamped, nd AS n_dims_affected, bps AS clamp_bps,
+      |    CAST(100 AS BIGINT) AS max_clamp_bps,
+      |    CAST((SELECT refit FROM r1) AS BIGINT) AS refit,
+      |    CAST(0 AS BIGINT) AS grid_gen_before,
+      |    CAST((SELECT refit FROM r1) AS BIGINT) AS grid_gen_after
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT '2_shifted', nv, nc, ncl, nd, bps,
+      |    CAST(100 AS BIGINT),
+      |    CAST((SELECT refit FROM r2) AS BIGINT),
+      |    CAST((SELECT refit FROM r1) AS BIGINT),
+      |    CAST((SELECT refit FROM r1) + (SELECT refit FROM r2) AS BIGINT)
+      |  FROM s2
+      |) ORDER BY phase""".stripMargin)) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "label", "embedding", "graft_x287_ivf")
+    Similarity.buildIvfCodes(s, "graft_x287_ivf", "vec_id", "label",
+      "embedding")
+    val clean = emb.filter(col("vec_id") % 5 === 4)
+    // the drifted batch carries FRESH ids (a later crawl, disjoint from
+    // every corpus id) — count columns in the gate are id-free, so the
+    // offset never enters the oracle
+    val shifted = clean.select((col("vec_id") + 10000000L).as("vec_id"),
+      col("label"),
+      expr("transform(embedding, e -> e * 3.0D + 2.0D)").as("embedding"))
+    def decide(phase: String, b: org.apache.spark.sql.DataFrame) =
+      Similarity.maintainIvfIndex(s, "graft_x287_ivf", b, "vec_id",
+          "label", "embedding", maxClampBps = 100L)
+        .select(lit(phase).as("phase"), col("n_vectors"),
+          col("n_components"), col("n_clamped"), col("n_dims_affected"),
+          col("clamp_bps"), col("max_clamp_bps"), col("refit"),
+          col("grid_gen_before"), col("grid_gen_after"))
+    decide("1_clean", clean).unionByName(decide("2_shifted", shifted))
+      .orderBy("phase")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
       x31, x55, x58, x61, x64, x67, x69, x71, x75, x76, x85, x90, x96, x109,
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
-      x240, x242, x257, x258, x268, x269, x275, x276, x279, x280, x283, x285)
+      x240, x242, x257, x258, x268, x269, x275, x276, x279, x280, x283, x285,
+      x287)
 }

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Round-14 maintenance-and-guards coverage: the maintainIvfIndex policy
+  * threshold boundary, the in-plan single-query guard's zero-job cost,
+  * the incremental substring-dedup equality/contract, and the logistic
+  * family's empty-slice degradation (r13 ADVICE null guards). */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: Seq[(Long, String, Seq[Double])]) =
+    rows.toDF("id", "cell", "vec")
+
+  private def freshIvf(table: String): Unit = {
+    // 4 corner vectors: per-dim grid is exactly [0, 1]
+    val base = vecs(Seq(
+      (1L, "a", Seq(0.0, 0.0)), (2L, "a", Seq(0.0, 1.0)),
+      (3L, "b", Seq(1.0, 0.0)), (4L, "b", Seq(1.0, 1.0))))
+    Similarity.buildIvfIndex(base, "id", "cell", "vec", table)
+    Similarity.buildIvfCodes(spark, table, "id", "cell", "vec")
+  }
+
+  // 5 vectors x 2 dims = 10 components, EXACTLY one outside [0,1]:
+  // clamp_bps = 1 * 10000 div 10 = 1000 on the nose
+  private val boundaryBatch = vecs(Seq(
+    (11L, "a", Seq(0.1, 0.2)), (12L, "a", Seq(0.3, 0.4)),
+    (13L, "b", Seq(0.5, 0.6)), (14L, "b", Seq(0.7, 0.8)),
+    (15L, "b", Seq(2.0, 0.9))))
+
+  test("maintainIvfIndex: clamp_bps equal to the threshold does NOT refit") {
+    freshIvf("graft_test_maint_eq")
+    val r = Similarity.maintainIvfIndex(spark, "graft_test_maint_eq",
+      boundaryBatch, "id", "cell", "vec", maxClampBps = 1000L).head()
+    assert(r.getAs[Long]("clamp_bps") == 1000L)
+    assert(r.getAs[Long]("refit") == 0L)
+    assert(r.getAs[Long]("grid_gen_before") == 0L)
+    assert(r.getAs[Long]("grid_gen_after") == 0L)
+    // the batch was appended even without a refit
+    assert(spark.table("graft_test_maint_eq").count() == 9L)
+    // and the frozen grid is untouched: [0, 1] per dim
+    val g = spark.table("graft_test_maint_eq_cdims").orderBy("pos")
+      .collect().map(r2 => (r2.getAs[Double]("lo"), r2.getAs[Double]("hi")))
+    assert(g.toSeq == Seq((0.0, 1.0), (0.0, 1.0)))
+  }
+
+  test("maintainIvfIndex: one basis point past the threshold refits once") {
+    freshIvf("graft_test_maint_gt")
+    val r = Similarity.maintainIvfIndex(spark, "graft_test_maint_gt",
+      boundaryBatch, "id", "cell", "vec", maxClampBps = 999L).head()
+    assert(r.getAs[Long]("clamp_bps") == 1000L)
+    assert(r.getAs[Long]("refit") == 1L)
+    assert(r.getAs[Long]("grid_gen_before") == 0L)
+    assert(r.getAs[Long]("grid_gen_after") == 1L)
+    // the refit grid covers the appended out-of-range component
+    val hi0 = spark.table("graft_test_maint_gt_cdims")
+      .filter(col("pos") === 0).head().getAs[Double]("hi")
+    assert(hi0 == 2.0)
+    // a healthy follow-up batch no-ops at the NEW generation
+    val r2 = Similarity.maintainIvfIndex(spark, "graft_test_maint_gt",
+      vecs(Seq((21L, "a", Seq(0.5, 0.5)))), "id", "cell", "vec",
+      maxClampBps = 999L).head()
+    assert(r2.getAs[Long]("clamp_bps") == 0L)
+    assert(r2.getAs[Long]("refit") == 0L)
+    assert(r2.getAs[Long]("grid_gen_before") == 1L)
+    assert(r2.getAs[Long]("grid_gen_after") == 1L)
+  }
+
+  test("maintainIvfIndex: an empty batch is a full no-op") {
+    freshIvf("graft_test_maint_mt")
+    val r = Similarity.maintainIvfIndex(spark, "graft_test_maint_mt",
+      vecs(Seq()).filter(lit(false)), "id", "cell", "vec").head()
+    assert(r.getAs[Long]("n_vectors") == 0L)
+    assert(r.getAs[Long]("clamp_bps") == 0L)
+    assert(r.getAs[Long]("refit") == 0L)
+    assert(spark.table("graft_test_maint_mt").count() == 4L)
+  }
+
+  test("ivfTopKQuantized: plan construction costs only the _cmeta read;" +
+      " a multi-row query frame fails loudly in-plan") {
+    freshIvf("graft_test_guard")
+    // let the async listener bus drain the build's events so they can't
+    // bleed into the counter registered next
+    Thread.sleep(1500)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q1 = vecs(Seq((100L, "q", Seq(0.9, 0.9)))).select("vec")
+      val served = Similarity.ivfTopKQuantized(spark, "graft_test_guard",
+        "id", "cell", "vec", q1, k = 1, nprobe = 1, rescore = 1)
+      // listener events are async — let the bus drain
+      Thread.sleep(1500)
+      // exactly ONE call-time job (the 1-row _cmeta levels read); the
+      // r13 guard ran a SECOND job (limit(2).count()) per serve
+      assert(jobs.get() == 1,
+        s"expected 1 call-time job, saw ${jobs.get()}")
+      assert(served.collect().length == 1)
+      // multi-row frame: the in-plan raise_error fires at serve time
+      val q2 = vecs(Seq((100L, "q", Seq(0.9, 0.9)),
+        (101L, "q", Seq(0.1, 0.1)))).select("vec")
+      val bad = Similarity.ivfTopKQuantized(spark, "graft_test_guard",
+        "id", "cell", "vec", q2, k = 1, nprobe = 1, rescore = 1)
+      val e = intercept[Exception] { bad.collect() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq() else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("exactly one query row")),
+        s"unexpected error: ${chain(e).mkString(" | ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private val hist = Seq(
+    (1L, "a b c d e"),        // "a b c" also in doc 3 (within-history dup)
+    (2L, "k l m n"),
+    (3L, "a b c q r")         // keeps nothing of "a b c" (doc 1 is first)
+  ).toDF("doc_id", "text")
+  private val batch = Seq(
+    (10L, "p q r a b c s"),   // "a b c" exists in history -> stripped here
+    (11L, "u v w t1"),        // batch-only dup: first occurrence, kept
+    (12L, "u v w t2"),        // second occurrence, stripped
+    (13L, "hi")               // shorter than l: untouched
+  ).toDF("doc_id", "text")
+
+  test("incrementalSubstringDedup equals the full-corpus pass on the batch") {
+    val full = Dedup.substringDedup(hist.unionByName(batch), "doc_id",
+      "text", l = 3).orderBy("doc_id").collect().toSeq
+    val inc = Dedup.substringDedup(hist, "doc_id", "text", l = 3)
+      .unionByName(Dedup.incrementalSubstringDedup(hist, batch, "doc_id",
+        "text", l = 3))
+      .orderBy("doc_id").collect().toSeq
+    assert(inc == full)
+    // spot-check the semantics actually bit: history hit stripped from
+    // the batch doc, batch-first occurrence kept, second stripped
+    val byId = inc.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(10L) == "p q r s")
+    assert(byId(11L) == "u v w t1")
+    assert(byId(12L) == "t2")
+    assert(byId(13L) == "hi")
+  }
+
+  test("incrementalSubstringDedup: empty history and empty batch degrade") {
+    val mtHist = hist.filter(lit(false))
+    val alone = Dedup.incrementalSubstringDedup(mtHist, batch, "doc_id",
+      "text", l = 3).orderBy("doc_id").collect().toSeq
+    val full = Dedup.substringDedup(batch, "doc_id", "text", l = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(alone == full)
+    assert(Dedup.incrementalSubstringDedup(hist, batch.filter(lit(false)),
+      "doc_id", "text", l = 3).count() == 0L)
+  }
+
+  test("indexed rolling substring dedup equals the full pass across two batches") {
+    val b1 = Seq((10L, "p q r a b c s"), (11L, "u v w t1")).toDF("doc_id", "text")
+    val b2 = Seq((12L, "u v w t2"), (13L, "hi")).toDF("doc_id", "text")
+    Dedup.buildSubstringKeys(hist, "doc_id", "text", l = 3,
+      "graft_test_subkeys")
+    val out1 = Dedup.incrementalSubstringDedupIndexed(spark,
+        "graft_test_subkeys", b1, "doc_id", "text", l = 3)
+      .localCheckpoint(eager = true)
+    Dedup.appendSubstringKeys(b1, "doc_id", "text", l = 3,
+      "graft_test_subkeys")
+    val out2 = Dedup.incrementalSubstringDedupIndexed(spark,
+      "graft_test_subkeys", b2, "doc_id", "text", l = 3)
+    val rolled = Dedup.substringDedup(hist, "doc_id", "text", l = 3)
+      .unionByName(out1).unionByName(out2)
+      .orderBy("doc_id").collect().toSeq
+    val full = Dedup.substringDedup(
+        hist.unionByName(b1).unionByName(b2), "doc_id", "text", l = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(rolled == full)
+    // cross-BATCH dedup actually bit: doc 12's "u v w" was first seen in
+    // batch 1 (doc 11), via the key table only
+    assert(rolled.find(_.getLong(0) == 12L).get.getString(1) == "t2")
+    // the meta max_id advanced, so a stale-ordered batch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalSubstringDedupIndexed(spark, "graft_test_subkeys",
+        Seq((5L, "z z z")).toDF("doc_id", "text"), "doc_id", "text", l = 3)
+    }
+    assert(e.getMessage.contains("max_id"))
+  }
+
+  test("incrementalSubstringDedup rejects batch ids at or below history's") {
+    val bad = Seq((2L, "z z z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalSubstringDedup(hist, bad, "doc_id", "text", l = 3)
+    }
+    assert(e.getMessage.contains("sort after every history id"))
+  }
+
+  private val tokenless = Seq((1L, "!!!", 1), (2L, "???", 0), (3L, "...", 1))
+    .toDF("id", "text", "y")
+
+  test("logistic family degrades gracefully on a zero-featured-doc slice") {
+    // r13 ADVICE: the global class-count agg returns null sums on an
+    // empty docs frame — these must not NPE
+    assert(functions.Curation.logisticTrain(tokenless, "id", "text",
+      col("y") === 1, dim = 8, iters = 2).count() == 0L)
+    assert(functions.Curation.logisticTrainCurve(tokenless, "id", "text",
+      col("y") === 1, dim = 8, iters = 2).count() == 0L)
+    assert(functions.Curation.learningCurve(tokenless, "id", "text",
+      col("y") === 1, fractionsPct = Seq(50, 100), dim = 8,
+      iters = 2).count() == 2L)
+    // crossval folds with no featured docs emit no rows, not an error
+    functions.Curation.logisticCrossVal(tokenless, "id", "text",
+      col("y") === 1, k = 2, dim = 8, iters = 2).collect()
+  }
+}

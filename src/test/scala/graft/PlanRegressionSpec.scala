@@ -747,17 +747,20 @@ class PlanRegressionSpec extends SparkSpec {
   test("x274 snippet reassembly is doc-keyed: only span DISCOVERY scans " +
     "the positional table, the winner slice re-tokenizes from the corpus") {
     val p = plan("x274_min_span_snippets")
-    // coveredSpans legitimately reads the positional table twice (the
-    // starts × required-terms frame unions the occurrence frame); a
-    // third scan means the reassembly regressed to the full positional
-    // pass the corpus-keyed path exists to avoid
+    // span discovery runs ONCE at build time into the checkpointed
+    // ≤ queries×k winner frame (r14: the dropped-winner gate consumes it
+    // twice), so the SERVED plan must contain ZERO positional scans — a
+    // positional scan here means the reassembly regressed to the full
+    // positional pass the corpus-keyed path exists to avoid. (The
+    // discovery side's own two-scan shape is pinned by the x270 test —
+    // same coveredSpans plan, un-checkpointed.)
     val posScans =
       """\(\d+\) Scan parquet \S*graft_x274_positions""".r
         .findAllIn(p).length
-    assert(posScans == 2, s"positional scans = $posScans (want 2):\n" +
+    assert(posScans == 0, s"positional scans = $posScans (want 0):\n" +
       p.take(800))
     // the reassembly side reads the documents corpus, restricted by the
-    // broadcast winner join BEFORE the position explode
+    // winner join BEFORE the position explode
     assert(p.contains("documents.parquet"),
       "corpus scan missing from the reassembly:\n" + p.take(800))
     assert(!p.contains("CartesianProduct"), "reassembly went cartesian")
