@@ -956,8 +956,11 @@ object Dedup {
   private def incrementalSubstrCore(histKeys: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, l: Int, fpp: Double): DataFrame = {
     val baseB = substrBase(batch, textCol)
-    val occB = substrOcc(baseB, idCol, l)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // four eager consumers (bKeys, history-hit strip, batch-dup keys,
+    // batch-dup rank) read the batch windows — window the batch text
+    // ONCE into a persisted narrow frame (the duplicatedPassages lesson)
+    val occB = substrOcc(baseB, idCol, l).persist(lvl)
     val bKeys = occB.select(col("__h")).distinct().persist(lvl)
     try {
       val nb = bKeys.count() // explicit build-side scan (BloomPrune contract)
@@ -989,7 +992,7 @@ object Dedup {
       // union so the Bloom/confirm work runs once, then release bKeys
       val removed = remA.unionByName(remB).localCheckpoint(eager = true)
       substrStrip(baseB, removed, idCol, l)
-    } finally bKeys.unpersist()
+    } finally { bKeys.unpersist(); occB.unpersist() }
   }
 
   /** Persist the historical window-key state [[incrementalSubstringDedup]]

@@ -1262,19 +1262,24 @@ object QualityQueries {
   }
 
   // Incremental ExactSubstr dedup — the rolling-ingest decomposition of
-  // x169: history (doc_id < 400, already deduped by the full pass) stays
-  // untouched; the batch dedupes against history ∪ batch through ONE
-  // Bloom-filtered map-only history window scan + exact semi-join
-  // confirm. The gate is EQUALITY with the full-corpus pass: history
-  // rows from substringDedup(history) plus batch rows from the
+  // x169: history (the first 80% of doc ids, already deduped by the full
+  // pass) stays untouched; the batch dedupes against history ∪ batch
+  // through ONE Bloom-filtered map-only history window scan + exact
+  // semi-join confirm. The gate is EQUALITY with the full-corpus pass:
+  // history rows from substringDedup(history) plus batch rows from the
   // incremental op must reproduce x169's oracle over ALL documents —
   // any missed cross-boundary duplicate, any wrongly-stripped
   // batch-first occurrence, any rewritten history doc flips the hash.
+  // The cut is max-RELATIVE (documents row count scales with sf; a fixed
+  // threshold inverted the history/batch ratio at sf1 and priced the
+  // whole corpus as "batch"); the oracle replays the full corpus, so
+  // where the cut falls never enters the gate.
   private val x288 = Q("x288_incremental_substring_dedup",
       Some(substrDedupOracle)) { (s, dir) =>
     val d = t(s, dir, "documents")
-    val hist = d.filter(col("doc_id") < 400)
-    val batch = d.filter(col("doc_id") >= 400)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) * 8L / 10L
+    val hist = d.filter(col("doc_id") < cut)
+    val batch = d.filter(col("doc_id") >= cut)
     Dedup.substringDedup(hist, "doc_id", "text", l = 5)
       .unionByName(
         Dedup.incrementalSubstringDedup(hist, batch, "doc_id", "text",
@@ -1292,9 +1297,13 @@ object QualityQueries {
   private val x289 = Q("x289_rolling_substring_dedup",
       Some(substrDedupOracle)) { (s, dir) =>
     val d = t(s, dir, "documents")
-    val hist = d.filter(col("doc_id") < 300)
-    val b1 = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-    val b2 = d.filter(col("doc_id") >= 400)
+    // max-relative cuts (60% / 80%) — see x288's note on why the split
+    // must scale with the corpus
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val (c1, c2) = (maxId * 6L / 10L, maxId * 8L / 10L)
+    val hist = d.filter(col("doc_id") < c1)
+    val b1 = d.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+    val b2 = d.filter(col("doc_id") >= c2)
     Dedup.buildSubstringKeys(hist, "doc_id", "text", l = 5,
       "graft_x289_subkeys")
     // each batch's output must land BEFORE its keys append (appending
