@@ -114,6 +114,72 @@ class MaintenanceSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("post-maintenance serving keeps its plan pins: bmw stays " +
+      "candidate-bounded, the quantized batch probe stays cell-pruned") {
+    import org.apache.spark.sql.execution.ExplainMode
+    // sparse family: build -> append -> delete -> compact (x286's steps)
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta w$i gamma ${if (i % 3 == 0) "delta" else "eps"} x"))
+      .toDF("doc_id", "text")
+    val tbl = "graft_test_maint_serve_postings"
+    operators.Retrieval.buildPostingsIndex(
+      docs.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4),
+      "doc_id", "text", tbl)
+    operators.Retrieval.buildImpactBounds(spark, tbl)
+    operators.Retrieval.buildBlockMax(spark, tbl, nBlocks = 4)
+    operators.Retrieval.appendToPostingsIndex(
+      docs.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
+      "doc_id", "text", tbl)
+    operators.Retrieval.deleteFromPostingsIndex(spark,
+      docs.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id",
+      tbl)
+    operators.Retrieval.compactPostingsIndex(spark, tbl)
+    val sparse = operators.Retrieval.bmwTopK(spark, tbl,
+      docs.filter(col("doc_id") < 2), "doc_id", "text", k = 3)
+    val sp = sparse.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the scoring aggregate must consume the PRUNED candidate set, and
+    // query terms broadcast — the corpus-sized postings never pay a
+    // candidate-side shuffle, even after the full maintenance chain
+    assert(sp.contains("LeftSemi"),
+      "post-maintenance bmw lost its candidate semi-join:\n" + sp.take(800))
+    assert(sp.contains("BroadcastHashJoin"), sp.take(800))
+    assert(!sp.contains("CartesianProduct"))
+    assert(sparse.count() > 0)
+
+    // dense family: build -> maintainIvfIndex (forced refit) -> delete,
+    // then the batch ADC serve must still partition-prune the codes scan
+    val n = 60
+    val vecsDf = (0 until n).map { i =>
+      (i.toLong, s"c${i % 3}", Seq(i / 10.0, (n - i) / 10.0, (i % 7) / 3.0))
+    }.toDF("id", "cell", "vec")
+    val ivf = "graft_test_maint_serve_ivf"
+    Similarity.buildIvfIndex(vecsDf.filter(col("id") >= 4), "id", "cell",
+      "vec", ivf)
+    Similarity.buildIvfCodes(spark, ivf, "id", "cell", "vec")
+    val drifted = vecsDf.filter(col("id") >= 4 && col("id") % 5 === 0)
+      .select((col("id") + 1000L).as("id"), col("cell"),
+        expr("transform(vec, e -> e * 5.0D + 40.0D)").as("vec"))
+    val dec = Similarity.maintainIvfIndex(spark, ivf, drifted, "id",
+      "cell", "vec", maxClampBps = 0L).head()
+    assert(dec.getAs[Long]("refit") == 1L) // the chain really refit
+    Similarity.deleteFromIvfIndex(spark,
+      vecsDf.filter(col("id") % 10 === 9).select("id"), "id", ivf,
+      "cell", "vec")
+    val served = Similarity.ivfTopKQuantizedBatch(spark, ivf, "id",
+      "cell", "vec", vecsDf.filter(col("id") < 2), "id", k = 2,
+      nprobe = 2, rescore = 4)
+    val dp = served.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the 2-bytes/dim story survives maintenance only if the codes scan
+    // still reads just the probed cells' partitions
+    assert(dp.contains("dynamicpruningexpression"),
+      "post-maintenance codes scan lost partition pruning:\n" +
+        dp.take(800))
+    assert(!dp.contains("CartesianProduct"))
+    assert(served.count() > 0)
+  }
+
   private val hist = Seq(
     (1L, "a b c d e"),        // "a b c" also in doc 3 (within-history dup)
     (2L, "k l m n"),
