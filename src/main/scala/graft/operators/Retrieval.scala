@@ -752,6 +752,92 @@ object Retrieval {
     dropTableWithDir(spark, stagingD)
   }
 
+  /** Tombstone-debt measurement for a [[buildPostingsIndex]] index — the
+    * sparse twin of [[graft.operators.Similarity.sqClampStats]]: how many
+    * physical postings rows are dead weight behind the `_tomb` cutoffs,
+    * i.e. what [[compactPostingsIndex]] would reclaim. Returns one row
+    * `(rows_total, rows_dead, tombstone_bps)` — exact BIGINTs, basis
+    * points by integer division (0 on an empty table).
+    *
+    * Scale shape: ONE column-pruned `(doc, gen)` scan of the postings
+    * table against the broadcast tombstone cutoffs. `_tomb` holds at most
+    * one cutoff row per doc ([[deleteFromPostingsIndex]] raises a
+    * re-deleted doc's cutoff in place), so the left join cannot fan rows
+    * out; an index that has never seen a delete skips the join entirely
+    * and the count comes off parquet metadata. */
+  def postingsTombstoneStats(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val base = spark.table(table).select(col("doc"), col("gen"))
+    val counted =
+      if (!spark.catalog.tableExists(s"${table}_tomb"))
+        base.agg(count(lit(1)).as("rows_total"))
+          .withColumn("rows_dead", lit(0L))
+      else {
+        val tomb = spark.table(s"${table}_tomb")
+          .select(col("doc").as("__tdoc"), col("gen").as("__tgen"))
+        base.join(broadcast(tomb),
+            col("doc") === col("__tdoc") && col("gen") <= col("__tgen"),
+            "left")
+          .agg(count(lit(1)).as("rows_total"),
+            coalesce(sum(when(col("__tdoc").isNotNull, 1L).otherwise(0L)),
+              lit(0L)).as("rows_dead"))
+      }
+    counted.withColumn("tombstone_bps",
+      when(col("rows_total") > 0L,
+        expr("rows_dead * 10000 div rows_total")).otherwise(lit(0L)))
+  }
+
+  /** Close the sparse-index maintenance loop — the postings twin of
+    * [[graft.operators.Similarity.maintainIvfIndex]], and the one call a
+    * scheduled ingest runs per batch: (1) measure the index's tombstone
+    * debt against the CURRENT physical table ([[postingsTombstoneStats]]
+    * — measured BEFORE the append so the batch's fresh rows cannot
+    * dilute the debt fraction), (2) append the batch through
+    * [[appendToPostingsIndex]] (skipped when the batch is empty), and
+    * (3) if the measured `tombstone_bps` EXCEEDS `maxTombstoneBps`,
+    * physically reclaim through [[compactPostingsIndex]] — which also
+    * heals any interrupted-delete companion drift (compaction is the
+    * repair op). A healthy index pays one cheap measurement per batch
+    * and compacts never; a delete-heavy one compacts exactly when the
+    * dead-row fraction crosses the threshold (strict `>` — the boundary
+    * value does NOT compact, matching maintainIvfIndex's convention).
+    *
+    * Returns the DECISION ROW a maintenance log wants — all exact
+    * BIGINTs, oracle-replayable from raw data: `(n_docs,
+    * rows_total_before, rows_dead_before, tombstone_bps,
+    * max_tombstone_bps, compacted, rows_total_after)`. */
+  def maintainPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      maxTombstoneBps: Long = 1000L, buckets: Int = 8): DataFrame = {
+    require(maxTombstoneBps >= 0L, "maxTombstoneBps must be >= 0")
+    val st = postingsTombstoneStats(spark, table).head()
+    val rowsTotal = st.getLong(0)
+    val rowsDead = st.getLong(1)
+    val bps = st.getLong(2)
+    // the batch feeds two consumers (the emptiness probe and the
+    // append's several passes) — pin it once (the incrementalSubstrCore
+    // discipline; a non-deterministic batch source must not append data
+    // differing from what was counted)
+    val b = batch.select(col(idCol), col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = b.count()
+      if (nDocs > 0L) appendToPostingsIndex(b, idCol, textCol, table,
+        buckets)
+      val compacted = bps > maxTombstoneBps
+      if (compacted) compactPostingsIndex(spark, table, buckets)
+      val rowsAfter = spark.table(table).count()
+      spark.range(1).select(
+        lit(nDocs).as("n_docs"),
+        lit(rowsTotal).as("rows_total_before"),
+        lit(rowsDead).as("rows_dead_before"),
+        lit(bps).as("tombstone_bps"),
+        lit(maxTombstoneBps).as("max_tombstone_bps"),
+        lit(if (compacted) 1L else 0L).as("compacted"),
+        lit(rowsAfter).as("rows_total_after"))
+    } finally b.unpersist()
+  }
+
   /** Upsert a document batch: replace docs whose ids are already
     * indexed, insert the rest — a PURELY LOGICAL delete → append.
     * Generation-stamped tombstones are what make this rewrite-free: the

@@ -1899,9 +1899,94 @@ object RetrievalQueries {
       .orderBy("phase", "query_id", "rank")
   }
 
+  // Sparse-side auto-maintenance POLICY — the postings twin of x287's
+  // SQ8 drift loop: maintainPostingsIndex measures the index's tombstone
+  // debt (dead postings rows behind the _tomb cutoffs, in exact bps),
+  // appends the batch, and compacts only past the threshold. Two rounds:
+  // the healthy one (no deletes yet — 0 bps) appends without compacting;
+  // after a 20%-of-live takedown the delete-heavy round measures ~2000
+  // bps > 1000 and compacts. The oracle replays BOTH decision rows from
+  // raw text — postings-row counts are distinct (doc, token) pairs under
+  // the same tokenization, the bps arithmetic is the same integer
+  // division, and the compacted flag and the physical row counts after
+  // each round are CASE expressions over the replayed threshold
+  // comparison, so the policy logic itself is what's gated.
+  private val x290 = Q("x290_postings_auto_maintenance", Some(
+    s"""WITH ct AS (
+       |  SELECT doc_id, u.w AS token
+       |  FROM (SELECT doc_id, $WORDS AS ws FROM documents
+       |        WHERE doc_id >= 5), unnest(ws) AS u(w)),
+       |pc AS (
+       |  SELECT doc_id, count(*) AS pr
+       |  FROM (SELECT DISTINCT doc_id, token FROM ct) GROUP BY doc_id),
+       |docs AS (
+       |  SELECT d.doc_id, d.doc_id % 7 AS grp, coalesce(pc.pr, 0) AS pr
+       |  FROM documents d LEFT JOIN pc USING (doc_id)
+       |  WHERE d.doc_id >= 5),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN grp <= 4 THEN pr ELSE 0 END) AS BIGINT)
+       |      AS r_built,
+       |    CAST(sum(CASE WHEN grp = 5 THEN pr ELSE 0 END) AS BIGINT)
+       |      AS r_b1,
+       |    CAST(sum(CASE WHEN grp = 6 THEN pr ELSE 0 END) AS BIGINT)
+       |      AS r_b2,
+       |    CAST(sum(CASE WHEN grp <= 5 AND doc_id % 5 = 4 THEN pr
+       |      ELSE 0 END) AS BIGINT) AS r_dead,
+       |    CAST(sum(CASE WHEN grp = 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b1,
+       |    CAST(sum(CASE WHEN grp = 6 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b2
+       |  FROM docs),
+       |p2 AS (
+       |  SELECT r_dead * 10000 // (r_built + r_b1) AS bps2, agg.*
+       |  FROM agg)
+       |SELECT * FROM (
+       |  SELECT '1_healthy' AS phase, n_b1 AS n_docs,
+       |    r_built AS rows_total_before,
+       |    CAST(0 AS BIGINT) AS rows_dead_before,
+       |    CAST(0 AS BIGINT) AS tombstone_bps,
+       |    CAST(1000 AS BIGINT) AS max_tombstone_bps,
+       |    CAST(CASE WHEN 0 > 1000 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS compacted,
+       |    r_built + r_b1 AS rows_total_after
+       |  FROM p2
+       |  UNION ALL
+       |  SELECT '2_delete_heavy', n_b2, r_built + r_b1, r_dead, bps2,
+       |    CAST(1000 AS BIGINT),
+       |    CAST(CASE WHEN bps2 > 1000 THEN 1 ELSE 0 END AS BIGINT),
+       |    CASE WHEN bps2 > 1000
+       |      THEN r_built + r_b1 - r_dead + r_b2
+       |      ELSE r_built + r_b1 + r_b2 END
+       |  FROM p2
+       |) ORDER BY phase""".stripMargin)) { (s, dir) =>
+    val d = t(s, dir, "documents")
+    Retrieval.buildPostingsIndex(
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 7 <= 4),
+      "doc_id", "text", "graft_x290_postings")
+    def decide(phase: String, b: org.apache.spark.sql.DataFrame) =
+      Retrieval.maintainPostingsIndex(s, "graft_x290_postings", b,
+          "doc_id", "text", maxTombstoneBps = 1000L)
+        .select(lit(phase).as("phase"), col("n_docs"),
+          col("rows_total_before"), col("rows_dead_before"),
+          col("tombstone_bps"), col("max_tombstone_bps"),
+          col("compacted"), col("rows_total_after"))
+    // phase 1 executes eagerly inside the call (the decision row is
+    // driver-held literals), so the takedown below cannot retro-change it
+    val p1 = decide("1_healthy",
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 7 === 5))
+    Retrieval.deleteFromPostingsIndex(s,
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 7 <= 5 &&
+        col("doc_id") % 5 === 4).select("doc_id"),
+      "doc_id", "graft_x290_postings")
+    p1.unionByName(decide("2_delete_heavy",
+        d.filter(col("doc_id") >= 5 && col("doc_id") % 7 === 6)))
+      .orderBy("phase")
+  }
+
   val qs: Seq[Q] = Seq(x171, x172, x173, x174, x175, x181, x184, x195,
     x207, x209, x217, x218, x234, x235, x236, x237, x241, x245, x246,
     x248, x251, x252, x253, x254, x255, x256, x259, x261, x262, x263,
     x264, x265, x266, x267, x270, x271, x272, x273, x274, x277, x278,
-    x281, x282, x284, x286)
+    x281, x282, x284, x286, x290)
 }

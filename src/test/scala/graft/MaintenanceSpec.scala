@@ -114,6 +114,78 @@ class MaintenanceSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("maintainPostingsIndex: tombstone_bps equal to the threshold does" +
+      " NOT compact; one basis point past does") {
+    val tbl = "graft_test_maintp_eq"
+    // 10 docs x 1 unique token = 10 postings rows; deleting one doc
+    // leaves exactly 1000 bps of debt on the nose
+    val docs = (1L to 10L).map(i => (i, s"tok$i")).toDF("doc_id", "text")
+    operators.Retrieval.buildPostingsIndex(docs, "doc_id", "text", tbl)
+    operators.Retrieval.deleteFromPostingsIndex(spark,
+      Seq(1L).toDF("doc_id"), "doc_id", tbl)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r1 = operators.Retrieval.maintainPostingsIndex(spark, tbl, empty,
+      "doc_id", "text", maxTombstoneBps = 1000L).head()
+    assert(r1.getAs[Long]("n_docs") == 0L)
+    assert(r1.getAs[Long]("rows_total_before") == 10L)
+    assert(r1.getAs[Long]("rows_dead_before") == 1L)
+    assert(r1.getAs[Long]("tombstone_bps") == 1000L)
+    assert(r1.getAs[Long]("compacted") == 0L)
+    assert(r1.getAs[Long]("rows_total_after") == 10L)
+    assert(spark.catalog.tableExists(s"${tbl}_tomb")) // debt still parked
+    val r2 = operators.Retrieval.maintainPostingsIndex(spark, tbl,
+      Seq((11L, "tok11")).toDF("doc_id", "text"), "doc_id", "text",
+      maxTombstoneBps = 999L).head()
+    assert(r2.getAs[Long]("n_docs") == 1L)
+    assert(r2.getAs[Long]("tombstone_bps") == 1000L)
+    assert(r2.getAs[Long]("compacted") == 1L)
+    // 9 survivors + the appended doc; tombstones physically reclaimed
+    assert(r2.getAs[Long]("rows_total_after") == 10L)
+    assert(!spark.catalog.tableExists(s"${tbl}_tomb"))
+  }
+
+  test("maintainPostingsIndex: a compacting round keeps the bmw serving" +
+      " pins and scores like a rebuild") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta w$i gamma ${if (i % 3 == 0) "delta" else "eps"} x"))
+      .toDF("doc_id", "text")
+    val tbl = "graft_test_maintp_serve"
+    val built = docs.filter(col("doc_id") >= 5 && col("doc_id") % 7 <= 4)
+    val batch = docs.filter(col("doc_id") >= 5 && col("doc_id") % 7 === 5)
+    operators.Retrieval.buildPostingsIndex(built, "doc_id", "text", tbl)
+    operators.Retrieval.buildImpactBounds(spark, tbl)
+    operators.Retrieval.buildBlockMax(spark, tbl, nBlocks = 4)
+    operators.Retrieval.deleteFromPostingsIndex(spark,
+      docs.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id",
+      tbl)
+    val dec = operators.Retrieval.maintainPostingsIndex(spark, tbl,
+      batch, "doc_id", "text", maxTombstoneBps = 0L).head()
+    assert(dec.getAs[Long]("rows_dead_before") > 0L)
+    assert(dec.getAs[Long]("compacted") == 1L)
+    val sparse = operators.Retrieval.bmwTopK(spark, tbl,
+      docs.filter(col("doc_id") < 2), "doc_id", "text", k = 3)
+    val sp = sparse.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(sp.contains("LeftSemi"),
+      "post-policy-compaction bmw lost its candidate semi-join:\n" +
+        sp.take(800))
+    assert(sp.contains("BroadcastHashJoin"), sp.take(800))
+    assert(!sp.contains("CartesianProduct"))
+    assert(sparse.count() > 0)
+    // and the maintained index scores exactly like a from-scratch build
+    // on survivors ∪ batch
+    val survivors = built.filter(col("doc_id") % 10 =!= 7)
+      .unionByName(batch)
+    val got = operators.Retrieval.bm25TopKIndexed(spark, tbl,
+      docs.filter(col("doc_id") < 2), "doc_id", "text", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = operators.Retrieval.bm25TopK(survivors, "doc_id", "text",
+      docs.filter(col("doc_id") < 2), "doc_id", "text", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == want)
+  }
+
   test("post-maintenance serving keeps its plan pins: bmw stays " +
       "candidate-bounded, the quantized batch probe stays cell-pruned") {
     import org.apache.spark.sql.execution.ExplainMode
