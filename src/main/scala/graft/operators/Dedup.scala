@@ -929,7 +929,14 @@ object Dedup {
     * (false positives cost a lookup, never a wrong strip; no false
     * negatives ⇒ no missed duplicate). Returns one row per BATCH doc:
     * (idCol, clean_text, n_tokens_kept, n_tokens_removed) — gated equal
-    * to [[substringDedup]](history ∪ batch) on the batch ids (x288). */
+    * to [[substringDedup]](history ∪ batch) on the batch ids (x288).
+    *
+    * Rolling ingests should prefer [[incrementalSubstringDedupIndexed]]:
+    * this variant not only re-WINDOWS history text per call, even its
+    * ingest-order `require` below costs a full history id-column scan
+    * per batch (`max(id)` does not fold to parquet footer stats by
+    * default) — the indexed path does the same check in O(1) off the
+    * key table's 1-row `_meta`. */
   def incrementalSubstringDedup(history: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, l: Int = 50,
       fpp: Double = 0.01): DataFrame = {
@@ -951,8 +958,13 @@ object Dedup {
   /** The batch-side core shared by [[incrementalSubstringDedup]] (history
     * re-windowed per call) and [[incrementalSubstringDedupIndexed]]
     * (history keys read from the persisted key table): `histKeys` is a
-    * one-column (`__h`) frame of every window key the past corpus
-    * contains, consumed through one Bloom-filtered map-only scan. */
+    * frame of the past corpus's window keys (`__h`), consumed through
+    * one Bloom-filtered map-only scan. It may carry a signed doc-count
+    * ledger column `__n` (the [[buildSubstringKeys]] /
+    * [[deleteSubstringKeys]] state) — a key is then live iff its counts
+    * sum > 0, reconciled AFTER the Bloom filter so the ledger aggregate
+    * shuffles only batch-matched keys, never the corpus. Without `__n`
+    * every row counts 1 (plain occurrences — always live). */
   private def incrementalSubstrCore(histKeys: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, l: Int, fpp: Double): DataFrame = {
     val baseB = substrBase(batch, textCol)
@@ -964,6 +976,9 @@ object Dedup {
     val bKeys = occB.select(col("__h")).distinct().persist(lvl)
     try {
       val nb = bKeys.count() // explicit build-side scan (BloomPrune contract)
+      val hk =
+        if (histKeys.columns.contains("__n")) histKeys
+        else histKeys.select(col("__h"), lit(1L).as("__n"))
       val histHits =
         if (nb == 0) bKeys.limit(0)
         else {
@@ -971,7 +986,12 @@ object Dedup {
           val bc = batch.sparkSession.sparkContext.broadcast(bf)
           val maybe = udf((h: String) =>
             h != null && bc.value.mightContainString(h))
-          histKeys.filter(maybe(col("__h"))).distinct()
+          // ledger reconciliation rides the batch-bounded post-Bloom set:
+          // sum the signed doc counts per key and keep only live keys
+          // (all-1 ledgers reduce to the old distinct() semantics)
+          hk.filter(maybe(col("__h")))
+            .groupBy("__h").agg(sum(col("__n")).as("__live"))
+            .filter(col("__live") > 0L).select("__h")
             .join(bKeys, Seq("__h"), "left_semi")
         }
       // (a) key seen in history: every batch occurrence has an earlier
@@ -1001,20 +1021,35 @@ object Dedup {
     * `<table>_meta (max_id)` for the O(1) ingest-order contract check.
     * With the table in place a ROLLING ingest never re-windows history:
     * each batch is one [[incrementalSubstringDedupIndexed]] call + one
-    * [[appendSubstringKeys]], and history text is never read again. */
+    * [[appendSubstringKeys]], and history text is never read again.
+    *
+    * Each key row carries `__n`, the SIGNED count of distinct history
+    * docs containing the key — what makes the state DELETABLE
+    * ([[deleteSubstringKeys]] appends negative deltas; a key is live iff
+    * its counts sum > 0, so a key shared with a surviving doc survives
+    * the takedown exactly). Consumers aggregate the counts AFTER the
+    * batch-keyed Bloom filter, so the reconciliation shuffle is bounded
+    * by the batch's key set, never the corpus. */
   def buildSubstringKeys(df: DataFrame, idCol: String, textCol: String,
       l: Int, table: String): Unit = {
     require(l >= 2, "window length l must be >= 2")
     val spark = df.sparkSession
     dropWithDir(spark, table)
-    substrOcc(substrBase(df, textCol), idCol, l).select(col("__h"))
-      .distinct()
+    docKeyCounts(df, idCol, textCol, l)
       .write.mode("overwrite").format("parquet").saveAsTable(table)
     dropWithDir(spark, s"${table}_meta")
     df.agg(max(col(idCol)).as("max_id"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
   }
+
+  /** (__h, __n = distinct containing docs) of every length-`l` window key
+    * in `df` — the unit the key state's signed ledger is kept in. */
+  private def docKeyCounts(df: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame =
+    substrOcc(substrBase(df, textCol), idCol, l)
+      .select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
 
   /** Drop a managed table AND its warehouse directory — a fresh session
     * sees leftover directories from a previous run as
@@ -1028,18 +1063,29 @@ object Dedup {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
-  /** Advance the key state past a processed batch: the batch's distinct
-    * window keys APPEND to the table (cross-batch duplicates are
-    * harmless — consumers semi-join; compact with a distinct rewrite if
-    * the multiset ever bothers storage) and `max_id` advances. Call
-    * AFTER [[incrementalSubstringDedupIndexed]] has materialized the
-    * batch's output — appending first would make the batch its own
-    * history and strip every window. */
+  /** Advance the key state past a processed batch: the batch's
+    * per-key doc counts APPEND to the table (cross-batch rows for one
+    * key are fine — consumers sum the signed ledger; see
+    * [[compactSubstringKeys]] if the row multiset ever bothers storage)
+    * and `max_id` advances. Call AFTER
+    * [[incrementalSubstringDedupIndexed]] has materialized the batch's
+    * output — appending first would make the batch its own history and
+    * strip every window; the `require` makes that mis-order (and a
+    * replayed append) loud instead of silently poisoning the state. */
   def appendSubstringKeys(batch: DataFrame, idCol: String,
       textCol: String, l: Int, table: String): Unit = {
     val spark = batch.sparkSession
-    substrOcc(substrBase(batch, textCol), idCol, l).select(col("__h"))
-      .distinct()
+    // O(1) ingest-order contract, same check as the read path: a batch
+    // at-or-below the watermark is either out of order or appended twice
+    val ordered = spark.table(s"${table}_meta")
+      .crossJoin(batch.agg(min(col(idCol)).as("__bn")))
+      .select((col("max_id").isNull || col("__bn").isNull ||
+        col("max_id") < col("__bn")).as("ok"))
+      .head().getBoolean(0)
+    require(ordered, "appendSubstringKeys: every batch id must sort " +
+      "after the key table's max_id — appending an already-covered or " +
+      "out-of-order batch would permanently poison the key state")
+    docKeyCounts(batch, idCol, textCol, l)
       .write.mode("append").format("parquet").saveAsTable(table)
     val newMax = spark.table(s"${table}_meta")
       .crossJoin(batch.agg(max(col(idCol)).as("__bm")))
@@ -1048,6 +1094,60 @@ object Dedup {
       .localCheckpoint(eager = true)
     newMax.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
+  }
+
+  /** Takedown for the rolling key state — the [[graft.operators.Merge]]
+    * `deleteCascade` reach into DERIVED state: erase `deleted` docs'
+    * contribution so a future batch that legitimately re-introduces
+    * their text is no longer stripped (its first occurrence no longer
+    * exists), while keys SHARED with surviving docs keep stripping.
+    * `deleted` must be the erased docs exactly as ingested (same ids,
+    * same text), each passed once — the call appends per-key NEGATIVE
+    * doc counts, and the live-key predicate is `sum(__n) > 0`, exact
+    * under sharing because build/append counted distinct docs per key.
+    * Cost: one map-side windowing of the deleted docs (takedown-sized)
+    * + one batch-bounded append — surviving history text is never read.
+    * `max_id` does NOT move: erased ids stay unusable (first-occurrence
+    * order is id order; resurrecting an id would reorder the past). */
+  def deleteSubstringKeys(deleted: DataFrame, idCol: String,
+      textCol: String, l: Int, table: String): Unit = {
+    require(l >= 2, "window length l must be >= 2")
+    val spark = deleted.sparkSession
+    require(spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(s"${table}_meta"),
+      s"deleteSubstringKeys needs $table and ${table}_meta — run " +
+        "buildSubstringKeys first")
+    // only ids at or below the watermark can be part of history — a
+    // not-yet-ingested id in the delete set means the caller is erasing
+    // text that was never appended (a contract bug, not a no-op)
+    val covered = spark.table(s"${table}_meta")
+      .crossJoin(deleted.agg(max(col(idCol)).as("__dm")))
+      .select((col("__dm").isNull ||
+        (col("max_id").isNotNull && col("__dm") <= col("max_id")))
+        .as("ok"))
+      .head().getBoolean(0)
+    require(covered, "deleteSubstringKeys: delete ids must be <= the " +
+      "key table's max_id — only ingested docs can be taken down")
+    docKeyCounts(deleted, idCol, textCol, l)
+      .select(col("__h"), (-col("__n")).as("__n"))
+      .write.mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /** Physically reconcile the key table's signed ledger: rewrite it as
+    * one live row per key (`sum(__n) > 0`), dropping taken-down keys and
+    * merging cross-batch rows. Purely a storage operation — consumers
+    * sum the ledger anyway — staged durably before the replace. */
+  def compactSubstringKeys(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val stagingT = s"${table}_compact_staging"
+    dropWithDir(spark, stagingT)
+    spark.table(table).groupBy("__h").agg(sum(col("__n")).as("__n"))
+      .filter(col("__n") > 0L)
+      .write.mode("overwrite").format("parquet").saveAsTable(stagingT)
+    dropWithDir(spark, table)
+    spark.table(stagingT).write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+    dropWithDir(spark, stagingT)
   }
 
   /** [[incrementalSubstringDedup]] against the PERSISTED key state
@@ -1075,7 +1175,8 @@ object Dedup {
       "must sort after the key table's max_id (ingest order = id " +
       "order) — otherwise first occurrences could move into the batch " +
       "and already-published history documents would need rewriting")
-    incrementalSubstrCore(spark.table(table).select(col("__h")), batch,
+    incrementalSubstrCore(
+      spark.table(table).select(col("__h"), col("__n")), batch,
       idCol, textCol, l, fpp)
   }
 }

@@ -1220,13 +1220,20 @@ object QualityQueries {
   // Shared by x169 (full-corpus) and x288 (incremental batch-vs-history,
   // which must EQUAL the full-corpus pass on history ∪ batch — the x76
   // equality shape lifted to substring level).
-  private val substrDedupOracle: String = {
+  private val substrDedupOracle: String =
+    substrDedupOracleOver("SELECT doc_id, text FROM documents")
+
+  // Corpus-parameterized variant: `corpusSql` must expose (doc_id, text).
+  // x291 replays the takedown story by instantiating it over
+  // survivors ∪ synthesized batch instead of the raw table.
+  private def substrDedupOracleOver(corpusSql: String): String = {
     val words =
       """list_filter(string_split_regex(regexp_replace(lower(text),
         |    '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')""".stripMargin
-    s"""WITH base AS (
+    s"""WITH corpus AS ($corpusSql),
+       |base AS (
        |  SELECT doc_id, $words AS ws, len($words) AS nt
-       |  FROM documents),
+       |  FROM corpus),
        |occ AS (
        |  SELECT doc_id, u.i AS pos,
        |    md5(array_to_string(ws[u.i : u.i + 4], ' ')) AS h
@@ -1318,6 +1325,54 @@ object QualityQueries {
     Dedup.substringDedup(hist, "doc_id", "text", l = 5)
       .unionByName(out1).unionByName(out2)
       .orderBy("doc_id")
+  }
+
+  // Substring-key takedown (right-to-be-forgotten reaching DERIVED
+  // state): after deleteCascade erases a history slice, their window
+  // keys must stop stripping future batches — a batch legitimately
+  // re-introducing a DELETED doc's text keeps it (its first occurrence
+  // no longer exists), while a batch repeating SURVIVING text is still
+  // stripped, including keys the deleted and surviving docs SHARED
+  // (the signed per-key doc-count ledger decides: live iff sum > 0).
+  // The batch is half re-introduced deleted text (+10M ids), half
+  // repeated survivor text (+20M ids); the gate is equality with the
+  // full-corpus pass over survivors ∪ batch, replayed end to end by
+  // the oracle over the same synthesized corpus.
+  private val x291 = Q("x291_substring_key_takedown", Some(
+    substrDedupOracleOver(
+      """SELECT doc_id, text FROM documents
+        |  WHERE doc_id < (SELECT max(doc_id) * 6 // 10 FROM documents)
+        |    AND doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id < (SELECT max(doc_id) * 6 // 10 FROM documents)
+        |    AND doc_id % 5 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents
+        |  WHERE doc_id < (SELECT max(doc_id) * 6 // 10 FROM documents)
+        |    AND doc_id % 5 <> 4 AND doc_id % 7 = 0""".stripMargin))) {
+    (s, dir) =>
+      val d = t(s, dir, "documents")
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) * 6L / 10L
+      val hist = d.filter(col("doc_id") < cut)
+      val delKeys = hist.filter(col("doc_id") % 5 === 4).select("doc_id")
+      // deleteCascade gives the surviving base table; the key-state
+      // takedown needs the deleted docs' TEXT (exactly as ingested)
+      val survivors = graft.operators.Merge.deleteCascade(
+        Map("documents" -> (hist, "doc_id")), delKeys, "doc_id")("documents")
+      val deleted = hist.filter(col("doc_id") % 5 === 4)
+      val batch = deleted
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .unionByName(survivors.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      Dedup.buildSubstringKeys(hist, "doc_id", "text", l = 5,
+        "graft_x291_subkeys")
+      Dedup.deleteSubstringKeys(deleted, "doc_id", "text", l = 5,
+        "graft_x291_subkeys")
+      Dedup.substringDedup(survivors, "doc_id", "text", l = 5)
+        .unionByName(Dedup.incrementalSubstringDedupIndexed(s,
+          "graft_x291_subkeys", batch, "doc_id", "text", l = 5))
+        .orderBy("doc_id")
   }
 
   // Budget-accounted DP release through the PrivacyLedger, version-bound:
@@ -1707,5 +1762,5 @@ object QualityQueries {
   val qs: Seq[Q] = Seq(x97, x98, x99, x100, x101, x102, x103, x104, x105,
     x106, x107, x108, x131, x133, x136, x151, x152, x154, x155, x156,
     x157, x161, x162, x163, x164, x165, x166, x167, x168, x169, x170,
-    x188, x191, x194, x197, x199, x202, x206, x288, x289)
+    x188, x191, x194, x197, x199, x202, x206, x288, x289, x291)
 }

@@ -322,6 +322,65 @@ class MaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("max_id"))
   }
 
+  test("deleteSubstringKeys: re-introduced deleted text is kept, shared" +
+      " keys keep stripping, compaction preserves both") {
+    val tbl = "graft_test_subkey_del"
+    // doc 1 and doc 2 SHARE window "p q r"; "q r s" is exclusive to the
+    // doc being taken down
+    val histDf = Seq((1L, "p q r s"), (2L, "p q r t"))
+      .toDF("doc_id", "text")
+    Dedup.buildSubstringKeys(histDf, "doc_id", "text", l = 3, tbl)
+    Dedup.deleteSubstringKeys(Seq((1L, "p q r s")).toDF("doc_id", "text"),
+      "doc_id", "text", l = 3, tbl)
+    val batchDf = Seq((10L, "p q r z1"), (11L, "q r s z2"))
+      .toDF("doc_id", "text")
+    def run(b: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalSubstringDedupIndexed(spark, tbl, b, "doc_id",
+          "text", l = 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = run(batchDf)
+    // shared key still live (doc 2 survives) -> stripped; exclusive key
+    // released by the takedown -> re-introduction kept
+    assert(got == Seq((10L, "z1"), (11L, "q r s z2")))
+    // equality with the full pass over survivors ∪ batch on batch ids
+    val full = Dedup.substringDedup(
+        Seq((2L, "p q r t")).toDF("doc_id", "text").unionByName(batchDf),
+        "doc_id", "text", l = 3)
+      .filter(col("doc_id") >= 10L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == full)
+    // ledger before compaction: 3 build rows + 2 negative delete rows;
+    // compaction folds to one live row per key and drops the dead key
+    assert(spark.table(tbl).count() == 5L)
+    Dedup.compactSubstringKeys(spark, tbl)
+    assert(spark.table(tbl).count() == 2L)
+    assert(run(Seq((20L, "p q r z3"), (21L, "q r s z4"))
+      .toDF("doc_id", "text")) == Seq((20L, "z3"), (21L, "q r s z4")))
+  }
+
+  test("appendSubstringKeys rejects an out-of-order or replayed batch") {
+    val tbl = "graft_test_subkey_order"
+    Dedup.buildSubstringKeys(Seq((5L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", l = 3, tbl)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendSubstringKeys(Seq((5L, "x y z w")).toDF("doc_id",
+        "text"), "doc_id", "text", l = 3, tbl)
+    }
+    assert(e.getMessage.contains("poison"))
+  }
+
+  test("deleteSubstringKeys rejects ids beyond the ingest watermark") {
+    val tbl = "graft_test_subkey_delwm"
+    Dedup.buildSubstringKeys(Seq((5L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", l = 3, tbl)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deleteSubstringKeys(Seq((9L, "a b c d")).toDF("doc_id",
+        "text"), "doc_id", "text", l = 3, tbl)
+    }
+    assert(e.getMessage.contains("taken down"))
+  }
+
   test("incrementalSubstringDedup rejects batch ids at or below history's") {
     val bad = Seq((2L, "z z z")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
