@@ -942,6 +942,84 @@ object Similarity {
       lit(gen()).as("grid_gen_after"))
   }
 
+  /** Close the third drift loop — the cell-occupancy POLICY op beside
+    * [[maintainIvfIndex]] (grid drift) and [[maintainPostingsIndex]]'s
+    * sparse twin (tombstone debt): a skewed ingest stream piles vectors
+    * into hot cells until probes over-scan (x257 measured the recall
+    * cost, [[rebalanceIvfCells]] repairs it — this measures and
+    * DECIDES). It (1) appends the batch through [[appendToIvfIndex]]
+    * (skipped when empty; codes ride at the frozen grid), (2) measures
+    * POST-append occupancy skew off the |cells|-bounded `_cstate` —
+    * `skew_bps = max_occupancy · 10000 · n_cells / total` (exact integer
+    * division; 10000 = perfectly uniform), and (3) if the skew EXCEEDS
+    * `maxSkewBps`, runs [[rebalanceIvfCells]] — which rewrites ONLY the
+    * affected cell partitions and carries the `_codes` companion through
+    * to the new assignment (rebalancing invalidates its cell
+    * partitioning; the x269 sequence, now policy-driven).
+    *
+    * Returns the DECISION ROW — exact BIGINTs, oracle-replayable:
+    * (n_vectors, n_cells, occ_total, occ_max, skew_bps, max_skew_bps,
+    * rebalanced, n_cells_after, occ_max_after, rebalance_gen_before,
+    * rebalance_gen_after); the generation lives in the 1-row `_rmeta`
+    * companion (absent = 0) and bumps exactly once per rebalance. */
+  def maintainIvfCells(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, cellCol: String,
+      vecCol: String, maxSkewBps: Long = 20000L,
+      splitAbove: Double = 2.0, mergeBelow: Double = 0.5): DataFrame = {
+    require(maxSkewBps >= 10000L,
+      "maxSkewBps below 10000 (= perfectly uniform occupancy) would " +
+        "rebalance on every batch forever")
+    def rgen(): Long =
+      if (spark.catalog.tableExists(s"${table}_rmeta"))
+        spark.table(s"${table}_rmeta").head().getAs[Long]("rebalance_gen")
+      else 0L
+    def occStats(): (Long, Long, Long) = {
+      val st = spark.table(s"${table}_cstate")
+        .groupBy("cell").agg(max(col("cn")).as("__n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("__n")).as("n_total"),
+          max(col("__n")).as("n_max"))
+        .head()
+      (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1),
+        if (st.isNullAt(2)) 0L else st.getLong(2))
+    }
+    // pin the batch once: it feeds the emptiness probe + the append's
+    // several passes (the maintainPostingsIndex discipline)
+    val b = batch.select(col(idCol), col(cellCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nVec = b.count()
+      if (nVec > 0L) appendToIvfIndex(b, idCol, cellCol, vecCol, table)
+      val (nCells, nTotal, nMax) = occStats()
+      val skewBps =
+        if (nTotal == 0L) 0L else nMax * 10000L * nCells / nTotal
+      val genBefore = rgen()
+      val rebalance = skewBps > maxSkewBps
+      if (rebalance) {
+        rebalanceIvfCells(spark, table, idCol, cellCol, vecCol,
+          splitAbove, mergeBelow)
+        dropWithDir(spark, s"${table}_rmeta")
+        spark.range(1)
+          .select(lit(genBefore + 1L).as("rebalance_gen"))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${table}_rmeta")
+      }
+      val (nCellsAfter, _, nMaxAfter) =
+        if (rebalance) occStats() else (nCells, nTotal, nMax)
+      spark.range(1).select(
+        lit(nVec).as("n_vectors"),
+        lit(nCells).as("n_cells"),
+        lit(nTotal).as("occ_total"),
+        lit(nMax).as("occ_max"),
+        lit(skewBps).as("skew_bps"),
+        lit(maxSkewBps).as("max_skew_bps"),
+        lit(if (rebalance) 1L else 0L).as("rebalanced"),
+        lit(nCellsAfter).as("n_cells_after"),
+        lit(nMaxAfter).as("occ_max_after"),
+        lit(genBefore).as("rebalance_gen_before"),
+        lit(rgen()).as("rebalance_gen_after"))
+    } finally b.unpersist()
+  }
+
   private def fitCodes(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String, cellCol: String, vecCol: String,
       levels: Int, gridGen: Long): Unit = {

@@ -2248,12 +2248,18 @@ object ScaleQueries {
   // exact-DECIMAL surviving centroids → reroute argmax → md5 halves →
   // half centroids → reassignment → fresh-id numbering → final
   // centroids → probe → exact in-cell top-k.
-  private val ivfRebalanceCte =
-    """emb AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+  private val ivfRebalanceCte = ivfRebalanceCteOver(
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    CASE WHEN vec_id % 29 = 0 THEN 99
       |         WHEN label <= 3 THEN 0 ELSE label END AS cell
-      |  FROM embeddings),
+      |  FROM embeddings""".stripMargin)
+
+  // Corpus-parameterized rebalance replay: `embSql` must expose
+  // (vec_id, v DOUBLE[], cell). x292/x293 instantiate it over the
+  // append-chain corpus instead of x257's skewed remap.
+  private def ivfRebalanceCteOver(embSql: String): String =
+    s"""emb AS (
+      |  $embSql),
       |vn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nv FROM emb),
       |sizes AS (SELECT cell, count(*) AS n FROM emb GROUP BY cell),
       |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
@@ -3046,6 +3052,200 @@ object ScaleQueries {
       .orderBy("phase")
   }
 
+  // The append-chain corpus shared by x292/x293: a balanced batch
+  // (natural labels, fresh +10M ids), then a HOT batch (same vectors
+  // again, all forced into cell 0, +20M ids) — the skewed-stream shape
+  // x257 measured, arriving through the policy op instead of a manual
+  // rebalance call.
+  private val x292EmbSql =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label AS cell
+      |  FROM embeddings WHERE vec_id % 4 <> 3
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS v, label
+      |  FROM embeddings WHERE vec_id % 4 = 3
+      |  UNION ALL
+      |  SELECT vec_id + 20000000, CAST(embedding AS DOUBLE[]) AS v, 0
+      |  FROM embeddings WHERE vec_id % 4 = 3""".stripMargin
+
+  private def x292Chain(s: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 3),
+      "vec_id", "label", "embedding", table)
+    emb
+  }
+
+  private def x292B1(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") % 4 === 3)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("label"),
+        col("embedding"))
+
+  private def x292B2(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") % 4 === 3)
+      .select((col("vec_id") + 20000000L).as("vec_id"),
+        lit(0).cast("int").as("label"), col("embedding"))
+
+  // Cell-occupancy auto-maintenance — the third drift loop closed as
+  // policy (grid drift = x287, tombstone debt = x290): maintainIvfCells
+  // appends, measures post-append occupancy skew (max·10000·cells/total
+  // bps off the |cells|-bounded state), and rebalances only past the
+  // threshold, carrying the codes companion through. The balanced batch
+  // no-ops (~11800 bps); the hot-cell batch (~28000 bps) rebalances.
+  // The oracle replays both decisions from raw data — occupancy stats,
+  // the integer bps arithmetic, the threshold comparison, the gen
+  // chain — and the REALIZED after-state: the compacting branch's
+  // n_cells/occ_max come from the full DuckDB rebalance replay
+  // (splits/merges/reroute/md5-half split, the x258 machinery) over the
+  // same corpus; the not-taken branch of phase 1 is pinned to a -1
+  // sentinel, so any divergence in the decision path flips the hash
+  // loudly rather than silently replaying the wrong branch.
+  private val x292 = Q("x292_ivf_cell_auto_maintenance", Some(
+    s"""WITH ${ivfRebalanceCteOver(x292EmbSql)},
+       |occ1 AS (SELECT cell, count(*) AS n FROM emb
+       |         WHERE vec_id < 20000000 GROUP BY cell),
+       |s1 AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+       |         CAST(sum(n) AS BIGINT) AS tot,
+       |         CAST(max(n) AS BIGINT) AS mx FROM occ1),
+       |s2 AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+       |         CAST(sum(n) AS BIGINT) AS tot,
+       |         CAST(max(n) AS BIGINT) AS mx FROM sizes),
+       |d1 AS (SELECT mx * 10000 * nc // tot AS bps,
+       |         CASE WHEN mx * 10000 * nc // tot > 20000 THEN 1 ELSE 0
+       |           END AS r, s1.* FROM s1),
+       |d2 AS (SELECT mx * 10000 * nc // tot AS bps,
+       |         CASE WHEN mx * 10000 * nc // tot > 20000 THEN 1 ELSE 0
+       |           END AS r, s2.* FROM s2),
+       |b1n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM emb
+       |        WHERE vec_id >= 10000000 AND vec_id < 20000000),
+       |b2n AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM emb
+       |        WHERE vec_id >= 20000000),
+       |fin AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+       |          CAST(max(n) AS BIGINT) AS mx
+       |        FROM (SELECT cell, count(*) AS n FROM final GROUP BY cell))
+       |SELECT * FROM (
+       |  SELECT '1_balanced' AS phase, (SELECT nv FROM b1n) AS n_vectors,
+       |    nc AS n_cells, tot AS occ_total, mx AS occ_max,
+       |    bps AS skew_bps, CAST(20000 AS BIGINT) AS max_skew_bps,
+       |    CAST(r AS BIGINT) AS rebalanced,
+       |    CASE WHEN r = 1 THEN CAST(-1 AS BIGINT) ELSE nc END
+       |      AS n_cells_after,
+       |    CASE WHEN r = 1 THEN CAST(-1 AS BIGINT) ELSE mx END
+       |      AS occ_max_after,
+       |    CAST(0 AS BIGINT) AS rebalance_gen_before,
+       |    CAST(r AS BIGINT) AS rebalance_gen_after
+       |  FROM d1
+       |  UNION ALL
+       |  SELECT '2_hot_cell', (SELECT nv FROM b2n), nc, tot, mx, bps,
+       |    CAST(20000 AS BIGINT), CAST(r AS BIGINT),
+       |    CASE WHEN r = 1 THEN (SELECT nc FROM fin) ELSE nc END,
+       |    CASE WHEN r = 1 THEN (SELECT mx FROM fin) ELSE mx END,
+       |    CAST((SELECT r FROM d1) AS BIGINT),
+       |    CAST((SELECT r FROM d1) + r AS BIGINT)
+       |  FROM d2
+       |) ORDER BY phase""".stripMargin)) { (s, dir) =>
+    val emb = x292Chain(s, dir, "graft_x292_ivf")
+    def decide(phase: String, b: org.apache.spark.sql.DataFrame) =
+      Similarity.maintainIvfCells(s, "graft_x292_ivf", b, "vec_id",
+          "label", "embedding", maxSkewBps = 20000L)
+        .select(lit(phase).as("phase"), col("n_vectors"), col("n_cells"),
+          col("occ_total"), col("occ_max"), col("skew_bps"),
+          col("max_skew_bps"), col("rebalanced"), col("n_cells_after"),
+          col("occ_max_after"), col("rebalance_gen_before"),
+          col("rebalance_gen_after"))
+    decide("1_balanced", x292B1(emb))
+      .unionByName(decide("2_hot_cell", x292B2(emb)))
+      .orderBy("phase")
+  }
+
+  // Recall gate around the SAME policy chain (x269's machinery): serve
+  // the skewed post-append index, let maintainIvfCells (empty sweep
+  // batch — pure measurement) trigger the rebalance, serve again; both
+  // recalls vs brute force are replayed — the before-probe over the
+  // hot-cell assignment, the after-probe over the full rebalance
+  // replay's final cells.
+  private val x293 = Q("x293_ivf_cell_maintenance_recall", Some(
+    s"""WITH ${ivfRebalanceCteOver(x292EmbSql)},
+       |bcent AS (
+       |  SELECT e.cell, r.i,
+       |    CAST(sum(CAST(v[r.i] AS DECIMAL(28,18))) AS DOUBLE) / count(*)
+       |      AS cv
+       |  FROM emb e CROSS JOIN range(1, 65) AS r(i)
+       |  GROUP BY e.cell, r.i),
+       |bscore AS (
+       |  SELECT cell,
+       |    sum(cv * q.qv[i]) / (sqrt(sum(cv * cv)) *
+       |      sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cs
+       |  FROM bcent, q GROUP BY cell),
+       |bprobe AS (SELECT cell FROM bscore ORDER BY cs DESC, cell LIMIT 3),
+       |approx_b AS (
+       |  SELECT e.vec_id FROM emb e, q
+       |  WHERE e.cell IN (SELECT cell FROM bprobe)
+       |  ORDER BY list_dot_product(e.v, q.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) *
+       |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+       |  LIMIT 10),
+       |approx_a AS (
+       |  SELECT f.vec_id FROM final f, q
+       |  WHERE f.cell IN (SELECT cell FROM probe)
+       |  ORDER BY list_dot_product(f.v, q.qv) /
+       |      (sqrt(list_dot_product(f.v, f.v)) *
+       |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+       |  LIMIT 10),
+       |exact AS (
+       |  SELECT e.vec_id FROM emb e, q
+       |  ORDER BY list_dot_product(e.v, q.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) *
+       |       sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id
+       |  LIMIT 10)
+       |SELECT * FROM (
+       |  SELECT '1_before' AS phase, CAST(0 AS BIGINT) AS query_id,
+       |    CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit,
+       |    round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+       |      END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |  FROM exact e LEFT JOIN approx_b a USING (vec_id)
+       |  UNION ALL
+       |  SELECT '2_after', CAST(0 AS BIGINT),
+       |    CAST(count(*) AS BIGINT),
+       |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT),
+       |    round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+       |      END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |  FROM exact e LEFT JOIN approx_a a USING (vec_id)
+       |) ORDER BY phase""".stripMargin)) { (s, dir) =>
+    val emb = x292Chain(s, dir, "graft_x293_ivf")
+    Similarity.appendToIvfIndex(x292B1(emb), "vec_id", "label",
+      "embedding", "graft_x293_ivf")
+    Similarity.appendToIvfIndex(x292B2(emb), "vec_id", "label",
+      "embedding", "graft_x293_ivf")
+    val all = emb.filter(col("vec_id") % 4 =!= 3)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(x292B1(emb).select("vec_id", "embedding"))
+      .unionByName(x292B2(emb).select("vec_id", "embedding"))
+    val q = emb.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(all, "vec_id", "embedding",
+        q, k = 10)
+      .select(lit(0L).as("query_id"), col("vec_id"))
+    def recallRow(phase: String) = graft.operators.Retrieval
+      .rankingRecall(exact,
+        Similarity.ivfTopKIndexed(s, "graft_x293_ivf", "vec_id", "label",
+            "embedding", q, k = 10, nprobe = 3)
+          .select(lit(0L).as("query_id"), col("vec_id")),
+        "query_id", "vec_id")
+      .select(lit(phase).as("phase"), col("query_id"), col("n_exact"),
+        col("n_hit"), col("recall"))
+      .localCheckpoint(eager = true) // served against the CURRENT index
+    val before = recallRow("1_before")
+    val dec = Similarity.maintainIvfCells(s, "graft_x293_ivf",
+      x292B2(emb).filter(lit(false)), "vec_id", "label", "embedding",
+      maxSkewBps = 20000L).head()
+    require(dec.getAs[Long]("rebalanced") == 1L,
+      "x293 expects the sweep to rebalance")
+    before.unionByName(recallRow("2_after")).orderBy("phase")
+  }
+
   val qs: Seq[Q] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15, x16,
       x17, x18, x19, x20, x21, x22, x23, x24, x25, x26, x27, x28, x29, x30, x42,
@@ -3053,5 +3253,5 @@ object ScaleQueries {
       x114, x117, x122, x123, x127, x128, x129, x130, x132, x148, x159, x160,
       x183, x198, x210, x211, x221, x224, x226, x230, x231, x232, x238, x239,
       x240, x242, x257, x258, x268, x269, x275, x276, x279, x280, x283, x285,
-      x287)
+      x287, x292, x293)
 }

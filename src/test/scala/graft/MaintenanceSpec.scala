@@ -114,6 +114,44 @@ class MaintenanceSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("maintainIvfCells: skew_bps equal to the threshold does NOT " +
+      "rebalance; one past does and carries the codes companion") {
+    val tbl = "graft_test_maint_cells"
+    // occupancy (2,1,1): skew = 2*10000*3/4 = 15000 on the nose; ids 3
+    // and 4 land in different md5 halves so the split really splits
+    val base = Seq(
+      (3L, 1, Seq(1.0, 0.0)), (4L, 1, Seq(0.0, 1.0)),
+      (1L, 2, Seq(0.2, 0.2)), (2L, 3, Seq(0.8, 0.8)))
+      .toDF("id", "cell", "vec")
+    Similarity.buildIvfIndex(base, "id", "cell", "vec", tbl)
+    Similarity.buildIvfCodes(spark, tbl, "id", "cell", "vec")
+    val empty = base.filter(lit(false))
+    val r1 = Similarity.maintainIvfCells(spark, tbl, empty, "id", "cell",
+      "vec", maxSkewBps = 15000L, splitAbove = 1.2).head()
+    assert(r1.getAs[Long]("skew_bps") == 15000L)
+    assert(r1.getAs[Long]("rebalanced") == 0L)
+    assert(r1.getAs[Long]("n_cells") == 3L)
+    assert(r1.getAs[Long]("occ_max") == 2L)
+    assert(r1.getAs[Long]("rebalance_gen_before") == 0L)
+    assert(r1.getAs[Long]("rebalance_gen_after") == 0L)
+    val r2 = Similarity.maintainIvfCells(spark, tbl, empty, "id", "cell",
+      "vec", maxSkewBps = 14999L, splitAbove = 1.2).head()
+    assert(r2.getAs[Long]("rebalanced") == 1L)
+    assert(r2.getAs[Long]("n_cells_after") == 4L)
+    assert(r2.getAs[Long]("occ_max_after") == 1L)
+    assert(r2.getAs[Long]("rebalance_gen_before") == 0L)
+    assert(r2.getAs[Long]("rebalance_gen_after") == 1L)
+    // the codes companion followed the new assignment: same rows, same
+    // cells as the rebalanced table (a stale partition would serve
+    // phantom candidates)
+    val tblCells = spark.table(tbl).select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val codeCells = spark.table(s"${tbl}_codes").select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(tblCells == codeCells && tblCells.size == 4)
+    assert(spark.table(s"${tbl}_codes").count() == 4L)
+  }
+
   test("maintainPostingsIndex: tombstone_bps equal to the threshold does" +
       " NOT compact; one basis point past does") {
     val tbl = "graft_test_maintp_eq"
