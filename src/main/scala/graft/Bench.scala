@@ -26,6 +26,13 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-phase sub-timings for the lifecycle chains (r14 verdict #4):
+    // the chain bodies record eager build/maintain blocks through
+    // PhaseTimer; whatever the count() paid beyond those is the
+    // lazily-executed SERVE — the latency-critical number a chain
+    // total hides
+    val phases = scala.collection.mutable.LinkedHashMap[
+      String, Seq[(String, Double)]]()
     // Optional dev-only subset: regex over query names (the driver sets no
     // filter and always benches the full registry).
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
@@ -36,9 +43,19 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        timings(name) = dt
+        val ph = queries.PhaseTimer.drain(name)
+        if (ph.nonEmpty) {
+          // fold the residual (the lazily-counted serve) into `serve`
+          val residual = math.max(0.0, dt - ph.map(_._2).sum)
+          val m = scala.collection.mutable.LinkedHashMap(ph: _*)
+          m("serve") = m.getOrElse("serve", 0.0) + residual
+          phases(name) = m.toSeq
+        }
       } catch {
         case e: Throwable =>
+          queries.PhaseTimer.drain(name) // never leak into the next query
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
@@ -56,6 +73,10 @@ object Bench {
     def jd(d: Double): String = f"$d%.3f"
     val qs = timings.map { case (k, v) => s""""$k":${jd(v)}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val ps = phases.map { case (k, m) =>
+      s""""$k":${m.map { case (p, v) => s""""$p":${jd(v)}""" }
+        .mkString("{", ",", "}")}"""
+    }.mkString("{", ",", "}")
     val total = timings.values.sum
     // isolation field: measurement-protocol marker so cross-round bench
     // diffs carry their own caveat (r6 numbers predate per-query cache
@@ -70,7 +91,7 @@ object Bench {
         .map(_.stripPrefix("btime ").trim).getOrElse("nobtime")
       s"${java.net.InetAddress.getLocalHost.getHostName}-$btime"
     } catch { case _: Throwable => "unknown" }
-    val line = s"""{"metric":"total","value":${jd(total)},"unit":"sec","isolation":"clearCache-per-query","boot":"$boot","queries":$qs,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jd(total)},"unit":"sec","isolation":"clearCache-per-query","boot":"$boot","queries":$qs,"phases":$ps,"errors":$es,"n_queries":${timings.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // Also persist the FULL per-query map: the driver's bench artifact
     // keeps only a tail of stdout, which truncates ~75% of the registry;

@@ -918,28 +918,35 @@ object Similarity {
         m.getAs[Long]("grid_gen")
       else 0L // pre-grid_gen _cmeta (refitIvfCodes' convention)
     }
-    val st = sqClampStats(spark, table, batch, idCol, vecCol).head()
-    val nVec = st.getLong(0)
-    // integer-division bps is null only when n_components = 0 (empty
-    // batch) — nothing to clamp, nothing to repair
-    val clampBps = if (st.isNullAt(4)) 0L else st.getLong(4)
-    val genBefore = gen()
-    val refit = nVec > 0L && clampBps > maxClampBps
-    if (nVec > 0L) {
-      appendToIvfIndex(batch.select(col(idCol), col(cellCol), col(vecCol)),
-        idCol, cellCol, vecCol, table)
-      if (refit) refitIvfCodes(spark, table, idCol, cellCol, vecCol)
-    }
-    spark.range(1).select(
-      lit(nVec).as("n_vectors"),
-      lit(if (st.isNullAt(1)) 0L else st.getLong(1)).as("n_components"),
-      lit(if (st.isNullAt(2)) 0L else st.getLong(2)).as("n_clamped"),
-      lit(if (st.isNullAt(3)) 0L else st.getLong(3)).as("n_dims_affected"),
-      lit(clampBps).as("clamp_bps"),
-      lit(maxClampBps).as("max_clamp_bps"),
-      lit(if (refit) 1L else 0L).as("refit"),
-      lit(genBefore).as("grid_gen_before"),
-      lit(gen()).as("grid_gen_after"))
+    // pin the batch once: the clamp measurement and the append both
+    // execute its plan — an uncached non-deterministic source could
+    // append data DIFFERING from what the decision measured (r14
+    // ADVICE; the maintainIvfCells / incrementalSubstrCore discipline)
+    val b = batch.select(col(idCol), col(cellCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = sqClampStats(spark, table, b, idCol, vecCol).head()
+      val nVec = st.getLong(0)
+      // integer-division bps is null only when n_components = 0 (empty
+      // batch) — nothing to clamp, nothing to repair
+      val clampBps = if (st.isNullAt(4)) 0L else st.getLong(4)
+      val genBefore = gen()
+      val refit = nVec > 0L && clampBps > maxClampBps
+      if (nVec > 0L) {
+        appendToIvfIndex(b, idCol, cellCol, vecCol, table)
+        if (refit) refitIvfCodes(spark, table, idCol, cellCol, vecCol)
+      }
+      spark.range(1).select(
+        lit(nVec).as("n_vectors"),
+        lit(if (st.isNullAt(1)) 0L else st.getLong(1)).as("n_components"),
+        lit(if (st.isNullAt(2)) 0L else st.getLong(2)).as("n_clamped"),
+        lit(if (st.isNullAt(3)) 0L else st.getLong(3)).as("n_dims_affected"),
+        lit(clampBps).as("clamp_bps"),
+        lit(maxClampBps).as("max_clamp_bps"),
+        lit(if (refit) 1L else 0L).as("refit"),
+        lit(genBefore).as("grid_gen_before"),
+        lit(gen()).as("grid_gen_after"))
+    } finally b.unpersist()
   }
 
   /** Close the third drift loop — the cell-occupancy POLICY op beside
@@ -1068,17 +1075,23 @@ object Similarity {
     // build and raise_error fires on >1 rows, so the hard error costs
     // ZERO extra jobs (the r13 eager limit(2).count() guard re-executed
     // the query frame's lineage on every serve — a latency tax on the
-    // hot path). An EMPTY query frame serves an empty result (no query,
-    // no answer). Batches go through ivfTopKQuantizedBatch, which keys
-    // everything by query.
+    // hot path). The limit(2) BEFORE the window caps what a
+    // pathologically large wrong input can cost: without it, the
+    // partition-less window would shuffle the ENTIRE bad frame into one
+    // task before raise_error could fire; with it, at most two rows ever
+    // reach the window and the error still fires on anything >1
+    // (r14 ADVICE). An EMPTY query frame serves an empty result (no
+    // query, no answer — callers wanting a hard error on empty should
+    // guard upstream). Batches go through ivfTopKQuantizedBatch, which
+    // keys everything by query.
     val wq = org.apache.spark.sql.expressions.Window.partitionBy()
     val q = broadcast(queryDf.select(asDouble(col(vecCol)).as("__qv"))
+      .limit(2)
       .withColumn("__nq", count(lit(1)).over(wq))
       .select(when(col("__nq") > 1L,
-          raise_error(concat(
-            lit("ivfTopKQuantized takes exactly one query row, got "),
-            col("__nq").cast("string"),
-            lit(" — use ivfTopKQuantizedBatch for query batches")))
+          raise_error(
+            lit("ivfTopKQuantized takes exactly one query row, got " +
+              "several — use ivfTopKQuantizedBatch for query batches"))
             .cast("array<double>"))
         .otherwise(col("__qv")).as("__qv")))
     val probed = spark.table(s"${table}_centroids").crossJoin(q)

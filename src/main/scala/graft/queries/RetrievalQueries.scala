@@ -1338,25 +1338,29 @@ object RetrievalQueries {
     // whole family; doc ids ≡ 7 (mod 10) are all in this slice
     val feed = java.nio.file.Files
       .createTempDirectory("graft_x271_feed").toString
-    d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
-      .repartition(4).write.mode("overwrite").parquet(feed)
-    // champions ride at a REALISTIC capped topN: the chain certifies the
-    // maintenance paths compose (seed → per-batch refresh → tombstone
-    // filter → compaction rewrite); the equality gate is sdmTopK, which
-    // never reads `_champ` — x264 owns the uncapped champion-equality
-    // gate, so paying 4 uncapped corpus-sized refreshes here bought
-    // nothing but wall-clock
-    Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text", tbl,
-      withPositional = true, champTopN = 8)
-    // takedown: one call silences BM25 + phrase + proximity + champions
-    Retrieval.deleteFromPostingsIndex(s,
-      d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id", tbl)
-    // the late 20% batch appends through the same family path
-    Retrieval.appendToPostingsIndex(
-      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
-      "doc_id", "text", tbl)
-    // physical reclaim + companion rebuild-from-truth
-    Retrieval.compactPostingsIndex(s, tbl)
+    PhaseTimer.time("x271_streamed_family_chain", "build") {
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
+        .repartition(4).write.mode("overwrite").parquet(feed)
+      // champions ride at a REALISTIC capped topN: the chain certifies
+      // the maintenance paths compose (seed → per-batch refresh →
+      // tombstone filter → compaction rewrite); the equality gate is
+      // sdmTopK, which never reads `_champ` — x264 owns the uncapped
+      // champion-equality gate, so paying 4 uncapped corpus-sized
+      // refreshes here bought nothing but wall-clock
+      Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text", tbl,
+        withPositional = true, champTopN = 8)
+    }
+    PhaseTimer.time("x271_streamed_family_chain", "maintain") {
+      // takedown: one call silences BM25 + phrase + proximity + champions
+      Retrieval.deleteFromPostingsIndex(s,
+        d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id", tbl)
+      // the late 20% batch appends through the same family path
+      Retrieval.appendToPostingsIndex(
+        d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
+        "doc_id", "text", tbl)
+      // physical reclaim + companion rebuild-from-truth
+      Retrieval.compactPostingsIndex(s, tbl)
+    }
     Retrieval.sdmTopK(s, tbl, d.filter(col("doc_id") < 5),
         "doc_id", "text", k = 5, window = 3)
       .orderBy("query_id", "rank")
@@ -1611,16 +1615,20 @@ object RetrievalQueries {
     val tbl = "graft_x281_postings"
     val feed = java.nio.file.Files
       .createTempDirectory("graft_x281_feed").toString
-    d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
-      .repartition(4).write.mode("overwrite").parquet(feed)
-    Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text", tbl,
-      boundsBlocks = 16)
-    Retrieval.deleteFromPostingsIndex(s,
-      d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id", tbl)
-    Retrieval.appendToPostingsIndex(
-      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
-      "doc_id", "text", tbl)
-    Retrieval.compactPostingsIndex(s, tbl)
+    PhaseTimer.time("x281_bounds_lifecycle_chain", "build") {
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
+        .repartition(4).write.mode("overwrite").parquet(feed)
+      Retrieval.fileStreamIndexIngest(s, feed, "doc_id", "text", tbl,
+        boundsBlocks = 16)
+    }
+    PhaseTimer.time("x281_bounds_lifecycle_chain", "maintain") {
+      Retrieval.deleteFromPostingsIndex(s,
+        d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id", tbl)
+      Retrieval.appendToPostingsIndex(
+        d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
+        "doc_id", "text", tbl)
+      Retrieval.compactPostingsIndex(s, tbl)
+    }
     Retrieval.bmwTopK(s, tbl, d.filter(col("doc_id") < 5),
         "doc_id", "text", k = 5)
       .orderBy("query_id", "rank")
@@ -1706,19 +1714,21 @@ object RetrievalQueries {
     val emb = t(s, dir, "embeddings")
     val feedS = java.nio.file.Files
       .createTempDirectory("graft_x282_feed_s").toString
-    d.filter(col("doc_id") >= 5).repartition(4)
-      .write.mode("overwrite").parquet(feedS)
-    Retrieval.fileStreamIndexIngest(s, feedS, "doc_id", "text",
-      "graft_x282_postings", boundsBlocks = 16)
-    val feedD = java.nio.file.Files
-      .createTempDirectory("graft_x282_feed_d").toString
-    emb.select(col("vec_id"), col("label"), col("embedding"))
-      .filter(col("vec_id") >= 5).repartition(4)
-      .write.mode("overwrite").parquet(feedD)
-    Similarity.fileStreamIvfIngest(s, feedD, "vec_id", "label",
-      "embedding", "graft_x282_ivf")
-    Similarity.buildIvfCodes(s, "graft_x282_ivf", "vec_id", "label",
-      "embedding")
+    PhaseTimer.time("x282_hybrid_indexed_fusion", "build") {
+      d.filter(col("doc_id") >= 5).repartition(4)
+        .write.mode("overwrite").parquet(feedS)
+      Retrieval.fileStreamIndexIngest(s, feedS, "doc_id", "text",
+        "graft_x282_postings", boundsBlocks = 16)
+      val feedD = java.nio.file.Files
+        .createTempDirectory("graft_x282_feed_d").toString
+      emb.select(col("vec_id"), col("label"), col("embedding"))
+        .filter(col("vec_id") >= 5).repartition(4)
+        .write.mode("overwrite").parquet(feedD)
+      Similarity.fileStreamIvfIngest(s, feedD, "vec_id", "label",
+        "embedding", "graft_x282_ivf")
+      Similarity.buildIvfCodes(s, "graft_x282_ivf", "vec_id", "label",
+        "embedding")
+    }
     val sparse = Retrieval.bmwTopK(s, "graft_x282_postings",
         d.filter(col("doc_id") < 3), "doc_id", "text", k = 20)
       .select(col("query_id"), col("doc_id").as("item"), col("rank"))
@@ -1843,23 +1853,27 @@ object RetrievalQueries {
     // centroid state); ids ≡ 7 (mod 10) are all inside this slice
     val feedS = java.nio.file.Files
       .createTempDirectory("graft_x286_feed_s").toString
-    d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
-      .repartition(4).write.mode("overwrite").parquet(feedS)
-    Retrieval.fileStreamIndexIngest(s, feedS, "doc_id", "text",
-      "graft_x286_postings", boundsBlocks = 16)
-    val feedD = java.nio.file.Files
-      .createTempDirectory("graft_x286_feed_d").toString
-    emb.select(col("vec_id"), col("label"), col("embedding"))
-      .filter(col("vec_id") >= 5 && col("vec_id") % 5 =!= 4)
-      .repartition(4).write.mode("overwrite").parquet(feedD)
-    Similarity.fileStreamIvfIngest(s, feedD, "vec_id", "label",
-      "embedding", "graft_x286_ivf")
-    Similarity.buildIvfCodes(s, "graft_x286_ivf", "vec_id", "label",
-      "embedding")
+    PhaseTimer.time("x286_hybrid_lifecycle_chain", "build") {
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 =!= 4)
+        .repartition(4).write.mode("overwrite").parquet(feedS)
+      Retrieval.fileStreamIndexIngest(s, feedS, "doc_id", "text",
+        "graft_x286_postings", boundsBlocks = 16)
+      val feedD = java.nio.file.Files
+        .createTempDirectory("graft_x286_feed_d").toString
+      emb.select(col("vec_id"), col("label"), col("embedding"))
+        .filter(col("vec_id") >= 5 && col("vec_id") % 5 =!= 4)
+        .repartition(4).write.mode("overwrite").parquet(feedD)
+      Similarity.fileStreamIvfIngest(s, feedD, "vec_id", "label",
+        "embedding", "graft_x286_ivf")
+      Similarity.buildIvfCodes(s, "graft_x286_ivf", "vec_id", "label",
+        "embedding")
+    }
     // one fused serve; eager (localCheckpoint) because the maintenance
     // steps REWRITE the tables this lazy plan reads — the x283 phase
-    // discipline
-    def serve(phase: String) = {
+    // discipline. Both serves are timed under the `serve` phase — the
+    // latency-critical rows the 40 s chain total was hiding (r14 #4).
+    def serve(phase: String) = PhaseTimer.time(
+        "x286_hybrid_lifecycle_chain", "serve") {
       val sparse = Retrieval.bmwTopK(s, "graft_x286_postings",
           d.filter(col("doc_id") < 3), "doc_id", "text", k = 20)
         .select(col("query_id"), col("doc_id").as("item"), col("rank"))
@@ -1879,22 +1893,24 @@ object RetrievalQueries {
     // (tombstones + partition rewrites), the SQ8 grid refits over the
     // survivors (grid_gen 0 → 1), postings compact (physical reclaim +
     // companion rebuild from surviving truth)
-    Retrieval.appendToPostingsIndex(
-      d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
-      "doc_id", "text", "graft_x286_postings")
-    Similarity.appendToIvfIndex(
-      emb.select(col("vec_id"), col("label"), col("embedding"))
-        .filter(col("vec_id") >= 5 && col("vec_id") % 5 === 4),
-      "vec_id", "label", "embedding", "graft_x286_ivf")
-    Retrieval.deleteFromPostingsIndex(s,
-      d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id",
-      "graft_x286_postings")
-    Similarity.deleteFromIvfIndex(s,
-      emb.filter(col("vec_id") % 10 === 7).select("vec_id"), "vec_id",
-      "graft_x286_ivf", "label", "embedding")
-    Similarity.refitIvfCodes(s, "graft_x286_ivf", "vec_id", "label",
-      "embedding")
-    Retrieval.compactPostingsIndex(s, "graft_x286_postings")
+    PhaseTimer.time("x286_hybrid_lifecycle_chain", "maintain") {
+      Retrieval.appendToPostingsIndex(
+        d.filter(col("doc_id") >= 5 && col("doc_id") % 5 === 4),
+        "doc_id", "text", "graft_x286_postings")
+      Similarity.appendToIvfIndex(
+        emb.select(col("vec_id"), col("label"), col("embedding"))
+          .filter(col("vec_id") >= 5 && col("vec_id") % 5 === 4),
+        "vec_id", "label", "embedding", "graft_x286_ivf")
+      Retrieval.deleteFromPostingsIndex(s,
+        d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id",
+        "graft_x286_postings")
+      Similarity.deleteFromIvfIndex(s,
+        emb.filter(col("vec_id") % 10 === 7).select("vec_id"), "vec_id",
+        "graft_x286_ivf", "label", "embedding")
+      Similarity.refitIvfCodes(s, "graft_x286_ivf", "vec_id", "label",
+        "embedding")
+      Retrieval.compactPostingsIndex(s, "graft_x286_postings")
+    }
     built.unionByName(serve("2_maintained"))
       .orderBy("phase", "query_id", "rank")
   }

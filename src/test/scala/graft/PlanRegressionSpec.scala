@@ -792,4 +792,116 @@ class PlanRegressionSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("x288/x289 incremental-dedup history contract: the key table is " +
+    "read by ONE job, once, Bloom-probed directly on the relation — " +
+    "history is never re-windowed") {
+    // The x288 scale story ("history is touched by ONE map-only scan,
+    // no history-side shuffle", Dedup.incrementalSubstrCore) was proven
+    // by reading the code and enforced by nothing (r14 verdict #5). The
+    // call materializes its removal set eagerly, so the key-table scan
+    // is NOT in the returned frame's plan — capture the call-time
+    // executions with a QueryExecutionListener and pin the contract
+    // there: exactly one executed job touches the key table, that job
+    // reads it exactly once, and the Bloom-probe UDF Filter sits
+    // DIRECTLY on the relation (modulo Project) in the optimized plan —
+    // i.e. history rows are filtered map-side on the scan; everything
+    // that shuffles (the ledger aggregate, the semi-join confirm) sits
+    // above the probe and handles batch-matched keys only. A regression
+    // that re-windows history, reads the table twice, or floats the
+    // probe above the aggregate fails here.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Filter => LFilter, Project => LProject}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.operators.Dedup
+    val tbl = "graft_plan_subkeys"
+    Dedup.buildSubstringKeys(
+      Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text"),
+      "doc_id", "text", l = 3, tbl)
+    val captured = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.execution.QueryExecution]())
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      // batch carries BOTH removal classes — "a b c" hits history,
+      // "f x y" repeats within the batch — so neither union branch is
+      // empty and AQE's empty-relation propagation cannot collapse the
+      // plan (an empty branch would hide a second key-table scan)
+      Dedup.incrementalSubstringDedupIndexed(spark, tbl,
+          Seq((10L, "a b c f x y f x y")).toDF("doc_id", "text"),
+          "doc_id", "text", l = 3)
+        .collect()
+      // the execution listener bus is async — let it drain
+      Thread.sleep(2000)
+      def lAll(p: LogicalPlan): Seq[LogicalPlan] =
+        p +: p.children.flatMap(lAll)
+      def keyRels(p: LogicalPlan): Seq[LogicalRelation] = lAll(p).collect {
+        case r: LogicalRelation
+            if r.catalogTable.exists(_.identifier.table == tbl) => r
+      }
+      val qes = captured.asScala.toList
+      assert(qes.nonEmpty, "listener captured no executions")
+      val keyQes = qes.filter(qe => keyRels(qe.optimizedPlan).nonEmpty)
+      assert(keyQes.length == 1,
+        s"key table touched by ${keyQes.length} jobs (want exactly 1); " +
+          s"captured ${qes.length} executions")
+      val qe = keyQes.head
+      // the removal-set plan references histHits TWICE (the history-hit
+      // semi-join and the batch-dup anti-join), so the key relation may
+      // appear twice LOGICALLY — every appearance must carry the Bloom
+      // probe directly on the relation (modulo Project): map-side
+      // filtering, nothing key-table-sized ever shuffles
+      val rels = keyRels(qe.optimizedPlan)
+      assert(rels.nonEmpty && rels.length <= 2,
+        s"key-table reads in the job = ${rels.length}")
+      for (rel <- rels) {
+        def lPath(p: LogicalPlan): Option[List[LogicalPlan]] =
+          if (p eq rel) Some(List(p))
+          else p.children.view.flatMap(lPath).headOption.map(p :: _)
+        val up = lPath(qe.optimizedPlan)
+          .getOrElse(fail("relation unreachable")).reverse.drop(1)
+        up.find { case _: LProject => false; case _ => true } match {
+          case Some(f: LFilter) =>
+            assert(f.condition.toString.contains("UDF"),
+              s"filter on the key relation is not the Bloom probe: $f")
+          case other => fail("expected the Bloom-probe Filter directly " +
+            s"on the key relation, got ${other.map(_.nodeName)} — probe " +
+            "floated above a shuffle?\n" +
+            up.map(_.nodeName).mkString(" <- "))
+        }
+      }
+      // PHYSICALLY the table is scanned once: the second logical
+      // reference resolves to a ReusedExchange over the first scan's
+      // Bloom-filtered partial aggregate (AQE exchange reuse — verified
+      // in the final adaptive plan). Walk the executed plan, descending
+      // into query stages but not into reuse nodes, and count FileScans
+      // of the key table.
+      import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val seenStages = scala.collection.mutable.Set[Int]()
+      def phys(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: phys(a.executedPlan)
+        case q: QueryStageExec =>
+          if (seenStages.add(q.id)) p +: phys(q.plan) else Seq(p)
+        case _: ReusedExchangeExec => Seq(p)
+        case _ => p +: p.children.flatMap(phys)
+      }
+      val physScans = phys(qe.executedPlan).collect {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table == tbl) => f
+      }
+      assert(physScans.length == 1,
+        s"physical key-table scans = ${physScans.length} (want 1 — " +
+          "exchange reuse lost?)")
+    } finally spark.listenerManager.unregister(ql)
+  }
 }

@@ -936,6 +936,43 @@ class RetrievalSpec extends SparkSpec {
     assert(viaCorpus == got, s"corpus-keyed reassembly diverged: $viaCorpus")
   }
 
+  test("minSpanSnippets corpus gate is a pruning-proof FILTER: a missing " +
+    "winner fails even when the caller projects the snippet away") {
+    val docs = Seq(
+      (40L, "alpha beta gamma"),
+      (42L, "pad pad alpha gamma")).toDF("doc_id", "text")
+    Retrieval.buildPositionalIndex(docs, "doc_id", "text",
+      "graft_test_snipgate", buckets = 4)
+    val q = Seq((1L, "alpha gamma")).toDF("doc_id", "text")
+    // corpus drops winner doc 42 — every consumption shape must fail,
+    // including count() (full column pruning) and a rank-only select
+    // (the r14 ADVICE scenario: a raise_error embedded in the snippet
+    // PROJECTION dies under pruning; the filter gate must not)
+    val bad = Retrieval.minSpanSnippets(spark, "graft_test_snipgate", q,
+      "doc_id", "text", k = 10,
+      corpus = Some((docs.filter($"doc_id" =!= 42L), "doc_id", "text")))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    for (consume <- Seq[org.apache.spark.sql.DataFrame => Unit](
+        _.collect(), _.select("rank").collect(), _.count())) {
+      val e = intercept[Exception] { consume(bad) }
+      assert(chain(e).exists(_.contains("produced no snippet")),
+        s"unexpected error: ${chain(e).mkString(" | ")}")
+    }
+    // drifted-SHORTER text (doc present, but winner 42's span [2,3] is
+    // now entirely out of range) trips the same gate — the message
+    // names both causes
+    val drifted = docs.withColumn("text",
+      when($"doc_id" === 42L, lit("pad")).otherwise($"text"))
+    val e2 = intercept[Exception] {
+      Retrieval.minSpanSnippets(spark, "graft_test_snipgate", q,
+        "doc_id", "text", k = 10,
+        corpus = Some((drifted, "doc_id", "text"))).count()
+    }
+    assert(chain(e2).exists(_.contains("produced no snippet")),
+      s"unexpected error: ${chain(e2).mkString(" | ")}")
+  }
+
   test("pairCounts occurrence cap: a bigram-spamming doc is bounded at " +
     "cap-squared work, honest docs are untouched, default off") {
     // doc 50 spams the bigram 60 times (3600 in-window ordered pairs

@@ -61,6 +61,15 @@ def load(paths):
         src[q] = max(len(r["queries"]) for r in runs if q in r["queries"])
     merged["queries"] = qs
     merged["src_run_size"] = src
+    # per-phase sub-timings for the lifecycle chains (r15): min-merged
+    # per (query, phase) across runs, same estimator as the query times
+    ph = {}
+    for r in runs:
+        for q, m in (r.get("phases") or {}).items():
+            t = ph.setdefault(q, {})
+            for k, v in m.items():
+                t[k] = min(v, t[k]) if k in t else v
+    merged["phases"] = ph
     merged["value"] = sum(qs.values())
     merged["n_queries"] = len(qs)
     merged["n_errors"] = max(r["n_errors"] for r in runs)
@@ -222,6 +231,28 @@ def main():
             print(f"| {q} | {ta:.2f} | {tb:.2f} | {r} | {c} |")
         else:
             print(f"| {q} | {ta:.2f} | {tb:.2f} | {r} |")
+    # lifecycle chains: per-phase split. The chain totals above price
+    # build+maintain+serve as ONE number, which hides a serve-path
+    # regression — and at 100 TB the serve rows are the latency-critical
+    # signal while build/maintain are amortized background cost. The
+    # serve-only ratio column is the proof the SERVE path (not just the
+    # chain) stays sublinear at 10x data (r14 verdict #4).
+    pa, pb = a.get("phases") or {}, b.get("phases") or {}
+    chainq = sorted(set(pa) & set(pb))
+    if chainq:
+        print()
+        print("## Lifecycle chains: per-phase split (serve-only ratios)")
+        print()
+        print("| query | phase | sf0.1 s | sf1 s | ratio at 10x data |")
+        print("|---|---|---|---|---|")
+        for q in chainq:
+            for k in pa[q]:
+                if k not in pb[q]:
+                    continue
+                ta, tb = pa[q][k], pb[q][k]
+                r = f"{tb/ta:.1f}x" if ta >= 0.1 else "— (sf0.1 < 0.1 s)"
+                print(f"| {q} | {k} | {ta:.2f} | {tb:.2f} | {r} |")
+
     notes = [p for p in args[2:] if not p.startswith("--")]
     if notes:
         print()
