@@ -253,28 +253,26 @@ object Dedup {
     * left-anti confirm (false positives cost a lookup, never a wrong
     * drop). Returns (text_hash, idCol = min surviving id, n_dups).
     *
-    * 100 TB design: history is touched ONCE to build the filter (the
-    * documented BloomPrune action) plus the anti join against only the
-    * maybe subset — at a typical <1% batch-vs-history overlap the join
-    * probe is ~fpp·|batch| rows, not |batch|. */
+    * 100 TB design: history is touched ONCE to build the filter — now
+    * built IN-PLAN ([[BloomPrune.bloomAgg]], r14 verdict #6: no eager
+    * count job, no driver round-trip) — plus the anti join against only
+    * the maybe subset; at a typical <1% batch-vs-history overlap the
+    * join probe is ~fpp·|batch| rows, not |batch|. An empty history
+    * yields a NULL filter ⇒ `maybe` coalesces to false ⇒ the whole
+    * batch takes the skip-the-join branch, the old n==0 special case
+    * for free. */
   def incrementalDedup(history: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.01): DataFrame = {
     val b = batch.select(col(idCol),
       seededHash(2, col(textCol)).as("__pk"), md5(col(textCol)).as("text_hash"))
     val h = history.select(seededHash(2, col(textCol)).as("__pk"),
       md5(col(textCol)).as("text_hash")).distinct()
-    val n = h.count() // explicit build-side scan (BloomPrune contract)
-    val surv =
-      if (n == 0) b
-      else {
-        val bf = h.stat.bloomFilter("__pk", math.max(n, 1L), fpp)
-        val bc = batch.sparkSession.sparkContext.broadcast(bf)
-        val maybe = udf((v: java.lang.Long) =>
-          v != null && bc.value.mightContainLong(v.longValue()))
-        b.filter(!maybe(col("__pk")))
-          .unionByName(b.filter(maybe(col("__pk")))
-            .join(h.select("text_hash"), Seq("text_hash"), "left_anti"))
-      }
+    val bm = b.withColumn("__maybe",
+      coalesce(BloomPrune.bloomProbe(h, col("__pk"), col("__pk"),
+        fpp = fpp), lit(false)))
+    val surv = bm.filter(!col("__maybe")).drop("__maybe")
+      .unionByName(bm.filter(col("__maybe")).drop("__maybe")
+        .join(h.select("text_hash"), Seq("text_hash"), "left_anti"))
     surv.groupBy("text_hash")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
   }
@@ -983,25 +981,27 @@ object Dedup {
     val occB = substrOcc(baseB, idCol, l).persist(lvl)
     val bKeys = occB.select(col("__h")).distinct().persist(lvl)
     try {
-      val nb = bKeys.count() // explicit build-side scan (BloomPrune contract)
       val hk =
         if (histKeys.columns.contains("__n")) histKeys
         else histKeys.select(col("__h"), lit(1L).as("__n"))
-      val histHits =
-        if (nb == 0) bKeys.limit(0)
-        else {
-          val bf = bKeys.stat.bloomFilter("__h", math.max(nb, 1L), fpp)
-          val bc = batch.sparkSession.sparkContext.broadcast(bf)
-          val maybe = udf((h: String) =>
-            h != null && bc.value.mightContainString(h))
-          // ledger reconciliation rides the batch-bounded post-Bloom set:
-          // sum the signed doc counts per key and keep only live keys
-          // (all-1 ledgers reduce to the old distinct() semantics)
-          hk.filter(maybe(col("__h")))
-            .groupBy("__h").agg(sum(col("__n")).as("__live"))
-            .filter(col("__live") > 0L).select("__h")
-            .join(bKeys, Seq("__h"), "left_semi")
-        }
+      // the batch-key Bloom filter is built IN-PLAN (BloomPrune
+      // .bloomProbe, r14 verdict #6): the old driver-built filter cost
+      // an eager bKeys.count() job + a stat.bloomFilter action + a
+      // scala-UDF probe per call — now the 1-row binary aggregate rides
+      // the consuming action as a scalar-subquery job over the CACHED
+      // bKeys and the probe is codegen'd. An EMPTY batch yields a NULL
+      // filter ⇒ the coalesce(false) probe drops every history key —
+      // the old nb == 0 short-circuit, in-plan.
+      // ledger reconciliation rides the batch-bounded post-Bloom set:
+      // sum the signed doc counts per key and keep only live keys
+      // (all-1 ledgers reduce to the old distinct() semantics)
+      val histHits = hk
+        .filter(coalesce(
+          BloomPrune.bloomProbe(bKeys, col("__h"), col("__h"), fpp = fpp),
+          lit(false)))
+        .groupBy("__h").agg(sum(col("__n")).as("__live"))
+        .filter(col("__live") > 0L).select("__h")
+        .join(bKeys, Seq("__h"), "left_semi")
       // (a) key seen in history: every batch occurrence has an earlier
       //     (history) occurrence — all stripped
       val remA = occB.join(histHits, Seq("__h"), "left_semi")

@@ -793,6 +793,40 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x22 bloom pruning is fully lazy: call-time cost is ZERO jobs — " +
+    "the filter builds in-plan and the probe is native, not a UDF") {
+    // the r13-era shape paid an eager build-side count() + a driver
+    // stat.bloomFilter action per call (two jobs before the consuming
+    // action even started); the in-plan form (r14 verdict #6) defers
+    // everything to the consuming action
+    import spark.implicits._
+    import graft.operators.BloomPrune
+    // let the async listener bus drain earlier suites' events
+    Thread.sleep(1500)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val large = (1L to 500L).map(k => (k % 50, k)).toDF("k", "v")
+      val small = Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+      val pruned = BloomPrune.pruneLarge(large, small, "k")
+      Thread.sleep(1500)
+      assert(jobs.get() == 0,
+        s"pruneLarge ran ${jobs.get()} call-time jobs (want 0)")
+      val p = pruned.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("might_contain"), "native probe missing:\n" +
+        p.take(600))
+      assert(p.contains("bloom_filter_agg"),
+        "in-plan filter build missing:\n" + p.take(600))
+      assert(!p.contains("UDF"), "probe regressed to a scala UDF")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("x288/x289 incremental-dedup history contract: the key table is " +
     "read by ONE job, once, Bloom-probed directly on the relation — " +
     "history is never re-windowed") {
@@ -857,8 +891,11 @@ class PlanRegressionSpec extends SparkSpec {
       // the removal-set plan references histHits TWICE (the history-hit
       // semi-join and the batch-dup anti-join), so the key relation may
       // appear twice LOGICALLY — every appearance must carry the Bloom
-      // probe directly on the relation (modulo Project): map-side
-      // filtering, nothing key-table-sized ever shuffles
+      // probe (the in-plan might_contain filter, fed by the 1-row
+      // broadcast filter aggregate) BELOW the first Aggregate on its
+      // ancestor path: map-side filtering, nothing key-table-sized ever
+      // shuffles. Between the relation and the probe only Project and
+      // the 1-row-filter cross join may appear.
       val rels = keyRels(qe.optimizedPlan)
       assert(rels.nonEmpty && rels.length <= 2,
         s"key-table reads in the job = ${rels.length}")
@@ -868,14 +905,26 @@ class PlanRegressionSpec extends SparkSpec {
           else p.children.view.flatMap(lPath).headOption.map(p :: _)
         val up = lPath(qe.optimizedPlan)
           .getOrElse(fail("relation unreachable")).reverse.drop(1)
-        up.find { case _: LProject => false; case _ => true } match {
-          case Some(f: LFilter) =>
-            assert(f.condition.toString.contains("UDF"),
-              s"filter on the key relation is not the Bloom probe: $f")
-          case other => fail("expected the Bloom-probe Filter directly " +
-            s"on the key relation, got ${other.map(_.nodeName)} — probe " +
-            "floated above a shuffle?\n" +
+        val probeIdx = up.indexWhere {
+          case f: LFilter => f.condition.toString.contains("might_contain")
+          case _ => false
+        }
+        val aggIdx = up.indexWhere(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+        assert(probeIdx >= 0,
+          "Bloom-probe might_contain filter missing above the key " +
+            s"relation: ${up.map(_.nodeName).mkString(" <- ")}")
+        assert(aggIdx < 0 || probeIdx < aggIdx,
+          s"Bloom probe (pos $probeIdx) floated above the ledger " +
+            s"aggregate (pos $aggIdx): " +
             up.map(_.nodeName).mkString(" <- "))
+        // nothing heavier than Project / the 1-row cross join sits
+        // between the scan and the probe
+        for (n <- up.take(probeIdx)) n match {
+          case _: LProject => ()
+          case _: org.apache.spark.sql.catalyst.plans.logical.Join => ()
+          case other => fail(s"unexpected ${other.nodeName} between the " +
+            "key scan and its Bloom probe")
         }
       }
       // PHYSICALLY the table is scanned once: the second logical
