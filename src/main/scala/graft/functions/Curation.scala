@@ -786,19 +786,18 @@ object Curation {
       Dedup.words(col(textCol)).as("__ws"))
     // per-doc array_distinct BEFORE the hash: presence features dedupe
     // per (id, bucket) anyway, so collapsing repeated words row-locally
-    // (no shuffle) saves one md5+conv per repeated occurrence — the
-    // feature set is identical (distinct-after-hash still runs, for
-    // bucket collisions between DIFFERENT words)
-    val featCol =
-      if (!bigrams) explode(array_distinct(col("__ws")))
-      else explode(array_distinct(concat(col("__ws"),
+    // (no shuffle) saves one md5+conv per repeated occurrence
+    val gramsCol =
+      if (!bigrams) array_distinct(col("__ws"))
+      else array_distinct(concat(col("__ws"),
         // guard: sequence(1, 0) runs DESCENDING, so token counts < 2
         // must emit an empty bigram list, not a broken one
         when(size(col("__ws")) >= 2,
           expr("transform(sequence(1, size(__ws) - 1), " +
             "i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))"))
-          .otherwise(expr("array()").cast("array<string>")))))
-    val counts = base.select(col("id"), col("y"), featCol.as("__w"))
+          .otherwise(expr("array()").cast("array<string>"))))
+    val counts = base.select(col("id"), col("y"),
+        explode(gramsCol).as("__w"))
       .withColumn("bucket",
         conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long") % dim)
       .select("id", "y", "bucket").distinct()
@@ -886,27 +885,30 @@ object Curation {
   /** One full-batch GD step at the current driver-held weight vector:
     * per-doc z via [[graft.functions.expr.GatherSumDec18]] (map-only —
     * no join, no per-id aggregate), residual as the same fixed double op
-    * sequence as ever, then the (dim+1)-key exact-decimal gradient
-    * aggregate collected to the driver. Returns (bucket → Σdec18(resid))
-    * for buckets with at least one term. Value-identical to the former
-    * join + DECIMAL-sum formulation: the gathered z is the same exact
-    * sum of identically-quantized terms, and resid·x with x = 1 is
-    * resid to the bit. */
+    * sequence as ever, then the whole (dim+1)-slot exact-decimal
+    * gradient in ONE [[graft.functions.expr.ScatterSumDec18]] aggregate
+    * (r15, the x185 watchlist: the former explode → groupBy(bucket) →
+    * sum_dec18 shape materialized one row PER FEATURE per iteration —
+    * 16 × corpus-features rows of encode/probe/quantize; the scatter
+    * aggregate walks each doc's bucket array in place and quantizes the
+    * doc's residual once). Returns (bucket → Σdec18(resid)) for buckets
+    * with at least one term — value-identical to both former
+    * formulations: same quantized terms, same exact split-long sums,
+    * same final decimal→double conversion per bucket. */
   private def gradStep(docs: DataFrame, w: Array[Double], wpos: Double,
-      wneg: Double): Map[Long, Double] = {
+      wneg: Double, nSlots: Int): Map[Long, Double] = {
     import graft.functions.expr.GatherSumDec18.gatherSumDec18
-    import graft.functions.expr.SumDec18.sumDec18
+    import graft.functions.expr.ScatterSumDec18.scatterSumDec18
     val z = gatherSumDec18(col("__bs"), lit(w))
     val resid =
       (lit(1.0) / (lit(1.0) + exp(-z)) - col("y").cast("double")) *
         when(col("y") === 1, lit(wpos)).otherwise(lit(wneg))
-    docs.select(resid.as("__resid"), explode(col("__bs")).as("bucket"))
-      .groupBy("bucket")
-      .agg(sumDec18(col("__resid")).as("__gs"))
-      .collect()
-      .flatMap(r => if (r.isNullAt(1)) None
-        else Some(r.getLong(0) -> r.getDouble(1)))
-      .toMap
+    val slots = docs
+      .select(scatterSumDec18(col("__bs"), resid, nSlots).as("__g"))
+      .head().getSeq[Any](0)
+    slots.iterator.zipWithIndex.collect {
+      case (g, b) if g != null => b.toLong -> g.asInstanceOf[Double]
+    }.toMap
   }
 
   /** Per-bucket weights after `iters` full-batch GD steps (unrounded
@@ -923,19 +925,30 @@ object Curation {
     * terms), the residual/update arithmetic is the same IEEE op
     * sequence, and buckets without gradient rows keep their weight
     * (the old left-join coalesce-0 update subtracted an exact 0). */
+  /** The full-batch GD loop body shared by [[logisticWeights]] (which
+    * owns the docs lifecycle) and [[logisticScore]] (which keeps docs
+    * alive to score from the same frame): `iters` steps of
+    * [[gradStep]] against the driver-held weight array. */
+  private def gdLoop(docs: DataFrame, n: Double, wpos: Double,
+      wneg: Double, seen: Array[Long], iters: Int, lr: Double)
+      : Array[Double] = {
+    val maxB = if (seen.isEmpty) 0 else seen.max.toInt
+    val w = new Array[Double](maxB + 1)
+    // n == 0: nothing to learn from — skip the iteration jobs entirely
+    // (every gradient is empty) instead of running `iters` no-op passes
+    if (n > 0) (1 to iters).foreach { _ =>
+      val gs = gradStep(docs, w, wpos, wneg, maxB + 1)
+      gs.foreach { case (b, g) => w(b.toInt) -= lr * (g / n) }
+    }
+    w
+  }
+
   private def logisticWeights(feats: DataFrame, iters: Int, lr: Double)
       : DataFrame = {
     val (docs, n, wpos, wneg, seen) = logisticDocs(feats)
-    val maxB = if (seen.isEmpty) 0 else seen.max.toInt
-    val w = new Array[Double](maxB + 1)
-    try {
-      // n == 0: nothing to learn from — skip the iteration jobs entirely
-      // (every gradient is empty) instead of running `iters` no-op passes
-      if (n > 0) (1 to iters).foreach { _ =>
-        val gs = gradStep(docs, w, wpos, wneg)
-        gs.foreach { case (b, g) => w(b.toInt) -= lr * (g / n) }
-      }
-    } finally docs.unpersist()
+    val w =
+      try gdLoop(docs, n, wpos, wneg, seen, iters, lr)
+      finally docs.unpersist()
     val spark = feats.sparkSession
     import spark.implicits._
     seen.toSeq.map(b => (b, w(b.toInt))).toDF("bucket", "weight")
@@ -993,13 +1006,24 @@ object Curation {
     require(dim >= 2 && dim <= 4096, s"dim=$dim out of [2,4096]")
     val feats = logisticFeatures(df, idCol, textCol, label, dim,
       bigrams = bigrams)
-    // the scoring plan reads the persisted feats, so materialize the
-    // 1-row confusion frame eagerly (localCheckpoint) before releasing
-    // it — unpersist-then-lazy-read would silently recompute the corpus
-    try
-      confusionOf(zOf(feats, logisticWeights(feats, iters, lr)))
+    val (docs, n, wpos, wneg, seen) =
+      try logisticDocs(feats) finally feats.unpersist()
+    // score from the SAME compact docs frame the GD loop iterates on
+    // (r15, the x185 watchlist): the former zOf(feats, w) pass paid a
+    // broadcast join + per-id DECIMAL aggregate over the corpus-of-grams
+    // feature frame; the native gather-sum over the per-doc bucket
+    // arrays is the identical exact-decimal z (same quantized terms,
+    // and exact decimal addition is order-free — the r14 bit-parity
+    // pin) with a MAP-ONLY pass over one row per doc. feats is released
+    // as soon as logisticDocs' eager reads are done; the 1-row confusion
+    // frame is checkpointed eagerly before docs goes away.
+    try {
+      import graft.functions.expr.GatherSumDec18.gatherSumDec18
+      val w = gdLoop(docs, n, wpos, wneg, seen, iters, lr)
+      confusionOf(docs.select(col("id"),
+          gatherSumDec18(col("__bs"), lit(w)).as("__z"), col("y")))
         .localCheckpoint(eager = true)
-    finally feats.unpersist()
+    } finally docs.unpersist()
   }
 
   /** Scoring decoupled from training: apply a PRE-TRAINED (bucket,
@@ -1228,7 +1252,7 @@ object Curation {
               .otherwise(lit(wneg) * log(lit(1.0) + exp(z)))).as("__l"))
           .agg(sumDec18(col("__l")).as("__ls")).head()
         val ls = if (lsRow.isNullAt(0)) 0.0 else lsRow.getDouble(0)
-        val gs = gradStep(docs, w, wpos, wneg)
+        val gs = gradStep(docs, w, wpos, wneg, maxB + 1)
         // grad-norm: sqrt of the exact dec18 sum of grad² — the same
         // quantize/exact-sum/convert chain, replayed driver-side over
         // the (dim+1)-bounded gradient

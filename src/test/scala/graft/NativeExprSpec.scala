@@ -449,6 +449,46 @@ class NativeExprSpec extends SparkSpec {
     assert(got(12L) == 0.0 && got(13L) == w(0) && got(14L) == 0.0)
   }
 
+  test("scatter_sum_dec18 equals the explode + groupBy decimal-sum " +
+    "formulation slot for slot; merge path and edge inputs pinned") {
+    import graft.functions.expr.ScatterSumDec18.scatterSumDec18
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (10L, Seq(0L, 3L), 0.125),
+      (11L, Seq(1L, 1L, 3L), -3.5),      // duplicate index lands twice
+      (12L, Seq(2L), Double.NaN),        // NaN value: row skipped whole
+      (13L, Seq(99L, -1L, 0L), 0.0000005), // out-of-range skipped
+      (14L, Seq.empty[Long], 7.0),       // empty index array
+      (15L, Seq(3L), 55321.95))
+      .toDF("id", "bs", "v")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.select(scatterSumDec18(col("bs"), col("v"), 5).as("g"))
+        .head().getSeq[Any](0)
+    val got = run(docs)
+    // SQL replay: explode + per-bucket decimal sum (the former gradStep
+    // shape) — slots with no surviving term are null
+    val want = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try {
+        val m = docs.select(explode(col("bs")).as("b"), col("v"))
+          .filter(col("b") >= 0 && col("b") < 5)
+          .groupBy("b")
+          .agg(sum(col("v").cast("decimal(28,18)")).cast("double").as("s"))
+          .collect()
+          .map(r => r.getLong(0).toInt ->
+            (if (r.isNullAt(1)) null else r.getDouble(1): Any)).toMap
+        (0 until 5).map(m.getOrElse(_, null))
+      } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    assert(got == want, s"got $got want $want")
+    // slot 2 only saw the NaN row → null (SQL sum-over-nulled-casts);
+    // slot 4 never named → null; slot 1 carries the duplicate twice
+    assert(got(2) == null && got(4) == null && got(1) == -7.0)
+    // partial-merge path: 3 partitions force serialize/merge
+    assert(run(docs.repartition(3)) == want, "partial-merge diverged")
+  }
+
   test("dot_product_dec18 skips non-finite and precision-overflow terms " +
     "like the SQL cast (a NaN embedding no longer crashes the job)") {
     import org.apache.spark.sql.functions._
