@@ -332,20 +332,26 @@ object Retrieval {
   def buildPostingsIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 8): Unit = {
     val spark = docs.sparkSession
-    val tf = postingsOf(docs, idCol, textCol, gen = 0L)
-    Bucketing.writeBucketed(tf.select("token", "doc", "tf", "dl", "gen"),
-      table, buckets, Seq("token"), Seq("token"))
-    replaceSmallTable(tf.groupBy("token")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
-      s"${table}_tok")
-    replaceSmallTable(corpusStatsOf(docs, idCol, textCol),
-      s"${table}_stats")
-    // doc-level membership (doc, dl, gen) — what makes the index
-    // DELETABLE: n_corpus/total_dl deltas need per-doc lengths for ids
-    // that may have zero postings rows (token-free docs), and membership
-    // checks must not scan the corpus-sized postings. 1 row per doc.
-    replaceSmallTable(docLensOf(docs, idCol, textCol, gen = 0L),
-      s"${table}_docs")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the compact postings frame feeds the bucketed write AND the
+    // vocabulary aggregate; the tiny per-doc lengths frame feeds `_docs`
+    // AND `_stats` — each tokenizes the corpus once (r15: four tokenize
+    // passes before). Released in the finally.
+    val tf = postingsOf(docs, idCol, textCol, gen = 0L).persist(lvl)
+    val dls = docLensOf(docs, idCol, textCol, gen = 0L).persist(lvl)
+    try {
+      Bucketing.writeBucketed(tf.select("token", "doc", "tf", "dl", "gen"),
+        table, buckets, Seq("token"), Seq("token"))
+      replaceSmallTable(tf.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
+        s"${table}_tok")
+      // doc-level membership (doc, dl, gen) — what makes the index
+      // DELETABLE: n_corpus/total_dl deltas need per-doc lengths for ids
+      // that may have zero postings rows (token-free docs), and membership
+      // checks must not scan the corpus-sized postings. 1 row per doc.
+      replaceSmallTable(dls, s"${table}_docs")
+      replaceSmallTable(corpusStatsOfLens(dls), s"${table}_stats")
+    } finally { tf.unpersist(); dls.unpersist() }
     setGen(spark, table, 0L)
     // a rebuilt index must not inherit a previous incarnation's deletes
     // or serving companions: stale champion lists would keep serving the
@@ -377,31 +383,36 @@ object Retrieval {
         .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl")),
       s"${table}_ub")
 
-  /** Batch postings `(token, doc, tf, dl, gen)` — one pass over `docs`. */
+  /** Batch postings `(token, doc, tf, dl, gen)` — one pass over `docs`.
+    * dl rides the explode (the token-array size IS Σtf — the same long
+    * the former per-doc window sum produced, since dl is functionally
+    * dependent on doc), so the plan has ONE exchange (the groupBy), not
+    * the former groupBy + window pair (r15: second shuffle + sort gone). */
   private def postingsOf(docs: DataFrame, idCol: String,
       textCol: String, gen: Long): DataFrame =
     docs.select(col(idCol).as("doc"),
-        explode(Dedup.words(col(textCol))).as("token"))
-      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc")))
+        Dedup.words(col(textCol)).as("__ws"))
+      .select(col("doc"), size(col("__ws")).cast("long").as("dl"),
+        explode(col("__ws")).as("token"))
+      .groupBy("doc", "dl", "token").agg(count(lit(1)).as("tf"))
       .withColumn("gen", lit(gen))
-
-  /** 1-row `(n_corpus, total_dl)`: N counts every doc (token-free
-    * included), total_dl the token count — same conventions as the
-    * direct scorers. */
-  private def corpusStatsOf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(size(Dedup.words(col(textCol))).cast("long").as("__dl"))
-      .agg(count(lit(1)).as("n_corpus"), sum(col("__dl")).as("total_dl"))
 
   /** Per-doc membership rows `(doc, dl, gen)` for the `_docs` companion —
     * token-free docs included (dl = 0), matching `n_corpus`'s count-
-    * every-doc convention. */
+    * every-doc convention. Callers persist this (tiny — two longs per
+    * doc) and derive `_stats` from it via [[corpusStatsOfLens]] so the
+    * batch is tokenized once for both artifacts (r15). */
   private def docLensOf(docs: DataFrame, idCol: String,
       textCol: String, gen: Long): DataFrame =
     docs.select(col(idCol).as("doc"),
       size(Dedup.words(col(textCol))).cast("long").as("dl"),
       lit(gen).as("gen"))
+
+  /** 1-row `(n_corpus, total_dl)` from a [[docLensOf]] frame: N counts
+    * every doc (token-free included), total_dl the token count — same
+    * conventions as the direct scorers. */
+  private def corpusStatsOfLens(dls: DataFrame): DataFrame =
+    dls.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("total_dl"))
 
   /** Filter a (doc, gen)-carrying frame through `table`'s tombstone
     * CUTOFFS: a tombstone (doc, g) kills that doc's rows with gen <= g —
@@ -432,30 +443,44 @@ object Retrieval {
       table: String): DataFrame =
     liveRows(spark, spark.table(s"${table}_docs"), table)
 
-  /** The `_gen` generation counter lives as a PATH-addressed 1-row
-    * parquet directory under the warehouse, NOT a catalog table: it is
-    * rewritten on every append, and the catalog round-trips of a
-    * DROP/CREATE TABLE pair per micro-batch are pure ingest overhead for
-    * one long. */
+  /** The `_gen` generation counter lives as a PATH-addressed plain text
+    * FILE under the warehouse, NOT a catalog table and (since r15) not a
+    * parquet dir either: it is rewritten on every append, and both the
+    * catalog round-trips of a DROP/CREATE TABLE pair and the two Spark
+    * JOBS of a 1-row parquet write + read were measured pure ingest
+    * overhead (~0.27 s per micro-batch) for one long. */
   private def genPath(spark: org.apache.spark.sql.SparkSession,
       table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"${table.toLowerCase}_gen")
 
   /** The current ingest generation of an index (0 when the `_gen`
-    * counter is absent — a freshly built index). */
+    * counter is absent — a freshly built index). Reads the pre-r15
+    * 1-row-parquet-dir format too, so an index built by an earlier
+    * session keeps its counter. */
   private def currentGen(spark: org.apache.spark.sql.SparkSession,
       table: String): Long = {
     val p = genPath(spark, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(p.toString).head().getLong(0)
-    else 0L
+    if (!fs.exists(p)) 0L
+    else if (fs.getFileStatus(p).isFile) {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else spark.read.parquet(p.toString).head().getLong(0)
   }
 
   private def setGen(spark: org.apache.spark.sql.SparkSession,
-      table: String, gen: Long): Unit =
-    spark.range(1).select(lit(gen).as("gen")).coalesce(1)
-      .write.mode("overwrite").parquet(genPath(spark, table).toString)
+      table: String, gen: Long): Unit = {
+    val p = genPath(spark, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // incl. a pre-r15 parquet dir
+    val out = fs.create(p, true)
+    try out.write(gen.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Drop a table AND its leftover warehouse directory (the
     * replaceSmallTable cleanup, without the rewrite). Skips the DROP
@@ -480,17 +505,17 @@ object Retrieval {
     * lifecycle chain rewrites `_tok`/`_stats` several times in one
     * session, and a reader planning against a stale listing dies with
     * FILE_NOT_EXIST (the x241 relation-cache lesson, observed once on
-    * the third `_tok` rewrite of a chained-append run). */
-  private def replaceSmallTable(df: DataFrame, name: String): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet").saveAsTable(name)
-    spark.catalog.refreshTable(name)
-  }
+    * the third `_tok` rewrite of a chained-append run).
+    *
+    * r15: the replacement is written to a STAGING table first and then
+    * swapped in by a catalog rename (the in-memory catalog moves the
+    * managed directory). Because the old incarnation stays readable
+    * until the staging write finishes, merge-style callers that READ the
+    * table they replace no longer need an eager `localCheckpoint` pin
+    * before calling — that pin was one whole Spark job per companion per
+    * ingest micro-batch. */
+  private def replaceSmallTable(df: DataFrame, name: String): Unit =
+    Warehouse.replaceSmallTable(df, name)
 
   /** Incremental maintenance of a [[buildPostingsIndex]] index: ingest a
     * document batch WITHOUT rebuilding — real pipelines append, and a
@@ -511,6 +536,14 @@ object Retrieval {
     * Cost: one batch scan + one batch-sized bucketed write + a
     * vocabulary-sized merge. The corpus-sized postings table is read by
     * NOTHING in this path. */
+  // TEMP r15 dev instrumentation: per-step ingest walls, env-guarded
+  @inline private def tstep[T](name: String)(body: => T): T = {
+    if (sys.env.contains("GRAFT_INGEST_TIMING")) {
+      val t0 = System.nanoTime(); val r = body
+      println(f"[ingest] $name ${(System.nanoTime() - t0) / 1e9}%.3f"); r
+    } else body
+  }
+
   def appendToPostingsIndex(newDocs: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int = 8): Unit = {
     val spark = newDocs.sparkSession
@@ -518,78 +551,104 @@ object Retrieval {
     // number, a crash after the batch write but before the bump could
     // hand a later batch the same generation and let one tombstone
     // cutoff kill both
-    val newGen = currentGen(spark, table) + 1
-    setGen(spark, table, newGen)
-    val tf = postingsOf(newDocs, idCol, textCol, newGen)
-    tf.select("token", "doc", "tf", "dl", "gen")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "token").sortBy("token").saveAsTable(table)
-    // vocabulary + corpus stats merge; eager localCheckpoint pins the
-    // merged values BEFORE the overwrite drops the table being read
-    val tokDelta = tf.groupBy("token")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    val mergedTok = Incremental.mergeStates(
-        Seq(spark.table(s"${table}_tok"), tokDelta), Seq("token"))
-      .localCheckpoint(eager = true)
-    replaceSmallTable(mergedTok, s"${table}_tok")
-    val mergedStats = spark.table(s"${table}_stats")
-      .unionByName(corpusStatsOf(newDocs, idCol, textCol))
-      .agg(sum(col("n_corpus")).as("n_corpus"),
-        sum(col("total_dl")).as("total_dl"))
-      .localCheckpoint(eager = true)
-    replaceSmallTable(mergedStats, s"${table}_stats")
-    // membership rows append like the postings: batch-only, no rewrite
-    docLensOf(newDocs, idCol, textCol, newGen)
-      .write.mode("append").format("parquet").saveAsTable(s"${table}_docs")
-    // impact bounds (see [[buildImpactBounds]]): extremes merge
-    // associatively, so the append is a vocabulary-sized greatest/least
-    if (spark.catalog.tableExists(s"${table}_ub")) {
-      val batchUb = tf.groupBy("token")
-        .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"))
-      val mergedUb = spark.table(s"${table}_ub")
-        .join(batchUb, Seq("token"), "full_outer")
-        .select(col("token"),
-          greatest(coalesce(col("max_tf"), lit(0L)),
-            coalesce(col("__btf"), lit(0L))).as("max_tf"),
-          least(coalesce(col("min_dl"), lit(Long.MaxValue)),
-            coalesce(col("__bdl"), lit(Long.MaxValue))).as("min_dl"))
-        .localCheckpoint(eager = true)
-      replaceSmallTable(mergedUb, s"${table}_ub")
-    }
-    // block-max bounds (see [[buildBlockMax]]): the same associative
-    // extremes merge, at (token, block) granularity — block membership
-    // is a pure hash of the doc id, so the batch's rows land in the
-    // same blocks a rebuild would put them in
-    if (spark.catalog.tableExists(s"${table}_bm")) {
-      val nBlocks = spark.table(s"${table}_bm_meta")
-        .head().getAs[Int]("n_blocks")
-      val batchBm = tf
-        .groupBy(col("token"), blockOf(col("doc"), nBlocks).as("block"))
-        .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"))
-      val mergedBm = spark.table(s"${table}_bm")
-        .join(batchBm, Seq("token", "block"), "full_outer")
-        .select(col("token"), col("block"),
-          greatest(coalesce(col("max_tf"), lit(0L)),
-            coalesce(col("__btf"), lit(0L))).as("max_tf"),
-          least(coalesce(col("min_dl"), lit(Long.MaxValue)),
-            coalesce(col("__bdl"), lit(Long.MaxValue))).as("min_dl"))
-        .localCheckpoint(eager = true)
-      replaceSmallTable(mergedBm, s"${table}_bm")
-    }
-    // positional sibling (see [[buildPositionalIndex]]): occurrence rows
-    // are per-doc, so the sibling appends batch-only too
-    if (spark.catalog.tableExists(s"${table}_pos"))
-      positionsOf(newDocs, idCol, textCol, newGen)
+    val newGen = tstep("gen") { val g = currentGen(spark, table) + 1; setGen(spark, table, g); g }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the compact postings frame feeds the bucketed append, the
+    // vocabulary/bounds/champion merges; the tiny lengths frame feeds
+    // `_docs` + the `_stats` merge — each tokenizes the batch once (r15:
+    // this path previously re-tokenized the batch for stats and lengths
+    // and re-shuffled tf for every merge). Released in the finally.
+    val tf = postingsOf(newDocs, idCol, textCol, newGen).persist(lvl)
+    val dls = docLensOf(newDocs, idCol, textCol, newGen).persist(lvl)
+    try {
+      // repartition by the bucket key first: HashPartitioning(token, n)
+      // IS the bucket assignment, so each task writes exactly ONE bucket
+      // file instead of every task spraying up-to-n files (r15, guide
+      // §6 file sizing: a k-batch ingest was leaving k·partitions·n tiny
+      // files for the serve scans to open)
+      tstep("postings") { tf.select("token", "doc", "tf", "dl", "gen")
+        .repartition(buckets, col("token"))
         .write.mode("append").format("parquet")
-        .bucketBy(buckets, "token").sortBy("token")
-        .saveAsTable(s"${table}_pos")
-    // champion lists refresh INCREMENTALLY at the post-append stats
-    // (bounded by |vocab|·(topN + batch postings) — see
-    // [[refreshChampions]]); without this the bounded serving table
-    // would silently freeze at pre-append idf and miss every new doc
-    if (spark.catalog.tableExists(s"${table}_champ"))
-      refreshChampions(spark, table,
-        tf.select("token", "doc", "tf", "dl", "gen"))
+        .bucketBy(buckets, "token").sortBy("token").saveAsTable(table) }
+      // companion updates: mutually INDEPENDENT table swaps fed by the
+      // persisted tf/dls frames, overlapped on the shared [[Par]] pool
+      // (guide §2.6 — serially, each paid its own ~0.1–0.7 s of fixed
+      // driver/commit cost per micro-batch). Lane rules: `_stats` runs
+      // AFTER `_docs` in one lane (both materialize the dls cache — the
+      // ordering avoids computing it twice concurrently); champions run
+      // after ALL lanes because writeChampions reads the post-merge
+      // `_tok` and `_stats`.
+      val lanes = Seq.newBuilder[() => Unit]
+      // vocabulary merge; replaceSmallTable's staging write keeps the
+      // old incarnation readable while merging (r15 — no eager pin job)
+      lanes += { () =>
+        val tokDelta = tf.groupBy("token")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        val mergedTok = Incremental.mergeStates(
+          Seq(spark.table(s"${table}_tok"), tokDelta), Seq("token"))
+        replaceSmallTable(mergedTok, s"${table}_tok")
+      }
+      lanes += { () =>
+        // membership rows append like the postings: batch-only, no rewrite
+        dls.write.mode("append").format("parquet")
+          .saveAsTable(s"${table}_docs")
+        val mergedStats = spark.table(s"${table}_stats")
+          .unionByName(corpusStatsOfLens(dls))
+          .agg(sum(col("n_corpus")).as("n_corpus"),
+            sum(col("total_dl")).as("total_dl"))
+        replaceSmallTable(mergedStats, s"${table}_stats")
+      }
+      // impact bounds (see [[buildImpactBounds]]): extremes merge
+      // associatively, so the append is a vocabulary-sized greatest/least
+      if (spark.catalog.tableExists(s"${table}_ub")) lanes += { () =>
+        val batchUb = tf.groupBy("token")
+          .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"))
+        val mergedUb = spark.table(s"${table}_ub")
+          .join(batchUb, Seq("token"), "full_outer")
+          .select(col("token"),
+            greatest(coalesce(col("max_tf"), lit(0L)),
+              coalesce(col("__btf"), lit(0L))).as("max_tf"),
+            least(coalesce(col("min_dl"), lit(Long.MaxValue)),
+              coalesce(col("__bdl"), lit(Long.MaxValue))).as("min_dl"))
+        replaceSmallTable(mergedUb, s"${table}_ub")
+      }
+      // block-max bounds (see [[buildBlockMax]]): the same associative
+      // extremes merge, at (token, block) granularity — block membership
+      // is a pure hash of the doc id, so the batch's rows land in the
+      // same blocks a rebuild would put them in
+      if (spark.catalog.tableExists(s"${table}_bm")) lanes += { () =>
+        val nBlocks = spark.table(s"${table}_bm_meta")
+          .head().getAs[Int]("n_blocks")
+        val batchBm = tf
+          .groupBy(col("token"), blockOf(col("doc"), nBlocks).as("block"))
+          .agg(max(col("tf")).as("__btf"), min(col("dl")).as("__bdl"))
+        val mergedBm = spark.table(s"${table}_bm")
+          .join(batchBm, Seq("token", "block"), "full_outer")
+          .select(col("token"), col("block"),
+            greatest(coalesce(col("max_tf"), lit(0L)),
+              coalesce(col("__btf"), lit(0L))).as("max_tf"),
+            least(coalesce(col("min_dl"), lit(Long.MaxValue)),
+              coalesce(col("__bdl"), lit(Long.MaxValue))).as("min_dl"))
+        replaceSmallTable(mergedBm, s"${table}_bm")
+      }
+      // positional sibling (see [[buildPositionalIndex]]): occurrence rows
+      // are per-doc, so the sibling appends batch-only too
+      if (spark.catalog.tableExists(s"${table}_pos")) lanes += { () =>
+        positionsOf(newDocs, idCol, textCol, newGen)
+          .repartition(buckets, col("token")) // one file per bucket (r15)
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "token").sortBy("token")
+          .saveAsTable(s"${table}_pos")
+      }
+      tstep("companions") { Par.all(lanes.result()) }
+      // champion lists refresh INCREMENTALLY at the post-append stats
+      // (bounded by |vocab|·(topN + batch postings) — see
+      // [[refreshChampions]]); without this the bounded serving table
+      // would silently freeze at pre-append idf and miss every new doc
+      if (spark.catalog.tableExists(s"${table}_champ"))
+        tstep("champ") { refreshChampions(spark, table,
+          tf.select("token", "doc", "tf", "dl", "gen")) }
+    } finally { tf.unpersist(); dls.unpersist() }
   }
 
   /** Delete documents from a [[buildPostingsIndex]] index WITHOUT
@@ -651,8 +710,7 @@ object Retrieval {
     val allTombs = existing
       .join(broadcast(affected), Seq("doc"), "left_anti")
       .unionByName(affected.withColumn("gen", lit(curGen)))
-      .localCheckpoint(eager = true) // pinned: reads the table it replaces
-    replaceSmallTable(allTombs, tombT)
+    replaceSmallTable(allTombs, tombT) // staging write reads old _tomb live
     if (spark.catalog.tableExists(s"${table}_pos"))
       replaceSmallTable(spark.table(tombT), s"${table}_pos_tomb")
     // vocabulary deltas: one postings scan restricted to the batch's
@@ -665,7 +723,6 @@ object Retrieval {
     val mergedTok = Incremental.mergeStates(
         Seq(spark.table(s"${table}_tok"), tokDelta), Seq("token"))
       .filter(col("df") > 0)
-      .localCheckpoint(eager = true)
     replaceSmallTable(mergedTok, s"${table}_tok")
     val mergedStats = spark.table(s"${table}_stats")
       .unionByName(newTombs
@@ -673,7 +730,6 @@ object Retrieval {
           (-coalesce(sum(col("dl")), lit(0L))).as("total_dl")))
       .agg(sum(col("n_corpus")).as("n_corpus"),
         sum(col("total_dl")).as("total_dl"))
-      .localCheckpoint(eager = true)
     replaceSmallTable(mergedStats, s"${table}_stats")
   }
 
@@ -987,7 +1043,6 @@ object Retrieval {
     val allTombs = existing
       .join(broadcast(orphans), Seq("doc"), "left_anti")
       .unionByName(orphans.withColumn("gen", lit(curGen)))
-      .localCheckpoint(eager = true)
     replaceSmallTable(allTombs, tombT)
     if (spark.catalog.tableExists(s"${table}_pos"))
       replaceSmallTable(spark.table(tombT), s"${table}_pos_tomb")

@@ -1186,28 +1186,38 @@ object Similarity {
   def appendToIvfIndex(newData: DataFrame, idCol: String, cellCol: String,
       vecCol: String, table: String): Unit = {
     val spark = newData.sparkSession
-    newData.select(col(idCol), col(cellCol), col(vecCol))
-      .write.mode("append").format("parquet")
-      .partitionBy(cellCol).saveAsTable(table)
-    val merged = graft.operators.Incremental.mergeStates(
+    // three INDEPENDENT updates (vector partitions, centroid state +
+    // derived centroids, quantized codes), overlapped on the shared
+    // [[Par]] pool (guide §2.6 — serially each paid its own fixed
+    // driver/commit cost per micro-batch). The cstate merge reads the
+    // table it replaces; [[Warehouse.replaceSmallTable]]'s staging write
+    // keeps the old incarnation readable, retiring the former eager
+    // localCheckpoint pin (r15).
+    val lanes = Seq.newBuilder[() => Unit]
+    lanes += { () =>
+      newData.select(col(idCol), col(cellCol), col(vecCol))
+        .write.mode("append").format("parquet")
+        .partitionBy(cellCol).saveAsTable(table)
+    }
+    lanes += { () =>
+      val merged = graft.operators.Incremental.mergeStates(
         Seq(spark.table(s"${table}_cstate"),
           centroidState(newData, cellCol, vecCol)), Seq("cell", "i"))
-      .localCheckpoint(eager = true)
-    dropWithDir(spark, s"${table}_cstate")
-    merged.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_cstate")
-    dropWithDir(spark, s"${table}_centroids")
-    centroidsFromState(spark.table(s"${table}_cstate"))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
+      Warehouse.replaceSmallTable(merged, s"${table}_cstate")
+      Warehouse.replaceSmallTable(
+        centroidsFromState(spark.table(s"${table}_cstate")),
+        s"${table}_centroids")
+    }
     // quantized serving companion: the batch's codes ride the append
     // into their cell partitions at the FROZEN grid (see
     // [[buildIvfCodes]] — out-of-grid components clamp, never re-fit)
-    if (spark.catalog.tableExists(s"${table}_codes"))
+    if (spark.catalog.tableExists(s"${table}_codes")) lanes += { () =>
       sqCodesOf(spark, newData.select(col(idCol), col(cellCol),
           col(vecCol)), idCol, cellCol, vecCol, table)
         .write.mode("append").format("parquet")
         .partitionBy(cellCol).saveAsTable(s"${table}_codes")
+    }
+    Par.all(lanes.result())
   }
 
   /** Batch twin of [[ivfTopKQuantized]] — the serving shape a real
