@@ -340,17 +340,24 @@ object Retrieval {
     val tf = postingsOf(docs, idCol, textCol, gen = 0L).persist(lvl)
     val dls = docLensOf(docs, idCol, textCol, gen = 0L).persist(lvl)
     try {
+      // the bucketed write runs first and materializes the tf cache;
+      // the remaining artifacts are independent table swaps overlapped
+      // on the shared [[Par]] pool (guide §2.6). `_stats` follows
+      // `_docs` in one lane — both materialize the dls cache.
       Bucketing.writeBucketed(tf.select("token", "doc", "tf", "dl", "gen"),
         table, buckets, Seq("token"), Seq("token"))
-      replaceSmallTable(tf.groupBy("token")
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
-        s"${table}_tok")
-      // doc-level membership (doc, dl, gen) — what makes the index
-      // DELETABLE: n_corpus/total_dl deltas need per-doc lengths for ids
-      // that may have zero postings rows (token-free docs), and membership
-      // checks must not scan the corpus-sized postings. 1 row per doc.
-      replaceSmallTable(dls, s"${table}_docs")
-      replaceSmallTable(corpusStatsOfLens(dls), s"${table}_stats")
+      Par.all(Seq(
+        () => replaceSmallTable(tf.groupBy("token")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
+          s"${table}_tok"),
+        // doc-level membership (doc, dl, gen) — what makes the index
+        // DELETABLE: n_corpus/total_dl deltas need per-doc lengths for
+        // ids that may have zero postings rows (token-free docs), and
+        // membership checks must not scan the corpus-sized postings.
+        () => {
+          replaceSmallTable(dls, s"${table}_docs")
+          replaceSmallTable(corpusStatsOfLens(dls), s"${table}_stats")
+        }))
     } finally { tf.unpersist(); dls.unpersist() }
     setGen(spark, table, 0L)
     // a rebuilt index must not inherit a previous incarnation's deletes
@@ -757,22 +764,36 @@ object Retrieval {
     }
     val stagingP = s"${table}_compact_staging"
     val stagingD = s"${table}_docs_staging"
-    dropTableWithDir(spark, stagingP)
-    livePostings(spark, table)
-      .write.mode("overwrite").format("parquet").saveAsTable(stagingP)
-    dropTableWithDir(spark, stagingD)
-    liveDocs(spark, table)
-      .write.mode("overwrite").format("parquet").saveAsTable(stagingD)
+    // r15: the rewrite is three phases of mutually independent lanes on
+    // the shared [[Par]] pool (guide §2.6). Dependency edges that force
+    // the phase barriers: the `_tok`/`_ub`/`_bm` rebuilds read the NEW
+    // postings table; `_stats` reads the NEW `_docs`; everything in
+    // phase 1 must capture survivors BEFORE phase 2 destroys the tables
+    // they are filtered from.
+    // phase 1 — stage every survivor set durably (each lane reads
+    // different tables; champions pin in-memory, bounded |vocab|·topN)
+    var champAlive: Option[DataFrame] = None
+    val stage = Seq.newBuilder[() => Unit]
+    stage += { () =>
+      dropTableWithDir(spark, stagingP)
+      livePostings(spark, table)
+        .write.mode("overwrite").format("parquet").saveAsTable(stagingP)
+    }
+    stage += { () =>
+      dropTableWithDir(spark, stagingD)
+      liveDocs(spark, table)
+        .write.mode("overwrite").format("parquet").saveAsTable(stagingD)
+    }
     // champion survivors (bounded |vocab|·topN): filtered BEFORE the
     // tombstones drop, or compaction would resurrect deleted docs into
     // the serving table
-    val champAlive =
-      if (spark.catalog.tableExists(s"${table}_champ"))
-        Some(liveRows(spark, spark.table(s"${table}_champ"), table)
-          .localCheckpoint(eager = true))
-      else None
-    // positional sibling: same survivor rewrite against ITS tombstones
-    if (spark.catalog.tableExists(s"${table}_pos")) {
+    if (spark.catalog.tableExists(s"${table}_champ")) stage += { () =>
+      champAlive = Some(liveRows(spark, spark.table(s"${table}_champ"),
+        table).localCheckpoint(eager = true))
+    }
+    // positional sibling: same survivor rewrite against ITS tombstones —
+    // self-contained, so the whole stage+rewrite chain is one lane
+    if (spark.catalog.tableExists(s"${table}_pos")) stage += { () =>
       val stagingX = s"${table}_pos_compact_staging"
       dropTableWithDir(spark, stagingX)
       livePositions(spark, s"${table}_pos")
@@ -783,26 +804,43 @@ object Retrieval {
       dropTableWithDir(spark, s"${table}_pos_tomb")
       dropTableWithDir(spark, stagingX)
     }
-    Bucketing.writeBucketed(
-      spark.table(stagingP).select("token", "doc", "tf", "dl", "gen"),
-      table, buckets, Seq("token"), Seq("token"))
-    replaceSmallTable(spark.table(stagingD), s"${table}_docs")
-    replaceSmallTable(spark.table(table).groupBy("token")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
-      s"${table}_tok")
-    replaceSmallTable(spark.table(s"${table}_docs")
-      .agg(count(lit(1)).as("n_corpus"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_dl")),
-      s"${table}_stats")
-    champAlive.foreach(c => Bucketing.writeBucketed(c, s"${table}_champ",
-      buckets, Seq("token"), Seq("token")))
+    Par.all(stage.result())
+    // phase 2 — swap in the survivor tables
+    val swap = Seq.newBuilder[() => Unit]
+    swap += { () =>
+      Bucketing.writeBucketed(
+        spark.table(stagingP).select("token", "doc", "tf", "dl", "gen"),
+        table, buckets, Seq("token"), Seq("token"))
+    }
+    swap += { () => replaceSmallTable(spark.table(stagingD), s"${table}_docs") }
+    champAlive.foreach(c => swap += { () =>
+      Bucketing.writeBucketed(c, s"${table}_champ",
+        buckets, Seq("token"), Seq("token"))
+    })
+    Par.all(swap.result())
+    // phase 3 — rebuild the derived companions from the new truth
+    val derived = Seq.newBuilder[() => Unit]
+    derived += { () =>
+      replaceSmallTable(spark.table(table).groupBy("token")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")),
+        s"${table}_tok")
+    }
+    derived += { () =>
+      replaceSmallTable(spark.table(s"${table}_docs")
+        .agg(count(lit(1)).as("n_corpus"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_dl")),
+        s"${table}_stats")
+    }
     // impact bounds: recompute exact extremes from the survivors (the
     // stale-but-valid bounds regain their pruning power here)
-    if (spark.catalog.tableExists(s"${table}_ub"))
+    if (spark.catalog.tableExists(s"${table}_ub")) derived += { () =>
       buildImpactBounds(spark, table)
-    if (spark.catalog.tableExists(s"${table}_bm"))
+    }
+    if (spark.catalog.tableExists(s"${table}_bm")) derived += { () =>
       buildBlockMax(spark, table, spark.table(s"${table}_bm_meta")
         .head().getAs[Int]("n_blocks"))
+    }
+    Par.all(derived.result())
     dropTableWithDir(spark, tombT)
     dropTableWithDir(spark, stagingP)
     dropTableWithDir(spark, stagingD)
@@ -1241,8 +1279,11 @@ object Retrieval {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= topN)
       .select("token", "doc", "tf", "dl", "gen", "impact")
-      .localCheckpoint(eager = true)
-    Bucketing.writeBucketed(champ, s"${table}_champ", buckets,
+    // staging write + swap (r15): the champ plan reads the `_champ`
+    // incarnation it replaces (refreshChampions' union), which the old
+    // drop-first writeBucketed destroyed — hence a former eager
+    // localCheckpoint pin, one whole job per refresh per micro-batch
+    Warehouse.replaceBucketedTable(champ, s"${table}_champ", buckets,
       Seq("token"), Seq("token"))
   }
 

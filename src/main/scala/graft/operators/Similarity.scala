@@ -763,18 +763,26 @@ object Similarity {
   def buildIvfIndex(data: DataFrame, idCol: String, cellCol: String,
       vecCol: String, table: String): Unit = {
     val spark = data.sparkSession
-    dropWithDir(spark, table)
-    data.select(col(idCol), col(cellCol), col(vecCol))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy(cellCol).saveAsTable(table)
-    dropWithDir(spark, s"${table}_cstate")
-    centroidState(data, cellCol, vecCol)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_cstate")
-    dropWithDir(spark, s"${table}_centroids")
-    centroidsFromState(spark.table(s"${table}_cstate"))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
+    // vector partitions and the centroid-state→centroids chain are
+    // independent — overlap them on the shared [[Par]] pool (r15,
+    // guide §2.6)
+    Par.all(Seq(
+      () => {
+        dropWithDir(spark, table)
+        data.select(col(idCol), col(cellCol), col(vecCol))
+          .write.mode("overwrite").format("parquet")
+          .partitionBy(cellCol).saveAsTable(table)
+      },
+      () => {
+        dropWithDir(spark, s"${table}_cstate")
+        centroidState(data, cellCol, vecCol)
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${table}_cstate")
+        dropWithDir(spark, s"${table}_centroids")
+        centroidsFromState(spark.table(s"${table}_cstate"))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${table}_centroids")
+      }))
     // a rebuilt index must not inherit a previous incarnation's
     // quantized serving companions (the stale-champion defect class):
     // the grid and codes describe the OLD corpus

@@ -24,7 +24,12 @@ for p in ["sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar"
     ADD_OPENS += ["--add-opens", f"java.base/{p}=ALL-UNNAMED"]
 
 def run_verify():
-    cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+    # GRAFT_VERIFY_CLASSES: point a long-running verify at a class
+    # SNAPSHOT so concurrent recompiles can't corrupt lazy class loading
+    # (same idiom as runbench.sh's GRAFT_BENCH_CLASSES)
+    classes = os.environ.get("GRAFT_VERIFY_CLASSES",
+                             f"{REPO}/target/scala-2.13/classes")
+    cp = f"{classes}:/opt/spark/jars/*"
     cmd = ["java", "-Xmx8g", *ADD_OPENS,
            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
            "-cp", cp, "graft.Verify", SF, OUT] + \
