@@ -204,7 +204,13 @@ object Graph {
     }.reduce(_ unionByName _)
   }
 
-  private def labelPropagationFrames(edges: DataFrame, srcCol: String,
+  /** The full LPA trajectory (labels_0 … labels_iters) — `private[graft]`
+    * so callers comparing DIFFERENT iteration counts of the SAME graph
+    * (x206's ARI stability) can run the chain once and index into it:
+    * the update is deterministic, so `labelPropagation(…, k)` IS
+    * `frames(k)` of any longer run (r15 — two separate runs rebuilt the
+    * symmetrized edge frame and re-ran the shared iteration prefix). */
+  private[graft] def labelPropagationFrames(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int,
       checkpointDir: Option[String]): Seq[DataFrame] = {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")

@@ -1040,11 +1040,13 @@ object Similarity {
       levels: Int, gridGen: Long): Unit = {
     require(levels > 1 && levels <= 32767, "levels must fit a smallint")
     val data = spark.table(table)
+    // the grid plan reads only the vector table (never `_cdims` itself),
+    // so it writes straight through — the former eager localCheckpoint
+    // re-materialized the full-corpus posexplode scan for nothing (r15)
     val dims = data
       .select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
       .groupBy("pos")
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-      .localCheckpoint(eager = true)
     dropWithDir(spark, s"${table}_cdims")
     dims.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_cdims")

@@ -1751,10 +1751,15 @@ object QualityQueries {
     val e = t(s, dir, "lineitem").select(
       (col("l_partkey") * 2).cast("long").as("src"),
       (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-    val a = Graph.labelPropagation(e, "src", "dst", iters = 2)
-      .select(col("node"), col("community").as("comm_a"))
-    val b = Graph.labelPropagation(e, "src", "dst", iters = 3)
-      .select(col("node"), col("community").as("comm_b"))
+    // one trajectory, two read points: LPA's update is deterministic, so
+    // iters=2 is exactly frames(2) of the iters=3 run — the former two
+    // separate runs re-symmetrized the edges and re-ran the shared
+    // 2-iteration prefix (r15; bit-identical by construction, the same
+    // lineage-truncated iterates)
+    val frames = Graph.labelPropagationFrames(e, "src", "dst", iters = 3,
+      checkpointDir = None)
+    val a = frames(2).select(col("node"), col("lab").as("comm_a"))
+    val b = frames(3).select(col("node"), col("lab").as("comm_b"))
     graft.operators.Stats.adjustedRandIndex(a.join(b, "node"), "node",
       "comm_a", "comm_b")
   }
