@@ -543,7 +543,9 @@ object Retrieval {
     * Cost: one batch scan + one batch-sized bucketed write + a
     * vocabulary-sized merge. The corpus-sized postings table is read by
     * NOTHING in this path. */
-  // TEMP r15 dev instrumentation: per-step ingest walls, env-guarded
+  // Dev-only ingest step timer (r15), env-guarded: set
+  // GRAFT_INGEST_TIMING=1 to print per-step walls of the append path —
+  // the measurement loop behind the r15 ingest rework; zero cost unset
   @inline private def tstep[T](name: String)(body: => T): T = {
     if (sys.env.contains("GRAFT_INGEST_TIMING")) {
       val t0 = System.nanoTime(); val r = body
