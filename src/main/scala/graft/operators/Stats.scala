@@ -728,13 +728,16 @@ object Stats {
     * (DECIMAL, overflow-safe) — the only division is the final reported
     * statistic.
     *
-    * Scale shape: the global-order window runs over |distinct values|
-    * rows, not the corpus (lengths, scores, and token counts have bounded
-    * domains; pre-bin a genuinely continuous metric first). */
+    * Scale shape: the per-value frame is |distinct values| rows — which
+    * for a CONTINUOUS column is corpus-sized, so the running CDFs ride
+    * [[Indexing.globalPrefixSums]] (range shuffle + parallel local sums +
+    * broadcast offsets), never a single-partition global-order window.
+    * Long counts sum exactly, so the distributed prefix sums equal the
+    * old one-task window bit for bit. */
   def ksTest(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(19,0)")
-    // persisted: both the CDF window and the 1-row totals read this tiny
+    // persisted: both the CDF pass and the 1-row totals read this tiny
     // frame, and without the memo each would rescan the corpus
     val pv = df
       .filter(col(groupCol) === groupA || col(groupCol) === groupB)
@@ -742,11 +745,10 @@ object Stats {
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
       .persist()
-    val w = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = pv.select(
-      sum(col("__ca")).over(w).as("__c1"),
-      sum(col("__cb")).over(w).as("__c2"))
+    val cum = Indexing.globalPrefixSums(pv, Nil, Seq(col("__v")),
+        Seq("__ca", "__cb"))
+      .select((col("__ca_excl") + col("__ca")).as("__c1"),
+        (col("__cb_excl") + col("__cb")).as("__c2"))
     val tot = pv.agg(sum(col("__ca")).as("__n1"), sum(col("__cb")).as("__n2"))
     cum.crossJoin(broadcast(tot))
       .select(abs(dec(col("__c1")) * dec(col("__n2")) -
@@ -796,7 +798,10 @@ object Stats {
     * Σ c_A·(2·S_below + c + 1) as integers (DECIMAL, overflow-safe), so
     * the reported U is exact and only the normal-approximation z-score
     * (tie-corrected σ) is double — assembled in one fixed operation
-    * order. */
+    * order. The below-rank running count rides
+    * [[Indexing.globalPrefixSums]] (exact Long sums — bit-identical to a
+    * global-order window) because the distinct-value frame of a
+    * continuous column is corpus-sized. */
   def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
       groupA: String, groupB: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -805,10 +810,9 @@ object Stats {
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         count(lit(1)).as("__c"))
-    val w = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = pv.select(col("__ca"), col("__c"),
-      coalesce(sum(col("__c")).over(w), lit(0L)).as("__s"))
+    val cum = Indexing.globalPrefixSums(pv, Nil, Seq(col("__v")),
+        Seq("__c"))
+      .select(col("__ca"), col("__c"), col("__c_excl").as("__s"))
     val contrib = cum.agg(
       sum(dec(col("__ca")) *
         (dec(lit(2L)) * dec(col("__s")) + dec(col("__c")) + dec(lit(1L))))
@@ -873,7 +877,12 @@ object Stats {
     * integer n·P_t − t·T (P_t prefix sum, T total, t row index); its max
     * |·| normalized by n·T is a KS-style uniformity distance in [0,1], and
     * the argmax row is the changepoint (ties → earliest). One window pass
-    * over the per-bucket series (|days| rows), one final division. */
+    * over the per-bucket series (|days| rows), one final division.
+    * The single-partition window here is BOUNDED BY CONSTRUCTION:
+    * callers hand a per-bucket (daily/hourly) series, |buckets| rows,
+    * never raw events — the one shape where a global-order window is
+    * free (contrast [[ksTest]]/[[giniConcentration]], whose value/key
+    * domains are corpus-sized and ride the distributed helpers). */
   def cusumChangepoint(daily: DataFrame, orderCol: String,
       valueCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -906,13 +915,17 @@ object Stats {
     * counts: G = (2·Σ t·x_t − (n+1)·Σx) / (n·Σx) with row_number ranks
     * (ties contribute identically under any stable order, so the key
     * tiebreak only pins determinism). Integer/DECIMAL throughout, ONE
-    * final division; the rank window runs over |keys| rows. */
+    * final division. The per-key frame is corpus-sized for a
+    * high-cardinality key (users, urls), so the global rank rides
+    * [[Indexing.globalIndexBy]] — the (count, key) tuple is unique, so
+    * the distributed index equals the old single-partition row_number
+    * exactly. */
   def giniConcentration(df: DataFrame, keyCol: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__x"))
-    val wOrd = Window.orderBy(col("__x"), col("__k"))
-    val ranked = counts.select(col("__x"), row_number().over(wOrd).as("__t"))
+    val ranked = Indexing.globalIndexBy(counts, Seq("__x", "__k"))
+      .select(col("__x"), col("global_idx").as("__t"))
     ranked.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
         sum(dec(col("__t")) * dec(col("__x"))).as("__stx"))
       .select(col("__n").cast("long").as("n_keys"),

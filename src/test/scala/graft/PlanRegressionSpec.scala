@@ -447,10 +447,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p140.contains("InMemoryTableScan"),
       "pv frame must be cached, not recomputed per branch:\n" + p140.take(800))
     assert(p140.contains("Window"), p140.take(400))
-    // x142 is one linear chain: a single corpus scan (tree + details = 2)
+    // x142 rides globalPrefixSums (r15 verdict #6): the post-range-shuffle
+    // frame is cached (the helper's __pid pin), so the offsets aggregate
+    // and the data-side join both read the cache — the corpus parquet
+    // backs exactly one cached plan, never a per-branch rescan
     val p142 = plan("x142_mann_whitney")
-    assert("Scan parquet".r.findAllIn(p142).length <= 2,
-      "x142 must not rescan the corpus:\n" + p142.take(800))
+    assert(p142.contains("InMemoryTableScan"),
+      "prefix-sum frame must be cached, not recomputed per branch:\n" +
+        p142.take(800))
     assert(p142.contains("Window"), p142.take(400))
     for (p <- Seq(p140, p142))
       assert(p.contains("ReadSchema: struct<n_chars:bigint,source:string>") ||
@@ -952,5 +956,37 @@ class PlanRegressionSpec extends SparkSpec {
         s"physical key-table scans = ${physScans.length} (want 1 — " +
           "exchange reuse lost?)")
     } finally spark.listenerManager.unregister(ql)
+  }
+
+  test("ksTest/mannWhitney/gini never funnel a value-keyed frame through " +
+      "a single-partition window (distributed prefix sums, r15 verdict #6)") {
+    // The unbounded-domain CDF/rank passes must ride globalPrefixSums /
+    // globalIndexBy: the ONLY partition-less WindowExec allowed in these
+    // plans is the helpers' offsets window, whose input is the per-__pid
+    // aggregate (≤ |partitions| rows by construction). A partition-less
+    // window directly over the groupBy(value) frame is the 100 TB
+    // scale-killer this pin exists to catch.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(all)
+    for (q <- Seq("x140_ks_test", "x142_mann_whitney",
+        "x146_gini_concentration")) {
+      val df = Registry.byName(q).run(spark, sf)
+      val globalWindows = all(df.queryExecution.sparkPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      for (w <- globalWindows) {
+        val boundedInput = all(w.child).exists {
+          case a: BaseAggregateExec =>
+            a.groupingExpressions.exists(_.toString.contains("__pid"))
+          case _ => false
+        }
+        assert(boundedInput,
+          s"$q has a single-partition WindowExec whose input is NOT the " +
+            "per-partition offsets aggregate — a corpus-sized frame " +
+            "would funnel through one task:\n" + w.treeString.take(1500))
+      }
+    }
   }
 }
