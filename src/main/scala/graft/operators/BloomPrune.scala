@@ -23,9 +23,19 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Catalyst API though not the SQL registry — as a SCALAR SUBQUERY
   * (might_contain requires constant-or-subquery filter input) probed by
   * a codegen'd xxhash64. The r13-era shape (driver-built
-  * `stat.bloomFilter` + a scala UDF over a broadcast variable) cost an
-  * eager build-side `count()` job plus a driver round-trip per call;
-  * now the build rides the consuming action lazily as a subquery job.
+  * `stat.bloomFilter` + a scala UDF over a broadcast variable) paid a
+  * driver round-trip and an interpreted per-row probe; the subquery
+  * build rides the consuming action and the probe is codegen'd.
+  *
+  * SIZING IS ON THE CALLER (r15 verdict #2): every partial-aggregate
+  * task allocates the FULL `-n·ln(fpp)/ln²2`-bit buffer and ships it to
+  * the single merger, so an oversized `estItems` costs
+  * buffer-size × |partitions| of allocation + shuffle per build — the
+  * fixed 4M default measured as a 1.5× regression on few-hundred-key
+  * build sides. Pass a real key-count estimate; an exact count of a
+  * small or cached build side is one cheap job and is what
+  * [[pruneLarge]] does.
+  *
   * An empty build side yields a NULL filter, and `might_contain(NULL,
   * x)` is NULL — callers coalesce to `false`, which reproduces the old
   * empty-side semantics for free. */
@@ -57,13 +67,25 @@ object BloomPrune {
   /** Filter `large` down to rows whose `key` might appear in `small`'s key
     * set. Join the result exactly as before — semantics are unchanged.
     * Long-key contract (both sides cast to long, matching the original
-    * `mightContainLong` probe); fully lazy — no call-time job. */
+    * `mightContainLong` probe).
+    *
+    * The filter is SIZED from an exact build-side count (one explicit
+    * small-side scan — the documented price of the technique, same as the
+    * pre-in-plan shape). Sizing is what makes the in-plan aggregate cheap:
+    * the r15 fixed default of 4M items allocated a ~4.8 MB bit buffer PER
+    * PARTIAL-AGGREGATE TASK and shuffled every buffer into the single
+    * merger (~150 MB of churn for a few hundred actual keys) — measured
+    * as the x22/x288/x289 regression. With estItems = |keys| the buffer
+    * is ~9.6 bits/key and the build cost scales with the data. */
   def pruneLarge(large: DataFrame, small: DataFrame, key: String,
-      fpp: Double = 0.01, estItems: Long = 4000000L): DataFrame = {
+      fpp: Double = 0.01): DataFrame = {
+    val n = small.select(key).count() // explicit build-side scan
     // a null key never joins in an equi-join, so drop it here too
+    // (n == 0 keeps the in-plan NULL-filter semantics: probe NULL →
+    // coalesce(false) → empty result, the old limit(0) row set)
     large.filter(col(key).isNotNull &&
       coalesce(bloomProbe(small, col(key).cast("long"),
-        col(key).cast("long"), estItems, fpp), lit(false)))
+        col(key).cast("long"), math.max(n, 1L), fpp), lit(false)))
   }
 
   /** Pruned inner equi-join: bloom-prune the large side, then join. */

@@ -797,12 +797,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("x22 bloom pruning is fully lazy: call-time cost is ZERO jobs — " +
-    "the filter builds in-plan and the probe is native, not a UDF") {
-    // the r13-era shape paid an eager build-side count() + a driver
-    // stat.bloomFilter action per call (two jobs before the consuming
-    // action even started); the in-plan form (r14 verdict #6) defers
-    // everything to the consuming action
+  test("x22 bloom pruning: ONE call-time sizing job, the filter builds " +
+    "in-plan SIZED TO THE KEY COUNT, and the probe is native, not a UDF") {
+    // the r14-era "fully lazy" form built the in-plan filter at a FIXED
+    // 4M-item size — a ~4.8 MB bit buffer per partial-aggregate task
+    // shuffled into one merger, measured as the r15 x22/x288/x289
+    // regression. The sized form pays exactly one explicit build-side
+    // count (the pre-in-plan contract) and the aggregate allocates
+    // |keys|-proportional buffers; build + probe stay in-plan/native.
     import spark.implicits._
     import graft.operators.BloomPrune
     // let the async listener bus drain earlier suites' events
@@ -819,14 +821,25 @@ class PlanRegressionSpec extends SparkSpec {
       val small = Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
       val pruned = BloomPrune.pruneLarge(large, small, "k")
       Thread.sleep(1500)
-      assert(jobs.get() == 0,
-        s"pruneLarge ran ${jobs.get()} call-time jobs (want 0)")
+      // AQE materializes a count as up to two jobs (stage + result);
+      // anything beyond that means an eager filter build leaked back in
+      assert(jobs.get() >= 1 && jobs.get() <= 2,
+        s"pruneLarge ran ${jobs.get()} call-time jobs (want 1-2 — the " +
+          "sizing count only; the filter build must ride the consuming " +
+          "action)")
       val p = pruned.queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       assert(p.contains("might_contain"), "native probe missing:\n" +
         p.take(600))
       assert(p.contains("bloom_filter_agg"),
         "in-plan filter build missing:\n" + p.take(600))
+      // the aggregate's estimated-items literal is the EXACT build-side
+      // key count (2), not a fixed default: bloom_filter_agg(hash, est, bits)
+      assert("bloom_filter_agg\\(xxhash64\\([^)]*\\), 2, 64".r
+          .findFirstIn(p).isDefined,
+        "filter not sized to the build-side count (want estItems=2):\n" +
+          "bloom_filter_agg\\([^\\n]*".r.findFirstIn(p).getOrElse("") +
+          "\n" + p.take(600))
       assert(!p.contains("UDF"), "probe regressed to a scala UDF")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
