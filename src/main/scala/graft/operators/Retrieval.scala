@@ -1501,9 +1501,13 @@ object Retrieval {
 
   /** MaxScore's pruning state, factored so [[bmwTopK]]'s block
     * refinement can reuse the seed docs and threshold without
-    * recomputing them: `candidates` is the seed ∪ essential-match union,
-    * `seedDocs` the rarest-term docs (unconditionally kept — they are
-    * exactly scored), `theta` one margin-free (query_id, __theta) row
+    * recomputing them: `candidates` is the seed ∪ essential-match union
+    * — NOT deduplicated (every consumer is a left-semi probe, which is
+    * duplicate-insensitive; [[wandCandidateDocs]] distincts at its
+    * public boundary), `seedDocs` the rarest-term docs (unconditionally
+    * kept — they are exactly scored; (query, doc)-UNIQUE by
+    * construction: one rarest token per query over unique (doc, token)
+    * postings), `theta` one margin-free (query_id, __theta) row
     * per query that seeded a full k (absent rows prune nothing). */
   private case class MaxScoreState(candidates: DataFrame,
       seedDocs: DataFrame, theta: DataFrame)
@@ -1517,6 +1521,7 @@ object Retrieval {
       qTerms: DataFrame, rows: DataFrame, k: Int, k1: Double,
       b: Double): DataFrame =
     maxScorePruning(spark, table, qTerms, rows, k, k1, b).candidates
+      .distinct()
 
   private def maxScorePruning(
       spark: org.apache.spark.sql.SparkSession, table: String,
@@ -1541,8 +1546,12 @@ object Retrieval {
       .withColumn("__rr", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("df"), col("token"))))
       .filter(col("__rr") === 1).select("query_id", "token"))
+    // (query, doc) is UNIQUE here without a distinct: `rare` keeps ONE
+    // token per query and postings are (doc, token)-unique, so the
+    // semi-join emits each seed doc once — the former distinct() was a
+    // no-op exchange on the serve path (r16 job-count cut)
     val seedDocs = rows.join(rare, Seq("query_id", "token"), "left_semi")
-      .select("query_id", "doc").distinct()
+      .select("query_id", "doc")
     val theta = broadcast(rows
       .join(seedDocs, Seq("query_id", "doc"), "left_semi")
       .groupBy("query_id", "doc").agg(sum(col("__t")).as("__s"))
@@ -1562,11 +1571,13 @@ object Retrieval {
       .filter(col("__pref") >=
         coalesce(col("__theta"), lit(0.0)) * lit(1.0 - 1e-9) - lit(1e-12))
       .select("query_id", "token"))
-    // 4) candidates = seed ∪ essential matches
+    // 4) candidates = seed ∪ essential matches — left UN-deduplicated:
+    //    every consumer semi-probes it (duplicate-insensitive), so the
+    //    former distinct() bought nothing but a shuffle on the serve path
     MaxScoreState(
       rows.join(ess, Seq("query_id", "token"), "left_semi")
         .select("query_id", "doc")
-        .unionByName(seedDocs).distinct(),
+        .unionByName(seedDocs),
       seedDocs, theta)
   }
 
@@ -1632,22 +1643,37 @@ object Retrieval {
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
     val rows = bm25TermRows(spark, table, qTerms, k1, b)
-    val cand = bmwCandidateDocs(spark, table, qTerms, rows, k, k1, b)
-    rankCandidates(rows, cand, k)
+    val w = Window.partitionBy("query_id").orderBy(desc("__s"), col("doc"))
+    bmwScored(spark, table, qTerms, rows, k, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("__s").cast("double"), 4).as("score"),
+        col("matched_terms"), col("rank"))
   }
 
-  /** [[bmwTopK]]'s candidate set — MaxScore's, minus the docs the block
-    * bounds disqualify. Factored out so BlockMaxSpec can assert the
-    * refinement is a strict subset on a block-skewed fixture. */
-  private[graft] def bmwCandidateDocs(
+  /** The FUSED Block-Max bound + exact-score aggregate
+    * (query_id, doc, __s DECIMAL, matched_terms) over the surviving
+    * candidates — ONE pass over the candidate term rows computes the
+    * per-doc block-bound sum AND the exact BM25 score (r16 serve-phase
+    * job-count cut: the former shape aggregated the same semi-joined
+    * rows TWICE — once for the bound, once to re-score the survivors —
+    * costing an extra postings scan + aggregate exchange per serve).
+    * Exactness is unchanged: survivors aggregate exactly the rows the
+    * old rankCandidates pass aggregated (all matched rows of each
+    * candidate doc — decimal sums are order-free), the bound filter is
+    * the identical expression over the identical row set, and seed docs
+    * are unconditionally kept via a broadcast marker join (`seedDocs`
+    * is (query, doc)-unique by construction, so the join cannot
+    * duplicate scored rows). The `_bm_meta` block count rides the plan
+    * as a broadcast 1-row cross join instead of an eager head() job. */
+  private def bmwScored(
       spark: org.apache.spark.sql.SparkSession, table: String,
       qTerms: DataFrame, rows: DataFrame, k: Int, k1: Double,
       b: Double): DataFrame = {
     require(spark.catalog.tableExists(s"${table}_bm"),
       s"bmwTopK needs ${table}_bm — run buildBlockMax first")
     val st = maxScorePruning(spark, table, qTerms, rows, k, k1, b)
-    val nBlocks = spark.table(s"${table}_bm_meta")
-      .head().getAs[Int]("n_blocks")
     val qTok = broadcast(qTerms.select("token").distinct())
     val stats = broadcast(spark.table(s"${table}_stats"))
     // per-(query, token, block) margined bounds at CURRENT stats
@@ -1661,19 +1687,38 @@ object Retrieval {
         (impactUb(col("max_tf"), col("min_dl"), k1, b) * lit(1.0 + 1e-9) +
           lit(1e-12)).as("__bub")))
     // per-candidate bound = Σ over its MATCHED rows of the row's block
-    // bound (each true term impact ≤ its block bound by monotonicity)
-    val bound = rows.join(st.candidates, Seq("query_id", "doc"),
+    // bound (each true term impact ≤ its block bound by monotonicity);
+    // the SAME rows carry the exact quantized term scores, so the exact
+    // aggregate rides the same shuffle
+    val scored = rows.join(st.candidates, Seq("query_id", "doc"),
         "left_semi")
-      .withColumn("block", blockOf(col("doc"), nBlocks))
+      .crossJoin(broadcast(spark.table(s"${table}_bm_meta")))
+      .withColumn("block",
+        pmod(xxhash64(col("doc")), col("n_blocks").cast("long")))
       .join(bub, Seq("query_id", "token", "block"), "left")
       .groupBy("query_id", "doc")
-      .agg(sum(coalesce(col("__bub"), lit(Double.MaxValue))).as("__db"))
-    bound.join(st.theta, Seq("query_id"), "left")
-      .filter(col("__db") >=
-        coalesce(col("__theta"), lit(0.0)) * lit(1.0 - 1e-9) - lit(1e-12))
-      .select("query_id", "doc")
-      .unionByName(st.seedDocs).distinct()
+      .agg(sum(coalesce(col("__bub"), lit(Double.MaxValue))).as("__db"),
+        sum(col("__t")).as("__s"), count(lit(1)).as("matched_terms"))
+    scored.join(st.theta, Seq("query_id"), "left")
+      .join(broadcast(st.seedDocs.withColumn("__seed", lit(1))),
+        Seq("query_id", "doc"), "left")
+      .filter(col("__seed").isNotNull ||
+        col("__db") >=
+          coalesce(col("__theta"), lit(0.0)) * lit(1.0 - 1e-9) - lit(1e-12))
+      .select(col("query_id"), col("doc"), col("__s"),
+        col("matched_terms"))
   }
+
+  /** [[bmwTopK]]'s candidate set — MaxScore's, minus the docs the block
+    * bounds disqualify. Factored out so BlockMaxSpec can assert the
+    * refinement is a strict subset on a block-skewed fixture; (query,
+    * doc) rows are unique (the fused aggregate groups by them). */
+  private[graft] def bmwCandidateDocs(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      qTerms: DataFrame, rows: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame =
+    bmwScored(spark, table, qTerms, rows, k, k1, b)
+      .select("query_id", "doc")
 
   /** Per-query recall of an approximate ranking against an exact one —
     * the gate that makes an inexact-top-k operator ([[championTopK]],
@@ -2018,6 +2063,56 @@ object Retrieval {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** BOTH SDM positional features — the ordered (directional, ta ≠ tb,
+    * 1 ≤ Δ ≤ window) and unordered (ta < tb, |Δ| ≤ window) pair counts —
+    * in ONE banded pass, as (query_id, doc, __no, __nu). Shared by
+    * [[sdmTopK]] and [[cascadeTopK]], which consumed TWO [[pairCounts]]
+    * passes (two positional scans, two banded self-joins, two aggregate
+    * exchanges, two fusion joins) for features computable from the same
+    * joined pair rows.
+    *
+    * Count equality with the separate passes: the 3-bucket probe
+    * explosion joins each occurrence pair (a, b) with |bucket(b) −
+    * bucket(a)| ≤ 1 EXACTLY once (buckets are distinct, so only one
+    * exploded probe bucket equals b's), and that join space is a strict
+    * superset of both predicates' qualifying pairs (ordered pairs have
+    * bucket distance ∈ {0, 1}; unordered ∈ {−1, 0, 1}) — so the
+    * conditional sums see every qualifying pair once and nothing twice.
+    * Pairs failing BOTH predicates drop before the aggregate, which
+    * also reproduces the old missing-row semantics (a (query, doc) with
+    * no qualifying pair of either kind emits no row; consumers
+    * left-join + coalesce to 0 either way). */
+  private def pairCountsBoth(spark: org.apache.spark.sql.SparkSession,
+      table: String, qTerms: DataFrame, window: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val rawAll = livePositions(spark, table).join(qTerms, "token")
+    val raw = candidates
+      .map(c => rawAll.join(broadcast(c.select(col("query_id"),
+        col("doc"))), Seq("query_id", "doc"), "left_semi"))
+      .getOrElse(rawAll)
+    val buckets = array(
+      expr(s"CAST(__pa AS BIGINT) DIV $window") - 1,
+      expr(s"CAST(__pa AS BIGINT) DIV $window"),
+      expr(s"CAST(__pa AS BIGINT) DIV $window") + 1)
+    val probe = raw.select(col("query_id"), col("doc"),
+        col("token").as("__ta"), col("pos").as("__pa"))
+      .withColumn("__bkt", explode(buckets))
+    val build = raw.select(col("query_id"), col("doc"),
+        col("token").as("__tb"), col("pos").as("__pb"))
+      .withColumn("__bkt", expr(s"CAST(__pb AS BIGINT) DIV $window"))
+    val ordCond = col("__ta") =!= col("__tb") &&
+      col("__pb") - col("__pa") >= 1 &&
+      col("__pb") - col("__pa") <= window
+    val unordCond = col("__ta") < col("__tb") &&
+      abs(col("__pa") - col("__pb")) <= window
+    probe.join(build, Seq("query_id", "doc", "__bkt"))
+      .filter(ordCond || unordCond)
+      .groupBy("query_id", "doc")
+      .agg(sum(when(ordCond, lit(1L)).otherwise(lit(0L))).as("__no"),
+        sum(when(unordCond, lit(1L)).otherwise(lit(0L))).as("__nu"))
+  }
+
   /** Directional term-proximity from a [[buildPositionalIndex]] table —
     * the SEQUENCE-aware companion to [[proximityTopK]]'s unordered
     * counts: per (query, doc), count occurrence pairs of two DIFFERENT
@@ -2286,10 +2381,10 @@ object Retrieval {
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
     val bm = bm25Scores(spark, table, qTerms, k1, b)
-    val ord = pairCounts(spark, s"${table}_pos", qTerms, window,
-      ordered = true).withColumnRenamed("n_pairs", "__no")
-    val unord = pairCounts(spark, s"${table}_pos", qTerms, window,
-      ordered = false).withColumnRenamed("n_pairs", "__nu")
+    // BOTH positional features in ONE banded pass + ONE fusion join
+    // (r16: the two single-feature passes each paid a positional scan,
+    // a banded self-join, an aggregate exchange, and a fusion join)
+    val pc = pairCountsBoth(spark, s"${table}_pos", qTerms, window)
     val score =
       (lit(wT) * col("__s").cast("double") +
         lit(wO) * log(lit(1.0) + coalesce(col("__no"), lit(0L))
@@ -2298,8 +2393,7 @@ object Retrieval {
           .cast("double")))
         .cast("decimal(28,18)")
     val w = Window.partitionBy("query_id").orderBy(desc("__sc"), col("doc"))
-    bm.join(ord, Seq("query_id", "doc"), "left")
-      .join(unord, Seq("query_id", "doc"), "left")
+    bm.join(pc, Seq("query_id", "doc"), "left")
       .withColumn("__sc", score)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -2343,36 +2437,40 @@ object Retrieval {
     val qTerms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(Dedup.words(col(queryTextCol)))).as("token")))
     val rows = bm25TermRows(spark, table, qTerms, k1, b)
-    // stage-1 candidates: Block-Max when the `_bm` companion exists
-    // (strictly smaller exact superset of the true top-candN — the
-    // per-block bounds disqualify docs MaxScore keeps), MaxScore
-    // otherwise. Either way the rank-≤-candN cut below lands on the SAME
-    // pool — both candidate sets contain every true top-candN doc (the
-    // pruning algorithms' exactness guarantee), so the cascade's answer
-    // is pool-independent (x278 gates it; CascadeSpec pins equality).
-    val pruned =
+    // stage-1 scores: Block-Max when the `_bm` companion exists — the
+    // fused [[bmwScored]] aggregate already carries every surviving
+    // candidate's EXACT score, so the pool cut rides it directly (the
+    // former shape re-semi-joined + re-aggregated the term rows a second
+    // time); MaxScore otherwise (its pruning state holds no exact
+    // scores, so the survivors score in the classic second pass). Either
+    // way the rank-≤-candN cut lands on the SAME pool — both candidate
+    // sets contain every true top-candN doc (the pruning algorithms'
+    // exactness guarantee), so the cascade's answer is pool-independent
+    // (x278 gates it; RetrievalSpec pins path equality).
+    val stage1 =
       if (spark.catalog.tableExists(s"${table}_bm"))
-        bmwCandidateDocs(spark, table, qTerms, rows, candN, k1, b)
-      else wandCandidateDocs(spark, table, qTerms, rows, candN, k1, b)
+        bmwScored(spark, table, qTerms, rows, candN, k1, b)
+      else rows.join(
+          wandCandidateDocs(spark, table, qTerms, rows, candN, k1, b),
+          Seq("query_id", "doc"), "left_semi")
+        .groupBy("query_id", "doc")
+        .agg(sum(col("__t")).as("__s"), count(lit(1)).as("matched_terms"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(desc("__s"), col("doc"))
     // eager checkpoint: the pool (bounded at queries × candN rows) fans
-    // out into BOTH pair-count joins and the final fusion join — without
+    // out into the pair-count join and the final fusion join — without
     // it the stage-1 WAND pruning + window re-execute ~3× (r12 ADVICE)
-    val bmTop = rows.join(pruned, Seq("query_id", "doc"), "left_semi")
-      .groupBy("query_id", "doc")
-      .agg(sum(col("__t")).as("__s"), count(lit(1)).as("matched_terms"))
+    val bmTop = stage1
       .withColumn("__r", row_number().over(wTop))
       .filter(col("__r") <= candN)
       .drop("__r")
       .localCheckpoint(eager = true)
     val candDocs = bmTop.select("query_id", "doc")
-    val ord = pairCounts(spark, s"${table}_pos", qTerms, window,
-      ordered = true, candidates = Some(candDocs))
-      .withColumnRenamed("n_pairs", "__no")
-    val unord = pairCounts(spark, s"${table}_pos", qTerms, window,
-      ordered = false, candidates = Some(candDocs))
-      .withColumnRenamed("n_pairs", "__nu")
+    // BOTH positional features in ONE banded pass + ONE fusion join
+    // (r16: the two single-feature passes each paid a positional scan,
+    // a banded self-join, an aggregate exchange, and a fusion join)
+    val pc = pairCountsBoth(spark, s"${table}_pos", qTerms, window,
+      candidates = Some(candDocs))
     val score =
       (lit(wT) * col("__s").cast("double") +
         lit(wO) * log(lit(1.0) + coalesce(col("__no"), lit(0L))
@@ -2381,8 +2479,7 @@ object Retrieval {
           .cast("double")))
         .cast("decimal(28,18)")
     val w = Window.partitionBy("query_id").orderBy(desc("__sc"), col("doc"))
-    bmTop.join(ord, Seq("query_id", "doc"), "left")
-      .join(unord, Seq("query_id", "doc"), "left")
+    bmTop.join(pc, Seq("query_id", "doc"), "left")
       .withColumn("__sc", score)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1108,19 +1108,22 @@ object Similarity {
       .select(col("cell"), cosine(col("centroid"), col("__qv")).as("cs"))
       .orderBy(desc("cs"), col("cell"))
       .limit(nprobe)
-    val levels = spark.table(s"${table}_cmeta").head()
-      .getAs[Int]("levels")
     val codes = spark.table(s"${table}_codes")
     val cand = codes.join(
       broadcast(probed.select(col("cell").as("__probe_cell"))),
       codes(cellCol) === col("__probe_cell"))
     // bucket-center reconstruction — the dequantizedVectors formula,
-    // restricted to the probed cells
+    // restricted to the probed cells; the `levels` scalar rides the
+    // plan as a broadcast 1-row cross join instead of an eager head()
+    // job per serve (r16 job-count cut — same double arithmetic)
     val deq = cand
       .select(col(idCol), posexplode(col("code")).as(Seq("pos", "qc")))
       .join(broadcast(spark.table(s"${table}_cdims")), "pos")
+      .crossJoin(broadcast(
+        spark.table(s"${table}_cmeta").select(col("levels"))))
       .withColumn("deq", col("lo") + (col("qc").cast("double") +
-        lit(0.5)) * (col("hi") - col("lo")) / lit(levels.toDouble))
+        lit(0.5)) * (col("hi") - col("lo")) / col("levels").cast("double"))
+      .drop("levels")
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("deq")))),
@@ -1259,18 +1262,21 @@ object Similarity {
       .withColumn("__r", row_number().over(wp))
       .filter(col("__r") <= nprobe)
       .select(col("__pq"), col("__probe_cell"))
-    val levels = spark.table(s"${table}_cmeta").head()
-      .getAs[Int]("levels")
     val codes = spark.table(s"${table}_codes")
-    // one reconstruction per doc in the UNION of probed cells
+    // one reconstruction per doc in the UNION of probed cells; the
+    // `levels` scalar rides the plan as a broadcast 1-row cross join
+    // instead of an eager head() job per serve (r16 job-count cut)
     val probedCells = cells.select(col("__probe_cell")).distinct()
     val deq = codes.join(broadcast(probedCells),
         codes(cellCol) === col("__probe_cell"))
       .select(col(idCol), col(cellCol),
         posexplode(col("code")).as(Seq("pos", "qc")))
       .join(broadcast(spark.table(s"${table}_cdims")), "pos")
+      .crossJoin(broadcast(
+        spark.table(s"${table}_cmeta").select(col("levels"))))
       .withColumn("deq", col("lo") + (col("qc").cast("double") +
-        lit(0.5)) * (col("hi") - col("lo")) / lit(levels.toDouble))
+        lit(0.5)) * (col("hi") - col("lo")) / col("levels").cast("double"))
+      .drop("levels")
       .groupBy(col(idCol), col(cellCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("deq")))),

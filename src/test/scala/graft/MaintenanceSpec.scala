@@ -77,7 +77,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.table("graft_test_maint_mt").count() == 4L)
   }
 
-  test("ivfTopKQuantized: plan construction costs only the _cmeta read;" +
+  test("ivfTopKQuantized: plan construction costs ZERO jobs;" +
       " a multi-row query frame fails loudly in-plan") {
     freshIvf("graft_test_guard")
     // let the async listener bus drain the build's events so they can't
@@ -96,10 +96,11 @@ class MaintenanceSpec extends SparkSpec {
         "id", "cell", "vec", q1, k = 1, nprobe = 1, rescore = 1)
       // listener events are async — let the bus drain
       Thread.sleep(1500)
-      // exactly ONE call-time job (the 1-row _cmeta levels read); the
-      // r13 guard ran a SECOND job (limit(2).count()) per serve
-      assert(jobs.get() == 1,
-        s"expected 1 call-time job, saw ${jobs.get()}")
+      // ZERO call-time jobs: the 1-row _cmeta levels read rides the
+      // serving plan as a broadcast cross join (r16 — it was an eager
+      // head() job per serve; the r13 guard ran a SECOND job on top)
+      assert(jobs.get() == 0,
+        s"expected 0 call-time jobs, saw ${jobs.get()}")
       assert(served.collect().length == 1)
       // multi-row frame: the in-plan raise_error fires at serve time
       val q2 = vecs(Seq((100L, "q", Seq(0.9, 0.9)),
