@@ -113,8 +113,15 @@ object Graph {
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    // edge list with out-degree attached, reused every iteration
-    val edgesDeg = und.join(deg, "src").persist()
+    // edge list with out-degree attached, reused every iteration — and
+    // HASH-PARTITIONED ON THE ITERATION JOIN KEY before the persist
+    // (guide §2.4: the cached partitioning satisfies every iteration's
+    // join requirement, so only the small rank frame shuffles per round;
+    // unpartitioned, the full edge frame re-shuffled EVERY iteration —
+    // the dominant measured stage at sf0.1. repartition with no explicit
+    // count rides spark.sql.shuffle.partitions: scale-adaptive, never a
+    // local[32] constant)
+    val edgesDeg = und.join(deg, "src").repartition(col("src")).persist()
     // node count as a broadcast 1-row frame (no driver-side action)
     val nNodes = deg.agg(count(lit(1)).cast("double").as("n_nodes"))
     val rank0 = deg.select(col("src").as("node"))
@@ -216,8 +223,9 @@ object Graph {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // iteration-join-keyed cache partitioning — see pageRankFrames
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     val labels0 = Checkpoints.truncate(
       und.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lab")), checkpointDir)
@@ -266,7 +274,8 @@ object Graph {
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesDeg = und.join(deg, "src").persist()
+    // iteration-join-keyed cache partitioning — see pageRankFrames
+    val edgesDeg = und.join(deg, "src").repartition(col("src")).persist()
     // restart mass is split over |S|, so S must be the seeds PRESENT in
     // the graph: a seed absent from the edge list gets no rank row and its
     // (1-d)/|S| share would silently vanish (ranks no longer sum to 1).
@@ -350,12 +359,19 @@ object Graph {
       iters: Int, checkpointDir: Option[String])
       : (Seq[DataFrame], Seq[DataFrame]) = {
     require(iters >= 1 && iters <= 10, s"iters=$iters out of [1,10]")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct().persist()
+    // TWO cached copies of the distinct edge set, each hash-partitioned
+    // on its step's join key (see pageRankFrames — the alternating
+    // updates join on src for authorities and on dst for hubs, so one
+    // partitioning cannot serve both; two pre-shuffles replace 2·iters
+    // full edge shuffles)
+    val eDistinct = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    val eBySrc = eDistinct.repartition(col("src")).persist()
+    val eByDst = eDistinct.repartition(col("dst")).persist()
     val dec = (c: Column) => c.cast("decimal(28,14)")
-    val nSrc = e.select("src").distinct()
+    val nSrc = eBySrc.select("src").distinct()
       .agg(count(lit(1)).cast("double").as("n_src"))
-    var hub = Checkpoints.truncate(e.select("src").distinct()
+    var hub = Checkpoints.truncate(eBySrc.select("src").distinct()
       .crossJoin(broadcast(nSrc))
       .select(col("src"), quant10(lit(1.0) / col("n_src")).as("h")),
       checkpointDir)
@@ -363,7 +379,7 @@ object Graph {
     val auths = Seq.newBuilder[DataFrame]
     hubs += hub
     for (_ <- 1 to iters) {
-      val aRaw = e.join(hub, "src")
+      val aRaw = eBySrc.join(hub, "src")
         .groupBy("dst").agg(sum(dec(col("h"))).as("__raw"))
       val aTot = aRaw.agg(sum(col("__raw")).as("__tot"))
       val auth = Checkpoints.truncate(aRaw.crossJoin(broadcast(aTot))
@@ -372,7 +388,7 @@ object Graph {
             .as("a")),
         checkpointDir)
       auths += auth
-      val hRaw = e.join(auth, "dst")
+      val hRaw = eByDst.join(auth, "dst")
         .groupBy("src").agg(sum(dec(col("a"))).as("__raw"))
       val hTot = hRaw.agg(sum(col("__raw")).as("__tot"))
       hub = Checkpoints.truncate(hRaw.crossJoin(broadcast(hTot))
@@ -439,6 +455,11 @@ object Graph {
     require(rounds >= 1 && rounds <= 12, s"rounds=$rounds out of [1,12]")
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // NO iteration-join-keyed cache partitioning here (unlike
+    // pageRankFrames): each doubling round is dominated by the pointer-
+    // jump SELF-join on the freshly-computed labels, which no stable
+    // edge partitioning can serve — the upfront repartition measured
+    // 1.17× SLOWER on x151 (r16 A/B) and was reverted
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val labels0 = Checkpoints.truncate(
@@ -539,8 +560,9 @@ object Graph {
     require(iters >= 1 && iters <= 20, s"iters=$iters out of [1,20]")
     val fwd = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
+    // iteration-join-keyed cache partitioning — see pageRankFrames
     val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     val x0 = und.select(col("src").as("node")).distinct()
       .select(col("node"), quant10(lit(beta)).as("katz"))
       .persist()
