@@ -1347,79 +1347,85 @@ object Similarity {
       spark.table(table).filter(col(cellCol).isin(affected: _*))
         .join(broadcast(delS.select(col(idCol))), Seq(idCol), "left_anti")
         .write.mode("overwrite").format("parquet").saveAsTable(survT)
-      // rewrite ONLY the affected cell partitions (positional insertInto:
-      // partition column last, matching the table's on-disk layout)
-      val confKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(confKey)
-      spark.conf.set(confKey, "dynamic")
-      try {
+      // cells with no survivors get no partition from the dynamic
+      // overwrite — they need an explicit DDL drop, as a rebuild
+      // would never have written them (collect again |cells|-bounded)
+      val survCells = spark.table(survT).select(col(cellCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      val vacated = affected.filterNot(survCells)
+      // Once the survivors and the delete set are STAGED DURABLY, the
+      // three remaining updates touch DISJOINT tables and overlap on the
+      // shared [[Par]] pool (guide §2.6 — serially each paid its own
+      // fixed driver/commit cost). The dynamic partition-overwrite mode
+      // is a SESSION conf (the DataFrameWriter option form only applies
+      // to path-based save(), not catalog insertInto — verified: the
+      // option silently fell back to static and wiped unaffected
+      // partitions), so the toggle wraps the WHOLE lane block: the only
+      // writes that consult it are the two partitioned insertIntos, and
+      // the state lane's non-partitioned saveAsTable swaps never read
+      // it — no lane can observe a torn value.
+      val lanes = Seq.newBuilder[() => Unit]
+      // lane 1: rewrite ONLY the affected cell partitions of the vector
+      // table (positional insertInto: partition column last, matching
+      // the table's on-disk layout), then vacate survivor-less cells
+      lanes += { () =>
         spark.table(survT)
           .select(spark.table(table).columns.map(col).toIndexedSeq: _*)
           .write.mode("overwrite")
           .insertInto(table)
-      } finally prev match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
+        vacated.foreach { c =>
+          val v = c.toString.replace("'", "''")
+          spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
+            s"PARTITION (`$cellCol`='$v')")
+        }
       }
-      // cells with no survivors get no partition from the dynamic
-      // overwrite — drop their old files explicitly, as a rebuild
-      // would never have written them (collect again |cells|-bounded)
-      val survCells = spark.table(survT).select(col(cellCol)).distinct()
-        .collect().map(_.get(0)).toSet
-      affected.filterNot(survCells).foreach { c =>
-        val v = c.toString.replace("'", "''")
-        spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
-          s"PARTITION (`$cellCol`='$v')")
-      }
-      // quantized serving companion: mirror the partition-bounded
-      // rewrite — affected cells' codes recomputed from the STAGED
-      // survivors at the frozen grid, vacated cells dropped by the same
-      // DDL (a stale codes partition would resurrect deleted vectors in
-      // every ADC pass)
-      if (spark.catalog.tableExists(s"${table}_codes")) {
-        val survCodes = sqCodesOf(spark, spark.table(survT), idCol,
-          cellCol, vecCol, table)
-        val ck = "spark.sql.sources.partitionOverwriteMode"
-        val prevC = spark.conf.getOption(ck)
-        spark.conf.set(ck, "dynamic")
-        try survCodes
+      // lane 2: quantized serving companion — affected cells' codes
+      // recomputed from the STAGED survivors at the frozen grid,
+      // vacated cells dropped by the same DDL (a stale codes partition
+      // would resurrect deleted vectors in every ADC pass)
+      if (spark.catalog.tableExists(s"${table}_codes")) lanes += { () =>
+        sqCodesOf(spark, spark.table(survT), idCol, cellCol, vecCol,
+            table)
           .select(spark.table(s"${table}_codes").columns
             .map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(s"${table}_codes")
-        finally prevC match {
-          case Some(v) => spark.conf.set(ck, v)
-          case None => spark.conf.unset(ck)
-        }
-        affected.filterNot(survCells).foreach { c =>
+          .write.mode("overwrite")
+          .insertInto(s"${table}_codes")
+        vacated.foreach { c =>
           val v = c.toString.replace("'", "''")
           spark.sql(s"ALTER TABLE `${table}_codes` DROP IF EXISTS " +
             s"PARTITION (`$cellCol`='$v')")
         }
         spark.catalog.refreshTable(s"${table}_codes")
       }
-      // merged centroid state staged DURABLY (parquet, not a
-      // localCheckpoint) before its source table drops — the refineCells
-      // discipline: an executor loss between pin and rewrite must never
-      // hold the only copy of state there is no compaction/repair op to
-      // rebuild (the postings index can heal companions from surviving
-      // truth; the cells×d running sums here ARE the truth)
-      val neg = centroidState(delS, cellCol, vecCol)
-        .select(col("cell"), col("i"), (-col("cs")).as("cs"),
-          (-col("cn")).as("cn"))
-      val stateT = s"${table}_cstate_staging"
-      dropWithDir(spark, stateT)
-      graft.operators.Incremental.mergeStates(
-          Seq(spark.table(s"${table}_cstate"), neg), Seq("cell", "i"))
-        .filter(col("cn") > 0)
-        .write.mode("overwrite").format("parquet").saveAsTable(stateT)
-      dropWithDir(spark, s"${table}_cstate")
-      spark.table(stateT).write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${table}_cstate")
-      dropWithDir(spark, stateT)
-      dropWithDir(spark, s"${table}_centroids")
-      centroidsFromState(spark.table(s"${table}_cstate"))
-        .write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${table}_centroids")
+      // lane 3: centroid state — the merged (full − deleted) state swaps
+      // in via [[Warehouse.replaceSmallTable]] (staging write + catalog
+      // rename): the old incarnation stays readable while the merge plan
+      // reads it AND the staging write is durable before the swap — the
+      // refineCells discipline (an executor loss mid-swap never holds
+      // the only copy), with one write+read pair FEWER than the former
+      // explicit staging-table shuffle. The delete-side state reads the
+      // staged delT, not the vector table lane 1 is overwriting.
+      lanes += { () =>
+        val neg = centroidState(delS, cellCol, vecCol)
+          .select(col("cell"), col("i"), (-col("cs")).as("cs"),
+            (-col("cn")).as("cn"))
+        Warehouse.replaceSmallTable(
+          graft.operators.Incremental.mergeStates(
+              Seq(spark.table(s"${table}_cstate"), neg), Seq("cell", "i"))
+            .filter(col("cn") > 0),
+          s"${table}_cstate")
+        Warehouse.replaceSmallTable(
+          centroidsFromState(spark.table(s"${table}_cstate")),
+          s"${table}_centroids")
+      }
+      val confKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "dynamic")
+      try Par.all(lanes.result())
+      finally prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
       dropWithDir(spark, survT)
     }
     dropWithDir(spark, delT)
@@ -1615,62 +1621,77 @@ object Similarity {
     val stagingT = s"${table}_rebalance_staging"
     dropWithDir(spark, stagingT)
     staged.write.mode("overwrite").format("parquet").saveAsTable(stagingT)
-    // 4) partition surgery: overwrite exactly the staged partitions,
-    //    then vacate the merged sources via partition DDL (x238)
+    // Everything below the staged truth splits into two INDEPENDENT
+    // lanes on the shared [[Par]] pool (guide §2.6): the vector-table
+    // partition surgery + its codes rebuild (the codes read the
+    // POST-surgery table, so they stay one lane, strictly ordered), and
+    // the centroid-state surgery (reads stagingT + the old state —
+    // disjoint from the vector table). The dynamic partition-overwrite
+    // SESSION conf wraps the whole lane block (the DataFrameWriter
+    // option form only applies to path-based save(), not catalog
+    // insertInto): the only write that consults it is lane 1's
+    // partitioned insertInto; the state lane's non-partitioned
+    // saveAsTable swaps never read it — no lane can observe a torn
+    // value.
+    val vacated = merges ++ splits.filterNot(destCells.toSet)
+    val lanes = Seq.newBuilder[() => Unit]
+    // lane 1: 4) partition surgery — overwrite exactly the staged
+    // partitions, then vacate the merged sources AND any split source no
+    // staged row kept (when a split's reassignment or md5 half seeding
+    // leaves half 0 empty, the dynamic overwrite never touched the
+    // source partition; without the DDL its old rows would stay live on
+    // disk while the cell vanished from _cstate/_centroids) — then the
+    // quantized codes rebuild to the NEW assignment at the FROZEN grid
+    // (one pass over the rebalanced table; codes are per-row functions
+    // of the vector, so no re-fit — and the plan reads only `table` +
+    // the grid companions, so the former eager localCheckpoint pin
+    // before the codes drop bought nothing: the fitCodes r15 lesson)
+    lanes += { () =>
+      spark.table(stagingT)
+        .select(base.columns.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite")
+        .insertInto(table)
+      vacated.foreach { c =>
+        spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
+          s"PARTITION (`$cellCol`='$c')")
+      }
+      if (spark.catalog.tableExists(s"${table}_codes")) {
+        val fresh = sqCodesOf(spark, spark.table(table), idCol, cellCol,
+          vecCol, table)
+        dropWithDir(spark, s"${table}_codes")
+        fresh.write.mode("overwrite").format("parquet")
+          .partitionBy(cellCol).saveAsTable(s"${table}_codes")
+      }
+    }
+    // lane 2: 5) state surgery — affected cells recomputed from the
+    // staged truth (exact-DECIMAL sums ≡ a from-scratch build on the
+    // final assignment), untouched cells keep their rows. The swap rides
+    // [[Warehouse.replaceSmallTable]] (staging write + catalog rename):
+    // durable before the old incarnation drops — the refineCells
+    // discipline — with one write+read pair FEWER than the former
+    // explicit staging table.
+    val affected = (splits ++ merges ++ targetCells ++
+      splits.map(newIdOf)).distinct
+    lanes += { () =>
+      Warehouse.replaceSmallTable(
+        spark.table(s"${table}_cstate")
+          .filter(!col("cell").cast("long").isin(affected: _*))
+          .unionByName(
+            centroidState(spark.table(stagingT), cellCol, vecCol)),
+        s"${table}_cstate")
+      Warehouse.replaceSmallTable(
+        centroidsFromState(spark.table(s"${table}_cstate")),
+        s"${table}_centroids")
+    }
     val confKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "dynamic")
-    try {
-      spark.table(stagingT)
-        .select(base.columns.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").insertInto(table)
-    } finally prev match {
+    try Par.all(lanes.result())
+    finally prev match {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)
     }
-    // vacate the merged sources AND any split source no staged row kept:
-    // when a split's reassignment (or its md5 half seeding) leaves half 0
-    // empty, the dynamic overwrite never touched the source partition, so
-    // without this DDL its old rows would stay live on disk (duplicated
-    // into the new cell) while the cell vanished from _cstate/_centroids
-    val vacated = merges ++ splits.filterNot(destCells.toSet)
-    vacated.foreach { c =>
-      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS " +
-        s"PARTITION (`$cellCol`='$c')")
-    }
-    // 5) state surgery: affected cells recomputed from the staged truth
-    //    (exact-DECIMAL sums ≡ a from-scratch build on the final
-    //    assignment), untouched cells keep their rows; staged durably
-    //    before the replace (no repair op exists for this state)
-    val affected = (splits ++ merges ++ targetCells ++
-      splits.map(newIdOf)).distinct
-    val stateT = s"${table}_cstate_rebalance_staging"
-    dropWithDir(spark, stateT)
-    spark.table(s"${table}_cstate")
-      .filter(!col("cell").cast("long").isin(affected: _*))
-      .unionByName(
-        centroidState(spark.table(stagingT), cellCol, vecCol))
-      .write.mode("overwrite").format("parquet").saveAsTable(stateT)
-    dropWithDir(spark, s"${table}_cstate")
-    spark.table(stateT).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_cstate")
-    dropWithDir(spark, s"${table}_centroids")
-    centroidsFromState(spark.table(s"${table}_cstate"))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
-    dropWithDir(spark, stateT)
     dropWithDir(spark, stagingT)
-    // quantized serving companion: cells were split/merged, so code
-    // rows must move partitions too — rebuild the codes table to the
-    // NEW assignment at the FROZEN grid (one pass over the rebalanced
-    // table; codes are per-row functions of the vector, so no re-fit)
-    if (spark.catalog.tableExists(s"${table}_codes")) {
-      val fresh = sqCodesOf(spark, spark.table(table), idCol, cellCol,
-        vecCol, table).localCheckpoint(eager = true)
-      dropWithDir(spark, s"${table}_codes")
-      fresh.write.mode("overwrite").format("parquet")
-        .partitionBy(cellCol).saveAsTable(s"${table}_codes")
-    }
     } finally if (splitInput != null) splitInput.unpersist()
   }
 
