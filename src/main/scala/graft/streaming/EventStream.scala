@@ -380,7 +380,7 @@ object EventStream {
         round(col("__tv").cast("double"), 2).as("total_value"))
     val name = "dedupsess_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("dedupsess_ckpt").toString
-    withReplayShuffle(spark) {
+    withNoDataBatchesOff(spark) { withReplayShuffle(spark) {
       val q = chained.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
         .start()
@@ -397,7 +397,7 @@ object EventStream {
           (-1000000L - i, u, sentinelUs + gapTotalUs, 0.0) })
         q.processAllAvailable()
       } finally q.stop()
-    }
+    } }
     spark.table(name)
   }
 
@@ -483,7 +483,7 @@ object EventStream {
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
     val name = "tsessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("tsess_ckpt").toString
-    withReplayShuffle(spark) {
+    withNoDataBatchesOff(spark) { withReplayShuffle(spark) {
       val q = sessionizeTimeout(streamDf, gapSeconds)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
@@ -501,7 +501,7 @@ object EventStream {
         mem.addData(Seq((-1L, sentinelUs + 2 * gapUs)))
         q.processAllAvailable()
       } finally q.stop()
-    }
+    } }
     spark.table(name).filter(col("user_id") >= 0)
   }
 
@@ -990,6 +990,31 @@ object EventStream {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Disable Spark's no-data micro-batches for a replay whose FINAL
+    * emissions are all driven by explicit sentinel DATA batches (the
+    * two-step sentinel flush: batch 1 jumps the watermark, batch 2
+    * processes the fired timers/evictions). For those replays the
+    * no-data batches Spark inserts after every data batch re-run the
+    * whole micro-batch planning loop and emit nothing — measured
+    * 0.54-0.78× on the sessionize-timeout / chained-session /
+    * outer-attribution / dedupe replays (r16).
+    *
+    * DO NOT apply where emission relies on a watermark-only batch:
+    * the file-source session pipeline (x106) LOSES final sessions
+    * without no-data batches (measured — file feeds have no sentinel
+    * mechanism), and the transformWithState list/map-state replays
+    * measured 1.7-2.2× SLOWER with them off. Scoped per-operator for
+    * exactly that reason; conf restored on exit. */
+  private def withNoDataBatchesOff[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Replay a STATIC events frame through [[sessionizeFull]] as a real
     * stream: time-ordered micro-batches into a MemoryStream, then one
     * sentinel event per user far past the last timestamp to flush open
@@ -1068,7 +1093,7 @@ object EventStream {
         col("user_id"), col("event_type"), col("value"))
     val name = "dedupe_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("dedupe_ckpt").toString
-    withReplayShuffle(spark) {
+    withNoDataBatchesOff(spark) { withReplayShuffle(spark) {
       val q = dedupeStream(streamDf, keys)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt)
@@ -1080,7 +1105,7 @@ object EventStream {
           q.processAllAvailable()
         }
       } finally q.stop()
-    }
+    } }
     spark.table(name)
   }
 
@@ -1138,7 +1163,7 @@ object EventStream {
         .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"), col("user_id"))
     val name = "attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("attr_ckpt").toString
-    withReplayShuffle(spark) {
+    withNoDataBatchesOff(spark) { withReplayShuffle(spark) {
       val q = attributionJoin(streamDf(memC), streamDf(memP), withinSeconds,
           joinType = joinType)
         .writeStream.format("memory").queryName(name)
@@ -1169,7 +1194,7 @@ object EventStream {
           }
         }
       } finally q.stop()
-    }
+    } }
     spark.table(name).filter(col("user_id") >= 0)
   }
 
